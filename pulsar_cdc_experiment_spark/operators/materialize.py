@@ -1,0 +1,80 @@
+"""CDC materialization — fold a change stream into latest row state (B5/C27).
+
+The reference never materializes its CDC feed (its "result set" is the
+enriched topic itself, reference scripts/verify.sh:404-407), but
+materialization is the implied end-use of any CDC pipeline and the operator
+that makes the feed *queryable*. Op semantics per reference
+connectors/README.md:152-157: c=create, u=update, d=delete, r=snapshot read.
+
+Determinism: Spark gives no implicit stream order, so ordering keys are
+explicit — Postgres WAL LSN first (strictly increasing,
+docs/setup-guide.md:85), then txId, then ts_ms (SURVEY.md §4 item 2).
+
+Scale notes: the window fold shuffles once on the key — the minimal possible
+for this semantics. At 100 TB the win is that AQE handles skewed keys and
+the per-key state is one row; for continuous streams use
+streaming.materialize_stream (foreachBatch MERGE) instead of re-folding.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_ORDER = ("source.lsn", "source.txId", "ts_ms")
+
+
+def latest_state(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("after.id",),
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+    op_col: str = "op",
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """Reduce a CDC envelope DataFrame to the latest event per key.
+
+    For deletes the key lives in ``before`` (``after`` is null), so the
+    grouping key coalesces both images. Returns the winning envelope rows;
+    callers typically project ``after.*`` afterwards.
+    """
+    key_exprs = [
+        F.coalesce(F.col(k), F.col(k.replace("after.", "before.", 1))).alias(
+            f"__key_{i}"
+        )
+        if k.startswith("after.")
+        else F.col(k).alias(f"__key_{i}")
+        for i, k in enumerate(key_cols)
+    ]
+    keyed = df.select("*", *key_exprs)
+    w = Window.partitionBy(
+        *[f"__key_{i}" for i in range(len(key_cols))]
+    ).orderBy(*[F.col(c).desc() for c in order_cols])
+    out = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[f"__key_{i}" for i in range(len(key_cols))])
+    )
+    if drop_deletes:
+        out = out.filter(F.col(op_col) != "d")
+    return out
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Generic latest-row-per-key fold over any table (flat-schema variant).
+
+    Orders descending by ``order_cols`` (ties broken by the listed order) and
+    keeps the first row per key. The relational face of CDC materialization:
+    used directly on the ``events`` test table.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,176 @@
+"""CDC-semantics driver queries (SURVEY.md §2 Tiers A/B: A5-A14, B5/C26-C27).
+
+The parquet ``events`` table is a generic event stream, so the CDC operators
+are exercised by deriving Debezium-style op codes from ``event_type``
+deterministically, then applying the SAME enrichment expressions the
+envelope pipeline uses (operators/enrichment.py). Reference semantics cited
+there; op codes per reference connectors/README.md:152-157.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.enrichment import email_domain, is_mutation, iso_from_millis, op_label
+from ..operators.materialize import latest_by_key
+from ..registry import register
+from ..sources.tables import table
+
+# event_type → Debezium op code ('click' deliberately maps to an unknown
+# code to exercise the UNKNOWN branch, reference cdc_enrichment_function.py:44).
+OP_FROM_EVENT_TYPE = {"signup": "c", "purchase": "u", "error": "d", "view": "r"}
+
+_OP_CASE_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'c' WHEN 'purchase' THEN 'u' "
+    "WHEN 'error' THEN 'd' WHEN 'view' THEN 'r' ELSE 'x' END"
+)
+
+
+def _op_col():
+    expr = F.lit("x")
+    for et, code in reversed(list(OP_FROM_EVENT_TYPE.items())):
+        expr = F.when(F.col("event_type") == et, code).otherwise(expr)
+    return expr
+
+
+@register(
+    "cdc_op_decode",
+    oracle=f"""
+    SELECT event_id,
+           {_OP_CASE_SQL} AS op,
+           CASE {_OP_CASE_SQL}
+             WHEN 'c' THEN 'CREATE' WHEN 'u' THEN 'UPDATE'
+             WHEN 'd' THEN 'DELETE' WHEN 'r' THEN 'READ'
+             ELSE 'UNKNOWN' END AS op_label,
+           {_OP_CASE_SQL} IN ('c','u','d') AS is_mutation
+    FROM events
+    """,
+)
+def cdc_op_decode(spark, sf_dir):
+    """A5/A6/C26: dictionary-decode op → label + mutation predicate."""
+    df = table(spark, sf_dir, "events").withColumn("op", _op_col())
+    return df.select(
+        "event_id",
+        "op",
+        op_label(F.col("op")).alias("op_label"),
+        is_mutation(F.col("op")).alias("is_mutation"),
+    )
+
+
+@register(
+    "cdc_event_time_iso",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS event_time_ms,
+           CASE WHEN epoch_ms(ts) % 1000 = 0
+                THEN strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%dT%H:%M:%S')
+                ELSE strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%dT%H:%M:%S.%f')
+           END AS event_time_iso
+    FROM events
+    """,
+)
+def cdc_event_time_iso(spark, sf_dir):
+    """A7: epoch-millis → ISO-8601 with Python-isoformat fraction semantics."""
+    df = table(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis("ts"))
+    return df.select(
+        "event_id",
+        F.col("ts_ms").alias("event_time_ms"),
+        iso_from_millis(F.col("ts_ms")).alias("event_time_iso"),
+    )
+
+
+# Deterministic synthetic email over customer rows: most have one '@', every
+# 11th has none (exercises the guarded-split branch, reference
+# cdc_enrichment_function.py:80-85), every 13th is empty (has_email=false).
+_EMAIL_SQL = """
+    CASE WHEN c_custkey % 13 = 0 THEN ''
+         WHEN c_custkey % 11 = 0 THEN lower(replace(c_name, '#', '-'))
+         ELSE lower(replace(c_name, '#', '.')) || '@corp' || (c_custkey % 7) || '.example.com'
+    END
+"""
+
+
+def _email_col():
+    return (
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(""))
+        .when(F.col("c_custkey") % 11 == 0, F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("-"))))
+        .otherwise(
+            F.concat(
+                F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+                F.lit("@corp"),
+                (F.col("c_custkey") % 7).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+    )
+
+
+@register(
+    "cdc_email_insights",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, {_EMAIL_SQL} AS email FROM customer)
+    SELECT c_custkey, email,
+           CASE WHEN contains(email, '@') THEN string_split(email, '@')[2] END AS email_domain,
+           email IS NOT NULL AND length(email) > 0 AS has_email,
+           length(email) AS email_length
+    FROM c
+    """,
+)
+def cdc_email_insights(spark, sf_dir):
+    """A13/A14: guarded email split + boolean/length insights."""
+    df = table(spark, sf_dir, "customer").withColumn("email", _email_col())
+    return df.select(
+        "c_custkey",
+        "email",
+        email_domain(F.col("email")).alias("email_domain"),
+        (F.col("email").isNotNull() & (F.length("email") > 0)).alias("has_email"),
+        F.length("email").cast("long").alias("email_length"),
+    )
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value, ts AS last_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_latest_state(spark, sf_dir):
+    """B5/C27: CDC latest-row-state fold — one shuffle on the key.
+
+    'error' plays the tombstone role op='d' plays in the envelope pipeline
+    (operators/materialize.latest_state is the envelope-schema variant).
+    """
+    events = table(spark, sf_dir, "events")
+    latest = latest_by_key(events, ["user_id"], ["ts", "event_id"])
+    return latest.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "cdc_route_counts",
+    oracle="""
+    SELECT event_type AS route, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_route_counts(spark, sf_dir):
+    """B6: content-based routing — per-route fan-out cardinalities."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("route"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

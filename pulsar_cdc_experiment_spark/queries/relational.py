@@ -1,0 +1,650 @@
+"""Relational-core driver queries (SURVEY.md §2 Tier C: C1-C18, C22).
+
+Thin, declarative DataFrame plans — Catalyst gets predicate pushdown, column
+pruning, and join selection; AQE re-plans shuffles at runtime. Scale notes
+per query: dims (region/nation/customer/supplier/part) are broadcast against
+the lineitem/orders facts, so the only shuffles left are the keyed
+aggregations themselves.
+
+DuckDB oracle conventions (FIXTURES.md §5): identical aliases both sides,
+floats rounded identically, integer sums CAST AS BIGINT (DuckDB widens to
+HUGEINT), NULLS LAST made explicit where order feeds a limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn
+from ..registry import register
+from ..sources.tables import table
+
+
+@register(
+    "scan_aggregate",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price,
+           floor((min(l_discount)) * 100 + 0.5) / 100 AS min_disc,
+           floor((max(l_tax)) * 100 + 0.5) / 100 AS max_tax
+    FROM lineitem
+    """,
+)
+def scan_aggregate(spark, sf_dir):
+    """C1: full parquet scan + ungrouped aggregate (column-pruned to 5 cols)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        rn(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rn(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        rn(F.min("l_discount"), 2).alias("min_disc"),
+        rn(F.max("l_tax"), 2).alias("max_tax"),
+    )
+
+
+@register(
+    "project_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS charge,
+           CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    """,
+)
+def project_arithmetic(spark, sf_dir):
+    """C2: per-row projection/arithmetic — stays in whole-stage codegen."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rn(rev, 2).alias("revenue"),
+        rn(rev * (1 + F.col("l_tax")), 2).alias("charge"),
+        F.col("l_quantity").cast("long").alias("qty_int"),
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+      AND l_returnflag IN ('A', 'R')
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    """C3: conjunctive range + BETWEEN + IN predicates, pushed to the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+        & (F.col("l_returnflag").isin("A", "R"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_revenue_by_nation(spark, sf_dir):
+    """C4 (flagship): star join lineitem→orders→customer→nation→region.
+
+    Scale shape: nation/region/customer broadcast (dim side), so the fact
+    table never shuffles for the joins — the single shuffle is the final
+    group-by, which AQE coalesces. orders↔lineitem stays a shuffle-free
+    broadcast at test SF and becomes a sort-merge join on l_orderkey at
+    100 TB, which AQE picks automatically.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           floor((coalesce(sum(o_totalprice), 0.0)) * 100 + 0.5) / 100 AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """C5: left outer join preserving customers with zero orders."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            rn(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(n.n_nationkey, s.s_nationkey) AS nationkey,
+           n_name,
+           CAST(count(s_suppkey) AS BIGINT) AS n_suppliers
+    FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    GROUP BY coalesce(n.n_nationkey, s.s_nationkey), n_name
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """C5: full outer join — nations without suppliers and vice versa."""
+    nation = table(spark, sf_dir, "nation")
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "full")
+        .groupBy(
+            F.coalesce("n_nationkey", "s_nationkey").alias("nationkey"), F.col("n_name")
+        )
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers_with_orders
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf_dir):
+    """C6: left-semi join (EXISTS)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """C6: left-anti join (NOT EXISTS) — customers with no orders."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation JOIN region ON n_regionkey <> r_regionkey
+    """,
+)
+def join_theta(spark, sf_dir):
+    """C7: pure non-equi (theta) join — nested-loop over broadcast side."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey != region.r_regionkey
+    ).select("n_name", "r_name")
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_close_lines,
+           floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+    GROUP BY p_partkey
+    """,
+)
+def join_range(spark, sf_dir):
+    """C7: equi + range band join (quantity within ±5 of part size)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey)
+            & (li.l_quantity.between(part.p_size - 5, part.p_size + 5)),
+        )
+        .groupBy("p_partkey")
+        .agg(
+            F.count("*").alias("n_close_lines"),
+            rn(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+           floor((avg(l_quantity)) * 100 + 0.5) / 100 AS avg_qty,
+           floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+           floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """C8 (TPC-H Q1 shape): the canonical hash-aggregate benchmark query.
+
+    Map-side partial aggregation means the shuffle carries only
+    |groups| x |partitions| rows — the scan dominates, as it should.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rn(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rn(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rn(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rn(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rn(F.avg("l_quantity"), 2).alias("avg_qty"),
+            rn(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            rn(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "forecast_revenue",
+    oracle="""
+    SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark, sf_dir):
+    """C3+C8 (TPC-H Q6 shape): selective filter + scalar aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rn(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        )
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey, floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """C4+C16 (TPC-H Q3 shape): join + agg + global top-k.
+
+    TakeOrderedAndProject keeps the top-k merge on partial heaps — no full
+    sort of the aggregate output at scale.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS n_part_supp_pairs
+    FROM lineitem
+    """,
+)
+def distinct_counts(spark, sf_dir):
+    """C9: distinct + count-distinct (single and composite key)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp_pairs"),
+    )
+
+
+@register("approx_distinct")  # rows-only: approximate, engine-specific sketch
+def approx_distinct(spark, sf_dir):
+    """C10: HyperLogLog++ approximate count-distinct (rows-only check).
+
+    At 100 TB this replaces exact count-distinct wherever a ~2% error is
+    acceptable: no shuffle of the distinct keys, just sketch merge.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INTEGER) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """C11: rollup with grouping-id disambiguation."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            rn(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2)
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+            "gid",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderstatus) + 2 * grouping(o_orderpriority) AS INTEGER) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    """C11: cube over two dimensions."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            rn(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_orders"),
+            (F.grouping("o_orderstatus") + F.grouping("o_orderpriority") * 2)
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n_orders",
+            "gid",
+        )
+    )
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rnk, drnk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark, sf_dir):
+    """C12: ranking window functions, deterministic tie-break, top-3/group."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           floor((first_value(o_totalprice) OVER w) * 100 + 0.5) / 100 AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """C13: analytic window functions over per-customer order history."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        rn(F.first("o_totalprice").over(w), 2).alias("first_price"),
+    )
+
+
+@register(
+    "window_running_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           floor((sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_qty,
+           floor((avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS moving_avg_price
+    FROM lineitem
+    """,
+)
+def window_running_frame(spark, sf_dir):
+    """C14: framed window aggregates (running sum, 3-row moving average)."""
+    li = table(spark, sf_dir, "lineitem")
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        rn(
+            F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_qty"),
+        rn(F.avg("l_extendedprice").over(w.rowsBetween(-2, 0)), 2).alias(
+            "moving_avg_price"
+        ),
+    )
+
+
+@register(
+    "top_k",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 10
+    """,
+)
+def top_k(spark, sf_dir):
+    """C15/C16: multi-key global sort + limit → TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT custkey, CAST(count(*) AS BIGINT) AS appearances FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 50000
+    ) GROUP BY custkey
+    """,
+)
+def set_union(spark, sf_dir):
+    """C17: union-all of two key sets + multiplicity count."""
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 50000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.unionAll(big).groupBy("custkey").agg(F.count("*").alias("appearances"))
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    SELECT 'both' AS which, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    UNION ALL
+    SELECT 'only_a' AS which, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      EXCEPT
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    """,
+)
+def set_intersect_except(spark, sf_dir):
+    """C18: intersect / except of part-key sets."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey").distinct()
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey").distinct()
+    both = a.intersect(r).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("which"), "n"
+    )
+    only_a = a.exceptAll(r).agg(F.count("*").alias("n")).select(
+        F.lit("only_a").alias("which"), "n"
+    )
+    return both.unionAll(only_a)
+
+
+@register(
+    "conditional_nulls",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
+           floor((coalesce(nullif(c_acctbal, 0.0), -1.0)) * 100 + 0.5) / 100 AS bal_or_sentinel,
+           floor((greatest(c_acctbal, 0.0)) * 100 + 0.5) / 100 AS bal_floor0,
+           floor((least(c_acctbal, 9000.0)) * 100 + 0.5) / 100 AS bal_cap9k
+    FROM customer
+    """,
+)
+def conditional_nulls(spark, sf_dir):
+    """C22: CASE/coalesce/nullif/greatest/least."""
+    cust = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("high").alias("bal_band"),
+        rn(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)), 2).alias("bal_or_sentinel"),
+        rn(F.greatest(bal, F.lit(0.0)), 2).alias("bal_floor0"),
+        rn(F.least(bal, F.lit(9000.0)), 2).alias("bal_cap9k"),
+    )

@@ -1,0 +1,60 @@
+"""Driver-facing query registry: one entry per SURVEY.md §2 operator.
+
+Each registered query is a ``(spark, sf_dir) -> DataFrame`` callable plus an
+optional ANSI-SQL oracle string that DuckDB runs over the same parquet
+views. The driver hash-compares both sides (row count + schema +
+order-insensitive value hash, columns sorted by name) — so every computed
+column is aliased IDENTICALLY in the Spark plan and the SQL, floats are
+rounded the same on both sides, and integer aggregates are cast to BIGINT
+in SQL (DuckDB sums int32 into HUGEINT otherwise).
+
+Queries without an oracle (non-SQL-expressible: streaming state, LSH with
+engine-specific hashing, approximate aggregates) get the driver's weaker
+rows-only check and say so in their docstring.
+
+The registry is assembled from per-area modules; this module owns the
+decorator and the lookup tables that ``__spark_entry__`` exposes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a driver query; ``oracle`` is DuckDB SQL or None (rows-only)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .session import prepare_session
+
+            prepare_session(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_query_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from .queries import (  # noqa: F401
+        cdc,
+        llm_ops,
+        relational,
+        scalar_fns,
+        streaming_q,
+        windows_q,
+    )

@@ -1,0 +1,83 @@
+"""CDC source — snapshot + stream unification and envelope parsing.
+
+The reference's source is a Debezium Pulsar IO connector
+(reference kubernetes/manifests/debezium-postgres-connector.yaml:8-54):
+``snapshot.mode: initial`` emits a full table scan as op='r' events, then
+streams live WAL changes (A1/B4). In Spark the same contract is:
+
+- batch backfill: ``spark.read`` over the snapshot + ``spark.readStream``
+  over the live feed, or
+- one replayable streaming source consumed from offset 0 with
+  ``Trigger.AvailableNow`` for catch-up, then continuous micro-batches.
+
+Offset durability: the reference uses a VOLATILE MemoryOffsetBackingStore
+(connector yaml line 31 — restarts re-snapshot); Structured Streaming
+checkpoints are a strict improvement with the same external behavior (B2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CUSTOMERS_ROW, envelope_schema
+
+
+def parse_envelopes(
+    raw_df: DataFrame, value_col: str = "value", row_schema=CUSTOMERS_ROW
+) -> DataFrame:
+    """Raw JSON bytes/strings → typed envelope rows (A3).
+
+    PERMISSIVE parse: corrupt payloads yield null envelope columns and are
+    KEPT (reference never drops, cdc_enrichment_function.py:104-107). The
+    raw payload is retained in ``_raw`` so downstream pass-through / DLQ
+    splits (B7) can route it.
+    """
+    raw = F.col(value_col).cast("string")
+    parsed = F.from_json(raw, envelope_schema(row_schema))
+    return raw_df.select(parsed.alias("envelope"), raw.alias("_raw")).select(
+        "envelope.*", "_raw"
+    )
+
+
+def table_filter(df: DataFrame, include: list[str]) -> DataFrame:
+    """Source-side table include list (A2).
+
+    Mirrors ``table.include.list: public.customers`` (connector yaml line 24)
+    as a predicate on provenance; Catalyst pushes it into the scan.
+    ``include`` entries are ``schema.table`` strings.
+    """
+    qualified = F.concat_ws(".", F.col("source.schema"), F.col("source.table"))
+    return df.filter(qualified.isin(*include))
+
+
+def read_cdc_stream(
+    spark: SparkSession,
+    path: str,
+    row_schema=CUSTOMERS_ROW,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming CDC source over a directory of JSON envelope files.
+
+    Stand-in for the Pulsar/Kafka topic in this environment; on a real
+    cluster swap for ``spark.readStream.format("kafka")`` with the same
+    ``parse_envelopes`` applied to the ``value`` column.
+    """
+    reader = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1)
+        .load(path)
+    )
+    return parse_envelopes(reader, "value", row_schema)
+
+
+def route_by_table(df: DataFrame):
+    """Content-based routing key (B6): one output partition per source table.
+
+    Use with ``writeStream.partitionBy("_route")`` or per-table filters —
+    the Spark face of "topic per table" (docs/architecture.md:395-396).
+    """
+    return df.withColumn(
+        "_route",
+        F.concat_ws(".", F.col("source.db"), F.col("source.schema"), F.col("source.table")),
+    )

@@ -1,0 +1,59 @@
+"""CDC latest-state materialization tests (SURVEY.md §2 B5/C27)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_cdc_experiment_spark.operators.materialize import (
+    latest_by_key,
+    latest_state,
+)
+from pulsar_cdc_experiment_spark.sources.cdc import parse_envelopes
+
+from .fixtures_cdc import sample_json_lines
+
+
+def _envelopes(spark):
+    raw = spark.createDataFrame([(s,) for s in sample_json_lines()], ["value"])
+    return parse_envelopes(raw).drop("_raw")
+
+
+def test_latest_state_folds_history(spark):
+    env = _envelopes(spark)
+    state = latest_state(env, key_cols=["after.id"])
+    rows = {r["after"]["id"]: r for r in state.collect()}
+    # id=1 folded to last update (lsn 300)
+    assert rows[1]["after"]["name"] == "Alice B"
+    assert rows[1]["source"]["lsn"] == 300
+    # id=3 deleted → absent
+    assert 3 not in rows
+    # snapshot-only key survives
+    assert rows[2]["after"]["name"] == "Bob"
+    # unknown-op row still folds by key
+    assert 6 in rows
+    assert set(rows) == {1, 2, 4, 5, 6}
+
+
+def test_latest_state_keep_tombstones(spark):
+    env = _envelopes(spark)
+    state = latest_state(env, key_cols=["after.id"], drop_deletes=False)
+    by_key = {
+        (r["after"] or r["before"])["id"]: r["op"] for r in state.collect()
+    }
+    assert by_key[3] == "d"  # tombstone visible when requested
+
+
+def test_latest_by_key_on_events_table(spark, sf_dir):
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    events = table(spark, sf_dir, "events")
+    latest = latest_by_key(events, ["user_id"], ["ts", "event_id"])
+    assert latest.count() == events.select("user_id").distinct().count()
+    # spot-check one user against a plain SQL max
+    row = latest.orderBy("user_id").first()
+    expect = (
+        events.filter(F.col("user_id") == row["user_id"])
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .first()
+    )
+    assert row["event_id"] == expect["event_id"]
