@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+The scale story (the reason these exist at all):
+
+- exact: one shuffle on the hash of the content column. At 100 TB, dedup on
+  a digest column (xxhash64) instead of raw text so the shuffle carries 8
+  bytes/row, not documents.
+- n-gram Jaccard within blocks: quadratic ONLY within a blocking key —
+  choose blocks so the largest block is bounded; the block join broadcasts
+  nothing and shuffles each doc once.
+- MinHash+LSH: linear-cost candidate generation. signatures are k=32 ints
+  per doc (map-side), banding explodes to bands-per-doc rows, the bucket
+  group-by is the single shuffle, and only same-bucket docs are pair-joined.
+  This is the 100 TB near-dup path; threshold/bands tune the S-curve.
+- SimHash: one 64-bit signature per doc; near-dups cluster by signature
+  band. Cheapest signal, coarsest.
+
+Everything is built-in expressions (hash/xxhash64 are JVM murmur/xxhash —
+engine-specific, hence the LSH/SimHash queries declare rows-only oracles;
+the Jaccard math itself is oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact content value (C28).
+
+    Aggregation (not dropDuplicates) so the survivor choice is deterministic
+    regardless of partitioning.
+    """
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Sliding word n-gram shingles of tokenized text."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two arrays treated as sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All same-block pairs with n-gram Jaccard ≥ threshold.
+
+    Quadratic within a block only; callers pick ``block_col`` so blocks stay
+    bounded (at 100 TB: length-bucket × language × source, or an LSH bucket
+    from :func:`minhash_lsh_candidates` for unbounded corpora).
+    """
+    shingled = df.select(
+        F.col(id_col), F.col(block_col).alias("__block"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__shingles"),
+    )
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    pair = a.join(
+        b,
+        (F.col(f"a.__block") == F.col(f"b.__block"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    sim = jaccard(F.col("a.__shingles"), F.col("b.__shingles"))
+    return pair.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        sim.alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash signatures as ``num_hashes`` flat int columns ``h0..h{k-1}``.
+
+    Shape chosen for scale: explode shingles → per-row murmur3 with k seeds →
+    one groupBy(doc) with k ``min`` aggregates. Flat expressions (no nested
+    higher-order functions), map-side partial mins, a single shuffle whose
+    payload is k ints per doc. (A first cut computed the signature as one
+    nested transform-over-shingles expression per seed — Catalyst inlined
+    the shingle expression 32×, 70 s for 500 docs. This shape is ~20× faster
+    and is also the right plan at 100 TB.)
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), ngram))).alias("__sh"),
+    )
+    return sh.groupBy(id_col).agg(
+        *[F.min(F.hash("__sh", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidates.
+
+    Returns (id_a, id_b) candidate pairs, deduplicated across bands. With
+    k=32, b=8, r=4 the S-curve crosses ~50% candidate probability at
+    Jaccard ≈ (1/b)^(1/r) ≈ 0.6.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"h{j}")
+                                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with true n-gram Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, ngram)
+    shingled = df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("__sh")
+    )
+    return (
+        cands.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc using xxhash64 per-token bits.
+
+    Same explode→aggregate shape as MinHash: per (doc, token) row compute
+    the 64-bit hash once, vote ±1 per bit via 64 flat ``sum`` aggregates,
+    then assemble sign bits into one BIGINT signature.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).withColumn("__h", F.xxhash64("__t"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit_val = F.lit(1).cast("long") * (2**b) if b < 63 else F.lit(-(2**63)).cast("long")
+        sig = sig + F.when(F.col(f"b{b}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs grouped by identical SimHash signature (coarse near-dup)."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+    )

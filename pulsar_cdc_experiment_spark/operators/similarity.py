@@ -1,0 +1,130 @@
+"""Embedding similarity search: brute-force top-k and LSH-bucketed ANN.
+
+Vectors are plain ``array<float>`` columns; math is done in double via
+built-in higher-order functions (zip_with/aggregate) — JVM-side, no Python.
+
+Scale: brute-force is one scan + TakeOrdered (exact, O(N·d) per query —
+the right baseline and the right answer for ≤10^7 rows per query batch).
+The LSH path buckets vectors by random-hyperplane signs: bucketing is a
+map-side signature + one shuffle; queries probe their own bucket plus
+1-bit-flip neighbors (multiprobe), trading recall for a ~2^bits fan-in
+reduction. Plane matrix is seeded-deterministic and broadcast as literals;
+at 100 TB the bucketed table would be written out partitioned by bucket so
+probes become partition-pruned scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine(F.col(vec_col), q).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int = 12, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplane matrix (bits × dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of a vector under the given hyperplanes."""
+    out = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        out = out + F.when(dot(vec, p) > 0, F.lit(2**i)).otherwise(0)
+    return out
+
+
+def lsh_bucketize(
+    df: DataFrame, planes: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    return df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k: probe the query's bucket ± ``multiprobe``-bit flips."""
+    qv = np.asarray(query_vec, dtype=float)
+    bucket = 0
+    for i, plane in enumerate(planes):
+        if float(qv @ plane) > 0:
+            bucket += 2**i
+    probes = {bucket}
+    if multiprobe >= 1:
+        for i in range(len(planes)):
+            probes.add(bucket ^ (2**i))
+    bucketed = lsh_bucketize(df, planes, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.filter(F.col("__bucket").isin(*probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pairwise_cosine_in_blocks(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key (cosine ≥ threshold)."""
+    sel = df.select(F.col(id_col), F.col(block_col).alias("__blk"), F.col(vec_col))
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,1 +1,320 @@
-"""Placeholder — queries added incrementally."""
+"""Training-data pipeline driver queries: dedup, similarity, text, multimodal.
+
+Oracle notes:
+- Jaccard/fingerprint/quality formulas are built ONLY from functions with
+  exact DuckDB equivalents, so they hash-match (see operators/text.py).
+- MinHash-LSH / SimHash use engine hash functions (murmur3/xxhash64) → no
+  SQL oracle exists; declared rows-only deliberately (FIXTURES.md §5).
+- Embedding cosine is written with the SAME accumulation shape both sides
+  (sequential fold over index order) so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn
+from ..operators import dedup as D
+from ..operators import multimodal as MM
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..registry import register
+from ..sources.tables import table
+
+_TOKS = TX.TOKENS_SQL.format(col="text")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """C40: token counting — whitespace and BPE-ish pre-tokenizer."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(TX.tokens(t))).alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_TOKS} AS toks,
+             length(text) AS n_chars_raw,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b) / len(toks)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains({TX.STOPWORDS!r}, x))) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars_raw > 0 THEN n_punct / n_chars_raw ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_chars_raw > 0 THEN n_digit / n_chars_raw ELSE 0.0 END AS digit_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           floor((awl) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+           floor((stop_ratio) * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+           floor((0.3 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.4 END)
+                + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END)
+                + 0.2 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END)
+                + 0.3 * (1.0 - least(punct_ratio + digit_ratio, 1.0))) * 1000000 + 0.5) / 1000000
+             AS quality
+    FROM m
+    """,
+)
+def text_quality(spark, sf_dir):
+    """C40/C36-adjacent: quality scoring via length/punct/stopword ratios."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        rn(TX.avg_token_len(t), 6).alias("avg_token_len"),
+        rn(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        rn(TX.quality_score(t), 6).alias("quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in TX.LANG_MARKERS[lang]
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS lang_actual,
+             {_lang_score_sql('de')} AS score_de,
+             {_lang_score_sql('en')} AS score_en,
+             {_lang_score_sql('es')} AS score_es,
+             {_lang_score_sql('fr')} AS score_fr
+      FROM documents
+    )
+    SELECT doc_id, lang_actual,
+           CAST(score_de AS INTEGER) AS score_de, CAST(score_en AS INTEGER) AS score_en,
+           CAST(score_es AS INTEGER) AS score_es, CAST(score_fr AS INTEGER) AS score_fr,
+           CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'unknown'
+                WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    """C40: n-gram/marker-word language ID heuristic (alphabetical tie-break)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = TX.lang_scores(t)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+        TX.lang_predict(t).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {TX.FP_SQL.format(tokens=_TOKS)} AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """C40: order-sensitive rolling-hash document fingerprint."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.token_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """C28: exact dedup — lowest-id survivor per content value."""
+    docs = table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+_SHINGLES_SQL = f"""
+    CASE WHEN len({_TOKS}) >= 3
+         THEN [array_to_string(({_TOKS})[i:i+2], ' ') FOR i IN range(1, len({_TOKS}) - 1)]
+         ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.shingles, b.shingles))
+                  / len(list_distinct(list_concat(a.shingles, b.shingles)))) * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.15
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """C41: 3-gram Jaccard near-dup pairs, blocked by source."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, threshold=0.15
+    )
+    return pairs.select("id_a", "id_b", rn(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh")  # rows-only: murmur3 signatures are engine-specific
+def dedup_minhash_lsh(spark, sf_dir):
+    """C41 (scale path): MinHash k=32, 8 bands × 4 rows — LSH candidates
+    verified with true Jaccard. The linear-cost near-dup path for 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.15, num_hashes=32, bands=8, ngram=3
+    )
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 signatures are engine-specific
+def dedup_simhash(spark, sf_dir):
+    """C41: 64-bit SimHash signature clusters (coarsest near-dup signal)."""
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_clusters(docs, "doc_id", "text")
+
+
+_COS_SQL = """
+    list_reduce(list_prepend(0.0, [CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+                FOR i IN range(1, len(a.embedding) + 1)]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(0.0, [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                FOR i IN range(1, len(a.embedding) + 1)]), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(0.0, [CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+                FOR i IN range(1, len(q.embedding) + 1)]), (x, y) -> x + y)))
+"""
+
+
+@register(
+    "embed_topk_cosine",
+    oracle=f"""
+    SELECT a.vec_id, floor(({_COS_SQL}) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM embeddings a CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY {_COS_SQL} DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def embed_topk_cosine(spark, sf_dir):
+    """C42: exact brute-force cosine top-10 for the vec_id=0 query vector.
+
+    The fold order (sequential over index) matches the oracle's list_reduce
+    exactly, so the doubles agree bit-for-bit before rounding.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    topk = S.brute_force_topk(emb, qvec, k=10)
+    return topk.select("vec_id", rn(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register(
+    "embed_near_dup_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(0.0, [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                         FOR i IN range(1, len(a.embedding) + 1)]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0, [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                         FOR i IN range(1, len(a.embedding) + 1)]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0, [CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                         FOR i IN range(1, len(b.embedding) + 1)]), (x, y) -> x + y))) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, floor((cos_sim) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.8
+    """,
+)
+def embed_near_dup_pairs(spark, sf_dir):
+    """C41/C42: embedding-cosine near-dup pairs within label blocks."""
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = S.pairwise_cosine_in_blocks(emb, "label", 0.8)
+    return pairs.select("id_a", "id_b", rn(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register("embed_ann_lsh")  # rows-only: probe set depends on seeded planes
+def embed_ann_lsh(spark, sf_dir):
+    """C42 (scale path): random-hyperplane LSH ANN with 1-bit multiprobe.
+    Recall vs brute force is asserted in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    planes = S.hyperplanes(dim=len(qvec), bits=8, seed=42)
+    return S.lsh_topk(emb, qvec, planes, k=10)
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(ascii(text) AS INTEGER) AS first_byte,
+           CAST(list_reduce(list_prepend(0, [ascii(text[i]) FOR i IN range(1, length(text) + 1)]),
+                            (a, b) -> a + b) % 1000003 AS BIGINT) AS byte_sum_mod
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: binary payload + Arrow-batched stub decode.
+
+    The oracle reproduces the byte-level features SQL-side (ASCII corpus ⇒
+    byte codes = character codes); the real-decoder integration point is
+    operators/multimodal.decode_real.
+    """
+    docs = table(spark, sf_dir, "documents")
+    media = MM.attach_binary_payload(docs, "text", "doc_id")
+    feats = MM.decode_stub_features(media)
+    return feats.select("media_id", "n_bytes", "first_byte", "byte_sum_mod")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(floor((octet_length(CAST(text AS BLOB)) - 1) / 64) + 1 AS BIGINT) AS n_frames,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS total_bytes
+    FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Multimodal: frame-sampling pattern — explode payload into 64-byte
+    frames, then reassemble counts (proves the slicing loses no bytes)."""
+    docs = table(spark, sf_dir, "documents")
+    media = MM.attach_binary_payload(docs, "text", "doc_id")
+    frames = MM.frame_sample(media, every_n_bytes=64)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
+    )

@@ -1,1 +1,217 @@
-"""Placeholder — queries added incrementally."""
+"""Scalar function library queries (SURVEY.md §2 C19-C25).
+
+Every function pair here was chosen so Spark and DuckDB have exactly
+equivalent semantics (documented per query where the equivalence is
+non-obvious: 0- vs 1-based array indexing, dayofweek epoch, HUGEINT sums).
+All expressions are JVM-built-ins — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn
+from ..registry import register
+from ..sources.tables import table
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_type) AS type_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           trim('  ' || p_name || ' ') AS name_trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           string_split(p_name, ' ')[1] AS first_word,
+           replace(p_name, ' ', '_') AS name_snake,
+           reverse(p_brand) AS brand_rev,
+           CAST(strpos(p_name, 'widget') AS INTEGER) AS widget_pos,
+           substr(p_type, 1, 3) AS type_prefix
+    FROM part
+    """,
+)
+def string_functions(spark, sf_dir):
+    """C19: string functions. Spark split is 0-indexed, DuckDB lists 1-indexed."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "widget").alias("widget_pos"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS BIGINT) AS days_to_eoy,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(o_orderdate AS DATE) AS order_date,
+           (o_orderdate + INTERVAL 30 DAY)::DATE AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter
+    FROM orders
+    """,
+)
+def date_functions(spark, sf_dir):
+    """C20: date/time functions, UTC session; both engines truncate ts→date."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        # DuckDB date_trunc('month') yields DATE; align both sides on DATE
+        F.to_date(F.date_trunc("month", d)).alias("month_start"),
+        F.datediff(F.lit("1998-12-31"), d).cast("long").alias("days_to_eoy"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+        F.to_date(d).alias("order_date"),
+        F.date_add(F.to_date(d), 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("order_quarter"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((abs(l_discount - 0.05)) * 10000 + 0.5) / 10000 AS abs_disc_delta,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           floor((pow(l_quantity, 2)) * 100 + 0.5) / 100 AS qty_sq,
+           floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000 AS price_sqrt,
+           CAST(sign(l_extendedprice - 30000) AS DOUBLE) AS price_sign,
+           CAST(((l_orderkey % 7) + 7) % 7 AS BIGINT) AS key_mod7,
+           floor((exp(l_discount)) * 1000000 + 0.5) / 1000000 AS disc_exp,
+           floor((ln(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS price_ln
+    FROM lineitem
+    """,
+)
+def math_functions(spark, sf_dir):
+    """C21: math functions; pmod expressed as ((x%7)+7)%7 in the oracle."""
+    li = table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rn(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_delta"),
+        F.floor(price).alias("price_floor"),
+        F.ceil(price).alias("price_ceil"),
+        rn(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        rn(F.sqrt(price), 4).alias("price_sqrt"),
+        F.signum(price - 30000).alias("price_sign"),
+        F.pmod("l_orderkey", F.lit(7)).cast("long").alias("key_mod7"),
+        rn(F.exp("l_discount"), 6).alias("disc_exp"),
+        rn(F.log(price), 6).alias("price_ln"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           list_sort(string_split(text, ' '))[1] AS first_sorted,
+           array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def array_functions(spark, sf_dir):
+    """C23: array functions over tokenized text (scalar outputs only —
+    raw array columns would hash differently across engines)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.sort_array(toks).getItem(0).alias("first_sorted"),
+        F.concat_ws("-", F.slice(toks, 1, 3)).alias("first3"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           map_extract(map(['qty', 'disc'], [l_quantity, l_discount]), 'qty')[1] AS qty_val,
+           CAST(cardinality(map(['qty', 'disc'], [l_quantity, l_discount])) AS INTEGER) AS n_keys,
+           array_to_string(map_keys(map(['qty', 'disc'], [l_quantity, l_discount])), ',') AS keys_csv
+    FROM lineitem
+    """,
+)
+def map_functions(spark, sf_dir):
+    """C24: map construction/access. DuckDB map_extract returns a list —
+    hence the [1]; both engines preserve insertion order of keys."""
+    li = table(spark, sf_dir, "lineitem")
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("disc"), F.col("l_discount")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )
+
+
+@register(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+           json_extract(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+    """,
+)
+def json_functions(spark, sf_dir):
+    """C25: JSON probing of the schemaless props column — the batch face of
+    the reference's schemaless ``.get()`` probing (cdc_enrichment_function
+    .py:35-81); from_json with explicit schema is the typed path."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        (k % 10).alias("k_mod10"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "json_typed_parse",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed
+    FROM events
+    """,
+)
+def json_typed_parse(spark, sf_dir):
+    """C25/A3: from_json with explicit schema (PERMISSIVE) → typed struct."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select("event_id", parsed.getField("k").alias("k_typed"))

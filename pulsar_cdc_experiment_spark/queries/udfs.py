@@ -1,0 +1,167 @@
+"""UDx driver queries (SURVEY.md §2 C36-C39).
+
+UDFs are the slow path — these queries exist to prove the extension points
+(row UDF, Arrow-vectorized UDF, grouped-map, grouped-agg), not to do work
+built-ins could do. Oracle determinism: the grouped UDFs accumulate in
+exact integer arithmetic (int64 sums of integer-valued doubles) so results
+are independent of pandas/DuckDB summation order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.rounding import rn
+from ..registry import register
+from ..sources.tables import table
+
+
+@register(
+    "udf_scalar_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'F' THEN 'final'
+                WHEN o_totalprice > 100000 THEN 'big-open'
+                ELSE 'open' END AS order_class
+    FROM orders
+    """,
+)
+def udf_scalar_python(spark, sf_dir):
+    """C36: row-at-a-time Python UDF (the reference's per-message model —
+    kept for parity; ~10-100x slower than the expression equivalent)."""
+
+    @F.udf(returnType=T.StringType())
+    def classify(status: str, total: float) -> str:
+        if status == "F":
+            return "final"
+        if total is not None and total > 100000:
+            return "big-open"
+        return "open"
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", classify("o_orderstatus", "o_totalprice").alias("order_class")
+    )
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS charge
+    FROM lineitem
+    """,
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    """C37: Arrow-batched pandas UDF — identical FP ops to the SQL oracle
+    (elementwise vector math is order-independent)."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        raw = price * (1 - disc) * (1 + tax)
+        return np.floor(raw * 100 + 0.5) / 100
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@register(
+    "udf_grouped_map_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN s.n > 1 AND (s.sx2 - s.sx * s.sx / CAST(s.n AS DOUBLE)) > 0
+                THEN floor(((l.l_quantity - s.sx / CAST(s.n AS DOUBLE))
+                      / sqrt((s.sx2 - s.sx * s.sx / CAST(s.n AS DOUBLE)) / (s.n - 1))) * 1000000 + 0.5) / 1000000
+                END AS qty_zscore
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+    """,
+)
+def udf_grouped_map_zscore(spark, sf_dir):
+    """C38: groupBy().applyInPandas — per-group z-score of quantity.
+
+    Moments accumulate as int64 (quantities are integer-valued), so mean and
+    variance are exact and order-independent — the oracle reproduces them
+    with the same two-pass-free formula.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("qty_zscore", T.DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"].to_numpy()
+        qi = q.astype(np.int64)
+        n = len(qi)
+        sx = int(qi.sum())
+        sx2 = int((qi * qi).sum())
+        var_num = sx2 - sx * sx / float(n)
+        if n > 1 and var_num > 0:
+            mean = sx / float(n)
+            std = np.sqrt(var_num / (n - 1))
+            z = np.floor(((q - mean) / std) * 1_000_000 + 0.5) / 1_000_000
+        else:
+            z = np.full(n, np.nan)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "qty_zscore": z,
+            }
+        )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(zscore, out_schema)
+
+
+@register(
+    "udf_grouped_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           floor((CAST(sum(CAST(l_quantity AS BIGINT) * l_linenumber) AS BIGINT)
+                  / CAST(CAST(sum(l_linenumber) AS BIGINT) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS weighted_avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg_weighted(spark, sf_dir):
+    """C39: UDAF via pandas_udf GROUPED_AGG — linenumber-weighted mean
+    quantity, accumulated in exact int64."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType(), F.PandasUDFType.GROUPED_AGG)
+    def wavg(qty: pd.Series, weight: pd.Series) -> float:
+        qi = qty.to_numpy().astype(np.int64)
+        wi = weight.to_numpy().astype(np.int64)
+        num = int((qi * wi).sum())
+        den = int(wi.sum())
+        if den == 0:
+            return None
+        return float(np.floor((num / float(den)) * 1_000_000 + 0.5) / 1_000_000)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_quantity", "l_linenumber").alias("weighted_avg_qty")
+    )

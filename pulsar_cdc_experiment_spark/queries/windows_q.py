@@ -1,1 +1,96 @@
-"""Placeholder — queries added incrementally."""
+"""Event-time window driver queries (SURVEY.md §2 C29-C31).
+
+DuckDB emulations: tumbling = time_bucket; sliding = each row joined to its
+width/slide covering buckets; session = lag+cumsum island detection. Spark
+session_window semantics: start = first event ts, end = last event ts + gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn
+from ..operators.time_windows import flatten_window, session, sliding, tumbling
+from ..registry import register
+from ..sources.tables import table
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start,
+           time_bucket(INTERVAL '15 minutes', ts) + INTERVAL '15 minutes' AS w_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumbling(spark, sf_dir):
+    """C29: 15-minute tumbling event-time aggregation."""
+    ev = table(spark, sf_dir, "events")
+    agg = tumbling(ev, "ts", "15 minutes", "event_type").agg(
+        F.count("*").alias("n_events"),
+        rn(F.sum("value"), 2).alias("sum_value"),
+    )
+    return flatten_window(agg)
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS w_start,
+           time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' + INTERVAL '30 minutes' AS w_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((avg(value)) * 100 + 0.5) / 100 AS avg_value
+    FROM events CROSS JOIN (VALUES (0), (1)) AS g(k)
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding(spark, sf_dir):
+    """C30: 30-minute windows sliding by 15 — every event in exactly 2 windows."""
+    ev = table(spark, sf_dir, "events")
+    agg = sliding(ev, "ts", "30 minutes", "15 minutes").agg(
+        F.count("*").alias("n_events"),
+        rn(F.avg("value"), 2).alias("avg_value"),
+    )
+    return flatten_window(agg)
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL '30 minutes' AS s_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark, sf_dir):
+    """C31: 30-minute-gap session windows per user."""
+    ev = table(spark, sf_dir, "events")
+    agg = session(ev, "ts", "30 minutes", "user_id").agg(
+        F.count("*").alias("n_events"),
+        rn(F.sum("value"), 2).alias("sum_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("s_start"),
+        F.col("session_window.end").alias("s_end"),
+        "n_events",
+        "sum_value",
+    )

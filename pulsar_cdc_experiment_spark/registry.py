@@ -56,5 +56,6 @@ def load_all_query_modules() -> None:
         relational,
         scalar_fns,
         streaming_q,
+        udfs,
         windows_q,
     )
