@@ -1,0 +1,88 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Execution is forced with a noop-format write (full materialization, no
+driver collect) except for top-k/limit queries where collect is the honest
+cost. Times include planning — that's what a user pays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan/join/agg/window/CDC/LLM shapes that dominate real
+# workloads. Names must exist in the registry.
+HEADLINE = [
+    "pricing_summary",          # TPC-H Q1: scan + hash agg
+    "forecast_revenue",         # TPC-H Q6: selective scan
+    "shipping_priority",        # TPC-H Q3: join + agg + top-k
+    "join_revenue_by_nation",   # star join (flagship)
+    "join_left_outer",          # outer join + agg
+    "window_rank",              # ranking window
+    "window_running_frame",     # framed window aggs
+    "cdc_latest_state",         # CDC materialization fold
+    "window_tumbling",          # event-time window
+    "distinct_counts",          # count-distinct
+    "dedup_minhash_lsh",        # MinHash+LSH near-dup
+    "text_quality",             # text analysis expressions
+    "embed_topk_cosine",        # embedding similarity
+    "udf_pandas_vectorized",    # Arrow UDF path
+]
+
+COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
+
+
+def main() -> None:
+    from pulsar_cdc_experiment_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    queries = entry_mod.queries()
+
+    # Warm the JVM/IO once with a trivial action so query 1 isn't charged
+    # for session spin-up.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        if name in COLLECT_QUERIES:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

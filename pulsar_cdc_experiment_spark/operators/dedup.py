@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.tuning import fan_out
 from .text import tokens
 
 
@@ -40,9 +41,15 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Sliding word n-gram shingles of tokenized text."""
-    toks = tokens(text)
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """Sliding word n-gram shingles of a TOKEN ARRAY column.
+
+    Takes the token array (not raw text) deliberately: this expression
+    references its input ~|tokens| times, so the caller must materialize
+    tokenization in its own projection first (see ``shingled``) — otherwise
+    Catalyst inlines the regex tokenizer per reference and per lambda
+    element (measured 10x slowdown).
+    """
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -50,6 +57,26 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingled(
+    df: DataFrame, id_col: str, text_col: str, n: int, *extra_cols: str
+) -> DataFrame:
+    """(id, *extra, __shingles) with tokenization materialized once.
+
+    Two separate projections: tokens first (multi-referenced alias —
+    CollapseProject keeps it), shingles second; plus a fan-out so small
+    single-file inputs use all cores. Together these took the sf0.1 MinHash
+    signature stage from 15 s to ~1 s.
+    """
+    wt = fan_out(df).select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    return wt.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.array_distinct(word_ngrams(F.col("__toks"), n)).alias("__shingles"),
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -73,12 +100,11 @@ def ngram_jaccard_pairs(
     bounded (at 100 TB: length-bucket × language × source, or an LSH bucket
     from :func:`minhash_lsh_candidates` for unbounded corpora).
     """
-    shingled = df.select(
-        F.col(id_col), F.col(block_col).alias("__block"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("__shingles"),
+    sh = shingled(df, id_col, text_col, n, block_col).withColumnRenamed(
+        block_col, "__block"
     )
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    a = sh.alias("a")
+    b = sh.alias("b")
     pair = a.join(
         b,
         (F.col(f"a.__block") == F.col(f"b.__block"))
@@ -109,9 +135,8 @@ def minhash_signatures(
     the shingle expression 32×, 70 s for 500 docs. This shape is ~20× faster
     and is also the right plan at 100 TB.)
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), ngram))).alias("__sh"),
+    sh = shingled(df, id_col, text_col, ngram).select(
+        F.col(id_col), F.explode("__shingles").alias("__sh")
     )
     return sh.groupBy(id_col).agg(
         *[F.min(F.hash("__sh", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
@@ -181,12 +206,10 @@ def minhash_near_dups(
 ) -> DataFrame:
     """LSH candidates verified with true n-gram Jaccard ≥ threshold."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, ngram)
-    shingled = df.select(
-        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("__sh")
-    )
+    sh = shingled(df, id_col, text_col, ngram)
     return (
-        cands.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
-        .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shingles", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shingles", "__sh_b"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -203,7 +226,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the 64-bit hash once, vote ±1 per bit via 64 flat ``sum`` aggregates,
     then assemble sign bits into one BIGINT signature.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     ).withColumn("__h", F.xxhash64("__t"))
     votes = tok.groupBy(id_col).agg(

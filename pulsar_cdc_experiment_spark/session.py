@@ -31,6 +31,11 @@ RUNTIME_CONF = {
     # The driver-generated events.parquet stores TIMESTAMP(NANOS); read as
     # int64 nanos and normalize in sources.tables.table().
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate adds size(e)>0 before explode(); pushdown then
+    # re-inlines the generator's (expensive) expression into a scan-level
+    # Filter, evaluating tokenize/shingle pipelines twice per row — measured
+    # 7x slowdown on MinHash. The pruning it buys is negligible for us.
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
