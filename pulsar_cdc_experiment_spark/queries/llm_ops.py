@@ -271,7 +271,7 @@ def embed_ann_lsh(spark, sf_dir):
     Recall vs brute force is asserted in tests/test_similarity.py."""
     emb = table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    planes = S.hyperplanes(dim=len(qvec), bits=8, seed=42)
+    planes = S.hyperplanes(dim=len(qvec), bits=4, seed=42)
     return S.lsh_topk(emb, qvec, planes, k=10)
 
 

@@ -1,0 +1,117 @@
+"""Tests for dedup + text-analysis operators (SURVEY.md §2 C28, C40-C41)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_cdc_experiment_spark.operators import dedup as D
+from pulsar_cdc_experiment_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "a"),
+            (2, "the quick brown fox jumps over the lazy dog", "a"),  # exact dup
+            (3, "the quick brown fox leaps over the lazy dog", "a"),  # near dup
+            (4, "completely different content about spark engines", "a"),
+            (5, "tiny", "b"),
+            (6, "Punctuation, CASE and   spacing!  normalize; right?", "b"),
+        ],
+        ["doc_id", "text", "src"],
+    )
+
+
+def test_tokenize_normalizes(spark, docs):
+    row = docs.filter("doc_id = 6").select(
+        TX.tokens(F.col("text")).alias("t")
+    ).first()
+    assert row["t"] == ["punctuation", "case", "and", "spacing", "normalize", "right"]
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs, "text", "doc_id")
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in rows and rows[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", "src", n=3, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert 0.4 <= got[(1, 3)] < 1.0  # one-word-changed near dup
+    assert (1, 4) not in got and (5, 6) not in got
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    near = D.minhash_near_dups(docs, "doc_id", "text", threshold=0.4)
+    got = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    # LSH with 8 bands of 4 rows catches J=1.0 always and J≈0.5 with high
+    # probability; the exact-dup pair must always survive.
+    assert (1, 2) in got
+    assert (1, 4) not in got
+
+
+def test_simhash_exact_dups_share_signature(spark, docs):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert sigs[1] == sigs[2]
+    # hamming distance of near-dup < distant doc
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+
+
+def test_lang_predict_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der Hund und die Katze und der Vogel"),
+            (3, "le chat et le chien et les oiseaux"),
+            (4, "el perro y el gato y los pajaros"),
+            (5, "xyzzy plugh abracadabra"),
+        ],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["p"]
+        for r in df.select("id", TX.lang_predict(F.col("text")).alias("p")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_quality_score_monotonic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the engine processes data and the pipeline scales for the cluster work load today"),
+            (2, "!!! ??? ### 123 456 789 !!!"),
+        ],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["q"]
+        for r in df.select("id", TX.quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert got[1] > got[2]
+    assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", TX.token_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got[1] == got[3]
+    assert got[1] != got[2]

@@ -1,0 +1,57 @@
+"""Tests for embedding similarity search (SURVEY.md §2 C42)."""
+
+from __future__ import annotations
+
+from pulsar_cdc_experiment_spark.operators import similarity as S
+from pulsar_cdc_experiment_spark.sources.tables import table
+
+
+def test_brute_force_topk_self_first(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 7").first()["embedding"]
+    top = S.brute_force_topk(emb, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_on_planted_cluster(spark):
+    """LSH recall is only meaningful when true neighbors exist: the parquet
+    embeddings' top-10 cosines are ~0.3 (near-random — no scheme recalls
+    those), so plant a genuine cluster and measure recall there."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    background = rng.standard_normal((200, dim))
+    q = rng.standard_normal(dim)
+    planted = q + 0.15 * rng.standard_normal((15, dim))  # cosine ≈ 0.98
+    rows = [
+        (i, [float(x) for x in v], 0)
+        for i, v in enumerate(np.vstack([background, planted]))
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    qvec = [float(x) for x in q]
+    planes = S.hyperplanes(dim=dim, bits=8, seed=42)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {r["vec_id"] for r in S.lsh_topk(emb, qvec, planes, k=10).collect()}
+    assert exact <= set(range(200, 215))  # brute force finds the planted set
+    assert len(exact & approx) >= 8  # LSH recalls ≥80% of true neighbors
+
+
+def test_lsh_on_real_embeddings_smoke(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 7").first()["embedding"]
+    planes = S.hyperplanes(dim=len(qvec), bits=4, seed=42)
+    approx = S.lsh_topk(emb, qvec, planes, k=10).collect()
+    assert 7 in {r["vec_id"] for r in approx}  # query always in its own bucket
+    sims = [r["cos_sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_pairwise_blocked_cosine_threshold(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = S.pairwise_cosine_in_blocks(emb, "label", 0.9).collect()
+    assert all(r["cos_sim"] >= 0.9 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)

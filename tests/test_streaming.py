@@ -1,0 +1,161 @@
+"""Streaming semantics tests: watermark late-drop (C32), DLQ split (B7),
+file sink (A18), multi-batch stateful accumulation (C34)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pulsar_cdc_experiment_spark.streaming.pipeline import run_to_memory, split_dlq
+
+
+def _staged_stream(spark, rows_per_file, schema):
+    """Write N json files; stream them one file per micro-batch (ordered)."""
+    d = tempfile.mkdtemp(prefix="staged_stream_")
+    base = 1_700_000_000
+    for i, rows in enumerate(rows_per_file):
+        path = os.path.join(d, f"{i:03d}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        # file source orders by modification time: make it explicit, or
+        # same-millisecond writes get processed in arbitrary batch order
+        os.utime(path, (base + i * 60, base + i * 60))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+    )
+
+
+EVT = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("key", T.StringType()),
+    ]
+)
+
+
+def test_watermark_drops_late_rows(spark):
+    """C32: events older than the late-event watermark are dropped.
+
+    Spark 4 keeps TWO watermarks per stateful op (visible in the
+    StateStoreSave physical node): state EVICTION uses the current batch's
+    watermark, but LATE-EVENT FILTERING uses the one from a batch earlier —
+    so a row only gets dropped when it arrives ≥2 batches after the event
+    that advanced the watermark past it. The staging below respects that.
+    """
+    stream = _staged_stream(
+        spark,
+        [
+            [
+                {"id": 1, "ts": "2024-01-01T10:00:00", "key": "a"},
+                {"id": 2, "ts": "2024-01-01T12:00:00", "key": "a"},
+            ],  # batch 0: watermark advances to 11:50 at commit
+            [{"id": 3, "ts": "2024-01-01T11:55:00", "key": "a"}],  # batch 1
+            [{"id": 4, "ts": "2024-01-01T09:00:00", "key": "a"}],  # batch 2: LATE
+        ],
+        EVT,
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "60 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, "wm_drop", output_mode="append")
+    got = {(r["window"]["start"].hour, r["n"]) for r in out.collect()}
+    # 10:00 window finalized with exactly its on-time row; the 09:00 late
+    # row was dropped (no (9, 1) entry); 11:00/12:00 windows remain open.
+    assert got == {(10, 1)}
+
+
+def test_streaming_dedup_multibatch(spark):
+    """C33: dropDuplicates state persists across micro-batches."""
+    stream = _staged_stream(
+        spark,
+        [
+            [{"id": 1, "ts": "2024-01-01T10:00:00", "key": "a"}],
+            [
+                {"id": 2, "ts": "2024-01-01T10:01:00", "key": "a"},  # dup key
+                {"id": 3, "ts": "2024-01-01T10:02:00", "key": "b"},
+            ],
+        ],
+        EVT,
+    )
+    deduped = stream.dropDuplicates(["key"])
+    out = run_to_memory(deduped, "dedup_mb", output_mode="append")
+    rows = out.collect()
+    assert sorted(r["key"] for r in rows) == ["a", "b"]
+    assert {r["id"] for r in rows} == {1, 3}  # first arrival wins
+
+
+def test_dlq_split_never_drops(spark):
+    """B7: good + dead partitions exactly cover the input (reference's
+    never-drop stance, cdc_enrichment_function.py:104-107)."""
+    df = spark.createDataFrame(
+        [("ok-1", 1), (None, 2), ("ok-3", None), (None, None)], ["payload", "seq"]
+    )
+    ok = F.col("payload").isNotNull() & F.col("seq").isNotNull()
+    good, dead = split_dlq(df, ok)
+    assert good.count() == 1
+    assert dead.count() == 3
+    assert good.count() + dead.count() == df.count()
+
+
+def test_file_sink_append(spark, sf_dir):
+    """A18: writeStream to a durable (parquet) sink with checkpoint."""
+    from pulsar_cdc_experiment_spark.streaming.pipeline import read_events_stream
+
+    out_dir = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    ev = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(out_dir)
+    expect = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert written.count() == expect
+
+
+def test_stateful_totals_across_batches(spark):
+    """C34: keyed state accumulates across micro-batches (update mode emits
+    one row per touched key per batch; the LAST update equals the total)."""
+    from pulsar_cdc_experiment_spark.streaming.stateful import running_totals
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = _staged_stream(
+        spark,
+        [
+            [
+                {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+                {"user_id": 2, "ts": "2024-01-01T10:00:30", "value": 5.0},
+            ],
+            [{"user_id": 1, "ts": "2024-01-01T10:01:00", "value": 2.0}],
+        ],
+        schema,
+    )
+    out = run_to_memory(running_totals(stream), "stateful_mb", output_mode="update")
+    rows = out.collect()
+    # user 1 was updated in both batches → two emitted rows, final (2, 3.0)
+    u1 = sorted(
+        [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 1]
+    )
+    assert u1 == [(1, 1.0), (2, 3.0)]
+    u2 = [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 2]
+    assert u2 == [(1, 5.0)]
