@@ -51,8 +51,15 @@ def main() -> None:
     queries = entry_mod.queries()
 
     # Warm the JVM/IO once with a trivial action so query 1 isn't charged
-    # for session spin-up.
+    # for session spin-up, and fork the Python UDF workers once so the
+    # first pandas-UDF query isn't charged ~1.5 s of worker startup.
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "double")
+    spark.range(1000).select(_warm(F.col("id").cast("double"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

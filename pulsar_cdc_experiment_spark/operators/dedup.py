@@ -157,8 +157,15 @@ def minhash_lsh_candidates(
     k=32, b=8, r=4 the S-curve crosses ~50% candidate probability at
     Jaccard ≈ (1/b)^(1/r) ≈ 0.6.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
+    return _band_candidates(sig, id_col, num_hashes, bands)
+
+
+def _band_candidates(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Band a signature table (h0..h{k-1} columns) into bucket candidates."""
+    rows_per_band = num_hashes // bands
     banded = sig.select(
         id_col,
         F.explode(
@@ -204,9 +211,18 @@ def minhash_near_dups(
     bands: int = 8,
     ngram: int = 3,
 ) -> DataFrame:
-    """LSH candidates verified with true n-gram Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, ngram)
-    sh = shingled(df, id_col, text_col, ngram)
+    """LSH candidates verified with true n-gram Jaccard ≥ threshold.
+
+    The shingle table feeds both the signature path and the verify join;
+    persist it so tokenization+shingling runs once (at 100 TB the same role
+    is played by writing signatures/shingles to a checkpoint table).
+    """
+    sh = shingled(df, id_col, text_col, ngram).persist()
+    exploded = sh.select(F.col(id_col), F.explode("__shingles").alias("__sh"))
+    sig = exploded.groupBy(id_col).agg(
+        *[F.min(F.hash("__sh", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
+    )
+    cands = _band_candidates(sig, id_col, num_hashes, bands)
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shingles", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shingles", "__sh_b"), "id_b")

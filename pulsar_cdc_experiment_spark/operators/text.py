@@ -71,8 +71,8 @@ def lang_predict(text: Column) -> Column:
     return F.when(best > 0, expr).otherwise(F.lit("unknown"))
 
 
-def stopword_ratio(text: Column) -> Column:
-    toks = tokens(text)
+def stopword_ratio(text: Column, toks: Column | None = None) -> Column:
+    toks = tokens(text) if toks is None else toks
     stop = F.filter(toks, lambda t: t.isin(*STOPWORDS))
     return F.when(
         F.size(toks) > 0, F.size(stop) / F.size(toks)
@@ -91,24 +91,28 @@ def digit_ratio(text: Column) -> Column:
     return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
 
 
-def avg_token_len(text: Column) -> Column:
-    toks = tokens(text)
+def avg_token_len(text: Column, toks: Column | None = None) -> Column:
+    toks = tokens(text) if toks is None else toks
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: enough tokens, sane word lengths,
     some-but-not-too-many stopwords, low punctuation/digit noise.
 
     The exact weighting is a convention, not a claim — what matters for a
     pipeline is determinism and monotonicity in the obvious directions.
+
+    Pass ``toks`` (a materialized token-array column) in hot paths: without
+    it the tokenizer expression is inlined once per metric (~6x per row).
     """
-    n_tok = token_count(text)
+    toks = tokens(text) if toks is None else toks
+    n_tok = F.size(toks)
     len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.4)
-    awl = avg_token_len(text)
+    awl = avg_token_len(text, toks)
     wordlen_ok = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.5)
-    stop_ok = F.when(stopword_ratio(text) >= 0.05, 1.0).otherwise(0.6)
+    stop_ok = F.when(stopword_ratio(text, toks) >= 0.05, 1.0).otherwise(0.6)
     noise_ok = 1.0 - F.least(punct_ratio(text) + digit_ratio(text), F.lit(1.0))
     return 0.3 * len_ok + 0.2 * wordlen_ok + 0.2 * stop_ok + 0.3 * noise_ok
 

@@ -18,6 +18,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as MM
 from ..operators import similarity as S
 from ..operators import text as TX
+from ..plans.tuning import fan_out
 from ..registry import register
 from ..sources.tables import table
 
@@ -35,14 +36,18 @@ _TOKS = TX.TOKENS_SQL.format(col="text")
     """,
 )
 def text_token_stats(spark, sf_dir):
-    """C40: token counting — whitespace and BPE-ish pre-tokenizer."""
-    docs = table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    """C40: token counting — whitespace and BPE-ish pre-tokenizer.
+
+    Tokenization materialized once in its own projection (multi-referenced
+    alias survives CollapseProject), metrics read the column.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wt = docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("__toks"))
+    return wt.select(
         "doc_id",
-        TX.token_count(t).alias("n_tokens"),
-        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
-        F.size(F.array_distinct(TX.tokens(t))).alias("n_distinct_tokens"),
+        F.size("__toks").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
     )
 
 
@@ -83,14 +88,15 @@ def text_token_stats(spark, sf_dir):
 )
 def text_quality(spark, sf_dir):
     """C40/C36-adjacent: quality scoring via length/punct/stopword ratios."""
-    docs = table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wt = docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("__toks"))
+    t, toks = F.col("text"), F.col("__toks")
+    return wt.select(
         "doc_id",
-        TX.token_count(t).alias("n_tokens"),
-        rn(TX.avg_token_len(t), 6).alias("avg_token_len"),
-        rn(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
-        rn(TX.quality_score(t), 6).alias("quality"),
+        F.size(toks).alias("n_tokens"),
+        rn(TX.avg_token_len(t, toks), 6).alias("avg_token_len"),
+        rn(TX.stopword_ratio(t, toks), 6).alias("stopword_ratio"),
+        rn(TX.quality_score(t, toks), 6).alias("quality"),
     )
 
 
@@ -125,7 +131,7 @@ def _lang_score_sql(lang: str) -> str:
 )
 def text_langid(spark, sf_dir):
     """C40: n-gram/marker-word language ID heuristic (alphabetical tie-break)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     t = F.col("text")
     scores = TX.lang_scores(t)
     return docs.select(
@@ -145,7 +151,7 @@ def text_langid(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """C40: order-sensitive rolling-hash document fingerprint."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.token_fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -293,7 +299,7 @@ def multimodal_decode(spark, sf_dir):
     byte codes = character codes); the real-decoder integration point is
     operators/multimodal.decode_real.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     media = MM.attach_binary_payload(docs, "text", "doc_id")
     feats = MM.decode_stub_features(media)
     return feats.select("media_id", "n_bytes", "first_byte", "byte_sum_mod")
