@@ -1,0 +1,200 @@
+"""Extended relational shapes: subqueries, pivot, having, percentiles.
+
+TPC-H-derived query shapes (Q4/Q10/Q17/Q18 analogs adapted to the test
+star schema's columns) plus pivot and distribution analytics — the depth
+dimension of SURVEY.md §2 Tier C.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn
+from ..registry import register
+from ..sources.tables import table
+
+
+@register(
+    "late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery → left-semi join with a non-equi
+    residual condition (ship > order date + 60d)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate.cast("date"), 60).cast("timestamp")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+    SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg_qty
+          FROM lineitem GROUP BY l_partkey) t ON l.l_partkey = t.pk
+    WHERE l.l_quantity < t.half_avg_qty
+    """,
+)
+def small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    per-key aggregate join (what Catalyst does to the correlated form)."""
+    li = table(spark, sf_dir, "lineitem")
+    half_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(half_avg), li.l_partkey == half_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(rn(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "returned_revenue_by_customer",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_revenue_by_customer(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue ranking of customers with returns."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           floor((t.total_qty) * 100 + 0.5) / 100 AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
+    JOIN orders ON o_orderkey = t.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on an aggregate, joined back to dimensions."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            rn(F.col("total_qty"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100 + 0.5) / 100 AS F,
+           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100 + 0.5) / 100 AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark, sf_dir):
+    """Pivot: linestatus columns per returnflag row (conditional-agg oracle
+    is the exact relational semantics of pivot)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select("l_returnflag", rn(F.col("F"), 2).alias("F"), rn(F.col("O"), 2).alias("O"))
+
+
+@register(
+    "order_value_deciles",
+    oracle="""
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+           floor((min(o_totalprice)) * 100 + 0.5) / 100 AS min_price,
+           floor((max(o_totalprice)) * 100 + 0.5) / 100 AS max_price
+    FROM (SELECT o_totalprice,
+                 CAST(ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS decile
+          FROM orders)
+    GROUP BY decile
+    """,
+)
+def order_value_deciles(spark, sf_dir):
+    """C12 (ntile): order-value decile boundaries."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            rn(F.min("o_totalprice"), 2).alias("min_price"),
+            rn(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           floor((median(o_totalprice)) * 10000 + 0.5) / 10000 AS median_price,
+           floor((quantile_cont(o_totalprice, 0.9)) * 10000 + 0.5) / 10000 AS p90_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def price_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (median/p90) — both engines use the
+    same linear-interpolation definition over sorted values."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        rn(F.median("o_totalprice"), 4).alias("median_price"),
+        rn(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+    )

@@ -54,6 +54,7 @@ def load_all_query_modules() -> None:
         cdc,
         llm_ops,
         relational,
+        relational_ext,
         scalar_fns,
         streaming_q,
         udfs,
