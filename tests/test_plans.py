@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+These tests pin the plan properties SCALE.md claims: filter pushdown,
+column pruning, dim broadcast, TakeOrderedAndProject for top-k, partial
+aggregation, and absence of pathological double-evaluation. A regression
+here is a performance bug even if results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry_mod
+
+
+def plan_of(spark, name, sf_dir):
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, "filter_predicates", sf_dir)
+    assert "PushedFilters: [" in plan
+    # range predicates on l_shipdate reach the parquet reader
+    assert re.search(r"PushedFilters:.*l_shipdate", plan)
+    # projection pruned: l_extendedprice is not in this query's columns
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "l_extendedprice" not in m.group(1)
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, "join_revenue_by_nation", sf_dir)
+    # customer/nation/region arrive via BroadcastExchange, not shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the fact table is never exchanged for the join at this SF
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "top_k", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node — per-partition heaps only
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(spark, "pricing_summary", sf_dir)
+    assert "partial_" in plan  # map-side combine before the shuffle
+    # exactly ONE shuffle: the keyed aggregation itself
+    assert plan.count("Exchange") == 1
+
+
+def test_enrichment_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators.enrichment import enrich
+    from pulsar_cdc_experiment_spark.sources.cdc import parse_envelopes
+
+    from .fixtures_cdc import sample_json_lines
+
+    raw = spark.createDataFrame([(s,) for s in sample_json_lines()], ["value"])
+    out = enrich(parse_envelopes(raw).drop("_raw"))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # stateless map: no shuffle anywhere
+
+
+def test_shingle_pipeline_not_double_evaluated(spark, sf_dir):
+    """The InferFiltersFromGenerate exclusion holds: no scan-level Filter
+    containing the inlined tokenizer (the 7x regression shape)."""
+    plan = plan_of(spark, "dedup_minhash_lsh", sf_dir)
+    for line in plan.splitlines():
+        if "Filter" in line and "regexp_replace" in line and "transform" in line:
+            raise AssertionError(f"re-inlined generator filter: {line[:200]}")
