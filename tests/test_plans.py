@@ -48,8 +48,9 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 def test_aggregate_is_partial_then_final(spark, sf_dir):
     plan = plan_of(spark, "pricing_summary", sf_dir)
     assert "partial_" in plan  # map-side combine before the shuffle
-    # exactly ONE shuffle: the keyed aggregation itself
-    assert plan.count("Exchange") == 1
+    # exactly ONE shuffle: the keyed aggregation itself (formatted explain
+    # lists each node once in the tree and once in the details section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
 def test_enrichment_is_shuffle_free(spark):
