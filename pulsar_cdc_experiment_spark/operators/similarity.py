@@ -105,6 +105,98 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer.
+
+    Init = the k lowest-id vectors (seedless determinism); each iteration is
+    one assign (expression argmin over broadcast centroid literals) + one
+    element-wise mean aggregate (posexplode → groupBy(cluster, dim)).
+    Centroids (k×d floats) round-trip through the driver per iteration —
+    that is the standard shape (they are broadcast model state, not data).
+    """
+    init = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+    centroids = init
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("__c")
+        )
+        dims = assigned.select(
+            "__c", F.posexplode(vec_col).alias("__dim", "__val")
+        )
+        means = (
+            dims.groupBy("__c", "__dim")
+            .agg(F.avg("__val").alias("__m"))
+            .groupBy("__c")
+            .agg(F.array_sort(F.collect_list(F.struct("__dim", "__m"))).alias("__ms"))
+            .collect()
+        )
+        new = {r["__c"]: [m["__m"] for m in r["__ms"]] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2) as an expression argmin."""
+    scored = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*scored)).getField("idx")
+
+
+def ivf_bucketize(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign each vector to its IVF list (coarse cluster). At scale, write
+    the output partitioned by __ivf so probes are partition-pruned scans."""
+    return df.withColumn("__ivf", _nearest_centroid(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing the ``nprobe`` nearest IVF lists only."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    bucketed = ivf_bucketize(df, centroids, vec_col)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.filter(F.col("__ivf").isin(*probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pairwise_cosine_in_blocks(
     df: DataFrame,
     block_col: str,

@@ -324,3 +324,42 @@ def multimodal_frame_sample(spark, sf_dir):
         F.count("*").alias("n_frames"),
         F.sum(F.octet_length("frame_bytes")).alias("total_bytes"),
     )
+
+
+@register("embed_ivf_ann")  # rows-only: centroids are engine-computed model state
+def embed_ivf_ann(spark, sf_dir):
+    """C42 (scale path 2): IVF ANN — deterministic k-means coarse quantizer,
+    probe the 4 nearest of 8 lists. At 100 TB the bucketed table is written
+    partitioned by list id so probes are partition-pruned scans."""
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = S.kmeans_centroids(emb, k=8, iters=2)
+    return S.ivf_topk(emb, qvec, cents, k=10, nprobe=4)
+
+
+@register(
+    "text_vocabulary",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def text_vocabulary(spark, sf_dir):
+    """C40: vocabulary building — top-20 tokens by document frequency
+    (explode distinct tokens per doc → count → top-k)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(20)
+    )

@@ -55,3 +55,25 @@ def test_pairwise_blocked_cosine_threshold(spark, sf_dir):
     pairs = S.pairwise_cosine_in_blocks(emb, "label", 0.9).collect()
     assert all(r["cos_sim"] >= 0.9 for r in pairs)
     assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_ivf_recall_on_planted_cluster(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    background = rng.standard_normal((150, dim))
+    q = rng.standard_normal(dim)
+    planted = q + 0.15 * rng.standard_normal((12, dim))
+    rows = [
+        (i, [float(x) for x in v], 0)
+        for i, v in enumerate(np.vstack([background, planted]))
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    qvec = [float(x) for x in q]
+    cents = S.kmeans_centroids(emb, k=6, iters=2)
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {r["vec_id"] for r in S.ivf_topk(emb, qvec, cents, k=10, nprobe=2).collect()}
+    # the planted cluster concentrates in one IVF list; probing 2 of 6
+    # lists must recover most of the true top-k
+    assert len(exact & approx) >= 8
