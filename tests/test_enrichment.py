@@ -129,3 +129,32 @@ def test_table_include_filter(spark):
     kept = table_filter(env, ["public.customers"])
     assert kept.count() == 9
     assert table_filter(env, ["public.orders"]).count() == 1
+
+
+def test_schemaless_envelope_mode(spark):
+    """§1.4: unknown table schemas parse into map-based envelopes; the
+    reference's JSON-key counting semantics apply directly (A12)."""
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.schemas import schemaless_envelope_schema
+
+    lines = sample_json_lines()
+    raw = spark.createDataFrame([(s,) for s in lines], ["value"])
+    env = raw.select(
+        F.from_json(F.col("value"), schemaless_envelope_schema()).alias("e")
+    ).select("e.*")
+    rows = env.collect()
+    assert len(rows) == 9
+    # after is a map: JSON-key count == map size (the reference's len(after))
+    counted = env.select(
+        "op", F.size(F.map_keys("after")).alias("n")
+    ).collect()
+    for r in counted:
+        if r["op"] == "d":
+            assert r["n"] == -1  # null map (Spark size() convention)
+        else:
+            assert r["n"] == 4
+    # values arrive as strings in schemaless mode; typed access still works
+    first = env.filter(F.col("op") == "r").first()
+    assert first["after"]["name"] == "Alice"
+    assert first["source"]["table"] == "customers"
