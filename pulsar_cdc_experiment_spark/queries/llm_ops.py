@@ -363,3 +363,33 @@ def text_vocabulary(spark, sf_dir):
         .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def text_edit_distance(spark, sf_dir):
+    """C41-adjacent: Levenshtein near-match pairs within brand blocks —
+    the edit-distance flavor of blocked near-dup detection."""
+    part = table(spark, sf_dir, "part")
+    sel = part.select("p_partkey", "p_brand", "p_name")
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )

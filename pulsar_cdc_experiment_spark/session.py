@@ -10,6 +10,7 @@ apply the *runtime-settable* subset via :func:`prepare_session`.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -74,6 +75,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "spark-warehouse"),
+        )
         # Broadcast threshold: dims (region/nation/customer/supplier/part at
         # typical star-schema ratios) should broadcast; facts never.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
