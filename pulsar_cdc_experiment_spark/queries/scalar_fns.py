@@ -215,3 +215,79 @@ def json_typed_parse(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     parsed = F.from_json("props", "k BIGINT")
     return ev.select("event_id", parsed.getField("k").alias("k_typed"))
+
+
+@register(
+    "content_digests",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           to_base64(CAST(substr(text, 1, 12) AS BLOB)) AS prefix_b64,
+           hex(substr(text, 1, 4)) AS prefix_hex
+    FROM documents
+    """,
+)
+def content_digests(spark, sf_dir):
+    """C19/C28-adjacent: content digests — the primitive behind
+    digest-based exact dedup at scale (shuffle 16-32 bytes, not documents).
+    md5/sha256 are standardized, so the oracle matches byte-for-byte."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("prefix_b64"),
+        F.hex(F.substring("text", 1, 4)).alias("prefix_hex"),
+    )
+
+
+@register(
+    "math_bitwise_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT) AS key_and,
+           CAST(l_orderkey | 8 AS BIGINT) AS key_or,
+           CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS key_xor,
+           CAST(l_linenumber << 3 AS BIGINT) AS line_shl,
+           CAST(l_orderkey >> 2 AS BIGINT) AS key_shr,
+           floor((sin(l_discount)) * 1000000 + 0.5) / 1000000 AS disc_sin,
+           floor((atan2(l_quantity, l_extendedprice)) * 1000000 + 0.5) / 1000000 AS qp_atan2,
+           floor((degrees(l_tax)) * 1000000 + 0.5) / 1000000 AS tax_deg,
+           floor((log2(l_quantity + 1)) * 1000000 + 0.5) / 1000000 AS qty_log2,
+           floor((cbrt(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS price_cbrt
+    FROM lineitem
+    """,
+)
+def math_bitwise_trig(spark, sf_dir):
+    """C21 (second pack): bitwise and transcendental functions — both
+    engines use the same IEEE libm definitions, so 6-decimal rounding is
+    bit-stable."""
+    li = table(spark, sf_dir, "lineitem")
+    k, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(8)).alias("key_or"),
+        k.bitwiseXOR(ln.cast("long")).alias("key_xor"),
+        F.shiftleft(ln, 3).cast("long").alias("line_shl"),
+        F.shiftright(k, 2).alias("key_shr"),
+        rn(F.sin("l_discount"), 6).alias("disc_sin"),
+        rn(F.atan2(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias("qp_atan2"),
+        rn(F.degrees("l_tax"), 6).alias("tax_deg"),
+        rn(F.log2(F.col("l_quantity") + 1), 6).alias("qty_log2"),
+        rn(F.cbrt("l_extendedprice"), 6).alias("price_cbrt"),
+    )
+
+
+@register("approx_quantiles")  # rows-only: sketch-based, engine-specific
+def approx_quantiles(spark, sf_dir):
+    """C10-adjacent: approximate quantiles (Greenwald-Khanna sketch) — at
+    100 TB this replaces exact percentiles: mergeable sketch, no sort."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        )
+    )

@@ -159,3 +159,54 @@ def test_stateful_totals_across_batches(spark):
     assert u1 == [(1, 1.0), (2, 3.0)]
     u2 = [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 2]
     assert u2 == [(1, 5.0)]
+
+
+def test_stream_stream_join_with_time_bound(spark):
+    """Stream-stream inner join: both sides watermarked, join condition
+    time-bounded so state is evictable — the full streaming-join contract."""
+    clicks_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("page", T.StringType()),
+        ]
+    )
+    buys_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("buy_ts", T.TimestampType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    clicks = _staged_stream(
+        spark,
+        [
+            [
+                {"user": 1, "click_ts": "2024-01-01T10:00:00", "page": "a"},
+                {"user": 2, "click_ts": "2024-01-01T10:05:00", "page": "b"},
+            ]
+        ],
+        clicks_schema,
+    )
+    buys = _staged_stream(
+        spark,
+        [
+            [
+                {"user": 1, "buy_ts": "2024-01-01T10:20:00", "amount": 9.0},
+                # outside the 1h attribution window:
+                {"user": 2, "buy_ts": "2024-01-01T12:30:00", "amount": 5.0},
+            ]
+        ],
+        buys_schema,
+    )
+    c = clicks.withWatermark("click_ts", "10 minutes").alias("c")
+    b = buys.withWatermark("buy_ts", "10 minutes").alias("b")
+    joined = c.join(
+        b,
+        (F.col("c.user") == F.col("b.user"))
+        & (F.col("b.buy_ts") >= F.col("c.click_ts"))
+        & (F.col("b.buy_ts") <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c.user", "c.page", "b.amount")
+    out = run_to_memory(joined, "ss_join", output_mode="append")
+    rows = [(r["user"], r["page"], r["amount"]) for r in out.collect()]
+    assert rows == [(1, "a", 9.0)]  # user 2's buy falls outside the window
