@@ -174,3 +174,35 @@ def cdc_route_counts(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "asof_join_state",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts AS signup_ts, event_id AS signup_event FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_event
+    FROM purchases p
+    ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+    """,
+)
+def asof_join_state(spark, sf_dir):
+    """As-of join (operator Spark lacks, built via union+window): each
+    purchase matched to the user's latest signup at-or-before it — the
+    event-time state lookup every CDC consumer needs. Oracle: DuckDB's
+    native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event"),
+    )
+    return asof_join(purchases, signups, "user_id", "ts", "signup_ts")

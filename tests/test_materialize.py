@@ -57,3 +57,31 @@ def test_latest_by_key_on_events_table(spark, sf_dir):
         .first()
     )
     assert row["event_id"] == expect["event_id"]
+
+
+def test_asof_join_semantics(spark):
+    from pulsar_cdc_experiment_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 25, "p2"), (1, 5, "p0"), (2, 50, "q1"), (3, 7, "r1")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "sA"), (1, 20, "sB"), (2, 50, "sC")], ["k", "rt", "state"]
+    )
+    out = {
+        r["ev"]: r["state"]
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+    assert out == {
+        "p0": "sA",   # tie: rt == t matches (<=)
+        "p1": "sA",
+        "p2": "sB",   # latest at-or-before 25
+        "q1": "sC",   # equal-ts tie on another key
+        "r1": None,   # key with no right rows
+    }
+    fwd = {
+        r["ev"]: r["state"]
+        for r in asof_join(left, right, "k", "t", "rt", direction="forward").collect()
+    }
+    assert fwd == {"p0": "sA", "p1": "sB", "p2": None, "q1": "sC", "r1": None}

@@ -25,8 +25,9 @@ def normalize(value):
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
-        # tolerate last-ulp float noise between engines
-        return round(value, 9)
+        import os
+        nd = os.environ.get("PARITY_FLOAT_DIGITS")
+        return round(value, int(nd)) if nd else value
     if isinstance(value, datetime.datetime):
         return value.replace(tzinfo=None).isoformat()
     if isinstance(value, datetime.date):
