@@ -198,3 +198,119 @@ def price_percentiles(spark, sf_dir):
         rn(F.median("o_totalprice"), 4).alias("median_price"),
         rn(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
     )
+
+
+@register(
+    "promo_revenue_share",
+    oracle="""
+    SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            rn(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "disjunctive_filter_revenue",
+    oracle="""
+    SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_type = 'PROMO' AND l_discount >= 0.05)
+    """,
+)
+def disjunctive_filter_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides —
+    the optimizer must keep the join predicate and evaluate the residual."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05))
+    )
+    return j.filter(cond).agg(
+        rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2') AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, year(l_shipdate)
+    """,
+)
+def volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    roles (customer nation vs supplier nation) with a cross-role predicate."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nations = ("NATION_1", "NATION_2")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            F.col("cust_nation").isin(*nations)
+            & F.col("supp_nation").isin(*nations)
+            & (F.col("cust_nation") != F.col("supp_nation"))
+        )
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume")
+        )
+    )
