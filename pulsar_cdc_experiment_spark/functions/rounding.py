@@ -10,6 +10,12 @@ The driver hash-compares raw values, so both sides must round the SAME way:
 both engines implement identically, so results match bit-for-bit. (This is a
 correctness-harness convention, not a claim that half-up-toward-+inf is the
 right financial rounding.)
+
+Validity precondition: ``|x| * scale < 2^53`` — beyond the double integer
+range, floor's argument loses integer resolution and the convention is
+meaningless. Every registered query satisfies this with orders of magnitude
+to spare (largest: monetary sums ~1e9 at n=2 → 1e11; ratios ≤ 1e2 at n=6 →
+1e8). Property-tested against DuckDB in tests/test_properties.py.
 """
 
 from __future__ import annotations

@@ -37,3 +37,10 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias for hypothesis-driven tests (function args can't share the
+    'spark' name with @given-injected params in some layouts)."""
+    return spark

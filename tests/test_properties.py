@@ -1,0 +1,162 @@
+"""Property-based and edge-case tests (hypothesis is available per env).
+
+Spark actions are expensive, so properties run few examples with bigger
+payloads per example — the coverage comes from the generated variety, not
+the example count.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+# --- pure cross-engine properties (no Spark: fast, many examples) ---------
+
+
+@given(st.floats(min_value=-1e12, max_value=1e12, allow_nan=False), st.integers(0, 6))
+@settings(max_examples=300, deadline=None)
+def test_rn_formula_matches_duckdb(x, n):
+    """functions.rounding's formula is literally floor(x*s+0.5)/s in IEEE —
+    DuckDB evaluates the identical expression to the identical double.
+
+    The value is passed as a BOUND PARAMETER: a SQL literal would be parsed
+    as DECIMAL and converted (not always correctly-rounded), which is not
+    the production situation — oracle inputs are doubles read from the same
+    parquet files Spark reads. Validity precondition of the formula itself:
+    |x|·scale < 2^53 (documented in functions/rounding.py); examples beyond
+    that are skipped.
+    """
+    import math
+
+    import duckdb
+
+    scale = 10**n
+    if abs(x) * scale >= 2**53:
+        return
+    py = math.floor(x * scale + 0.5) / scale
+    (dk,) = duckdb.execute(
+        f"SELECT floor((?::DOUBLE) * {scale} + 0.5) / {scale}", [x]
+    ).fetchone()
+    assert py == dk or (math.isnan(py) and math.isnan(dk))
+
+
+@given(st.integers(min_value=0, max_value=4_102_444_800_000))
+@settings(max_examples=50, deadline=None)
+def test_iso_fraction_rule_matches_python(ts_ms):
+    """The conditional-format rule reproduces datetime.isoformat exactly:
+    no fraction iff ms%1000==0, else 6 digits ending in 000."""
+    expect = datetime.datetime.utcfromtimestamp(ts_ms / 1000.0).isoformat()
+    if ts_ms % 1000 == 0:
+        assert "." not in expect
+    else:
+        frac = expect.split(".")[1]
+        assert len(frac) == 6 and frac.endswith("000")
+
+
+# --- Spark properties (few examples, larger payloads) ---------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # key
+            st.integers(0, 1_000_000),  # order value
+            st.integers(0, 99),  # payload
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_latest_by_key_matches_reference_fold(spark_global, rows):
+    """latest_by_key == python groupby-max reference on arbitrary logs
+    (ties broken by the full order-column list)."""
+    from pulsar_cdc_experiment_spark.operators.materialize import latest_by_key
+
+    # make ordering total: (order value, payload) unique per key occurrence
+    df = spark_global.createDataFrame(rows, ["k", "o", "p"])
+    got = {
+        r["k"]: (r["o"], r["p"])
+        for r in latest_by_key(df, ["k"], ["o", "p"]).collect()
+    }
+    expect = {}
+    for k, o, p in rows:
+        if k not in expect or (o, p) > expect[k]:
+            expect[k] = (o, p)
+    assert got == expect
+
+
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=20)
+)
+@settings(max_examples=8, deadline=None)
+def test_jaccard_operator_matches_python_sets(spark_global, texts):
+    from pulsar_cdc_experiment_spark.operators.dedup import jaccard
+    from pulsar_cdc_experiment_spark.operators.text import tokens
+
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    wt = df.select("id", "text", tokens(F.col("text")).alias("toks"))
+    pairs = (
+        wt.alias("a")
+        .join(wt.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            jaccard(F.col("a.toks"), F.col("b.toks")).alias("j"),
+        )
+        .collect()
+    )
+
+    def pytoks(s):
+        return set("".join(ch if ch.isalnum() else " " for ch in s.lower()).split())
+
+    for r in pairs:
+        a, b = pytoks(texts[r["ia"]]), pytoks(texts[r["ib"]])
+        expect = len(a & b) / len(a | b) if (a | b) else 0.0
+        assert abs(r["j"] - expect) < 1e-12
+
+
+# --- empty-input robustness ------------------------------------------------
+
+
+def test_operators_on_empty_inputs(spark):
+    from pulsar_cdc_experiment_spark.operators import dedup as D
+    from pulsar_cdc_experiment_spark.operators import text as TX
+    from pulsar_cdc_experiment_spark.operators.asof import asof_join
+    from pulsar_cdc_experiment_spark.operators.enrichment import enrich
+    from pulsar_cdc_experiment_spark.operators.materialize import latest_by_key
+    from pulsar_cdc_experiment_spark.schemas import envelope_schema
+    from pyspark.sql import types as T
+
+    empty_docs = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType()),
+             T.StructField("src", T.StringType())]
+        )
+    )
+    assert D.exact_dedup(empty_docs, "text", "doc_id").count() == 0
+    assert D.minhash_near_dups(empty_docs, "doc_id", "text").count() == 0
+    assert D.simhash_clusters(empty_docs, "doc_id", "text").count() == 0
+    assert (
+        D.ngram_jaccard_pairs(empty_docs, "doc_id", "text", "src").count() == 0
+    )
+    assert empty_docs.select(TX.quality_score(F.col("text"))).count() == 0
+    assert latest_by_key(empty_docs, ["doc_id"], ["text"]).count() == 0
+
+    empty_env = spark.createDataFrame([], envelope_schema())
+    assert enrich(empty_env).count() == 0
+
+    left = spark.createDataFrame([(1, 5, "x")], ["k", "t", "v"])
+    empty_right = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("rt", T.LongType()),
+             T.StructField("s", T.StringType())]
+        )
+    )
+    out = asof_join(left, empty_right, "k", "t", "rt").collect()
+    assert len(out) == 1 and out[0]["s"] is None
