@@ -393,3 +393,92 @@ def text_edit_distance(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.15
+    ), edges AS (
+      SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component,
+           min(r) = id AS is_survivor
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: transitive closure of Jaccard pairs via
+    iterative min-label propagation (connected components), survivor = min
+    doc id per cluster — the survivorship step that turns pair detection
+    into an actual deduplicated corpus. Oracle: DuckDB recursive CTE
+    computing the same fixpoint."""
+    from ..operators.components import dedup_survivors
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, threshold=0.15
+    ).select("id_a", "id_b")
+    return dedup_survivors(docs, pairs, "doc_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf,
+             CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+      FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           floor(((tf / CAST(doc_len AS DOUBLE)) * ln(n_docs / CAST(df AS DOUBLE))) * 100000000 + 0.5) / 100000000
+             AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.token, tf.tf, tf.doc_len, df.df, n.n_docs,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY (tf.tf / CAST(tf.doc_len AS DOUBLE)) * ln(n.n_docs / CAST(df.df AS DOUBLE)) DESC,
+                        tf.token ASC) AS rn
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """C40: TF-IDF — top-3 distinguishing terms per document. The idf join
+    broadcasts (vocabulary ≪ corpus); identical float expression shape on
+    both sides keeps the scores bit-comparable."""
+    from pyspark.sql import Window
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn(
+        "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    df_tab = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    score = (F.col("tf") / F.col("doc_len").cast("double")) * F.log(
+        F.lit(n_docs) / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token").asc())
+    return (
+        tf.join(F.broadcast(df_tab), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", rn(score, 8).alias("tfidf"))
+    )

@@ -115,3 +115,33 @@ def test_fingerprint_order_sensitive(spark):
     }
     assert got[1] == got[3]
     assert got[1] != got[2]
+
+
+def test_connected_components_clusters(spark):
+    from pulsar_cdc_experiment_spark.operators.components import (
+        connected_components,
+        dedup_survivors,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], ["id"])
+    # chain 1-2-3, pair 4-5, isolated 6,7,8
+    edges = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7, 8: 8}
+    surv = dedup_survivors(nodes, edges, "id")
+    survivors = {r["id"] for r in surv.filter("is_survivor").collect()}
+    assert survivors == {1, 4, 6, 7, 8}
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter > a few hops: the fixpoint loop must keep iterating."""
+    from pulsar_cdc_experiment_spark.operators.components import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    comp = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert set(comp.values()) == {0}
