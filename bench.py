@@ -37,17 +37,30 @@ HEADLINE = [
     "text_quality",             # text analysis expressions
     "embed_topk_cosine",        # embedding similarity
     "udf_pandas_vectorized",    # Arrow UDF path
+    "cdc_enrich_e2e",           # the reference's full data plane: parse->enrich->serialize
+    "asof_join_state",          # temporal state lookup
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
 
 
 def main() -> None:
-    from pulsar_cdc_experiment_spark.session import get_spark
+    from pulsar_cdc_experiment_spark.session import (
+        get_spark,
+        shuffle_partitions_for_bytes,
+    )
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(app_name="bench")
+    sf_bytes = sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR)
+        if f.endswith(".parquet")
+    )
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=shuffle_partitions_for_bytes(sf_bytes),
+    )
     queries = entry_mod.queries()
 
     # Warm the JVM/IO once with a trivial action so query 1 isn't charged

@@ -188,22 +188,33 @@ def enrich_json_or_passthrough(
     ``from_json`` in PERMISSIVE mode yields a null struct for corrupt input;
     we branch on successful parse of the required ``op`` field. Structs are
     serialized with ``to_json`` only here at the edge (SURVEY.md §4).
+
+    Plan shape: the parse is materialized in its OWN projection before the
+    enrichment projection. The enrichment expression references the
+    envelope ~30 times; inlined, Catalyst would run ``from_json`` once per
+    reference (measured ~20x slower end-to-end at sf0.1).
     """
     schema = envelope_schema(row_schema)
-    raw = F.col(value_col).cast("string")
-    parsed = F.from_json(raw, schema)
     row_fields = [f.name for f in row_schema.fields]
 
+    parsed_df = raw_df.select(
+        F.col(value_col).cast("string").alias("__raw"),
+        F.from_json(F.col(value_col).cast("string"), schema).alias("__env"),
+    )
+    env = F.col("__env")
+
     def resolver(name: str) -> Column:
-        return parsed.getField(name)
+        return env.getField(name)
 
     enriched = F.to_json(
         F.struct(
-            parsed.alias("original"),
+            env.alias("original"),
             enrichment_struct(resolver, row_fields, **lineage).alias("enrichment"),
         )
     )
     # A payload counts as parsed if the envelope has an op code — mirrors the
     # reference, which errors (and passes through) on non-dict JSON too.
-    ok = parsed.isNotNull() & parsed.getField("op").isNotNull()
-    return raw_df.select(F.when(ok, enriched).otherwise(raw).alias("value"))
+    ok = env.isNotNull() & env.getField("op").isNotNull()
+    return parsed_df.select(
+        F.when(ok, enriched).otherwise(F.col("__raw")).alias("value")
+    )

@@ -206,3 +206,54 @@ def asof_join_state(spark, sf_dir):
         F.col("event_id").alias("signup_event"),
     )
     return asof_join(purchases, signups, "user_id", "ts", "signup_ts")
+
+
+def synthesize_envelopes(spark, sf_dir):
+    """events rows → Debezium envelope JSON strings (deterministic).
+
+    Gives the engine a full-fidelity CDC feed at any SF for the end-to-end
+    parse → enrich → serialize path (the reference's entire data plane).
+    """
+    from ..plans.tuning import fan_out
+
+    ev = fan_out(table(spark, sf_dir, "events"))
+    after = F.struct(
+        F.col("event_id").cast("int").alias("id"),
+        F.col("event_type").alias("name"),
+        F.concat(F.col("user_id").cast("string"), F.lit("@example.com")).alias("email"),
+        F.unix_micros("ts").alias("created_at"),
+    )
+    source = F.struct(
+        F.lit("1.9.7.Final").alias("version"),
+        F.lit("postgresql").alias("connector"),
+        F.lit("dbserver1").alias("name"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.when(_op_col() == "r", "true").otherwise("false").alias("snapshot"),
+        F.lit("inventory").alias("db"),
+        F.lit("public").alias("schema"),
+        F.lit("customers").alias("table"),
+        F.col("event_id").alias("txId"),
+        (F.col("event_id") * 10).alias("lsn"),
+    )
+    envelope = F.struct(
+        F.lit(None).cast("struct<id:int,name:string,email:string,created_at:bigint>").alias("before"),
+        after.alias("after"),
+        source.alias("source"),
+        _op_col().alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    return ev.select(F.to_json(envelope).alias("value"))
+
+
+@register("cdc_enrich_e2e")  # rows-only: output is enriched JSON text
+def cdc_enrich_e2e(spark, sf_dir):
+    """A3-A17 end-to-end at scale: JSON envelope bytes → parse → full
+    enrichment → serialized {original, enrichment} JSON. The reference's
+    complete data plane (one interpreted-Python message at a time there;
+    one whole-stage-codegen'd columnar select here). Field-level semantics
+    are oracle-checked by the component queries + unit tests; this entry
+    exists to run and BENCH the composed path."""
+    from ..operators.enrichment import enrich_json_or_passthrough
+
+    raw = synthesize_envelopes(spark, sf_dir)
+    return enrich_json_or_passthrough(raw)

@@ -44,6 +44,20 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def shuffle_partitions_for_bytes(total_bytes: int, cores: int | None = None) -> int:
+    """Size shuffle partitions to the data, not the cluster default.
+
+    ~64 MB per shuffle partition, floored at 8 (keep some parallelism) and
+    capped at 2× cores (AQE coalesces below the cap at runtime). At 600 k
+    rows (~25 MB) this yields 8 — measured ~15 % faster than 32 on the
+    headline set purely from task-scheduling overhead; at 100 TB it yields
+    the cap, and the knob to raise is the cap itself.
+    """
+    cores = cores or default_parallelism()
+    by_data = max(8, total_bytes // (64 * 1024 * 1024))
+    return int(min(by_data, cores * 2))
+
+
 def prepare_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conventions to an existing session."""
     for k, v in RUNTIME_CONF.items():
