@@ -314,3 +314,36 @@ def volume_shipping(spark, sf_dir):
             rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume")
         )
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS orders_90d,
+           floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS spend_90d
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """C14 (RANGE frame): trailing-90-day rolling count/spend per customer —
+    value-based frames (all peers with equal order-date share a frame),
+    unlike the ROWS frames in window_running_frame."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # parquet ms timestamps arrive as TIMESTAMP_NTZ: cast to (UTC)
+        # TIMESTAMP first, then to epoch seconds for the numeric RANGE frame
+        .orderBy(F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("orders_90d"),
+        rn(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
+    )
