@@ -61,6 +61,38 @@ def latest_state(
     return out
 
 
+def latest_state_multi_table(
+    df: DataFrame,
+    key_field: str = "id",
+    order_cols: Sequence[str] = DEFAULT_ORDER,
+    drop_deletes: bool = True,
+) -> DataFrame:
+    """Multi-table CDC fold over SCHEMALESS envelopes (B5 + the reference's
+    multi-table roadmap, docs/architecture.md:395).
+
+    One pass folds every table in the feed: the grouping key is
+    (db, schema, table, key), where the row key comes from the ``after``/
+    ``before`` maps (schemaless_envelope_schema). Output: latest envelope
+    per table+key, ready to route into per-table views — topic-per-table,
+    as one DataFrame op.
+    """
+    key = F.coalesce(
+        F.col("after").getItem(key_field), F.col("before").getItem(key_field)
+    )
+    keyed = df.withColumn("__row_key", key)
+    w = Window.partitionBy(
+        F.col("source.db"), F.col("source.schema"), F.col("source.table"), F.col("__row_key")
+    ).orderBy(*[F.col(c).desc() for c in order_cols])
+    out = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__row_key")
+    )
+    if drop_deletes:
+        out = out.filter(F.col("op") != "d")
+    return out
+
+
 def latest_by_key(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -291,3 +291,23 @@ def approx_quantiles(spark, sf_dir):
             "price_quantiles"
         )
     )
+
+
+@register(
+    "json_variant_probe",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_variant,
+           CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k_doubled
+    FROM events
+    """,
+)
+def json_variant_probe(spark, sf_dir):
+    """C25 (Spark 4 VARIANT): parse_json once into a Variant column, probe
+    with variant_get — the modern engine-native schemaless path (binary
+    variant encoding, no re-parse per probe), exactly the reference's
+    `.get()` probing model (cdc_enrichment_function.py:35-81) done right."""
+    ev = table(spark, sf_dir, "events")
+    wv = ev.select("event_id", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return wv.select("event_id", k.alias("k_variant"), (k * 2).alias("k_doubled"))

@@ -85,3 +85,45 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right, "k", "t", "rt", direction="forward").collect()
     }
     assert fwd == {"p0": "sA", "p1": "sB", "p2": None, "q1": "sC", "r1": None}
+
+
+def test_multi_table_materialization(spark):
+    """B5 multi-table: one fold materializes every table in a mixed feed
+    (schemaless envelopes), routable to per-table views afterwards."""
+    import json
+
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        latest_state_multi_table,
+    )
+    from pulsar_cdc_experiment_spark.schemas import schemaless_envelope_schema
+    from .fixtures_cdc import envelope, row
+
+    t0 = 1637012345000
+    mixed = [
+        envelope("c", None, row(1, "Alice", "a@x.com"), 100, 1, t0),
+        envelope("u", row(1, "Alice", "a@x.com"), row(1, "Alice2", "a@x.com"), 200, 2, t0 + 1000),
+        # a second table: orders (different shape entirely — schemaless maps absorb it)
+        {"before": None, "after": {"id": 7, "status": "OPEN"},
+         "source": {**envelope("c", None, None, 150, 1, t0)["source"], "table": "orders", "lsn": 150},
+         "op": "c", "ts_ms": t0},
+        {"before": None, "after": {"id": 7, "status": "SHIPPED"},
+         "source": {**envelope("c", None, None, 250, 2, t0)["source"], "table": "orders", "lsn": 250},
+         "op": "u", "ts_ms": t0 + 500},
+        {"before": {"id": 8, "status": "OPEN"}, "after": None,
+         "source": {**envelope("c", None, None, 300, 3, t0)["source"], "table": "orders", "lsn": 300},
+         "op": "d", "ts_ms": t0 + 800},
+    ]
+    raw = spark.createDataFrame([(json.dumps(m),) for m in mixed], ["value"])
+    env = raw.select(
+        F.from_json(F.col("value"), schemaless_envelope_schema()).alias("e")
+    ).select("e.*")
+    state = latest_state_multi_table(env)
+    by_table = {}
+    for r in state.collect():
+        by_table.setdefault(r["source"]["table"], {})[r["after"]["id"]] = r
+    assert by_table["customers"]["1"]["after"]["name"] == "Alice2"
+    assert by_table["orders"]["7"]["after"]["status"] == "SHIPPED"
+    assert "8" not in by_table["orders"]  # deleted
+    # per-table routing: each table's state is a clean filter away
+    customers = state.filter(F.col("source.table") == "customers")
+    assert customers.count() == 1

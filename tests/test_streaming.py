@@ -210,3 +210,41 @@ def test_stream_stream_join_with_time_bound(spark):
     out = run_to_memory(joined, "ss_join", output_mode="append")
     rows = [(r["user"], r["page"], r["amount"]) for r in out.collect()]
     assert rows == [(1, "a", 9.0)]  # user 2's buy falls outside the window
+
+
+def test_idempotent_sink_exactly_once(spark):
+    """B1: re-executing a batch overwrites instead of duplicating — the
+    at-least-once-execution -> exactly-once-output contract."""
+    import pandas as pd
+
+    from pulsar_cdc_experiment_spark.streaming.sinks import IdempotentParquetSink
+
+    out = tempfile.mkdtemp(prefix="idem_sink_")
+    sink = IdempotentParquetSink(out)
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    sink.process_batch(batch, 7)
+    # simulate failure-replay: the SAME batch id executes again
+    sink.process_batch(batch, 7)
+    sink.process_batch(spark.createDataFrame([(3, "c")], ["id", "v"]), 8)
+    got = sink.read(spark)
+    assert got.count() == 3  # batch 7 not duplicated
+    assert {r["id"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_idempotent_sink_from_stream(spark, sf_dir):
+    from pulsar_cdc_experiment_spark.streaming.pipeline import read_events_stream
+    from pulsar_cdc_experiment_spark.streaming.sinks import IdempotentParquetSink
+
+    out = tempfile.mkdtemp(prefix="idem_stream_")
+    ckpt = tempfile.mkdtemp(prefix="idem_ckpt_")
+    sink = IdempotentParquetSink(out)
+    ev = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+    q = sink.attach(ev, ckpt)
+    q.awaitTermination(120)
+    expect = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sink.read(spark).count() == expect
+    # restarting the finished stream with the SAME checkpoint reprocesses
+    # nothing — offsets are committed
+    q2 = sink.attach(read_events_stream(spark, sf_dir).select("event_id", "event_type"), ckpt)
+    q2.awaitTermination(120)
+    assert sink.read(spark).count() == expect
