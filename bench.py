@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the scan/join/agg/window/CDC/LLM shapes that dominate real
 # workloads. Names must exist in the registry.
 HEADLINE = [
+    "udf_pandas_vectorized",    # Arrow UDF path (first: Python workers still warm)
     "pricing_summary",          # TPC-H Q1: scan + hash agg
     "forecast_revenue",         # TPC-H Q6: selective scan
     "shipping_priority",        # TPC-H Q3: join + agg + top-k
@@ -36,7 +37,6 @@ HEADLINE = [
     "dedup_minhash_lsh",        # MinHash+LSH near-dup
     "text_quality",             # text analysis expressions
     "embed_topk_cosine",        # embedding similarity
-    "udf_pandas_vectorized",    # Arrow UDF path
     "cdc_enrich_e2e",           # the reference's full data plane: parse->enrich->serialize
     "asof_join_state",          # temporal state lookup
 ]

@@ -248,3 +248,37 @@ def test_idempotent_sink_from_stream(spark, sf_dir):
     q2 = sink.attach(read_events_stream(spark, sf_dir).select("event_id", "event_type"), ckpt)
     q2.awaitTermination(120)
     assert sink.read(spark).count() == expect
+
+
+def test_session_window_closes_across_batches(spark):
+    """C31 (streaming): a session closes only when the watermark passes its
+    gap; events within the gap extend it across micro-batches."""
+    stream = _staged_stream(
+        spark,
+        [
+            [
+                {"id": 1, "ts": "2024-01-01T10:00:00", "key": "a"},
+                {"id": 2, "ts": "2024-01-01T10:10:00", "key": "a"},  # extends
+            ],
+            [{"id": 3, "ts": "2024-01-01T10:20:00", "key": "a"}],  # extends again
+            [{"id": 4, "ts": "2024-01-01T14:00:00", "key": "a"}],  # far ahead
+            [{"id": 5, "ts": "2024-01-01T15:00:00", "key": "a"}],  # advances wm
+        ],
+        EVT,
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "key")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, "session_close", output_mode="append")
+    got = {
+        (r["session_window"]["start"].hour, r["session_window"]["start"].minute, r["n"])
+        for r in out.collect()
+    }
+    # the first session (10:00-10:50, 3 events merged across two batches)
+    # closed when the watermark jumped past it; the 14:00 session closed at
+    # 15:00's watermark; 15:00's own session is still open (not emitted)
+    assert (10, 0, 3) in got
+    assert (14, 0, 1) in got
+    assert not any(h == 15 for h, m, n in got)
