@@ -109,3 +109,29 @@ def test_incremental_materializer_matches_batch_fold(spark):
     assert got == expect
     assert got[1] == ("u", "Alice B", 300)  # folded to the last update
     assert got[3][0] == "d"  # tombstone retained in state (caller filters)
+
+
+def test_pipeline_routed_sink_partitions_by_table(spark):
+    """B6: routed sink writes one partition directory per source table."""
+    import glob
+
+    lines = sample_json_lines()
+    # add an envelope for a second table
+    other = json.loads(lines[0])
+    other["source"]["table"] = "orders"
+    feed = _write_feed(lines + [json.dumps(other)])
+    out = tempfile.mkdtemp(prefix="routed_out_")
+    cfg = _config(feed, out)
+    cfg["tables"]["include"] = ["public.customers", "public.orders"]
+    q = CdcPipeline(cfg).start_routed(spark)
+    q.awaitTermination(120)
+    routes = {os.path.basename(p) for p in glob.glob(os.path.join(out, "_route=*"))}
+    assert routes == {
+        "_route=inventory.public.customers",
+        "_route=inventory.public.orders",
+    }
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    # reading one route prunes to its directory
+    one = back.filter(F.col("_route") == "inventory.public.orders")
+    assert one.count() == 1
