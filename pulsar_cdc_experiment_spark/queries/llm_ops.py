@@ -482,3 +482,52 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", rn(score, 8).alias("tfidf"))
     )
+
+
+# Deterministic multiplicative hash (Knuth): reproducible sampling without
+# engine-specific hash functions, so the oracle matches exactly.
+_DHASH = "((doc_id * 2654435761) % 4294967296)"
+
+
+@register(
+    "corpus_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_DHASH} < 429496730  -- ~10%
+    """,
+)
+def corpus_sample(spark, sf_dir):
+    """Deterministic ~10% corpus sample via multiplicative hashing — the
+    reproducible-sampling primitive (seeded rand() is engine-specific;
+    hash-threshold sampling is portable, stable under re-runs, and at
+    100 TB pushes down to a scan-level filter)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    return docs.filter(bucket < 429496730).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "corpus_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY {_DHASH}, doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def corpus_sample_stratified(spark, sf_dir):
+    """Stratified sampling: exactly 5 docs per language, chosen by
+    deterministic hash order — balanced subset construction for evals."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    w = Window.partitionBy("lang").orderBy(bucket, F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang")
+    )
