@@ -347,3 +347,29 @@ def window_range_frame(spark, sf_dir):
         F.count("*").over(w).alias("orders_90d"),
         rn(F.sum("o_totalprice").over(w), 2).alias("spend_90d"),
     )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT metric, floor((sum(val)) * 100 + 0.5) / 100 AS total,
+           floor((avg(val)) * 1000000 + 0.5) / 1000000 AS mean
+    FROM (
+      SELECT l_quantity AS qty, l_discount AS disc, l_tax AS tax FROM lineitem
+    ) UNPIVOT (val FOR metric IN (qty, disc, tax))
+    GROUP BY metric
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """Unpivot/melt (the inverse of pivot): wide metric columns → long
+    (metric, value) rows, then per-metric aggregates."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_discount").alias("disc"),
+        F.col("l_tax").alias("tax"),
+    )
+    long = li.unpivot([], ["qty", "disc", "tax"], "metric", "val")
+    return long.groupBy("metric").agg(
+        rn(F.sum("val"), 2).alias("total"),
+        rn(F.avg("val"), 6).alias("mean"),
+    )
