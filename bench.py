@@ -39,6 +39,7 @@ HEADLINE = [
     "embed_topk_cosine",        # embedding similarity
     "cdc_enrich_e2e",           # the reference's full data plane: parse->enrich->serialize
     "asof_join_state",          # temporal state lookup
+    "stream_tumbling_agg",      # real Structured Streaming job (AvailableNow)
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
