@@ -311,3 +311,60 @@ def json_variant_probe(spark, sf_dir):
     wv = ev.select("event_id", F.parse_json("props").alias("v"))
     k = F.variant_get(F.col("v"), "$.k", "bigint")
     return wv.select("event_id", k.alias("k_variant"), (k * 2).alias("k_doubled"))
+
+
+@register(
+    "string_functions2",
+    oracle="""
+    SELECT p_partkey,
+           starts_with(p_name, 'small') AS is_small,
+           ends_with(p_type, 'O') AS type_ends_o,
+           left(p_name, 4) AS name_left4,
+           right(p_brand, 2) AS brand_right2,
+           repeat(substr(p_name, 1, 2), 3) AS name_rep,
+           chr(65 + (p_size % 26)) AS size_letter,
+           CAST(ascii(p_name) AS INTEGER) AS first_code,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_upper
+    FROM part
+    """,
+)
+def string_functions2(spark, sf_dir):
+    """C19 (second pack): predicates, slicing, translate, char codes."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").startswith("small").alias("is_small"),
+        F.col("p_type").endswith("O").alias("type_ends_o"),
+        F.substring("p_name", 1, 4).alias("name_left4"),
+        F.substring(F.col("p_brand"), -2, 2).alias("brand_right2"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("name_rep"),
+        F.char(F.lit(65) + F.col("p_size") % 26).alias("size_letter"),
+        F.ascii("p_name").alias("first_code"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels_upper"),
+    )
+
+
+@register(
+    "date_functions2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS day_of_year,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           greatest(CAST(o_orderdate AS DATE), DATE '1997-01-01') AS clamped_date
+    FROM orders
+    """,
+)
+def date_functions2(spark, sf_dir):
+    """C20 (second pack): ISO week, ordinal day, epoch seconds, quarter."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("day_of_year"),
+        F.unix_seconds(d.cast("timestamp")).alias("epoch_sec"),
+        F.to_date(F.date_trunc("quarter", d)).alias("quarter_start"),
+        F.greatest(F.to_date(d), F.lit("1997-01-01").cast("date")).alias("clamped_date"),
+    )
