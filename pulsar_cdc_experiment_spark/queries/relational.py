@@ -493,6 +493,32 @@ def window_rank(spark, sf_dir):
 
 
 @register(
+    "window_percent_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           floor((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cume_d
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+)
+def window_percent_dist(spark, sf_dir):
+    """C12 (distribution pack): percent_rank + cume_dist per nation; the
+    c_custkey tie-break makes every rank distinct, so both fractions are
+    deterministic and hash-comparable after 6-decimal rounding."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        rn(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rn(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+@register(
     "window_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,

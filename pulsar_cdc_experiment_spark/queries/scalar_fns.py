@@ -345,6 +345,50 @@ def string_functions2(spark, sf_dir):
 
 
 @register(
+    "array_hof_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> length(x) > 5)) AS INTEGER) AS n_long_tokens,
+           CAST(list_reduce(list_prepend(0, list_transform(toks, x -> CAST(length(x) AS INTEGER))),
+                            (a, b) -> a + b) AS INTEGER) AS total_chars,
+           len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long,
+           len(list_filter(toks, x -> length(x) = 0)) = 0 AS all_nonempty,
+           CAST(list_reduce(list_prepend(0,
+                  list_transform(generate_series(1, len(toks)),
+                                 i -> CAST(length(toks[i]) * i AS INTEGER))),
+                (a, b) -> a + b) AS INTEGER) AS pos_weighted_chars
+    FROM t
+    """,
+)
+def array_hof_functions(spark, sf_dir):
+    """C23 (higher-order pack): transform/filter/exists/forall/zip_with/
+    sequence/aggregate — all JVM lambda expressions, no Python. At scale
+    these replace explode+groupBy re-aggregation (no shuffle: per-row array
+    work stays inside whole-stage codegen). DuckDB mirrors with list
+    lambdas; position weighting uses 1-based indexing in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    # Own projection for the tokenizer so downstream lambdas don't re-split
+    # the text per reference (NOTES.md failure mode #1).
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    lens = F.transform(toks, lambda x: F.length(x))
+    idx = F.sequence(F.lit(1), F.size(toks))
+    return t.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+        F.aggregate(lens, F.lit(0), lambda a, b: a + b).alias("total_chars"),
+        F.exists(toks, lambda x: F.length(x) > 8).alias("has_long"),
+        F.forall(toks, lambda x: F.length(x) > 0).alias("all_nonempty"),
+        F.aggregate(
+            F.zip_with(lens, idx, lambda l, i: l * i), F.lit(0), lambda a, b: a + b
+        ).alias("pos_weighted_chars"),
+    )
+
+
+@register(
     "date_functions2",
     oracle="""
     SELECT o_orderkey,
