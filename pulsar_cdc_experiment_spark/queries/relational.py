@@ -426,6 +426,44 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS INTEGER) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """C11 (explicit sets): arbitrary GROUPING SETS — per-flag, per-linestatus,
+    and grand total in ONE pass over lineitem (one shuffle via Expand, vs
+    three scans + a union if written naively). Spark 4 DataFrame API."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            rn(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count("*").alias("n_rows"),
+            (F.grouping("l_returnflag") + F.grouping("l_linestatus") * 2)
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n_rows",
+            "gid",
+        )
+    )
+
+
+@register(
     "cube_orders",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,

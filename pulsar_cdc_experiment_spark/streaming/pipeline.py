@@ -8,6 +8,7 @@ the reference's Pulsar topics); on a real deployment the readers swap for
 from __future__ import annotations
 
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,6 +81,46 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_sec)
     return spark.table(name)
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession, bounded_memory_mb: int | None = None):
+    """Scope streaming queries to the RocksDB state store provider.
+
+    The default HDFS-backed store keeps all keyed state as JVM heap objects —
+    fine at test scale, but a 100 TB CDC feed materializing millions of keys
+    per partition needs state off-heap and spillable. RocksDBStateStoreProvider
+    (built into Spark 4) keeps state in native memory + local SST files with
+    incremental checkpoint upload; ``bounded_memory_mb`` caps total RocksDB
+    memory across all partitions on an executor (boundedMemoryUsage), which is
+    the setting that prevents state OOM on dense keyspaces.
+
+    Conf must be set BEFORE the streaming query starts (the provider is fixed
+    per-query at start); scoping restores the previous provider afterward.
+    """
+    conf = spark.conf
+    prev = conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    if bounded_memory_mb is not None:
+        conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+        )
+        conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+            str(bounded_memory_mb),
+        )
+    try:
+        yield
+    finally:
+        if prev is None:
+            conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def split_dlq(df: DataFrame, ok_predicate) -> tuple[DataFrame, DataFrame]:

@@ -161,6 +161,52 @@ def test_stateful_totals_across_batches(spark):
     assert u2 == [(1, 5.0)]
 
 
+def test_stateful_totals_rocksdb_store(spark):
+    """C34 at scale: same keyed-state semantics under the RocksDB state
+    store provider (the off-heap/spillable store a 100 TB keyspace needs).
+    Identical results to the default HDFS-backed store prove the operator
+    is store-agnostic."""
+    from pulsar_cdc_experiment_spark.streaming.pipeline import rocksdb_state_store
+    from pulsar_cdc_experiment_spark.streaming.stateful import running_totals
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = _staged_stream(
+        spark,
+        [
+            [
+                {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+                {"user_id": 2, "ts": "2024-01-01T10:00:30", "value": 5.0},
+            ],
+            [{"user_id": 1, "ts": "2024-01-01T10:01:00", "value": 2.0}],
+        ],
+        schema,
+    )
+    with rocksdb_state_store(spark, bounded_memory_mb=256):
+        out = run_to_memory(
+            running_totals(stream), "stateful_rocks", output_mode="update"
+        )
+        rows = out.collect()
+    u1 = sorted(
+        [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 1]
+    )
+    assert u1 == [(1, 1.0), (2, 3.0)]
+    assert [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 2] == [
+        (1, 5.0)
+    ]
+    # scoping restored the default provider
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) is None
+        or "RocksDB"
+        not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    )
+
+
 def test_stream_stream_join_with_time_bound(spark):
     """Stream-stream inner join: both sides watermarked, join condition
     time-bounded so state is evictable — the full streaming-join contract."""
