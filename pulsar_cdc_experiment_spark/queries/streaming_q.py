@@ -96,6 +96,46 @@ def stream_stateful_totals(spark, sf_dir):
 
 
 @register(
+    "stream_session_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_agg(spark, sf_dir):
+    """C31 (streaming): session_window over a real stream — the merging-
+    window state path (sessions grow/merge as events arrive, unlike fixed
+    tumbling buckets). Complete output mode over the AvailableNow run makes
+    the final state equal the batch gap-island computation, so the full
+    DuckDB oracle applies."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events"), rn(F.sum("value"), 2).alias("sum_value")
+    )
+    out = run_to_memory(agg, "stream_session_agg", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("s_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
     "stream_cdc_enrich_materialize",
     oracle="""
     SELECT user_id, event_id AS last_event_id, op_label AS last_op_label
