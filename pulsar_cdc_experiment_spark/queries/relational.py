@@ -426,6 +426,33 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "agg_collect",
+    oracle="""
+    SELECT s_nationkey,
+           array_to_string(list_sort(list(s_name)), ',') AS names_csv,
+           CAST(len(list_distinct(list(s_suppkey % 10))) AS INTEGER) AS n_key_buckets,
+           floor((list_sort(list(s_acctbal))[1]) * 100 + 0.5) / 100 AS min_bal_via_list
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_collect(spark, sf_dir):
+    """C8 (collection aggregates): collect_list/collect_set — the aggregate
+    that builds per-group arrays (the primitive under per-entity feature
+    assembly in training pipelines). Sorted before serialization so both
+    engines hash identically; scale note: per-group arrays must be bounded
+    (group cardinality, not data size) or they become the skew hazard."""
+    s = table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names_csv"),
+        F.size(F.collect_set(F.col("s_suppkey") % 10)).alias("n_key_buckets"),
+        rn(F.array_sort(F.collect_list("s_acctbal")).getItem(0), 2).alias(
+            "min_bal_via_list"
+        ),
+    )
+
+
+@register(
     "grouping_sets_revenue",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

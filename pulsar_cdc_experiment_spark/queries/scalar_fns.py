@@ -345,6 +345,36 @@ def string_functions2(spark, sf_dir):
 
 
 @register(
+    "date_functions3",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3m,
+           dayname(o_orderdate) AS weekday_name,
+           monthname(o_orderdate) AS month_name,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_first,
+           CAST(date_trunc('month', o_orderdate) AS DATE) - 1 AS prev_month_end
+    FROM orders
+    """,
+)
+def date_functions3(spark, sf_dir):
+    """C20 (third pack): month arithmetic with end-of-month clamping
+    (add_months ≡ DuckDB +INTERVAL MONTH), day/month names, make_date.
+    Spark dayofweek is 1-based from Sunday; DuckDB 0-based — hence +1."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.to_date(d), 3).alias("plus3m"),
+        F.date_format(d, "EEEE").alias("weekday_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.dayofweek(d).alias("dow"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_first"),
+        F.date_sub(F.to_date(F.date_trunc("month", d)), 1).alias("prev_month_end"),
+    )
+
+
+@register(
     "array_hof_functions",
     oracle="""
     WITH t AS (
