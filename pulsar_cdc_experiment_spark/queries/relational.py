@@ -426,6 +426,34 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "agg_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           floor((stddev_samp(l_extendedprice)) * 10000 + 0.5) / 10000 AS price_sd,
+           floor((var_pop(l_quantity)) * 10000 + 0.5) / 10000 AS qty_var,
+           floor((corr(l_quantity, l_extendedprice)) * 1000000 + 0.5) / 1000000 AS qty_price_corr,
+           floor((covar_samp(l_discount, l_tax)) * 1000000 + 0.5) / 1000000 AS disc_tax_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_statistics(spark, sf_dir):
+    """C8 (statistical aggregates): stddev/variance/correlation/covariance —
+    all single-pass mergeable moments (Welford-style partial aggregation:
+    map-side combine then one shuffle of (n, mean, M2) per group, identical
+    cost profile to sum/avg at 100 TB). Definitions are identical across
+    engines for the samp/pop variants chosen; skewness/kurtosis deliberately
+    excluded (Spark uses population g1/g2, DuckDB bias-corrected G1/G2)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rn(F.stddev_samp("l_extendedprice"), 4).alias("price_sd"),
+        rn(F.var_pop("l_quantity"), 4).alias("qty_var"),
+        rn(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        rn(F.covar_samp("l_discount", "l_tax"), 6).alias("disc_tax_covar"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT s_nationkey,
