@@ -612,6 +612,35 @@ def window_percent_dist(spark, sf_dir):
 
 
 @register(
+    "window_nth_value",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           floor((nth_value(o_totalprice, 3) OVER w) * 100 + 0.5) / 100 AS third_highest,
+           floor((last_value(o_totalprice) OVER w) * 100 + 0.5) / 100 AS lowest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nth_value(spark, sf_dir):
+    """C13 (nth/last pack): nth_value + last_value over the FULL partition
+    frame (default frames differ between engines for last_value — unbounded
+    both ways makes the frame explicit and identical)."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        rn(F.nth_value("o_totalprice", 3).over(w), 2).alias("third_highest"),
+        rn(F.last("o_totalprice").over(w), 2).alias("lowest"),
+    )
+
+
+@register(
     "window_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,

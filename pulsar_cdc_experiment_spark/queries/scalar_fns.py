@@ -345,6 +345,34 @@ def string_functions2(spark, sf_dir):
 
 
 @register(
+    "string_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_masked,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+           regexp_matches(p_type, '^[a-z]+ ') AS starts_word,
+           regexp_extract(p_brand, '(Brand)#([0-9]+)', 2) AS brand_digits,
+           regexp_replace(p_type, '\\s+', '_', 'g') AS type_snake
+    FROM part
+    """,
+)
+def string_regexp(spark, sf_dir):
+    """C19 (regexp pack): global replace, match count, anchored predicate,
+    group extraction. Spark regexp_replace is global by default; DuckDB
+    needs the 'g' flag — the oracle says so explicitly. regexp_count is
+    mirrored as len(regexp_extract_all) in DuckDB."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("name_masked"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).alias("n_vowels"),
+        F.col("p_type").rlike(r"^[a-z]+ ").alias("starts_word"),
+        F.regexp_extract("p_brand", r"(Brand)#([0-9]+)", 2).alias("brand_digits"),
+        F.regexp_replace("p_type", r"\s+", "_").alias("type_snake"),
+    )
+
+
+@register(
     "date_functions3",
     oracle="""
     SELECT o_orderkey,
