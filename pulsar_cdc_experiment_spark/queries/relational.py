@@ -426,6 +426,48 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "cross_join_calendar",
+    oracle="""
+    SELECT n_name, r_name, CAST(n_nationkey * 100 + r_regionkey AS BIGINT) AS pair_code
+    FROM nation CROSS JOIN region
+    """,
+)
+def cross_join_calendar(spark, sf_dir):
+    """C4-adjacent (cartesian): explicit crossJoin → BroadcastNestedLoopJoin.
+    Only sane when one side is tiny (dims here, bucket/shard templates at
+    scale); the optimizer cannot save an unbounded cartesian, so the engine
+    surface makes it a deliberate, named choice."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return nation.crossJoin(F.broadcast(region)).select(
+        "n_name",
+        "r_name",
+        (F.col("n_nationkey") * 100 + F.col("r_regionkey"))
+        .cast("long")
+        .alias("pair_code"),
+    )
+
+
+@register(
+    "explode_positional",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+    FROM t CROSS JOIN unnest(generate_series(1, len(toks))) AS u(i)
+    """,
+)
+def explode_positional(spark, sf_dir):
+    """C23 (generator): posexplode — array → rows WITH ordinal position
+    (the primitive under sequence labeling / token-window extraction).
+    Generators multiply row counts, so at scale the explode runs AFTER
+    per-document filters, never before. DuckDB mirrors via indexing with
+    an unnested generate_series (0-based pos in both)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    return t.select("doc_id", F.posexplode("toks").alias("pos", "token"))
+
+
+@register(
     "agg_statistics",
     oracle="""
     SELECT l_returnflag,
