@@ -468,6 +468,44 @@ def explode_positional(spark, sf_dir):
 
 
 @register(
+    "histogram_width_bucket",
+    oracle="""
+    SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                     WHEN l_extendedprice >= 100000 THEN 11
+                     ELSE floor(l_extendedprice / 10000) + 1 END AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           floor((avg(l_extendedprice)) * 100 + 0.5) / 100 AS avg_price,
+           floor((avg(CASE WHEN l_tax = 0 THEN NULL ELSE l_discount / l_tax END)) * 1000000 + 0.5) / 1000000 AS avg_disc_tax_ratio
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def histogram_width_bucket(spark, sf_dir):
+    """C21-adjacent (binning): width_bucket histogram — the single-pass,
+    shuffle-one-row-per-bucket way to build distributions at 100 TB (vs
+    sorting for exact percentiles). Plus try_divide: NULL on zero divisor
+    instead of error/inf — ANSI-safe arithmetic for dirty data. DuckDB has
+    no width_bucket; the oracle spells out the same bucket arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bucket",
+            F.width_bucket(
+                "l_extendedprice", F.lit(0.0), F.lit(100000.0), F.lit(10)
+            ).cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            rn(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            rn(F.avg(F.try_divide("l_discount", "l_tax")), 6).alias(
+                "avg_disc_tax_ratio"
+            ),
+        )
+    )
+
+
+@register(
     "agg_statistics",
     oracle="""
     SELECT l_returnflag,
