@@ -426,6 +426,40 @@ def rollup_revenue(spark, sf_dir):
 
 
 @register(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (
+      SELECT nullif(c_nationkey % 5, 0) AS bucket, CAST(count(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT nullif(s_nationkey % 5, 0) AS bucket, CAST(count(*) AS BIGINT) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT c.bucket AS bucket, n_cust, n_supp
+    FROM c JOIN s ON c.bucket IS NOT DISTINCT FROM s.bucket
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """C4 (null-safe variant): <=> equality where NULL keys match each
+    other (IS NOT DISTINCT FROM) — required when the join key is derived
+    and NULL is a legitimate bucket, e.g. folding CDC rows whose optional
+    dimension is absent. Still hash-joinable (NULL is one partition), so
+    the plan cost is identical to a plain equi-join."""
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    c = cust.groupBy(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("bucket")
+    ).agg(F.count("*").alias("n_cust"))
+    s = supp.groupBy(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("sbucket")
+    ).agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c.bucket.eqNullSafe(s.sbucket))
+        .select("bucket", "n_cust", "n_supp")
+    )
+
+
+@register(
     "cross_join_calendar",
     oracle="""
     SELECT n_name, r_name, CAST(n_nationkey * 100 + r_regionkey AS BIGINT) AS pair_code
