@@ -540,6 +540,37 @@ def histogram_width_bucket(spark, sf_dir):
 
 
 @register(
+    "agg_argmax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(arg_max(l_orderkey, l_extendedprice + l_orderkey * 1e-9 + l_linenumber * 1e-10) AS BIGINT) AS top_orderkey,
+           CAST(arg_min(l_orderkey, l_extendedprice + l_orderkey * 1e-9 + l_linenumber * 1e-10) AS BIGINT) AS bottom_orderkey,
+           arg_max(l_linestatus, l_extendedprice + l_orderkey * 1e-9 + l_linenumber * 1e-10) AS top_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_argmax(spark, sf_dir):
+    """C8 (argmax aggregates): max_by/min_by — "which row holds the
+    extreme" without a window + filter (one shuffle of a single candidate
+    per group instead of ranking every row). The ordering value folds the
+    unique (orderkey, linenumber) into sub-quantum decimals of the price
+    (price quantum 0.01 >> 6e-3 max perturbation >> double ulp), so every
+    group has a unique maximum and both engines agree deterministically."""
+    li = table(spark, sf_dir, "lineitem")
+    v = (
+        F.col("l_extendedprice")
+        + F.col("l_orderkey") * 1e-9
+        + F.col("l_linenumber") * 1e-10
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", v).cast("long").alias("top_orderkey"),
+        F.min_by("l_orderkey", v).cast("long").alias("bottom_orderkey"),
+        F.max_by("l_linestatus", v).alias("top_status"),
+    )
+
+
+@register(
     "agg_statistics",
     oracle="""
     SELECT l_returnflag,
