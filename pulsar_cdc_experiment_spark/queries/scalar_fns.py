@@ -345,6 +345,36 @@ def string_functions2(spark, sf_dir):
 
 
 @register(
+    "safe_casts",
+    oracle="""
+    SELECT p_partkey,
+           try_cast(p_brand AS INTEGER) AS brand_as_int,
+           try_cast(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num_int,
+           try_cast(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           try_cast(p_name AS DATE) AS name_as_date,
+           try_cast(p_type AS DOUBLE) AS type_as_double
+    FROM part
+    """,
+)
+def safe_casts(spark, sf_dir):
+    """C22-adjacent (safe conversion): try_cast — NULL instead of error on
+    malformed input, the ingestion-time counterpart of the reference's
+    never-fail stance (cdc_enrichment_function.py:104-107): a bad value
+    nulls one field rather than killing a 100 TB job."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_brand").try_cast("int").alias("brand_as_int"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1)
+        .try_cast("int")
+        .alias("brand_num_int"),
+        F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
+        F.col("p_name").try_cast("date").alias("name_as_date"),
+        F.col("p_type").try_cast("double").alias("type_as_double"),
+    )
+
+
+@register(
     "string_regexp",
     oracle="""
     SELECT p_partkey,
