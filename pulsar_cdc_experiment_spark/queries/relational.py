@@ -460,6 +460,30 @@ def join_null_safe(spark, sf_dir):
 
 
 @register(
+    "union_by_name_evolved",
+    oracle="""
+    (SELECT o_orderkey, o_totalprice FROM orders WHERE year(o_orderdate) < 1997)
+    UNION ALL BY NAME
+    (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE year(o_orderdate) >= 1997)
+    """,
+)
+def union_by_name_evolved(spark, sf_dir):
+    """C17 (schema evolution): unionByName with allowMissingColumns — the
+    union that survives a source adding a column mid-stream (exactly what a
+    long-lived CDC feed does; Debezium auto-tracks DDL, reference
+    debezium-postgres-connector.yaml:40). Absent columns read as NULL, by
+    NAME not position — positional union silently mis-aligns evolved
+    schemas."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    historic = o.filter(yr < 1997).select("o_orderkey", "o_totalprice")
+    evolved = o.filter(yr >= 1997).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return historic.unionByName(evolved, allowMissingColumns=True)
+
+
+@register(
     "cross_join_calendar",
     oracle="""
     SELECT n_name, r_name, CAST(n_nationkey * 100 + r_regionkey AS BIGINT) AS pair_code
