@@ -564,6 +564,31 @@ def histogram_width_bucket(spark, sf_dir):
 
 
 @register(
+    "agg_boolean",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           bool_and(l_extendedprice > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_boolean(spark, sf_dir):
+    """C8 (boolean aggregates): count_if/bool_and/bool_or — predicate
+    aggregation without a CASE detour; map-side combinable to one bit/count
+    per group, so the shuffle payload is constant regardless of row count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+@register(
     "agg_argmax",
     oracle="""
     SELECT l_returnflag,
