@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import CUSTOMERS_ROW, envelope_schema
+from ..schemas import CORRUPT_COL, CUSTOMERS_ROW, envelope_schema_corrupt
 
 # Default lineage literals (the reference reads these from the function
 # context, cdc_enrichment_function.py:89-96; in Spark they are plan-level
@@ -100,7 +100,11 @@ def enrichment_struct(
     expression tree works on top-level envelope columns or nested ones.
     """
     c = df_cols
-    op = c("op")
+    # The reference defaults a missing op to the CODE "unknown" before
+    # decoding (message.get("op", "unknown"), cdc_enrichment_function.py:35):
+    # op-less messages are VALID and enriched, with operation.code="unknown",
+    # label=UNKNOWN, is_mutation=false.
+    op = F.coalesce(c("op"), F.lit("unknown"))
     after = c("after")
     email = after.getField("email")
     has_after = after.isNotNull()
@@ -166,8 +170,11 @@ def enrich(
     """
     if row_fields is None:
         row_fields = [f.name for f in CUSTOMERS_ROW.fields]
+    # Engine-internal columns (_raw, _corrupt) are plumbing, not payload —
+    # the reference's "original" is exactly the parsed message.
+    payload_cols = [n for n in df.columns if not n.startswith("_")]
     return df.select(
-        F.struct(*[F.col(n) for n in df.columns]).alias("original"),
+        F.struct(*[F.col(n) for n in payload_cols]).alias("original"),
         enrichment_struct(F.col, row_fields, **lineage).alias("enrichment"),
     )
 
@@ -185,8 +192,13 @@ def enrich_json_or_passthrough(
     CDC envelope, emit the ORIGINAL payload unmodified. Output column:
     ``value`` (JSON string).
 
-    ``from_json`` in PERMISSIVE mode yields a null struct for corrupt input;
-    we branch on successful parse of the required ``op`` field. Structs are
+    ``from_json`` in PERMISSIVE mode yields an ALL-NULL struct for corrupt
+    input (and a NULL struct for empty input), so parse failure is detected
+    via the corrupt-record column — NOT via a null ``op``: a valid JSON
+    object without ``op`` is enriched by the reference (op → "unknown",
+    label UNKNOWN, cdc_enrichment_function.py:35), and only genuinely
+    unparseable payloads (non-JSON, or JSON non-objects, which raise
+    AttributeError on .get there) pass through verbatim. Structs are
     serialized with ``to_json`` only here at the edge (SURVEY.md §4).
 
     Plan shape: the parse is materialized in its OWN projection before the
@@ -194,27 +206,39 @@ def enrich_json_or_passthrough(
     envelope ~30 times; inlined, Catalyst would run ``from_json`` once per
     reference (measured ~20x slower end-to-end at sf0.1).
     """
-    schema = envelope_schema(row_schema)
+    schema = envelope_schema_corrupt(row_schema)
     row_fields = [f.name for f in row_schema.fields]
 
     parsed_df = raw_df.select(
         F.col(value_col).cast("string").alias("__raw"),
-        F.from_json(F.col(value_col).cast("string"), schema).alias("__env"),
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("__env"),
     )
     env = F.col("__env")
 
     def resolver(name: str) -> Column:
         return env.getField(name)
 
+    # original = the parsed envelope WITHOUT the engine's corrupt marker.
+    original = F.struct(
+        *[
+            env.getField(f.name).alias(f.name)
+            for f in schema.fields
+            if f.name != CORRUPT_COL
+        ]
+    )
     enriched = F.to_json(
         F.struct(
-            env.alias("original"),
+            original.alias("original"),
             enrichment_struct(resolver, row_fields, **lineage).alias("enrichment"),
         )
     )
-    # A payload counts as parsed if the envelope has an op code — mirrors the
-    # reference, which errors (and passes through) on non-dict JSON too.
-    ok = env.isNotNull() & env.getField("op").isNotNull()
+    # Parsed ⇔ the payload was a JSON object: corrupt marker null and the
+    # envelope struct itself non-null (empty input parses to a NULL struct).
+    ok = env.isNotNull() & env.getField(CORRUPT_COL).isNull()
     return parsed_df.select(
         F.when(ok, enriched).otherwise(F.col("__raw")).alias("value")
     )

@@ -208,19 +208,33 @@ def asof_join_state(spark, sf_dir):
     return asof_join(purchases, signups, "user_id", "ts", "signup_ts")
 
 
-def synthesize_envelopes(spark, sf_dir):
+def synthesize_envelopes(spark, sf_dir, variants: bool = False):
     """events rows → Debezium envelope JSON strings (deterministic).
 
     Gives the engine a full-fidelity CDC feed at any SF for the end-to-end
     parse → enrich → serialize path (the reference's entire data plane).
+
+    With ``variants=True`` the feed also carries the reference's edge cases
+    (cdc_enrichment_function.py:80-85, 104-107), all keyed deterministically
+    off ``event_id`` so a SQL oracle can predict every output:
+
+    - ``event_id % 10 == 3`` → MALFORMED payload (unparseable JSON) —
+      must pass through verbatim (A17);
+    - ``event_id % 10 == 7`` → op-less envelope (valid JSON object, no
+      ``op``/``before`` key) — must be enriched with code "unknown";
+    - ``event_id % 5 == 0`` (and not one of the above) → null email —
+      ``after`` serializes without the email key, field_count drops to 3.
     """
     from ..plans.tuning import fan_out
 
     ev = fan_out(table(spark, sf_dir, "events"))
+    email = F.concat(F.col("user_id").cast("string"), F.lit("@example.com"))
+    if variants:
+        email = F.when(F.col("event_id") % 5 != 0, email)
     after = F.struct(
         F.col("event_id").cast("int").alias("id"),
         F.col("event_type").alias("name"),
-        F.concat(F.col("user_id").cast("string"), F.lit("@example.com")).alias("email"),
+        email.alias("email"),
         F.unix_micros("ts").alias("created_at"),
     )
     source = F.struct(
@@ -242,18 +256,144 @@ def synthesize_envelopes(spark, sf_dir):
         _op_col().alias("op"),
         F.unix_millis("ts").alias("ts_ms"),
     )
-    return ev.select(F.to_json(envelope).alias("value"))
+    value = F.to_json(envelope)
+    if variants:
+        opless = F.to_json(
+            F.struct(
+                after.alias("after"), source.alias("source"), F.unix_millis("ts").alias("ts_ms")
+            )
+        )
+        malformed = F.concat(F.lit('{"corrupt": '), F.col("event_id").cast("string"))
+        value = (
+            F.when(F.col("event_id") % 10 == 3, malformed)
+            .when(F.col("event_id") % 10 == 7, opless)
+            .otherwise(value)
+        )
+    return ev.select(value.alias("value"))
 
 
-@register("cdc_enrich_e2e")  # rows-only: output is enriched JSON text
+def _e2e_out_schema():
+    """Typed schema of the serialized {original, enrichment} JSON, for
+    parsing the e2e output back into oracle-comparable columns."""
+    from pyspark.sql import types as T
+
+    from ..schemas import envelope_schema
+
+    s, b, l = T.StringType(), T.BooleanType(), T.LongType()
+
+    def st(*fields):
+        return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+    enr = st(
+        ("operation", st(("code", s), ("label", s), ("is_mutation", b))),
+        (
+            "timestamps",
+            st(("event_time_ms", l), ("event_time_iso", s), ("processing_time_iso", s)),
+        ),
+        (
+            "source_metadata",
+            st(
+                ("database", s), ("schema", s), ("table", s),
+                ("connector", s), ("version", s), ("is_snapshot", b),
+            ),
+        ),
+        (
+            "data_quality",
+            st(("has_before", b), ("has_after", b), ("field_count", l), ("is_complete", b)),
+        ),
+        (
+            "customer_insights",
+            st(("email_domain", s), ("has_email", b), ("email_length", l)),
+        ),
+        (
+            "processing_metadata",
+            st(
+                ("function_name", s), ("function_version", s),
+                ("message_id", s), ("topic", s), ("partition_id", s),
+            ),
+        ),
+    )
+    return st(("original", envelope_schema()), ("enrichment", enr))
+
+
+@register(
+    "cdc_enrich_e2e",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, {_OP_CASE_SQL} AS op, epoch_ms(ts) AS ts_ms
+      FROM events
+    ), shaped AS (
+      SELECT *,
+             event_id % 10 = 3 AS malformed,
+             event_id % 10 = 7 AS opless,
+             event_id % 5 = 0 AS no_email
+      FROM base
+    )
+    SELECT
+      CASE WHEN malformed THEN NULL ELSE event_id END AS row_id,
+      CASE WHEN malformed THEN NULL ELSE ts_ms END AS orig_ts_ms,
+      CASE WHEN malformed THEN NULL WHEN opless THEN 'unknown' ELSE op END AS op_code,
+      CASE WHEN malformed THEN NULL WHEN opless THEN 'UNKNOWN'
+           ELSE CASE op WHEN 'c' THEN 'CREATE' WHEN 'u' THEN 'UPDATE'
+                        WHEN 'd' THEN 'DELETE' WHEN 'r' THEN 'READ'
+                        ELSE 'UNKNOWN' END END AS op_label,
+      CASE WHEN malformed THEN NULL WHEN opless THEN FALSE
+           ELSE op IN ('c','u','d') END AS is_mutation,
+      CASE WHEN malformed THEN NULL
+           WHEN ts_ms % 1000 = 0
+             THEN strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%dT%H:%M:%S')
+           ELSE strftime(make_timestamp(ts_ms * 1000), '%Y-%m-%dT%H:%M:%S.%f')
+      END AS event_time_iso,
+      CASE WHEN malformed THEN NULL ELSE 'customers' END AS src_table,
+      CASE WHEN malformed THEN NULL ELSE op = 'r' END AS is_snapshot,
+      CASE WHEN malformed THEN NULL ELSE FALSE END AS has_before,
+      CASE WHEN malformed THEN NULL
+           WHEN no_email THEN CAST(3 AS BIGINT)
+           ELSE CAST(4 AS BIGINT) END AS field_count,
+      CASE WHEN malformed OR no_email THEN NULL ELSE 'example.com' END AS email_domain,
+      CASE WHEN malformed OR no_email THEN NULL
+           ELSE length(CAST(user_id AS VARCHAR)) + 12 END AS email_length,
+      CASE WHEN malformed THEN NULL
+           ELSE 'persistent://public/default/dbserver1.public.customers' END AS topic,
+      CASE WHEN malformed THEN '{{"corrupt": ' || event_id END AS passthrough
+    FROM shaped
+    """,
+)
 def cdc_enrich_e2e(spark, sf_dir):
-    """A3-A17 end-to-end at scale: JSON envelope bytes → parse → full
-    enrichment → serialized {original, enrichment} JSON. The reference's
-    complete data plane (one interpreted-Python message at a time there;
-    one whole-stage-codegen'd columnar select here). Field-level semantics
-    are oracle-checked by the component queries + unit tests; this entry
-    exists to run and BENCH the composed path."""
+    """A3-A17 end-to-end at scale: JSON envelope bytes (with deterministic
+    malformed / op-less / null-email variants) → parse → full enrichment →
+    serialized {original, enrichment} JSON → parsed BACK into typed columns.
+    The reference's complete data plane (one interpreted-Python message at a
+    time there, cdc_enrichment_function.py:19-107; whole-stage-codegen'd
+    columnar selects here), value-checked end to end: the oracle predicts
+    every enrichment field from the raw events, so a wrong serialize, a
+    dropped edge case, or a passthrough that mangles bytes all hash-mismatch.
+    """
     from ..operators.enrichment import enrich_json_or_passthrough
 
-    raw = synthesize_envelopes(spark, sf_dir)
-    return enrich_json_or_passthrough(raw)
+    raw = synthesize_envelopes(spark, sf_dir, variants=True)
+    out = enrich_json_or_passthrough(raw)
+    # Parse-back materialized in its own projection (NOTES.md failure mode
+    # 1: referenced ~14x below; inlined, Catalyst would re-parse per field).
+    parsed = out.select(
+        F.col("value"), F.from_json("value", _e2e_out_schema()).alias("r")
+    )
+    r = F.col("r")
+    e = r.getField("enrichment")
+    ok = e.isNotNull()  # passthrough rows are not {original, enrichment} JSON
+    return parsed.select(
+        r.getField("original").getField("after").getField("id").cast("long").alias("row_id"),
+        r.getField("original").getField("ts_ms").alias("orig_ts_ms"),
+        e.getField("operation").getField("code").alias("op_code"),
+        e.getField("operation").getField("label").alias("op_label"),
+        e.getField("operation").getField("is_mutation").alias("is_mutation"),
+        e.getField("timestamps").getField("event_time_iso").alias("event_time_iso"),
+        e.getField("source_metadata").getField("table").alias("src_table"),
+        e.getField("source_metadata").getField("is_snapshot").alias("is_snapshot"),
+        e.getField("data_quality").getField("has_before").alias("has_before"),
+        e.getField("data_quality").getField("field_count").alias("field_count"),
+        e.getField("customer_insights").getField("email_domain").alias("email_domain"),
+        e.getField("customer_insights").getField("email_length").alias("email_length"),
+        e.getField("processing_metadata").getField("topic").alias("topic"),
+        F.when(~ok, F.col("value")).alias("passthrough"),
+    )

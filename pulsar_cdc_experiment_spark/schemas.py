@@ -70,6 +70,20 @@ def envelope_schema(row_schema: T.StructType = CUSTOMERS_ROW) -> T.StructType:
     )
 
 
+# Name of the PERMISSIVE-mode corrupt-record column. from_json returns an
+# all-NULL struct (not NULL) for malformed input, so parse failure is only
+# detectable via this column: non-null ⇔ the payload was not a JSON object.
+# That is exactly the reference's error condition (json.loads raises, or the
+# parsed value has no .get — cdc_enrichment_function.py:104-107); a VALID
+# JSON object with fields missing is NOT an error there and is enriched.
+CORRUPT_COL = "_corrupt"
+
+
+def envelope_schema_corrupt(row_schema: T.StructType = CUSTOMERS_ROW) -> T.StructType:
+    """Envelope schema + corrupt-record column for parse-failure detection."""
+    return envelope_schema(row_schema).add(CORRUPT_COL, T.StringType())
+
+
 # Schemaless variant: before/after as string→string maps, for tables whose
 # schema is unknown at read time (the reference's "skip.unparseable.ddl"
 # stance, debezium-postgres-connector.yaml:40).

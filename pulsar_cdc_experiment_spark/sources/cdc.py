@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import CUSTOMERS_ROW, envelope_schema
+from ..schemas import CORRUPT_COL, CUSTOMERS_ROW, envelope_schema_corrupt
 
 
 def parse_envelopes(
@@ -28,16 +28,32 @@ def parse_envelopes(
 ) -> DataFrame:
     """Raw JSON bytes/strings → typed envelope rows (A3).
 
-    PERMISSIVE parse: corrupt payloads yield null envelope columns and are
-    KEPT (reference never drops, cdc_enrichment_function.py:104-107). The
-    raw payload is retained in ``_raw`` so downstream pass-through / DLQ
-    splits (B7) can route it.
+    PERMISSIVE parse: corrupt payloads yield null envelope columns, a
+    non-null ``_corrupt`` marker, and are KEPT (reference never drops,
+    cdc_enrichment_function.py:104-107). ``_corrupt`` is the only reliable
+    parse-failure signal — from_json yields an all-null STRUCT, not NULL,
+    for bad input, and a null ``op`` alone is a VALID op-less message that
+    the reference enriches (op → "unknown"). The raw payload is retained in
+    ``_raw`` so downstream pass-through / DLQ splits (B7) can route it.
     """
     raw = F.col(value_col).cast("string")
-    parsed = F.from_json(raw, envelope_schema(row_schema))
-    return raw_df.select(parsed.alias("envelope"), raw.alias("_raw")).select(
-        "envelope.*", "_raw"
+    parsed = F.from_json(
+        raw,
+        envelope_schema_corrupt(row_schema),
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
+    tmp = raw_df.select(parsed.alias("envelope"), raw.alias("_raw"))
+    env_cols = [
+        F.col("envelope").getField(f.name).alias(f.name)
+        for f in envelope_schema_corrupt(row_schema).fields
+        if f.name != CORRUPT_COL
+    ]
+    # Empty/whitespace input makes from_json return a NULL struct (no corrupt
+    # marker inside to read) — fold that case into the corrupt column.
+    corrupt = F.when(F.col("envelope").isNull(), F.col("_raw")).otherwise(
+        F.col("envelope").getField(CORRUPT_COL)
+    )
+    return tmp.select(*env_cols, corrupt.alias(CORRUPT_COL), "_raw")
 
 
 def table_filter(df: DataFrame, include: list[str]) -> DataFrame:

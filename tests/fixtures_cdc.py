@@ -66,8 +66,19 @@ def sample_json_lines() -> list[str]:
     return [json.dumps(e) for e in sample_history()]
 
 
+# Genuinely unparseable per the reference: json.loads fails, or the parsed
+# value is not a dict so message.get raises (cdc_enrichment_function.py:20-35,
+# 104-107) → the ORIGINAL bytes pass through.
 MALFORMED = [
     "not json at all {",
-    '{"no_op_field": true}',
     '"just a string"',
+    "[1, 2, 3]",
+    "",
+]
+
+# VALID per the reference: JSON objects, even without an op field —
+# message.get("op", "unknown") enriches them with code "unknown" / UNKNOWN.
+OP_LESS = [
+    '{"no_op_field": true}',
+    '{"ts_ms": 1637012345000}',
 ]

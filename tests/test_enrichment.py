@@ -19,7 +19,7 @@ from pulsar_cdc_experiment_spark.operators.enrichment import (
 from pulsar_cdc_experiment_spark.schemas import envelope_schema
 from pulsar_cdc_experiment_spark.sources.cdc import parse_envelopes, table_filter
 
-from .fixtures_cdc import MALFORMED, sample_json_lines
+from .fixtures_cdc import MALFORMED, OP_LESS, sample_json_lines
 
 
 def _enriched_rows(spark):
@@ -35,7 +35,7 @@ def test_parse_roundtrip(spark):
     env = parse_envelopes(raw)
     assert env.count() == 9
     assert env.filter(F.col("op").isNull()).count() == 0
-    assert [f.name for f in env.schema.fields] == ["before", "after", "source", "op", "ts_ms", "_raw"]
+    assert [f.name for f in env.schema.fields] == ["before", "after", "source", "op", "ts_ms", "_corrupt", "_raw"]
 
 
 def test_op_decode_and_mutation_flags(spark):
@@ -101,7 +101,7 @@ def test_email_insights_branches(spark):
 
 def test_malformed_passthrough(spark):
     raw = spark.createDataFrame(
-        [(s,) for s in sample_json_lines() + MALFORMED], ["value"]
+        [(s,) for s in sample_json_lines() + MALFORMED + OP_LESS], ["value"]
     )
     out = enrich_json_or_passthrough(raw).collect()
     values = [r["value"] for r in out]
@@ -110,13 +110,36 @@ def test_malformed_passthrough(spark):
         assert bad in values
     # good inputs come back enriched with both envelope keys
     enriched = [v for v in values if v not in MALFORMED]
-    assert len(enriched) == 9
+    assert len(enriched) == 9 + len(OP_LESS)
     for v in enriched:
         obj = json.loads(v)
         assert set(obj) == {"original", "enrichment"}
         assert obj["enrichment"]["operation"]["label"] in {
             "CREATE", "UPDATE", "DELETE", "READ", "UNKNOWN",
         }
+
+
+def test_op_less_object_enriched_not_passed_through(spark):
+    """Reference message.get("op", "unknown") semantics: a VALID JSON object
+    without an op field is enriched (code "unknown", label UNKNOWN,
+    is_mutation false), not treated as malformed
+    (cdc_enrichment_function.py:35-45)."""
+    raw = spark.createDataFrame([(s,) for s in OP_LESS], ["value"])
+    out = [r["value"] for r in enrich_json_or_passthrough(raw).collect()]
+    assert len(out) == len(OP_LESS)
+    for v in out:
+        obj = json.loads(v)
+        op = obj["enrichment"]["operation"]
+        assert op["code"] == "unknown"
+        assert op["label"] == "UNKNOWN"
+        assert op["is_mutation"] is False
+    # the ts_ms-bearing one gets real timestamps enrichment (to_json drops
+    # the null event_time_ms for the other)
+    objs = [json.loads(v) for v in out]
+    assert any(
+        o["enrichment"]["timestamps"].get("event_time_ms") == 1637012345000
+        for o in objs
+    )
 
 
 def test_table_include_filter(spark):
