@@ -199,13 +199,22 @@ def join_semi(spark, sf_dir):
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name
-    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    FROM customer WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
     """,
 )
 def join_anti(spark, sf_dir):
-    """C6: left-anti join (NOT EXISTS) — customers with no orders."""
+    """C6: left-anti join (NOT EXISTS) — customers with no URGENT orders.
+
+    The restricted right side keeps the anti set NON-EMPTY at every test SF
+    (every customer has some order in this data, so anti against all orders
+    is trivially 0 rows — no evidence the join works; round-1 verdict)."""
     cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -167,11 +167,25 @@ def pivot_status_by_flag(spark, sf_dir):
     """,
 )
 def order_value_deciles(spark, sf_dir):
-    """C12 (ntile): order-value decile boundaries."""
+    """C12 (ntile): order-value decile boundaries.
+
+    NOT a bare ``Window.orderBy`` + ntile — that funnels every order through
+    one task. ``global_ntile`` reproduces NTILE's exact assignment with a
+    bucketed two-phase rank (operators/ranking.py): approx boundaries →
+    balanced partitioned window → offset fix-up. Bit-identical output, no
+    single-partition exchange (asserted in test_scale_plans.py).
+    """
+    from ..operators.ranking import global_ntile
+
     orders = table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    tiled = global_ntile(
+        orders.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        n=10,
+    )
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        tiled.select("o_totalprice", F.col("__tile").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),

@@ -90,3 +90,70 @@ def test_partitioned_sink_routing(spark, sf_dir):
     assert "PartitionFilters: [isnotnull(event_type" in plan.replace("#", " #") or (
         "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
     )
+
+
+def test_global_ntile_matches_window_ntile(spark, sf_dir):
+    """operators/ranking.global_ntile is bit-identical to the naive
+    ntile-over-global-ORDER-BY on real data, including the uneven-fill rule
+    and n_total % n edge cases."""
+    from pyspark.sql import Window
+
+    from pulsar_cdc_experiment_spark.operators.ranking import global_ntile
+
+    orders = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    for n in (10, 7):
+        w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        naive = orders.select(
+            "o_orderkey", F.ntile(n).over(w).alias("t")
+        )
+        ours = global_ntile(orders, "o_totalprice", ["o_orderkey"], n=n).select(
+            "o_orderkey", F.col("__tile").alias("t")
+        )
+        assert naive.exceptAll(ours).count() == 0
+        assert ours.exceptAll(naive).count() == 0
+    # tiny-input edge: fewer rows than tiles -> tile == rank
+    few = orders.limit(3)
+    got = sorted(
+        r["__tile"]
+        for r in global_ntile(few, "o_totalprice", ["o_orderkey"], n=10).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def _window_feeds_single_partition(plan: str) -> bool:
+    """True if any Window node in a physical plan sits on an Exchange
+    SinglePartition (the whole input sorted in ONE task)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if line.lstrip(" +-:").startswith("Window"):
+            for nxt in lines[i + 1 : i + 4]:
+                if "Exchange" in nxt:
+                    if "SinglePartition" in nxt:
+                        return True
+                    break
+    return False
+
+
+def test_no_registered_query_sorts_globally(spark, sf_dir):
+    """Scale gate: NO registered batch query may funnel its full input
+    through a single-partition Exchange into a Window (the global-sort
+    scale-killer the round-1 verdict flagged). Scalar aggregates (1-row
+    results) legitimately use SinglePartition exchanges and are not
+    windows, so only Window-over-SinglePartition is flagged."""
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("stream_"):
+            continue  # streaming plans are exercised in test_streaming.py
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        if _window_feeds_single_partition(plan):
+            offenders.append(name)
+    assert offenders == []
