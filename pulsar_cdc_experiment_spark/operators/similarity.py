@@ -76,6 +76,20 @@ def lsh_bucketize(
     return df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
 
 
+def probe_buckets(bucket: int, bits: int, radius: int) -> set[int]:
+    """All bucket ids within Hamming distance ``radius`` of ``bucket``."""
+    from itertools import combinations
+
+    probes = {bucket}
+    for r in range(1, min(radius, bits) + 1):
+        for idxs in combinations(range(bits), r):
+            flipped = bucket
+            for i in idxs:
+                flipped ^= 2**i
+            probes.add(flipped)
+    return probes
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -85,16 +99,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     multiprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: probe the query's bucket ± ``multiprobe``-bit flips."""
+    """ANN top-k probing every bucket within Hamming distance ``multiprobe``
+    of the query's bucket (0 = own bucket only, 1 = +all 1-bit flips,
+    2 = +all 2-bit flips, ...). Probe count grows as sum of C(bits, r) —
+    at the 4–16 bit scales this operator targets that stays small; recall
+    rises with the radius at proportional fan-in cost."""
     qv = np.asarray(query_vec, dtype=float)
     bucket = 0
     for i, plane in enumerate(planes):
         if float(qv @ plane) > 0:
             bucket += 2**i
-    probes = {bucket}
-    if multiprobe >= 1:
-        for i in range(len(planes)):
-            probes.add(bucket ^ (2**i))
+    probes = probe_buckets(bucket, len(planes), multiprobe)
     bucketed = lsh_bucketize(df, planes, vec_col)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (

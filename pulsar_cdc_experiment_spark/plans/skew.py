@@ -28,11 +28,22 @@ def salted_join(
 
     ``other`` (the bounded side) is replicated ``salts`` times; the join key
     becomes (key, salt). Output columns = skewed ∪ other minus the duplicate
-    key, exactly like ``skewed.join(other, on, how)``.
+    key, exactly like ``skewed.join(other, on, how)`` — for the SUPPORTED
+    join types only: inner / left / left_semi / left_anti, where every
+    output row is anchored to a ``skewed`` row (which carries exactly one
+    salt). right/full/cross are rejected: an unmatched ``other`` row exists
+    once per salt replica and would be emitted ``salts`` times.
 
     The salt is derived from a per-row spray (hash of a monotonic id), NOT
     from data columns — any distribution is correct, uniform is best.
     """
+    supported = {"inner", "left", "leftouter", "left_outer", "left_semi",
+                 "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {s.replace("_", "") for s in supported}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "unmatched rows of the replicated side would be duplicated per salt"
+        )
     salted = skewed.withColumn(
         "__salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salts))
     )

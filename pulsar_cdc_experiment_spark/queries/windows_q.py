@@ -81,7 +81,14 @@ def window_sliding(spark, sf_dir):
     """,
 )
 def window_session(spark, sf_dir):
-    """C31: 30-minute-gap session windows per user."""
+    """C31: 30-minute-gap session windows per user.
+
+    Boundary semantics (empirically pinned, test_streaming.py::
+    test_session_window_gap_boundary_merges_at_exact_gap): Spark merges
+    sessions whose windows TOUCH, so an event exactly `gap` after its
+    predecessor stays in the SAME session — the oracle's gap-island flag is
+    strictly `> INTERVAL '30 minutes'`.
+    """
     ev = table(spark, sf_dir, "events")
     agg = session(ev, "ts", "30 minutes", "user_id").agg(
         F.count("*").alias("n_events"),

@@ -42,29 +42,58 @@ class IncrementalMaterializer:
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
 
-    def current_state(self, spark: SparkSession) -> DataFrame | None:
-        live = os.path.join(self.state_dir, "live")
-        if not os.path.exists(live):
+    POINTER = "CURRENT"
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.state_dir, self.POINTER)
+
+    def _current_dir(self) -> str | None:
+        p = self._pointer_path()
+        if not os.path.exists(p):
             return None
-        return spark.read.parquet(live)
+        with open(p) as f:
+            name = f.read().strip()
+        d = os.path.join(self.state_dir, name)
+        return d if name and os.path.exists(d) else None
+
+    def current_state(self, spark: SparkSession) -> DataFrame | None:
+        d = self._current_dir()
+        if d is None:
+            return None
+        return spark.read.parquet(d)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Fold the batch into state and publish via ONE atomic rename.
+
+        Publication is a pointer file (``CURRENT`` names the live state
+        directory) updated with ``os.replace`` — there is no instant with
+        no live state, unlike a two-rename directory swap (round-1 advice):
+        a crash before the replace leaves the previous state live; a crash
+        after it leaves the new state live. Superseded directories are GC'd
+        AFTER publication, so a crash there leaks only dead files, never
+        state.
+        """
         spark = batch_df.sparkSession
         folded = latest_by_key(batch_df, self.key_cols, self.order_cols)
+        prev_dir = self._current_dir()
         prev = self.current_state(spark)
         if prev is not None:
             folded = latest_by_key(
                 prev.unionByName(folded), self.key_cols, self.order_cols
             )
-        staged = os.path.join(self.state_dir, f"stage_{batch_id}")
+        staged_name = f"state_{batch_id}"
+        staged = os.path.join(self.state_dir, staged_name)
         folded.write.mode("overwrite").parquet(staged)
-        live = os.path.join(self.state_dir, "live")
-        old = os.path.join(self.state_dir, f"old_{batch_id}")
-        if os.path.exists(live):
-            os.rename(live, old)
-        os.rename(staged, live)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+
+        tmp = os.path.join(self.state_dir, f".{self.POINTER}.tmp_{batch_id}")
+        with open(tmp, "w") as f:
+            f.write(staged_name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())  # the single atomic publish
+
+        if prev_dir and os.path.abspath(prev_dir) != os.path.abspath(staged):
+            shutil.rmtree(prev_dir, ignore_errors=True)
 
     def attach(self, stream_df: DataFrame, checkpoint: str | None = None):
         """Wire the materializer into a stream via foreachBatch."""

@@ -127,3 +127,36 @@ def test_multi_table_materialization(spark):
     # per-table routing: each table's state is a clean filter away
     customers = state.filter(F.col("source.table") == "customers")
     assert customers.count() == 1
+
+
+def test_incremental_state_publish_is_single_atomic_pointer(spark, tmp_path):
+    """State is published by one os.replace of a pointer file: after every
+    batch the pointer names a fully-written directory, superseded dirs are
+    gone, and an interrupted publish (stray tmp file) cannot corrupt the
+    live state (round-1 advice: the old two-rename swap had a no-live-state
+    window)."""
+    import os
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalMaterializer,
+    )
+
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    m = IncrementalMaterializer(d, ["k"], ["v"])
+
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    m.process_batch(b0, 0)
+    assert open(os.path.join(d, "CURRENT")).read().strip() == "state_0"
+    assert {r["k"]: r["v"] for r in m.current_state(spark).collect()} == {1: 10, 2: 20}
+
+    # a stray tmp pointer from a crashed publish must be ignored
+    with open(os.path.join(d, ".CURRENT.tmp_99"), "w") as f:
+        f.write("state_99")
+
+    b1 = spark.createDataFrame([(1, 30)], ["k", "v"])
+    m.process_batch(b1, 1)
+    assert open(os.path.join(d, "CURRENT")).read().strip() == "state_1"
+    assert {r["k"]: r["v"] for r in m.current_state(spark).collect()} == {1: 30, 2: 20}
+    # superseded state dir GC'd after publication
+    assert not os.path.exists(os.path.join(d, "state_0"))

@@ -77,3 +77,24 @@ def test_ivf_recall_on_planted_cluster(spark):
     # the planted cluster concentrates in one IVF list; probing 2 of 6
     # lists must recover most of the true top-k
     assert len(exact & approx) >= 8
+
+
+def test_probe_buckets_hamming_radius():
+    """multiprobe=k probes exactly the Hamming ball of radius k (round-1
+    advice: values > 1 previously added nothing beyond 1-bit flips)."""
+    from math import comb
+
+    from pulsar_cdc_experiment_spark.operators.similarity import probe_buckets
+
+    def popcount_ball(bucket, bits, r):
+        return {
+            b for b in range(2**bits) if bin(b ^ bucket).count("1") <= r
+        }
+
+    for bits, bucket in ((4, 0b1010), (5, 0)):
+        for radius in range(0, bits + 1):
+            got = probe_buckets(bucket, bits, radius)
+            assert got == popcount_ball(bucket, bits, radius)
+            assert len(got) == sum(comb(bits, r) for r in range(radius + 1))
+    # radius beyond bit width saturates, never errors
+    assert probe_buckets(3, 3, 99) == set(range(8))

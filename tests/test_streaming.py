@@ -383,3 +383,30 @@ def test_session_window_closes_across_batches(spark):
     assert (10, 0, 3) in got
     assert (14, 0, 1) in got
     assert not any(h == 15 for h, m, n in got)
+
+
+def test_session_window_gap_boundary_merges_at_exact_gap(spark):
+    """Boundary pin for the session oracles: Spark MERGES sessions whose
+    windows touch, so an event EXACTLY gap after its predecessor stays in
+    the SAME session ([t, t+gap] treated as inclusive for the merge test).
+    The DuckDB gap-island oracle must therefore flag a new session only on
+    gap > 30 minutes — empirically verified here because round-1 advice
+    claimed the opposite (half-open split) and was wrong for this Spark."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def n_sessions(rows):
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .count()
+            .count()
+        )
+
+    # exactly-gap spacing MERGES (windows [0,30) and [30,60) touch)
+    assert n_sessions([(1, t0), (1, t0 + dt.timedelta(minutes=30))]) == 1
+    # inside the gap merges
+    assert n_sessions([(1, t0), (1, t0 + dt.timedelta(minutes=29, seconds=59))]) == 1
+    # one second past the gap splits
+    assert n_sessions([(1, t0), (1, t0 + dt.timedelta(minutes=30, seconds=1))]) == 2
