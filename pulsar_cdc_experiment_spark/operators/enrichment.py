@@ -91,14 +91,26 @@ def enrichment_struct(
     row_fields: list[str],
     function_name: str = FUNCTION_NAME,
     function_version: str = FUNCTION_VERSION,
-    topic: str = "persistent://public/default/dbserver1.public.customers",
-    partition_id: str = "0",
+    topic: str | Column = "persistent://public/default/dbserver1.public.customers",
+    partition_id: str | Column = "0",
+    message_id: str | Column | None = None,
 ) -> Column:
     """Build the ``enrichment`` struct from envelope columns.
 
     ``df_cols`` is a callable column resolver (usually ``F.col``) so the same
     expression tree works on top-level envelope columns or nested ones.
+
+    Lineage values (``topic``/``partition_id``/``message_id``) accept either
+    literals (file/test feeds) or COLUMNS — message-bus sources pass their
+    per-record metadata columns (Kafka topic/partition/offset,
+    sources/kafka.py), matching the reference's per-message context lookups
+    (cdc_enrichment_function.py:89-96).
     """
+
+    def as_col(v):
+        if v is None:
+            return F.lit(None).cast("string")
+        return F.lit(v) if isinstance(v, str) else v.cast("string")
     c = df_cols
     # The reference defaults a missing op to the CODE "unknown" before
     # decoding (message.get("op", "unknown"), cdc_enrichment_function.py:35):
@@ -148,12 +160,12 @@ def enrichment_struct(
         F.struct(
             F.lit(function_name).alias("function_name"),
             F.lit(function_version).alias("function_version"),
-            # In Pulsar these come from the function context; in Spark the natural
-            # analogs are source metadata columns — callers on Kafka sources
-            # should override with topic/partition/offset columns.
-            F.lit(None).cast("string").alias("message_id"),
-            F.lit(topic).alias("topic"),
-            F.lit(partition_id).alias("partition_id"),
+            # In Pulsar these come from the function context; in Spark the
+            # natural analogs are source metadata columns (Kafka
+            # topic/partition/offset via sources/kafka.py).
+            as_col(message_id).alias("message_id"),
+            as_col(topic).alias("topic"),
+            as_col(partition_id).alias("partition_id"),
         ).alias("processing_metadata"),
     )
 

@@ -24,7 +24,10 @@ from ..schemas import CORRUPT_COL, CUSTOMERS_ROW, envelope_schema_corrupt
 
 
 def parse_envelopes(
-    raw_df: DataFrame, value_col: str = "value", row_schema=CUSTOMERS_ROW
+    raw_df: DataFrame,
+    value_col: str = "value",
+    row_schema=CUSTOMERS_ROW,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Raw JSON bytes/strings → typed envelope rows (A3).
 
@@ -35,14 +38,19 @@ def parse_envelopes(
     for bad input, and a null ``op`` alone is a VALID op-less message that
     the reference enriches (op → "unknown"). The raw payload is retained in
     ``_raw`` so downstream pass-through / DLQ splits (B7) can route it.
+
+    ``keep_cols`` carries source-metadata columns (e.g. Kafka
+    topic/partition/offset lineage, sources/kafka.py) through the parse
+    unchanged.
     """
+    keep_cols = keep_cols or []
     raw = F.col(value_col).cast("string")
     parsed = F.from_json(
         raw,
         envelope_schema_corrupt(row_schema),
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    tmp = raw_df.select(parsed.alias("envelope"), raw.alias("_raw"))
+    tmp = raw_df.select(parsed.alias("envelope"), raw.alias("_raw"), *keep_cols)
     env_cols = [
         F.col("envelope").getField(f.name).alias(f.name)
         for f in envelope_schema_corrupt(row_schema).fields
@@ -53,7 +61,38 @@ def parse_envelopes(
     corrupt = F.when(F.col("envelope").isNull(), F.col("_raw")).otherwise(
         F.col("envelope").getField(CORRUPT_COL)
     )
-    return tmp.select(*env_cols, corrupt.alias(CORRUPT_COL), "_raw")
+    return tmp.select(*env_cols, corrupt.alias(CORRUPT_COL), "_raw", *keep_cols)
+
+
+def parse_envelopes_rescued(
+    raw_df: DataFrame,
+    value_col: str = "value",
+    row_schema=CUSTOMERS_ROW,
+) -> DataFrame:
+    """Typed envelope parse + mid-stream schema-drift rescue (A3 + drift).
+
+    The reference's connector tolerates DDL it cannot parse and auto-adds
+    tables (debezium-postgres-connector.yaml:37,40), so new columns CAN
+    appear mid-stream. A fixed ``row_schema`` would silently drop them;
+    here every ``after`` key not in the typed schema is preserved in a
+    ``_rescued`` string→string map (Spark's rescued-data-column pattern),
+    so no payload data is ever lost while the hot path stays fully typed.
+    Promote a rescued key by adding it to ``row_schema`` — old envelopes
+    read back with the field null, new ones typed: exactly
+    ``unionByName(allowMissingColumns=True)`` semantics over time.
+    """
+    env = parse_envelopes(raw_df, value_col, row_schema)
+    known = [f.name for f in row_schema.fields]
+    after_map = F.from_json(
+        F.get_json_object(F.col("_raw"), "$.after"), "map<string,string>"
+    )
+    rescued = F.map_filter(after_map, lambda k, _: ~k.isin(*known))
+    # empty map (no drift) normalized to null: cheap to test, and rescued
+    # rows stand out in a filter
+    return env.withColumn(
+        "_rescued",
+        F.when(F.size(rescued) > 0, rescued),
+    )
 
 
 def table_filter(df: DataFrame, include: list[str]) -> DataFrame:

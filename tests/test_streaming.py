@@ -410,3 +410,140 @@ def test_session_window_gap_boundary_merges_at_exact_gap(spark):
     assert n_sessions([(1, t0), (1, t0 + dt.timedelta(minutes=29, seconds=59))]) == 1
     # one second past the gap splits
     assert n_sessions([(1, t0), (1, t0 + dt.timedelta(minutes=30, seconds=1))]) == 2
+
+
+def test_kafka_source_plan_shape(spark):
+    """A1/A15 (message-bus ingress): the full Kafka-source downstream plan —
+    wire schema → envelope parse → lineage columns → enrichment with
+    column-valued lineage — asserted without a broker (round-1 verdict #4).
+    kafka_cdc_plan is a pure function of the connector's record schema, so
+    running it over static WIRE_SCHEMA rows exercises exactly the plan the
+    streaming source would feed."""
+    import json
+
+    from pulsar_cdc_experiment_spark.operators.enrichment import enrich
+    from pulsar_cdc_experiment_spark.sources.kafka import (
+        WIRE_SCHEMA,
+        kafka_cdc_plan,
+        kafka_message_id,
+        kafka_reader,
+        kafka_reader_options,
+    )
+
+    from .fixtures_cdc import MALFORMED, sample_json_lines
+
+    lines = sample_json_lines()
+    rows = [
+        (None, l.encode(), "dbserver1.public.customers", i % 3, 100 + i, None, 0)
+        for i, l in enumerate(lines)
+    ] + [(None, MALFORMED[0].encode(), "dbserver1.public.customers", 0, 999, None, 0)]
+    wire = spark.createDataFrame(rows, WIRE_SCHEMA)
+
+    env = kafka_cdc_plan(wire)
+    assert [f.name for f in env.schema.fields] == [
+        "before", "after", "source", "op", "ts_ms",
+        "_corrupt", "_raw", "_topic", "_partition", "_offset",
+    ]
+    got = env.collect()
+    assert len(got) == 10
+    bad = [r for r in got if r["_corrupt"] is not None]
+    assert len(bad) == 1 and bad[0]["_raw"] == MALFORMED[0] and bad[0]["_offset"] == 999
+    assert all(r["_topic"] == "dbserver1.public.customers" for r in got)
+
+    # enrichment with per-record lineage COLUMNS (reference context lookups)
+    enriched = enrich(
+        env,
+        topic=F.col("_topic"),
+        partition_id=F.col("_partition"),
+        message_id=kafka_message_id(env),
+    )
+    r1 = enriched.filter(F.col("original.after.id") == 1).first()
+    pm = r1["enrichment"]["processing_metadata"]
+    assert pm["topic"] == "dbserver1.public.customers"
+    assert pm["partition_id"] == "0"
+    assert pm["message_id"] == "dbserver1.public.customers-0-100"
+    # lineage plumbing never leaks into the original payload
+    assert "_topic" not in r1["original"].asDict()
+
+    # reader construction: options wired, and .load() fails ONLY at
+    # connector resolution (jar not shipped in this container)
+    opts = kafka_reader_options("broker:9092", "t", max_offsets_per_trigger=50000)
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    reader = kafka_reader(spark, "broker:9092")
+    try:
+        reader.load()
+        assert False, "expected connector resolution to fail in this container"
+    except Exception as e:
+        assert "kafka" in str(e).lower()
+
+
+def test_schema_drift_mid_stream_no_data_loss(spark):
+    """Mid-stream schema drift (round-1 verdict #5): a new `after` column
+    appears between micro-batches (the reference's connector tolerates
+    unparseable DDL / auto-adds tables, so this WILL happen in production
+    CDC). Contract: no row is lost, pre-drift rows parse as before, and the
+    drifted rows' new keys are preserved in the _rescued map while the
+    typed hot path keeps working."""
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.operators.enrichment import enrich
+    from pulsar_cdc_experiment_spark.operators.materialize import latest_by_key
+    from pulsar_cdc_experiment_spark.sources.cdc import parse_envelopes_rescued
+
+    from .fixtures_cdc import envelope, row
+
+    t0 = 1637012345000
+    old_shape = [
+        envelope("c", None, row(1, "Alice", "alice@example.com"), 100, 1, t0),
+        envelope("c", None, row(2, "Bob", "bob@corp.io"), 200, 2, t0 + 1000),
+    ]
+    drifted = []
+    for i, (id_, name) in enumerate([(1, "Alice v2"), (3, "Carol")]):
+        e = envelope("u" if id_ == 1 else "c", None, row(id_, name, f"u{id_}@x.io"),
+                     300 + i * 100, 3 + i, t0 + 2000 + i * 1000)
+        e["after"]["phone"] = f"+1-555-000{id_}"   # the DDL drift
+        e["after"]["tier"] = "gold"
+        drifted.append(e)
+
+    d = tempfile.mkdtemp(prefix="drift_feed_")
+    for i, batch in enumerate([old_shape, drifted]):
+        p = os.path.join(d, f"{i:03d}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(e) for e in batch))
+        os.utime(p, (1_700_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(d)
+    )
+    env = parse_envelopes_rescued(stream)
+    out = run_to_memory(env, "drift_env", output_mode="append")
+
+    rows = out.collect()
+    assert len(rows) == 4                       # nothing dropped
+    assert all(r["_corrupt"] is None for r in rows)
+    by_lsn = {r["source"]["lsn"]: r for r in rows}
+    # pre-drift rows: typed as before, no rescue
+    assert by_lsn[100]["after"]["name"] == "Alice" and by_lsn[100]["_rescued"] is None
+    # drifted rows: typed fields still typed, new keys rescued
+    assert by_lsn[300]["after"]["name"] == "Alice v2"
+    assert by_lsn[300]["_rescued"] == {"phone": "+1-555-0001", "tier": "gold"}
+    assert by_lsn[400]["_rescued"] == {"phone": "+1-555-0003", "tier": "gold"}
+
+    # the enrichment + materialize path is drift-proof: enrich the union,
+    # fold to latest state, nothing lost and the drifted update won
+    enriched = enrich(out.drop("_raw", "_corrupt", "_rescued"))
+    assert enriched.count() == 4
+    state = latest_by_key(
+        out.select(F.col("after.id").alias("id"), "op",
+                   F.col("after.name").alias("name"),
+                   F.col("source.lsn").alias("lsn"), "_rescued"),
+        ["id"], ["lsn"],
+    )
+    got = {r["id"]: (r["name"], r["_rescued"] or {}) for r in state.collect()}
+    assert got == {
+        1: ("Alice v2", {"phone": "+1-555-0001", "tier": "gold"}),
+        2: ("Bob", {}),
+        3: ("Carol", {"phone": "+1-555-0003", "tier": "gold"}),
+    }
