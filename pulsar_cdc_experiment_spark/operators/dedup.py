@@ -22,7 +22,7 @@ the Jaccard math itself is oracle-checked).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.tuning import fan_out
@@ -150,23 +150,23 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidates.
 
     Returns (id_a, id_b) candidate pairs, deduplicated across bands. With
     k=32, b=8, r=4 the S-curve crosses ~50% candidate probability at
-    Jaccard ≈ (1/b)^(1/r) ≈ 0.6.
+    Jaccard ≈ (1/b)^(1/r) ≈ 0.6. See :func:`_band_candidates` for the
+    ``max_bucket_size`` hot-bucket guard.
     """
     sig = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
-    return _band_candidates(sig, id_col, num_hashes, bands)
+    return _band_candidates(sig, id_col, num_hashes, bands, max_bucket_size)
 
 
-def _band_candidates(
-    sig: DataFrame, id_col: str, num_hashes: int, bands: int
-) -> DataFrame:
-    """Band a signature table (h0..h{k-1} columns) into bucket candidates."""
+def _banded_buckets(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) rows: one bucket id per band per doc."""
     rows_per_band = num_hashes // bands
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.array(
@@ -185,6 +185,35 @@ def _band_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def _band_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band a signature table (h0..h{k-1} columns) into bucket candidates.
+
+    ``max_bucket_size`` is the hot-bucket guard: candidate generation is
+    quadratic WITHIN a bucket, so one pathological bucket (boilerplate
+    text, empty docs, a template) can dominate the whole job at scale.
+    Buckets holding more than ``max_bucket_size`` docs are excluded from
+    pair generation (their members usually still pair via their other
+    bands' buckets). The per-bucket count is a window over exactly the
+    join key, so it reuses the join's own (band, bucket) shuffle — the
+    guard costs no extra full-data exchange. Use
+    :func:`lsh_oversized_buckets` to LOG what the guard dropped.
+    """
+    banded = _banded_buckets(sig, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -202,6 +231,27 @@ def _band_candidates(
     )
 
 
+def lsh_oversized_buckets(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int,
+) -> DataFrame:
+    """The guard's drop metric: (band, bucket, n_docs) rows the cap excluded.
+
+    Callers log/sink this next to the dedup output so a silent recall loss
+    is visible in ops — at 100 TB 'the guard fired' is a signal (template
+    spam, empty docs) worth alerting on, not just a perf footnote.
+    """
+    return (
+        _banded_buckets(sig, id_col, num_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -210,19 +260,24 @@ def minhash_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH candidates verified with true n-gram Jaccard ≥ threshold.
 
     The shingle table feeds both the signature path and the verify join;
     persist it so tokenization+shingling runs once (at 100 TB the same role
     is played by writing signatures/shingles to a checkpoint table).
+
+    ``max_bucket_size`` (default 10k) bounds the per-bucket quadratic blow-
+    up — a 10k bucket is ~50M candidate pairs, the most one degenerate
+    bucket may cost; None disables.
     """
     sh = shingled(df, id_col, text_col, ngram).persist()
     exploded = sh.select(F.col(id_col), F.explode("__shingles").alias("__sh"))
     sig = exploded.groupBy(id_col).agg(
         *[F.min(F.hash("__sh", F.lit(j))).alias(f"h{j}") for j in range(num_hashes)]
     )
-    cands = _band_candidates(sig, id_col, num_hashes, bands)
+    cands = _band_candidates(sig, id_col, num_hashes, bands, max_bucket_size)
     return (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shingles", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shingles", "__sh_b"), "id_b")

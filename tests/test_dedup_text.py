@@ -145,3 +145,41 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     comp = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """A planted degenerate bucket (many identical docs) is excluded from
+    candidate generation by max_bucket_size, while normal near-dup pairs
+    elsewhere still surface; the drop metric reports the hot buckets
+    (round-1 verdict #6: one pathological bucket is still quadratic)."""
+    from pulsar_cdc_experiment_spark.operators.dedup import (
+        lsh_oversized_buckets,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    rows = [(i, boiler) for i in range(40)]  # the hot bucket: 40 clones
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (101, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (102, "completely different text about spark catalyst optimizer internals"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_candidates(df, "doc_id", "text", ngram=3)
+    clones = uncapped.filter((F.col("id_a") < 100) & (F.col("id_b") < 100))
+    assert clones.count() == 40 * 39 // 2  # quadratic blow-up, unguarded
+
+    capped = minhash_lsh_candidates(
+        df, "doc_id", "text", ngram=3, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got            # normal near-dups survive the guard
+    assert not any(a < 100 and b < 100 for a, b in got)  # hot bucket dropped
+
+    sig = minhash_signatures(df, "doc_id", "text", 32, 3)
+    dropped = lsh_oversized_buckets(sig, "doc_id", 32, 8, max_bucket_size=10)
+    metric = dropped.collect()
+    assert len(metric) == 8             # clones collide in every band
+    assert all(r["n_docs"] == 40 for r in metric)
