@@ -45,6 +45,68 @@ HEADLINE = [
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
 
 
+def measure_skew(spark) -> dict[str, float]:
+    """Skew-join evidence: one hot key holding ~90% of a synthetic fact
+    table, joined to a dim too large to broadcast (the 100 TB scenario
+    salting exists for — at that scale the other side never broadcasts).
+
+    Three legs, same data, same result:
+      plain        — sort-merge join, AQE skew mitigation OFF (the naive
+                     plan: the hot key's partition lands on ONE task)
+      salted       — plans/skew.salted_join, skew mitigation OFF (our
+                     operator spreads the hot key over 32 sub-keys)
+      plain_aqe    — AQE skewJoin ON (Spark's own runtime mitigation, for
+                     honest comparison against the built-in answer)
+    """
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.plans.skew import salted_join
+
+    n_fact, n_keys = 8_000_000, 200_000
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") % 20 < 19, F.lit(0))
+        .otherwise(F.pmod(F.hash(F.col("id")), F.lit(n_keys)))
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("w")
+    )
+
+    def run(make_joined) -> float:
+        t0 = time.perf_counter()
+        out = make_joined().agg(
+            F.sum(F.col("v") * F.col("w")).alias("s"), F.count("*").alias("n")
+        )
+        out.collect()
+        return time.perf_counter() - t0
+
+    conf = spark.conf
+    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    timings: dict[str, float] = {}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        # cluster-shaped parallelism for the measurement (the headline set
+        # sizes partitions to the small SF; skew is about task IMBALANCE)
+        conf.set("spark.sql.shuffle.partitions", "32")
+        timings["plain"] = round(min(run(lambda: fact.join(dim, "k")) for _ in (0, 1)), 3)
+        timings["salted"] = round(
+            min(run(lambda: salted_join(fact, dim, "k", salts=32)) for _ in (0, 1)), 3
+        )
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        timings["plain_aqe"] = round(
+            min(run(lambda: fact.join(dim, "k")) for _ in (0, 1)), 3
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+        conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return timings
+
+
 def main() -> None:
     from pulsar_cdc_experiment_spark.session import (
         get_spark,
@@ -107,6 +169,8 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(min(run_once(name), run_once(name)), 3)
 
+    skew = measure_skew(spark)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf = float(sf)
@@ -119,6 +183,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "skew_join": skew,
                 "sf": sf,
             }
         )
