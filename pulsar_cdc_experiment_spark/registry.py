@@ -40,6 +40,7 @@ def register(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__family__ = fn.__module__.rsplit(".", 1)[-1]
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -49,7 +50,16 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all_query_modules() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent), then
+    reorder the registry ROUND-ROBIN ACROSS FAMILIES.
+
+    Rationale: a driver that samples a prefix of ``queries()`` (round 1
+    checked the first 50 of 105, all in module order) should still cover
+    every query family — relational, CDC, scalar functions, windows,
+    streaming, UDFs, LLM ops — rather than exhausting the first two
+    modules. Interleaving makes ANY prefix of the registry a stratified
+    sample; full-registry consumers are unaffected.
+    """
     from .queries import (  # noqa: F401
         cdc,
         llm_ops,
@@ -60,3 +70,17 @@ def load_all_query_modules() -> None:
         udfs,
         windows_q,
     )
+
+    global QUERIES
+    by_family: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        by_family.setdefault(getattr(fn, "__family__", "other"), []).append(name)
+    interleaved: list[str] = []
+    buckets = list(by_family.values())
+    i = 0
+    while len(interleaved) < len(QUERIES):
+        for b in buckets:
+            if i < len(b):
+                interleaved.append(b[i])
+        i += 1
+    QUERIES = {name: QUERIES[name] for name in interleaved}
