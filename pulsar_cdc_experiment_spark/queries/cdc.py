@@ -397,3 +397,43 @@ def cdc_enrich_e2e(spark, sf_dir):
         e.getField("processing_metadata").getField("topic").alias("topic"),
         F.when(~ok, F.col("value")).alias("passthrough"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH mut AS (
+      SELECT user_id, event_id, ts, event_type, {_OP_CASE_SQL} AS op
+      FROM events
+      WHERE {_OP_CASE_SQL} IN ('c','u','d')
+    )
+    SELECT user_id, event_id, op,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM mut
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD Type-2 history from a change feed: every mutation becomes a
+    versioned row with [valid_from, valid_to) effectivity and an
+    is_current flag — the dimension-table face of CDC materialization
+    (B5's other half: latest_state keeps the newest row, SCD2 keeps them
+    ALL queryable as of any time). One shuffle on the key; the window is
+    partitioned, never global."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").withColumn("op", _op_col())
+    mut = ev.filter(F.col("op").isin("c", "u", "d"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return mut.select(
+        "user_id",
+        "event_id",
+        "op",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -172,3 +172,60 @@ def stream_cdc_enrich_materialize(spark, sf_dir):
         F.col("event_id").alias("last_event_id"),
         F.col("op_label").alias("last_op_label"),
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_event, s.event_id AS signup_event,
+           p.user_id,
+           floor((p.value) * 100 + 0.5) / 100 AS purchase_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream INNER join with event-time range condition — the
+    stateful two-sided join (each side buffers keyed state until the
+    watermark passes the join window). Purchases matched to any signup of
+    the same user within the preceding 7 days; inner join + AvailableNow
+    processing of the full feed makes append output equal the batch join,
+    so the full DuckDB oracle applies."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_event"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("signup_event"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        "inner",
+    ).select(
+        "purchase_event",
+        "signup_event",
+        "user_id",
+        rn(F.col("value"), 2).alias("purchase_value"),
+    )
+    return run_to_memory(joined, "stream_stream_join", output_mode="append")

@@ -67,6 +67,7 @@ def load_all_query_modules() -> None:
         relational_ext,
         scalar_fns,
         streaming_q,
+        subqueries,
         udfs,
         windows_q,
     )
