@@ -537,3 +537,81 @@ def corpus_sample_stratified(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "llm_prep_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, source,
+             {_TOKS} AS toks,
+             length(text) AS n_chars_raw,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, source, len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b) / len(toks)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains({TX.STOPWORDS!r}, x))) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars_raw > 0 THEN n_punct / n_chars_raw ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_chars_raw > 0 THEN n_digit / n_chars_raw ELSE 0.0 END AS digit_ratio
+      FROM t
+    ), scored AS (
+      SELECT doc_id, text, source, n_tok,
+             (0.3 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.4 END)
+            + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + 0.2 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END)
+            + 0.3 * (1.0 - least(punct_ratio + digit_ratio, 1.0))) AS quality
+      FROM m
+    ), kept AS (
+      SELECT * FROM scored WHERE n_tok >= 10 AND quality >= 0.8
+    ), surv AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY text) AS min_id FROM kept
+      ) WHERE doc_id = min_id
+    ), sampled AS (
+      SELECT * FROM surv WHERE ((doc_id * 2654435761) % 4294967296) < 2147483648
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           floor((avg(quality)) * 1000000 + 0.5) / 1000000 AS avg_quality
+    FROM sampled GROUP BY source
+    """,
+)
+def llm_prep_pipeline(spark, sf_dir):
+    """The composed training-data prep pipeline, end to end in ONE plan:
+    quality scoring → threshold filter → exact dedup (survivor = min id
+    per text) → deterministic ~50% hash sample → per-source stats. Each
+    stage is an operator checked on its own elsewhere; this entry proves
+    they COMPOSE (the filter pushes below the dedup shuffle, the sample is
+    a scan-level predicate, and the whole thing is two shuffles: dedup
+    window + final group-by)."""
+    from pyspark.sql import Window
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wt = docs.select(
+        "doc_id", "text", "source", TX.tokens(F.col("text")).alias("__toks")
+    )
+    t, toks = F.col("text"), F.col("__toks")
+    scored = wt.select(
+        "doc_id", "text", "source",
+        F.size(toks).alias("n_tok"),
+        TX.quality_score(t, toks).alias("quality"),
+    )
+    kept = scored.filter((F.col("n_tok") >= 10) & (F.col("quality") >= 0.8))
+    w = Window.partitionBy("text")
+    surv = kept.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("min_id")
+    )
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    sampled = surv.filter(bucket < 2147483648)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        rn(F.avg("quality"), 6).alias("avg_quality"),
+    )

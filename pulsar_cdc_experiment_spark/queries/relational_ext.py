@@ -387,3 +387,67 @@ def unpivot_metrics(spark, sf_dir):
         rn(F.sum("val"), 2).alias("total"),
         rn(F.avg("val"), 6).alias("mean"),
     )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """Q13 pattern: two-level aggregation — per-customer order counts via a
+    filtered LEFT join (count(col) skips nulls, so no-order customers are
+    the 0 bucket), then the distribution of those counts. Second aggregate
+    is tiny; the only real shuffle is the first group-by."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "time_grain_rollup",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+           CAST(month(l_shipdate) AS INTEGER) AS m,
+           CAST(grouping(year(l_shipdate)) AS INTEGER) AS g_y,
+           CAST(grouping(month(l_shipdate)) AS INTEGER) AS g_m,
+           CAST(count(*) AS BIGINT) AS n_items,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (year(l_shipdate), month(l_shipdate))
+    """,
+)
+def time_grain_rollup(spark, sf_dir):
+    """Hypertable-style time-hierarchy rollup: revenue at month, year, and
+    grand-total grains in ONE pass (ROLLUP computes all grains from the
+    same partial aggregates — at 100 TB this halves the cost of
+    maintaining per-grain tables separately)."""
+    li = table(spark, sf_dir, "lineitem")
+    y = F.year("l_shipdate").alias("y")
+    m = F.month("l_shipdate").alias("m")
+    return (
+        li.select(y, m, (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .rollup("y", "m")
+        .agg(
+            F.grouping("y").cast("int").alias("g_y"),
+            F.grouping("m").cast("int").alias("g_m"),
+            F.count("*").alias("n_items"),
+            rn(F.sum("rev"), 2).alias("revenue"),
+        )
+        .select("y", "m", "g_y", "g_m", "n_items", "revenue")
+    )
