@@ -165,3 +165,54 @@ def udf_grouped_agg_weighted(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         wavg("l_quantity", "l_linenumber").alias("weighted_avg_qty")
     )
+
+
+@register(
+    "udtf_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ), starts AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS s FROM t
+    )
+    SELECT doc_id,
+           CAST(s // 40 AS INTEGER) AS chunk_idx,
+           CAST(least(len(toks) - s, 50) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[s + 1 : least(s + 50, len(toks))], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def udtf_chunk_documents(spark, sf_dir):
+    """Python UDTF (Spark 4 table function): sliding-window token chunking
+    — the canonical LLM training-data op (chunk_size=50, overlap=10, so
+    starts step by 40). One input doc row expands to N chunk rows via a
+    LATERAL table-function join; the oracle replays the identical chunking
+    with generate_series over the token list. Like the scalar-UDF query,
+    this exists to prove the extension point — pure-expression chunking
+    (sequence + transform) is the fast path and is how shingled() works.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_chunk_tokens int, chunk_text string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split() if text else []
+            n = len(toks)
+            start = 0
+            while start < n:
+                chunk = toks[start : start + 50]
+                yield start // 40, len(chunk), " ".join(chunk)
+                start += 40
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = table(spark, sf_dir, "documents")
+    docs.filter(F.length(F.trim("text")) > 0).createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_chunk_tokens, c.chunk_text
+        FROM __udtf_docs d, LATERAL chunk_doc(d.text) c
+        """
+    )

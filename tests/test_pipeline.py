@@ -139,3 +139,36 @@ def test_pipeline_routed_sink_partitions_by_table(spark):
     # reading one route prunes to its directory
     one = back.filter(F.col("_route") == "inventory.public.orders")
     assert one.count() == 1
+
+
+def test_custom_python_datasource_feed(spark):
+    """Spark 4 Python DataSource extension seam: the cdc_feed source plans
+    one partition per feed file, carries file/offset lineage, and composes
+    with parse_envelopes + enrich unchanged — the engine-side contract a
+    new wire protocol plugs into (the reference's packaged-connector
+    analog)."""
+    from pulsar_cdc_experiment_spark.sources.cdc import parse_envelopes
+    from pulsar_cdc_experiment_spark.sources.python_ds import register_cdc_feed
+
+    from .fixtures_cdc import sample_json_lines
+
+    lines = sample_json_lines()
+    feed = _write_feed(lines, n_files=3)
+    register_cdc_feed(spark)
+
+    raw = spark.read.format("cdc_feed").option("path", feed).load()
+    assert raw.schema.simpleString() == (
+        "struct<value:string,_file:string,_offset:bigint>"
+    )
+    rows = raw.collect()
+    assert len(rows) == len(lines)
+    assert {r["_file"] for r in rows} == {"000.jsonl", "001.jsonl", "002.jsonl"}
+    # partition planning: one scan partition per feed file
+    assert raw.rdd.getNumPartitions() == 3
+
+    env = parse_envelopes(raw, "value", keep_cols=["_file", "_offset"])
+    got = env.filter(F.col("_corrupt").isNull()).count()
+    assert got == len(lines)
+    # same payloads as the built-in text source reading the same feed
+    text = spark.read.format("text").load(feed)
+    assert {r["value"] for r in rows} == {r["value"] for r in text.collect()}
