@@ -15,9 +15,11 @@ The scale story (the reason these exist at all):
 - SimHash: one 64-bit signature per doc; near-dups cluster by signature
   band. Cheapest signal, coarsest.
 
-Everything is built-in expressions (hash/xxhash64 are JVM murmur/xxhash —
-engine-specific, hence the LSH/SimHash queries declare rows-only oracles;
-the Jaccard math itself is oracle-checked).
+Everything is built-in expressions. The default LSH/SimHash paths use JVM
+murmur/xxhash (engine-specific → their queries declare rows-only oracles;
+the Jaccard math itself is oracle-checked); portable_minhash_near_dups
+swaps in a cross-engine polynomial hash family so the ENTIRE pipeline is
+value-checkable (dedup_minhash_portable has a full DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -321,4 +323,100 @@ def simhash_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return (
         sigs.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+    )
+
+
+# --- portable MinHash (cross-engine reproducible) ---------------------------
+
+# The engine-hash pipeline above is the FAST path (murmur3 is one JVM call
+# per shingle) but cannot be value-checked by another engine. This variant
+# swaps the hash for a portable polynomial (char fold mod 1e9+7 — the same
+# construction as text.token_fingerprint) + fixed affine re-hashes, so the
+# ENTIRE LSH pipeline (signatures → bands → candidates → verify) reproduces
+# bit-for-bit in any SQL engine. Cost: ~|shingle| arithmetic ops per hash
+# instead of one murmur3 call — measurable but same plan shape; use it when
+# cross-system reproducibility of the candidate set matters (audits, or a
+# corpus deduped by several engines cooperatively).
+
+PORT_P = 1_000_000_007
+PORT_BASE = 131
+PORT_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+PORT_B = [101, 103, 107, 109, 113, 127, 137, 139, 149, 151, 157, 163, 167, 173, 179, 181]
+
+
+def portable_string_hash(col: Column) -> Column:
+    """Polynomial char-fold hash, identical in Spark and DuckDB."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * PORT_BASE + F.ascii(c)) % PORT_P,
+    )
+
+
+def portable_minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.15,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """minhash_near_dups with the portable hash family — same plan shape
+    (explode → flat per-row hash → k min aggregates → band join → Jaccard
+    verify), fully oracle-checkable."""
+    rows_per_band = num_hashes // bands
+    sh = shingled(df, id_col, text_col, ngram).persist()
+    hashed = sh.select(
+        F.col(id_col), F.explode("__shingles").alias("__s")
+    ).select(id_col, portable_string_hash(F.col("__s")).alias("__H"))
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(PORT_A[j]) * F.col("__H") + F.lit(PORT_B[j])) % PORT_P).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+    def band_bucket(b: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(b * rows_per_band, (b + 1) * rows_per_band):
+            acc = (acc * PORT_BASE + F.col(f"h{j}")) % PORT_P
+        return acc
+
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__shingles", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__shingles", "__sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

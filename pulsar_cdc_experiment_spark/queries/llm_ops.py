@@ -615,3 +615,73 @@ def llm_prep_pipeline(spark, sf_dir):
         F.sum("n_tok").cast("long").alias("total_tokens"),
         rn(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+def _portable_minhash_oracle(threshold=0.15, num_hashes=16, bands=4) -> str:
+    """Generate the DuckDB mirror of portable_minhash_near_dups from the
+    SAME constants, so the two sides cannot drift."""
+    p, base = D.PORT_P, D.PORT_BASE
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(({D.PORT_A[j]} * H + {D.PORT_B[j]}) % {p}) AS h{j}"
+        for j in range(num_hashes)
+    )
+
+    def bucket_sql(b: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for j in range(b * r, (b + 1) * r):
+            acc = f"(({acc}) * {base} + h{j}) % {p}"
+        return acc
+
+    banded = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, {bucket_sql(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), hv AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * {base} + b) % {p}) AS H
+      FROM ex
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM hv GROUP BY doc_id
+    ), banded AS (
+      {banded}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           floor((len(list_intersect(sa.shingles, sb.shingles))
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.shingles, sb.shingles))
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
+    """
+
+
+@register("dedup_minhash_portable", oracle=_portable_minhash_oracle())
+def dedup_minhash_portable(spark, sf_dir):
+    """C41: the MinHash+LSH pipeline with a PORTABLE hash family (char-fold
+    polynomial + fixed affine re-hashes) — the full candidate set and
+    verified pairs reproduce bit-for-bit in DuckDB, upgrading LSH from a
+    rows-only check to a value-level oracle. The engine-hash variant
+    (dedup_minhash_lsh) remains the fast path; this one is the auditable
+    path (same plan shape: explode → flat hash → k min aggregates → band
+    join → Jaccard verify)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.portable_minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.15, num_hashes=16, bands=4, ngram=3
+    )
+    return pairs.select("id_a", "id_b", rn(F.col("jaccard"), 6).alias("jaccard"))
