@@ -420,3 +420,43 @@ def portable_minhash_near_dups(
         .select("id_a", "id_b", jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+SIMHASH_PORT_BITS = 30  # < log2(PORT_P): every bit of the portable hash
+
+
+def simhash_portable_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """SimHash over the portable char-fold hash (30-bit signature).
+
+    Same explode→vote→assemble shape as :func:`simhash_signatures`, but
+    every step reproduces in any SQL engine: per (doc, token) row one
+    polynomial hash, per-bit ±1 votes via integer shifts, sign bits
+    assembled into one BIGINT.
+    """
+    tok = fan_out(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(id_col, portable_string_hash(F.col("__t")).alias("__h"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when((F.col("__h") / F.lit(2**b)).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_PORT_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_PORT_BITS):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_portable_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Docs grouped by identical portable SimHash signature."""
+    sigs = simhash_portable_signatures(df, id_col, text_col)
+    return sigs.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("min_id")
+    )

@@ -685,3 +685,45 @@ def dedup_minhash_portable(spark, sf_dir):
         docs, "doc_id", "text", threshold=0.15, num_hashes=16, bands=4, ngram=3
     )
     return pairs.select("id_a", "id_b", rn(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def _portable_simhash_oracle() -> str:
+    p, base, bits = D.PORT_P, D.PORT_BASE, D.SIMHASH_PORT_BITS
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (H // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), hv AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(t, ''), c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * {base} + b) % {p}) AS H
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, {votes}
+      FROM hv GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig} AS simhash FROM votes
+    )
+    SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM sigs GROUP BY simhash
+    """
+
+
+@register("dedup_simhash_portable", oracle=_portable_simhash_oracle())
+def dedup_simhash_portable(spark, sf_dir):
+    """C41: SimHash with the portable hash — signature clusters reproduce
+    bit-for-bit in DuckDB (30-bit signatures; the xxhash64 variant
+    dedup_simhash remains the fast path). Oracle generated from the same
+    constants as the Spark expressions."""
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_portable_clusters(docs, "doc_id", "text")
