@@ -727,3 +727,71 @@ def dedup_simhash_portable(spark, sf_dir):
     constants as the Spark expressions."""
     docs = table(spark, sf_dir, "documents")
     return D.simhash_portable_clusters(docs, "doc_id", "text")
+
+
+def _ann_portable_oracle(k: int = 10) -> str:
+    """DuckDB mirror of embed_ann_portable, generated from the SAME seeded
+    hyperplanes. Every dot product uses the sequential index fold, so sign
+    decisions (bucket bits) and cosines match Spark bit-for-bit."""
+    planes = S.hyperplanes(dim=64, bits=4, seed=42)
+
+    def dot_sql(vec: str, plane) -> str:
+        lit = "[" + ", ".join(repr(float(v)) for v in plane) + "]::DOUBLE[]"
+        return (
+            f"list_reduce(list_prepend(0.0, [CAST({vec}[i] AS DOUBLE) * ({lit})[i] "
+            f"FOR i IN range(1, 65)]), (x, y) -> x + y)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_sql('embedding', planes[i])} > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    cos = """
+        list_reduce(list_prepend(0.0, [CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                    FOR i IN range(1, 65)]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(0.0, [CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                    FOR i IN range(1, 65)]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(0.0, [CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+                    FOR i IN range(1, 65)]), (x, y) -> x + y)))
+    """
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), q AS (
+      SELECT bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0
+    )
+    SELECT vec_id, floor((cos) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM (
+      SELECT b.vec_id, {cos} AS cos
+      FROM b, q
+      WHERE bit_count(xor(b.bucket, q.qb)) <= 1
+      ORDER BY cos DESC, b.vec_id ASC
+      LIMIT {k}
+    )
+    """
+
+
+@register("embed_ann_portable", oracle=_ann_portable_oracle())
+def embed_ann_portable(spark, sf_dir):
+    """C42: LSH-ANN with the probe set computed IN-PLAN (query bucket from
+    the vec_id=0 row, candidates = Hamming-1 ball via bit_count(xor)), so
+    the whole ANN pipeline — plane dots, sign buckets, probe selection,
+    cosine top-k — is value-checked against DuckDB (embed_ann_lsh stays as
+    the driver-side-probes variant). Same seeded planes on both sides."""
+    planes = S.hyperplanes(dim=64, bits=4, seed=42)
+    emb = table(spark, sf_dir, "embeddings")
+    bucketed = S.lsh_bucketize(emb, planes)
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("__bucket").alias("__qb"), F.col("embedding").alias("__qv")
+    )
+    cand = bucketed.crossJoin(F.broadcast(q)).filter(
+        F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qb"))) <= 1
+    )
+    out = (
+        cand.select(
+            "vec_id", S.cosine(F.col("embedding"), F.col("__qv")).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return out.select("vec_id", rn(F.col("cos_sim"), 6).alias("cos_sim"))
