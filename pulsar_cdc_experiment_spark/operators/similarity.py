@@ -235,3 +235,42 @@ def pairwise_cosine_in_blocks(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmedians_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd-style clustering with coordinate-wise MEDIAN updates.
+
+    Exists for cross-engine reproducibility: a mean of doubles depends on
+    summation order (partial-aggregate merge order is nondeterministic),
+    but a median is an order statistic — exact and order-independent — so
+    centroids computed here match a SQL engine's bit-for-bit, making the
+    whole IVF pipeline value-checkable (embed_ivf_portable). Same shape as
+    :func:`kmeans_centroids`: assign (expression argmin) + per-(cluster,
+    dim) median aggregate; k×d floats round-trip the driver per iteration.
+    """
+    init = [
+        [float(x) for x in r[vec_col]]
+        for r in df.orderBy(id_col).limit(k).collect()
+    ]
+    centroids = init
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(vec_col), _nearest_centroid(F.col(vec_col), centroids).alias("__c")
+        )
+        dims = assigned.select("__c", F.posexplode(vec_col).alias("__dim", "__val"))
+        meds = (
+            dims.groupBy("__c", "__dim")
+            .agg(F.median(F.col("__val").cast("double")).alias("__m"))
+            .groupBy("__c")
+            .agg(F.array_sort(F.collect_list(F.struct("__dim", "__m"))).alias("__ms"))
+            .collect()
+        )
+        new = {r["__c"]: [m["__m"] for m in r["__ms"]] for r in meds}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids

@@ -795,3 +795,122 @@ def embed_ann_portable(spark, sf_dir):
         .limit(10)
     )
     return out.select("vec_id", rn(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+def _ivf_portable_oracle(k: int = 8, iters: int = 2, nprobe: int = 2, topk: int = 10) -> str:
+    """DuckDB mirror of embed_ivf_portable: k-MEDIANS coarse quantizer
+    (medians are exact order statistics, so centroids match Spark's
+    bit-for-bit — a mean's summation order would not), expression-argmin
+    assignment, top-``nprobe`` list probing, cosine top-k."""
+
+    def dist(vec: str, cv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, [(CAST({vec}[i] AS DOUBLE) - {cv}[i])"
+            f" * (CAST({vec}[i] AS DOUBLE) - {cv}[i]) FOR i IN range(1, 65)]),"
+            " (x, y) -> x + y)"
+        )
+
+    steps = [f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    )"""]
+    for t in range(iters):
+        steps.append(f"""a{t} AS (
+      SELECT vec_id, embedding, c FROM (
+        SELECT e.vec_id, e.embedding, cc.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.embedding', 'cc.cv')}, cc.c) AS rn
+        FROM embeddings e, c{t} cc
+      ) WHERE rn = 1
+    )""")
+        steps.append(f"""n{t} AS (
+      SELECT c, list(m ORDER BY dim) AS cv FROM (
+        SELECT c, i AS dim, median(CAST(x AS DOUBLE)) AS m
+        FROM (SELECT c, unnest(embedding) AS x, unnest(range(1, 65)) AS i FROM a{t})
+        GROUP BY c, i
+      ) GROUP BY c
+    )""")
+        steps.append(f"""c{t + 1} AS (
+      SELECT cc.c, coalesce(nn.cv, cc.cv) AS cv
+      FROM c{t} cc LEFT JOIN n{t} nn ON nn.c = cc.c
+    )""")
+    final = f"""afin AS (
+      SELECT vec_id, embedding, c FROM (
+        SELECT e.vec_id, e.embedding, cc.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.embedding', 'cc.cv')}, cc.c) AS rn
+        FROM embeddings e, c{iters} cc
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv, embedding AS qe
+      FROM embeddings WHERE vec_id = 0
+    ), probes AS (
+      SELECT c FROM (
+        SELECT cc.c, row_number() OVER (ORDER BY {dist('q.qe', 'cc.cv')}, cc.c) AS rn
+        FROM c{iters} cc, q
+      ) WHERE rn <= {nprobe}
+    )"""
+    cos = """
+        list_reduce(list_prepend(0.0, [CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                    FOR i IN range(1, 65)]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_prepend(0.0, [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                    FOR i IN range(1, 65)]), (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(0.0, [CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                    FOR i IN range(1, 65)]), (x, y) -> x + y)))
+    """
+    return (
+        "WITH " + ",\n    ".join(steps) + ",\n    " + final + f"""
+    SELECT vec_id, floor((cos) * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM (
+      SELECT a.vec_id, {cos} AS cos
+      FROM afin a, q
+      WHERE a.c IN (SELECT c FROM probes)
+      ORDER BY cos DESC, a.vec_id ASC
+      LIMIT {topk}
+    )
+    """
+    )
+
+
+@register("embed_ivf_portable", oracle=_ivf_portable_oracle())
+def embed_ivf_portable(spark, sf_dir):
+    """C42: IVF-ANN value-checked END TO END — k-medians coarse quantizer
+    (median updates are exact order statistics, so DuckDB reproduces the
+    centroids bit-for-bit; a mean's double-summation order would diverge),
+    expression-argmin list assignment, top-2 list probing with the probe
+    distances computed by the SAME fold expressions, cosine top-10.
+    embed_ivf_ann (k-means) stays as the conventional fast path."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.kmedians_centroids(emb, k=8, iters=2)
+    bucketed = S.ivf_bucketize(emb, cents)
+
+    qrow = emb.filter(F.col("vec_id") == 0)
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    ranked = qrow.select(F.array_sort(scored).alias("__s")).first()["__s"]
+    probes = [int(s["idx"]) for s in ranked[:2]]  # ints: exact across engines
+    qvec = qrow.first()["embedding"]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    out = (
+        bucketed.filter(F.col("__ivf").isin(*probes))
+        .select("vec_id", S.cosine(F.col("embedding"), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return out.select("vec_id", rn(F.col("cos_sim"), 6).alias("cos_sim"))
