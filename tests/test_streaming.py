@@ -547,3 +547,32 @@ def test_schema_drift_mid_stream_no_data_loss(spark):
         2: ("Bob", {}),
         3: ("Carol", {"phone": "+1-555-0003", "tier": "gold"}),
     }
+
+
+def test_kafka_cdc_plan_runs_as_stream(spark):
+    """kafka_cdc_plan is stream-transparent: the identical plan runs under
+    readStream (wire-schema parquet standing in for the broker) and yields
+    the same envelopes + lineage as the batch path."""
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.sources.kafka import WIRE_SCHEMA, kafka_cdc_plan
+
+    from .fixtures_cdc import sample_json_lines
+
+    lines = sample_json_lines()
+    rows = [
+        (None, l.encode(), "dbserver1.public.customers", i % 3, 100 + i, None, 0)
+        for i, l in enumerate(lines)
+    ]
+    d = tempfile.mkdtemp(prefix="wire_feed_")
+    spark.createDataFrame(rows, WIRE_SCHEMA).write.parquet(d, mode="overwrite")
+
+    stream = spark.readStream.schema(WIRE_SCHEMA).parquet(d)
+    env = kafka_cdc_plan(stream)
+    assert env.isStreaming
+    out = run_to_memory(env, "kafka_stream_env", output_mode="append")
+    got = out.collect()
+    assert len(got) == len(lines)
+    assert all(r["_corrupt"] is None for r in got)
+    assert {r["_offset"] for r in got} == {100 + i for i in range(len(lines))}
+    assert {r["op"] for r in got} == {"r", "u", "c", "d", "x"}
