@@ -160,3 +160,39 @@ def test_operators_on_empty_inputs(spark):
     )
     out = asof_join(left, empty_right, "k", "t", "rt").collect()
     assert len(out) == 1 and out[0]["s"] is None
+
+
+# --- distributed ranking equivalence ---------------------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(2, 12),
+    st.integers(2, 7),
+)
+@settings(max_examples=12, deadline=None)
+def test_global_ntile_property(spark_global, values, n_tiles, buckets):
+    """operators/ranking.global_ntile == ntile-over-global-ORDER-BY for
+    ARBITRARY value distributions (duplicates, skew, fewer rows than
+    tiles) and any bucket count — the approx boundaries only affect
+    balance, never assignment."""
+    from pyspark.sql import Window
+
+    from pulsar_cdc_experiment_spark.operators.ranking import global_ntile
+
+    rows = [(i, float(v)) for i, v in enumerate(values)]
+    df = spark_global.createDataFrame(rows, ["id", "v"])
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    naive = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.ntile(n_tiles).over(w).alias("t")).collect()
+    }
+    ours = {
+        r["id"]: r["__tile"]
+        for r in global_ntile(df, "v", ["id"], n=n_tiles, buckets=buckets).collect()
+    }
+    assert ours == naive

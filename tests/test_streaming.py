@@ -576,3 +576,69 @@ def test_kafka_cdc_plan_runs_as_stream(spark):
     assert all(r["_corrupt"] is None for r in got)
     assert {r["_offset"] for r in got} == {100 + i for i in range(len(lines))}
     assert {r["op"] for r in got} == {"r", "u", "c", "d", "x"}
+
+
+def test_checkpoint_restart_resumes_without_loss_or_dup(spark):
+    """B1/B2: a stream killed mid-feed and restarted from its checkpoint
+    processes exactly the remaining input — the final sink content equals
+    the batch result (no loss, no duplicates). This is the durable-offset
+    upgrade over the reference's volatile MemoryOffsetBackingStore
+    (restarts there re-snapshot the world)."""
+    import tempfile
+
+    schema = EVT
+    d = tempfile.mkdtemp(prefix="restart_feed_")
+    base = 1_700_000_000
+    all_rows = []
+    for i in range(3):
+        rows = [
+            {"id": i * 10 + j, "ts": f"2024-01-01T1{i}:0{j}:00", "key": "k"}
+            for j in range(3)
+        ]
+        all_rows += rows
+        with open(os.path.join(d, f"{i:03d}.json"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(os.path.join(d, f"{i:03d}.json"), (base + i * 60,) * 2)
+
+    out_dir = tempfile.mkdtemp(prefix="restart_out_")
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(d)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    # wait until at least one micro-batch committed, then kill mid-feed
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+
+    # restart from the same checkpoint; AvailableNow drains the rest
+    q2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == sorted(r["id"] for r in all_rows)
