@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.rounding import rn
 from ..operators.enrichment import email_domain, is_mutation, iso_from_millis, op_label
 from ..operators.materialize import latest_by_key
 from ..registry import register
@@ -436,4 +437,120 @@ def cdc_scd2_history(spark, sf_dir):
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "cdc_multi_table_state",
+    oracle=f"""
+    WITH env AS (
+      SELECT event_id, user_id, event_type, value,
+             {_OP_CASE_SQL} AS op,
+             CASE user_id % 3 WHEN 0 THEN 'customers'
+                              WHEN 1 THEN 'orders'
+                              ELSE 'products' END AS tbl
+      FROM events
+    )
+    SELECT tbl, CAST(user_id AS BIGINT) AS row_id,
+           CAST(event_id AS BIGINT) AS last_lsn,
+           op AS last_op,
+           floor((value) * 100 + 0.5) / 100 AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY tbl, user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM env
+    ) WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_multi_table_state(spark, sf_dir):
+    """B5 multi-table: ONE fold materializes every table in a mixed CDC
+    feed (the reference auto-adds tables to its publication, connector
+    yaml:37 — a consumer must handle a whole-database feed). Envelopes are
+    schemaless (string→string maps, the unknown-table shape); grouping key
+    = (db, schema, table, row key), one shuffle for the entire feed
+    regardless of table count."""
+    from ..operators.materialize import latest_state_multi_table
+
+    ev = table(spark, sf_dir, "events")
+    tbl = (
+        F.when(F.col("user_id") % 3 == 0, "customers")
+        .when(F.col("user_id") % 3 == 1, "orders")
+        .otherwise("products")
+    )
+    op = _op_col()
+    after = F.create_map(
+        F.lit("id"), F.col("user_id").cast("string"),
+        F.lit("value"), F.col("value").cast("string"),
+    )
+    env = table(spark, sf_dir, "events").select(
+        F.when(op == "d", after).alias("before"),
+        F.when(op != "d", after).alias("after"),
+        F.struct(
+            F.lit("1.9.7.Final").alias("version"),
+            F.lit("postgresql").alias("connector"),
+            F.lit("dbserver1").alias("name"),
+            F.unix_millis("ts").alias("ts_ms"),
+            F.lit("false").alias("snapshot"),
+            F.lit("inventory").alias("db"),
+            F.lit("public").alias("schema"),
+            tbl.alias("table"),
+            F.col("event_id").alias("txId"),
+            F.col("event_id").alias("lsn"),
+        ).alias("source"),
+        op.alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("value").alias("__v"),
+    )
+    state = latest_state_multi_table(env, key_field="id")
+    return state.select(
+        F.col("source.table").alias("tbl"),
+        F.coalesce(
+            F.col("after").getItem("id"), F.col("before").getItem("id")
+        ).cast("long").alias("row_id"),
+        F.col("source.lsn").alias("last_lsn"),
+        F.col("op").alias("last_op"),
+        rn(F.col("__v"), 2).alias("last_value"),
+    )
+
+
+@register(
+    "cdc_drift_rescue",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS row_id,
+           CASE WHEN event_id % 4 = 1 THEN CAST(user_id AS VARCHAR) END AS rescued_phone,
+           CAST(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER) AS n_rescued
+    FROM events
+    """,
+)
+def cdc_drift_rescue(spark, sf_dir):
+    """Schema drift, driver-checked: every 4th envelope carries an after
+    key (`phone`) unknown to the typed schema — the tolerated-DDL drift of
+    the reference connector. parse_envelopes_rescued keeps the typed hot
+    path AND lands the unknown key in the `_rescued` map; the oracle
+    predicts exactly which rows rescued what. No data loss, by value."""
+    from ..plans.tuning import fan_out
+    from ..sources.cdc import parse_envelopes_rescued
+
+    ev = fan_out(table(spark, sf_dir, "events"))
+    after = F.struct(
+        F.col("event_id").cast("int").alias("id"),
+        F.col("event_type").alias("name"),
+        F.concat(F.col("user_id").cast("string"), F.lit("@example.com")).alias("email"),
+        F.unix_micros("ts").alias("created_at"),
+        F.when(F.col("event_id") % 4 == 1, F.col("user_id").cast("string")).alias("phone"),
+    )
+    envelope = F.struct(
+        after.alias("after"),
+        _op_col().alias("op"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    raw = ev.select(F.to_json(envelope).alias("value"))
+    env = parse_envelopes_rescued(raw)
+    return env.select(
+        F.col("after.id").cast("long").alias("row_id"),
+        F.col("_rescued").getItem("phone").alias("rescued_phone"),
+        # size(NULL) is -1 under legacy sizeOfNull (ANSI off) — branch, not coalesce
+        F.when(F.col("_rescued").isNotNull(), F.size("_rescued"))
+        .otherwise(F.lit(0))
+        .alias("n_rescued"),
     )
