@@ -157,3 +157,16 @@ def test_no_registered_query_sorts_globally(spark, sf_dir):
         if _window_feeds_single_partition(plan):
             offenders.append(name)
     assert offenders == []
+
+
+def test_global_ntile_empty_and_single_row(spark):
+    from pyspark.sql import types as T
+
+    from pulsar_cdc_experiment_spark.operators.ranking import global_ntile
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("v", T.DoubleType()), T.StructField("id", T.LongType())])
+    )
+    assert global_ntile(empty, "v", ["id"], n=10).count() == 0
+    one = spark.createDataFrame([(5.0, 1)], ["v", "id"])
+    assert [r["__tile"] for r in global_ntile(one, "v", ["id"], n=10).collect()] == [1]
