@@ -1,0 +1,128 @@
+"""Large-N stress evidence: core operator shapes at 10^8-row scale.
+
+The sf0.1 bench measures the per-query floor (600 k rows is dominated by
+stage overhead); this tool measures the asymptote the 100 TB argument rests
+on — rows/s per core for the shapes everything in the engine reduces to:
+scan+aggregate, fact-dim sort-merge join, partitioned window, and the CDC
+enrichment projection. Synthetic `spark.range` input (no disk dependence),
+deterministic, sized so each op runs tens of seconds on local[32].
+
+Usage: python tools/stress.py [--scale 1.0]   # scale multiplies row counts
+Prints one JSON line per op + a summary line; paste the numbers into
+SCALE.md when they move.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.session import get_spark
+
+    spark = get_spark(app_name="stress")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(1000).count()  # warm
+
+    results: dict[str, dict] = {}
+
+    def run(name: str, rows: int, fn) -> None:
+        t0 = time.perf_counter()
+        fn(rows)
+        sec = time.perf_counter() - t0
+        results[name] = {
+            "rows": rows,
+            "sec": round(sec, 2),
+            "rows_per_sec": int(rows / sec),
+            "rows_per_sec_per_core": int(rows / sec / cores),
+        }
+        print(json.dumps({"op": name, **results[name]}), flush=True)
+
+    def scan_agg(n):
+        (
+            spark.range(n)
+            .select((F.col("id") % 1000).alias("k"), (F.col("id") % 97).cast("double").alias("v"))
+            .groupBy("k")
+            .agg(F.count("*"), F.sum("v"), F.avg("v"), F.min("v"), F.max("v"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def join_fact_dim(n):
+        fact = spark.range(n).select(
+            (F.col("id") % 1_000_000).alias("k"), (F.col("id") % 97).cast("double").alias("v")
+        )
+        dim = spark.range(1_000_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("w")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            (
+                fact.join(dim, "k")
+                .groupBy()
+                .agg(F.sum(F.col("v") * F.col("w")), F.count("*"))
+                .write.format("noop").mode("overwrite").save()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def window_partitioned(n):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy("id")
+        (
+            spark.range(n)
+            .select("id", (F.col("id") % 1_000_000).alias("k"), (F.col("id") % 97).alias("v"))
+            .select("k", F.row_number().over(w).alias("rn"), F.sum("v").over(w).alias("run"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
+    def enrich_projection(n):
+        from pulsar_cdc_experiment_spark.operators.enrichment import enrich
+        from pulsar_cdc_experiment_spark.schemas import envelope_schema
+
+        env = spark.range(n).select(
+            F.lit(None).cast(envelope_schema()["before"].dataType).alias("before"),
+            F.struct(
+                F.col("id").cast("int").alias("id"),
+                F.concat(F.lit("name"), F.col("id")).alias("name"),
+                F.concat(F.col("id").cast("string"), F.lit("@x.io")).alias("email"),
+                (F.col("id") * 1000).alias("created_at"),
+            ).alias("after"),
+            F.struct(
+                F.lit("1.9.7.Final").alias("version"), F.lit("postgresql").alias("connector"),
+                F.lit("dbserver1").alias("name"), (F.col("id") % 2**40).alias("ts_ms"),
+                F.lit("false").alias("snapshot"), F.lit("inventory").alias("db"),
+                F.lit("public").alias("schema"), F.lit("customers").alias("table"),
+                F.col("id").alias("txId"), F.col("id").alias("lsn"),
+            ).alias("source"),
+            F.when(F.col("id") % 4 == 0, "c").otherwise("u").alias("op"),
+            (1_600_000_000_000 + F.col("id") % 1_000_000).alias("ts_ms"),
+        )
+        enrich(env).write.format("noop").mode("overwrite").save()
+
+    s = args.scale
+    run("scan_agg", int(400e6 * s), scan_agg)
+    run("join_fact_dim", int(150e6 * s), join_fact_dim)
+    run("window_partitioned", int(100e6 * s), window_partitioned)
+    run("cdc_enrich_projection", int(50e6 * s), enrich_projection)
+
+    print(json.dumps({"metric": "stress", "cores": cores, "ops": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
