@@ -52,6 +52,16 @@ def global_rank(
     Assumes (value, tiebreaks) is a total order (unique tiebreak) — the same
     precondition ntile-over-ORDER-BY needs for deterministic output.
     """
+    ranked, _ = _global_rank_with_total(df, value_col, tiebreak_cols, buckets)
+    return ranked
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str] | None,
+    buckets: int,
+) -> tuple[DataFrame, int]:
     tiebreak_cols = tiebreak_cols or []
     probs = [i / buckets for i in range(1, buckets)]
     bounds = df.approxQuantile(value_col, probs, 0.001)
@@ -79,9 +89,10 @@ def global_rank(
     w = Window.partitionBy(BUCKET_COL).orderBy(
         F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )
-    return bucketed.withColumn(
+    ranked = bucketed.withColumn(
         "__rank", (F.row_number().over(w) + offset_expr).cast("long")
     ).drop(BUCKET_COL)
+    return ranked, running
 
 
 def global_ntile(
@@ -96,8 +107,8 @@ def global_ntile(
     SQL NTILE fill rule with n_total rows: k, r = divmod(n_total, n); the
     first r tiles hold k+1 rows, the rest k.
     """
-    ranked = global_rank(df, value_col, tiebreak_cols, buckets)
-    n_total = df.count()
+    # n_total falls out of the rank pass's bucket counts — no extra action
+    ranked, n_total = _global_rank_with_total(df, value_col, tiebreak_cols, buckets)
     k, r = divmod(n_total, n)
     rank = F.col("__rank")
     if k == 0:

@@ -170,3 +170,47 @@ def test_global_ntile_empty_and_single_row(spark):
     assert global_ntile(empty, "v", ["id"], n=10).count() == 0
     one = spark.createDataFrame([(5.0, 1)], ["v", "id"])
     assert [r["__tile"] for r in global_ntile(one, "v", ["id"], n=10).collect()] == [1]
+
+
+def test_compaction_and_range_layout(spark, sf_dir):
+    """Layout maintenance: a fragmented table compacts to the byte-derived
+    file count with identical contents, and range layout produces disjoint
+    sorted key ranges per file (the row-group pruning precondition)."""
+    import glob
+    import os
+
+    from pulsar_cdc_experiment_spark.plans.layout import (
+        compact_parquet,
+        range_layout,
+        target_file_count,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    frag = tempfile.mkdtemp(prefix="frag_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)  # 64 tiny files
+    assert len(glob.glob(os.path.join(frag, "part-*"))) == 64
+
+    compacted = tempfile.mkdtemp(prefix="compacted_")
+    n = compact_parquet(spark, frag, compacted, target_mb=256)
+    files = glob.glob(os.path.join(compacted, "part-*"))
+    assert len(files) == n  # tiny input -> 1 file
+    back = spark.read.parquet(compacted)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+    laid = tempfile.mkdtemp(prefix="range_")
+    range_layout(ev, laid, ["event_id"], files=4)
+    parts = sorted(glob.glob(os.path.join(laid, "part-*")))
+    assert len(parts) == 4
+    # each file owns a disjoint, internally-sorted event_id range
+    ranges = []
+    for p in parts:
+        ids = [r["event_id"] for r in spark.read.parquet(p).collect()]
+        assert ids == sorted(ids)
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+
+    assert target_file_count(0) == 1
+    assert target_file_count(300 * 1024 * 1024, 256) == 2
