@@ -45,11 +45,39 @@ class CdcPipeline:
     # -- source -------------------------------------------------------------
 
     def envelopes(self, spark: SparkSession, streaming: bool = True) -> DataFrame:
-        """Typed envelope stream/batch per the source config (A1-A3)."""
-        path = self.source["path"]
-        reader = spark.readStream if streaming else spark.read
-        raw = reader.format("text").load(path)
-        env = parse_envelopes(raw, "value")
+        """Typed envelope stream/batch per the source config (A1-A3).
+
+        Source formats:
+        - ``json-envelope`` (default): text files of JSON envelopes;
+        - ``kafka``: the message-bus ingress (``bootstrap_servers`` +
+          ``topic`` config; requires the spark-sql-kafka connector on the
+          cluster classpath — construction is wired here, sources/kafka.py
+          owns the contract).
+        ``source.rescue: true`` swaps in the schema-drift-rescuing parse
+        (unknown after-keys preserved in ``_rescued``).
+        """
+        fmt = self.source.get("format", "json-envelope")
+        if fmt == "kafka":
+            from .sources.kafka import kafka_cdc_plan, kafka_reader
+
+            if not streaming:
+                raise ValueError("kafka source is streaming-only")
+            raw = kafka_reader(
+                spark,
+                self.source["bootstrap_servers"],
+                self.source.get("topic", "dbserver1.public.customers"),
+            ).load()
+            env = kafka_cdc_plan(raw)
+        else:
+            path = self.source["path"]
+            reader = spark.readStream if streaming else spark.read
+            raw = reader.format("text").load(path)
+            if self.source.get("rescue"):
+                from .sources.cdc import parse_envelopes_rescued
+
+                env = parse_envelopes_rescued(raw, "value")
+            else:
+                env = parse_envelopes(raw, "value")
         include = self.tables.get("include")
         if include:
             env = table_filter(env, include)  # A2: table.include.list

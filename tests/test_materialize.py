@@ -160,3 +160,33 @@ def test_incremental_state_publish_is_single_atomic_pointer(spark, tmp_path):
     assert {r["k"]: r["v"] for r in m.current_state(spark).collect()} == {1: 30, 2: 20}
     # superseded state dir GC'd after publication
     assert not os.path.exists(os.path.join(d, "state_0"))
+
+
+def test_incremental_materializer_idempotent_on_redelivery(spark, tmp_path):
+    """B1: foreachBatch re-delivery (the at-least-once failure mode — a
+    crash after state publish but before checkpoint commit replays the
+    batch) leaves state unchanged: the latest-by-key fold is idempotent,
+    so replayed rows cannot double-apply."""
+    import os
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalMaterializer,
+    )
+
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    m = IncrementalMaterializer(d, ["k"], ["lsn"])
+
+    b0 = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], ["k", "lsn", "v"])
+    m.process_batch(b0, 0)
+    first = {(r["k"], r["lsn"], r["v"]) for r in m.current_state(spark).collect()}
+
+    m.process_batch(b0, 0)  # replay of the SAME batch
+    replayed = {(r["k"], r["lsn"], r["v"]) for r in m.current_state(spark).collect()}
+    assert replayed == first
+
+    b1 = spark.createDataFrame([(1, 30, "a2")], ["k", "lsn", "v"])
+    m.process_batch(b1, 1)
+    m.process_batch(b1, 1)  # and replay the update too
+    final = {(r["k"], r["lsn"], r["v"]) for r in m.current_state(spark).collect()}
+    assert final == {(1, 30, "a2"), (2, 20, "b")}

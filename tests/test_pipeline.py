@@ -172,3 +172,36 @@ def test_custom_python_datasource_feed(spark):
     # same payloads as the built-in text source reading the same feed
     text = spark.read.format("text").load(feed)
     assert {r["value"] for r in rows} == {r["value"] for r in text.collect()}
+
+
+def test_pipeline_config_rescue_and_kafka_wiring(spark):
+    """Config-driven drift rescue (source.rescue: true) flows _rescued
+    through the pipeline; a kafka-format config wires the reader to the
+    connector-resolution boundary (jar absent in this container)."""
+    lines = sample_json_lines()
+    drifted = json.loads(lines[0])
+    drifted["after"]["loyalty_tier"] = "gold"
+    feed = _write_feed(lines + [json.dumps(drifted)])
+
+    cfg = _config(feed, tempfile.mkdtemp())
+    cfg["source"]["rescue"] = True
+    pipe = CdcPipeline(cfg)
+    env = pipe.envelopes(spark, streaming=False)
+    rescued = env.filter(F.col("_rescued").isNotNull()).collect()
+    assert len(rescued) == 1
+    assert rescued[0]["_rescued"] == {"loyalty_tier": "gold"}
+    # materialization still folds the full feed (drift costs no rows)
+    assert pipe.materialized(spark).count() == 5
+
+    kcfg = {
+        "source": {
+            "format": "kafka",
+            "bootstrap_servers": "broker:9092",
+            "topic": "dbserver1.public.customers",
+        }
+    }
+    try:
+        CdcPipeline(kcfg).envelopes(spark, streaming=True)
+        assert False, "expected connector resolution to fail here"
+    except Exception as e:
+        assert "kafka" in str(e).lower()
