@@ -642,3 +642,47 @@ def test_checkpoint_restart_resumes_without_loss_or_dup(spark):
 
     got = sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
     assert got == sorted(r["id"] for r in all_rows)
+
+
+def test_observe_metrics_on_stream(spark):
+    """Observability: df.observe() attaches named aggregates to a streaming
+    query; each micro-batch's progress report carries them — the in-band
+    data-quality counters a production CDC pipeline alerts on (row counts,
+    malformed counts) without a second pass over the data."""
+    import tempfile
+
+    from pyspark.sql import Observation  # noqa: F401  (batch analog)
+    from pulsar_cdc_experiment_spark.sources.cdc import parse_envelopes
+
+    from .fixtures_cdc import MALFORMED, sample_json_lines
+
+    lines = sample_json_lines() + [m for m in MALFORMED if m]
+    d = tempfile.mkdtemp(prefix="obs_feed_")
+    with open(os.path.join(d, "feed.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+
+    stream = spark.readStream.format("text").load(d)
+    env = parse_envelopes(stream).observe(
+        "quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("_corrupt")).alias("n_malformed"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="obs_ckpt_")
+    q = (
+        env.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    observed = [
+        p["observedMetrics"]["quality"]
+        for p in [q.recentProgress[i] for i in range(len(q.recentProgress))]
+        if p.get("observedMetrics") and "quality" in p["observedMetrics"]
+    ]
+    assert observed, "no observed metrics in progress reports"
+    total = {"n_rows": 0, "n_malformed": 0}
+    for m in observed:
+        total["n_rows"] += m["n_rows"]
+        total["n_malformed"] += m["n_malformed"]
+    assert total == {"n_rows": len(lines), "n_malformed": 3}
