@@ -37,9 +37,11 @@ HEADLINE = [
     "dedup_minhash_lsh",        # MinHash+LSH near-dup
     "text_quality",             # text analysis expressions
     "embed_topk_cosine",        # embedding similarity
-    "cdc_enrich_e2e",           # the reference's full data plane: parse->enrich->serialize
+    "cdc_enrich_e2e",           # the reference's full data plane: parse->enrich->serialize->verify
     "asof_join_state",          # temporal state lookup
     "stream_tumbling_agg",      # real Structured Streaming job (AvailableNow)
+    "llm_prep_pipeline",        # composed prep: quality->dedup->sample->stats
+    "order_value_deciles",      # distributed exact ntile (no global sort)
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
