@@ -76,3 +76,20 @@ def test_shingle_pipeline_not_double_evaluated(spark, sf_dir):
     for line in plan.splitlines():
         if "Filter" in line and "regexp_replace" in line and "transform" in line:
             raise AssertionError(f"re-inlined generator filter: {line[:200]}")
+
+
+def test_e2e_parses_json_exactly_twice(spark):
+    """Regression guard for NOTES.md failure mode 1: cdc_enrich_e2e's two
+    JSON parses (input envelope, output parse-back) must stay materialized
+    in their own projections. If Catalyst ever inlines them per reference
+    (~30x and ~14x), the optimized plan would show dozens of from_json
+    calls and the query would slow ~20x."""
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    df = QUERIES["cdc_enrich_e2e"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("from_json") == 2
