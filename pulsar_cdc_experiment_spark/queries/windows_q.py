@@ -101,3 +101,50 @@ def window_session(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           floor((first_value(v IGNORE NULLS) OVER w) * 100 + 0.5) / 100 AS first_seen,
+           floor((last_value(v IGNORE NULLS) OVER w) * 100 + 0.5) / 100 AS last_seen,
+           floor((lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100 + 0.5) / 100 AS prev_seen
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """C13 depth: IGNORE NULLS analytic windows — first/last non-null
+    observation per key and the gap-bridging lag, the sparse-sensor /
+    sparse-CDC-column fill pattern (every 5th value nulled to make the
+    semantics observable)."""
+    from pyspark.sql import Window
+
+    from ..functions.rounding import rn as _rn
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value"))
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    # F.lag has no ignorenulls kwarg — the SQL form carries the modifier
+    prev = F.expr(
+        "lag(v) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        _rn(F.first("v", ignorenulls=True).over(full), 2).alias("first_seen"),
+        _rn(F.last("v", ignorenulls=True).over(full), 2).alias("last_seen"),
+        _rn(prev, 2).alias("prev_seen"),
+    )
