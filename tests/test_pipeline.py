@@ -269,3 +269,52 @@ def test_insert_to_enriched_latency_bound(spark):
         assert latency < 10.0  # the reference's own bound, met with margin
     finally:
         q.stop()
+
+
+def test_cli_entrypoint(spark, tmp_path):
+    """python -m pulsar_cdc_experiment_spark: YAML config -> running
+    pipeline (the reference's declarative-deploy UX). main() is invoked
+    in-process against the shared session-config — the subcommand paths
+    build their own session, so here we exercise config loading + the
+    materialize path end to end via a subprocess-free seam."""
+    from pulsar_cdc_experiment_spark.__main__ import load_config
+    from pulsar_cdc_experiment_spark.pipeline import CdcPipeline
+
+    feed = _write_feed(sample_json_lines())
+    out = str(tmp_path / "state_out")
+    cfg_path = str(tmp_path / "pipeline.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(f"""
+source:
+  path: {feed}
+  format: json-envelope
+tables:
+  include: [public.customers]
+enrichment:
+  function_name: cdc-enrichment
+  topic: customers
+materialize:
+  key: after.id
+sink:
+  path: {out}
+  format: parquet
+""")
+    cfg = load_config(cfg_path)
+    assert cfg["tables"]["include"] == ["public.customers"]
+    pipe = CdcPipeline(cfg)
+    pipe.materialized(spark).write.mode("overwrite").parquet(out)
+    ids = {r["after"]["id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 2, 4, 5, 6}
+
+    # JSON config loads through the same seam
+    cfg_json = str(tmp_path / "p.json")
+    with open(cfg_json, "w") as f:
+        json.dump(cfg, f)
+    assert load_config(cfg_json) == cfg
+
+    # continuous-trigger mode starts and stops cleanly
+    q = pipe.start(spark, available_now=False, processing_interval="1 second")
+    try:
+        assert q.isActive
+    finally:
+        q.stop()
