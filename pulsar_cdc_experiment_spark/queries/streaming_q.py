@@ -229,3 +229,168 @@ def stream_stream_join(spark, sf_dir):
         rn(F.col("value"), 2).alias("purchase_value"),
     )
     return run_to_memory(joined, "stream_stream_join", output_mode="append")
+
+
+def _stream_dedup_oracle(threshold=0.15, num_hashes=16, bands=4) -> str:
+    """DuckDB mirror of stream_dedup_against_corpus: identical portable
+    MinHash pipeline, candidates restricted to (new x corpus) pairs."""
+    from ..operators import dedup as D
+    from .llm_ops import _SHINGLES_SQL
+
+    p, base = D.PORT_P, D.PORT_BASE
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(({D.PORT_A[j]} * H + {D.PORT_B[j]}) % {p}) AS h{j}"
+        for j in range(num_hashes)
+    )
+
+    def bucket_sql(b: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
+        for j in range(b * r, (b + 1) * r):
+            acc = f"(({acc}) * {base} + h{j}) % {p}"
+        return acc
+
+    banded = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, {bucket_sql(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), hv AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * {base} + b) % {p}) AS H
+      FROM ex
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM hv GROUP BY doc_id
+    ), banded AS (
+      {banded}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    )
+    SELECT new_id, old_id,
+           floor((len(list_intersect(sa.shingles, sb.shingles))
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles)))) * 1000000 + 0.5) / 1000000
+             AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = new_id
+    JOIN sh sb ON sb.doc_id = old_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles))
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
+    """
+
+
+@register("stream_dedup_against_corpus", oracle=_stream_dedup_oracle())
+def stream_dedup_against_corpus(spark, sf_dir):
+    """The crawl-ingest dedup shape: documents ARRIVING AS A STREAM are
+    near-dup-checked against a static historical corpus, in-stream.
+    Corpus side: the efficient batch MinHash path (explode → flat hash →
+    min aggregates) over docs with doc_id%10≠7. Stream side (doc_id%10=7):
+    per-row signature EXPRESSIONS (array_min over transform — stateless,
+    no streaming aggregation needed), banded, stream-static-joined to the
+    corpus buckets, deduplicated, Jaccard-verified. Portable hash family
+    throughout → the whole streaming pipeline is value-checked against the
+    DuckDB oracle. At scale the corpus side is a precomputed signature
+    table partitioned by bucket; the stream plan is unchanged."""
+    import tempfile
+
+    from ..operators import dedup as D
+    from ..operators.dedup import jaccard, shingled
+    from ..operators.text import tokens as _tokens
+    from ..schemas import DOCUMENTS
+
+    p, base = D.PORT_P, D.PORT_BASE
+    num_hashes, bands = 16, 4
+    r = num_hashes // bands
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    corpus_sh = shingled(corpus, "doc_id", "text", 3).persist()
+    hashed = corpus_sh.select(
+        F.col("doc_id"), F.explode("__shingles").alias("__s")
+    ).select("doc_id", D.portable_string_hash(F.col("__s")).alias("__H"))
+    corpus_sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(D.PORT_A[j]) * F.col("__H") + F.lit(D.PORT_B[j])) % p).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+    def band_bucket_cols(sig_col):
+        out = []
+        for b in range(bands):
+            acc = F.lit(0).cast("long")
+            for j in range(b * r, (b + 1) * r):
+                acc = (acc * base + sig_col(j)) % p
+            out.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+        return out
+
+    corpus_banded = corpus_sig.select(
+        F.col("doc_id").alias("old_id"),
+        F.explode(F.array(*band_bucket_cols(lambda j: F.col(f"h{j}")))).alias("bb"),
+    ).select("old_id", "bb.band", "bb.bucket")
+
+    # --- stream side: stateless per-row signatures --------------------------
+    stream_dir = tempfile.mkdtemp(prefix="doc_stream_")
+    import os
+
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    new_docs = (
+        spark.readStream.schema(DOCUMENTS)
+        .parquet(stream_dir)
+        .filter(F.col("doc_id") % 10 == 7)
+    )
+    toks = new_docs.select(
+        F.col("doc_id").alias("new_id"), _tokens(F.col("text")).alias("__toks")
+    )
+    sh_new = toks.select(
+        "new_id",
+        F.array_distinct(D.word_ngrams(F.col("__toks"), 3)).alias("__sh_new"),
+    )
+    hcol = lambda j: F.array_min(
+        F.transform(
+            F.col("__sh_new"),
+            lambda s: (F.lit(D.PORT_A[j]) * D.portable_string_hash(s) + F.lit(D.PORT_B[j])) % p,
+        )
+    )
+    new_banded = sh_new.select(
+        "new_id",
+        "__sh_new",
+        F.explode(F.array(*band_bucket_cols(hcol))).alias("bb"),
+    ).select("new_id", "__sh_new", "bb.band", "bb.bucket")
+
+    cands = (
+        new_banded.join(F.broadcast(corpus_banded), ["band", "bucket"])
+        .select("new_id", "old_id", "__sh_new")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    verified = (
+        cands.join(
+            F.broadcast(
+                corpus_sh.select(
+                    F.col("doc_id").alias("old_id"),
+                    F.col("__shingles").alias("__sh_old"),
+                )
+            ),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            jaccard(F.col("__sh_new"), F.col("__sh_old")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.15)
+        .select("new_id", "old_id", rn(F.col("jaccard"), 6).alias("jaccard"))
+    )
+    return run_to_memory(verified, "stream_dedup_against_corpus", output_mode="append")
