@@ -95,6 +95,55 @@ def _global_rank_with_total(
     return ranked, running
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    sum_col: str,
+    order_value_col: str,
+    tiebreak_cols: list[str] | None = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """df + ``__prefix_sum`` = exact running total of ``sum_col`` over the
+    global (order_value, tiebreaks) order — same bucketed two-phase shape
+    as :func:`global_rank` (per-bucket SUM offsets instead of counts), so
+    no single-partition window. Exact for integer-valued ``sum_col``
+    (token counts, byte sizes); float inputs inherit per-bucket summation
+    order like any distributed sum.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = df.approxQuantile(order_value_col, probs, 0.001)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+
+    bucketed = df.withColumn(BUCKET_COL, _bucket_expr(order_value_col, uniq))
+    sums = {
+        r[BUCKET_COL]: r["s"]
+        for r in bucketed.groupBy(BUCKET_COL)
+        .agg(F.sum(sum_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for b in sorted(sums):
+        offsets[b] = running
+        running += sums[b]
+
+    offset_expr = F.lit(0)
+    for b, off in offsets.items():
+        offset_expr = F.when(F.col(BUCKET_COL) == b, F.lit(off)).otherwise(offset_expr)
+
+    w = (
+        Window.partitionBy(BUCKET_COL)
+        .orderBy(F.col(order_value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.withColumn(
+        "__prefix_sum", (F.sum(sum_col).over(w) + offset_expr).cast("long")
+    ).drop(BUCKET_COL)
+
+
 def global_ntile(
     df: DataFrame,
     value_col: str,

@@ -914,3 +914,49 @@ def embed_ivf_portable(spark, sf_dir):
         .limit(10)
     )
     return out.select("vec_id", rn(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register(
+    "corpus_pack_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+      FROM t
+    )
+    SELECT CAST((cs - n_tok) // 2048 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY bin
+    """,
+)
+def corpus_pack_bins(spark, sf_dir):
+    """Sequence packing: bin documents into contiguous ~2048-token training
+    batches by exact running token count over the corpus order. The prefix
+    sum uses operators/ranking.global_prefix_sum — the bucketed two-phase
+    shape (per-bucket sum offsets + partitioned running-sum window), so
+    packing 100 TB never funnels through one task, and integer token
+    counts make the result EXACT (oracle: plain window sum)."""
+    from ..operators.ranking import global_prefix_sum
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wt = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("__toks")
+    ).select("doc_id", F.size("__toks").cast("long").alias("n_tok"))
+    cs = global_prefix_sum(wt, "n_tok", "doc_id")
+    binned = cs.select(
+        "doc_id",
+        "n_tok",
+        F.floor((F.col("__prefix_sum") - F.col("n_tok")) / 2048).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
