@@ -960,3 +960,63 @@ def corpus_pack_bins(spark, sf_dir):
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "corpus_sample_quality_weighted",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_TOKS} AS toks,
+             length(text) AS n_chars_raw,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0
+                  THEN list_reduce(list_prepend(0, list_transform(toks, x -> length(x))), (a,b) -> a+b) / len(toks)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains({TX.STOPWORDS!r}, x))) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars_raw > 0 THEN n_punct / n_chars_raw ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_chars_raw > 0 THEN n_digit / n_chars_raw ELSE 0.0 END AS digit_ratio
+      FROM t
+    ), scored AS (
+      SELECT doc_id, source,
+             (0.3 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.4 END)
+            + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + 0.2 * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END)
+            + 0.3 * (1.0 - least(punct_ratio + digit_ratio, 1.0))) AS quality
+      FROM m
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           floor((avg(quality)) * 1000000 + 0.5) / 1000000 AS avg_kept_quality
+    FROM scored
+    WHERE ((doc_id * 2654435761) % 4294967296) < quality * 0.5 * 4294967296
+    GROUP BY source
+    """,
+)
+def corpus_sample_quality_weighted(spark, sf_dir):
+    """Importance sampling: each doc kept with probability quality*0.5 via
+    the deterministic multiplicative hash (reproducible across runs AND
+    engines — seeded rand() is neither). Selection bias is the point:
+    kept-set average quality exceeds the corpus average. Hash and quality
+    are both computed identically on both sides, so the kept SET (not
+    just its size) is oracle-exact."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wt = docs.select(
+        "doc_id", "source", "text", TX.tokens(F.col("text")).alias("__toks")
+    )
+    scored = wt.select(
+        "doc_id",
+        "source",
+        TX.quality_score(F.col("text"), F.col("__toks")).alias("quality"),
+    )
+    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    kept = scored.filter(bucket < F.col("quality") * 0.5 * 4294967296)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        rn(F.avg("quality"), 6).alias("avg_kept_quality"),
+    )
