@@ -128,6 +128,53 @@ def decode_real(df: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+        T.StructField("n_in", T.LongType(), True),
+        T.StructField("n_out", T.LongType(), True),
+        T.StructField("stride", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_stub(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """STUB resize stage: deterministic stride-decimation of the payload to
+    ≤ ``target_bytes`` (the image-resize pattern: decode → resample →
+    re-encode, here as an Arrow-batched byte op so the plumbing — schema,
+    batch shape, payload-size drop across the stage — is the real
+    contract; a deployment swaps the body for PIL's ``Image.resize``).
+    stride = ceil(n_in / target): every stride-th byte survives.
+    """
+
+    def resize(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        def do(b):
+            if not b:
+                return b, 0, 0, 1
+            k = max(1, math.ceil(len(b) / target_bytes))
+            out = bytes(b[::k])
+            return out, len(b), len(out), k
+
+        for pdf in batches:
+            res = pdf["payload"].map(do)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": res.map(lambda t: t[0]),
+                    "n_in": res.map(lambda t: t[1]),
+                    "n_out": res.map(lambda t: t[2]),
+                    "stride": res.map(lambda t: t[3]),
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: slice the payload every N bytes (the video
     frame-sample pattern: explode payload → per-frame rows)."""

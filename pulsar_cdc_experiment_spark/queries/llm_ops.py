@@ -1020,3 +1020,37 @@ def corpus_sample_quality_weighted(spark, sf_dir):
         F.count("*").alias("n_kept"),
         rn(F.avg("quality"), 6).alias("avg_kept_quality"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_in,
+           CAST(greatest(1, CAST(ceil(n / 64.0) AS INTEGER)) AS INTEGER) AS stride,
+           array_to_string(
+             list_transform(range(1, n + 1, greatest(1, CAST(ceil(n / 64.0) AS INTEGER))),
+                            i -> text[i]),
+             '') AS resized_text
+    FROM t
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Multimodal resize plumbing: stride-decimate each payload to ≤64
+    bytes through the Arrow mapInPandas stage (the decode→resample→
+    re-encode shape; the stub body is a byte slice, the contract — schema,
+    batching, payload-size reduction — is real). ASCII test payloads make
+    the oracle byte-exact: DuckDB reproduces the surviving byte sequence
+    character-by-character."""
+    docs = table(spark, sf_dir, "documents")
+    media = MM.attach_binary_payload(docs, "text", "doc_id")
+    resized = MM.resize_stub(media, target_bytes=64)
+    return resized.select(
+        "media_id",
+        "n_in",
+        "stride",
+        F.decode(F.col("resized"), "UTF-8").alias("resized_text"),
+    )
