@@ -358,13 +358,20 @@ def stream_dedup_against_corpus(spark, sf_dir):
         "new_id",
         F.array_distinct(D.word_ngrams(F.col("__toks"), 3)).alias("__sh_new"),
     )
+    # materialize the per-shingle base hash ONCE (own projection); the 16
+    # affine re-hashes then fold over small integer arrays, not characters
+    hashed_new = sh_new.select(
+        "new_id",
+        "__sh_new",
+        F.transform(F.col("__sh_new"), D.portable_string_hash).alias("__Hs"),
+    )
     hcol = lambda j: F.array_min(
         F.transform(
-            F.col("__sh_new"),
-            lambda s: (F.lit(D.PORT_A[j]) * D.portable_string_hash(s) + F.lit(D.PORT_B[j])) % p,
+            F.col("__Hs"),
+            lambda h: (F.lit(D.PORT_A[j]) * h + F.lit(D.PORT_B[j])) % p,
         )
     )
-    new_banded = sh_new.select(
+    new_banded = hashed_new.select(
         "new_id",
         "__sh_new",
         F.explode(F.array(*band_bucket_cols(hcol))).alias("bb"),
