@@ -152,3 +152,27 @@ TOKENS_SQL = (
     "list_filter(string_split_regex(trim(regexp_replace(lower({col}), "
     "'[^a-z0-9\\s]', ' ', 'g')), '\\s+'), t -> t <> '')"
 )
+
+
+# --- PII scanning / redaction ----------------------------------------------
+
+# Deliberately simple patterns valid in BOTH RE2/Java and DuckDB's RE2 —
+# production deployments swap in their compliance patterns; the operator
+# contract (scan counts + irreversible redaction, one pass) is what scales.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def pii_scan(text: Column) -> dict[str, Column]:
+    """Counts of PII-shaped spans per document."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        "n_urls": F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)),
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace PII spans with typed placeholders (emails first so URL
+    redaction cannot eat an email's domain half)."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, URL_RE, "[URL]")

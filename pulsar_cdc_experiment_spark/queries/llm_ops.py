@@ -1054,3 +1054,65 @@ def multimodal_resize(spark, sf_dir):
         "stride",
         F.decode(F.col("resized"), "UTF-8").alias("resized_text"),
     )
+
+
+_PII_EMAIL = TX.EMAIL_RE
+_PII_URL = TX.URL_RE
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact: user' || doc_id || '@mail' || (doc_id % 5) || '.example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' see https://site' || doc_id || '.example.org/page'
+                     ELSE '' END AS aug
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PII_URL}')) AS INTEGER) AS n_urls,
+           regexp_replace(regexp_replace(aug, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                          '{_PII_URL}', '[URL]', 'g') AS redacted
+    FROM t
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scan + redaction — the compliance pass every training corpus
+    runs before anything else. PII is PLANTED deterministically (emails on
+    every 7th doc, URLs on every 11th) so the check is non-trivial: scan
+    counts and the redacted text itself are value-compared. One
+    pure-expression pass, embarrassingly parallel; patterns are the
+    swap-in point for production compliance rules."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact: user"), F.col("doc_id").cast("string"),
+                F.lit("@mail"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" see https://site"), F.col("doc_id").cast("string"),
+                F.lit(".example.org/page"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    wt = docs.select("doc_id", aug.alias("__aug"))
+    scans = TX.pii_scan(F.col("__aug"))
+    return wt.select(
+        "doc_id",
+        scans["n_emails"].alias("n_emails"),
+        scans["n_urls"].alias("n_urls"),
+        TX.pii_redact(F.col("__aug")).alias("redacted"),
+    )
