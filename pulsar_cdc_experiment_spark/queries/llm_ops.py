@@ -1116,3 +1116,60 @@ def text_pii_redact(spark, sf_dir):
         scans["n_urls"].alias("n_urls"),
         TX.pii_redact(F.col("__aug")).alias("redacted"),
     )
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), hits AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM (SELECT * FROM ex WHERE doc_id % 10 <> 3) t
+      JOIN (SELECT * FROM ex WHERE doc_id % 10 = 3) e ON t.s = e.s
+      GROUP BY 1, 2
+    )
+    SELECT train_id, eval_id, n_shared,
+           floor((n_shared / len(se.shingles)) * 1000000 + 0.5) / 1000000
+             AS eval_containment
+    FROM hits JOIN sh se ON se.doc_id = eval_id
+    WHERE n_shared >= 3
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: find training docs that CONTAIN n-grams
+    of held-out eval docs (doc_id%10=3 plays the eval set). Asymmetric
+    containment, not symmetric Jaccard — a tiny eval doc fully quoted
+    inside a large training doc is a leak even at low Jaccard. Shape: one
+    equi-join shuffle on the exploded distinct 3-gram (at 100 TB, join on
+    xxhash64(ngram) digests so the shuffle carries 8 bytes per gram);
+    report pairs sharing ≥3 grams with the eval-side containment ratio."""
+    from ..operators.dedup import shingled
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingled(docs, "doc_id", "text", 3).persist()
+    ex = sh.select(F.col("doc_id"), F.explode("__shingles").alias("__s"))
+    train = ex.filter(F.col("doc_id") % 10 != 3).select(
+        F.col("doc_id").alias("train_id"), "__s"
+    )
+    evals = ex.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("eval_id"), "__s"
+    )
+    hits = (
+        train.join(evals, "__s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    eval_sizes = sh.select(
+        F.col("doc_id").alias("eval_id"), F.size("__shingles").alias("__n_eval")
+    )
+    return hits.join(eval_sizes, "eval_id").select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        rn(F.col("n_shared") / F.col("__n_eval"), 6).alias("eval_containment"),
+    )
