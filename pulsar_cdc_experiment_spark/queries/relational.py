@@ -999,3 +999,30 @@ def conditional_nulls(spark, sf_dir):
         rn(F.greatest(bal, F.lit(0.0)), 2).alias("bal_floor0"),
         rn(F.least(bal, F.lit(9000.0)), 2).alias("bal_cap9k"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_string_concat(spark, sf_dir):
+    """C8 depth: ordered string aggregation (LISTAGG/string_agg) — built
+    deterministically as sort_array(collect_set) -> concat_ws, so the
+    result is independent of partitioning/merge order (a bare
+    collect_list would not be)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("nations"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
