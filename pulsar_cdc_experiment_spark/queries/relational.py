@@ -1026,36 +1026,3 @@ def agg_string_concat(spark, sf_dir):
             F.countDistinct("n_name").alias("n_nations"),
         )
     )
-
-
-@register(
-    "unpivot_metrics",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
-           floor((l_quantity) * 100 + 0.5) / 100 AS val
-    FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
-           floor((l_extendedprice) * 100 + 0.5) / 100
-    FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'l_discount',
-           floor((l_discount) * 100 + 0.5) / 100
-    FROM lineitem
-    """,
-)
-def unpivot_metrics(spark, sf_dir):
-    """Unpivot/melt (the inverse of pivot_status_by_flag): wide metric
-    columns to long (metric, value) rows via the DataFrame unpivot API —
-    a generator-style expand, no shuffle. Oracle: the UNION ALL
-    equivalence that defines unpivot."""
-    li = table(spark, sf_dir, "lineitem")
-    out = li.unpivot(
-        ["l_orderkey", "l_linenumber"],
-        ["l_quantity", "l_extendedprice", "l_discount"],
-        "metric",
-        "val",
-    )
-    return out.select(
-        "l_orderkey", "l_linenumber", "metric", rn(F.col("val"), 2).alias("val")
-    )
