@@ -29,9 +29,21 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Register a driver query; ``oracle`` is DuckDB SQL or None (rows-only)."""
+    """Register a driver query; ``oracle`` is DuckDB SQL or None (rows-only).
+
+    Duplicate names are an ERROR: dict registration is last-wins, so a
+    name collision would silently replace an existing query (this bit us
+    once — a second unpivot_metrics shadowed round 1's). Module caching
+    makes each @register run exactly once per process, so the guard never
+    fires on legitimate re-imports.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{QUERIES[name].__module__}; pick a distinct name"
+            )
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from .session import prepare_session
 
