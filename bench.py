@@ -34,7 +34,8 @@ HEADLINE = [
     "cdc_latest_state",         # CDC materialization fold
     "window_tumbling",          # event-time window
     "distinct_counts",          # count-distinct
-    "dedup_minhash_lsh",        # MinHash+LSH near-dup
+    "dedup_minhash_lsh_fast",   # MinHash+LSH near-dup (engine-hash fast path;
+                                # same computation benched as dedup_minhash_lsh in r01/r02)
     "text_quality",             # text analysis expressions
     "embed_topk_cosine",        # embedding similarity
     "cdc_enrich_e2e",           # the reference's full data plane: parse->enrich->serialize->verify
@@ -170,6 +171,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(min(run_once(name), run_once(name)), 3)
+
+    # cdc_enrich_e2e measures plane + oracle parse-back (the parse-back was
+    # added in r02 for the value-level oracle, +~0.4s). Bench the DATA PLANE
+    # alone too — parse → enrich → serialize, no parse-back — so
+    # round-over-round numbers track the engine, not the verification
+    # harness. (Not a registry query: it has no oracle of its own; the e2e
+    # oracle already value-checks this exact plane end-to-end.)
+    from pulsar_cdc_experiment_spark.operators.enrichment import (
+        enrich_json_or_passthrough,
+    )
+    from pulsar_cdc_experiment_spark.queries.cdc import synthesize_envelopes
+
+    def run_plane() -> float:
+        t0 = time.perf_counter()
+        raw = synthesize_envelopes(spark, SF_DIR, variants=True)
+        enrich_json_or_passthrough(raw).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    run_plane()  # warm codegen
+    timings["cdc_enrich_plane"] = round(min(run_plane(), run_plane()), 3)
 
     skew = measure_skew(spark)
 

@@ -62,8 +62,14 @@ def iso_from_millis(ts_ms: Column) -> Column:
 
     isoformat drops the fraction entirely when microsecond == 0; otherwise it
     prints exactly 6 fractional digits (epoch millis → micros end in 000).
+
+    Rendered from TIMESTAMP_NTZ so the string is the UTC instant on EVERY
+    driver (``timestamp_millis`` + ``date_format`` would render in the
+    session timezone — the round-2 latent hazard; see functions/time.py).
     """
-    ts = F.timestamp_millis(ts_ms)
+    from ..functions.time import ntz_from_millis
+
+    ts = ntz_from_millis(ts_ms)
     return F.when(
         ts_ms % 1000 == 0, F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
     ).otherwise(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))

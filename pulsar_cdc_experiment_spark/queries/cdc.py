@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rn
+from ..functions.time import epoch_micros, epoch_millis
 from ..operators.enrichment import email_domain, is_mutation, iso_from_millis, op_label
 from ..operators.materialize import latest_by_key
 from ..registry import register
@@ -72,7 +73,7 @@ def cdc_op_decode(spark, sf_dir):
 )
 def cdc_event_time_iso(spark, sf_dir):
     """A7: epoch-millis → ISO-8601 with Python-isoformat fraction semantics."""
-    df = table(spark, sf_dir, "events").withColumn("ts_ms", F.unix_millis("ts"))
+    df = table(spark, sf_dir, "events").withColumn("ts_ms", epoch_millis("ts"))
     return df.select(
         "event_id",
         F.col("ts_ms").alias("event_time_ms"),
@@ -236,13 +237,13 @@ def synthesize_envelopes(spark, sf_dir, variants: bool = False):
         F.col("event_id").cast("int").alias("id"),
         F.col("event_type").alias("name"),
         email.alias("email"),
-        F.unix_micros("ts").alias("created_at"),
+        epoch_micros("ts").alias("created_at"),
     )
     source = F.struct(
         F.lit("1.9.7.Final").alias("version"),
         F.lit("postgresql").alias("connector"),
         F.lit("dbserver1").alias("name"),
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_millis("ts").alias("ts_ms"),
         F.when(_op_col() == "r", "true").otherwise("false").alias("snapshot"),
         F.lit("inventory").alias("db"),
         F.lit("public").alias("schema"),
@@ -255,13 +256,13 @@ def synthesize_envelopes(spark, sf_dir, variants: bool = False):
         after.alias("after"),
         source.alias("source"),
         _op_col().alias("op"),
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_millis("ts").alias("ts_ms"),
     )
     value = F.to_json(envelope)
     if variants:
         opless = F.to_json(
             F.struct(
-                after.alias("after"), source.alias("source"), F.unix_millis("ts").alias("ts_ms")
+                after.alias("after"), source.alias("source"), epoch_millis("ts").alias("ts_ms")
             )
         )
         malformed = F.concat(F.lit('{"corrupt": '), F.col("event_id").cast("string"))
@@ -489,7 +490,7 @@ def cdc_multi_table_state(spark, sf_dir):
             F.lit("1.9.7.Final").alias("version"),
             F.lit("postgresql").alias("connector"),
             F.lit("dbserver1").alias("name"),
-            F.unix_millis("ts").alias("ts_ms"),
+            epoch_millis("ts").alias("ts_ms"),
             F.lit("false").alias("snapshot"),
             F.lit("inventory").alias("db"),
             F.lit("public").alias("schema"),
@@ -498,7 +499,7 @@ def cdc_multi_table_state(spark, sf_dir):
             F.col("event_id").alias("lsn"),
         ).alias("source"),
         op.alias("op"),
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_millis("ts").alias("ts_ms"),
         F.col("value").alias("__v"),
     )
     state = latest_state_multi_table(env, key_field="id")
@@ -536,13 +537,13 @@ def cdc_drift_rescue(spark, sf_dir):
         F.col("event_id").cast("int").alias("id"),
         F.col("event_type").alias("name"),
         F.concat(F.col("user_id").cast("string"), F.lit("@example.com")).alias("email"),
-        F.unix_micros("ts").alias("created_at"),
+        epoch_micros("ts").alias("created_at"),
         F.when(F.col("event_id") % 4 == 1, F.col("user_id").cast("string")).alias("phone"),
     )
     envelope = F.struct(
         after.alias("after"),
         _op_col().alias("op"),
-        F.unix_millis("ts").alias("ts_ms"),
+        epoch_millis("ts").alias("ts_ms"),
     )
     raw = ev.select(F.to_json(envelope).alias("value"))
     env = parse_envelopes_rescued(raw)

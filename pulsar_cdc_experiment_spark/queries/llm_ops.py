@@ -199,10 +199,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", rn(F.col("jaccard"), 6).alias("jaccard"))
 
 
-@register("dedup_minhash_lsh")  # rows-only: murmur3 signatures are engine-specific
-def dedup_minhash_lsh(spark, sf_dir):
-    """C41 (scale path): MinHash k=32, 8 bands × 4 rows — LSH candidates
-    verified with true Jaccard. The linear-cost near-dup path for 100 TB."""
+@register("dedup_minhash_lsh_fast")  # rows-only: murmur3 signatures are engine-specific
+def dedup_minhash_lsh_fast(spark, sf_dir):
+    """C41 (scale path): MinHash k=32, 8 bands × 4 rows with ENGINE hashes
+    (JVM murmur3 — fastest per-row, but not reproducible in DuckDB, hence
+    rows-only). LSH candidates verified with true Jaccard. The oracle-backed
+    registration of this pipeline is `dedup_minhash_lsh` (portable hash
+    family, identical plan shape); this entry exists to bench the
+    engine-hash fast path."""
     docs = table(spark, sf_dir, "documents")
     return D.minhash_near_dups(
         docs, "doc_id", "text", threshold=0.15, num_hashes=32, bands=8, ngram=3
@@ -669,6 +673,21 @@ def _portable_minhash_oracle(threshold=0.15, num_hashes=16, bands=4) -> str:
     WHERE len(list_intersect(sa.shingles, sb.shingles))
           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
     """
+
+
+@register("dedup_minhash_lsh", oracle=_portable_minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """C41 (driver-facing): MinHash+LSH near-dup pairs with the PORTABLE
+    hash family, so the driver's DuckDB oracle value-checks the entire
+    pipeline (explode → flat hash → k min-aggregates → band join → Jaccard
+    verify) bit-for-bit. Same implementation as dedup_minhash_portable
+    (kept for round-over-round continuity); the engine-hash fast path is
+    registered as dedup_minhash_lsh_fast and benched separately."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.portable_minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.15, num_hashes=16, bands=4, ngram=3
+    )
+    return pairs.select("id_a", "id_b", rn(F.col("jaccard"), 6).alias("jaccard"))
 
 
 @register("dedup_minhash_portable", oracle=_portable_minhash_oracle())

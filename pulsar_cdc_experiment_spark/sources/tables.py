@@ -33,13 +33,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _enable_nanos_as_long(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is physically TIMESTAMP(NANOS) which the Spark parquet
-        # reader rejects; with nanosAsLong it arrives as int64 nanos and is
-        # normalized here to micro-precision TimestampType (exactly what
-        # DuckDB sees — its TIMESTAMP is µs).
-        # integer `div`: float division would round (and int64-nanos exceeds
-        # double's 2^53 exact range); DuckDB truncates ns→µs the same way.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_events_ts(df)
+    return df
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TIMESTAMP_NTZ regardless of physical layout.
+
+    Current testdata stores parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    → Spark reads TIMESTAMP_NTZ natively (same local fields DuckDB sees; no
+    session timezone anywhere — functions/time.py has the rationale).
+    Earlier generations stored TIMESTAMP(NANOS), which under nanosAsLong
+    arrives as int64 epoch-nanos; truncate ns→µs with integer `div` (float
+    division would round, and int64-nanos exceeds double's 2^53 exact
+    range — DuckDB truncates the same way) and rebuild NTZ timezone-free.
+    """
+    from pyspark.sql import types as T
+
+    from ..functions.time import ntz_from_micros
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        df = df.withColumn("ts", ntz_from_micros(F.expr("ts div 1000")))
     return df
 
 

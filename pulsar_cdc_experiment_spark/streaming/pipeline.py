@@ -15,11 +15,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Raw schema of the events parquet as the streaming reader sees it
-# (TIMESTAMP(NANOS) arrives as int64 under nanosAsLong).
+# (parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ;
+# timezone-free on every driver, see functions/time.py).
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # epoch nanos
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -48,12 +49,10 @@ def read_events_stream(
 ) -> DataFrame:
     """The events table as a replayable stream (snapshot-then-stream, B4:
     a file source consumed from offset 0 unifies backfill and live data)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_RAW)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(_events_stream_dir(sf_dir))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(_events_stream_dir(sf_dir))
 
 
 def run_to_memory(
