@@ -127,7 +127,14 @@ def main() -> None:
         app_name="bench",
         shuffle_partitions=shuffle_partitions_for_bytes(sf_bytes),
     )
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    # Bench-only entry: the engine-hash MinHash fast path is a plain
+    # function (not @register'd — it has no DuckDB oracle and would put a
+    # grey row in the driver's correctness sample; the oracle-backed
+    # registration of the same plan shape is dedup_minhash_lsh).
+    from pulsar_cdc_experiment_spark.queries.llm_ops import dedup_minhash_lsh_fast
+
+    queries["dedup_minhash_lsh_fast"] = dedup_minhash_lsh_fast
 
     # Warm the JVM/IO once with a trivial action so query 1 isn't charged
     # for session spin-up, and fork the Python UDF workers once so the

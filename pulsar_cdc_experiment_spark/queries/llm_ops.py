@@ -199,14 +199,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", rn(F.col("jaccard"), 6).alias("jaccard"))
 
 
-@register("dedup_minhash_lsh_fast")  # rows-only: murmur3 signatures are engine-specific
 def dedup_minhash_lsh_fast(spark, sf_dir):
     """C41 (scale path): MinHash k=32, 8 bands × 4 rows with ENGINE hashes
-    (JVM murmur3 — fastest per-row, but not reproducible in DuckDB, hence
-    rows-only). LSH candidates verified with true Jaccard. The oracle-backed
-    registration of this pipeline is `dedup_minhash_lsh` (portable hash
-    family, identical plan shape); this entry exists to bench the
-    engine-hash fast path."""
+    (JVM murmur3 — fastest per-row, but not reproducible in DuckDB). LSH
+    candidates verified with true Jaccard. Deliberately NOT @register'd:
+    the driver-facing registration of this pipeline is `dedup_minhash_lsh`
+    (portable hash family, identical plan shape, full oracle); this
+    function exists so bench.py can time the engine-hash fast path without
+    putting an oracle-less row in the driver's correctness sample
+    (round-3 verdict task 3)."""
     docs = table(spark, sf_dir, "documents")
     return D.minhash_near_dups(
         docs, "doc_id", "text", threshold=0.15, num_hashes=32, bands=8, ngram=3
@@ -494,9 +495,45 @@ def text_tfidf_top_terms(spark, sf_dir):
     )
 
 
-# Deterministic multiplicative hash (Knuth): reproducible sampling without
-# engine-specific hash functions, so the oracle matches exactly.
-_DHASH = "((doc_id * 2654435761) % 4294967296)"
+# Deterministic multiplicative hash (Knuth) for reproducible sampling
+# without engine-specific hash functions, so the oracle matches exactly.
+#
+# Computed as a 16/16 split multiply on the low 32 bits of the id: the
+# naive `doc_id * 2654435761` overflows int64 once doc_id ≳ 3.47e9 —
+# exactly the corpus sizes a 100 TB run has — and Spark wraps silently
+# while DuckDB raises, so the two engines would diverge right at scale.
+# With x = id mod 2^32 split as hi*2^16 + lo, every intermediate of
+# ((hi*K mod 2^32)*2^16 + lo*K) mod 2^32 stays below 2^49 (hi,lo < 2^16,
+# K < 2^32), and congruence mod 2^32 is preserved by the inner reduction.
+# For ids < 2^32 the value equals the naive formula (same residue, no
+# overflow on either path), so results at test SFs are unchanged.
+# Precondition: non-negative ids (generated surrogate keys always are;
+# `%` is remainder-with-dividend-sign on both engines, so a negative id
+# would still agree cross-engine, just land in a negative residue).
+_KNUTH = 2654435761
+_M32 = 4294967296  # 2**32
+_M16 = 65536  # 2**16
+
+
+def _hash32_sql(col: str = "doc_id") -> str:
+    """DuckDB SQL for the overflow-safe 32-bit Knuth hash of ``col``."""
+    hi = f"(({col} % {_M32}) // {_M16})"
+    lo = f"(({col} % {_M32}) % {_M16})"
+    return f"((({hi} * {_KNUTH}) % {_M32} * {_M16} + {lo} * {_KNUTH}) % {_M32})"
+
+
+def _hash32(col: F.Column | str) -> F.Column:
+    """Spark expression for the overflow-safe 32-bit Knuth hash (same
+    arithmetic as :func:`_hash32_sql`, term for term)."""
+    col = F.col(col) if isinstance(col, str) else col
+    x = col % _M32
+    hi = (x - x % _M16) / _M16  # exact: x < 2^32 < 2^53, /2^16 is exact in double
+    hi = hi.cast("long")
+    lo = x % _M16
+    return ((hi * _KNUTH) % _M32 * _M16 + lo * _KNUTH) % _M32
+
+
+_DHASH = _hash32_sql("doc_id")
 
 
 @register(
@@ -513,7 +550,7 @@ def corpus_sample(spark, sf_dir):
     hash-threshold sampling is portable, stable under re-runs, and at
     100 TB pushes down to a scan-level filter)."""
     docs = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    bucket = _hash32("doc_id")
     return docs.filter(bucket < 429496730).select("doc_id", "lang", "n_chars")
 
 
@@ -534,7 +571,7 @@ def corpus_sample_stratified(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    bucket = _hash32("doc_id")
     w = Window.partitionBy("lang").orderBy(bucket, F.col("doc_id"))
     return (
         docs.withColumn("rn", F.row_number().over(w))
@@ -578,7 +615,7 @@ def corpus_sample_stratified(spark, sf_dir):
         SELECT *, min(doc_id) OVER (PARTITION BY text) AS min_id FROM kept
       ) WHERE doc_id = min_id
     ), sampled AS (
-      SELECT * FROM surv WHERE ((doc_id * 2654435761) % 4294967296) < 2147483648
+      SELECT * FROM surv WHERE {_DHASH} < 2147483648
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -612,7 +649,7 @@ def llm_prep_pipeline(spark, sf_dir):
     surv = kept.withColumn("min_id", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("min_id")
     )
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    bucket = _hash32("doc_id")
     sampled = surv.filter(bucket < 2147483648)
     return sampled.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -682,7 +719,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     pipeline (explode → flat hash → k min-aggregates → band join → Jaccard
     verify) bit-for-bit. Same implementation as dedup_minhash_portable
     (kept for round-over-round continuity); the engine-hash fast path is
-    registered as dedup_minhash_lsh_fast and benched separately."""
+    available as the plain function dedup_minhash_lsh_fast (bench-only)."""
     docs = table(spark, sf_dir, "documents")
     pairs = D.portable_minhash_near_dups(
         docs, "doc_id", "text", threshold=0.15, num_hashes=16, bands=4, ngram=3
@@ -1013,7 +1050,7 @@ def corpus_pack_bins(spark, sf_dir):
     SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
            floor((avg(quality)) * 1000000 + 0.5) / 1000000 AS avg_kept_quality
     FROM scored
-    WHERE ((doc_id * 2654435761) % 4294967296) < quality * 0.5 * 4294967296
+    WHERE {_DHASH} < quality * 0.5 * 4294967296
     GROUP BY source
     """,
 )
@@ -1033,7 +1070,7 @@ def corpus_sample_quality_weighted(spark, sf_dir):
         "source",
         TX.quality_score(F.col("text"), F.col("__toks")).alias("quality"),
     )
-    bucket = (F.col("doc_id") * 2654435761) % 4294967296
+    bucket = _hash32("doc_id")
     kept = scored.filter(bucket < F.col("quality") * 0.5 * 4294967296)
     return kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import rn
 from ..registry import register
 from ..sources.tables import table
-from ..streaming.pipeline import read_events_stream, run_to_memory
+from ..streaming.pipeline import read_events_stream, run_to_memory, with_event_time
 from ..streaming.stateful import running_totals
 
 
@@ -66,10 +66,12 @@ def stream_static_join(spark, sf_dir):
 )
 def stream_dedup_keys(spark, sf_dir):
     """C33: streaming dedup with watermarked state; projecting only the
-    dedup keys makes the output order-independent → fully oracle-checkable."""
-    ev = read_events_stream(spark, sf_dir)
+    dedup keys makes the output order-independent → fully oracle-checkable.
+    The watermark rides a derived TIMESTAMP column (`ts` itself is NTZ,
+    which withWatermark rejects — see streaming.pipeline.with_event_time)."""
+    ev = with_event_time(read_events_stream(spark, sf_dir), "ts")
     deduped = (
-        ev.withWatermark("ts", "1 hour")
+        ev.withWatermark("__wm_ts", "1 hour")
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
@@ -194,24 +196,39 @@ def stream_stream_join(spark, sf_dir):
     watermark passes the join window). Purchases matched to any signup of
     the same user within the preceding 7 days; inner join + AvailableNow
     processing of the full feed makes append output equal the batch join,
-    so the full DuckDB oracle applies."""
+    so the full DuckDB oracle applies.
+
+    Both event-time columns are derived TIMESTAMPs (with_event_time; NTZ is
+    not watermarkable) — the range condition compares the watermarked
+    columns themselves, which is what lets the join evict buffered state;
+    neither column is projected, so output values stay TZ-independent."""
     purchases = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        with_event_time(
+            read_events_stream(spark, sf_dir).filter(
+                F.col("event_type") == "purchase"
+            ),
+            "ts",
+            "p_ts",
+        )
         .select(
             "user_id",
-            F.col("ts").alias("p_ts"),
+            "p_ts",
             F.col("event_id").alias("purchase_event"),
             "value",
         )
         .withWatermark("p_ts", "1 hour")
     )
     signups = (
-        read_events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "signup")
+        with_event_time(
+            read_events_stream(spark, sf_dir).filter(
+                F.col("event_type") == "signup"
+            ),
+            "ts",
+            "s_ts",
+        )
         .select(
             F.col("user_id").alias("s_user_id"),
-            F.col("ts").alias("s_ts"),
+            "s_ts",
             F.col("event_id").alias("signup_event"),
         )
         .withWatermark("s_ts", "1 hour")

@@ -81,7 +81,20 @@ class IncrementalMaterializer:
             folded = latest_by_key(
                 prev.unionByName(folded), self.key_cols, self.order_cols
             )
+        # The staging dir must NEVER be the live dir: on redelivery of batch
+        # N (crash between publish and checkpoint commit), the pointer
+        # already names state_N — `prev` is a LAZY scan of that directory,
+        # and mode("overwrite") deletes the target before writing, so
+        # staging into it would destroy the input mid-read (round-3 ADVICE;
+        # it only ever worked because AQE happened to materialize the fold's
+        # shuffle first). Attempt-suffix until the name differs from the
+        # live dir; a dead leftover dir (crash mid-write) is safe to
+        # overwrite, only the pointer target is load-bearing.
         staged_name = f"state_{batch_id}"
+        attempt = 0
+        while prev_dir is not None and staged_name == os.path.basename(prev_dir):
+            attempt += 1
+            staged_name = f"state_{batch_id}_r{attempt}"
         staged = os.path.join(self.state_dir, staged_name)
         folded.write.mode("overwrite").parquet(staged)
 

@@ -55,6 +55,23 @@ def read_events_stream(
     return reader.parquet(_events_stream_dir(sf_dir))
 
 
+def with_event_time(df: DataFrame, ntz_col: str, wm_col: str = "__wm_ts") -> DataFrame:
+    """Derive a watermark-capable TIMESTAMP column from an NTZ event time.
+
+    Spark's ``withWatermark`` rejects TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — the round-3 break that turned
+    stream_dedup_keys red. The fix: build a session-TZ TIMESTAMP carrying
+    the same instant via pure field arithmetic (``timestamp_micros`` over
+    the NTZ epoch micros — no session-timezone consultation at any point,
+    see functions/time.py), watermark on THAT, and drop it before output.
+    Session TZ is pinned UTC (session.py RUNTIME_CONF) and no query
+    projects the derived column, so output values are TZ-independent.
+    """
+    from ..functions.time import epoch_micros
+
+    return df.withColumn(wm_col, F.timestamp_micros(epoch_micros(ntz_col)))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

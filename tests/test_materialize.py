@@ -190,3 +190,76 @@ def test_incremental_materializer_idempotent_on_redelivery(spark, tmp_path):
     m.process_batch(b1, 1)  # and replay the update too
     final = {(r["k"], r["lsn"], r["v"]) for r in m.current_state(spark).collect()}
     assert final == {(1, 30, "a2"), (2, 20, "b")}
+    # the replay must have staged into a DIFFERENT dir than the live one it
+    # was reading (state_1 stays live until the attempt dir publishes)
+    assert open(os.path.join(d, "CURRENT")).read().strip() == "state_1_r1"
+
+
+def test_redelivery_crash_between_publish_and_commit(spark, tmp_path):
+    """Injected crash in the exactly-once gap (B1), with AQE OFF.
+
+    Sequence: batch 0 publishes state, then the job dies BEFORE the
+    checkpoint commit (raise inside foreachBatch after process_batch
+    returns). Restarting from the same checkpoint makes Structured
+    Streaming redeliver batch 0 — the pointer file already names
+    ``state_0``, so the replay must stage elsewhere while lazily reading
+    the live dir (the round-3 ADVICE bug: staging INTO the live dir lets
+    mode("overwrite") delete the input mid-scan; AQE masked it by
+    materializing the fold's shuffle early, hence AQE disabled here).
+    """
+    import os
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalMaterializer,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "a2"), (2, 5, "b")], ["k", "lsn", "v"]
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    d = str(tmp_path / "state")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "ckpt")
+    m = IncrementalMaterializer(d, ["k"], ["lsn"])
+    crashed = {"done": False}
+
+    def body(batch_df, batch_id):
+        m.process_batch(batch_df, batch_id)
+        if batch_id == 0 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash: after publish, before commit")
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, lsn long, v string")
+            .parquet(src)
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        try:
+            run()
+        except Exception:
+            pass  # the injected crash surfaces as StreamingQueryException
+        assert crashed["done"], "injected crash never fired"
+        # state WAS published before the crash
+        assert open(os.path.join(d, "CURRENT")).read().strip() == "state_0"
+
+        run()  # restart from the same checkpoint → batch 0 redelivered
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    # exactly the batch fold — no loss (the mid-read overwrite would have
+    # produced an empty/corrupt state), no double-apply
+    final = {(r["k"], r["lsn"], r["v"]) for r in m.current_state(spark).collect()}
+    assert final == {(1, 20, "a2"), (2, 5, "b")}
+    # and the replay staged into an attempt dir, never the live target
+    assert open(os.path.join(d, "CURRENT")).read().strip() == "state_0_r1"
