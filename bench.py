@@ -172,12 +172,19 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # two timed runs per query, report the min: measures steady-state
-    # execution rather than whichever run a GC pause or page-cache miss
-    # happened to land on.
+    # three timed runs per query, report the min: measures steady-state
+    # execution rather than whichever run a GC pause, page-cache miss, or
+    # first-call JIT happened to land on. (Round-3 postmortem: min-of-2
+    # recorded asof_join_state at 2.4x its steady state — the first sf0.1
+    # run after the sf0.001 warm-up still pays volume-dependent JIT; a
+    # 5-run probe showed [2.67, 0.92, 0.75, 0.69, 0.60] s. Plans were
+    # unchanged — pure measurement noise, fixed by the third run.)
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(min(run_once(name), run_once(name)), 3)
+        runs = [run_once(name) for _ in range(3)]
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     # cdc_enrich_e2e measures plane + oracle parse-back (the parse-back was
     # added in r02 for the value-level oracle, +~0.4s). Bench the DATA PLANE
@@ -215,6 +222,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                # round-over-round continuity: r01/r02 benched this exact
+                # computation under the old key (ADVICE r3)
+                "key_aliases": {"dedup_minhash_lsh_fast": "dedup_minhash_lsh"},
                 "skew_join": skew,
                 "sf": sf,
             }

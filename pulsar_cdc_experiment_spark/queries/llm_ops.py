@@ -317,6 +317,60 @@ def multimodal_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 4 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 2 END AS INTEGER) AS height,
+           floor((CASE doc_id % 3
+             WHEN 0 THEN list_avg([(doc_id + i) % 256 FOR i IN range(0, 24) IF i % 3 = 0])
+             WHEN 1 THEN list_avg([(doc_id * 7 + i) % 256 FOR i IN range(0, 24) IF i % 3 = 2])
+           END) * 1000000 + 0.5) / 1000000 AS mean_r,
+           floor((CASE doc_id % 3
+             WHEN 0 THEN list_avg([(doc_id + i) % 256 FOR i IN range(0, 24) IF i % 3 = 1])
+             WHEN 1 THEN list_avg([(doc_id * 7 + i) % 256 FOR i IN range(0, 24) IF i % 3 = 1])
+           END) * 1000000 + 0.5) / 1000000 AS mean_g,
+           floor((CASE doc_id % 3
+             WHEN 0 THEN list_avg([(doc_id + i) % 256 FOR i IN range(0, 24) IF i % 3 = 2])
+             WHEN 1 THEN list_avg([(doc_id * 7 + i) % 256 FOR i IN range(0, 24) IF i % 3 = 0])
+           END) * 1000000 + 0.5) / 1000000 AS mean_b,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 8 END AS INTEGER) AS n_samples,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 END AS INTEGER) AS sample_rate,
+           floor((CASE WHEN doc_id % 3 = 2
+             THEN list_avg([((doc_id * 13 + i) % 4096) - 2048 FOR i IN range(0, 8)])
+           END) * 1000000 + 0.5) / 1000000 AS amp_mean
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark, sf_dir):
+    """REAL media decode end-to-end: synthesize actual PPM/BMP/WAV files
+    (format cycling by doc_id%3, contents a deterministic function of the
+    id), then parse them back with the pure-stdlib container decoder
+    (operators/multimodal.decode_real — header walks, BMP row strides +
+    BGR order, WAV chunk scan). The oracle predicts every decoded
+    statistic arithmetically from the id, so a decoder that misreads the
+    header layout, stride, or channel order hash-mismatches immediately.
+    Compressed formats (JPEG/MP3) would swap PIL/ffmpeg into the same
+    stage; schema and plan shape identical."""
+    docs = table(spark, sf_dir, "documents")
+    media = MM.synthesize_media(docs, "doc_id")
+    dec = MM.decode_real(media)
+    return dec.select(
+        "media_id",
+        "fmt",
+        "width",
+        "height",
+        rn(F.col("mean_r"), 6).alias("mean_r"),
+        rn(F.col("mean_g"), 6).alias("mean_g"),
+        rn(F.col("mean_b"), 6).alias("mean_b"),
+        "n_samples",
+        "sample_rate",
+        rn(F.col("amp_mean"), 6).alias("amp_mean"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     SELECT doc_id AS media_id,
