@@ -34,11 +34,17 @@ BUCKET_COL = "__rank_bucket"
 
 
 def _bucket_expr(value_col: str, bounds: list[float]) -> Column:
-    """Monotone bucket assignment: index of the first boundary >= value."""
+    """Monotone bucket assignment: index of the first boundary >= value.
+
+    NULL order values go to bucket -1 — BEFORE every real bucket — because
+    ascending SQL ORDER BY (and Spark's default asc) sorts NULLS FIRST;
+    routing them anywhere else would give NULL rows the wrong global ranks
+    (they used to fall through every `<=` into the LAST bucket).
+    """
     expr = F.lit(len(bounds))  # above every boundary
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(F.col(value_col) <= F.lit(bounds[i]), F.lit(i)).otherwise(expr)
-    return expr
+    return F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(expr)
 
 
 def global_rank(

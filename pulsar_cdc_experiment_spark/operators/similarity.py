@@ -104,19 +104,62 @@ def lsh_topk(
     2 = +all 2-bit flips, ...). Probe count grows as sum of C(bits, r) —
     at the 4–16 bit scales this operator targets that stays small; recall
     rises with the radius at proportional fan-in cost."""
-    qv = np.asarray(query_vec, dtype=float)
-    bucket = 0
-    for i, plane in enumerate(planes):
-        if float(qv @ plane) > 0:
-            bucket += 2**i
-    probes = probe_buckets(bucket, len(planes), multiprobe)
+    probes = probe_buckets(query_bucket(query_vec, planes), len(planes), multiprobe)
     bucketed = lsh_bucketize(df, planes, vec_col)
+    return _topk_in_buckets(bucketed, probes, query_vec, k, id_col, vec_col)
+
+
+def _topk_in_buckets(bucketed, probes, query_vec, k, id_col, vec_col):
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         bucketed.filter(F.col("__bucket").isin(*probes))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def query_bucket(query_vec, planes: np.ndarray) -> int:
+    """Driver-side bucket id of a query vector (mirrors lsh_bucket)."""
+    qv = np.asarray(query_vec, dtype=float)
+    return sum(2**i for i, plane in enumerate(planes) if float(qv @ plane) > 0)
+
+
+def write_ann_index(
+    df: DataFrame, dst: str, planes: np.ndarray, vec_col: str = "embedding"
+) -> None:
+    """Persist the LSH index as a BUCKET-PARTITIONED parquet layout.
+
+    This is the 100 TB shape of the ANN path: ``lsh_topk`` bucketizes at
+    query time (full scan per query — fine for one-off jobs), whereas a
+    served index computes buckets ONCE at write time and lays the table
+    out with one directory per bucket, so every probe is a partition-
+    pruned scan that reads only the probed buckets' files
+    (2^bits directories; with bits sized so each holds ≳ one row group).
+    tests/test_scale_plans.py asserts the probe plan carries non-empty
+    PartitionFilters — the proof the pruning actually reaches the scan.
+    """
+    lsh_bucketize(df, planes, vec_col).write.partitionBy("__bucket").mode(
+        "overwrite"
+    ).parquet(dst)
+
+
+def probe_ann_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    planes: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """ANN top-k over a :func:`write_ann_index` layout: the bucket filter
+    is a PARTITION filter (``__bucket`` is a directory column), so Spark
+    plans a pruned scan over just the probed directories."""
+    probes = probe_buckets(query_bucket(query_vec, planes), len(planes), multiprobe)
+    return _topk_in_buckets(
+        spark.read.parquet(path), probes, query_vec, k, id_col, vec_col
     )
 
 

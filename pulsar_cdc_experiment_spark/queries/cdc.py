@@ -402,6 +402,55 @@ def cdc_enrich_e2e(spark, sf_dir):
 
 
 @register(
+    "cdc_dlq_routing",
+    oracle="""
+    SELECT 'dead' AS lane,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE event_id % 10 = 3
+    UNION ALL
+    SELECT 'ok' AS lane,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM events WHERE event_id % 10 <> 3
+    """,
+)
+def cdc_dlq_routing(spark, sf_dir):
+    """B7: dead-letter routing as a driver query. The variant envelope feed
+    (deterministic malformed rows at event_id%10==3) splits on JSON
+    parseability via streaming.pipeline.split_dlq — the never-drop stance:
+    dead rows are ROUTED with their payload intact, not discarded. The
+    checksum recovers each dead row's id FROM ITS RETAINED PAYLOAD (regexp
+    over the corrupt bytes), so a router that truncated or mangled dead
+    payloads would fail the oracle, not just miscount. Op-less envelopes
+    are valid JSON → ok lane (they enrich as 'unknown', see cdc_enrich_e2e).
+    """
+    from ..schemas import envelope_schema
+    from ..streaming.pipeline import split_dlq
+
+    raw = synthesize_envelopes(spark, sf_dir, variants=True)
+    parsed = raw.select(
+        "value", F.from_json("value", envelope_schema()).alias("__env")
+    )
+    # PERMISSIVE from_json yields an all-NULL struct (not NULL) for corrupt
+    # records — probe a field every valid envelope carries instead
+    good, dead = split_dlq(parsed, F.col("__env").getField("ts_ms").isNotNull())
+    lanes = good.select(
+        F.lit("ok").alias("lane"),
+        F.col("__env").getField("after").getField("id").cast("long").alias("rid"),
+    ).unionByName(
+        dead.select(
+            F.lit("dead").alias("lane"),
+            F.regexp_extract("value", r"(\d+)$", 1).cast("long").alias("rid"),
+        )
+    )
+    return lanes.groupBy("lane").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rid").cast("long").alias("id_checksum"),
+    )
+
+
+@register(
     "cdc_scd2_history",
     oracle=f"""
     WITH mut AS (

@@ -52,6 +52,10 @@ def register(name: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        # carry the DEFINING module (functools.wraps semantics): the
+        # duplicate-name error above prints it, and without this it would
+        # blame this module for every collision
+        wrapped.__module__ = fn.__module__
         wrapped.__family__ = fn.__module__.rsplit(".", 1)[-1]
         QUERIES[name] = wrapped
         if oracle is not None:
@@ -84,7 +88,6 @@ def load_all_query_modules() -> None:
         windows_q,
     )
 
-    global QUERIES
     by_family: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         by_family.setdefault(getattr(fn, "__family__", "other"), []).append(name)
@@ -96,4 +99,8 @@ def load_all_query_modules() -> None:
             if i < len(b):
                 interleaved.append(b[i])
         i += 1
-    QUERIES = {name: QUERIES[name] for name in interleaved}
+    # reorder IN PLACE (move-to-end in interleaved order): rebinding the
+    # global would strand any `from registry import QUERIES` alias on the
+    # stale, un-interleaved dict
+    for name in interleaved:
+        QUERIES[name] = QUERIES.pop(name)

@@ -29,8 +29,11 @@ RUNTIME_CONF = {
     # ANSI off: the reference's semantics are permissive (schemaless JSON,
     # never-fail enrichment); NULL-on-error matches its pass-through stance.
     "spark.sql.ansi.enabled": "false",
-    # The driver-generated events.parquet stores TIMESTAMP(NANOS); read as
-    # int64 nanos and normalize in sources.tables.table().
+    # Current testdata stores events.ts as TIMESTAMP(MICROS, adjusted=false)
+    # → native TIMESTAMP_NTZ read; this conf only matters for LEGACY
+    # NANOS-generation testdata, where it reads int64 nanos that
+    # sources.tables._normalize_events_ts truncates and rebuilds. Harmless
+    # for MICROS data — kept as insurance against a regenerated dataset.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # InferFiltersFromGenerate adds size(e)>0 before explode(); pushdown then
     # re-inlines the generator's (expensive) expression into a scan-level

@@ -16,7 +16,11 @@ from pyspark.sql import types as T
 
 # Raw schema of the events parquet as the streaming reader sees it
 # (parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ;
-# timezone-free on every driver, see functions/time.py).
+# timezone-free on every driver, see functions/time.py). NOTE: the
+# streaming path requires MICROS-generation testdata — only the batch
+# reader (sources.tables._normalize_events_ts) keeps the legacy
+# NANOS-as-long fallback, since a fixed streaming schema can't dispatch
+# on the file's physical type.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),

@@ -120,6 +120,29 @@ def test_global_ntile_matches_window_ntile(spark, sf_dir):
     assert got == [1, 2, 3]
 
 
+def test_global_rank_and_ntile_with_nulls(spark):
+    """NULL order values must rank NULLS FIRST, exactly like SQL ORDER BY
+    ASC (the round-3 advice: they used to fall into the LAST bucket)."""
+    from pyspark.sql import Window
+
+    from pulsar_cdc_experiment_spark.operators.ranking import (
+        global_ntile,
+        global_rank,
+    )
+
+    rows = [(float(i) if i % 5 else None, i) for i in range(200)]
+    df = spark.createDataFrame(rows, ["v", "id"])
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+
+    naive_rank = {r["id"]: r["r"] for r in df.select("id", F.row_number().over(w).alias("r")).collect()}
+    ours_rank = {r["id"]: r["__rank"] for r in global_rank(df, "v", ["id"], buckets=8).collect()}
+    assert ours_rank == naive_rank
+
+    naive_tile = {r["id"]: r["t"] for r in df.select("id", F.ntile(7).over(w).alias("t")).collect()}
+    ours_tile = {r["id"]: r["__tile"] for r in global_ntile(df, "v", ["id"], n=7, buckets=8).collect()}
+    assert ours_tile == naive_tile
+
+
 def _window_feeds_single_partition(plan: str) -> bool:
     """True if any Window node in a physical plan sits on an Exchange
     SinglePartition (the whole input sorted in ONE task)."""
@@ -214,3 +237,33 @@ def test_compaction_and_range_layout(spark, sf_dir):
 
     assert target_file_count(0) == 1
     assert target_file_count(300 * 1024 * 1024, 256) == 2
+
+
+def test_ann_index_probe_is_partition_pruned(spark, sf_dir):
+    """C42 scale path: a persisted write_ann_index layout (one directory
+    per LSH bucket) makes the probe a PARTITION-PRUNED scan — the plan
+    must carry non-empty PartitionFilters on __bucket, and the pruned
+    probe must return exactly what the scan-everything lsh_topk returns
+    for the same query/planes/radius."""
+    from pulsar_cdc_experiment_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    planes = S.hyperplanes(dim=len(qvec), bits=4, seed=42)
+
+    idx = tempfile.mkdtemp(prefix="ann_idx_")
+    S.write_ann_index(emb, idx, planes)
+
+    probe = S.probe_ann_index(spark, idx, qvec, planes, k=10, multiprobe=1)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "__bucket" in pf and "in (" in pf.lower(), pf
+    # pruning must not change the answer
+    expect = [
+        (r["vec_id"], round(r["cos_sim"], 9))
+        for r in S.lsh_topk(emb, qvec, planes, k=10, multiprobe=1).collect()
+    ]
+    got = [(r["vec_id"], round(r["cos_sim"], 9)) for r in probe.collect()]
+    assert got == expect
