@@ -156,6 +156,89 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_repetition_metrics",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN [array_to_string((toks)[i:i+1], ' ') FOR i IN range(1, len(toks))]
+                  ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok
+    ), mx AS (
+      SELECT doc_id, max(c) AS max_c FROM tc GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           floor((CASE WHEN len(toks) > 0
+                       THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS distinct_token_ratio,
+           floor((CASE WHEN len(toks) > 0
+                       THEN mx.max_c / CAST(len(toks) AS DOUBLE)
+                       ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS top_token_ratio,
+           floor((CASE WHEN len(grams) > 0
+                       THEN 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                       ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_bigram_ratio
+    FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id
+    """,
+)
+def text_repetition_metrics(spark, sf_dir):
+    """C40 (repetition filters): the Gopher/C4-style repetition signals —
+    distinct-token ratio, most-frequent-token share, duplicate-bigram
+    fraction. Low-diversity boilerplate and keyword-stuffed spam score
+    high on repetition and get filtered before training. The ratios are
+    pure expressions except the top-token share (explode → per-doc token
+    counts → max: one aggregate pass, same shape at any corpus size)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wt = docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    base = wt.select(
+        "doc_id",
+        "__toks",
+        D.word_ngrams(toks, 2).alias("__g2"),
+    ).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)) / F.size(toks).cast("double"),
+        ).otherwise(0.0).alias("__dtr"),
+        F.when(
+            F.size("__g2") > 0,
+            1.0 - F.size(F.array_distinct("__g2")) / F.size("__g2").cast("double"),
+        ).otherwise(0.0).alias("__dbr"),
+    )
+    top = (
+        wt.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__max_c"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            rn(F.col("__dtr"), 6).alias("distinct_token_ratio"),
+            rn(
+                F.when(
+                    F.col("n_tok") > 0,
+                    F.col("__max_c") / F.col("n_tok").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("top_token_ratio"),
+            rn(F.col("__dbr"), 6).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies

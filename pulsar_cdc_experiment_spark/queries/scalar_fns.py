@@ -500,3 +500,88 @@ def date_functions2(spark, sf_dir):
         F.to_date(F.date_trunc("quarter", d)).alias("quarter_start"),
         F.greatest(F.to_date(d), F.lit("1997-01-01").cast("date")).alias("clamped_date"),
     )
+
+
+@register(
+    "xml_functions",
+    oracle="""
+    WITH x AS (
+      SELECT doc_id,
+             '<doc id="' || doc_id || '" nc="' || n_chars || '"><lang>' || lang ||
+             '</lang><src>' || source || '</src></doc>' AS xml
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS lang_x,
+           regexp_extract(xml, '<src>([^<]*)</src>', 1) AS src_x,
+           CAST(regexp_extract(xml, 'nc="([0-9]+)"', 1) AS BIGINT) AS n_chars_x,
+           CAST(regexp_extract(xml, 'id="([0-9]+)"', 1) AS BIGINT) + 1 AS next_id
+    FROM x
+    """,
+)
+def xml_functions(spark, sf_dir):
+    """C25-adjacent (semi-structured: XML): build markup from typed columns,
+    then extract with REAL XPath evaluation (element text and attribute
+    axes). The oracle re-derives the same fields with regexes — two
+    entirely different extraction mechanisms must agree value-for-value,
+    a stronger check than mirroring one function both sides. (The XML file
+    source/sink round-trip lives in tests/test_formats.py; DuckDB has no
+    XML reader, so the file path is test-pinned rather than oracle-backed.)
+    """
+    docs = table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<doc id="'), F.col("doc_id").cast("string"),
+        F.lit('" nc="'), F.col("n_chars").cast("string"),
+        F.lit('"><lang>'), F.col("lang"),
+        F.lit("</lang><src>"), F.col("source"),
+        F.lit("</src></doc>"),
+    )
+    built = docs.select("doc_id", xml.alias("__xml"))
+    return built.select(
+        "doc_id",
+        F.xpath_string("__xml", F.lit("/doc/lang")).alias("lang_x"),
+        F.xpath_string("__xml", F.lit("/doc/src")).alias("src_x"),
+        F.xpath_long("__xml", F.lit("/doc/@nc")).alias("n_chars_x"),
+        (F.xpath_long("__xml", F.lit("/doc/@id")) + 1).alias("next_id"),
+    )
+
+
+@register(
+    "url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT event_id,
+             'https://' || event_type || '.example.com/u/' || user_id ||
+             '/p?id=' || event_id || '&lang=en' AS url
+      FROM events
+    )
+    SELECT event_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+           regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+)
+def url_functions(spark, sf_dir):
+    """C19-adjacent (URL parsing — the crawl-pipeline staple): build URLs
+    from typed columns, extract host/path/protocol/query params with
+    Spark's REAL url parser (``parse_url``, java.net semantics). The
+    oracle re-derives each part with regexes — two different parsing
+    mechanisms must agree on every row."""
+    ev = table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://"), F.col("event_type"), F.lit(".example.com/u/"),
+        F.col("user_id").cast("string"), F.lit("/p?id="),
+        F.col("event_id").cast("string"), F.lit("&lang=en"),
+    )
+    u = ev.select("event_id", url.alias("__url"))
+    return u.select(
+        "event_id",
+        F.parse_url("__url", F.lit("HOST")).alias("host"),
+        F.parse_url("__url", F.lit("PATH")).alias("path"),
+        F.parse_url("__url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("__url", F.lit("QUERY"), F.lit("id")).alias("id_param"),
+        F.parse_url("__url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
