@@ -764,11 +764,18 @@ def corpus_sample_stratified(spark, sf_dir):
 def llm_prep_pipeline(spark, sf_dir):
     """The composed training-data prep pipeline, end to end in ONE plan:
     quality scoring → threshold filter → exact dedup (survivor = min id
-    per text) → deterministic ~50% hash sample → per-source stats. Each
+    per content) → deterministic ~50% hash sample → per-source stats. Each
     stage is an operator checked on its own elsewhere; this entry proves
     they COMPOSE (the filter pushes below the dedup shuffle, the sample is
     a scan-level predicate, and the whole thing is two shuffles: dedup
-    window + final group-by)."""
+    window + final group-by).
+
+    The dedup window partitions on md5(text), NOT text, and the raw text
+    column is projected away before the shuffle: identical groups (and an
+    identical survivor set — the oracle partitions on text itself), but
+    the shuffle carries a 32-byte digest instead of whole documents —
+    at 100 TB that is the difference between shuffling the corpus and
+    shuffling ~1% of it."""
     from pyspark.sql import Window
 
     docs = fan_out(table(spark, sf_dir, "documents"))
@@ -777,12 +784,13 @@ def llm_prep_pipeline(spark, sf_dir):
     )
     t, toks = F.col("text"), F.col("__toks")
     scored = wt.select(
-        "doc_id", "text", "source",
+        "doc_id", "source",
+        F.md5(F.encode(t, "UTF-8")).alias("__digest"),
         F.size(toks).alias("n_tok"),
         TX.quality_score(t, toks).alias("quality"),
     )
     kept = scored.filter((F.col("n_tok") >= 10) & (F.col("quality") >= 0.8))
-    w = Window.partitionBy("text")
+    w = Window.partitionBy("__digest")
     surv = kept.withColumn("min_id", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("min_id")
     )

@@ -79,6 +79,29 @@ def stream_dedup_keys(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """C33 (bounded-state variant): ``dropDuplicatesWithinWatermark`` — the
+    production streaming dedup. Plain dropDuplicates keeps every seen key
+    forever (state grows with the keyspace); the within-watermark form
+    evicts each key once the watermark passes its event time, so state is
+    bounded by the delay window — the only dedup that survives an
+    unbounded 100 TB/day feed. Over the AvailableNow run the full feed is
+    one batch, so output equals batch DISTINCT and the oracle applies."""
+    ev = with_event_time(read_events_stream(spark, sf_dir), "ts")
+    deduped = (
+        ev.withWatermark("__wm_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(
+        deduped, "stream_dedup_within_watermark", output_mode="append"
+    )
+
+
+@register(
     "stream_stateful_totals",
     oracle="""
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
