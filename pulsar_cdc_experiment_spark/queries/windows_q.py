@@ -148,3 +148,116 @@ def window_ignore_nulls(spark, sf_dir):
         _rn(F.last("v", ignorenulls=True).over(full), 2).alias("last_seen"),
         _rn(prev, 2).alias("prev_seen"),
     )
+
+
+@register(
+    "time_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id,
+             CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS hour_no,
+             floor((sum(value)) * 100 + 0.5) / 100 AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(hour_no) AS h0, max(hour_no) AS h1
+      FROM hourly GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(range(h0, h1 + 1)) AS hour_no FROM span
+    ), joined AS (
+      SELECT g.user_id, g.hour_no, h.v
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour_no)
+    )
+    SELECT user_id, hour_no,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           v IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def time_gapfill_locf(spark, sf_dir):
+    """Time-series gap filling with last-observation-carried-forward (the
+    timescale/metrics-store resample): per-user hourly totals densified
+    over each user's own [first, last] hour via sequence+explode, missing
+    hours forward-filled with a last(ignorenulls) window. One shuffle on
+    user_id serves the span agg, the grid join, and the fill window; the
+    grid is bounded by time range × keys, never by event count — the
+    shape that holds when events are 100 TB but hours are thousands."""
+    from pyspark.sql import Window
+
+    from ..functions.time import epoch_millis
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id",
+            F.floor(epoch_millis("ts") / 3600000).cast("long").alias("hour_no"),
+            "value",
+        )
+        .groupBy("user_id", "hour_no")
+        .agg(rn(F.sum("value"), 2).alias("v"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour_no").alias("h0"), F.max("hour_no").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_no")
+    )
+    joined = grid.join(hourly, ["user_id", "hour_no"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_no",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id,
+             min(CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT)) AS cohort_wk
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT e.user_id, s.cohort_wk,
+             CAST(floor(epoch_ms(e.ts) / 604800000.0) AS BIGINT) - s.cohort_wk
+               AS wk_offset
+      FROM events e JOIN signup s USING (user_id)
+    )
+    SELECT cohort_wk, wk_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM act WHERE wk_offset >= 0 GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-signup week, counted
+    once per (cohort, weeks-since-signup) they were active in — the
+    product-analytics staple. The signup table is a per-user aggregate
+    (≪ events), so its join back to the event feed broadcasts; the DISTINCT
+    collapses per-user-week activity before the final count, keeping the
+    heavy agg on (user, week) keys rather than raw events."""
+    from ..functions.time import epoch_millis
+
+    ev = table(spark, sf_dir, "events")
+    wk = F.floor(epoch_millis("ts") / 604800000).cast("long")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    act = (
+        ev.select("user_id", wk.alias("wk"))
+        .join(F.broadcast(signup), "user_id")
+        .select(
+            "user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset")
+        )
+        .filter(F.col("wk_offset") >= 0)
+        .distinct()
+    )
+    return act.groupBy("cohort_wk", "wk_offset").agg(F.count("*").alias("n_users"))
