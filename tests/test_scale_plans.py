@@ -267,3 +267,34 @@ def test_ann_index_probe_is_partition_pruned(spark, sf_dir):
     ]
     got = [(r["vec_id"], round(r["cos_sim"], 9)) for r in probe.collect()]
     assert got == expect
+
+
+def test_footer_stats_push_aggregates_to_parquet_metadata(spark, sf_dir):
+    """plans/stats answers MIN/MAX/COUNT from parquet footers: the plan
+    must show DSv2 BatchScan with non-empty PushedAggregation, and the
+    values must equal a real scan's."""
+    import os
+
+    from pulsar_cdc_experiment_spark.plans import stats as ST
+
+    path = os.path.join(sf_dir, "orders.parquet")
+
+    with ST._dsv2_agg_pushdown(spark):
+        df = spark.read.parquet(path)
+        q = df.agg(F.min("o_orderkey").alias("o_orderkey_min"),
+                   F.max("o_orderkey").alias("o_orderkey_max"))
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+    assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey)]" in plan, plan
+
+    got = ST.footer_min_max(spark, path, ["o_orderkey", "o_totalprice"]).collect()[0]
+    full = table(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    assert (got["o_orderkey_min"], got["o_orderkey_max"]) == (full[0], full[1])
+    assert (got["o_totalprice_min"], got["o_totalprice_max"]) == (full[2], full[3])
+
+    n = ST.footer_count(spark, path)
+    assert n == table(spark, sf_dir, "orders").count()
