@@ -657,6 +657,38 @@ def agg_statistics(spark, sf_dir):
 
 
 @register(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           floor((regr_slope(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000 AS slope,
+           floor((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS intercept,
+           floor((regr_r2(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000 AS r2,
+           floor((regr_avgx(l_extendedprice, l_quantity)) * 1000000 + 0.5) / 1000000 AS avg_x,
+           floor((regr_avgy(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """C8 (regression aggregates): least-squares slope/intercept/R² per
+    group — single-pass mergeable moments like corr/covar (partial (n,
+    Σx, Σy, Σxx, Σxy) per map partition, one shuffle of 5 doubles per
+    group). SQL-standard regr_* semantics on both engines; y-then-x
+    argument order matters and is mirrored exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n_pairs"),
+        rn(F.regr_slope(y, x), 6).alias("slope"),
+        rn(F.regr_intercept(y, x), 4).alias("intercept"),
+        rn(F.regr_r2(y, x), 6).alias("r2"),
+        rn(F.regr_avgx(y, x), 6).alias("avg_x"),
+        rn(F.regr_avgy(y, x), 4).alias("avg_y"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT s_nationkey,
