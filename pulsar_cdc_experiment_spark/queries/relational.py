@@ -689,6 +689,28 @@ def agg_regression(spark, sf_dir):
 
 
 @register(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS BIGINT) AS ln_and,
+           CAST(bit_or(l_linenumber) AS BIGINT) AS ln_or,
+           CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS key_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark, sf_dir):
+    """C8 (bitwise aggregates): AND/OR/XOR folds — exact, commutative,
+    mergeable (the XOR fold doubles as a cheap order-insensitive set
+    checksum for reconciliation jobs)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").cast("long").alias("ln_and"),
+        F.bit_or("l_linenumber").cast("long").alias("ln_or"),
+        F.bit_xor(F.col("l_orderkey").cast("long")).alias("key_xor"),
+    )
+
+
+@register(
     "agg_collect",
     oracle="""
     SELECT s_nationkey,
