@@ -216,3 +216,114 @@ def udtf_chunk_documents(spark, sf_dir):
         FROM __udtf_docs d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+@register(
+    "udf_cogrouped_merge",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             floor((sum(value)) * 100 + 0.5) / 100 AS purchase_sum
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_signups
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    )
+    SELECT COALESCE(p.user_id, s.user_id) AS user_id,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(purchase_sum, 0.0) AS purchase_sum,
+           COALESCE(n_signups, 0) AS n_signups
+    FROM p FULL OUTER JOIN s USING (user_id)
+    """,
+)
+def udf_cogrouped_merge(spark, sf_dir):
+    """C38 (two-sided): COGROUPED pandas map — both sides of a key arrive
+    as aligned pandas frames in one function call
+    (``groupBy().cogroup().applyInPandas``), the extension point for
+    per-key merge logic a join can't express (custom reconciliation,
+    model scoring over both feeds). One shuffle per side on the key, like
+    a join. The body here computes per-user purchase/signup stats so the
+    whole thing remains value-checkable against a FULL OUTER JOIN oracle.
+    """
+    import math
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id"
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(left)],
+                "purchase_sum": [
+                    math.floor(float(left["value"].sum()) * 100 + 0.5) / 100
+                    if len(left)
+                    else 0.0
+                ],
+                "n_signups": [len(right)],
+            }
+        )
+
+    out_schema = (
+        "user_id bigint, n_purchases bigint, purchase_sum double, n_signups bigint"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(merge, out_schema)
+    )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           substr(text, 1, 8) AS prefix8
+    FROM documents
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """C37 (lowest-level Python interop): ``mapInArrow`` — the function
+    receives raw ``pyarrow.RecordBatch`` objects, no pandas conversion at
+    all. The cheapest Python hop Spark offers: for byte-level work
+    (payload stats, tokenizer FFI, model-runtime handoff) it skips the
+    Arrow→pandas materialization ``mapInPandas`` pays. Byte length and an
+    8-byte prefix are recomputed from the binary payload with pyarrow
+    compute kernels; the oracle predicts both from the source text (ASCII
+    corpus ⇒ byte slices equal character slices, as in multimodal_decode).
+    """
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    from ..operators.multimodal import attach_binary_payload
+
+    def stats(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payload = batch.column(batch.schema.get_field_index("payload"))
+            n_bytes = pc.binary_length(payload).cast(pa.int64())
+            prefix8 = pc.cast(pc.binary_slice(payload, 0, 8), pa.string())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("media_id")),
+                    n_bytes,
+                    prefix8,
+                ],
+                ["media_id", "n_bytes", "prefix8"],
+            )
+
+    docs = table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id").select(
+        "media_id", "payload"
+    )
+    return media.mapInArrow(
+        stats, "media_id bigint, n_bytes bigint, prefix8 string"
+    )
