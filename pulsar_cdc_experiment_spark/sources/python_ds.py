@@ -11,18 +11,30 @@ this module ships a file-backed CDC feed source ("cdc_feed") that
   the part of the API that matters at scale),
 - emits the raw payload plus per-record lineage (file + offset within
   file), the analog of Kafka's topic/partition/offset (A15),
-- composes unchanged with ``parse_envelopes`` / ``enrich`` downstream.
+- composes unchanged with ``parse_envelopes`` / ``enrich`` downstream,
+- and the WRITE half (A18): per-task staging + driver-side commit — each
+  task writes to a hidden staging file and returns a commit message; only
+  the driver's commit() publishes (rename) them, abort() discards. The
+  same two-phase shape every transactional sink (Kafka txn, Delta commit,
+  the reference's Pulsar producer with dedup) reduces to, so a task retry
+  or speculative duplicate can never surface half-written output.
 
 It is deliberately a THIN demonstration of the extension seam: real
-deployments point the same class at a queue client; the partition-planning
-and lineage shapes stay identical.
+deployments point the same class at a queue client; the partition-planning,
+lineage, and commit shapes stay identical.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _FeedFilePartition(InputPartition):
@@ -43,6 +55,9 @@ class CdcFeedDataSource(DataSource):
     def reader(self, schema) -> "CdcFeedReader":
         return CdcFeedReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "CdcFeedWriter":
+        return CdcFeedWriter(self.options)
+
 
 class CdcFeedReader(DataSourceReader):
     def __init__(self, options):
@@ -52,11 +67,13 @@ class CdcFeedReader(DataSourceReader):
 
     def partitions(self):
         # one partition per feed file: the planner-side split that makes
-        # the scan scale with the file count (sorted for determinism)
+        # the scan scale with the file count (sorted for determinism).
+        # "."/"_" prefixes are skipped per the Hadoop convention — staging
+        # dirs and _SUCCESS markers are metadata, not feed data.
         return [
             _FeedFilePartition(os.path.join(self.path, f))
             for f in sorted(os.listdir(self.path))
-            if not f.startswith(".")
+            if not f.startswith((".", "_"))
         ]
 
     def read(self, partition: _FeedFilePartition):
@@ -66,6 +83,60 @@ class CdcFeedReader(DataSourceReader):
                 line = line.rstrip("\n")
                 if line:
                     yield (line, fname, i)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class CdcFeedWriter(DataSourceWriter):
+    """Two-phase feed sink: tasks stage, the driver commits.
+
+    ``write`` runs per task on executors — it writes the partition's
+    ``value`` column to ``.staging/part-<uuid>`` and returns the staged
+    path as its commit message. ``commit`` runs once on the driver with
+    the messages of the SUCCESSFUL task attempts only: it renames each
+    staged file to its final name and drops a ``_SUCCESS`` marker, so a
+    failed/retried/speculative task's orphan staging file is never
+    published (``abort`` sweeps them). Readers that gate on ``_SUCCESS``
+    get all-or-nothing batches.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cdc_feed sink requires option 'path'")
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        staging = os.path.join(self.path, ".staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, f"part-{uuid.uuid4().hex}")
+        with open(staged, "w") as fh:
+            for row in iterator:
+                v = row["value"]
+                if v is not None:
+                    fh.write(v + "\n")
+        return _StagedFile(staged)
+
+    def commit(self, messages) -> None:
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.staged, final)
+        staging = os.path.join(self.path, ".staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except OSError:
+                pass
 
 
 def register_cdc_feed(spark) -> None:

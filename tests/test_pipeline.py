@@ -174,6 +174,33 @@ def test_custom_python_datasource_feed(spark):
     assert {r["value"] for r in rows} == {r["value"] for r in text.collect()}
 
 
+def test_custom_python_datasource_sink_two_phase_commit(spark, tmp_path):
+    """The WRITE half of the extension seam (A18): tasks stage to hidden
+    files, only the driver's commit publishes — then the cdc_feed READER
+    round-trips the published batch (both halves of the custom protocol
+    in one path)."""
+    import os
+
+    from pulsar_cdc_experiment_spark.sources.python_ds import register_cdc_feed
+
+    register_cdc_feed(spark)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    lines = [f'{{"id": {i}}}' for i in range(20)]
+    df = spark.createDataFrame([(s,) for s in lines], ["value"]).repartition(3)
+    df.write.format("cdc_feed").option("path", out).mode("append").save()
+
+    published = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(published) == 3  # one published file per task
+    assert "_SUCCESS" in os.listdir(out)  # driver-side commit marker
+    # no staging leftovers after a clean commit
+    assert not os.path.isdir(os.path.join(out, ".staging"))
+
+    back = spark.read.format("cdc_feed").option("path", out).load()
+    vals = {r["value"] for r in back.collect()}  # reader skips _SUCCESS
+    assert vals == set(lines)
+
+
 def test_pipeline_config_rescue_and_kafka_wiring(spark):
     """Config-driven drift rescue (source.rescue: true) flows _rescued
     through the pipeline; a kafka-format config wires the reader to the
