@@ -132,11 +132,18 @@ class CdcFeedWriter(DataSourceWriter):
             pass
 
     def abort(self, messages) -> None:
+        # messages only cover tasks that RETURNED — the task that failed
+        # mid-write left its staged file with no message, so sweep the
+        # whole staging dir (it is batch-private in this sink)
+        import shutil
+
         for m in messages:
-            try:
-                os.remove(m.staged)
-            except OSError:
-                pass
+            if m is not None:
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+        shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
 
 
 def register_cdc_feed(spark) -> None:

@@ -201,6 +201,39 @@ def test_custom_python_datasource_sink_two_phase_commit(spark, tmp_path):
     assert vals == set(lines)
 
 
+def test_custom_python_datasource_sink_abort_publishes_nothing(spark, tmp_path):
+    """A failing task must leave the sink EMPTY: no published part files,
+    no _SUCCESS, staging swept by abort — half-written batches are
+    invisible to any reader gating on the commit marker."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from pulsar_cdc_experiment_spark.sources.python_ds import register_cdc_feed
+
+    register_cdc_feed(spark)
+    out = str(tmp_path / "sink_abort")
+    os.makedirs(out)
+
+    @F2.udf("string")
+    def poison(v):
+        if v == "boom":
+            raise RuntimeError("injected task failure")
+        return v
+
+    df = spark.createDataFrame(
+        [("ok-1",), ("boom",), ("ok-2",)], ["raw"]
+    ).repartition(3).select(poison("raw").alias("value"))
+    with pytest.raises(Exception):
+        df.write.format("cdc_feed").option("path", out).mode("append").save()
+
+    assert [f for f in os.listdir(out) if f.startswith("part-")] == []
+    assert "_SUCCESS" not in os.listdir(out)
+    staging = os.path.join(out, ".staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
 def test_pipeline_config_rescue_and_kafka_wiring(spark):
     """Config-driven drift rescue (source.rescue: true) flows _rescued
     through the pipeline; a kafka-format config wires the reader to the
