@@ -239,6 +239,63 @@ def text_repetition_metrics(spark, sf_dir):
 
 
 @register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos
+      FROM d
+    ), cnt AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS N FROM tok
+    ), sc AS (
+      SELECT doc_id, pos, -ln(c / CAST(N AS DOUBLE)) AS lp
+      FROM tok JOIN cnt USING (t) CROSS JOIN n
+    ), agg AS (
+      SELECT doc_id, list(lp ORDER BY pos) AS lps FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(len(lps) AS BIGINT) AS n_tok,
+           floor((list_reduce(list_prepend(0.0, lps), (a, b) -> a + b) / len(lps))
+                 * 1000000 + 0.5) / 1000000 AS avg_neg_logprob
+    FROM agg
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """The CCNet-style LM quality filter, reduced to its distributed core:
+    train a unigram LM on the corpus itself (token → count/N, one
+    aggregate + a broadcast join back) and score each document by average
+    negative log-probability — high scores flag out-of-distribution or
+    gibberish text for filtering. Floats stay oracle-exact by the same
+    trick as the cosine queries: per-doc log-probs are collected in token
+    order and folded SEQUENTIALLY (F.aggregate ≡ DuckDB list_reduce), so
+    both engines add the same doubles in the same order."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    wt = docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
+    tok = wt.select("doc_id", F.posexplode("__toks").alias("pos", "t"))
+    cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
+    n_total = tok.count()
+    scored = tok.join(F.broadcast(cnt), "t").select(
+        "doc_id",
+        "pos",
+        (-F.log(F.col("c") / F.lit(float(n_total)))).alias("lp"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "lp"))), lambda s: s["lp"]
+        ).alias("lps")
+    )
+    fold = F.aggregate("lps", F.lit(0.0), lambda a, x: a + x)
+    return agg.select(
+        "doc_id",
+        F.size("lps").cast("long").alias("n_tok"),
+        rn(fold / F.size("lps"), 6).alias("avg_neg_logprob"),
+    )
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
