@@ -44,7 +44,13 @@ def _dsv2_agg_pushdown(spark: SparkSession):
 
 def footer_min_max(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     """One-row DataFrame of ``<col>_min`` / ``<col>_max`` for ``cols``,
-    answered from parquet footers (metadata-only when pushdown engages)."""
+    answered from parquet footers (metadata-only when pushdown engages).
+
+    The footer query executes INSIDE the conf scope and the collected row
+    is re-published as a literal one-row DataFrame (mirroring
+    ``footer_count``): returning the lazy aggregate instead would let a
+    caller's later action re-plan AFTER the confs are restored and
+    silently pay a full scan for values that were already in hand."""
     with _dsv2_agg_pushdown(spark):
         df = spark.read.parquet(path)
         aggs = []
@@ -52,9 +58,8 @@ def footer_min_max(spark: SparkSession, path: str, cols: list[str]) -> DataFrame
             aggs.append(F.min(c).alias(f"{c}_min"))
             aggs.append(F.max(c).alias(f"{c}_max"))
         out = df.agg(*aggs)
-        out.collect()  # execute INSIDE the conf scope (plans bind at analysis,
-        # but execution re-checks source resolution on some paths)
-        return out
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def footer_count(spark: SparkSession, path: str) -> int:

@@ -266,21 +266,34 @@ def text_repetition_metrics(spark, sf_dir):
 def text_unigram_logprob(spark, sf_dir):
     """The CCNet-style LM quality filter, reduced to its distributed core:
     train a unigram LM on the corpus itself (token → count/N, one
-    aggregate + a broadcast join back) and score each document by average
+    aggregate joined back) and score each document by average
     negative log-probability — high scores flag out-of-distribution or
     gibberish text for filtering. Floats stay oracle-exact by the same
     trick as the cosine queries: per-doc log-probs are collected in token
     order and folded SEQUENTIALLY (F.aggregate ≡ DuckDB list_reduce), so
-    both engines add the same doubles in the same order."""
+    both engines add the same doubles in the same order.
+
+    Scale notes: the normalizer N is folded INTO the plan as a one-row
+    aggregate over the token counts (cross-joined broadcast — the
+    subqueries.py scalar pattern), not an eager ``tok.count()`` at
+    build time, so constructing the query runs zero jobs and the corpus
+    is tokenized once, not twice. The vocabulary join carries NO
+    broadcast hint: under Heaps' law the vocabulary of a 100 TB corpus
+    is itself data-proportional, so AQE must keep the freedom to
+    shuffle-join it."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     wt = docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
     tok = wt.select("doc_id", F.posexplode("__toks").alias("pos", "t"))
     cnt = tok.groupBy("t").agg(F.count("*").alias("c"))
-    n_total = tok.count()
-    scored = tok.join(F.broadcast(cnt), "t").select(
-        "doc_id",
-        "pos",
-        (-F.log(F.col("c") / F.lit(float(n_total)))).alias("lp"),
+    n_total = cnt.agg(F.sum("c").alias("__N"))
+    scored = (
+        tok.join(cnt, "t")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            "pos",
+            (-F.log(F.col("c") / F.col("__N").cast("double"))).alias("lp"),
+        )
     )
     agg = scored.groupBy("doc_id").agg(
         F.transform(
@@ -662,9 +675,15 @@ def dedup_clusters(spark, sf_dir):
     """,
 )
 def text_tfidf_top_terms(spark, sf_dir):
-    """C40: TF-IDF — top-3 distinguishing terms per document. The idf join
-    broadcasts (vocabulary ≪ corpus); identical float expression shape on
-    both sides keeps the scores bit-comparable."""
+    """C40: TF-IDF — top-3 distinguishing terms per document. Identical
+    float expression shape on both sides keeps the scores bit-comparable.
+
+    Scale notes: N (corpus document count) is a one-row aggregate
+    cross-joined into the plan (subqueries.py scalar pattern), not an
+    eager ``docs.count()`` at build time — query construction runs zero
+    jobs. The document-frequency join carries NO broadcast hint: the
+    vocabulary grows with the corpus (Heaps' law), so AQE keeps the
+    freedom to shuffle-join it when it outgrows the broadcast threshold."""
     from pyspark.sql import Window
 
     docs = fan_out(table(spark, sf_dir, "documents"))
@@ -676,13 +695,14 @@ def text_tfidf_top_terms(spark, sf_dir):
         "doc_len", F.sum("tf").over(Window.partitionBy("doc_id"))
     )
     df_tab = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n_tab = docs.agg(F.count("*").alias("__n_docs"))
     score = (F.col("tf") / F.col("doc_len").cast("double")) * F.log(
-        F.lit(n_docs) / F.col("df").cast("double")
+        F.col("__n_docs").cast("double") / F.col("df").cast("double")
     )
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token").asc())
     return (
-        tf.join(F.broadcast(df_tab), "token")
+        tf.join(df_tab, "token")
+        .crossJoin(F.broadcast(n_tab))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", rn(score, 8).alias("tfidf"))

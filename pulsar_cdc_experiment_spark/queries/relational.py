@@ -118,7 +118,7 @@ def join_revenue_by_nation(spark, sf_dir):
     region = table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -252,7 +252,7 @@ def join_range(spark, sf_dir):
     part = table(spark, sf_dir, "part")
     return (
         li.join(
-            F.broadcast(part),
+            part,
             (li.l_partkey == part.p_partkey)
             & (li.l_quantity.between(part.p_size - 5, part.p_size + 5)),
         )
@@ -356,7 +356,7 @@ def shipping_priority(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")

@@ -60,7 +60,7 @@ def small_qty_revenue(spark, sf_dir):
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(half_avg), li.l_partkey == half_avg.pk)
+        li.join(half_avg, li.l_partkey == half_avg.pk)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(rn(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -89,7 +89,7 @@ def returned_revenue_by_customer(spark, sf_dir):
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -123,7 +123,7 @@ def large_volume_orders(spark, sf_dir):
     cust = table(spark, sf_dir, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -231,7 +231,7 @@ def promo_revenue_share(spark, sf_dir):
     part = table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             rn(
                 100.0
@@ -259,7 +259,7 @@ def disjunctive_filter_revenue(spark, sf_dir):
     the optimizer must keep the join predicate and evaluate the residual."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    j = li.join(part, part.p_partkey == li.l_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -312,8 +312,8 @@ def volume_shipping(spark, sf_dir):
     nations = ("NATION_1", "NATION_2")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(

@@ -54,9 +54,7 @@ def stream_static_join(spark, sf_dir):
     the batch join result."""
     ev = read_events_stream(spark, sf_dir)
     cust = table(spark, sf_dir, "customer")
-    joined = ev.join(
-        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
-    ).select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey, "inner").select("event_id", "user_id", "c_name", "c_mktsegment", "value")
     return run_to_memory(joined, "stream_static_join", output_mode="append")
 
 
@@ -339,13 +337,24 @@ def stream_dedup_against_corpus(spark, sf_dir):
     no streaming aggregation needed), banded, stream-static-joined to the
     corpus buckets, deduplicated, Jaccard-verified. Portable hash family
     throughout → the whole streaming pipeline is value-checked against the
-    DuckDB oracle. At scale the corpus side is a precomputed signature
-    table partitioned by bucket; the stream plan is unchanged."""
+    DuckDB oracle.
+
+    Scale shape: the corpus band table and shingle-set table are
+    PRECOMPUTED ON DISK (plans/layout.range_layout, keyed on the join
+    columns — the same partition-pruned pattern as the ANN index,
+    operators/similarity.write_ann_index), and each micro-batch
+    SHUFFLE-joins against them. Neither side carries a broadcast hint:
+    the historical corpus grows without bound, so collecting its bands or
+    shingle sets into driver broadcast state — correct at sf0.1 — would
+    OOM every executor at 100 TB. AQE may still elect a broadcast while
+    the corpus measures small; the plan just no longer pins it."""
+    import os
     import tempfile
 
     from ..operators import dedup as D
     from ..operators.dedup import jaccard, shingled
     from ..operators.text import tokens as _tokens
+    from ..plans.layout import range_layout
     from ..schemas import DOCUMENTS
 
     p, base = D.PORT_P, D.PORT_BASE
@@ -354,9 +363,20 @@ def stream_dedup_against_corpus(spark, sf_dir):
 
     docs = table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
-    corpus_sh = shingled(corpus, "doc_id", "text", 3).persist()
+    idx_dir = tempfile.mkdtemp(prefix="corpus_sig_")
+    sh_path = os.path.join(idx_dir, "shingles")
+    bands_path = os.path.join(idx_dir, "bands")
+    range_layout(
+        shingled(corpus, "doc_id", "text", 3).select(
+            F.col("doc_id").alias("old_id"), F.col("__shingles").alias("__sh_old")
+        ),
+        sh_path,
+        ["old_id"],
+        files=4,
+    )
+    corpus_sh = spark.read.parquet(sh_path)
     hashed = corpus_sh.select(
-        F.col("doc_id"), F.explode("__shingles").alias("__s")
+        F.col("old_id").alias("doc_id"), F.explode("__sh_old").alias("__s")
     ).select("doc_id", D.portable_string_hash(F.col("__s")).alias("__H"))
     corpus_sig = hashed.groupBy("doc_id").agg(
         *[
@@ -374,14 +394,19 @@ def stream_dedup_against_corpus(spark, sf_dir):
             out.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
         return out
 
-    corpus_banded = corpus_sig.select(
-        F.col("doc_id").alias("old_id"),
-        F.explode(F.array(*band_bucket_cols(lambda j: F.col(f"h{j}")))).alias("bb"),
-    ).select("old_id", "bb.band", "bb.bucket")
+    range_layout(
+        corpus_sig.select(
+            F.col("doc_id").alias("old_id"),
+            F.explode(F.array(*band_bucket_cols(lambda j: F.col(f"h{j}")))).alias("bb"),
+        ).select("old_id", "bb.band", "bb.bucket"),
+        bands_path,
+        ["band", "bucket"],
+        files=4,
+    )
+    corpus_banded = spark.read.parquet(bands_path)
 
     # --- stream side: stateless per-row signatures --------------------------
     stream_dir = tempfile.mkdtemp(prefix="doc_stream_")
-    import os
 
     link = os.path.join(stream_dir, "documents.parquet")
     if not os.path.exists(link):
@@ -418,20 +443,12 @@ def stream_dedup_against_corpus(spark, sf_dir):
     ).select("new_id", "__sh_new", "bb.band", "bb.bucket")
 
     cands = (
-        new_banded.join(F.broadcast(corpus_banded), ["band", "bucket"])
+        new_banded.join(corpus_banded, ["band", "bucket"])
         .select("new_id", "old_id", "__sh_new")
         .dropDuplicates(["new_id", "old_id"])
     )
     verified = (
-        cands.join(
-            F.broadcast(
-                corpus_sh.select(
-                    F.col("doc_id").alias("old_id"),
-                    F.col("__shingles").alias("__sh_old"),
-                )
-            ),
-            "old_id",
-        )
+        cands.join(corpus_sh, "old_id")
         .select(
             "new_id",
             "old_id",

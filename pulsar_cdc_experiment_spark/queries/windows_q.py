@@ -237,10 +237,12 @@ def time_gapfill_locf(spark, sf_dir):
 def retention_cohorts(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-signup week, counted
     once per (cohort, weeks-since-signup) they were active in — the
-    product-analytics staple. The signup table is a per-user aggregate
-    (≪ events), so its join back to the event feed broadcasts; the DISTINCT
-    collapses per-user-week activity before the final count, keeping the
-    heavy agg on (user, week) keys rather than raw events."""
+    product-analytics staple. The signup table is a per-user aggregate —
+    it GROWS with the user base, so it gets NO broadcast hint: AQE
+    broadcasts it while it measures small and falls back to a shuffle join
+    once it doesn't (a pinned hint would OOM the build side at 100 TB).
+    The DISTINCT collapses per-user-week activity before the final count,
+    keeping the heavy agg on (user, week) keys rather than raw events."""
     from ..functions.time import epoch_millis
 
     ev = table(spark, sf_dir, "events")
@@ -253,7 +255,7 @@ def retention_cohorts(spark, sf_dir):
     )
     act = (
         ev.select("user_id", wk.alias("wk"))
-        .join(F.broadcast(signup), "user_id")
+        .join(signup, "user_id")
         .select(
             "user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset")
         )

@@ -56,7 +56,7 @@ class CdcFeedDataSource(DataSource):
         return CdcFeedReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "CdcFeedWriter":
-        return CdcFeedWriter(self.options)
+        return CdcFeedWriter(self.options, overwrite)
 
 
 class CdcFeedReader(DataSourceReader):
@@ -101,12 +101,26 @@ class CdcFeedWriter(DataSourceWriter):
     failed/retried/speculative task's orphan staging file is never
     published (``abort`` sweeps them). Readers that gate on ``_SUCCESS``
     get all-or-nothing batches.
+
+    Final names carry a per-batch id (``part-<batch>-<i>.jsonl``), never a
+    bare positional index: positional names made a second append batch
+    silently overwrite the first's colliding parts, and an overwrite batch
+    with fewer tasks left the previous batch's higher-numbered parts alive
+    under the refreshed ``_SUCCESS`` — readers saw a mixed batch. In
+    overwrite mode ``commit`` sweeps pre-existing parts (and ``_SUCCESS``)
+    before publishing.
     """
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cdc_feed sink requires option 'path'")
+        self.overwrite = overwrite
+        # driver-generated, pickled with the writer → every task and the
+        # commit see the same batch id
+        self.batch_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _StagedFile:
         import uuid
@@ -122,8 +136,17 @@ class CdcFeedWriter(DataSourceWriter):
         return _StagedFile(staged)
 
     def commit(self, messages) -> None:
+        if self.overwrite:
+            # unpublish the previous batch FIRST (marker before parts, so
+            # a crash mid-sweep leaves no _SUCCESS over partial contents)
+            marker = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+            for f in os.listdir(self.path):
+                if f.startswith("part-"):
+                    os.remove(os.path.join(self.path, f))
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{self.batch_id}-{i:05d}.jsonl")
             os.replace(m.staged, final)
         staging = os.path.join(self.path, ".staging")
         if os.path.isdir(staging) and not os.listdir(staging):

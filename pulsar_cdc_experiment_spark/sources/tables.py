@@ -3,6 +3,13 @@
 One parquet file per table under ``{sf_dir}/{name}.parquet``. Readers are
 plain ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
 pruning, and (on partitioned layouts) partition pruning for free.
+
+Schemas are inferred ONCE per path and cached driver-side: every later
+``table()`` call passes the cached schema explicitly, so building a query
+plan runs zero Spark jobs (tests/test_scale_plans.py asserts this for the
+whole registry). At 100 TB the same discipline matters for real — footer
+schema inference over a many-thousand-file table is a cluster job per
+read, and a catalog (or this cache) pays it once instead of per query.
 """
 
 from __future__ import annotations
@@ -11,6 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -27,11 +35,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# path -> inferred StructType; filled on first read of each table file
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _enable_nanos_as_long(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = _normalize_events_ts(df)
     return df

@@ -201,6 +201,48 @@ def test_custom_python_datasource_sink_two_phase_commit(spark, tmp_path):
     assert vals == set(lines)
 
 
+def test_custom_python_datasource_sink_multi_batch(spark, tmp_path):
+    """Second-batch semantics (the round-4 advisor finding): append batches
+    must not collide on part names (positional part-00000 silently
+    overwrote the first batch's files), and an overwrite batch with FEWER
+    tasks must sweep the previous batch's higher-numbered parts — stale
+    parts under a refreshed _SUCCESS read back as a mixed batch."""
+    import os
+
+    from pulsar_cdc_experiment_spark.sources.python_ds import register_cdc_feed
+
+    register_cdc_feed(spark)
+
+    def write(vals, n_parts, mode, out):
+        df = spark.createDataFrame([(v,) for v in vals], ["value"]).repartition(
+            n_parts
+        )
+        df.write.format("cdc_feed").option("path", out).mode(mode).save()
+
+    def read_back(out):
+        back = spark.read.format("cdc_feed").option("path", out).load()
+        return {r["value"] for r in back.collect()}
+
+    # append + append: both batches fully present, no overwritten parts
+    out = str(tmp_path / "sink_append")
+    os.makedirs(out)
+    write([f"a{i}" for i in range(6)], 3, "append", out)
+    write([f"b{i}" for i in range(6)], 3, "append", out)
+    assert len([f for f in os.listdir(out) if f.startswith("part-")]) == 6
+    assert read_back(out) == {f"a{i}" for i in range(6)} | {
+        f"b{i}" for i in range(6)
+    }
+
+    # big batch then SMALLER overwrite batch: only the new batch survives
+    out2 = str(tmp_path / "sink_overwrite")
+    os.makedirs(out2)
+    write([f"old{i}" for i in range(8)], 4, "append", out2)
+    write(["new0", "new1"], 1, "overwrite", out2)
+    assert len([f for f in os.listdir(out2) if f.startswith("part-")]) == 1
+    assert "_SUCCESS" in os.listdir(out2)
+    assert read_back(out2) == {"new0", "new1"}
+
+
 def test_custom_python_datasource_sink_abort_publishes_nothing(spark, tmp_path):
     """A failing task must leave the sink EMPTY: no published part files,
     no _SUCCESS, staging swept by abort — half-written batches are

@@ -182,6 +182,170 @@ def test_no_registered_query_sorts_globally(spark, sf_dir):
     assert offenders == []
 
 
+def _subtree(lines: list[str], i: int) -> list[str]:
+    """Lines of the physical-plan subtree rooted at ``lines[i]`` (tree
+    depth = count of leading tree-drawing characters)."""
+    depth = len(lines[i]) - len(lines[i].lstrip(" :+-*("))
+    out = []
+    for line in lines[i + 1 :]:
+        d = len(line) - len(line.lstrip(" :+-*("))
+        if line.strip() and d <= depth:
+            break
+        out.append(line)
+    return out
+
+
+# Tables small by CONSTRUCTION (fixed cardinality regardless of data
+# volume) — the only parquet inputs a pinned broadcast may scan. Everything
+# else (customer/part/supplier/orders/lineitem/events/documents/embeddings,
+# and any derived per-key aggregate like a signup table or a vocabulary)
+# grows with the data, and a broadcast hint on it would pin an
+# executor-OOM plan at 100 TB that AQE could otherwise avoid.
+_FIXED_SIZE_TABLES = {"nation.parquet", "region.parquet"}
+
+# Broadcasts of a single-key equality lookup (query vector fetched by its
+# unique id): ≤1 row per key by schema semantics, invisible to the
+# structural scan-size argument below, so named explicitly.
+_SINGLE_KEY_BROADCAST_OK = {
+    "embed_ann_lsh",
+    "embed_ann_portable",
+    "embed_near_dup_pairs",
+}
+
+
+def test_no_broadcast_hint_on_data_proportional_input(spark, sf_dir):
+    """Scale gate (round-4 verdict task 1): with auto-broadcast disabled,
+    every BroadcastExchange left in a registered query's physical plan
+    comes from an EXPLICIT F.broadcast hint. Each such subtree must be
+    provably bounded: it scans only fixed-size tables, or flows through a
+    global (ungrouped) aggregate / GlobalLimit on the ancestor path of
+    every other scan. Broadcasting a data-proportional side (the signup
+    aggregate, a token vocabulary, the dedup corpus) is the class of plan
+    this bans — correct at sf0.1, executor-OOM at 100 TB."""
+    import re
+
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # cached plans from earlier tests were planned under the DEFAULT
+    # threshold; their stored physical plans are inlined into explain
+    # output and would be audited as if they were this query's plan
+    spark.catalog.clearCache()
+    offenders = []
+    try:
+        for name, fn in sorted(QUERIES.items()):
+            if name.startswith("stream_") or name in _SINGLE_KEY_BROADCAST_OK:
+                continue
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "simple"
+            )
+            # InMemoryRelation nodes carry their cached plan as display
+            # metadata — drop those subtrees, they are not this query's
+            # execution under the audited conf
+            raw = plan.splitlines()
+            lines, skip_deeper = [], None
+            for line in raw:
+                d = len(line) - len(line.lstrip(" :+-*("))
+                if skip_deeper is not None:
+                    if line.strip() and d > skip_deeper:
+                        continue
+                    skip_deeper = None
+                if "InMemoryRelation" in line:
+                    skip_deeper = d
+                    continue
+                lines.append(line)
+            for i, line in enumerate(lines):
+                if "BroadcastExchange" not in line:
+                    continue
+                sub = _subtree(lines, i)
+                for j, sline in enumerate(sub):
+                    if "FileScan" not in sline and "Scan parquet" not in sline:
+                        continue
+                    paths = re.findall(r"file:[^\],\s]+", sline)
+                    bases = {p.rstrip("/").rsplit("/", 1)[-1] for p in paths}
+                    if bases <= _FIXED_SIZE_TABLES:
+                        continue
+                    # ancestor walk: the scan is fine only if some strict
+                    # ancestor within the broadcast subtree bounds its
+                    # output (global aggregate or global limit)
+                    depth = len(sub[j]) - len(sub[j].lstrip(" :+-*("))
+                    bounded = False
+                    for k in range(j - 1, -1, -1):
+                        d = len(sub[k]) - len(sub[k].lstrip(" :+-*("))
+                        if d < depth:
+                            depth = d
+                            if (
+                                "HashAggregate(keys=[]" in sub[k]
+                                or "SortAggregate(key=[]" in sub[k]
+                                or "ObjectHashAggregate(keys=[]" in sub[k]
+                                or "GlobalLimit" in sub[k]
+                            ):
+                                bounded = True
+                                break
+                    if not bounded:
+                        offenders.append((name, sline.strip()[:120]))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert offenders == [], offenders
+
+
+# Queries whose CONSTRUCTION legitimately runs bounded driver-side jobs —
+# the round-4 verdict's "bounded model state" carve-out: iterative model
+# fitting that cannot be one lazy plan (kmeans centroids, label-propagation
+# convergence counts), two-phase ranking boundaries (rows = bucket count,
+# not data), and 1-row query-vector fetches. The list is asserted EXACT in
+# both directions so an entry that stops running jobs must be removed.
+_BUILD_JOBS_SANCTIONED = {
+    "corpus_pack_bins",  # per-bucket prefix-sum offsets (fixed bucket count)
+    "dedup_clusters",  # label propagation: per-iteration convergence count
+    "embed_ann_lsh",  # 1-row query-vector fetch
+    "embed_ivf_ann",  # kmeans: k×d centroid state per iteration
+    "embed_ivf_portable",  # kmeans: k×d centroid state per iteration
+    "embed_topk_cosine",  # 1-row query-vector fetch
+    "order_value_deciles",  # ntile boundaries: n-1 rows
+}
+
+
+def test_query_construction_runs_no_jobs(spark, sf_dir):
+    """Scale gate (round-4 verdict task 2): BUILDING a registered batch
+    query must launch zero Spark jobs — an eager .count()/.collect() at
+    construction time is a hidden extra pass over the corpus that doubles
+    scan cost at 100 TB (the round-4 text_unigram_logprob/tfidf defect).
+    Table schemas are cached by sources/tables.py, so source resolution
+    is job-free too. Streaming queries execute by construction (memory
+    sink) and are exercised in test_streaming.py instead."""
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+    from pulsar_cdc_experiment_spark.sources.tables import TABLES, table
+
+    load_all_query_modules()
+    for t in TABLES:
+        table(spark, sf_dir, t)  # warm the schema cache (first read per path)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    ran_jobs = set()
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("stream_"):
+            continue
+        gid = f"__build_audit_{name}"
+        sc.setJobGroup(gid, "construction audit")
+        try:
+            fn(spark, sf_dir)
+        finally:
+            sc.setJobGroup("__build_audit_done", "")
+        if tracker.getJobIdsForGroup(gid):
+            ran_jobs.add(name)
+    assert ran_jobs == _BUILD_JOBS_SANCTIONED
+
+
 def test_global_ntile_empty_and_single_row(spark):
     from pyspark.sql import types as T
 
@@ -288,13 +452,23 @@ def test_footer_stats_push_aggregates_to_parquet_metadata(spark, sf_dir):
         )
     assert "PushedAggregation: [MIN(o_orderkey), MAX(o_orderkey)]" in plan, plan
 
-    got = ST.footer_min_max(spark, path, ["o_orderkey", "o_totalprice"]).collect()[0]
+    mm = ST.footer_min_max(spark, path, ["o_orderkey", "o_totalprice"])
+    got = mm.collect()[0]
     full = table(spark, sf_dir, "orders").agg(
         F.min("o_orderkey"), F.max("o_orderkey"),
         F.min("o_totalprice"), F.max("o_totalprice"),
     ).collect()[0]
     assert (got["o_orderkey_min"], got["o_orderkey_max"]) == (full[0], full[1])
     assert (got["o_totalprice_min"], got["o_totalprice_max"]) == (full[2], full[3])
+
+    # the returned frame is MATERIALIZED: re-collecting it outside the conf
+    # scope must not re-plan into a full scan (the round-4 sharp edge — a
+    # lazy return would silently lose the footer-only guarantee)
+    replan = mm._sc._jvm.PythonSQLUtils.explainString(
+        mm._jdf.queryExecution(), "simple"
+    )
+    assert "FileScan" not in replan and "BatchScan" not in replan, replan
+    assert mm.collect()[0] == got
 
     n = ST.footer_count(spark, path)
     assert n == table(spark, sf_dir, "orders").count()
