@@ -234,7 +234,7 @@ def synthesize_envelopes(spark, sf_dir, variants: bool = False):
     if variants:
         email = F.when(F.col("event_id") % 5 != 0, email)
     after = F.struct(
-        F.col("event_id").cast("int").alias("id"),
+        F.col("event_id").cast("long").alias("id"),
         F.col("event_type").alias("name"),
         email.alias("email"),
         epoch_micros("ts").alias("created_at"),
@@ -252,7 +252,7 @@ def synthesize_envelopes(spark, sf_dir, variants: bool = False):
         (F.col("event_id") * 10).alias("lsn"),
     )
     envelope = F.struct(
-        F.lit(None).cast("struct<id:int,name:string,email:string,created_at:bigint>").alias("before"),
+        F.lit(None).cast("struct<id:bigint,name:string,email:string,created_at:bigint>").alias("before"),
         after.alias("after"),
         source.alias("source"),
         _op_col().alias("op"),
@@ -583,7 +583,7 @@ def cdc_drift_rescue(spark, sf_dir):
 
     ev = fan_out(table(spark, sf_dir, "events"))
     after = F.struct(
-        F.col("event_id").cast("int").alias("id"),
+        F.col("event_id").cast("long").alias("id"),
         F.col("event_type").alias("name"),
         F.concat(F.col("user_id").cast("string"), F.lit("@example.com")).alias("email"),
         epoch_micros("ts").alias("created_at"),
@@ -603,4 +603,53 @@ def cdc_drift_rescue(spark, sf_dir):
         F.when(F.col("_rescued").isNotNull(), F.size("_rescued"))
         .otherwise(F.lit(0))
         .alias("n_rescued"),
+    )
+
+
+@register(
+    "cdc_table_filter",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS row_id,
+           CASE user_id % 3 WHEN 0 THEN 'customers'
+                            WHEN 1 THEN 'orders' END AS src_table
+    FROM events WHERE user_id % 3 IN (0, 1)
+    """,
+)
+def cdc_table_filter(spark, sf_dir):
+    """A2: source-side table include list, driver-checked.
+
+    A multi-table envelope feed (source.table fanned over customers/
+    orders/products by user_id, as in cdc_multi_table_state) is parsed and
+    narrowed by ``sources.cdc.table_filter`` to an include list — the
+    Spark face of the reference connector's ``table.include.list:
+    public.customers`` (debezium-postgres-connector.yaml:24). The
+    predicate is on plain provenance columns, so Catalyst pushes it to
+    the scan on a real source; the oracle pins that exactly the included
+    tables' rows survive, by value.
+    """
+    from ..plans.tuning import fan_out
+    from ..sources.cdc import parse_envelopes, table_filter
+
+    ev = fan_out(table(spark, sf_dir, "events"))
+    tbl = (
+        F.when(F.col("user_id") % 3 == 0, "customers")
+        .when(F.col("user_id") % 3 == 1, "orders")
+        .otherwise("products")
+    )
+    envelope = F.struct(
+        F.struct(F.col("event_id").alias("id")).alias("after"),
+        F.struct(
+            F.lit("public").alias("schema"),
+            tbl.alias("table"),
+            epoch_millis("ts").alias("ts_ms"),
+        ).alias("source"),
+        _op_col().alias("op"),
+        epoch_millis("ts").alias("ts_ms"),
+    )
+    raw = ev.select(F.to_json(envelope).alias("value"))
+    env = parse_envelopes(raw)
+    kept = table_filter(env, ["public.customers", "public.orders"])
+    return kept.select(
+        F.col("after").getField("id").alias("row_id"),
+        F.col("source").getField("table").alias("src_table"),
     )

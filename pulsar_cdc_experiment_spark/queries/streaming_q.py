@@ -458,3 +458,75 @@ def stream_dedup_against_corpus(spark, sf_dir):
         .select("new_id", "old_id", rn(F.col("jaccard"), 6).alias("jaccard"))
     )
     return run_to_memory(verified, "stream_dedup_against_corpus", output_mode="append")
+
+
+@register("stream_late_data_drop")  # rows-only BY DESIGN: watermark
+# late-drop is multi-batch streaming semantics with no batch-SQL
+# equivalent — a batch oracle over the same rows would COUNT the late
+# batch that the watermark is required to drop.
+def stream_late_data_drop(spark, sf_dir):
+    """C32: event-time watermark drops late data — as a driver query.
+
+    The events table is staged into three ordered micro-batch files:
+    the newer two-thirds of the time range arrive first (batches 0-1,
+    advancing the watermark to max(ts) − 30 min), then the OLDEST half
+    arrives last (batch 2) — every row in it sits far behind the
+    watermark and must be dropped, not aggregated (reference event-time
+    semantics via ts_ms, cdc_enrichment_function.py:49-53). Append mode
+    emits only watermark-finalized windows, so the result contains NO
+    window from the late batch's time range: the hourly counts cover
+    [mid, hi − 30 min] exclusively, proving the drop by absence. Epoch
+    arithmetic is integer-only over NTZ (functions/time.py) — no session
+    timezone anywhere. At scale this is THE mechanism that bounds
+    windowed-aggregation state on an unbounded feed: state for a window
+    is evictable the moment the watermark passes its end.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.time import epoch_micros
+    from ..streaming.pipeline import EVENTS_RAW
+
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(epoch_micros("ts")).alias("lo"), F.max(epoch_micros("ts")).alias("hi")
+    ).first()
+    lo_us, hi_us = rng["lo"], rng["hi"]
+    mid_us = lo_us + (hi_us - lo_us) // 2
+    t1_us = lo_us + 2 * (hi_us - lo_us) // 3
+    us = epoch_micros("ts")
+    batches = [
+        ev.filter((us >= F.lit(mid_us)) & (us < F.lit(t1_us))),  # on-time
+        ev.filter(us >= F.lit(t1_us)),  # advances watermark to hi − delay
+        ev.filter(us < F.lit(mid_us)),  # LATE: every row behind the watermark
+    ]
+    d = tempfile.mkdtemp(prefix="late_drop_")
+    base = 1_700_000_000
+    for i, b in enumerate(batches):
+        stage = os.path.join(d, f"_stage{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        final = os.path.join(d, f"{i:03d}.parquet")
+        os.replace(part, final)
+        # file source orders batches by modification time — pin it
+        os.utime(final, (base + i * 60, base + i * 60))
+        shutil.rmtree(stage)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    wm = with_event_time(stream, "ts")
+    agg = (
+        wm.withWatermark("__wm_ts", "30 minutes")
+        .groupBy(F.window("__wm_ts", "60 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, "stream_late_data_drop", output_mode="append")
+    # window bounds as epoch seconds: instant-valued, stable in any TZ
+    return out.select(
+        F.col("window.start").cast("long").alias("w_start_epoch"),
+        F.col("n_events"),
+    )

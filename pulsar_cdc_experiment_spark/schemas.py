@@ -27,9 +27,15 @@ from pyspark.sql import types as T
 # CREATE TABLE customers(id SERIAL PRIMARY KEY, name VARCHAR(255) NOT NULL,
 #   email VARCHAR(255) NOT NULL UNIQUE, created_at TIMESTAMP DEFAULT now())
 # In CDC events created_at is int64 epoch-micros (see module docstring).
+# `id` is LongType, not the SERIAL's int32: a 100 TB feed blows through
+# 2^31 keys, Spark wraps int32 silently (ANSI off) while the SQL oracle
+# keeps the true value — the same silent-at-scale divergence class the
+# round-4 sampling-hash fix eliminated. Debezium's JSON carries plain
+# numbers, so widening the parse type loses nothing (and the at-scale
+# source column is BIGSERIAL anyway).
 CUSTOMERS_ROW = T.StructType(
     [
-        T.StructField("id", T.IntegerType(), True),
+        T.StructField("id", T.LongType(), True),
         T.StructField("name", T.StringType(), True),
         T.StructField("email", T.StringType(), True),
         T.StructField("created_at", T.LongType(), True),  # epoch micros
