@@ -43,6 +43,14 @@ HEADLINE = [
     "stream_tumbling_agg",      # real Structured Streaming job (AvailableNow)
     "llm_prep_pipeline",        # composed prep: quality->dedup->sample->stats
     "order_value_deciles",      # distributed exact ntile (no global sort)
+    # round-5 additions: the four queries whose round-4 plans carried
+    # data-proportional broadcast hints / eager counts (now removed —
+    # benched so the fixes are measured), plus the r4 gap-fill operator
+    "retention_cohorts",        # cohort matrix (signup join, no pinned broadcast)
+    "text_unigram_logprob",     # unigram LM scoring (in-plan N, no vocab hint)
+    "text_tfidf_top_terms",     # TF-IDF (in-plan N, no df-table hint)
+    "stream_dedup_against_corpus",  # stream-vs-corpus dedup (bucketed corpus tables)
+    "time_gapfill_locf",        # gap-fill + last-observation-carried-forward
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}

