@@ -422,6 +422,101 @@ def portable_minhash_near_dups(
     )
 
 
+def write_signature_index(
+    df: DataFrame,
+    dst: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    files: int = 4,
+    append: bool = False,
+) -> tuple[str, str]:
+    """Persist a corpus's MinHash signature index on disk: ``dst/shingles``
+    (shingle sets keyed on the doc id) and ``dst/bands`` (LSH band/bucket
+    rows keyed on ``(band, bucket)``), each range-laid-out on its join key
+    (plans/layout.range_layout — the same partition-pruned shape as the
+    ANN index, similarity.write_ann_index).
+
+    This is the 100 TB form of dedup-against-history: the corpus is hashed
+    ONCE at index-build time; incoming batches (stream or batch) shuffle-
+    join the on-disk tables on ``(band, bucket)`` — never a broadcast of
+    corpus state, never a re-hash of the history. ``append=True`` adds a
+    new batch's signatures as extra files in the same directories
+    (correct immediately — the joins don't require disjoint ranges; the
+    range layout is a pruning optimization that degrades until the next
+    plans/layout.compact_parquet pass, exactly like any LSM-ish table).
+
+    Uses the PORTABLE hash family so an index probed by a value-checked
+    query stays oracle-checkable end-to-end.
+    """
+    import os
+
+    from ..plans.layout import range_layout
+
+    rows_per_band = num_hashes // bands
+    sh_path = os.path.join(dst, "shingles")
+    bands_path = os.path.join(dst, "bands")
+    sh = shingled(df, id_col, text_col, ngram).select(
+        F.col(id_col).alias("old_id"), F.col("__shingles").alias("__sh_old")
+    )
+    if append:
+        sh = sh.persist()  # one tokenization pass feeds both tables
+        sh.repartition(files).write.mode("append").parquet(sh_path)
+        sh_src = sh
+    else:
+        range_layout(sh, sh_path, ["old_id"], files)
+        # derive bands from the WRITTEN table: the raw corpus is scanned
+        # exactly once however many downstream tables the index carries
+        sh_src = df.sparkSession.read.parquet(sh_path)
+    hashed = sh_src.select(
+        F.col("old_id"), F.explode("__sh_old").alias("__s")
+    ).select("old_id", portable_string_hash(F.col("__s")).alias("__H"))
+    sig = hashed.groupBy("old_id").agg(
+        *[
+            F.min((F.lit(PORT_A[j]) * F.col("__H") + F.lit(PORT_B[j])) % PORT_P).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+
+    def band_bucket(b: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(b * rows_per_band, (b + 1) * rows_per_band):
+            acc = (acc * PORT_BASE + F.col(f"h{j}")) % PORT_P
+        return acc
+
+    banded = sig.select(
+        "old_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("old_id", "bb.band", "bb.bucket")
+    if append:
+        banded.repartition(files).write.mode("append").parquet(bands_path)
+        sh.unpersist()
+    else:
+        range_layout(banded, bands_path, ["band", "bucket"], files)
+    return sh_path, bands_path
+
+
+def read_signature_index(spark, dst: str) -> tuple[DataFrame, DataFrame]:
+    """(shingle_sets, banded_buckets) of a :func:`write_signature_index`
+    layout — plain parquet reads, so every probe plan gets pushdown and
+    the tables never transit the driver."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(dst, "shingles")),
+        spark.read.parquet(os.path.join(dst, "bands")),
+    )
+
+
 SIMHASH_PORT_BITS = 30  # < log2(PORT_P): every bit of the portable hash
 
 

@@ -183,3 +183,70 @@ def test_lsh_hot_bucket_guard(spark):
     metric = dropped.collect()
     assert len(metric) == 8             # clones collide in every band
     assert all(r["n_docs"] == 40 for r in metric)
+
+
+def test_signature_index_write_probe_and_append(spark, sf_dir):
+    """write_signature_index is the persisted corpus face of the MinHash
+    path: probing the on-disk index finds the same near-dup pairs as the
+    all-in-one portable_minhash_near_dups, and an incremental append
+    batch becomes probe-able without re-hashing the original corpus."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators import dedup as D
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    first = docs.filter(F.col("doc_id") % 5 != 0)
+    extra = docs.filter(F.col("doc_id") % 5 == 0)
+
+    idx = tempfile.mkdtemp(prefix="sig_idx_")
+    D.write_signature_index(first, idx)
+    sh, banded = D.read_signature_index(spark, idx)
+    assert sh.count() == first.count()
+    assert banded.count() == first.count() * 4  # one row per band
+
+    # probing the index reproduces the monolithic operator's pairs
+    expect = {
+        (r["id_a"], r["id_b"])
+        for r in D.portable_minhash_near_dups(first, "doc_id", "text").collect()
+    }
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.old_id") < F.col("b.old_id")),
+        )
+        .select(F.col("a.old_id").alias("id_a"), F.col("b.old_id").alias("id_b"))
+        .distinct()
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cands.join(
+            sh.select(F.col("old_id").alias("id_a"), F.col("__sh_old").alias("__sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("old_id").alias("id_b"), F.col("__sh_old").alias("__sh_b")), "id_b"
+        )
+        .filter(D.jaccard(F.col("__sh_a"), F.col("__sh_b")) >= 0.15)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert got == expect
+
+    # incremental append: new docs land in the same index, old files untouched
+    files_before = set(os.listdir(os.path.join(idx, "shingles")))
+    D.write_signature_index(extra, idx, append=True)
+    sh2, banded2 = D.read_signature_index(spark, idx)
+    assert sh2.count() == docs.count()
+    assert banded2.count() == docs.count() * 4
+    assert files_before <= set(os.listdir(os.path.join(idx, "shingles")))
+    # appended ids are probe-able alongside the originals
+    appended_ids = {r["doc_id"] for r in extra.select("doc_id").collect()}
+    indexed = {r["old_id"] for r in sh2.select("old_id").collect()}
+    assert appended_ids <= indexed
