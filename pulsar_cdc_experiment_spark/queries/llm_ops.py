@@ -1059,8 +1059,13 @@ def embed_ann_portable(spark, sf_dir):
     planes = S.hyperplanes(dim=64, bits=4, seed=42)
     emb = table(spark, sf_dir, "embeddings")
     bucketed = S.lsh_bucketize(emb, planes)
-    q = bucketed.filter(F.col("vec_id") == 0).select(
-        F.col("__bucket").alias("__qb"), F.col("embedding").alias("__qv")
+    # limit(1) is a value no-op (vec_id is unique) but makes the broadcast
+    # side STRUCTURALLY bounded — the registry-wide broadcast gate accepts
+    # it without a named exemption
+    q = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(F.col("__bucket").alias("__qb"), F.col("embedding").alias("__qv"))
+        .limit(1)
     )
     cand = bucketed.crossJoin(F.broadcast(q)).filter(
         F.bit_count(F.col("__bucket").bitwiseXOR(F.col("__qb"))) <= 1

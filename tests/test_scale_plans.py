@@ -203,14 +203,12 @@ def _subtree(lines: list[str], i: int) -> list[str]:
 # executor-OOM plan at 100 TB that AQE could otherwise avoid.
 _FIXED_SIZE_TABLES = {"nation.parquet", "region.parquet"}
 
-# Broadcasts of a single-key equality lookup (query vector fetched by its
-# unique id): ≤1 row per key by schema semantics, invisible to the
-# structural scan-size argument below, so named explicitly.
-_SINGLE_KEY_BROADCAST_OK = {
-    "embed_ann_lsh",
-    "embed_ann_portable",
-    "embed_near_dup_pairs",
-}
+# Named exemptions for broadcasts the structural argument below cannot
+# see. EMPTY since round 5: the one single-key query-vector broadcast
+# (embed_ann_portable) now carries a value-no-op limit(1), which bounds
+# it structurally (GlobalLimit ancestor). Keep the hook — and keep it
+# empty.
+_SINGLE_KEY_BROADCAST_OK: set[str] = set()
 
 
 def test_no_broadcast_hint_on_data_proportional_input(spark, sf_dir):
