@@ -97,7 +97,7 @@ def main() -> None:
         env = spark.range(n).select(
             F.lit(None).cast(envelope_schema()["before"].dataType).alias("before"),
             F.struct(
-                F.col("id").cast("int").alias("id"),
+                F.col("id").alias("id"),
                 F.concat(F.lit("name"), F.col("id")).alias("name"),
                 F.concat(F.col("id").cast("string"), F.lit("@x.io")).alias("email"),
                 (F.col("id") * 1000).alias("created_at"),
@@ -114,11 +114,33 @@ def main() -> None:
         )
         enrich(env).write.format("noop").mode("overwrite").save()
 
+    def minhash_signature_build(n):
+        """The dedup asymptote: shingle → flat hash → k min-aggs per doc
+        (the write_signature_index / minhash_near_dups hot path) over
+        synthetic ~12-word docs, engine murmur3 hashing (the fast path a
+        real corpus uses; the portable family is for oracle audits)."""
+        from pulsar_cdc_experiment_spark.operators import dedup as D
+
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(11)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id") * 13 + i), F.lit(10_000)).cast("string"),
+            ),
+        )
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+        )
+        D.minhash_signatures(docs, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
     run("join_fact_dim", int(150e6 * s), join_fact_dim)
     run("window_partitioned", int(100e6 * s), window_partitioned)
     run("cdc_enrich_projection", int(50e6 * s), enrich_projection)
+    run("minhash_signature_build", int(2e6 * s), minhash_signature_build)
 
     print(json.dumps({"metric": "stress", "cores": cores, "ops": results}))
     spark.stop()
