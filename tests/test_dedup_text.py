@@ -250,3 +250,42 @@ def test_signature_index_write_probe_and_append(spark, sf_dir):
     appended_ids = {r["doc_id"] for r in extra.select("doc_id").collect()}
     indexed = {r["old_id"] for r in sh2.select("old_id").collect()}
     assert appended_ids <= indexed
+
+
+def test_signature_index_streaming_maintenance(spark, sf_dir):
+    """The out-of-band index maintenance loop claimed in SCALE.md: a
+    document stream appends each micro-batch's signatures to the
+    persisted index via foreachBatch, and after the run the index covers
+    exactly the streamed corpus — no re-hash of earlier batches, no
+    broadcast state, restart-safe (append of an already-written batch is
+    the idempotence concern of the SINK, here a plain parquet append the
+    checkpoint prevents from re-firing)."""
+    import os
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.operators import dedup as D
+    from pulsar_cdc_experiment_spark.schemas import DOCUMENTS
+
+    docs_dir = tempfile.mkdtemp(prefix="sig_stream_")
+    link = os.path.join(docs_dir, "documents.parquet")
+    os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    idx = tempfile.mkdtemp(prefix="sig_idx_stream_")
+    ckpt = tempfile.mkdtemp(prefix="sig_ckpt_")
+
+    stream = spark.readStream.schema(DOCUMENTS).parquet(docs_dir)
+
+    def upsert(batch_df, _batch_id):
+        D.write_signature_index(batch_df, idx, append=True)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sh, banded = D.read_signature_index(spark, idx)
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    assert sh.count() == n_docs
+    assert banded.count() == n_docs * 4
