@@ -276,11 +276,14 @@ def text_unigram_logprob(spark, sf_dir):
     Scale notes: the normalizer N is folded INTO the plan as a one-row
     aggregate over the token counts (cross-joined broadcast — the
     subqueries.py scalar pattern), not an eager ``tok.count()`` at
-    build time, so constructing the query runs zero jobs and the corpus
-    is tokenized once, not twice. The vocabulary join carries NO
-    broadcast hint: under Heaps' law the vocabulary of a 100 TB corpus
-    is itself data-proportional, so AQE must keep the freedom to
-    shuffle-join it."""
+    build time, so constructing the query runs zero jobs and N adds no
+    extra corpus pass: the N branch re-states the token-count subtree,
+    and AQE's shuffle-stage cache reuses the already-materialized
+    stages (verified at runtime — the branch's 32-task stages complete
+    zero tasks). The vocabulary join carries NO broadcast hint: under
+    Heaps' law the vocabulary of a 100 TB corpus is itself
+    data-proportional, so AQE must keep the freedom to shuffle-join
+    it."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     wt = docs.select("doc_id", TX.tokens(F.col("text")).alias("__toks"))
     tok = wt.select("doc_id", F.posexplode("__toks").alias("pos", "t"))
