@@ -67,3 +67,58 @@ def range_layout(
         .write.mode("overwrite")
         .parquet(dst)
     )
+
+
+def zorder_layout(
+    df: DataFrame, dst: str, cols: list[str], files: int, bits: int = 12
+) -> None:
+    """Write ``df`` clustered on the MORTON (Z-order) interleaving of
+    ``cols`` — the multi-column analog of :func:`range_layout`.
+
+    Range layout on one key gives perfect pruning on that key and NONE on
+    any other (every file spans the full range of the second column).
+    Z-order interleaves the quantized bits of k columns, so consecutive
+    z-values are near each other in EVERY dimension: each written file
+    owns a small hyper-rectangle, and parquet min/max stats prune
+    row-groups for predicates on ANY clustered column (the technique
+    behind Delta/Iceberg OPTIMIZE ZORDER — at 100 TB this is the
+    difference between a 2-D range query reading ~sqrt(files) files and
+    reading all of them).
+
+    Columns are min-max quantized to ``bits`` levels (one bounds
+    aggregate — a layout-maintenance job, like the byte-count in
+    :func:`compact_parquet`); the z-value is pure integer expression
+    work (shift/mask/or), never a UDF, and is dropped before write.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).alias(f"__hi_{c}") for c in cols],
+    ).first()
+    n = len(cols)
+    quantized = []
+    for c in cols:
+        lo = float(bounds[f"__lo_{c}"])
+        hi = float(bounds[f"__hi_{c}"])
+        span = hi - lo if hi > lo else 1.0
+        q = F.least(
+            F.lit(2**bits - 1),
+            ((F.col(c).cast("double") - F.lit(lo)) * F.lit((2**bits - 1) / span))
+            .cast("long"),
+        )
+        quantized.append(q)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )

@@ -524,3 +524,71 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """Z-order clustering vs single-key range layout on a 256x256 grid:
+    range layout on x gives files spanning the FULL y range (zero y
+    pruning), while the Morton layout's files each own a small
+    hyper-rectangle — every file's y-span is a fraction of the domain,
+    so min/max stats prune 2-D range predicates on BOTH columns."""
+    import glob
+    import os
+
+    from pulsar_cdc_experiment_spark.plans.layout import (
+        range_layout,
+        zorder_layout,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y")
+    )
+
+    def file_spans(path):
+        spans = []
+        for p in sorted(glob.glob(os.path.join(path, "part-*"))):
+            row = (
+                spark.read.parquet(p)
+                .agg(F.min("x"), F.max("x"), F.min("y"), F.max("y"))
+                .first()
+            )
+            spans.append(((row[0], row[1]), (row[2], row[3])))
+        return spans
+
+    rl = tempfile.mkdtemp(prefix="rl_")
+    range_layout(grid, rl, ["x"], files=16)
+    zl = tempfile.mkdtemp(prefix="zl_")
+    zorder_layout(grid, zl, ["x", "y"], files=16, bits=8)
+
+    def candidates(spans, dim, lo, hi):
+        # files whose [min,max] on `dim` intersects the query slab
+        return sum(1 for s in spans if not (s[dim][1] < lo or s[dim][0] > hi))
+
+    rl_spans = file_spans(rl)
+    zl_spans = file_spans(zl)
+
+    # single-key layout: perfect on x, blind on y — a y-only slab query
+    # must touch EVERY file
+    for (x_lo, x_hi), (y_lo, y_hi) in rl_spans:
+        assert x_hi - x_lo <= 16  # 256/16 files
+        assert y_hi - y_lo == 255  # full domain — no y pruning possible
+    assert candidates(rl_spans, 1, 0, 31) == 16
+
+    # z-order: the same y-slab prunes (most files own a bounded
+    # hyper-rectangle; only range-boundary-straddling files span wide),
+    # and x-slab pruning is retained
+    assert candidates(zl_spans, 1, 0, 31) <= 8
+    assert candidates(zl_spans, 0, 0, 31) <= 8
+    # the typical file bounds BOTH dimensions (sampled range boundaries
+    # may cross a top-level Morton quadrant in a few files)
+    bounded = sum(
+        1
+        for (x_lo, x_hi), (y_lo, y_hi) in zl_spans
+        if x_hi - x_lo <= 127 and y_hi - y_lo <= 127
+    )
+    assert bounded >= 12, zl_spans
+
+    # identical contents
+    back = spark.read.parquet(zl)
+    assert back.count() == 256 * 256
+    assert back.exceptAll(grid).count() == 0
