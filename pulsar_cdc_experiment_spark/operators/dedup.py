@@ -432,6 +432,7 @@ def write_signature_index(
     bands: int = 4,
     files: int = 4,
     append: bool = False,
+    batch_id: str | int | None = None,
 ) -> tuple[str, str]:
     """Persist a corpus's MinHash signature index on disk: ``dst/shingles``
     (shingle sets keyed on the doc id) and ``dst/bands`` (LSH band/bucket
@@ -446,7 +447,24 @@ def write_signature_index(
     new batch's signatures as extra files in the same directories
     (correct immediately — the joins don't require disjoint ranges; the
     range layout is a pruning optimization that degrades until the next
-    plans/layout.compact_parquet pass, exactly like any LSM-ish table).
+    :func:`compact_signature_index` pass, exactly like any LSM-ish table).
+
+    Append batches are ATOMIC and (with a caller-supplied ``batch_id``)
+    IDEMPOTENT — the CdcFeedWriter two-phase shape: both tables are
+    staged under ``dst/.staging/<batch_id>/`` first, then published by
+    renaming parts to deterministic ``part-<batch_id>-<i>`` names, then an
+    applied-marker ``dst/_applied/<batch_id>`` is dropped LAST. A
+    ``foreachBatch`` replay of an already-applied batch (at-least-once
+    redelivery after a crash anywhere past the marker) is skipped
+    outright; a crash mid-publish leaves no marker, so the replay
+    re-stages and re-publishes over the SAME deterministic names —
+    converging instead of double-appending. A crash between the shingle
+    and band publishes is likewise healed on replay (both tables are
+    fully staged before either is published, and publish order is
+    bands-last so a probe never sees bands without their shingle sets).
+    Without a ``batch_id`` a fresh uuid is used: still atomic, but a
+    replay appends a second copy — streaming maintenance should always
+    pass the foreachBatch epoch id.
 
     Uses the PORTABLE hash family so an index probed by a value-checked
     query stays oracle-checkable end-to-end.
@@ -458,12 +476,25 @@ def write_signature_index(
     rows_per_band = num_hashes // bands
     sh_path = os.path.join(dst, "shingles")
     bands_path = os.path.join(dst, "bands")
+    if append:
+        import uuid
+
+        bid = uuid.uuid4().hex[:12] if batch_id is None else str(batch_id)
+        marker = os.path.join(dst, "_applied", bid)
+        if os.path.exists(marker):
+            return sh_path, bands_path
     sh = shingled(df, id_col, text_col, ngram).select(
         F.col(id_col).alias("old_id"), F.col("__shingles").alias("__sh_old")
     )
     if append:
+        import shutil
+
+        staging = os.path.join(dst, ".staging", bid)
+        shutil.rmtree(staging, ignore_errors=True)  # partially-staged replay
         sh = sh.persist()  # one tokenization pass feeds both tables
-        sh.repartition(files).write.mode("append").parquet(sh_path)
+        sh.repartition(files).write.mode("overwrite").parquet(
+            os.path.join(staging, "shingles")
+        )
         sh_src = sh
     else:
         range_layout(sh, sh_path, ["old_id"], files)
@@ -498,11 +529,48 @@ def write_signature_index(
         ).alias("bb"),
     ).select("old_id", "bb.band", "bb.bucket")
     if append:
-        banded.repartition(files).write.mode("append").parquet(bands_path)
+        banded.repartition(files).write.mode("overwrite").parquet(
+            os.path.join(staging, "bands")
+        )
         sh.unpersist()
+        # both tables fully staged — publish (shingles first, bands last:
+        # extra shingle rows are harmless to a concurrent probe, bands
+        # without shingle sets would drop verified pairs), then marker
+        for sub in ("shingles", "bands"):
+            _publish_staged_parquet(
+                os.path.join(staging, sub), os.path.join(dst, sub), bid
+            )
+        shutil.rmtree(os.path.join(dst, ".staging", bid), ignore_errors=True)
+        os.makedirs(os.path.join(dst, "_applied"), exist_ok=True)
+        with open(marker, "w"):
+            pass
     else:
         range_layout(banded, bands_path, ["band", "bucket"], files)
     return sh_path, bands_path
+
+
+def _publish_staged_parquet(staged_dir: str, live_dir: str, batch_id: str) -> None:
+    """Move a staged parquet table's data files into ``live_dir`` under
+    deterministic ``part-<batch_id>-<i>`` names. A replay republishing the
+    same batch overwrites the same names (os.replace) and sweeps any
+    higher-numbered residue from a previous partial publish, so the live
+    directory converges to exactly one copy of the batch."""
+    import os
+
+    os.makedirs(live_dir, exist_ok=True)
+    staged = sorted(
+        f for f in os.listdir(staged_dir) if not f.startswith(("_", "."))
+    )
+    prefix = f"part-{batch_id}-"
+    keep = set()
+    for i, f in enumerate(staged):
+        ext = ".parquet" if f.endswith(".parquet") else ""
+        final = f"{prefix}{i:05d}{ext}"
+        keep.add(final)
+        os.replace(os.path.join(staged_dir, f), os.path.join(live_dir, final))
+    for f in os.listdir(live_dir):
+        if f.startswith(prefix) and f not in keep:
+            os.remove(os.path.join(live_dir, f))
 
 
 def read_signature_index(spark, dst: str) -> tuple[DataFrame, DataFrame]:

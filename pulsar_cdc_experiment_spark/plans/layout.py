@@ -99,15 +99,28 @@ def zorder_layout(
     n = len(cols)
     quantized = []
     for c in cols:
-        lo = float(bounds[f"__lo_{c}"])
-        hi = float(bounds[f"__hi_{c}"])
+        lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+        if lo is None or hi is None:
+            # empty input or an all-null clustering column: there is no
+            # range to interleave — refuse loudly rather than write a
+            # layout that silently clusters on garbage
+            raise ValueError(
+                f"zorder_layout: no min/max bounds for column {c!r} "
+                "(empty DataFrame or all-null column)"
+            )
+        lo, hi = float(lo), float(hi)
         span = hi - lo if hi > lo else 1.0
         q = F.least(
             F.lit(2**bits - 1),
             ((F.col(c).cast("double") - F.lit(lo)) * F.lit((2**bits - 1) / span))
             .cast("long"),
         )
-        quantized.append(q)
+        # nulls quantize explicitly to bucket 0 (F.least SKIPS nulls, so
+        # a null value would otherwise ride into the TOP bucket and
+        # pollute the max-range files' min/max stats)
+        quantized.append(
+            F.when(F.col(c).isNull(), F.lit(0).cast("long")).otherwise(q)
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, q in enumerate(quantized):

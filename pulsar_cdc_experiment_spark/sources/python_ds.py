@@ -60,16 +60,32 @@ class CdcFeedDataSource(DataSource):
 
 
 class CdcFeedReader(DataSourceReader):
+    """Lists every feed file unconditionally by default — fine for
+    handwritten feeds, but a read that races an in-flight overwrite
+    commit (old parts swept, new parts mid-rename) can observe a partial
+    batch. Pass ``.option("requireSuccess", "true")`` to get all-or-
+    nothing visibility: the scan plans ZERO partitions unless the
+    committer's ``_SUCCESS`` marker is present (the marker is removed
+    FIRST during an overwrite sweep and re-created LAST, so gated readers
+    never see a half-published directory)."""
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cdc_feed requires option 'path'")
+        self.require_success = str(
+            options.get("requireSuccess", "false")
+        ).lower() in ("true", "1", "yes")
 
     def partitions(self):
         # one partition per feed file: the planner-side split that makes
         # the scan scale with the file count (sorted for determinism).
         # "."/"_" prefixes are skipped per the Hadoop convention — staging
         # dirs and _SUCCESS markers are metadata, not feed data.
+        if self.require_success and not os.path.exists(
+            os.path.join(self.path, "_SUCCESS")
+        ):
+            return []
         return [
             _FeedFilePartition(os.path.join(self.path, f))
             for f in sorted(os.listdir(self.path))
@@ -77,6 +93,8 @@ class CdcFeedReader(DataSourceReader):
         ]
 
     def read(self, partition: _FeedFilePartition):
+        if partition is None:  # zero planned partitions (gated, no marker)
+            return
         fname = os.path.basename(partition.path)
         with open(partition.path) as fh:
             for i, line in enumerate(fh):
@@ -99,8 +117,15 @@ class CdcFeedWriter(DataSourceWriter):
     the messages of the SUCCESSFUL task attempts only: it renames each
     staged file to its final name and drops a ``_SUCCESS`` marker, so a
     failed/retried/speculative task's orphan staging file is never
-    published (``abort`` sweeps them). Readers that gate on ``_SUCCESS``
-    get all-or-nothing batches.
+    published (``abort`` sweeps them). Atomic batch visibility requires
+    the READER to gate on the marker — the reader's
+    ``requireSuccess`` option does exactly that (an ungated concurrent
+    read during an overwrite commit can see a partial batch).
+
+    Staging is batch-private (``.staging/<batch_id>/``): two concurrent
+    appends into the same path stage side by side, and one batch's
+    ``abort`` sweeps only its own directory, never the other's in-flight
+    files.
 
     Final names carry a per-batch id (``part-<batch>-<i>.jsonl``), never a
     bare positional index: positional names made a second append batch
@@ -125,7 +150,7 @@ class CdcFeedWriter(DataSourceWriter):
     def write(self, iterator) -> _StagedFile:
         import uuid
 
-        staging = os.path.join(self.path, ".staging")
+        staging = os.path.join(self.path, ".staging", self.batch_id)
         os.makedirs(staging, exist_ok=True)
         staged = os.path.join(staging, f"part-{uuid.uuid4().hex}")
         with open(staged, "w") as fh:
@@ -148,16 +173,15 @@ class CdcFeedWriter(DataSourceWriter):
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"part-{self.batch_id}-{i:05d}.jsonl")
             os.replace(m.staged, final)
-        staging = os.path.join(self.path, ".staging")
-        if os.path.isdir(staging) and not os.listdir(staging):
-            os.rmdir(staging)
+        self._cleanup_staging()
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
         # messages only cover tasks that RETURNED — the task that failed
-        # mid-write left its staged file with no message, so sweep the
-        # whole staging dir (it is batch-private in this sink)
+        # mid-write left its staged file with no message, so sweep THIS
+        # batch's staging dir (batch-private: a concurrent batch's
+        # in-flight staged files live under its own batch id)
         import shutil
 
         for m in messages:
@@ -166,7 +190,20 @@ class CdcFeedWriter(DataSourceWriter):
                     os.remove(m.staged)
                 except OSError:
                     pass
-        shutil.rmtree(os.path.join(self.path, ".staging"), ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.path, ".staging", self.batch_id),
+            ignore_errors=True,
+        )
+        self._cleanup_staging()
+
+    def _cleanup_staging(self) -> None:
+        """Drop this batch's staging dir and the shared parent when empty."""
+        import shutil
+
+        root = os.path.join(self.path, ".staging")
+        shutil.rmtree(os.path.join(root, self.batch_id), ignore_errors=True)
+        if os.path.isdir(root) and not os.listdir(root):
+            os.rmdir(root)
 
 
 def register_cdc_feed(spark) -> None:

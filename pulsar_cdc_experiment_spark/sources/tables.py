@@ -35,18 +35,28 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# path -> inferred StructType; filled on first read of each table file
-_SCHEMA_CACHE: dict[str, T.StructType] = {}
+# (path, mtime_ns, size) -> inferred StructType; filled on first read of
+# each table file. The mtime/size key invalidates the entry when a table
+# file is regenerated in place (a stale explicit schema on a parquet read
+# silently returns nulls for renamed/retyped columns instead of failing).
+_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+
+
+def clear_schema_cache() -> None:
+    """Drop every cached schema — for tests that regenerate table files."""
+    _SCHEMA_CACHE.clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _enable_nanos_as_long(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _SCHEMA_CACHE.get(path)
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[path] = schema
+        _SCHEMA_CACHE[key] = schema
     df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = _normalize_events_ts(df)

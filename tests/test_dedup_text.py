@@ -257,9 +257,11 @@ def test_signature_index_streaming_maintenance(spark, sf_dir):
     document stream appends each micro-batch's signatures to the
     persisted index via foreachBatch, and after the run the index covers
     exactly the streamed corpus — no re-hash of earlier batches, no
-    broadcast state, restart-safe (append of an already-written batch is
-    the idempotence concern of the SINK, here a plain parquet append the
-    checkpoint prevents from re-firing)."""
+    broadcast state. Restart safety is the SINK's job, not the
+    checkpoint's (a checkpoint cannot un-run a partially-applied
+    foreachBatch): the epoch id is passed as write_signature_index's
+    batch_id, so an at-least-once redelivery skips the already-applied
+    batch (see test_signature_index_append_replay_is_idempotent)."""
     import os
     import tempfile
 
@@ -274,8 +276,8 @@ def test_signature_index_streaming_maintenance(spark, sf_dir):
 
     stream = spark.readStream.schema(DOCUMENTS).parquet(docs_dir)
 
-    def upsert(batch_df, _batch_id):
-        D.write_signature_index(batch_df, idx, append=True)
+    def upsert(batch_df, batch_id):
+        D.write_signature_index(batch_df, idx, append=True, batch_id=batch_id)
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -289,3 +291,43 @@ def test_signature_index_streaming_maintenance(spark, sf_dir):
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     assert sh.count() == n_docs
     assert banded.count() == n_docs * 4
+
+
+def test_signature_index_append_replay_is_idempotent(spark, sf_dir):
+    """The round-5 advisor's at-least-once hazard: a foreachBatch replay
+    (redelivery after a crash between the batch's writes and the
+    checkpoint commit) must not double-append a batch's signature rows.
+    Replaying the same batch_id is a no-op; a DIFFERENT batch id still
+    appends; and no staging residue survives a publish."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators import dedup as D
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(120)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    idx = tempfile.mkdtemp(prefix="sig_idx_replay_")
+    D.write_signature_index(base, idx)
+    D.write_signature_index(batch, idx, append=True, batch_id=7)
+    sh1, banded1 = D.read_signature_index(spark, idx)
+    n_sh, n_banded = sh1.count(), banded1.count()
+    assert n_sh == docs.count()
+
+    # replay of the SAME epoch: applied-marker short-circuits, rows stable
+    D.write_signature_index(batch, idx, append=True, batch_id=7)
+    sh2, banded2 = D.read_signature_index(spark, idx)
+    assert (sh2.count(), banded2.count()) == (n_sh, n_banded)
+    # probe sees each pair once — no duplicate old_id rows
+    assert sh2.groupBy("old_id").count().filter(F.col("count") > 1).count() == 0
+
+    # a new epoch still appends; staging is cleaned up either way
+    D.write_signature_index(batch.limit(5), idx, append=True, batch_id=8)
+    assert D.read_signature_index(spark, idx)[0].count() == n_sh + 5
+    staging = os.path.join(idx, ".staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+    assert sorted(os.listdir(os.path.join(idx, "_applied"))) == ["7", "8"]

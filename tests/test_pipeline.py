@@ -276,6 +276,36 @@ def test_custom_python_datasource_sink_abort_publishes_nothing(spark, tmp_path):
     assert not os.path.isdir(staging) or os.listdir(staging) == []
 
 
+def test_custom_python_datasource_reader_gates_on_success_marker(
+    spark, tmp_path
+):
+    """requireSuccess gives the all-or-nothing read the writer's docstring
+    promises: a directory without the commit marker (mid-overwrite, or a
+    crashed commit) plans zero partitions instead of returning a partial
+    batch; the default ungated read still sees raw handwritten feeds."""
+    import os
+
+    from pulsar_cdc_experiment_spark.sources.python_ds import register_cdc_feed
+
+    register_cdc_feed(spark)
+    out = str(tmp_path / "gated")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-raw-0.jsonl"), "w") as f:
+        f.write('{"id": 1}\n')
+
+    def read(**opts):
+        r = spark.read.format("cdc_feed").option("path", out)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load().count()
+
+    assert read() == 1  # ungated: raw feed dirs stay readable
+    assert read(requireSuccess="true") == 0  # no marker -> nothing visible
+    with open(os.path.join(out, "_SUCCESS"), "w"):
+        pass
+    assert read(requireSuccess="true") == 1
+
+
 def test_pipeline_config_rescue_and_kafka_wiring(spark):
     """Config-driven drift rescue (source.rescue: true) flows _rescued
     through the pipeline; a kafka-format config wires the reader to the

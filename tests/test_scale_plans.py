@@ -593,3 +593,44 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     back = spark.read.parquet(zl)
     assert back.count() == 256 * 256
     assert back.exceptAll(grid).count() == 0
+
+
+def test_zorder_layout_guards_and_null_placement(spark):
+    """Advisor round-5 edges: empty input / all-null clustering column
+    raise a clear ValueError (there is no range to interleave), and null
+    values quantize to bucket 0 — NOT the top bucket F.least's
+    null-skipping would silently put them in."""
+    import glob
+    import os
+
+    import pytest
+
+    from pulsar_cdc_experiment_spark.plans.layout import zorder_layout
+
+    two_col = spark.range(10).select(
+        F.col("id").alias("x"), F.col("id").alias("y")
+    )
+    with pytest.raises(ValueError, match="no min/max bounds"):
+        zorder_layout(two_col.filter(F.lit(False)), "/tmp/never", ["x", "y"], 2)
+    all_null = two_col.withColumn("y", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="'y'"):
+        zorder_layout(all_null, "/tmp/never", ["x", "y"], 2)
+
+    # nulls land with the LOW range, so the top file's stats stay tight
+    vals = spark.range(1024).select(
+        F.col("id").alias("x"),
+        F.when(F.col("id") % 64 == 0, None).otherwise(F.col("id")).alias("y"),
+    )
+    out = tempfile.mkdtemp(prefix="zl_null_")
+    zorder_layout(vals, out, ["x", "y"], files=4, bits=8)
+    parts = sorted(glob.glob(os.path.join(out, "part-*")))
+    # the (x=0, y=null) row has z=0 under explicit bucket-0 placement and
+    # MUST sit in the first (lowest-z-range) file; under F.least's
+    # null-skipping it quantized to the TOP y bucket and landed high
+    first = spark.read.parquet(parts[0])
+    assert (
+        first.filter((F.col("x") == 0) & F.col("y").isNull()).count() == 1
+    ), [p.split("/")[-1] for p in parts]
+    back = spark.read.parquet(out)
+    assert back.count() == 1024
+    assert back.filter(F.col("y").isNull()).count() == 1024 // 64
