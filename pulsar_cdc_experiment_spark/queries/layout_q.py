@@ -1,0 +1,114 @@
+"""Layout-maintenance driver queries: table optimization as a user-facing
+operator, not internal machinery.
+
+The reference routes each table to its own topic/partition layout so
+consumers read only what they ask for (reference docs/setup-guide.md:33-35,
+topic-per-table routing). Generalized to an analytics table, the same idea
+is multi-column data clustering: lay the table out so that predicates on
+ANY clustered column touch a fraction of the files. ``plans/layout.py``
+implements the mechanisms (compaction, range layout, Morton/Z-order);
+this module registers the queries that exercise them end-to-end —
+layout job, clustered readback, slab predicates — with full DuckDB
+oracles over the ORIGINAL table (a layout pass must never change query
+results, only query cost).
+
+Scale note: the layout build is a real Spark job by design — that is the
+operator (Delta/Iceberg ``OPTIMIZE ZORDER BY`` is the same shape). At
+100 TB the build runs on a maintenance schedule and queries only probe
+the clustered table; here the registered query performs build + probe in
+one call so the driver exercises the full cycle against a fresh layout
+every time (it is therefore sanctioned in the build-jobs gate's
+allowlist, tests/test_scale_plans.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rn
+from ..functions.time import epoch_micros
+from ..plans.layout import zorder_layout
+from ..registry import register
+from ..sources.tables import table
+
+# fixed event-type domain of the testdata generator (TESTDATA.md); unknown
+# types cluster past the known range rather than colliding with it
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _etype_code():
+    code = F.when(F.col("event_type") == EVENT_TYPES[0], F.lit(0))
+    for i, t in enumerate(EVENT_TYPES[1:], start=1):
+        code = code.when(F.col("event_type") == t, F.lit(i))
+    return code.otherwise(F.lit(len(EVENT_TYPES)))
+
+
+def zorder_events_layout(
+    spark, sf_dir: str, files: int = 16, bits: int = 10
+) -> str:
+    """Write a Z-order-clustered copy of ``events``, interleaving the
+    event-type code with the event-time micros — the 2-D locality layout
+    whose files each own a small (type, time) hyper-rectangle, so both a
+    type-slab and a time-slab predicate prune at the file/row-group level
+    (plans/layout.zorder_layout has the Morton mechanics). Returns the
+    layout directory; the clustering helper columns ``__etc``/``__tsu``
+    are retained so per-file min/max bounds are directly inspectable."""
+    ev = table(spark, sf_dir, "events")
+    lay = ev.withColumn("__etc", _etype_code()).withColumn(
+        "__tsu", epoch_micros(F.col("ts"))
+    )
+    dst = tempfile.mkdtemp(prefix="zorder_events_")
+    zorder_layout(lay, dst, ["__etc", "__tsu"], files=files, bits=bits)
+    return dst
+
+
+_SLAB_LO = "2024-01-10 00:00:00"
+_SLAB_HI = "2024-01-13 00:00:00"
+
+
+@register(
+    "zorder_events_slabs",
+    oracle=f"""
+    SELECT 'type_slab' AS dim, strftime(ts, '%Y-%m-%d') AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 2
+    UNION ALL
+    SELECT 'time_slab' AS dim, event_type AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_SLAB_LO}' AND ts < TIMESTAMP '{_SLAB_HI}'
+    GROUP BY 2
+    """,
+)
+def zorder_events_slabs(spark, sf_dir):
+    """Z-order layout cycle, value-checked end-to-end: cluster ``events``
+    on (event_type, ts), then answer a slab query on EACH clustered
+    dimension from the laid-out table — per-day purchase totals (type
+    slab) and per-type totals over a 3-day window (time slab). The oracle
+    runs on the ORIGINAL table: identical results prove the layout is
+    content-preserving, and the per-file bounds test
+    (tests/test_scale_plans.py::test_zorder_events_layout_prunes_both_dimensions)
+    proves both predicates prune. Reference analog: topic-per-table
+    layout routing (docs/setup-guide.md:33-35) generalized to
+    multi-column locality."""
+    zev = spark.read.parquet(zorder_events_layout(spark, sf_dir))
+    type_slab = (
+        zev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("k"))
+        .agg(F.count("*").alias("n"), rn(F.sum("value"), 2).alias("sum_value"))
+        .select(F.lit("type_slab").alias("dim"), "k", "n", "sum_value")
+    )
+    time_slab = (
+        zev.filter(
+            (F.col("ts") >= F.lit(_SLAB_LO).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(_SLAB_HI).cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("event_type").alias("k"))
+        .agg(F.count("*").alias("n"), rn(F.sum("value"), 2).alias("sum_value"))
+        .select(F.lit("time_slab").alias("dim"), "k", "n", "sum_value")
+    )
+    return type_slab.unionByName(time_slab)

@@ -78,6 +78,7 @@ def load_all_query_modules() -> None:
     """
     from .queries import (  # noqa: F401
         cdc,
+        layout_q,
         llm_ops,
         relational,
         relational_ext,

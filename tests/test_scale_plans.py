@@ -307,6 +307,9 @@ _BUILD_JOBS_SANCTIONED = {
     "embed_ivf_portable",  # kmeans: k×d centroid state per iteration
     "embed_topk_cosine",  # 1-row query-vector fetch
     "order_value_deciles",  # ntile boundaries: n-1 rows
+    # layout maintenance: the clustering WRITE is the operator (the
+    # OPTIMIZE-ZORDER shape) — build + probe run in one registered call
+    "zorder_events_slabs",
 }
 
 
@@ -593,6 +596,68 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     back = spark.read.parquet(zl)
     assert back.count() == 256 * 256
     assert back.exceptAll(grid).count() == 0
+
+
+def test_zorder_events_layout_prunes_both_dimensions(spark, sf_dir):
+    """The registered zorder_events_slabs query's layout prunes BOTH its
+    slab predicates: per-file (__etc, __tsu) bounds admit only a fraction
+    of the 16 files for a type slab AND for a time slab, and the
+    readback scan pushes the slab predicates down to the parquet source
+    (PushedFilters) so file/row-group stats skipping engages — the
+    2-D generalization of test_ann_index_probe_is_partition_pruned."""
+    import glob
+    import os
+
+    from pulsar_cdc_experiment_spark.queries.layout_q import (
+        zorder_events_layout,
+    )
+
+    d = zorder_events_layout(spark, sf_dir)
+    parts = sorted(glob.glob(os.path.join(d, "part-*")))
+    assert len(parts) == 16
+    spans = []
+    for p in parts:
+        row = (
+            spark.read.parquet(p)
+            .agg(F.min("__etc"), F.max("__etc"), F.min("__tsu"), F.max("__tsu"))
+            .first()
+        )
+        spans.append(((row[0], row[1]), (row[2], row[3])))
+
+    def candidates(dim, lo, hi):
+        return sum(1 for s in spans if not (s[dim][1] < lo or s[dim][0] > hi))
+
+    # type slab: event_type='purchase' -> __etc == 2
+    assert candidates(0, 2, 2) <= 12, spans
+    # time slab: [2024-01-10, 2024-01-13) in epoch micros (UTC-free local
+    # fields — the same values epoch_micros computes from the NTZ column)
+    import datetime
+
+    def us(s):
+        dt = datetime.datetime.fromisoformat(s)
+        return int(
+            (dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+
+    assert candidates(1, us("2024-01-10"), us("2024-01-13") - 1) <= 12, spans
+    # and a single file never spans the whole domain on either dimension
+    bounded = sum(
+        1
+        for (e_lo, e_hi), (t_lo, t_hi) in spans
+        if e_hi - e_lo <= 2 or (t_hi - t_lo) <= 10 * 86_400 * 1_000_000
+    )
+    assert bounded >= 12, spans
+
+    # the registered query's scans push both slab predicates to parquet
+    from pulsar_cdc_experiment_spark.registry import QUERIES
+
+    df = QUERIES["zorder_events_slabs"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan
 
 
 def test_zorder_layout_guards_and_null_placement(spark):
