@@ -573,6 +573,55 @@ def _publish_staged_parquet(staged_dir: str, live_dir: str, batch_id: str) -> No
             os.remove(os.path.join(live_dir, f))
 
 
+def compact_signature_index(
+    spark, dst: str, target_mb: int = 256
+) -> tuple[int, int]:
+    """LSM-style maintenance pass over an incrementally-appended
+    :func:`write_signature_index` directory: rewrite ``shingles`` and
+    ``bands`` back into their byte-derived file counts, range-laid-out on
+    their join keys — restoring the pruning the append path degrades (each
+    appended batch adds files whose key ranges overlap history's).
+
+    Returns ``(n_shingle_files, n_band_files)`` written. The swap is
+    staged: both compacted tables are fully written under
+    ``dst/.compact/`` before either live directory is replaced, and the
+    replace itself is two renames (live → .old, compacted → live) with a
+    sub-millisecond window — run compaction from the same single
+    maintainer that owns appends (the foreachBatch loop's trigger,
+    exactly where Delta/Iceberg run OPTIMIZE). ``_applied`` batch markers
+    are preserved: an already-applied batch replayed AFTER compaction is
+    still skipped — its rows are baked into the compacted files.
+
+    Completes the index lifecycle: build → append → compact → probe.
+    """
+    import os
+    import shutil
+
+    from ..plans.layout import dir_bytes, range_layout, target_file_count
+
+    keys = {"shingles": ["old_id"], "bands": ["band", "bucket"]}
+    counts: dict[str, int] = {}
+    staged: dict[str, str] = {}
+    for sub, key_cols in keys.items():
+        live = os.path.join(dst, sub)
+        n = target_file_count(dir_bytes(live), target_mb)
+        out = os.path.join(dst, ".compact", sub)
+        shutil.rmtree(out, ignore_errors=True)
+        # materialize the full current table, then lay it out fresh
+        range_layout(spark.read.parquet(live), out, key_cols, n)
+        counts[sub] = n
+        staged[sub] = out
+    for sub in keys:  # both staged — swap (bands last, matching publish order)
+        live = os.path.join(dst, sub)
+        old = live + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(staged[sub], live)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(os.path.join(dst, ".compact"), ignore_errors=True)
+    return counts["shingles"], counts["bands"]
+
+
 def read_signature_index(spark, dst: str) -> tuple[DataFrame, DataFrame]:
     """(shingle_sets, banded_buckets) of a :func:`write_signature_index`
     layout — plain parquet reads, so every probe plan gets pushdown and

@@ -331,3 +331,83 @@ def test_signature_index_append_replay_is_idempotent(spark, sf_dir):
     staging = os.path.join(idx, ".staging")
     assert not os.path.isdir(staging) or os.listdir(staging) == []
     assert sorted(os.listdir(os.path.join(idx, "_applied"))) == ["7", "8"]
+
+
+def _probe_pairs(spark, idx, threshold=0.15):
+    from pulsar_cdc_experiment_spark.operators import dedup as D
+
+    sh, banded = D.read_signature_index(spark, idx)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.old_id") < F.col("b.old_id")),
+        )
+        .select(F.col("a.old_id").alias("id_a"), F.col("b.old_id").alias("id_b"))
+        .distinct()
+    )
+    return {
+        (r["id_a"], r["id_b"])
+        for r in cands.join(
+            sh.select(F.col("old_id").alias("id_a"), F.col("__sh_old").alias("__sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("old_id").alias("id_b"), F.col("__sh_old").alias("__sh_b")), "id_b"
+        )
+        .filter(D.jaccard(F.col("__sh_a"), F.col("__sh_b")) >= threshold)
+        .select("id_a", "id_b")
+        .collect()
+    }
+
+
+def test_signature_index_compaction_preserves_probes(spark, sf_dir):
+    """The last gap in the 100 TB dedup story (round-5 verdict task 3):
+    appends accumulate small overlapping files; compact_signature_index
+    rewrites both tables back to their byte-derived file counts WITHOUT
+    changing a single probe result — build → append → compact → probe is
+    the complete index lifecycle. Applied-batch markers survive, so a
+    replay of a pre-compaction batch stays a no-op afterwards."""
+    import glob
+    import os
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.operators import dedup as D
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents").limit(150)
+    base = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = tempfile.mkdtemp(prefix="sig_idx_compact_")
+    D.write_signature_index(base, idx)
+    for m in (1, 2, 3):  # three append batches -> 3*files extra files each
+        D.write_signature_index(
+            docs.filter(F.col("doc_id") % 4 == m), idx, append=True, batch_id=m
+        )
+
+    def n_files(sub):
+        return len(glob.glob(os.path.join(idx, sub, "part-*")))
+
+    files_before = n_files("shingles") + n_files("bands")
+    pairs_before = _probe_pairs(spark, idx)
+    n_sh_before = D.read_signature_index(spark, idx)[0].count()
+
+    n_sh_files, n_band_files = D.compact_signature_index(spark, idx)
+    files_after = n_files("shingles") + n_files("bands")
+    assert (n_files("shingles"), n_files("bands")) == (n_sh_files, n_band_files)
+    assert files_after < files_before  # tiny tables -> 1 file each
+    assert n_files("shingles") == 1 and n_files("bands") == 1
+
+    # pair-for-pair identical probes; row counts unchanged
+    assert _probe_pairs(spark, idx) == pairs_before
+    assert D.read_signature_index(spark, idx)[0].count() == n_sh_before
+    # no staging/compaction residue
+    assert not os.path.isdir(os.path.join(idx, ".compact"))
+    assert not os.path.isdir(os.path.join(idx, "shingles.old"))
+
+    # an already-applied batch replayed AFTER compaction is still skipped
+    D.write_signature_index(
+        docs.filter(F.col("doc_id") % 4 == 1), idx, append=True, batch_id=1
+    )
+    assert D.read_signature_index(spark, idx)[0].count() == n_sh_before
+    assert _probe_pairs(spark, idx) == pairs_before
