@@ -1,0 +1,130 @@
+"""Parity spotlight: pytest-native oracle checks for queries the driver's
+correctness sample has NEVER drawn (round-5 verdict task 4).
+
+Across five rounds the driver sampled the same 50 names twice (86 distinct
+ever); ~55 registered queries' green status rested solely on
+tools/parity.py — a builder-authored tool. This module re-verifies the
+most intricate of those queries with an INDEPENDENT comparator written
+from scratch (value-by-value multiset equality on canonicalized rows, not
+the parity tool's hash), so their correctness no longer depends on a
+single audit path. Chosen set: the stateful/streaming joins, the
+portable-hash dedup + ANN/IVF pipelines, the composed corpus-prep
+pipelines, SCD2/multi-table CDC folds, and the gnarlier scalar suites
+(XML XPath, variant JSON, arrow-native UDF).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import pytest
+
+from pulsar_cdc_experiment_spark.registry import (
+    ORACLES,
+    QUERIES,
+    load_all_query_modules,
+)
+
+load_all_query_modules()
+
+SPOTLIGHT = [
+    "cdc_drift_rescue",
+    "cdc_multi_table_state",
+    "cdc_scd2_history",
+    "corpus_decontaminate",
+    "corpus_pack_bins",
+    "corpus_sample_quality_weighted",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "embed_ann_portable",
+    "embed_ivf_portable",
+    "json_variant_probe",
+    "llm_prep_pipeline",
+    "multimodal_decode_real",
+    "stream_dedup_against_corpus",
+    "stream_stream_join",
+    "text_pii_redact",
+    "udf_map_in_arrow",
+    "xml_functions",
+]
+
+
+def _canon(v):
+    """Canonical comparable form: exact for ints/strings/bools, repr for
+    floats (bit-exact incl. NaN/-0.0 — the parity bar), ISO for temporals,
+    recursive for arrays/maps/structs."""
+    if v is None or isinstance(v, (int, str, bool)):
+        return v
+    if isinstance(v, float):
+        return repr(v)  # bit-exact; 'nan' == 'nan' unlike float NaN
+    if isinstance(v, decimal.Decimal):
+        # integral decimals (HUGEINT-ish) compare as ints, else as floats
+        return int(v) if v == v.to_integral_value() else repr(float(v))
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row (struct column)
+        return tuple(sorted((k, _canon(x)) for k, x in v.asDict().items()))
+    return repr(v)
+
+
+def _spark_rows(df):
+    from collections import Counter
+
+    cols = sorted(df.columns)
+    return (
+        Counter(tuple(_canon(row[c]) for c in cols) for row in df.collect()),
+        cols,
+    )
+
+
+def _duck_rows(con, sql):
+    from collections import Counter
+
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = Counter(tuple(_canon(r[i]) for i in order) for r in rel.fetchall())
+    return rows, sorted(cols)
+
+
+@pytest.mark.parametrize("name", SPOTLIGHT)
+def test_spotlight_matches_oracle(spark, duck, sf_dir, name):
+    assert name in QUERIES, f"{name} fell out of the registry"
+    assert name in ORACLES, f"{name} lost its oracle"
+    got, got_cols = _spark_rows(QUERIES[name](spark, sf_dir))
+    want, want_cols = _duck_rows(duck, ORACLES[name])
+    assert got_cols == want_cols, (got_cols, want_cols)
+    assert sum(got.values()) == sum(want.values()), (
+        sum(got.values()),
+        sum(want.values()),
+    )
+    if got != want:
+        diff_a = list((got - want).elements())[:3]
+        diff_b = list((want - got).elements())[:3]
+        pytest.fail(f"{name}: spark-only={diff_a} oracle-only={diff_b}")
+
+
+def test_spotlight_queries_were_never_driver_sampled():
+    """Keep the spotlight honest: if the driver starts sampling one of
+    these, it has independent coverage and a NEW never-sampled query
+    should take its slot (informational — glob the committed
+    CORRECTNESS artifacts)."""
+    import glob
+    import json
+    import os
+
+    sampled: set[str] = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
+        sampled |= set(json.load(open(p)).keys())
+    still_unsampled = [n for n in SPOTLIGHT if n not in sampled]
+    # all 18 were unsampled as of round 5; tolerate driver rotation
+    assert len(still_unsampled) >= 10, sorted(sampled & set(SPOTLIGHT))
