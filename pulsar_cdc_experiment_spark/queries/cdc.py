@@ -490,9 +490,10 @@ def cdc_scd2_history(spark, sf_dir):
     )
 
 
-@register(
-    "cdc_multi_table_state",
-    oracle=f"""
+# Shared by cdc_multi_table_state (one batch fold) and streaming_q's
+# stream_cdc_multi_table_state (incremental per-table materializers): the
+# unified model's promise is that both produce THIS exact table.
+MULTI_TABLE_STATE_SQL = f"""
     WITH env AS (
       SELECT event_id, user_id, event_type, value,
              {_OP_CASE_SQL} AS op,
@@ -510,8 +511,10 @@ def cdc_scd2_history(spark, sf_dir):
                                    ORDER BY event_id DESC) AS rn
       FROM env
     ) WHERE rn = 1 AND op <> 'd'
-    """,
-)
+    """
+
+
+@register("cdc_multi_table_state", oracle=MULTI_TABLE_STATE_SQL)
 def cdc_multi_table_state(spark, sf_dir):
     """B5 multi-table: ONE fold materializes every table in a mixed CDC
     feed (the reference auto-adds tables to its publication, connector

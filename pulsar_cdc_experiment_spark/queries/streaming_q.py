@@ -10,6 +10,8 @@ tests/test_streaming.py with a two-file staged source.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rn
@@ -194,6 +196,115 @@ def stream_cdc_enrich_materialize(spark, sf_dir):
         "user_id",
         F.col("event_id").alias("last_event_id"),
         F.col("op_label").alias("last_op_label"),
+    )
+
+
+FANOUT_TABLES = ("customers", "orders", "products")
+
+
+def run_multi_table_fanout(spark, stream_df, root: str):
+    """Route ONE whole-database CDC stream table-per-sink inside
+    foreachBatch: a ``partitionBy("tbl")`` parquet landing (the reference's
+    topic-per-table layout, docs/setup-guide.md:33-35, as a directory
+    layout) plus an IncrementalMaterializer PER TABLE folding that table's
+    latest state — the multi-table streaming fan-out of the reference's
+    future direction (docs/architecture.md:395).
+
+    ``stream_df`` must carry (tbl, row_id, lsn, op, __v). Returns the
+    union of the per-table state tables after the stream drains. Scale
+    shape: routing is one partitionBy write (no per-table job fan-out for
+    the landing), and each materializer folds only its table's slice —
+    state shuffles are per-table, keyed on the row key, never the whole
+    feed."""
+    import os
+
+    from ..streaming.materialize import IncrementalMaterializer
+
+    routed = os.path.join(root, "routed")
+    mats = {
+        t: IncrementalMaterializer(
+            os.path.join(root, f"state_{t}"), ["row_id"], ["lsn"]
+        )
+        for t in FANOUT_TABLES
+    }
+    for t in FANOUT_TABLES:
+        os.makedirs(os.path.join(root, f"state_{t}"), exist_ok=True)
+
+    def route(batch_df, batch_id):
+        # one landing write routed by table; then per-table incremental
+        # folds over the SAME cached batch (two passes, zero recompute)
+        batch_df.persist()
+        try:
+            batch_df.write.partitionBy("tbl").mode("append").parquet(routed)
+            for t in FANOUT_TABLES:
+                mats[t].process_batch(
+                    batch_df.filter(F.col("tbl") == t).drop("tbl"), batch_id
+                )
+        finally:
+            batch_df.unpersist()
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cdc_fanout_")
+    q = (
+        stream_df.writeStream.foreachBatch(route)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = None
+    for t in FANOUT_TABLES:
+        st = mats[t].current_state(spark)
+        if st is None:
+            continue
+        st = st.withColumn("tbl", F.lit(t))
+        out = st if out is None else out.unionByName(st)
+    return out, routed
+
+
+def multi_table_flat_stream(ev):
+    """(tbl, row_id, lsn, op, __v) routing projection over the events
+    stream — same table assignment and op decode as the batch
+    cdc_multi_table_state."""
+    from .cdc import _op_col
+
+    tbl = (
+        F.when(F.col("user_id") % 3 == 0, "customers")
+        .when(F.col("user_id") % 3 == 1, "orders")
+        .otherwise("products")
+    )
+    return ev.select(
+        tbl.alias("tbl"),
+        F.col("user_id").alias("row_id"),
+        F.col("event_id").alias("lsn"),
+        _op_col().alias("op"),
+        F.col("value").alias("__v"),
+    )
+
+
+def _multi_table_state_oracle() -> str:
+    from .cdc import MULTI_TABLE_STATE_SQL
+
+    return MULTI_TABLE_STATE_SQL
+
+
+@register("stream_cdc_multi_table_state", oracle=_multi_table_state_oracle())
+def stream_cdc_multi_table_state(spark, sf_dir):
+    """B5/B6 streaming multi-table fan-out under the FULL oracle: the
+    per-table incremental states, unioned, must equal the one-shot batch
+    fold (cdc_multi_table_state shares this exact oracle) — the unified
+    model's multi-table face. Per-table output isolation and multi-batch
+    incrementality are asserted in tests/test_streaming_fanout.py."""
+    flat = multi_table_flat_stream(read_events_stream(spark, sf_dir))
+    state, _routed = run_multi_table_fanout(
+        spark, flat, tempfile.mkdtemp(prefix="cdc_fanout_")
+    )
+    return state.filter(F.col("op") != "d").select(
+        "tbl",
+        F.col("row_id").cast("long").alias("row_id"),
+        F.col("lsn").cast("long").alias("last_lsn"),
+        F.col("op").alias("last_op"),
+        rn(F.col("__v"), 2).alias("last_value"),
     )
 
 
