@@ -69,6 +69,55 @@ def range_layout(
     )
 
 
+def optimize_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    zorder_cols: list[str] | None = None,
+    target_mb: int = 256,
+    bits: int = 12,
+) -> dict:
+    """The user-facing "OPTIMIZE [ZORDER BY]" maintenance composite:
+    small-file compaction to the byte-derived file count, optional
+    multi-column Z-order clustering, and a footer-stats refresh — the
+    Delta/Iceberg table-maintenance verb as one operator over plain
+    parquet.
+
+    Writes ``src`` rewritten into ``dst`` (a NEW directory; callers swap,
+    see module docstring) and returns a maintenance report::
+
+        {"bytes": ..., "files_before": ..., "files_after": ...,
+         "target_files": ..., "stats": {col_min/col_max per zorder col}}
+
+    The stats come from :func:`plans.stats.footer_min_max` over the
+    REWRITTEN table — metadata-only (PushedAggregation), so the refresh
+    costs footer reads, not a data scan. At 100 TB this is the scheduled
+    job that keeps streaming-sink output scannable: compaction bounds
+    file-open overhead, the Z-order pass restores multi-dimension
+    pruning, and the refreshed stats feed whatever catalog fronts the
+    table.
+    """
+    import glob
+
+    from .stats import footer_min_max
+
+    def n_files(path: str) -> int:
+        return len(glob.glob(os.path.join(path, "part-*")))
+
+    total = dir_bytes(src)
+    n = target_file_count(total, target_mb)
+    report: dict = {"bytes": total, "files_before": n_files(src), "target_files": n}
+    df = spark.read.parquet(src)
+    if zorder_cols:
+        zorder_layout(df, dst, zorder_cols, files=n, bits=bits)
+    else:
+        df.repartition(n).write.mode("overwrite").parquet(dst)
+    report["files_after"] = n_files(dst)
+    if zorder_cols:
+        report["stats"] = footer_min_max(spark, dst, zorder_cols).first().asDict()
+    return report
+
+
 def zorder_layout(
     df: DataFrame, dst: str, cols: list[str], files: int, bits: int = 12
 ) -> None:

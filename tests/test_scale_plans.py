@@ -598,6 +598,60 @@ def test_zorder_layout_bounds_both_dimensions(spark):
     assert back.exceptAll(grid).count() == 0
 
 
+def test_optimize_table_composite(spark, sf_dir):
+    """The "OPTIMIZE ZORDER BY" composite (round-5 verdict stretch):
+    compaction + clustering + footer-stats refresh in one pass. A
+    64-fragment table rewrites to the byte-derived file count with
+    identical contents, every rewritten file bounds both clustered
+    columns (the pruning precondition), and the refreshed stats equal
+    the true min/max."""
+    import glob
+    import os
+
+    from pulsar_cdc_experiment_spark.plans.layout import optimize_table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    frag = tempfile.mkdtemp(prefix="opt_frag_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    dst = tempfile.mkdtemp(prefix="opt_out_")
+    report = optimize_table(
+        spark, frag, dst, zorder_cols=["event_id", "user_id"], bits=8
+    )
+    assert report["files_before"] == 64
+    assert report["files_after"] == report["target_files"] == 1  # tiny bytes
+    assert report["files_after"] < report["files_before"]
+    # refreshed stats match the true bounds
+    truth = ev.agg(
+        F.min("event_id"), F.max("event_id"), F.min("user_id"), F.max("user_id")
+    ).first()
+    assert report["stats"]["event_id_min"] == truth[0]
+    assert report["stats"]["event_id_max"] == truth[1]
+    assert report["stats"]["user_id_min"] == truth[2]
+    assert report["stats"]["user_id_max"] == truth[3]
+    # contents identical
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0
+
+    # compaction-only mode (no clustering ask): same byte-derived file
+    # count, no stats key (nothing to refresh), identical contents
+    dst2 = tempfile.mkdtemp(prefix="opt_out2_")
+    report2 = optimize_table(spark, frag, dst2)
+    assert report2["files_after"] == report2["target_files"] == 1
+    assert "stats" not in report2
+    back2 = spark.read.parquet(dst2)
+    assert back2.count() == ev.count()
+    assert back2.exceptAll(ev).count() == 0
+    assert len(glob.glob(os.path.join(dst2, "part-*"))) == 1
+    # multi-file Z-order pruning is pinned by
+    # test_zorder_layout_bounds_both_dimensions /
+    # test_zorder_events_layout_prunes_both_dimensions over the same
+    # zorder_layout call this composite delegates to
+
+
 def test_zorder_events_layout_prunes_both_dimensions(spark, sf_dir):
     """The registered zorder_events_slabs query's layout prunes BOTH its
     slab predicates: per-file (__etc, __tsu) bounds admit only a fraction
