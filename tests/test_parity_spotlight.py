@@ -29,6 +29,8 @@ from pulsar_cdc_experiment_spark.registry import (
 
 load_all_query_modules()
 
+# The intricate tier: stateful/streaming joins, portable-hash pipelines,
+# composed corpus prep, CDC folds, gnarly scalar suites.
 SPOTLIGHT = [
     "cdc_drift_rescue",
     "cdc_multi_table_state",
@@ -48,6 +50,50 @@ SPOTLIGHT = [
     "text_pii_redact",
     "udf_map_in_arrow",
     "xml_functions",
+]
+
+# The breadth tier: EVERY remaining oracle-backed query the driver has
+# never sampled (as of round 5's artifacts), so no registered query's
+# correctness rests on tools/parity.py alone any more.
+BREADTH = [
+    "agg_bitwise",
+    "agg_collect",
+    "agg_regression",
+    "agg_statistics",
+    "agg_string_concat",
+    "array_hof_functions",
+    "cdc_dlq_routing",
+    "cdc_table_filter",
+    "conditional_nulls",
+    "content_digests",
+    "cube_orders",
+    "customer_order_distribution",
+    "date_functions2",
+    "date_functions3",
+    "disjunctive_filter_revenue",
+    "grouping_sets_revenue",
+    "json_typed_parse",
+    "math_bitwise_trig",
+    "multimodal_resize",
+    "promo_revenue_share",
+    "safe_casts",
+    "set_intersect_except",
+    "set_union",
+    "stream_cdc_multi_table_state",
+    "string_functions2",
+    "string_regexp",
+    "time_grain_rollup",
+    "top_k",
+    "unpivot_metrics",
+    "url_functions",
+    "volume_shipping",
+    "window_lag_lead",
+    "window_nth_value",
+    "window_percent_dist",
+    "window_range_frame",
+    "window_rank",
+    "window_running_frame",
+    "zorder_events_slabs",
 ]
 
 
@@ -95,7 +141,7 @@ def _duck_rows(con, sql):
     return rows, sorted(cols)
 
 
-@pytest.mark.parametrize("name", SPOTLIGHT)
+@pytest.mark.parametrize("name", SPOTLIGHT + BREADTH)
 def test_spotlight_matches_oracle(spark, duck, sf_dir, name):
     assert name in QUERIES, f"{name} fell out of the registry"
     assert name in ORACLES, f"{name} lost its oracle"
@@ -125,6 +171,15 @@ def test_spotlight_queries_were_never_driver_sampled():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for p in glob.glob(os.path.join(root, "CORRECTNESS_r0*.json")):
         sampled |= set(json.load(open(p)).keys())
-    still_unsampled = [n for n in SPOTLIGHT if n not in sampled]
-    # all 18 were unsampled as of round 5; tolerate driver rotation
-    assert len(still_unsampled) >= 10, sorted(sampled & set(SPOTLIGHT))
+    covered = set(SPOTLIGHT) | set(BREADTH)
+    still_unsampled = [n for n in covered if n not in sampled]
+    # all 56 were unsampled as of round 5; tolerate driver rotation
+    assert len(still_unsampled) >= 30, sorted(sampled & covered)
+
+    # the converse guarantee: every oracle-backed registered query is now
+    # verified by the driver sample, by this module, or both — nothing
+    # rests on tools/parity.py alone
+    uncovered = [
+        n for n in ORACLES if n not in sampled and n not in covered
+    ]
+    assert uncovered == [], uncovered
