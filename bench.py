@@ -51,6 +51,10 @@ HEADLINE = [
     "text_tfidf_top_terms",     # TF-IDF (in-plan N, no df-table hint)
     "stream_dedup_against_corpus",  # stream-vs-corpus dedup (bucketed corpus tables)
     "time_gapfill_locf",        # gap-fill + last-observation-carried-forward
+    # round-6 additions: the two new user-facing capabilities, benched so
+    # their cost is tracked round-over-round
+    "zorder_events_slabs",      # OPTIMIZE-ZORDER cycle: layout build + 2-D slab probes
+    "stream_cdc_multi_table_state",  # streaming fan-out: per-table routed sinks + folds
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
