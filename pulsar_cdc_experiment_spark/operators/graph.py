@@ -1,0 +1,78 @@
+"""Distributed iterative graph computation: fixed-point PageRank.
+
+Iterative algorithms are the one workload the registry's other operators
+don't exercise: a dataflow that feeds its own output back through a join,
+re-shuffled every iteration. This module implements PageRank as a statically
+unrolled DataFrame plan — the canonical distributed formulation
+(contributions flow along edges, ranks re-aggregate by destination),
+expressed so Catalyst sees ONE lazy plan with no driver-side actions.
+
+**Fixed-point arithmetic, deliberately.** Floating-point PageRank is not
+reproducible across engines (summation order changes low-order bits), so
+ranks are scaled integers: every operation is bigint multiply / integer
+divide / bigint sum — associative and engine-exact, which is what lets a
+DuckDB oracle reproduce the result bit-for-bit (queries/graph_q.py builds
+the identical unrolled computation as chained CTEs). The floor-division
+quantization leaks a sub-ulp of rank mass per step; that is part of the
+operator's defined semantics, identically on both engines.
+
+Scale notes (100 TB graph): each iteration is two shuffles — ranks join
+edges on ``src`` (edges and degrees share that key, so co-partitioning
+makes the join local after the first iteration; AQE reuses the exchange),
+then a groupBy on ``dst`` with map-side partial sums. State per iteration
+is one (node, rank) row per vertex — no driver-side collection, no
+per-node state bigger than a bigint. Iteration count is fixed (the
+unrolled-plan contract); convergence-tested variants belong in a loop
+with a sanctioned per-iteration residual check, the same carve-out as
+label propagation (operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rank scale: 1.0 of probability mass == 10^9 units. Headroom: with N
+#: vertices total mass is N*10^9; the per-step product rank*damping_pct
+#: stays under 2^63 for graphs beyond 10^8 vertices.
+RANK_SCALE = 10**9
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(src, outdeg) — one row per vertex with outgoing edges."""
+    return edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over ``edges(src, dst)`` with bigint fixed-point ranks.
+
+    Every vertex must appear as a ``src`` (no dangling mass — symmetric
+    edge sets satisfy this by construction; callers with genuinely
+    directed graphs add the reversed self-handling edges first). Returns
+    ``(node, rank)`` with ``rank`` in :data:`RANK_SCALE` units, as one
+    unrolled lazy plan: ``iters`` × (join on src → integer contribution →
+    re-aggregate on dst).
+    """
+    deg = out_degrees(edges)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank")
+    )
+    teleport = RANK_SCALE * (100 - damping_pct) // 100
+    edges_deg = edges.join(deg, "src")
+    for i in range(iters):
+        # per-iteration aliases: ranks shares lineage with edges_deg from
+        # the previous round, and unaliased column refs in a self-join on
+        # shared lineage are ambiguous to the analyzer
+        e, r = edges_deg.alias(f"e{i}"), ranks.alias(f"r{i}")
+        contrib = e.join(r, F.col(f"e{i}.src") == F.col(f"r{i}.node")).select(
+            F.col(f"e{i}.dst").alias("dst"),
+            # bigint `div` (not `/`): rank*85 exceeds 2^53, a double
+            # division here would silently lose integer resolution
+            F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            (F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank")
+        ).select(F.col("dst").alias("node"), "rank")
+    return ranks

@@ -656,3 +656,58 @@ def cdc_table_filter(spark, sf_dir):
         F.col("after").getField("id").alias("row_id"),
         F.col("source").getField("table").alias("src_table"),
     )
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(vc) AS BIGINT) AS sum_value_cents
+    FROM ordered WHERE rn = n GROUP BY 1
+    """,
+)
+def cdc_incremental_agg(spark, sf_dir):
+    """B5 extension — incremental aggregate maintenance: per-group totals
+    of the CURRENT state computed by folding change deltas, never
+    materializing per-key rows (operators/materialize.delta_fold_group_agg).
+
+    The change feed is the per-user event history (each event updates the
+    user's row to that event's type/value); before-images are derived with
+    a per-key lag — the stand-in for the before-image Debezium envelopes
+    carry natively (reference docs/architecture.md:260-283). The oracle is
+    the NAIVE recompute — materialize latest state, then aggregate — so a
+    green row proves the O(groups)-state fold equals the O(rows)-state
+    recompute. Values are folded in bigint cents: the delta fold adds and
+    subtracts across groups, where float arithmetic would drift off the
+    recompute by cancellation error.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.materialize import delta_fold_group_agg
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    feed = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("after_grp"),
+        vc.alias("after_vc"),
+        F.lag("event_type").over(w).alias("before_grp"),
+        F.lag(vc).over(w).alias("before_vc"),
+    )
+    out = delta_fold_group_agg(
+        feed,
+        before_group=F.col("before_grp"),
+        before_value=F.col("before_vc"),
+        after_group=F.col("after_grp"),
+        after_value=F.col("after_vc"),
+    )
+    return out.select(
+        F.col("g").alias("grp"),
+        "n_rows",
+        F.col("sum_value").alias("sum_value_cents"),
+    )

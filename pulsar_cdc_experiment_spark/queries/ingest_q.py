@@ -1,0 +1,160 @@
+"""Text-format ingest driver queries: JSONL and CSV feeds → typed rows →
+aggregate, with corrupt records quarantined, under full DuckDB oracles.
+
+The reference's data plane is JSON text in flight (Debezium envelopes on a
+topic, reference docs/architecture.md:260-283) with explicit
+error-tolerant handling of unparseable payloads
+(cdc_enrichment_function.py:104-107). At rest the same feeds are JSONL
+dumps — and real upstream exports are as often CSV — so the engine needs
+the first-hop ingest: schema-on-read (explicit schema, NO inference pass),
+malformed lines captured instead of failing the job, then aggregation as
+if the data had been columnar all along.
+
+Each registered query synthesizes the text feed deterministically from the
+``events`` table (including deterministically-keyed corrupt lines), writes
+it to a temp directory, reads it back through ``sources/files.py``, and
+returns per-type aggregates plus a ``__corrupt__`` quarantine row. The
+oracle runs on the ORIGINAL parquet table and predicts every output —
+including the corrupt-row count — because corruption is keyed off
+``event_id`` (the same fixture discipline as the envelope variants,
+queries/cdc.py synthesize_envelopes).
+
+Scale notes: the feed write is the fixture, not the operator (sanctioned
+in the build-jobs gate). The ingest read itself plans zero jobs (explicit
+schema), scans the text once, and aggregates with map-side partial
+aggregation on a 6-value group key. Text formats carry no footer stats, so
+there is nothing to push down — the 100 TB pattern is this read followed
+by a parquet write + ``plans/layout.optimize_table``, after which every
+later query gets pruning back.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.time import epoch_micros
+from ..registry import register
+from ..sources.files import CORRUPT_COL, read_csv, read_jsonl
+from ..sources.tables import table
+
+_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+    ]
+)
+
+# cents BEFORE text round-trip == cents AFTER: both formats serialize the
+# double with Spark's shortest-repr cast, which parses back bit-identical.
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
+
+def _typed_events(spark, sf_dir):
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        epoch_micros(F.col("ts")).alias("ts_us"),
+    )
+
+
+def _ingest_aggregate(df):
+    """Per-type aggregate over the ingested feed, corrupt rows quarantined
+    into their own count-only group.
+
+    The quarantine key is ``_corrupt_record``, NOT a null data field: CSV
+    PERMISSIVE mode still parses the *healthy* fields of a malformed row
+    (only the failing token nulls out), so keying off a data column would
+    leak corrupt rows into their real group — and their measures into the
+    sums. Corrupt rows therefore contribute count only; every measure is
+    masked to clean rows."""
+    is_bad = F.col(CORRUPT_COL).isNotNull()
+    val = F.when(~is_bad, F.col("value"))
+    eid = F.when(~is_bad, F.col("event_id"))
+    return (
+        df.groupBy(
+            F.when(is_bad, F.lit("__corrupt__"))
+            .otherwise(F.col("event_type"))
+            .alias("grp")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.floor(val * 100 + F.lit(0.5)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("sum_value_cents"),
+            F.min(eid).alias("min_event_id"),
+            F.max(eid).alias("max_event_id"),
+        )
+    )
+
+
+def _ingest_oracle(corrupt_mod: int) -> str:
+    return f"""
+    SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_value_cents,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events WHERE event_id % {corrupt_mod} <> 0
+    GROUP BY 1
+    UNION ALL
+    SELECT '__corrupt__' AS grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS sum_value_cents,
+           CAST(NULL AS BIGINT) AS min_event_id,
+           CAST(NULL AS BIGINT) AS max_event_id
+    FROM events WHERE event_id % {corrupt_mod} = 0
+    """
+
+
+@register("ingest_jsonl_events", oracle=_ingest_oracle(97))
+def ingest_jsonl_events(spark, sf_dir):
+    """JSONL ingest end-to-end: events → JSON lines (every 97th event_id
+    written as a truncated, unparseable object — the reference's malformed
+    payload case), schema-on-read through sources/files.read_jsonl, then
+    per-type aggregates with the corrupt lines counted in a quarantine
+    group. The oracle predicts the quarantine row exactly because
+    corruption is keyed off event_id."""
+    typed = _typed_events(spark, sf_dir)
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+    ).otherwise(F.to_json(F.struct(*[F.col(f.name) for f in _FEED_SCHEMA])))
+    dst = tempfile.mkdtemp(prefix="ingest_jsonl_")
+    typed.select(line.alias("value")).write.mode("overwrite").text(dst)
+    return _ingest_aggregate(read_jsonl(spark, dst, _FEED_SCHEMA))
+
+
+@register("ingest_csv_events", oracle=_ingest_oracle(89))
+def ingest_csv_events(spark, sf_dir):
+    """CSV ingest end-to-end: events → comma-separated lines (every 89th
+    event_id carries a non-numeric token in the bigint column, failing the
+    typed parse), schema-on-read through sources/files.read_csv, same
+    quarantined aggregate shape as the JSONL twin."""
+    typed = _typed_events(spark, sf_dir)
+    good = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+        F.col("ts_us").cast("string"),
+    )
+    bad = F.concat_ws(
+        ",",
+        F.lit("oops"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+        F.col("ts_us").cast("string"),
+    )
+    line = F.when(F.col("event_id") % 89 == 0, bad).otherwise(good)
+    dst = tempfile.mkdtemp(prefix="ingest_csv_")
+    typed.select(line.alias("value")).write.mode("overwrite").text(dst)
+    return _ingest_aggregate(read_csv(spark, dst, _FEED_SCHEMA))

@@ -112,3 +112,71 @@ def zorder_events_slabs(spark, sf_dir):
         .select(F.lit("time_slab").alias("dim"), "k", "n", "sum_value")
     )
     return type_slab.unionByName(time_slab)
+
+
+@register(
+    "table_maintenance_report",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+           min(ts) AS min_ts, max(ts) AS max_ts,
+           TRUE AS compacted, TRUE AS stats_consistent
+    FROM events
+    """,
+)
+def table_maintenance_report(spark, sf_dir):
+    """The user-facing OPTIMIZE verb end-to-end, value-checked: fragment
+    ``events`` into 64 small files (a streaming sink's typical output),
+    run plans/layout.optimize_table (compaction to the byte-derived file
+    count + Z-order on (event_type code, ts micros) + footer-stats
+    refresh), then report from the OPTIMIZED table:
+
+    - content facts (row count, user count, value cents, ts range) whose
+      oracle runs on the ORIGINAL table — maintenance must be
+      value-preserving;
+    - ``compacted``: the rewrite reduced the file count (64 fragments →
+      byte-derived target; TRUE for any sf whose events table is under
+      ~16 GB, i.e. every driver sf);
+    - ``stats_consistent``: the metadata-only footer stats the report
+      carries equal the min/max recomputed from the data — the refresh
+      told the truth.
+
+    Reference analog: the maintenance jobs a topic-compacted CDC landing
+    zone needs once feeds become tables (docs/setup-guide.md:33-35 routes
+    per-table topics; this is the table-side equivalent). The layout
+    build runs at construction by design — sanctioned in the build-jobs
+    gate like zorder_events_slabs."""
+    import os
+
+    from ..plans.layout import optimize_table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("__etc", _etype_code())
+        .withColumn("__tsu", epoch_micros(F.col("ts")))
+    )
+    frag = tempfile.mkdtemp(prefix="maint_frag_")
+    opt = os.path.join(tempfile.mkdtemp(prefix="maint_opt_"), "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    report = optimize_table(
+        spark, frag, opt, zorder_cols=["__etc", "__tsu"], target_mb=256
+    )
+    stats = report["stats"]
+    out = spark.read.parquet(opt)
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_value_cents"
+        ),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.lit(report["files_after"] < report["files_before"]).alias("compacted"),
+        (
+            (F.min("__tsu") == F.lit(stats["__tsu_min"]))
+            & (F.max("__tsu") == F.lit(stats["__tsu_max"]))
+            & (F.min("__etc") == F.lit(stats["__etc_min"]))
+            & (F.max("__etc") == F.lit(stats["__etc_max"]))
+        ).alias("stats_consistent"),
+    )

@@ -78,6 +78,8 @@ def load_all_query_modules() -> None:
     """
     from .queries import (  # noqa: F401
         cdc,
+        graph_q,
+        ingest_q,
         layout_q,
         llm_ops,
         relational,

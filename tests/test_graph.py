@@ -1,0 +1,66 @@
+"""Fixed-point PageRank operator tests (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_cdc_experiment_spark.operators.graph import (
+    RANK_SCALE,
+    pagerank_fixed_point,
+)
+
+
+def _ranks(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iters=iters).collect()
+    }
+
+
+def test_symmetric_pair_is_a_fixed_point(spark):
+    """Two nodes exchanging all mass: rank stays at RANK_SCALE every
+    iteration (teleport 0.15 + damping 0.85 × full rank), so the fixed
+    point is exact in integer arithmetic."""
+    out = _ranks(spark, [(1, 2), (2, 1)], iters=4)
+    assert out == {1: RANK_SCALE, 2: RANK_SCALE}
+
+
+def test_star_center_outranks_leaves(spark):
+    """A 5-leaf star (symmetric edges): the hub collects every leaf's
+    damped mass, each leaf gets back a fifth of the hub's."""
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    out = _ranks(spark, edges)
+    assert out[0] > 2 * out[1]
+    assert len({out[i] for i in range(1, 6)}) == 1  # leaves identical
+
+
+def test_mass_is_conserved_up_to_floor_leakage(spark):
+    """Total rank never exceeds N×SCALE and floor-division leaks at most
+    (damping steps × nodes × 1) units below it — the quantization bound
+    that makes the fixed-point semantics auditable."""
+    edges = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3), (1, 4), (4, 1)]
+    out = _ranks(spark, edges, iters=3)
+    total = sum(out.values())
+    n = len(out)
+    assert total <= n * RANK_SCALE
+    # per iteration each node's outbound split loses < outdeg units and
+    # the damped remainder of prior leakage compounds; generous bound:
+    assert total >= n * RANK_SCALE - 3 * len(edges) * 100
+
+
+def test_plan_is_lazy_and_deterministic(spark):
+    """Construction plans zero jobs (unrolled lazy plan — the registry
+    gate relies on this) and two executions return identical bits."""
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(23)] + [((i * 7) % 23, i) for i in range(23)],
+        "src long, dst long",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("__pagerank_build", "audit")
+    plan = pagerank_fixed_point(df, iters=3)
+    spark.sparkContext.setJobGroup("__pagerank_done", "")
+    assert not tracker.getJobIdsForGroup("__pagerank_build")
+    a = sorted(map(tuple, plan.collect()))
+    b = sorted(map(tuple, plan.collect()))
+    assert a == b

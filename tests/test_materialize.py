@@ -263,3 +263,51 @@ def test_redelivery_crash_between_publish_and_commit(spark, tmp_path):
     assert final == {(1, 20, "a2"), (2, 5, "b")}
     # and the replay staged into an attempt dir, never the live target
     assert open(os.path.join(d, "CURRENT")).read().strip() == "state_0_r1"
+
+
+def test_delta_fold_matches_recompute_with_group_migrations(spark):
+    """The incremental identity on a handcrafted history with every change
+    class: insert, same-group update, group-MIGRATING update (the case
+    that exercises the -before/+after legs landing in different groups),
+    delete, and re-insert after delete. Fold result must equal the naive
+    latest-state recompute."""
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        delta_fold_group_agg,
+    )
+
+    # (key, seq, group, cents) chronological changes; None group = delete
+    history = [
+        (1, 1, "a", 100),   # insert
+        (1, 2, "a", 250),   # update in place
+        (1, 3, "b", 250),   # migrate a→b
+        (2, 1, "a", 700),   # insert
+        (2, 2, None, None), # delete
+        (3, 1, "b", 40),    # insert
+        (3, 2, "c", 45),    # migrate b→c
+        (4, 1, "a", 10),    # insert
+        (4, 2, None, None), # delete
+        (4, 3, "c", 11),    # re-insert
+    ]
+    rows = []
+    prev: dict[int, tuple] = {}
+    for key, seq, grp, cents in history:
+        b = prev.get(key, (None, None))
+        rows.append((key, seq, b[0], b[1], grp, cents))
+        prev[key] = (grp, cents)
+    feed = spark.createDataFrame(
+        rows, "key long, seq long, bg string, bv long, ag string, av long"
+    )
+    out = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in delta_fold_group_agg(
+            feed,
+            before_group=F.col("bg"),
+            before_value=F.col("bv"),
+            after_group=F.col("ag"),
+            after_value=F.col("av"),
+        ).collect()
+    }
+    # final state: 1→(b,250), 2 deleted, 3→(c,45), 4→(c,11)
+    assert out == {"b": (1, 250), "c": (2, 56)}
+    # group 'a' netted to zero rows and was dropped, not emitted as (0, 0)
+    assert "a" not in out

@@ -63,6 +63,7 @@ BREADTH = [
     "agg_string_concat",
     "array_hof_functions",
     "cdc_dlq_routing",
+    "cdc_incremental_agg",
     "cdc_table_filter",
     "conditional_nulls",
     "content_digests",
@@ -71,7 +72,10 @@ BREADTH = [
     "date_functions2",
     "date_functions3",
     "disjunctive_filter_revenue",
+    "graph_pagerank",
     "grouping_sets_revenue",
+    "ingest_csv_events",
+    "ingest_jsonl_events",
     "json_typed_parse",
     "math_bitwise_trig",
     "multimodal_resize",
@@ -82,6 +86,7 @@ BREADTH = [
     "stream_cdc_multi_table_state",
     "string_functions2",
     "string_regexp",
+    "table_maintenance_report",
     "time_grain_rollup",
     "top_k",
     "unpivot_metrics",

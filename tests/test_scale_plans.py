@@ -310,6 +310,14 @@ _BUILD_JOBS_SANCTIONED = {
     # layout maintenance: the clustering WRITE is the operator (the
     # OPTIMIZE-ZORDER shape) — build + probe run in one registered call
     "zorder_events_slabs",
+    # same carve-out: the OPTIMIZE composite (fragment fixture + rewrite)
+    # runs at construction; the returned report aggregate is lazy
+    "table_maintenance_report",
+    # text-feed fixtures: the JSONL/CSV files under test are WRITTEN at
+    # construction (the ingest read itself plans zero jobs — explicit
+    # schema, sources/files.py)
+    "ingest_csv_events",
+    "ingest_jsonl_events",
 }
 
 
