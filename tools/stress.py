@@ -26,6 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="run only the named ops (default: all)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -40,6 +46,8 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     def run(name: str, rows: int, fn) -> None:
+        if args.only is not None and name not in args.only:
+            return
         t0 = time.perf_counter()
         fn(rows)
         sec = time.perf_counter() - t0
@@ -135,12 +143,58 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def zorder_build(n):
+        """The layout-maintenance asymptote: Morton interleave of two
+        clustering columns + range-partitioned sorted parquet write (the
+        optimize_table / zorder_layout hot path). Real parquet I/O on
+        purpose — at 100 TB the maintenance job's cost IS the rewrite."""
+        import shutil
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.layout import zorder_layout
+
+        df = spark.range(n).select(
+            "id",
+            (F.col("id") % 1000).alias("c1"),
+            ((F.col("id") * 2654435761) % 1_000_000).alias("c2"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        dst = tempfile.mkdtemp(prefix="stress_zorder_")
+        try:
+            zorder_layout(df, dst, ["c1", "c2"], files=64, bits=10)
+        finally:
+            shutil.rmtree(dst, ignore_errors=True)
+
+    def pagerank_3iter(n_edges):
+        """The iterative-dataflow asymptote: 3 unrolled PageRank rounds
+        (join on src + re-aggregate on dst per round) over a synthetic
+        power-law-ish edge list; rows/s counts edge-traversals (edges ×
+        iterations)."""
+        from pulsar_cdc_experiment_spark.operators.graph import (
+            pagerank_fixed_point,
+        )
+
+        k = max(1000, n_edges // 10)
+        edges = spark.range(n_edges).select(
+            (F.col("id") % k).alias("src"),
+            (F.pmod(F.xxhash64("id"), F.lit(k))).alias("dst"),
+        )
+        # symmetric closure guarantees every vertex has out-edges
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        pagerank_fixed_point(sym, iters=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
     run("join_fact_dim", int(150e6 * s), join_fact_dim)
     run("window_partitioned", int(100e6 * s), window_partitioned)
     run("cdc_enrich_projection", int(50e6 * s), enrich_projection)
     run("minhash_signature_build", int(2e6 * s), minhash_signature_build)
+    run("zorder_build", int(20e6 * s), zorder_build)
+    run("pagerank_3iter", int(15e6 * s), pagerank_3iter)
 
     print(json.dumps({"metric": "stress", "cores": cores, "ops": results}))
     spark.stop()
