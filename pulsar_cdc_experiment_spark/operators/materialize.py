@@ -118,6 +118,7 @@ def delta_fold_group_agg(
     before_value: Column,
     after_group: Column,
     after_value: Column,
+    drop_empty: bool = True,
 ) -> DataFrame:
     """Incremental aggregate maintenance: fold a change feed's deltas
     straight into per-group (count, sum) WITHOUT materializing row state.
@@ -161,8 +162,11 @@ def delta_fold_group_agg(
         .select("d.*")
         .filter(F.col("g").isNotNull())
     )
-    return (
-        deltas.groupBy("g")
-        .agg(F.sum("c").alias("n_rows"), F.sum("v").alias("sum_value"))
-        .filter(F.col("n_rows") > 0)
+    out = deltas.groupBy("g").agg(
+        F.sum("c").alias("n_rows"), F.sum("v").alias("sum_value")
     )
+    # drop_empty=False keeps groups that net to zero rows — required when
+    # the result is a PARTIAL (one micro-batch's deltas, merged later by
+    # streaming.materialize.IncrementalAggMaintainer): a batch holding
+    # only a migration away from group g legitimately carries (g, -1, -v)
+    return out.filter(F.col("n_rows") > 0) if drop_empty else out

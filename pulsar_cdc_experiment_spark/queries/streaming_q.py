@@ -624,3 +624,111 @@ def stream_late_data_drop(spark, sf_dir):
         F.col("window.start").cast("long").alias("w_start_epoch"),
         F.col("n_events"),
     )
+
+
+def run_incremental_agg(spark, stream_df, root: str):
+    """Attach an IncrementalAggMaintainer (streaming IVM: per-group
+    count/sum maintained by delta folding, O(groups)+O(keys) state) to a
+    keyed change stream carrying (user_id, event_type, vc, ts, event_id);
+    drain with AvailableNow and return the maintained totals."""
+    from ..streaming.materialize import IncrementalAggMaintainer
+
+    maint = IncrementalAggMaintainer(
+        root,
+        key_col="user_id",
+        group_col="event_type",
+        value_col="vc",
+        order_cols=["ts", "event_id"],
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivm_")
+    q = (
+        stream_df.writeStream.foreachBatch(maint.process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return maint.current_totals(spark)
+
+
+def _time_ordered_event_stream(spark, sf_dir, n_files: int = 3):
+    """Stage events as ``n_files`` time-range files streamed one per
+    micro-batch: cross-batch per-key ordering holds because every row in
+    file i precedes every row in file i+1 by event time — the B3
+    per-key-ordered delivery a keyed CDC transport provides, reproduced
+    for the file source."""
+    import glob
+    import os
+    import shutil
+
+    from ..streaming.pipeline import EVENTS_RAW
+
+    from ..functions.time import epoch_micros
+
+    ev = spark.read.schema(EVENTS_RAW).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    # split on epoch micros, not timestamp literals: ts is NTZ and a
+    # python-datetime literal would compare through session-TZ casting
+    us = epoch_micros(F.col("ts"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).first()
+    span = max(1, (hi - lo) // n_files + 1)
+    d = tempfile.mkdtemp(prefix="ivm_src_")
+    base = 1_700_000_000
+    for i in range(n_files):
+        cond = (us >= lo + i * span) & (us < lo + (i + 1) * span)
+        stage = os.path.join(d, f"_stage{i}")
+        ev.filter(cond).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        final = os.path.join(d, f"{i:03d}.parquet")
+        os.replace(part, final)
+        os.utime(final, (base + i * 60, base + i * 60))
+        shutil.rmtree(stage)
+    return (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+@register(
+    "stream_cdc_incremental_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(vc) AS BIGINT) AS sum_value_cents
+    FROM ordered WHERE rn = n GROUP BY 1
+    """,
+)
+def stream_cdc_incremental_agg(spark, sf_dir):
+    """Streaming incremental view maintenance under the FULL oracle: the
+    per-group totals maintained across THREE real time-ordered
+    micro-batches (delta fold per batch, |groups|-sized merge) must equal
+    the naive recompute over the whole feed — the batch
+    cdc_incremental_agg's oracle, shared verbatim. Per-batch work is
+    proportional to the batch; totals state is O(groups), the key-image
+    table O(keys) (unneeded once the feed carries Debezium before-images).
+    Crash/replay semantics are pinned in tests/test_streaming.py
+    (single-pointer atomic publish of totals+keystate, batch-id
+    redelivery guard)."""
+    stream = _time_ordered_event_stream(spark, sf_dir)
+    feed = stream.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        "ts",
+        "event_id",
+    )
+    totals = run_incremental_agg(
+        spark, feed, tempfile.mkdtemp(prefix="ivm_root_")
+    )
+    return totals.select(
+        F.col("event_type").alias("grp"),
+        "n_rows",
+        F.col("sum_value").alias("sum_value_cents"),
+    )

@@ -10,6 +10,15 @@ a parquet directory swapped atomically per batch (read-modify-write of a
 small latest-state table). On a real deployment the same ``foreachBatch``
 body becomes a MERGE INTO against Delta/Iceberg — identical dataflow, the
 sink API changes.
+
+Two maintainers share the :class:`AtomicStateDir` publication mechanism:
+
+- :class:`IncrementalMaterializer` — latest-row-per-key state (O(keys)
+  rows). Idempotent under redelivery because the latest fold is.
+- :class:`IncrementalAggMaintainer` — per-group (count, sum) totals via
+  the delta fold (O(groups) rows). Delta merging is NOT naturally
+  idempotent, so redelivered batches are detected via the published
+  directory's batch id and skipped.
 """
 
 from __future__ import annotations
@@ -22,6 +31,117 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.materialize import latest_by_key
+
+
+class AtomicStateDir:
+    """A parquet state table published by atomic pointer swap.
+
+    Publication is a pointer file (``CURRENT`` names the live state
+    directory) updated with ``os.replace`` — there is no instant with
+    no live state, unlike a two-rename directory swap (round-1 advice):
+    a crash before the replace leaves the previous state live; a crash
+    after it leaves the new state live. Superseded directories are GC'd
+    AFTER publication, so a crash there leaks only dead files, never
+    state.
+    """
+
+    POINTER = "CURRENT"
+
+    def __init__(self, state_dir: str):
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.state_dir, self.POINTER)
+
+    def current_dir(self) -> str | None:
+        p = self._pointer_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            name = f.read().strip()
+        d = os.path.join(self.state_dir, name)
+        return d if name and os.path.exists(d) else None
+
+    def current_state(self, spark: SparkSession) -> DataFrame | None:
+        d = self.current_dir()
+        if d is None:
+            return None
+        return spark.read.parquet(d)
+
+    def applied_batch(self) -> int | None:
+        """Batch id of the live state, parsed from its directory name
+        (``state_<id>`` or ``state_<id>_r<n>``) — the redelivery guard
+        for non-idempotent merges."""
+        d = self.current_dir()
+        if d is None:
+            return None
+        parts = os.path.basename(d).split("_")
+        try:
+            return int(parts[1])
+        except (IndexError, ValueError):
+            return None
+
+    def publish(self, df: DataFrame, batch_id: int) -> None:
+        """Write ``df`` to a staged directory and swap the pointer.
+
+        The staging dir must NEVER be the live dir: on redelivery of batch
+        N (crash between publish and checkpoint commit), the pointer
+        already names state_N — a caller's lazy scan of that directory
+        feeds this write, and mode("overwrite") deletes the target before
+        writing, so staging into it would destroy the input mid-read
+        (round-3 ADVICE; it only ever worked because AQE happened to
+        materialize the fold's shuffle first). Attempt-suffix until the
+        name differs from the live dir; a dead leftover dir (crash
+        mid-write) is safe to overwrite, only the pointer target is
+        load-bearing.
+        """
+        self._publish(lambda staged: df.write.mode("overwrite").parquet(staged), batch_id)
+
+    def publish_tables(self, dfs: dict[str, DataFrame], batch_id: int) -> None:
+        """Publish SEVERAL tables under ONE pointer swap: each df lands in
+        ``<staged>/<name>`` and the pointer flips once — so a reader (and
+        the redelivery guard) always sees a mutually consistent set. This
+        is what makes a multi-table state transition (e.g. totals +
+        keystate in :class:`IncrementalAggMaintainer`) atomic; two
+        separate state dirs would let a crash land between their
+        publishes and desynchronize them."""
+
+        def write(staged: str) -> None:
+            for name, df in dfs.items():
+                df.write.mode("overwrite").parquet(os.path.join(staged, name))
+
+        self._publish(write, batch_id)
+
+    def current_table(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Read one table of a :meth:`publish_tables` publication."""
+        d = self.current_dir()
+        if d is None:
+            return None
+        sub = os.path.join(d, name)
+        return spark.read.parquet(sub) if os.path.exists(sub) else None
+
+    def _publish(self, write_fn, batch_id: int) -> None:
+        prev_dir = self.current_dir()
+        staged_name = f"state_{batch_id}"
+        attempt = 0
+        while prev_dir is not None and staged_name == os.path.basename(prev_dir):
+            attempt += 1
+            staged_name = f"state_{batch_id}_r{attempt}"
+        staged = os.path.join(self.state_dir, staged_name)
+        if os.path.exists(staged):  # dead leftover from a crash mid-write
+            shutil.rmtree(staged, ignore_errors=True)
+        write_fn(staged)
+
+        tmp = os.path.join(self.state_dir, f".{self.POINTER}.tmp_{batch_id}")
+        with open(tmp, "w") as f:
+            f.write(staged_name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path())  # the single atomic publish
+
+        if prev_dir and os.path.abspath(prev_dir) != os.path.abspath(staged):
+            shutil.rmtree(prev_dir, ignore_errors=True)
 
 
 class IncrementalMaterializer:
@@ -38,75 +158,24 @@ class IncrementalMaterializer:
         key_cols: Sequence[str],
         order_cols: Sequence[str],
     ):
+        self._state = AtomicStateDir(state_dir)
         self.state_dir = state_dir
         self.key_cols = list(key_cols)
         self.order_cols = list(order_cols)
 
-    POINTER = "CURRENT"
-
-    def _pointer_path(self) -> str:
-        return os.path.join(self.state_dir, self.POINTER)
-
-    def _current_dir(self) -> str | None:
-        p = self._pointer_path()
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            name = f.read().strip()
-        d = os.path.join(self.state_dir, name)
-        return d if name and os.path.exists(d) else None
-
     def current_state(self, spark: SparkSession) -> DataFrame | None:
-        d = self._current_dir()
-        if d is None:
-            return None
-        return spark.read.parquet(d)
+        return self._state.current_state(spark)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Fold the batch into state and publish via ONE atomic rename.
-
-        Publication is a pointer file (``CURRENT`` names the live state
-        directory) updated with ``os.replace`` — there is no instant with
-        no live state, unlike a two-rename directory swap (round-1 advice):
-        a crash before the replace leaves the previous state live; a crash
-        after it leaves the new state live. Superseded directories are GC'd
-        AFTER publication, so a crash there leaks only dead files, never
-        state.
-        """
+        """Fold the batch into state and publish via ONE atomic rename."""
         spark = batch_df.sparkSession
         folded = latest_by_key(batch_df, self.key_cols, self.order_cols)
-        prev_dir = self._current_dir()
         prev = self.current_state(spark)
         if prev is not None:
             folded = latest_by_key(
                 prev.unionByName(folded), self.key_cols, self.order_cols
             )
-        # The staging dir must NEVER be the live dir: on redelivery of batch
-        # N (crash between publish and checkpoint commit), the pointer
-        # already names state_N — `prev` is a LAZY scan of that directory,
-        # and mode("overwrite") deletes the target before writing, so
-        # staging into it would destroy the input mid-read (round-3 ADVICE;
-        # it only ever worked because AQE happened to materialize the fold's
-        # shuffle first). Attempt-suffix until the name differs from the
-        # live dir; a dead leftover dir (crash mid-write) is safe to
-        # overwrite, only the pointer target is load-bearing.
-        staged_name = f"state_{batch_id}"
-        attempt = 0
-        while prev_dir is not None and staged_name == os.path.basename(prev_dir):
-            attempt += 1
-            staged_name = f"state_{batch_id}_r{attempt}"
-        staged = os.path.join(self.state_dir, staged_name)
-        folded.write.mode("overwrite").parquet(staged)
-
-        tmp = os.path.join(self.state_dir, f".{self.POINTER}.tmp_{batch_id}")
-        with open(tmp, "w") as f:
-            f.write(staged_name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer_path())  # the single atomic publish
-
-        if prev_dir and os.path.abspath(prev_dir) != os.path.abspath(staged):
-            shutil.rmtree(prev_dir, ignore_errors=True)
+        self._state.publish(folded, batch_id)
 
     def attach(self, stream_df: DataFrame, checkpoint: str | None = None):
         """Wire the materializer into a stream via foreachBatch."""
@@ -119,3 +188,136 @@ class IncrementalMaterializer:
             .trigger(availableNow=True)
             .start()
         )
+
+
+class IncrementalAggMaintainer:
+    """Streaming incremental view maintenance of ``GROUP BY g: count,
+    sum(v)`` over a keyed change feed — per-batch work proportional to
+    the BATCH, state proportional to |groups| + |keys|.
+
+    Two state tables under ``root``:
+
+    - ``totals``  — (g, n_rows, sum_value): the maintained aggregate.
+    - ``keystate`` — (key, group, value, *order_cols): each key's current
+      image, consulted to derive the before-image of a batch's FIRST
+      change per key. A feed that carries before-images natively (Debezium
+      envelopes, reference docs/architecture.md:260-283) does not need
+      this table at all — it exists because the test feed is bare upserts.
+
+    Per batch: intra-batch before-images come from a per-key lag; the
+    first change per key takes its before-image from ``keystate``; the
+    batch's deltas (operators/materialize.delta_fold_group_agg with
+    ``drop_empty=False`` — a partial may net negative) merge into
+    ``totals`` by a |groups|-sized union+sum. Both tables publish in ONE
+    :meth:`AtomicStateDir.publish_tables` pointer swap — they must move
+    together, since the delta computation reads keystate as "state BEFORE
+    this batch"; separate publishes would let a crash strand keystate a
+    batch ahead of totals and corrupt the replayed deltas. Delta merging
+    is not idempotent, so a redelivered batch (same id as the live
+    publication) is skipped whole.
+
+    Correctness precondition: per-key ordered delivery ACROSS batches
+    (batch N's changes for a key precede batch N+1's) — the reference's
+    B3 per-key ordering guarantee, which any keyed CDC transport
+    provides. Within a batch, order_cols define the fold order.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        key_col: str,
+        group_col: str,
+        value_col: str,
+        order_cols: Sequence[str],
+    ):
+        self.key_col = key_col
+        self.group_col = group_col
+        self.value_col = value_col
+        self.order_cols = list(order_cols)
+        self._state = AtomicStateDir(root)
+
+    def current_totals(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        t = self._state.current_table(spark, "totals")
+        if t is None:
+            return None
+        # empty groups surface only at read time; partials must keep them
+        return t.filter(F.col("n_rows") > 0)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from ..operators.materialize import delta_fold_group_agg
+
+        if self._state.applied_batch() == batch_id:
+            return  # redelivery: deltas were already merged
+        spark = batch_df.sparkSession
+        k, g, v = self.key_col, self.group_col, self.value_col
+
+        w = Window.partitionBy(k).orderBy(*self.order_cols)
+        b = batch_df.select(
+            k,
+            g,
+            v,
+            *self.order_cols,
+            F.lag(g).over(w).alias("__bg"),
+            F.lag(v).over(w).alias("__bv"),
+            F.row_number().over(w).alias("__rn"),
+        ).persist()
+        try:
+            prev_ks = self._state.current_table(spark, "keystate")
+            if prev_ks is None:
+                changes = b.withColumn("__sg", F.lit(None).cast("string")).withColumn(
+                    "__sv", F.lit(None).cast("long")
+                )
+            else:
+                state = prev_ks.select(
+                    F.col(k).alias("__sk"),
+                    F.col(g).alias("__sg"),
+                    F.col(v).alias("__sv"),
+                )
+                changes = b.join(state, b[k] == state["__sk"], "left").drop("__sk")
+            deltas = delta_fold_group_agg(
+                changes,
+                before_group=F.when(F.col("__rn") == 1, F.col("__sg")).otherwise(
+                    F.col("__bg")
+                ),
+                before_value=F.when(F.col("__rn") == 1, F.col("__sv")).otherwise(
+                    F.col("__bv")
+                ),
+                after_group=F.col(g),
+                after_value=F.col(v),
+                drop_empty=False,
+            ).select(
+                F.col("g").alias(g),
+                "n_rows",
+                "sum_value",
+            )
+
+            prev_tot = self._state.current_table(spark, "totals")
+            merged = (
+                prev_tot.unionByName(deltas) if prev_tot is not None else deltas
+            )
+            merged = merged.groupBy(g).agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+
+            batch_last = latest_by_key(
+                b.select(k, g, v, *self.order_cols), [k], self.order_cols
+            )
+            new_ks = (
+                latest_by_key(
+                    prev_ks.unionByName(batch_last), [k], self.order_cols
+                )
+                if prev_ks is not None
+                else batch_last
+            )
+
+            self._state.publish_tables(
+                {"totals": merged, "keystate": new_ks}, batch_id
+            )
+        finally:
+            b.unpersist()

@@ -83,6 +83,7 @@ BREADTH = [
     "safe_casts",
     "set_intersect_except",
     "set_union",
+    "stream_cdc_incremental_agg",
     "stream_cdc_multi_table_state",
     "string_functions2",
     "string_regexp",

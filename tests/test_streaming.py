@@ -686,3 +686,96 @@ def test_observe_metrics_on_stream(spark):
         total["n_rows"] += m["n_rows"]
         total["n_malformed"] += m["n_malformed"]
     assert total == {"n_rows": len(lines), "n_malformed": 3}
+
+
+class TestIncrementalAggMaintainer:
+    """Streaming IVM (streaming/materialize.IncrementalAggMaintainer):
+    batch-slicing equivalence, redelivery idempotence, and the
+    single-pointer atomicity of the totals+keystate pair."""
+
+    def _mk(self, root):
+        from pulsar_cdc_experiment_spark.streaming.materialize import (
+            IncrementalAggMaintainer,
+        )
+
+        return IncrementalAggMaintainer(
+            root, key_col="k", group_col="g", value_col="v", order_cols=["seq"]
+        )
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, g string, v long, seq long")
+
+    def test_multi_batch_equals_one_shot_with_migrations(self, spark):
+        """Key 1 migrates groups ACROSS batches (its before-image must
+        come from the persisted keystate, not the intra-batch lag); key 2
+        churns within one batch; key 3 appears only in batch 2."""
+        b1 = [(1, "a", 100, 1), (2, "a", 10, 1), (2, "b", 20, 2)]
+        b2 = [(1, "b", 150, 3), (3, "a", 7, 1), (1, "b", 160, 4)]
+        root = tempfile.mkdtemp(prefix="ivm_unit_")
+        m = self._mk(root)
+        m.process_batch(self._batch(spark, b1), 0)
+        m.process_batch(self._batch(spark, b2), 1)
+        got = {
+            r["g"]: (r["n_rows"], r["sum_value"])
+            for r in m.current_totals(spark).collect()
+        }
+        # final state: 1→(b,160), 2→(b,20), 3→(a,7); group a netted {3}
+        assert got == {"b": (2, 180), "a": (1, 7)}
+
+        one = self._mk(tempfile.mkdtemp(prefix="ivm_oneshot_"))
+        one.process_batch(self._batch(spark, b1 + b2), 0)
+        want = {
+            r["g"]: (r["n_rows"], r["sum_value"])
+            for r in one.current_totals(spark).collect()
+        }
+        assert got == want
+
+    def test_redelivered_batch_is_skipped(self, spark):
+        """foreachBatch replays the last batch after a crash between
+        publish and checkpoint commit; the delta merge must not double-
+        apply (the batch-id guard on the live publication)."""
+        root = tempfile.mkdtemp(prefix="ivm_replay_")
+        m = self._mk(root)
+        m.process_batch(self._batch(spark, [(1, "a", 100, 1)]), 0)
+        m.process_batch(self._batch(spark, [(1, "a", 130, 2)]), 1)
+        before = sorted(map(tuple, m.current_totals(spark).collect()))
+        m.process_batch(self._batch(spark, [(1, "a", 130, 2)]), 1)  # replay
+        after = sorted(map(tuple, m.current_totals(spark).collect()))
+        assert before == after == [("a", 1, 130)]
+
+    def test_totals_and_keystate_publish_atomically(self, spark):
+        """One pointer file governs BOTH tables: after any batch the live
+        directory contains totals and keystate together, and a leftover
+        staged directory from a simulated crash is invisible until a
+        pointer names it (then cleaned by the collision loop on rewrite)."""
+        import os
+
+        root = tempfile.mkdtemp(prefix="ivm_atomic_")
+        m = self._mk(root)
+        m.process_batch(self._batch(spark, [(1, "a", 5, 1)]), 0)
+        live = m._state.current_dir()
+        assert sorted(os.listdir(live)) and os.path.exists(
+            os.path.join(live, "totals")
+        ) and os.path.exists(os.path.join(live, "keystate"))
+        # simulate a crash mid-write of the NEXT batch: a dead staged dir
+        dead = os.path.join(root, "state_1")
+        os.makedirs(os.path.join(dead, "totals"), exist_ok=True)
+        assert m._state.current_dir() == live  # pointer untouched → invisible
+        m.process_batch(self._batch(spark, [(1, "b", 6, 2)]), 1)
+        got = {
+            r["g"]: (r["n_rows"], r["sum_value"])
+            for r in m.current_totals(spark).collect()
+        }
+        assert got == {"b": (1, 6)}
+
+    def test_empty_group_dropped_only_at_read(self, spark):
+        """A later batch migrating the only row out of a group must leave
+        the persisted partial (net zero) but hide it from readers."""
+        root = tempfile.mkdtemp(prefix="ivm_zero_")
+        m = self._mk(root)
+        m.process_batch(self._batch(spark, [(1, "a", 9, 1)]), 0)
+        m.process_batch(self._batch(spark, [(1, "b", 9, 2)]), 1)
+        tot = m.current_totals(spark)
+        assert {r["g"] for r in tot.collect()} == {"b"}
+        raw = m._state.current_table(spark, "totals")
+        assert {r["g"] for r in raw.collect()} == {"a", "b"}
