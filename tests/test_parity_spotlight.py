@@ -62,6 +62,7 @@ BREADTH = [
     "agg_statistics",
     "agg_string_concat",
     "array_hof_functions",
+    "bloom_point_lookup",
     "cdc_dlq_routing",
     "cdc_incremental_agg",
     "cdc_table_filter",

@@ -93,3 +93,58 @@ def test_e2e_parses_json_exactly_twice(spark):
     df = QUERIES["cdc_enrich_e2e"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("from_json") == 2
+
+
+def test_bloom_filters_skip_row_groups(spark):
+    """plans/bloom.py evidence: on a hash-scrambled layout (row-group
+    min/max stats span the full key domain — stats pruning impossible), a
+    point lookup against the bloom-indexed copy reads ~one row group
+    while the bloom-less twin reads the whole file; and the footer carries
+    blooms ONLY for the enabled column."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.plans.bloom import (
+        bloom_columns,
+        scan_output_rows,
+        write_with_bloom,
+    )
+
+    n = 500_000
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("user_id"), (F.col("id") % 7).alias("v"))
+        .repartition(1)
+        .sortWithinPartitions(F.xxhash64(F.col("user_id")))
+    )
+    base = tempfile.mkdtemp(prefix="bloom_skip_")
+    with_bloom = os.path.join(base, "bloom")
+    without = os.path.join(base, "plain")
+    write_with_bloom(
+        df, with_bloom, ["user_id"], expected_ndv=n, block_size_bytes=256 * 1024
+    )
+    df.write.option("parquet.block.size", 256 * 1024).mode("overwrite").parquet(
+        without
+    )
+
+    cols = bloom_columns(spark, with_bloom)
+    assert cols == {"user_id": True, "v": False}
+    assert bloom_columns(spark, without) == {"user_id": False, "v": False}
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+
+        def lookup_rows(path):
+            d = spark.read.parquet(path).filter(F.col("user_id") == 123_457)
+            assert d.count() == 1
+            d.collect()
+            return scan_output_rows(d)
+
+        pruned, full = lookup_rows(with_bloom), lookup_rows(without)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert full == n  # stats could not prune the scrambled layout
+    assert pruned < n / 10  # blooms skipped the row groups without the key

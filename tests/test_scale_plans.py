@@ -318,6 +318,8 @@ _BUILD_JOBS_SANCTIONED = {
     # schema, sources/files.py)
     "ingest_csv_events",
     "ingest_jsonl_events",
+    # bloom-indexed layout write is the fixture (plans/bloom.py)
+    "bloom_point_lookup",
 }
 
 
