@@ -223,3 +223,60 @@ def bloom_point_lookup(spark, sf_dir):
             "ts",
         )
     )
+
+
+#: the fixed event-type dimension for the DPP demo: category is the
+#: NON-partition attribute the filter lands on, so only runtime pruning
+#: (not static partition elimination) can skip the fact partitions
+EVENT_DIM = [
+    ("signup", "conversion"),
+    ("purchase", "conversion"),
+    ("view", "browse"),
+    ("click", "browse"),
+    ("error", "ops"),
+]
+
+
+@register(
+    "dpp_partitioned_join",
+    oracle="""
+    SELECT event_type, 'conversion' AS category,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events WHERE event_type IN ('signup', 'purchase')
+    GROUP BY 1
+    """,
+)
+def dpp_partitioned_join(spark, sf_dir):
+    """Dynamic partition pruning end-to-end: ``events`` written
+    PARTITIONED BY event_type (the directory layout a 100 TB fact table
+    ships with), joined to a category dimension filtered on a
+    NON-partition attribute — so the partitions to scan are only known at
+    runtime, after the dim side evaluates. Spark injects
+    ``dynamicpruningexpression(event_type IN dynamicpruning#N)`` into the
+    fact scan's PartitionFilters (asserted in
+    tests/test_plans.py::test_dpp_prunes_fact_partitions): the fact scan
+    reads 2 of 5 partition directories, never the whole table. This is
+    the star-schema essential — static pruning covers literal predicates,
+    DPP covers the join-derived ones. Oracle inlines the dim (it is a
+    fixed 5-row mapping). Layout write at construction is the fixture,
+    sanctioned like the other layout queries."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="dpp_events_")
+    lay = os.path.join(root, "events")
+    ev = table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(lay)
+    fact = spark.read.parquet(lay)
+    dim = spark.createDataFrame(EVENT_DIM, ["event_type", "category"])
+    return (
+        fact.join(dim, "event_type")
+        .filter(F.col("category") == "conversion")
+        .groupBy("event_type", "category")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )

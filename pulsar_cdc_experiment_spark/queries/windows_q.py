@@ -263,3 +263,77 @@ def retention_cohorts(spark, sf_dir):
         .distinct()
     )
     return act.groupBy("cohort_wk", "wk_offset").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), v AS (
+      SELECT e.user_id, min(e.ts) AS v_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts >= s.s_ts AND e.ts <= s.s_ts + INTERVAL 7 DAY
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= v.v_ts AND e.ts <= v.v_ts + INTERVAL 7 DAY
+      GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS event, CAST((SELECT count(*) FROM s) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'view', CAST((SELECT count(*) FROM v) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Funnel analysis — the product-analytics staple: users progressing
+    signup → first view within 7 days → first purchase within 7 days of
+    that view; one row per step with the surviving-user count.
+
+    Shape: a chain of per-user min-aggregates, each step joining the
+    previous step's (user, step_ts) table on user_id with an event-time
+    range predicate. Every shuffle in the chain is keyed on user_id, so
+    at 100 TB the steps co-partition (AQE reuses the exchange) and no
+    step ever materializes more than one row per surviving user — state
+    is O(users at step k), monotonically shrinking down the funnel. The
+    7-day windows make it an as-of-bounded funnel, not a lifetime one
+    (asof_join_state is the single-step relative)."""
+    ev = table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+
+    def first_within(prev, etype, prev_ts, out_ts):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") >= F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + week)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = first_within(s, "view", "s_ts", "v_ts")
+    p = first_within(v, "purchase", "v_ts", "p_ts")
+
+    def step(i, name, df):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("event"), "n_users"
+        )
+
+    return (
+        step(1, "signup", s)
+        .unionByName(step(2, "view", v))
+        .unionByName(step(3, "purchase", p))
+    )

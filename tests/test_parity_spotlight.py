@@ -73,6 +73,8 @@ BREADTH = [
     "date_functions2",
     "date_functions3",
     "disjunctive_filter_revenue",
+    "dpp_partitioned_join",
+    "funnel_conversion",
     "graph_pagerank",
     "grouping_sets_revenue",
     "ingest_csv_events",

@@ -148,3 +148,33 @@ def test_bloom_filters_skip_row_groups(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert full == n  # stats could not prune the scrambled layout
     assert pruned < n / 10  # blooms skipped the row groups without the key
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """dpp_partitioned_join's plan carries the runtime pruning expression
+    on the fact scan (the partitions to read come from the dim-side
+    subquery, not a literal), and the scanned row count equals the two
+    surviving partitions — not the table."""
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.queries.layout_q import dpp_partitioned_join
+    from pulsar_cdc_experiment_spark.sources.tables import table as t
+
+    df = dpp_partitioned_join(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "PartitionFilters" in plan
+    got = {r["event_type"]: r["n"] for r in df.collect()}
+    ev = t(spark, sf_dir, "events")
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.filter(
+            F.col("event_type").isin("signup", "purchase")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -196,3 +196,59 @@ def test_global_ntile_property(spark_global, values, n_tiles, buckets):
         for r in global_ntile(df, "v", ["id"], n=n_tiles, buckets=buckets).collect()
     }
     assert ours == naive
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),            # key
+            st.sampled_from(["a", "b", "c", None]),  # group (None = delete)
+            st.integers(-1000, 1000),     # value
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_delta_fold_equals_recompute(spark_global, ops):
+    """IVM identity (operators/materialize.delta_fold_group_agg): for ANY
+    per-key change history — inserts, updates, group migrations, deletes,
+    re-inserts — folding the (before, after) deltas equals recomputing the
+    aggregate from the final state. Before-images are derived exactly as a
+    CDC feed would carry them (each change's before = the key's previous
+    after)."""
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        delta_fold_group_agg,
+    )
+
+    rows, prev, state = [], {}, {}
+    for seq, (k, g, v) in enumerate(ops):
+        bg, bv = prev.get(k, (None, None))
+        if g is None and bg is None:
+            continue  # delete of a non-existent row: no change event
+        rows.append((k, seq, bg, bv, g, v if g is not None else None))
+        prev[k] = (g, v) if g is not None else (None, None)
+        if g is None:
+            state.pop(k, None)
+        else:
+            state[k] = (g, v)
+    if not rows:
+        return
+    feed = spark_global.createDataFrame(
+        rows, "k long, seq long, bg string, bv long, ag string, av long"
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in delta_fold_group_agg(
+            feed,
+            before_group=F.col("bg"),
+            before_value=F.col("bv"),
+            after_group=F.col("ag"),
+            after_value=F.col("av"),
+        ).collect()
+    }
+    want: dict[str, tuple[int, int]] = {}
+    for g, v in state.values():
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    assert got == want

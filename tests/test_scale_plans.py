@@ -320,6 +320,8 @@ _BUILD_JOBS_SANCTIONED = {
     "ingest_jsonl_events",
     # bloom-indexed layout write is the fixture (plans/bloom.py)
     "bloom_point_lookup",
+    # partitioned layout write is the fixture (DPP needs a partitioned fact)
+    "dpp_partitioned_join",
 }
 
 
