@@ -60,6 +60,7 @@ HEADLINE = [
     "cdc_incremental_agg",      # IVM delta fold (O(groups) state, one shuffle)
     "ingest_jsonl_events",      # text ingest: JSONL write + schema-on-read + agg
     "table_maintenance_report", # OPTIMIZE composite: fragment->compact+zorder+stats
+    "funnel_conversion",        # per-user min-agg chain, co-partitioned joins
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}

@@ -170,3 +170,59 @@ def delta_fold_group_agg(
     # streaming.materialize.IncrementalAggMaintainer): a batch holding
     # only a migration away from group g legitimately carries (g, -1, -v)
     return out.filter(F.col("n_rows") > 0) if drop_empty else out
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Derive a CDC change feed from two state snapshots — the inverse of
+    materialization, and the standard bootstrap when a table predates its
+    change capture (the reference's snapshot phase emits op='r' reads for
+    exactly this reason, connectors/README.md:152-157; diffing two
+    snapshots yields the c/u/d events BETWEEN them).
+
+    Full-outer join on the key: key only in ``b`` → create, only in
+    ``a`` → delete, in both with any ``compare_cols`` differing
+    (null-safely) → update; identical rows emit nothing. Returns
+    ``key_cols + op + before_<c>/after_<c>`` per compare col — before
+    images null for creates, after images null for deletes (Debezium
+    envelope semantics, docs/architecture.md:260-283).
+
+    Presence is tracked with explicit marker columns, not null-ness of
+    data columns — a snapshot row whose compare columns are all null is
+    still a present row. Scale: one co-partitioned full-outer shuffle on
+    the key; the output feeds delta_fold_group_agg or a materializer
+    directly.
+    """
+    keys = list(key_cols)
+    cmps = list(compare_cols)
+    a2 = a.select(
+        *keys,
+        F.lit(True).alias("__a_present"),
+        *[F.col(c).alias(f"__a_{c}") for c in cmps],
+    )
+    b2 = b.select(
+        *keys,
+        F.lit(True).alias("__b_present"),
+        *[F.col(c).alias(f"__b_{c}") for c in cmps],
+    )
+    j = a2.join(b2, keys, "full_outer")
+    changed = None
+    for c in cmps:
+        ne = ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    op = (
+        F.when(F.col("__a_present").isNull(), "c")
+        .when(F.col("__b_present").isNull(), "d")
+        .when(changed, "u")
+    )
+    out = j.withColumn("op", op).filter(F.col("op").isNotNull())
+    return out.select(
+        *keys,
+        "op",
+        *[F.col(f"__a_{c}").alias(f"before_{c}") for c in cmps],
+        *[F.col(f"__b_{c}").alias(f"after_{c}") for c in cmps],
+    )

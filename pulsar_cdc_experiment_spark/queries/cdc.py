@@ -711,3 +711,66 @@ def cdc_incremental_agg(spark, sf_dir):
         "n_rows",
         F.col("sum_value").alias("sum_value_cents"),
     )
+
+
+_SNAP_T1 = "2024-01-11 00:00:00"
+_SNAP_T2 = "2024-01-21 00:00:00"
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH sa AS (
+      SELECT user_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_SNAP_T1}'
+      ) WHERE rn = 1 AND event_type <> 'error'
+    ), sb AS (
+      SELECT user_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_SNAP_T2}'
+      ) WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT * FROM (
+      SELECT coalesce(sa.user_id, sb.user_id) AS user_id,
+             CASE WHEN sa.user_id IS NULL THEN 'c'
+                  WHEN sb.user_id IS NULL THEN 'd'
+                  WHEN sa.event_type IS DISTINCT FROM sb.event_type
+                    OR sa.vc IS DISTINCT FROM sb.vc THEN 'u' END AS op,
+             sa.event_type AS before_event_type, sa.vc AS before_vc,
+             sb.event_type AS after_event_type, sb.vc AS after_vc
+      FROM sa FULL JOIN sb ON sa.user_id = sb.user_id
+    ) WHERE op IS NOT NULL
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """CDC bootstrap — derive the change feed BETWEEN two state snapshots
+    (operators/materialize.snapshot_diff): latest per-user state at T1
+    vs at T2 ('error' latest = tombstone, row absent, same convention as
+    cdc_latest_state), full-outer diffed into c/u/d events with
+    before/after images. This is how change capture starts on a table
+    that predates its connector — the reference's snapshot phase
+    (op='r' reads) solves the same bootstrap from the other end.
+    Value-level diff by design: a row whose compared columns returned to
+    identical values emits nothing."""
+    from ..operators.materialize import snapshot_diff
+
+    def state_at(t):
+        ev = table(spark, sf_dir, "events").filter(
+            F.col("ts") < F.lit(t).cast("timestamp_ntz")
+        )
+        latest = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+        return latest.filter(F.col("event_type") != "error").select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        )
+
+    return snapshot_diff(
+        state_at(_SNAP_T1),
+        state_at(_SNAP_T2),
+        ["user_id"],
+        ["event_type", "vc"],
+    )

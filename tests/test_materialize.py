@@ -311,3 +311,41 @@ def test_delta_fold_matches_recompute_with_group_migrations(spark):
     assert out == {"b": (1, 250), "c": (2, 56)}
     # group 'a' netted to zero rows and was dropped, not emitted as (0, 0)
     assert "a" not in out
+
+
+def test_snapshot_diff_composes_with_delta_fold(spark):
+    """snapshot_diff(A,B) emits exactly the change events between two
+    states, and folding those deltas reproduces agg(B) - agg(A) — the two
+    operators are inverse faces of the same CDC algebra."""
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        delta_fold_group_agg,
+        snapshot_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "x", 20), (3, "y", 30), (5, None, None)],
+        "k long, g string, v long",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 25), (4, "x", 40), (5, None, None)],
+        "k long, g string, v long",
+    )
+    diff = snapshot_diff(a, b, ["k"], ["g", "v"])
+    ops = {r["k"]: r["op"] for r in diff.collect()}
+    # 1 unchanged (absent), 2 migrated x→y, 3 deleted, 4 created,
+    # 5 present in both with all-null compare cols: present+equal → absent
+    assert ops == {2: "u", 3: "d", 4: "c"}
+
+    folded = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in delta_fold_group_agg(
+            diff,
+            before_group=F.col("before_g"),
+            before_value=F.col("before_v"),
+            after_group=F.col("after_g"),
+            after_value=F.col("after_v"),
+            drop_empty=False,
+        ).collect()
+    }
+    # agg(B)-agg(A): x: (2,50)-(2,30)=(0,+20); y: (1,25)-(1,30)=(0,-5)
+    assert folded == {"x": (0, 20), "y": (0, -5)}

@@ -65,6 +65,7 @@ BREADTH = [
     "bloom_point_lookup",
     "cdc_dlq_routing",
     "cdc_incremental_agg",
+    "cdc_snapshot_diff",
     "cdc_table_filter",
     "conditional_nulls",
     "content_digests",
