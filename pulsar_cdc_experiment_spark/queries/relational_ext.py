@@ -451,3 +451,154 @@ def time_grain_rollup(spark, sf_dir):
         )
         .select("y", "m", "g_y", "g_m", "n_items", "revenue")
     )
+
+
+@register(
+    "local_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 analog (local supplier volume): revenue per nation from
+    orders where the customer and the line's supplier share a nation, for
+    one region and one order-year — the canonical 6-table star join.
+    Plan shape at 100 TB: lineitem⋈orders⋈customer are the fact joins
+    (sort-merge on their keys); supplier/nation/region are
+    fixed-cardinality dims AQE broadcasts from measured size (no pinned
+    hints); the s_nationkey = c_nationkey equality rides the supplier
+    join as a residual condition. Filters on region name and order date
+    push below every join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+    )
+    return j.groupBy("n_name").agg(
+        rn(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    oracle="""
+    WITH market AS (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           floor((sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                  / sum(volume)) * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM market GROUP BY o_year
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 analog (national market share): NATION_7's share of the
+    EUROPE market's revenue in ECONOMY parts, per order year — the
+    8-table join with a conditional-aggregate ratio. The share divides
+    two sums of the SAME scan (one pass, no self-join); nation joins
+    twice under different roles (customer's nation gates the market,
+    supplier's nation feeds the share), which the planner handles as two
+    independent broadcast dims."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = table(spark, sf_dir, "nation").alias("cn")
+    sn = table(spark, sf_dir, "nation").alias("sn")
+    r = table(spark, sf_dir, "region")
+    p = table(spark, sf_dir, "part")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == F.col("cn.n_nationkey"))
+        .join(r, F.col("cn.n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("sn.n_nationkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .filter((F.col("r_name") == "EUROPE") & (F.col("p_type") == "ECONOMY"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(0.0)
+    ) / F.sum("volume")
+    return m.groupBy("o_year").agg(rn(share, 6).alias("mkt_share"))
+
+
+@register("hll_partial_merge")  # rows-only BY DESIGN: estimates are
+# Datasketches-HLL-specific values no SQL oracle reproduces; the
+# correctness claim is the MERGE IDENTITY, asserted in-plan (consistent
+# column) and cross-checked against exact counts in tests/test_registry.py
+def hll_partial_merge(spark, sf_dir):
+    """Mergeable-sketch cardinality (the pre-aggregation pattern exact
+    count-distinct cannot give): per-day HLL sketches of user_id, then a
+    lossless sketch UNION across days, estimated once — compared in the
+    same plan against the direct whole-table sketch. At 100 TB this is
+    why sketches beat exact distinct for dashboards: daily partials are
+    tiny (lgK=12 → ~4 KB), any date-range cardinality is a union of
+    partials (no rescan), and the union is associative so partials roll
+    up along whatever hierarchy the layout has. ``consistent`` is TRUE by
+    the HLL union identity (same lgK, same implementation); the absolute
+    accuracy vs exact count is pinned in tests (±5% at lgK=12)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_days"),
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+            "direct_est"
+        )
+    )
+    return merged.crossJoin(direct).select(
+        "n_days",
+        "est",
+        "direct_est",
+        (F.col("est") == F.col("direct_est")).alias("consistent"),
+    )

@@ -81,8 +81,10 @@ BREADTH = [
     "ingest_csv_events",
     "ingest_jsonl_events",
     "json_typed_parse",
+    "local_supplier_revenue",
     "math_bitwise_trig",
     "multimodal_resize",
+    "nation_market_share",
     "promo_revenue_share",
     "safe_casts",
     "set_intersect_except",

@@ -33,3 +33,18 @@ def test_every_oracle_key_is_a_registered_query():
     load_all_query_modules()
     missing = [n for n in registry.ORACLES if n not in registry.QUERIES]
     assert missing == []
+
+
+def test_hll_partial_merge_identity_and_accuracy(spark, sf_dir, duck):
+    """The rows-only hll_partial_merge query's correctness claims: the
+    daily-sketch union estimates EXACTLY what the direct whole-table
+    sketch estimates (lossless merge identity), and both sit within 5%
+    of the exact distinct count (Datasketches HLL at lgK=12)."""
+    from pulsar_cdc_experiment_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    row = QUERIES["hll_partial_merge"](spark, sf_dir).collect()[0]
+    assert row["consistent"] is True
+    assert row["est"] == row["direct_est"]
+    exact = duck.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(row["est"] - exact) <= max(1, 0.05 * exact)
