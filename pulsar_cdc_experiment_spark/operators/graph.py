@@ -55,12 +55,22 @@ def pagerank_fixed_point(
     unrolled lazy plan: ``iters`` × (join on src → integer contribution →
     re-aggregate on dst).
     """
+    from pyspark.storagelevel import StorageLevel
+
     deg = out_degrees(edges)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank")
-    )
     teleport = RANK_SCALE * (100 - damping_pct) // 100
-    edges_deg = edges.join(deg, "src")
+    # persist the degree-annotated edge structure: it is read by EVERY
+    # iteration, and an unrolled lazy plan would otherwise re-derive it
+    # (re-scanning the edge source) once per round — the classic
+    # iterative-dataflow mistake at 100 TB. persist() is lazy, so query
+    # construction still runs zero jobs; the first action materializes
+    # the structure once and iterations 2..n read the cache.
+    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = (
+        edges_deg.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank"))
+    )
     for i in range(iters):
         # per-iteration aliases: ranks shares lineage with edges_deg from
         # the previous round, and unaliased column refs in a self-join on

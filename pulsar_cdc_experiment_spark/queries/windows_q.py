@@ -304,6 +304,8 @@ def funnel_conversion(spark, sf_dir):
     is O(users at step k), monotonically shrinking down the funnel. The
     7-day windows make it an as-of-bounded funnel, not a lifetime one
     (asof_join_state is the single-step relative)."""
+    from pyspark.storagelevel import StorageLevel
+
     ev = table(spark, sf_dir, "events")
     week = F.expr("INTERVAL 7 DAYS")
 
@@ -319,12 +321,18 @@ def funnel_conversion(spark, sf_dir):
             .agg(F.min("ts").alias(out_ts))
         )
 
+    # each step table is read by the NEXT step's join AND by its own
+    # count leg — persist the small per-user aggregates (lazy; no jobs at
+    # construction) so the events scans run once per step, not once per
+    # downstream reference
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("s_ts"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    v = first_within(s, "view", "s_ts", "v_ts").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    v = first_within(s, "view", "s_ts", "v_ts")
     p = first_within(v, "purchase", "v_ts", "p_ts")
 
     def step(i, name, df):
