@@ -226,3 +226,25 @@ def snapshot_diff(
         *[F.col(f"__a_{c}").alias(f"before_{c}") for c in cmps],
         *[F.col(f"__b_{c}").alias(f"after_{c}") for c in cmps],
     )
+
+
+def apply_diff(
+    a: DataFrame,
+    diff: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Apply a :func:`snapshot_diff` feed to its base snapshot:
+    ``apply_diff(A, snapshot_diff(A, B)) == B`` by value — the round-trip
+    identity that makes the diff a faithful change feed (property-tested
+    in tests/test_properties.py). This is the batch MERGE: delete/update
+    keys leave ``a`` (left anti join), create/update after-images come
+    in. One co-partitioned shuffle on the key for the anti join, a union
+    for the upserts."""
+    touched = diff.filter(F.col("op").isin("u", "d")).select(*key_cols)
+    kept = a.join(touched, list(key_cols), "left_anti")
+    upserts = diff.filter(F.col("op").isin("c", "u")).select(
+        *key_cols,
+        *[F.col(f"after_{c}").alias(c) for c in compare_cols],
+    )
+    return kept.select(*key_cols, *compare_cols).unionByName(upserts)

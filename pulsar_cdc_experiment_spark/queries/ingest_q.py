@@ -158,3 +158,43 @@ def ingest_csv_events(spark, sf_dir):
     dst = tempfile.mkdtemp(prefix="ingest_csv_")
     typed.select(line.alias("value")).write.mode("overwrite").text(dst)
     return _ingest_aggregate(read_csv(spark, dst, _FEED_SCHEMA))
+
+
+@register(
+    "ingest_orc_events",
+    oracle=f"""
+    SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_value_cents,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events WHERE event_type <> 'error'
+    GROUP BY 1
+    """,
+)
+def ingest_orc_events(spark, sf_dir):
+    """ORC ingest: events round-tripped through Spark's native ORC
+    reader/writer with a selective predicate — the Hive-estate columnar
+    format, completing the source matrix (parquet / JSONL / CSV / ORC).
+    The filter pushes into the ORC scan (PushedFilters, plan-asserted in
+    tests/test_ingest.py) so stripe-level stats prune I/O just as
+    parquet row groups do. No corrupt-line leg: ORC is self-describing —
+    a torn file fails loudly rather than parsing partially, so the
+    quarantine pattern of the text twins does not apply."""
+    from ..sources.files import read_orc
+
+    typed = _typed_events(spark, sf_dir)
+    dst = tempfile.mkdtemp(prefix="ingest_orc_")
+    typed.write.mode("overwrite").orc(dst)
+    back = read_orc(spark, dst)
+    return (
+        back.filter(F.col("event_type") != "error")
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

@@ -69,3 +69,16 @@ def read_csv(
         .option("sep", sep)
         .csv(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Read an ORC directory — the other columnar format large estates
+    carry (Hive-era tables). Spark bundles the reader natively; predicate
+    pushdown and column pruning work as for parquet (plan-asserted in
+    tests/test_ingest.py). Schema optional: ORC footers carry types, and
+    unlike JSON/CSV the inference is a footer read, not a data scan —
+    but passing one still skips the footer listing on wide tables."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -92,3 +92,26 @@ def test_registered_ingest_queries_quarantine_exact_counts(spark, sf_dir, duck):
         total = sum(r["n"] for r in out.values())
         want_total = duck.sql("SELECT count(*) FROM events").fetchone()[0]
         assert total == want_total, name
+
+
+def test_orc_read_pushes_predicates(spark, sf_dir):
+    """ORC scans carry PushedFilters like parquet — the plan evidence for
+    the ingest_orc_events docstring's pruning claim."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.sources.files import read_orc
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    dst = tempfile.mkdtemp(prefix="orc_push_")
+    table(spark, sf_dir, "events").write.mode("overwrite").orc(dst)
+    df = read_orc(spark, dst).filter(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1].split("]")[0]
+    assert "ReadSchema" in plan
+    assert df.count() > 0

@@ -80,6 +80,7 @@ BREADTH = [
     "grouping_sets_revenue",
     "ingest_csv_events",
     "ingest_jsonl_events",
+    "ingest_orc_events",
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",

@@ -252,3 +252,41 @@ def test_delta_fold_equals_recompute(spark_global, ops):
         n, s = want.get(g, (0, 0))
         want[g] = (n + 1, s + v)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),                    # key
+            st.booleans(),                        # in A?
+            st.booleans(),                        # in B?
+            st.sampled_from(["x", "y", None]),    # A group
+            st.integers(0, 3),                    # A value
+            st.sampled_from(["x", "y", None]),    # B group
+            st.integers(0, 3),                    # B value
+        ),
+        min_size=0,
+        max_size=7,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_snapshot_diff_roundtrip(spark_global, rows):
+    """apply_diff(A, snapshot_diff(A, B)) == B for ANY pair of snapshots,
+    including null-valued compare columns on present rows (presence is
+    tracked by markers, not null-ness)."""
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    a_rows = [(k, g, v) for k, ina, inb, g, v, *_ in rows if ina]
+    b_rows = [(k, g2, v2) for k, ina, inb, _g, _v, g2, v2 in rows if inb]
+    schema = "k long, g string, v long"
+    a = spark_global.createDataFrame(a_rows, schema)
+    b = spark_global.createDataFrame(b_rows, schema)
+    diff = snapshot_diff(a, b, ["k"], ["g", "v"])
+    rebuilt = apply_diff(a, diff, ["k"], ["g", "v"])
+    got = sorted(map(tuple, rebuilt.collect()))
+    want = sorted(b_rows)
+    assert got == want

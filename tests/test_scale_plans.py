@@ -318,6 +318,7 @@ _BUILD_JOBS_SANCTIONED = {
     # schema, sources/files.py)
     "ingest_csv_events",
     "ingest_jsonl_events",
+    "ingest_orc_events",
     # bloom-indexed layout write is the fixture (plans/bloom.py)
     "bloom_point_lookup",
     # partitioned layout write is the fixture (DPP needs a partitioned fact)
