@@ -198,3 +198,70 @@ def ingest_orc_events(spark, sf_dir):
             F.max("event_id").alias("max_event_id"),
         )
     )
+
+
+_DQ_TYPES = "('click','error','purchase','signup','view')"
+
+
+@register(
+    "dq_events_expectations",
+    oracle=f"""
+    WITH bad AS (SELECT count(*) AS nb FROM events WHERE event_id % 101 = 0),
+         tot AS (SELECT count(*) AS n FROM events)
+    SELECT 'event_id_not_null' AS rule, CAST(0 AS BIGINT) AS n_violations,
+           CAST(n + nb AS BIGINT) AS n_rows, TRUE AS passed FROM tot, bad
+    UNION ALL
+    SELECT 'user_id_not_null', CAST(nb AS BIGINT), CAST(n + nb AS BIGINT), nb = 0 FROM tot, bad
+    UNION ALL
+    SELECT 'value_positive', CAST(nb AS BIGINT), CAST(n + nb AS BIGINT), nb = 0 FROM tot, bad
+    UNION ALL
+    SELECT 'ts_in_2024', CAST(0 AS BIGINT), CAST(n + nb AS BIGINT), TRUE FROM tot, bad
+    UNION ALL
+    SELECT 'event_type_in_domain', CAST(nb AS BIGINT), CAST(n + nb AS BIGINT), nb = 0 FROM tot, bad
+    UNION ALL
+    SELECT 'event_id_unique', CAST(nb AS BIGINT), CAST(n + nb AS BIGINT), nb = 0 FROM tot, bad
+    """,
+)
+def dq_events_expectations(spark, sf_dir):
+    """Data-quality contract over a deterministically-dirtied feed
+    (operators/quality.expect): every 101st event re-enters as a mutant —
+    duplicate event_id, null user_id, negated value, out-of-domain type —
+    so each expectation has a PREDICTED violation count (the same
+    keyed-corruption fixture discipline as the ingest twins). Five
+    row-level rules evaluate as conditional counts in ONE aggregate (one
+    scan for any rule count — never a filter().count() per rule);
+    uniqueness adds its single keyed aggregate. The reference's
+    data_quality enrichment (cdc_enrichment_function.py:60-66) is the
+    row-local face of the same concern."""
+    from ..operators.quality import expect
+
+    ev = table(spark, sf_dir, "events")
+    mutants = ev.filter(F.col("event_id") % 101 == 0).select(
+        "event_id",
+        F.col("ts"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit("mystery").alias("event_type"),
+        (-F.col("value")).alias("value"),
+        F.col("props"),
+    )
+    dirty = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(mutants)
+    return expect(
+        dirty,
+        rules=[
+            ("event_id_not_null", F.col("event_id").isNotNull()),
+            ("user_id_not_null", F.col("user_id").isNotNull()),
+            ("value_positive", F.col("value") > 0),
+            (
+                "ts_in_2024",
+                (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("ts") < F.lit("2025-01-01 00:00:00").cast("timestamp_ntz")),
+            ),
+            (
+                "event_type_in_domain",
+                F.col("event_type").isin("click", "error", "purchase", "signup", "view"),
+            ),
+        ],
+        unique_keys=[("event_id_unique", ["event_id"])],
+    )

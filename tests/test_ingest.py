@@ -115,3 +115,43 @@ def test_orc_read_pushes_predicates(spark, sf_dir):
     assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1].split("]")[0]
     assert "ReadSchema" in plan
     assert df.count() > 0
+
+
+def test_expect_operator_edges(spark):
+    """operators/quality.expect: null rule results count as violations,
+    uniqueness counts extras (c-1 per key), and an empty input yields
+    zero-violation passing rules over zero rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from pulsar_cdc_experiment_spark.operators.quality import expect
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (2, -3), (3, 0)], "k int, v int"
+    )
+    out = {
+        r["rule"]: (r["n_violations"], r["n_rows"], r["passed"])
+        for r in expect(
+            df,
+            rules=[("v_positive", F.col("v") > 0)],
+            unique_keys=[("k_unique", ["k"])],
+        ).collect()
+    }
+    # v>0: null→violation, -3→violation, 0→violation ⇒ 3 of 4
+    assert out["v_positive"] == (3, 4, False)
+    # k=2 appears twice ⇒ one extra
+    assert out["k_unique"] == (1, 4, False)
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())])
+    )
+    out2 = {
+        r["rule"]: (r["n_violations"], r["n_rows"], r["passed"])
+        for r in expect(
+            empty,
+            rules=[("v_positive", F.col("v") > 0)],
+            unique_keys=[("k_unique", ["k"])],
+        ).collect()
+    }
+    assert out2["v_positive"] == (0, 0, True)
+    assert out2["k_unique"] == (0, 0, True)

@@ -75,6 +75,7 @@ BREADTH = [
     "date_functions3",
     "disjunctive_filter_revenue",
     "dpp_partitioned_join",
+    "dq_events_expectations",
     "funnel_conversion",
     "graph_pagerank",
     "grouping_sets_revenue",
