@@ -76,6 +76,8 @@ def optimize_table(
     zorder_cols: list[str] | None = None,
     target_mb: int = 256,
     bits: int = 12,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 100_000,
 ) -> dict:
     """The user-facing "OPTIMIZE [ZORDER BY]" maintenance composite:
     small-file compaction to the byte-derived file count, optional
@@ -108,10 +110,22 @@ def optimize_table(
     n = target_file_count(total, target_mb)
     report: dict = {"bytes": total, "files_before": n_files(src), "target_files": n}
     df = spark.read.parquet(src)
+    # bloom secondary indexes ride the SAME rewrite: the maintenance job
+    # that restores clustering is the moment to (re)build the point-lookup
+    # sketches too — one pass, no second write (plans/bloom.py)
+    opts: dict[str, str] | None = None
+    if bloom_cols:
+        from .bloom import bloom_write_options
+
+        opts = bloom_write_options(bloom_cols, bloom_ndv)
+        report["bloom_cols"] = list(bloom_cols)
     if zorder_cols:
-        zorder_layout(df, dst, zorder_cols, files=n, bits=bits)
+        zorder_layout(df, dst, zorder_cols, files=n, bits=bits, write_options=opts)
     else:
-        df.repartition(n).write.mode("overwrite").parquet(dst)
+        w = df.repartition(n).write.mode("overwrite")
+        for k, v in (opts or {}).items():
+            w = w.option(k, v)
+        w.parquet(dst)
     report["files_after"] = n_files(dst)
     if zorder_cols:
         report["stats"] = footer_min_max(spark, dst, zorder_cols).first().asDict()
@@ -119,7 +133,12 @@ def optimize_table(
 
 
 def zorder_layout(
-    df: DataFrame, dst: str, cols: list[str], files: int, bits: int = 12
+    df: DataFrame,
+    dst: str,
+    cols: list[str],
+    files: int,
+    bits: int = 12,
+    write_options: dict[str, str] | None = None,
 ) -> None:
     """Write ``df`` clustered on the MORTON (Z-order) interleaving of
     ``cols`` — the multi-column analog of :func:`range_layout`.
@@ -176,11 +195,13 @@ def zorder_layout(
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j)
             )
-    (
+    w = (
         df.withColumn("__z", z)
         .repartitionByRange(files, F.col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode("overwrite")
-        .parquet(dst)
     )
+    for k, v in (write_options or {}).items():
+        w = w.option(k, v)
+    w.parquet(dst)

@@ -187,35 +187,39 @@ def table_maintenance_report(spark, sf_dir):
     oracle="""
     SELECT event_id, event_type,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents, ts
-    FROM events WHERE user_id = 7
+    FROM events WHERE event_id = 777
     """,
 )
 def bloom_point_lookup(spark, sf_dir):
     """Secondary-index point lookup via NATIVE parquet bloom filters
-    (plans/bloom.py): lay ``events`` out hash-scrambled on user_id (so
+    (plans/bloom.py): lay ``events`` out hash-scrambled on event_id (so
     row-group min/max stats are useless — every row group spans the whole
     key domain, the worst case a time- or Z-clustered table presents to a
-    foreign-key lookup), with blooms on user_id; then answer "all events
-    for user 7" from the laid-out copy. The reader consults the blooms
-    for the pushed equality filter and skips row groups without the key
-    (measured 122x in tests/test_plans.py); results are EXACT regardless
-    (bloom false positives add row-group reads, never rows). Oracle runs
-    on the original table: the layout + sketch must be value-preserving.
-    Build-at-construction is the fixture, sanctioned like the other
-    layout queries."""
+    key lookup), with blooms on event_id; then fetch event 777 from the
+    laid-out copy. The reader consults the blooms for the pushed equality
+    filter and skips row groups without the key (measured 122x in
+    tests/test_plans.py); results are EXACT regardless (bloom false
+    positives add row-group reads, never rows). The bloom column must be
+    HIGH-CARDINALITY: parquet-java skips blooms for fully
+    dictionary-encoded chunks, where the reader's dictionary filtering
+    already provides the equivalent row-group skip (the event_id/user_id
+    contrast is pinned in test_optimize_table_builds_bloom_indexes).
+    Oracle runs on the original table: the layout + sketch must be
+    value-preserving. Build-at-construction is the fixture, sanctioned
+    like the other layout queries."""
     from ..plans.bloom import write_with_bloom
 
     ev = table(spark, sf_dir, "events")
-    scrambled = ev.repartition(4, F.col("user_id")).sortWithinPartitions(
-        F.xxhash64(F.col("user_id"))
+    scrambled = ev.repartition(4, F.col("event_id")).sortWithinPartitions(
+        F.xxhash64(F.col("event_id"))
     )
     dst = tempfile.mkdtemp(prefix="bloom_events_")
     write_with_bloom(
-        scrambled, dst, ["user_id"], expected_ndv=4000, block_size_bytes=256 * 1024
+        scrambled, dst, ["event_id"], expected_ndv=30000, block_size_bytes=256 * 1024
     )
     return (
         spark.read.parquet(dst)
-        .filter(F.col("user_id") == 7)
+        .filter(F.col("event_id") == 777)
         .select(
             "event_id",
             "event_type",

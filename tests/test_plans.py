@@ -178,3 +178,48 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_optimize_table_builds_bloom_indexes(spark, sf_dir):
+    """OPTIMIZE with bloom_cols: the clustered rewrite carries bloom
+    filters on the requested columns (one pass — the maintenance job that
+    restores Z-order also rebuilds the point-lookup sketches), and the
+    rewritten table is value-identical."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.functions.time import epoch_micros
+    from pulsar_cdc_experiment_spark.plans.bloom import bloom_columns
+    from pulsar_cdc_experiment_spark.plans.layout import optimize_table
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("__tsu", epoch_micros(F.col("ts")))
+    )
+    src = tempfile.mkdtemp(prefix="opt_bloom_src_")
+    dst = os.path.join(tempfile.mkdtemp(prefix="opt_bloom_dst_"), "t")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    report = optimize_table(
+        spark,
+        src,
+        dst,
+        zorder_cols=["user_id", "__tsu"],
+        bloom_cols=["event_id", "user_id"],
+        bloom_ndv=4000,
+    )
+    assert report["bloom_cols"] == ["event_id", "user_id"]
+    blooms = bloom_columns(spark, dst)
+    # event_id is unique → chunks abandon dictionary encoding → bloom
+    # written; user_id at test SF is low-cardinality → fully
+    # dictionary-encoded → parquet-java SKIPS the bloom (the dictionary
+    # itself gives the reader the equivalent row-group skip). Requesting
+    # a bloom there is harmless; relying on one would be a bug.
+    assert blooms["event_id"] is True
+    assert blooms["user_id"] is False
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
