@@ -265,3 +265,94 @@ def dq_events_expectations(spark, sf_dir):
         ],
         unique_keys=[("event_id_unique", ["event_id"])],
     )
+
+
+@register(
+    "ingest_to_serving_pipeline",
+    oracle=f"""
+    WITH clean AS (
+      SELECT * FROM events WHERE event_id % 97 <> 0
+    )
+    SELECT 'by_type' AS section, event_type AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_CENTS}) AS BIGINT) AS sum_cents
+    FROM clean GROUP BY 2
+    UNION ALL
+    SELECT 'lookup', 'event_777', CAST(count(*) AS BIGINT),
+           CAST(sum({_CENTS}) AS BIGINT)
+    FROM clean WHERE event_id = 777
+    """,
+)
+def ingest_to_serving_pipeline(spark, sf_dir):
+    """The platform capstone, end to end under one oracle: a raw JSONL
+    feed (with deterministically corrupt lines AND deterministically
+    duplicated lines) is ingested schema-on-read, quarantined, deduped,
+    rewritten into a Z-ordered + bloom-indexed serving layout by
+    optimize_table, and then SERVED — a per-type aggregate and a bloom
+    point lookup, both answered from the optimized copy. The oracle runs
+    on the original table (minus the predicted corrupt keys): every hop
+    must be value-preserving.
+
+    Hops and their scale shapes: text parse (explicit schema, no
+    inference pass) → corrupt filter (reader-level, no extra scan) →
+    exact dedup on event_id (one digest-keyed shuffle;
+    duplicates injected for event_id % 53 == 0) → OPTIMIZE rewrite
+    (compaction + Z-order on (type code, ts) + blooms on event_id, one
+    pass) → serving reads (slab pruning via Z-order stats, point lookup
+    via bloom). Build-at-construction is the fixture, sanctioned like
+    the other layout queries."""
+    import os
+
+    from ..plans.layout import optimize_table
+    from ..queries.layout_q import _etype_code
+    from ..functions.time import epoch_micros
+
+    typed = _typed_events(spark, sf_dir)
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+    ).otherwise(F.to_json(F.struct(*[F.col(f.name) for f in _FEED_SCHEMA])))
+    # duplicate every 53rd key's line (at-least-once delivery at the feed)
+    dup = F.when(F.col("event_id") % 53 == 0, F.array(line, line)).otherwise(
+        F.array(line)
+    )
+    raw_dir = tempfile.mkdtemp(prefix="serve_raw_")
+    typed.select(F.explode(dup).alias("value")).write.mode("overwrite").text(raw_dir)
+
+    ingested = read_jsonl(spark, raw_dir, _FEED_SCHEMA)
+    clean = ingested.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    # injected duplicates are byte-identical, so any survivor is the row;
+    # dropDuplicates is the one-shuffle exact dedup on the key
+    deduped = clean.dropDuplicates(["event_id"])
+
+    staged = deduped.withColumn("__etc", _etype_code()).withColumn(
+        "__ts_us", F.col("ts_us")
+    )
+    frag = tempfile.mkdtemp(prefix="serve_frag_")
+    serving = os.path.join(tempfile.mkdtemp(prefix="serve_opt_"), "events")
+    staged.write.mode("overwrite").parquet(frag)
+    optimize_table(
+        spark,
+        frag,
+        serving,
+        zorder_cols=["__etc", "__ts_us"],
+        bloom_cols=["event_id"],
+        bloom_ndv=30000,
+    )
+
+    srv = spark.read.parquet(serving)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    by_type = srv.groupBy(F.col("event_type").alias("k")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("sum_cents")
+    ).select(F.lit("by_type").alias("section"), "k", "n", "sum_cents")
+    lookup = (
+        srv.filter(F.col("event_id") == 777)
+        .agg(F.count("*").alias("n"), F.coalesce(F.sum(cents), F.lit(0)).alias("sum_cents"))
+        .select(
+            F.lit("lookup").alias("section"),
+            F.lit("event_777").alias("k"),
+            "n",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+    return by_type.unionByName(lookup)

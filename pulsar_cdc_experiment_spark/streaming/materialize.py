@@ -47,8 +47,14 @@ class AtomicStateDir:
 
     POINTER = "CURRENT"
 
-    def __init__(self, state_dir: str):
+    def __init__(self, state_dir: str, keep_versions: int = 1):
         self.state_dir = state_dir
+        #: how many published versions stay on disk (>=1). More than one
+        #: gives readers snapshot isolation ACROSS publishes (a reader
+        #: holding version N keeps its files while N+1..N+k publish) and
+        #: operators time travel: versions()/state_at() read any retained
+        #: publication — the poor man's Delta version history, bounded.
+        self.keep_versions = max(1, keep_versions)
         os.makedirs(state_dir, exist_ok=True)
 
     def _pointer_path(self) -> str:
@@ -68,6 +74,35 @@ class AtomicStateDir:
         if d is None:
             return None
         return spark.read.parquet(d)
+
+    def versions(self) -> list[str]:
+        """Retained publication directory names, oldest → newest (by
+        publish order, i.e. directory mtime; the live one is last)."""
+        live = self.current_dir()
+        out = [
+            d
+            for d in os.listdir(self.state_dir)
+            if d.startswith("state_")
+            and os.path.isdir(os.path.join(self.state_dir, d))
+        ]
+        out.sort(key=lambda d: os.path.getmtime(os.path.join(self.state_dir, d)))
+        # a dead staged dir (crash mid-write, never published) sorts last
+        # but must not mask the live pointer; keep ordering, callers use
+        # current_dir() for "latest"
+        if live is not None and os.path.basename(live) in out:
+            out.remove(os.path.basename(live))
+            out.append(os.path.basename(live))
+        return out
+
+    def state_at(self, spark: SparkSession, version_dir: str) -> DataFrame:
+        """Read one retained publication (single-table publishes)."""
+        return spark.read.parquet(os.path.join(self.state_dir, version_dir))
+
+    def table_at(
+        self, spark: SparkSession, version_dir: str, name: str
+    ) -> DataFrame:
+        """Read one table of a retained multi-table publication."""
+        return spark.read.parquet(os.path.join(self.state_dir, version_dir, name))
 
     def applied_batch(self) -> int | None:
         """Batch id of the live state, parsed from its directory name
@@ -140,8 +175,12 @@ class AtomicStateDir:
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer_path())  # the single atomic publish
 
-        if prev_dir and os.path.abspath(prev_dir) != os.path.abspath(staged):
-            shutil.rmtree(prev_dir, ignore_errors=True)
+        # GC: keep the newest keep_versions publications, delete older
+        # ones (the live dir is always retained regardless of mtime skew)
+        retained = self.versions()
+        to_drop = [d for d in retained[:-self.keep_versions] if d != staged_name]
+        for d in to_drop:
+            shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
 
 
 class IncrementalMaterializer:
@@ -229,12 +268,13 @@ class IncrementalAggMaintainer:
         group_col: str,
         value_col: str,
         order_cols: Sequence[str],
+        keep_versions: int = 1,
     ):
         self.key_col = key_col
         self.group_col = group_col
         self.value_col = value_col
         self.order_cols = list(order_cols)
-        self._state = AtomicStateDir(root)
+        self._state = AtomicStateDir(root, keep_versions=keep_versions)
 
     def current_totals(self, spark: SparkSession) -> DataFrame | None:
         from pyspark.sql import functions as F

@@ -82,6 +82,7 @@ BREADTH = [
     "ingest_csv_events",
     "ingest_jsonl_events",
     "ingest_orc_events",
+    "ingest_to_serving_pipeline",
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",

@@ -223,3 +223,33 @@ def test_optimize_table_builds_bloom_indexes(spark, sf_dir):
     b = spark.read.parquet(dst)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0
+
+
+def test_nested_schema_pruning_on_envelopes(spark, sf_dir):
+    """Selecting two leaves of the typed Debezium envelope must prune the
+    parquet ReadSchema to those leaves — nested column pruning
+    (spark.sql.optimizer.nestedSchemaPruning, on by default) is what
+    keeps envelope analytics from reading every row image at 100 TB."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.queries.cdc import synthesize_envelopes
+    from pulsar_cdc_experiment_spark.schemas import envelope_schema
+    from pulsar_cdc_experiment_spark.sources.cdc import parse_envelopes
+
+    raw = synthesize_envelopes(spark, sf_dir)
+    typed = parse_envelopes(raw).drop("_raw", "value")
+    d = tempfile.mkdtemp(prefix="nested_prune_")
+    typed.write.mode("overwrite").parquet(d)
+
+    df = spark.read.schema(typed.schema).parquet(d).select(
+        F.col("source.table").alias("tbl"), F.col("after.id").alias("row_id")
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    # only the selected leaves survive into the scan schema
+    assert "table" in rs and "id" in rs
+    assert "email" not in rs and "lsn" not in rs and "snapshot" not in rs

@@ -319,6 +319,7 @@ _BUILD_JOBS_SANCTIONED = {
     "ingest_csv_events",
     "ingest_jsonl_events",
     "ingest_orc_events",
+    "ingest_to_serving_pipeline",
     # bloom-indexed layout write is the fixture (plans/bloom.py)
     "bloom_point_lookup",
     # partitioned layout write is the fixture (DPP needs a partitioned fact)

@@ -779,3 +779,42 @@ class TestIncrementalAggMaintainer:
         assert {r["g"] for r in tot.collect()} == {"b"}
         raw = m._state.current_table(spark, "totals")
         assert {r["g"] for r in raw.collect()} == {"a", "b"}
+
+
+def test_state_dir_version_retention_time_travel(spark):
+    """AtomicStateDir(keep_versions=K): the last K publications stay
+    readable — totals AS OF an earlier batch reproduce that batch's
+    state (bounded time travel) — and older versions are GC'd."""
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalAggMaintainer,
+    )
+
+    root = tempfile.mkdtemp(prefix="ivm_tt_")
+    m = IncrementalAggMaintainer(
+        root, key_col="k", group_col="g", value_col="v",
+        order_cols=["seq"], keep_versions=2,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k long, g string, v long, seq long")
+
+    m.process_batch(batch([(1, "a", 10, 1)]), 0)
+    m.process_batch(batch([(1, "a", 25, 2)]), 1)
+    m.process_batch(batch([(2, "b", 5, 1)]), 2)
+
+    vs = m._state.versions()
+    assert len(vs) == 2  # keep_versions=2; batch-0 state GC'd
+    assert vs[-1].startswith("state_2")
+    # time travel: AS OF batch 1 the totals were {a: (1, 25)}
+    old = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in m._state.table_at(spark, vs[0], "totals").collect()
+    }
+    assert old == {"a": (1, 25)}
+    now = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in m.current_totals(spark).collect()
+    }
+    assert now == {"a": (1, 25), "b": (1, 5)}

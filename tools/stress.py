@@ -187,8 +187,41 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    def jsonl_parse(n):
+        """The text-ingest asymptote: JSON-lines → typed rows with an
+        explicit schema (sources/files.py read path: from_json is the
+        same expression the reader uses) + the quarantine aggregate.
+        Bounds the first hop of any 100 TB text estate."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        lines = spark.range(n).select(
+            F.concat(
+                F.lit('{"event_id": '), F.col("id").cast("string"),
+                F.lit(', "user_id": '), (F.col("id") % 100_000).cast("string"),
+                F.lit(', "event_type": "t'), (F.col("id") % 7).cast("string"),
+                F.lit('", "value": '), (F.col("id") % 997).cast("string"),
+                F.lit(".25}"),
+            ).alias("line")
+        )
+        (
+            lines.select(F.from_json("line", schema).alias("r"))
+            .select("r.*")
+            .groupBy("event_type")
+            .agg(F.count("*"), F.sum("value"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
+    run("jsonl_parse", int(60e6 * s), jsonl_parse)
     run("join_fact_dim", int(150e6 * s), join_fact_dim)
     run("window_partitioned", int(100e6 * s), window_partitioned)
     run("cdc_enrich_projection", int(50e6 * s), enrich_projection)
