@@ -21,10 +21,11 @@ edges on ``src`` (edges and degrees share that key, so co-partitioning
 makes the join local after the first iteration; AQE reuses the exchange),
 then a groupBy on ``dst`` with map-side partial sums. State per iteration
 is one (node, rank) row per vertex — no driver-side collection, no
-per-node state bigger than a bigint. Iteration count is fixed (the
-unrolled-plan contract); convergence-tested variants belong in a loop
-with a sanctioned per-iteration residual check, the same carve-out as
-label propagation (operators/components.py).
+per-node state bigger than a bigint. Two iteration policies:
+:func:`pagerank_fixed_point` unrolls a KNOWN round count into one lazy
+plan; :func:`pagerank_until_converged` loops with a one-scalar residual
+check per round — the same sanctioned carve-out as label propagation
+(operators/components.py).
 """
 
 from __future__ import annotations
@@ -86,3 +87,66 @@ def pagerank_fixed_point(
             (F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank")
         ).select(F.col("dst").alias("node"), "rank")
     return ranks
+
+
+def pagerank_until_converged(
+    edges: DataFrame,
+    eps_per_node: int = 1000,
+    max_iters: int = 20,
+    damping_pct: int = 85,
+) -> tuple[DataFrame, int]:
+    """PageRank iterated until the total rank movement falls below
+    ``eps_per_node × |V|`` fixed-point units (or ``max_iters``).
+
+    The unrolled variant (:func:`pagerank_fixed_point`) is one lazy plan —
+    right when the round count is known. Convergence needs a per-round
+    decision, which means one bounded driver-side action per round: the
+    residual sum(|rank_k − rank_{k-1}|) — ONE scalar, the same sanctioned
+    shape as label propagation's convergence count
+    (operators/components.py; tests/test_scale_plans.py allowlist). Each
+    round's ranks are persisted (and the previous round's unpersisted) so
+    round k+1 and the residual read a materialized table, not a
+    re-derivation — without this the lineage re-executes every prior
+    round each iteration and the loop goes quadratic.
+
+    Returns ``(ranks, rounds_run)``. Deterministic: integer arithmetic
+    makes both the trajectory and the stopping round reproducible.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    deg = out_degrees(edges)
+    teleport = RANK_SCALE * (100 - damping_pct) // 100
+    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = (
+        edges_deg.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = ranks.count()
+    rounds = 0
+    for i in range(max_iters):
+        e, r = edges_deg.alias(f"ce{i}"), ranks.alias(f"cr{i}")
+        contrib = e.join(r, F.col(f"ce{i}.src") == F.col(f"cr{i}.node")).select(
+            F.col(f"ce{i}.dst").alias("dst"),
+            F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
+        )
+        nxt = (
+            contrib.groupBy("dst")
+            .agg((F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        a, b = nxt.alias("nx"), ranks.alias("pv")
+        residual = (
+            a.join(b, F.col("nx.node") == F.col("pv.node"))
+            .select(F.abs(F.col("nx.rank") - F.col("pv.rank")).alias("d"))
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+        ranks.unpersist()
+        ranks = nxt
+        rounds = i + 1
+        if residual <= eps_per_node * n_nodes:
+            break
+    return ranks, rounds

@@ -64,3 +64,25 @@ def test_plan_is_lazy_and_deterministic(spark):
     a = sorted(map(tuple, plan.collect()))
     b = sorted(map(tuple, plan.collect()))
     assert a == b
+
+
+def test_converged_pagerank_stops_and_matches_unrolled_prefix(spark):
+    """pagerank_until_converged: stops before max_iters on a fast-mixing
+    graph, and its result equals pagerank_fixed_point run for the SAME
+    number of rounds (the trajectory is shared; convergence only picks
+    the stopping point)."""
+    from pulsar_cdc_experiment_spark.operators.graph import (
+        pagerank_until_converged,
+    )
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [
+        ((i + 1) % 12, i) for i in range(12)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks, rounds = pagerank_until_converged(df, eps_per_node=100, max_iters=15)
+    assert rounds < 15
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    want = _ranks(spark, edges, iters=rounds)
+    assert got == want
+    # symmetric ring: uniform stationary distribution
+    assert len(set(got.values())) == 1
