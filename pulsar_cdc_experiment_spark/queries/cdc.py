@@ -774,3 +774,39 @@ def cdc_snapshot_diff(spark, sf_dir):
         ["user_id"],
         ["event_type", "vc"],
     )
+
+
+@register(
+    "cdc_snapshot_patch",
+    oracle=f"""
+    SELECT user_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '{_SNAP_T2}'
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_snapshot_patch(spark, sf_dir):
+    """The MERGE leg of the bootstrap algebra, under the full oracle:
+    state-at-T1 patched with snapshot_diff(T1, T2) must equal
+    state-at-T2 recomputed from scratch — apply_diff
+    (operators/materialize.py) IS the batch MERGE a CDC consumer runs,
+    and the oracle never sees the diff, only the target state. Pairs
+    with cdc_snapshot_diff (the diff leg); the pure-operator round-trip
+    is property-tested in tests/test_properties.py."""
+    from ..operators.materialize import apply_diff, snapshot_diff
+
+    def state_at(t):
+        ev = table(spark, sf_dir, "events").filter(
+            F.col("ts") < F.lit(t).cast("timestamp_ntz")
+        )
+        latest = latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+        return latest.filter(F.col("event_type") != "error").select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        )
+
+    a = state_at(_SNAP_T1)
+    diff = snapshot_diff(a, state_at(_SNAP_T2), ["user_id"], ["event_type", "vc"])
+    return apply_diff(a, diff, ["user_id"], ["event_type", "vc"])

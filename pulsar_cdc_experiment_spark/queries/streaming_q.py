@@ -732,3 +732,81 @@ def stream_cdc_incremental_agg(spark, sf_dir):
         "n_rows",
         F.col("sum_value").alias("sum_value_cents"),
     )
+
+
+@register(
+    "stream_dq_expectations",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), t AS (
+      SELECT e.*,
+             CAST((epoch_us(e.ts) - b.lo) // ((b.hi - b.lo) // 3 + 1) AS BIGINT) AS batch
+      FROM events e, b
+    )
+    SELECT batch, 'user_id_not_null' AS rule,
+           CAST(count(*) FILTER (event_id % 101 = 0) AS BIGINT) AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           count(*) FILTER (event_id % 101 = 0) = 0 AS passed
+    FROM t GROUP BY batch
+    UNION ALL
+    SELECT batch, 'value_positive',
+           CAST(count(*) FILTER (event_id % 101 = 0) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) FILTER (event_id % 101 = 0) = 0
+    FROM t GROUP BY batch
+    UNION ALL
+    SELECT batch, 'ts_not_null', CAST(0 AS BIGINT),
+           CAST(count(*) AS BIGINT), TRUE
+    FROM t GROUP BY batch
+    """,
+)
+def stream_dq_expectations(spark, sf_dir):
+    """Streaming data-quality gate under the FULL oracle: the dirtied
+    feed (every 101st event arrives with a null user_id and a negated
+    value — keyed corruption, predictable per batch) streams through
+    THREE real time-ordered micro-batches, and foreachBatch runs the
+    one-pass rules engine (operators/quality.expect) on EACH batch,
+    appending a per-batch report. The oracle reproduces the batch
+    assignment arithmetically (same tertile integer division over event
+    time), so every batch's violation counts are value-checked — batch
+    boundaries and all. The at-scale shape: the DQ gate costs one
+    aggregate per micro-batch, and a failing report is the circuit
+    breaker BEFORE bad data lands downstream."""
+    import os
+
+    from ..operators.quality import expect
+
+    stream = _time_ordered_event_stream(spark, sf_dir)
+    dirty = stream.select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 101 != 0, F.col("user_id")).alias("user_id"),
+        F.when(F.col("event_id") % 101 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    report_dir = tempfile.mkdtemp(prefix="dq_stream_")
+
+    def gate(batch_df, batch_id):
+        rep = expect(
+            batch_df,
+            rules=[
+                ("user_id_not_null", F.col("user_id").isNotNull()),
+                ("value_positive", F.col("value") > 0),
+                ("ts_not_null", F.col("ts").isNotNull()),
+            ],
+        ).withColumn("batch", F.lit(int(batch_id)).cast("long"))
+        rep.write.mode("append").parquet(os.path.join(report_dir, "report"))
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dq_stream_")
+    q = (
+        dirty.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(report_dir, "report")).select(
+        "batch", "rule", "n_violations", "n_rows", "passed"
+    )

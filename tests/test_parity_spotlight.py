@@ -66,6 +66,7 @@ BREADTH = [
     "cdc_dlq_routing",
     "cdc_incremental_agg",
     "cdc_snapshot_diff",
+    "cdc_snapshot_patch",
     "cdc_table_filter",
     "conditional_nulls",
     "content_digests",
@@ -93,6 +94,7 @@ BREADTH = [
     "set_intersect_except",
     "set_union",
     "stream_cdc_incremental_agg",
+    "stream_dq_expectations",
     "stream_cdc_multi_table_state",
     "string_functions2",
     "string_regexp",
