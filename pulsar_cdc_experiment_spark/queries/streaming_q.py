@@ -810,3 +810,97 @@ def stream_dq_expectations(spark, sf_dir):
     return spark.read.parquet(os.path.join(report_dir, "report")).select(
         "batch", "rule", "n_violations", "n_rows", "passed"
     )
+
+
+@register(
+    "stream_state_time_travel",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), t AS (
+      SELECT e.*,
+             CAST((epoch_us(e.ts) - b.lo) // ((b.hi - b.lo) // 3 + 1) AS BIGINT) AS batch
+      FROM events e, b
+    ), agg AS (
+      SELECT upto, event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+      FROM (
+        SELECT o.*, CAST(1 AS BIGINT) AS upto FROM (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM t WHERE batch <= 1
+        ) o WHERE rn = cnt
+        UNION ALL
+        SELECT o.*, CAST(2 AS BIGINT) AS upto FROM (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM t
+        ) o WHERE rn = cnt
+      ) GROUP BY upto, event_type
+    )
+    SELECT CASE WHEN upto = 1 THEN 'as_of_batch_1' ELSE 'current' END AS version,
+           event_type AS grp, n_rows, sum_value_cents
+    FROM agg
+    """,
+)
+def stream_state_time_travel(spark, sf_dir):
+    """Bounded time travel over MAINTAINED state, under the full oracle:
+    the streaming IVM runs with keep_versions=3 across three real
+    micro-batches, then this query reads BOTH the live totals and the
+    totals AS OF the end of batch 1 from the retained publications
+    (AtomicStateDir version history). The oracle recomputes each version
+    from scratch — state-as-of-batch-1 equals the latest-state aggregate
+    over the first two time tertiles (the same batch-boundary arithmetic
+    as stream_dq_expectations), so the retention mechanism's SEMANTICS
+    are value-checked, not just its file layout. The production story:
+    a consumer pinned to version N keeps reading consistent state while
+    N+1..N+k publish — Delta/Iceberg time travel, at O(versions × state)
+    disk."""
+    from ..streaming.materialize import IncrementalAggMaintainer
+
+    stream = _time_ordered_event_stream(spark, sf_dir)
+    feed = stream.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+        "ts",
+        "event_id",
+    )
+    maint = IncrementalAggMaintainer(
+        tempfile.mkdtemp(prefix="ivm_tt_root_"),
+        key_col="user_id",
+        group_col="event_type",
+        value_col="vc",
+        order_cols=["ts", "event_id"],
+        keep_versions=3,
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ivm_tt_")
+    q = (
+        feed.writeStream.foreachBatch(maint.process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    versions = maint._state.versions()  # oldest → newest: batches 0, 1, 2
+    as_of_1 = (
+        maint._state.table_at(spark, versions[1], "totals")
+        .filter(F.col("n_rows") > 0)
+        .select(
+            F.lit("as_of_batch_1").alias("version"),
+            F.col("event_type").alias("grp"),
+            "n_rows",
+            F.col("sum_value").alias("sum_value_cents"),
+        )
+    )
+    current = maint.current_totals(spark).select(
+        F.lit("current").alias("version"),
+        F.col("event_type").alias("grp"),
+        "n_rows",
+        F.col("sum_value").alias("sum_value_cents"),
+    )
+    return as_of_1.unionByName(current)
