@@ -150,3 +150,24 @@ def pagerank_until_converged(
         if residual <= eps_per_node * n_nodes:
             break
     return ranks, rounds
+
+
+def pointer_double(state: DataFrame, rounds: int) -> DataFrame:
+    """Pointer doubling over a ``(node, anc, dist)`` jump table: each
+    round composes the table with itself (ancestor-of-ancestor, distances
+    added), so after k rounds every node maps to its 2^k-ancestor — or
+    its root, if roots self-loop at distance 0 (the fixed point). The
+    O(log depth) traversal for trees/forests as ONE unrolled lazy plan;
+    see queries/graph_q.hierarchy_root_depth for the recursive-CTE-shaped
+    use."""
+    jump = state
+    for i in range(rounds):
+        a, b = jump.alias(f"pd_a{i}"), jump.alias(f"pd_b{i}")
+        jump = a.join(
+            b, F.col(f"pd_a{i}.anc") == F.col(f"pd_b{i}.node")
+        ).select(
+            F.col(f"pd_a{i}.node").alias("node"),
+            F.col(f"pd_b{i}.anc").alias("anc"),
+            (F.col(f"pd_a{i}.dist") + F.col(f"pd_b{i}.dist")).alias("dist"),
+        )
+    return jump

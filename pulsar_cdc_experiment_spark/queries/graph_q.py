@@ -18,6 +18,8 @@ power iteration at 100 TB.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators.graph import RANK_SCALE, pagerank_fixed_point
 from ..registry import register
 from ..sources.tables import table
@@ -88,4 +90,57 @@ def graph_pagerank(spark, sf_dir):
         .alias("node_type"),
         F.expr("node div 2").alias("node_key"),
         F.col("rank").alias("rank_scaled"),
+    )
+
+
+_DOUBLING_ROUNDS = 4  # covers depth up to 2^4 = 16; actual tree depth ≤ 4
+
+
+@register(
+    "hierarchy_root_depth",
+    oracle="""
+    WITH RECURSIVE walk(node, cur, d) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part
+      UNION ALL
+      SELECT node, cur // 10, d + 1 FROM walk WHERE cur >= 10
+    )
+    SELECT node AS p_partkey, CAST(cur AS BIGINT) AS root_key,
+           CAST(d AS BIGINT) AS depth
+    FROM walk WHERE cur < 10
+    """,
+)
+def hierarchy_root_depth(spark, sf_dir):
+    """Hierarchical traversal — the recursive-CTE shape — solved
+    distributively by POINTER DOUBLING: each part's parent is
+    ``p_partkey div 10`` (roots: keys < 10), and every node must report
+    its root ancestor and depth. A naive loop climbs one level per join
+    (depth rounds); pointer doubling squares the jump each round
+    (ancestor-of-ancestor, distance added), reaching any depth ≤ 2^k in
+    k rounds — 4 unrolled rounds here cover depth 16, and the whole
+    computation stays ONE lazy plan (zero jobs at construction, unlike
+    convergence loops). The oracle is DuckDB's native WITH RECURSIVE
+    climb; integer keys and depths make it hash-exact. This is the
+    O(log d) formulation a 100 TB org-chart/BOM rollup needs — d
+    sequential self-joins die on latency, log2(d) don't."""
+    from pyspark.storagelevel import StorageLevel
+
+    part = table(spark, sf_dir, "part")
+    state = part.select(
+        F.col("p_partkey").alias("node"),
+        # first hop: parent (or self for roots, at distance 0)
+        F.when(F.col("p_partkey") >= 10, F.expr("p_partkey div 10"))
+        .otherwise(F.col("p_partkey"))
+        .alias("anc"),
+        F.when(F.col("p_partkey") >= 10, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from ..operators.graph import pointer_double
+
+    jump = pointer_double(state, _DOUBLING_ROUNDS)
+    return jump.select(
+        F.col("node").alias("p_partkey"),
+        F.col("anc").alias("root_key"),
+        F.col("dist").alias("depth"),
     )

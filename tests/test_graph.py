@@ -86,3 +86,21 @@ def test_converged_pagerank_stops_and_matches_unrolled_prefix(spark):
     assert got == want
     # symmetric ring: uniform stationary distribution
     assert len(set(got.values())) == 1
+
+
+def test_pointer_double_reaches_deep_roots_in_log_rounds(spark):
+    """A 1000-deep chain resolves to its root in 10 doubling rounds
+    (2^10 ≥ 1000) with exact depths — the O(log d) claim, concretely."""
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators.graph import pointer_double
+
+    n = 1000  # chain: node i's parent is i-1; root is 0
+    nodes = spark.range(n).select(
+        F.col("id").alias("node"),
+        F.greatest(F.col("id") - 1, F.lit(0)).alias("anc"),
+        F.when(F.col("id") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("dist"),
+    )
+    out = {r["node"]: (r["anc"], r["dist"]) for r in pointer_double(nodes, 10).collect()}
+    assert len(out) == n
+    assert all(out[i] == (0, i) for i in range(n))

@@ -79,6 +79,7 @@ BREADTH = [
     "dq_events_expectations",
     "funnel_conversion",
     "graph_pagerank",
+    "hierarchy_root_depth",
     "grouping_sets_revenue",
     "ingest_csv_events",
     "ingest_jsonl_events",
