@@ -904,3 +904,80 @@ def stream_state_time_travel(spark, sf_dir):
         F.col("sum_value").alias("sum_value_cents"),
     )
     return as_of_1.unionByName(current)
+
+
+@register(
+    "stream_ingest_jsonl",
+    oracle="""
+    SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events WHERE event_id % 97 <> 0
+    GROUP BY 1
+    UNION ALL
+    SELECT '__corrupt__', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def stream_ingest_jsonl(spark, sf_dir):
+    """The STREAMING face of the text-ingest first hop: the JSONL feed
+    (every 97th line truncated — the batch ingest twin's fixture) arrives
+    as a text STREAM, parses with an explicit schema via from_json
+    (malformed → null struct, raw line quarantined — the same
+    error-tolerant contract as the envelope pipeline, reference
+    cdc_enrichment_function.py:104-107), and aggregates in complete mode.
+    Batch ingest_jsonl_events and this query share semantics end to end:
+    the unified-model promise applied to ingest itself."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .cdc import _op_col  # noqa: F401  (module import order guard)
+
+    typed = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+    )
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("event_id", "user_id", "event_type", "value")))
+    feed_dir = tempfile.mkdtemp(prefix="stream_jsonl_")
+    typed.select(line.alias("value")).write.mode("overwrite").text(feed_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = spark.readStream.format("text").load(feed_dir)
+    parsed = stream.select(
+        F.from_json("value", schema).alias("r"), F.col("value").alias("_raw")
+    )
+    # from_json in PERMISSIVE mode yields a struct of NULL FIELDS for a
+    # malformed line (not a null struct); event_id is present on every
+    # well-formed line, so its null-ness is the quarantine discriminator
+    is_bad = F.col("r.event_id").isNull()
+    agg = (
+        parsed.groupBy(
+            F.when(is_bad, F.lit("__corrupt__"))
+            .otherwise(F.col("r.event_type"))
+            .alias("grp")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.floor(
+                        F.when(~is_bad, F.col("r.value")) * 100 + F.lit(0.5)
+                    ).cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ).alias("sum_value_cents"),
+        )
+    )
+    return run_to_memory(agg, "stream_ingest_jsonl", output_mode="complete")

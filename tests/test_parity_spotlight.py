@@ -96,6 +96,7 @@ BREADTH = [
     "set_union",
     "stream_cdc_incremental_agg",
     "stream_dq_expectations",
+    "stream_ingest_jsonl",
     "stream_state_time_travel",
     "stream_cdc_multi_table_state",
     "string_functions2",
