@@ -55,7 +55,7 @@ HEADLINE = [
     # their cost is tracked round-over-round
     "zorder_events_slabs",      # OPTIMIZE-ZORDER cycle: layout build + 2-D slab probes
     "stream_cdc_multi_table_state",  # streaming fan-out: per-table routed sinks + folds
-    # round-6 continuation: four new capability classes, benched from birth
+    # round-6 continuation: five new capability classes, benched from birth
     "graph_pagerank",           # iterative dataflow: 3 unrolled join+agg rounds
     "cdc_incremental_agg",      # IVM delta fold (O(groups) state, one shuffle)
     "ingest_jsonl_events",      # text ingest: JSONL write + schema-on-read + agg

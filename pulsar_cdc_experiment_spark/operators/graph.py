@@ -65,7 +65,11 @@ def pagerank_fixed_point(
     # (re-scanning the edge source) once per round — the classic
     # iterative-dataflow mistake at 100 TB. persist() is lazy, so query
     # construction still runs zero jobs; the first action materializes
-    # the structure once and iterations 2..n read the cache.
+    # the structure once and iterations 2..n read the cache. Cache
+    # lifetime: the entry lives until session end — CacheManager dedupes
+    # identical plans (repeated calls reuse ONE entry) and LRU-evicts
+    # under memory pressure, so repeated invocation is bounded, not
+    # accumulating.
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = (
         edges_deg.select("src")

@@ -210,10 +210,11 @@ def snapshot_diff(
         *[F.col(c).alias(f"__b_{c}") for c in cmps],
     )
     j = a2.join(b2, keys, "full_outer")
-    changed = None
+    # F.lit(False) base: with NO compare columns this is a presence-only
+    # membership diff (creates/deletes, never updates), not a crash
+    changed = F.lit(False)
     for c in cmps:
-        ne = ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ~F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
     op = (
         F.when(F.col("__a_present").isNull(), "c")
         .when(F.col("__b_present").isNull(), "d")

@@ -55,6 +55,20 @@ _FEED_SCHEMA = T.StructType(
 _CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
 
 
+
+def jsonl_feed_line(fields, corrupt_mod: int = 97):
+    """The SHARED corrupt-JSONL line builder: every 97th (default)
+    event_id emits a truncated, unparseable object; the rest serialize
+    the named fields. Batch ingest, the serving capstone, and the
+    streaming twin (queries/streaming_q.stream_ingest_jsonl) all build
+    their feeds through THIS function — their oracles predict the same
+    corrupt keys, so the fixture must never fork per call site."""
+    return F.when(
+        F.col("event_id") % corrupt_mod == 0,
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
+    ).otherwise(F.to_json(F.struct(*[F.col(c) for c in fields])))
+
+
 def _typed_events(spark, sf_dir):
     return table(spark, sf_dir, "events").select(
         "event_id",
@@ -122,10 +136,7 @@ def ingest_jsonl_events(spark, sf_dir):
     group. The oracle predicts the quarantine row exactly because
     corruption is keyed off event_id."""
     typed = _typed_events(spark, sf_dir)
-    line = F.when(
-        F.col("event_id") % 97 == 0,
-        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
-    ).otherwise(F.to_json(F.struct(*[F.col(f.name) for f in _FEED_SCHEMA])))
+    line = jsonl_feed_line([f.name for f in _FEED_SCHEMA])
     dst = tempfile.mkdtemp(prefix="ingest_jsonl_")
     typed.select(line.alias("value")).write.mode("overwrite").text(dst)
     return _ingest_aggregate(read_jsonl(spark, dst, _FEED_SCHEMA))
@@ -305,13 +316,9 @@ def ingest_to_serving_pipeline(spark, sf_dir):
 
     from ..plans.layout import optimize_table
     from ..queries.layout_q import _etype_code
-    from ..functions.time import epoch_micros
 
     typed = _typed_events(spark, sf_dir)
-    line = F.when(
-        F.col("event_id") % 97 == 0,
-        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
-    ).otherwise(F.to_json(F.struct(*[F.col(f.name) for f in _FEED_SCHEMA])))
+    line = jsonl_feed_line([f.name for f in _FEED_SCHEMA])
     # duplicate every 53rd key's line (at-least-once delivery at the feed)
     dup = F.when(F.col("event_id") % 53 == 0, F.array(line, line)).otherwise(
         F.array(line)
@@ -347,7 +354,9 @@ def ingest_to_serving_pipeline(spark, sf_dir):
     ).select(F.lit("by_type").alias("section"), "k", "n", "sum_cents")
     lookup = (
         srv.filter(F.col("event_id") == 777)
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum(cents), F.lit(0)).alias("sum_cents"))
+        # sum over zero rows stays NULL — the oracle's sum() does too, so
+        # the two agree even at a scale factor where event 777 is absent
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
         .select(
             F.lit("lookup").alias("section"),
             F.lit("event_777").alias("k"),

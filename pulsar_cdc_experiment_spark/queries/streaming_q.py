@@ -939,10 +939,9 @@ def stream_ingest_jsonl(spark, sf_dir):
         "event_type",
         "value",
     )
-    line = F.when(
-        F.col("event_id") % 97 == 0,
-        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string")),
-    ).otherwise(F.to_json(F.struct("event_id", "user_id", "event_type", "value")))
+    from .ingest_q import jsonl_feed_line
+
+    line = jsonl_feed_line(["event_id", "user_id", "event_type", "value"])
     feed_dir = tempfile.mkdtemp(prefix="stream_jsonl_")
     typed.select(line.alias("value")).write.mode("overwrite").text(feed_dir)
 

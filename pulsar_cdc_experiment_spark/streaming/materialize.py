@@ -46,6 +46,7 @@ class AtomicStateDir:
     """
 
     POINTER = "CURRENT"
+    COMPLETE = "_COMPLETE"
 
     def __init__(self, state_dir: str, keep_versions: int = 1):
         self.state_dir = state_dir
@@ -84,11 +85,13 @@ class AtomicStateDir:
             for d in os.listdir(self.state_dir)
             if d.startswith("state_")
             and os.path.isdir(os.path.join(self.state_dir, d))
+            # the completeness marker excludes dead staged dirs (crash
+            # mid-write): they must neither occupy a retention slot (GC
+            # would drop a REAL old version early) nor be readable as a
+            # time-travel version while incomplete
+            and os.path.exists(os.path.join(self.state_dir, d, self.COMPLETE))
         ]
         out.sort(key=lambda d: os.path.getmtime(os.path.join(self.state_dir, d)))
-        # a dead staged dir (crash mid-write, never published) sorts last
-        # but must not mask the live pointer; keep ordering, callers use
-        # current_dir() for "latest"
         if live is not None and os.path.basename(live) in out:
             out.remove(os.path.basename(live))
             out.append(os.path.basename(live))
@@ -167,6 +170,10 @@ class AtomicStateDir:
         if os.path.exists(staged):  # dead leftover from a crash mid-write
             shutil.rmtree(staged, ignore_errors=True)
         write_fn(staged)
+        # contents-complete marker BEFORE the pointer swap: versions()
+        # trusts it, and a dir with marker but no pointer (crash between
+        # the two) is complete and safe to retain
+        open(os.path.join(staged, self.COMPLETE), "w").close()
 
         tmp = os.path.join(self.state_dir, f".{self.POINTER}.tmp_{batch_id}")
         with open(tmp, "w") as f:
@@ -309,8 +316,13 @@ class IncrementalAggMaintainer:
         try:
             prev_ks = self._state.current_table(spark, "keystate")
             if prev_ks is None:
-                changes = b.withColumn("__sg", F.lit(None).cast("string")).withColumn(
-                    "__sv", F.lit(None).cast("long")
+                # null images typed from the FEED's own columns — a
+                # hardcoded string/long here would corrupt non-string
+                # groups or non-long values on the first batch
+                g_t = b.schema[g].dataType
+                v_t = b.schema[v].dataType
+                changes = b.withColumn("__sg", F.lit(None).cast(g_t)).withColumn(
+                    "__sv", F.lit(None).cast(v_t)
                 )
             else:
                 state = prev_ks.select(

@@ -349,3 +349,14 @@ def test_snapshot_diff_composes_with_delta_fold(spark):
     }
     # agg(B)-agg(A): x: (2,50)-(2,30)=(0,+20); y: (1,25)-(1,30)=(0,-5)
     assert folded == {"x": (0, 20), "y": (0, -5)}
+
+
+def test_snapshot_diff_presence_only(spark):
+    """Review regression: an EMPTY compare list is a membership diff —
+    creates and deletes only, never updates, never a crash."""
+    from pulsar_cdc_experiment_spark.operators.materialize import snapshot_diff
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r["k"]: r["op"] for r in snapshot_diff(a, b, ["k"], []).collect()}
+    assert out == {1: "d", 3: "c"}

@@ -818,3 +818,56 @@ def test_state_dir_version_retention_time_travel(spark):
         for r in m.current_totals(spark).collect()
     }
     assert now == {"a": (1, 25), "b": (1, 5)}
+
+
+def test_incremental_agg_supports_non_string_groups(spark):
+    """Review regression: the first-batch null before-images must take
+    the FEED's column types — integer group keys and non-long values
+    worked only from batch 2 onward when the nulls were hardcoded
+    string/long."""
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalAggMaintainer,
+    )
+
+    m = IncrementalAggMaintainer(
+        tempfile.mkdtemp(prefix="ivm_int_"),
+        key_col="k", group_col="gcode", value_col="v", order_cols=["seq"],
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 5, 1), (1, 20, 7, 2), (2, 10, 3, 1)],
+        "k long, gcode int, v long, seq long",
+    )
+    m.process_batch(b, 0)
+    got = {
+        r["gcode"]: (r["n_rows"], r["sum_value"])
+        for r in m.current_totals(spark).collect()
+    }
+    assert got == {20: (1, 7), 10: (1, 3)}
+
+
+def test_dead_staged_dir_invisible_to_versions(spark):
+    """Review regression: a crash-orphaned staged directory (no
+    completeness marker) must not occupy a retention slot or be readable
+    as a time-travel version."""
+    import os
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalAggMaintainer,
+    )
+
+    root = tempfile.mkdtemp(prefix="ivm_dead_")
+    m = IncrementalAggMaintainer(
+        root, key_col="k", group_col="g", value_col="v",
+        order_cols=["seq"], keep_versions=2,
+    )
+    b0 = spark.createDataFrame([(1, "a", 1, 1)], "k long, g string, v long, seq long")
+    m.process_batch(b0, 0)
+    os.makedirs(os.path.join(root, "state_99", "totals"), exist_ok=True)  # dead
+    assert [v.startswith("state_0") for v in m._state.versions()] == [True]
+    b1 = spark.createDataFrame([(1, "a", 2, 2)], "k long, g string, v long, seq long")
+    m.process_batch(b1, 1)
+    vs = m._state.versions()
+    assert len(vs) == 2 and "state_99" not in vs

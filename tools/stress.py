@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument(
         "--only",
-        nargs="*",
+        nargs="+",
         default=None,
         help="run only the named ops (default: all)",
     )
