@@ -49,12 +49,18 @@ def pagerank_fixed_point(
 ) -> DataFrame:
     """PageRank over ``edges(src, dst)`` with bigint fixed-point ranks.
 
-    Every vertex must appear as a ``src`` (no dangling mass — symmetric
-    edge sets satisfy this by construction; callers with genuinely
-    directed graphs add the reversed self-handling edges first). Returns
+    The vertex universe is the distinct ``src`` set (every vertex must
+    have out-edges — dangling-OUT vertices would leak rank mass; callers
+    with genuinely directed graphs add the reversed self-handling edges
+    first). Vertices that never appear as a ``dst`` (dangling-IN, e.g.
+    src-only nodes of a directed graph) are NOT dropped: each iteration
+    left-joins the contribution sums against the vertex set, so an
+    in-degree-0 vertex keeps its teleport-only rank instead of vanishing
+    from the output (round-6 ADVICE — previously the groupBy('dst')
+    silently removed it along with its teleport mass). Returns
     ``(node, rank)`` with ``rank`` in :data:`RANK_SCALE` units, as one
     unrolled lazy plan: ``iters`` × (join on src → integer contribution →
-    re-aggregate on dst).
+    re-aggregate on dst → left-join vertices).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -71,11 +77,15 @@ def pagerank_fixed_point(
     # under memory pressure, so repeated invocation is bounded, not
     # accumulating.
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = (
+    # the vertex set is read every iteration (dangling-in left join) —
+    # same persist rationale as edges_deg
+    vertices = (
         edges_deg.select("src")
         .distinct()
-        .select(F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank"))
+        .select(F.col("src").alias("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    ranks = vertices.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
     for i in range(iters):
         # per-iteration aliases: ranks shares lineage with edges_deg from
         # the previous round, and unaliased column refs in a self-join on
@@ -87,9 +97,17 @@ def pagerank_fixed_point(
             # division here would silently lose integer resolution
             F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
         )
-        ranks = contrib.groupBy("dst").agg(
-            (F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank")
-        ).select(F.col("dst").alias("node"), "rank")
+        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("csum"))
+        v, s = vertices.alias(f"v{i}"), summed.alias(f"s{i}")
+        ranks = v.join(
+            s, F.col(f"v{i}.node") == F.col(f"s{i}.dst"), "left"
+        ).select(
+            F.col(f"v{i}.node").alias("node"),
+            (
+                F.lit(teleport).cast("long")
+                + F.coalesce(F.col("csum"), F.lit(0).cast("long"))
+            ).alias("rank"),
+        )
     return ranks
 
 
@@ -121,13 +139,16 @@ def pagerank_until_converged(
     deg = out_degrees(edges)
     teleport = RANK_SCALE * (100 - damping_pct) // 100
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = (
+    vertices = (
         edges_deg.select("src")
         .distinct()
-        .select(F.col("src").alias("node"), F.lit(RANK_SCALE).cast("long").alias("rank"))
+        .select(F.col("src").alias("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_nodes = ranks.count()
+    ranks = vertices.select(
+        "node", F.lit(RANK_SCALE).cast("long").alias("rank")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_nodes = vertices.count()
     rounds = 0
     for i in range(max_iters):
         e, r = edges_deg.alias(f"ce{i}"), ranks.alias(f"cr{i}")
@@ -135,10 +156,17 @@ def pagerank_until_converged(
             F.col(f"ce{i}.dst").alias("dst"),
             F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
         )
+        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("csum"))
+        v, s = vertices.alias(f"cv{i}"), summed.alias(f"cs{i}")
         nxt = (
-            contrib.groupBy("dst")
-            .agg((F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank"))
-            .select(F.col("dst").alias("node"), "rank")
+            v.join(s, F.col(f"cv{i}.node") == F.col(f"cs{i}.dst"), "left")
+            .select(
+                F.col(f"cv{i}.node").alias("node"),
+                (
+                    F.lit(teleport).cast("long")
+                    + F.coalesce(F.col("csum"), F.lit(0).cast("long"))
+                ).alias("rank"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a, b = nxt.alias("nx"), ranks.alias("pv")

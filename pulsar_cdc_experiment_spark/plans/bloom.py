@@ -67,14 +67,26 @@ def write_with_bloom(
 
 
 def bloom_columns(spark: SparkSession, path: str) -> dict[str, bool]:
-    """Which columns of the first data file carry a bloom filter, read
-    from the parquet footer via the JVM reader (pyarrow<17 does not
-    expose bloom offsets). Driver-side footer I/O only — no Spark job."""
+    """Which columns of the FIRST data file (lexicographically) carry a
+    bloom filter, read from the parquet footer via the JVM reader
+    (pyarrow<17 does not expose bloom offsets). Driver-side footer I/O
+    only — no Spark job.
+
+    Scope (round-6 ADVICE): this inspects ONE file's footer. For tables
+    written by a single writer configuration (every call site here:
+    write_with_bloom / optimize_table write the whole directory with one
+    option set) that is table-level truth; a directory accumulated from
+    heterogeneous writes could carry blooms in some files only, and this
+    probe would misreport it. Raises a descriptive error on a directory
+    with no data files rather than IndexError."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    part = sorted(
+    parts = sorted(
         f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
-    )[0]
+    )
+    if not parts:
+        raise FileNotFoundError(f"no parquet data files under {path!r}")
+    part = parts[0]
     p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, part))
     inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
     rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)

@@ -30,15 +30,14 @@ later query gets pruning back.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.time import epoch_micros
 from ..registry import register
 from ..sources.files import CORRUPT_COL, read_csv, read_jsonl
-from ..sources.tables import table
+from ..sources.tables import read_dir, table
+from .fixture_cache import session_fixture
 
 _FEED_SCHEMA = T.StructType(
     [
@@ -135,10 +134,12 @@ def ingest_jsonl_events(spark, sf_dir):
     per-type aggregates with the corrupt lines counted in a quarantine
     group. The oracle predicts the quarantine row exactly because
     corruption is keyed off event_id."""
-    typed = _typed_events(spark, sf_dir)
-    line = jsonl_feed_line([f.name for f in _FEED_SCHEMA])
-    dst = tempfile.mkdtemp(prefix="ingest_jsonl_")
-    typed.select(line.alias("value")).write.mode("overwrite").text(dst)
+    def build(dst: str) -> None:
+        typed = _typed_events(spark, sf_dir)
+        line = jsonl_feed_line([f.name for f in _FEED_SCHEMA])
+        typed.select(line.alias("value")).write.mode("overwrite").text(dst)
+
+    dst = session_fixture("ingest_jsonl", sf_dir, "c97_v1", build)
     return _ingest_aggregate(read_jsonl(spark, dst, _FEED_SCHEMA))
 
 
@@ -148,26 +149,28 @@ def ingest_csv_events(spark, sf_dir):
     event_id carries a non-numeric token in the bigint column, failing the
     typed parse), schema-on-read through sources/files.read_csv, same
     quarantined aggregate shape as the JSONL twin."""
-    typed = _typed_events(spark, sf_dir)
-    good = F.concat_ws(
-        ",",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.col("value").cast("string"),
-        F.col("ts_us").cast("string"),
-    )
-    bad = F.concat_ws(
-        ",",
-        F.lit("oops"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.col("value").cast("string"),
-        F.col("ts_us").cast("string"),
-    )
-    line = F.when(F.col("event_id") % 89 == 0, bad).otherwise(good)
-    dst = tempfile.mkdtemp(prefix="ingest_csv_")
-    typed.select(line.alias("value")).write.mode("overwrite").text(dst)
+    def build(dst: str) -> None:
+        typed = _typed_events(spark, sf_dir)
+        good = F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+            F.col("ts_us").cast("string"),
+        )
+        bad = F.concat_ws(
+            ",",
+            F.lit("oops"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+            F.col("ts_us").cast("string"),
+        )
+        line = F.when(F.col("event_id") % 89 == 0, bad).otherwise(good)
+        typed.select(line.alias("value")).write.mode("overwrite").text(dst)
+
+    dst = session_fixture("ingest_csv", sf_dir, "c89_v1", build)
     return _ingest_aggregate(read_csv(spark, dst, _FEED_SCHEMA))
 
 
@@ -191,12 +194,12 @@ def ingest_orc_events(spark, sf_dir):
     parquet row groups do. No corrupt-line leg: ORC is self-describing —
     a torn file fails loudly rather than parsing partially, so the
     quarantine pattern of the text twins does not apply."""
-    from ..sources.files import read_orc
 
-    typed = _typed_events(spark, sf_dir)
-    dst = tempfile.mkdtemp(prefix="ingest_orc_")
-    typed.write.mode("overwrite").orc(dst)
-    back = read_orc(spark, dst)
+    def build(dst: str) -> None:
+        _typed_events(spark, sf_dir).write.mode("overwrite").orc(dst)
+
+    dst = session_fixture("ingest_orc", sf_dir, "v1", build)
+    back = read_dir(spark, dst, "orc")
     return (
         back.filter(F.col("event_type") != "error")
         .groupBy(F.col("event_type").alias("grp"))
@@ -317,37 +320,40 @@ def ingest_to_serving_pipeline(spark, sf_dir):
     from ..plans.layout import optimize_table
     from ..queries.layout_q import _etype_code
 
-    typed = _typed_events(spark, sf_dir)
-    line = jsonl_feed_line([f.name for f in _FEED_SCHEMA])
-    # duplicate every 53rd key's line (at-least-once delivery at the feed)
-    dup = F.when(F.col("event_id") % 53 == 0, F.array(line, line)).otherwise(
-        F.array(line)
-    )
-    raw_dir = tempfile.mkdtemp(prefix="serve_raw_")
-    typed.select(F.explode(dup).alias("value")).write.mode("overwrite").text(raw_dir)
+    def build(root: str) -> None:
+        typed = _typed_events(spark, sf_dir)
+        line = jsonl_feed_line([f.name for f in _FEED_SCHEMA])
+        # duplicate every 53rd key's line (at-least-once delivery at the feed)
+        dup = F.when(F.col("event_id") % 53 == 0, F.array(line, line)).otherwise(
+            F.array(line)
+        )
+        raw_dir = os.path.join(root, "raw")
+        typed.select(F.explode(dup).alias("value")).write.mode("overwrite").text(
+            raw_dir
+        )
 
-    ingested = read_jsonl(spark, raw_dir, _FEED_SCHEMA)
-    clean = ingested.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    # injected duplicates are byte-identical, so any survivor is the row;
-    # dropDuplicates is the one-shuffle exact dedup on the key
-    deduped = clean.dropDuplicates(["event_id"])
+        ingested = read_jsonl(spark, raw_dir, _FEED_SCHEMA)
+        clean = ingested.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        # injected duplicates are byte-identical, so any survivor is the
+        # row; dropDuplicates is the one-shuffle exact dedup on the key
+        deduped = clean.dropDuplicates(["event_id"])
 
-    staged = deduped.withColumn("__etc", _etype_code()).withColumn(
-        "__ts_us", F.col("ts_us")
-    )
-    frag = tempfile.mkdtemp(prefix="serve_frag_")
-    serving = os.path.join(tempfile.mkdtemp(prefix="serve_opt_"), "events")
-    staged.write.mode("overwrite").parquet(frag)
-    optimize_table(
-        spark,
-        frag,
-        serving,
-        zorder_cols=["__etc", "__ts_us"],
-        bloom_cols=["event_id"],
-        bloom_ndv=30000,
-    )
+        staged = deduped.withColumn("__etc", _etype_code()).withColumn(
+            "__ts_us", F.col("ts_us")
+        )
+        frag = os.path.join(root, "frag")
+        staged.write.mode("overwrite").parquet(frag)
+        optimize_table(
+            spark,
+            frag,
+            os.path.join(root, "serving", "events"),
+            zorder_cols=["__etc", "__ts_us"],
+            bloom_cols=["event_id"],
+            bloom_ndv=30000,
+        )
 
-    srv = spark.read.parquet(serving)
+    root = session_fixture("serve_pipeline", sf_dir, "c97_d53_v1", build)
+    srv = read_dir(spark, os.path.join(root, "serving", "events"))
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     by_type = srv.groupBy(F.col("event_type").alias("k")).agg(
         F.count("*").alias("n"), F.sum(cents).alias("sum_cents")
@@ -365,3 +371,148 @@ def ingest_to_serving_pipeline(spark, sf_dir):
         )
     )
     return by_type.unionByName(lookup)
+
+
+@register(
+    "multimodal_serving_pipeline",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents),
+    valid AS (SELECT doc_id FROM ids WHERE doc_id % 31 <> 0),
+    stats AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+        CASE doc_id % 3
+          WHEN 0 THEN list_sum([(doc_id + i) % 256 FOR i IN range(0, 24) IF i % 3 = 0])
+          WHEN 1 THEN list_sum([(doc_id * 7 + i) % 256 FOR i IN range(0, 24) IF i % 3 = 2])
+        END AS s_r,
+        CASE doc_id % 3
+          WHEN 0 THEN list_sum([(doc_id + i) % 256 FOR i IN range(0, 24) IF i % 3 = 1])
+          WHEN 1 THEN list_sum([(doc_id * 7 + i) % 256 FOR i IN range(0, 24) IF i % 3 = 1])
+        END AS s_g,
+        CASE doc_id % 3
+          WHEN 0 THEN list_sum([(doc_id + i) % 256 FOR i IN range(0, 24) IF i % 3 = 2])
+          WHEN 1 THEN list_sum([(doc_id * 7 + i) % 256 FOR i IN range(0, 24) IF i % 3 = 0])
+        END AS s_b,
+        CASE WHEN doc_id % 3 = 2
+          THEN list_sum([((doc_id * 13 + i) % 4096) - 2048 FOR i IN range(0, 8)])
+        END AS s_amp
+      FROM valid
+    )
+    SELECT 'media' AS section, fmt AS k, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s_r) AS BIGINT) AS sum_r8, CAST(sum(s_g) AS BIGINT) AS sum_g8,
+           CAST(sum(s_b) AS BIGINT) AS sum_b8, CAST(sum(s_amp) AS BIGINT) AS sum_amp8
+    FROM stats GROUP BY fmt
+    UNION ALL
+    SELECT 'quarantined', 'torn_payload', CAST(count(*) AS BIGINT),
+           NULL, NULL, NULL, NULL
+    FROM ids WHERE doc_id % 31 = 0
+    UNION ALL
+    SELECT 'dup_removed', 'at_least_once', CAST(count(*) AS BIGINT),
+           NULL, NULL, NULL, NULL
+    FROM ids WHERE doc_id % 41 = 0 AND doc_id % 31 <> 0
+    """,
+)
+def multimodal_serving_pipeline(spark, sf_dir):
+    """The multimodal face of the serving capstone (round-6 verdict task
+    6): an image/audio BINARY column flows through the platform path —
+    feed with torn payloads and duplicate deliveries → reader-level
+    quarantine → dedup-by-content-digest → columnar serving layout →
+    serve via the REAL container decoder — under one full oracle.
+
+    Feed: real PPM/BMP/WAV bytes synthesized per doc_id
+    (operators/multimodal.synthesize_media; format cycles by id%3). Every
+    31st id's payload is TRUNCATED in flight (torn object-store read);
+    every 41st id is delivered twice (at-least-once). Quarantine keys on
+    the content-length contract (octet_length(payload) != declared
+    meta.n_bytes ⇒ torn — the check object stores give for free via
+    Content-Length); dedup is one digest-keyed shuffle on sha256(payload)
+    — 32-byte keys, never payload bytes, the 100 TB-safe key choice. The
+    serving read decodes with the pure-stdlib container parser
+    (decode_real: header walks, BMP BGR strides, WAV chunk scan) and
+    aggregates integer pixel/sample sums per format, which the oracle
+    predicts ARITHMETICALLY from the id — any hop that flips one byte
+    (bad dedup survivor, torn row leaking past quarantine, layout
+    corruption) lands in the sums. Audit rows (quarantined / dup_removed
+    counts) are predicted exactly because corruption is keyed.
+
+    Build-at-construction is the fixture (sanctioned, session-cached like
+    the other capstones); stats stay exact because mean×8 is an integer
+    reconstruction of the pixel/sample sums (division by 8 is lossless in
+    binary floating point)."""
+    import os
+
+    from ..operators import multimodal as MM
+
+    def build(root: str) -> None:
+        docs = table(spark, sf_dir, "documents")
+        media = MM.synthesize_media(docs, "doc_id")
+        corrupt = F.col("media_id") % 31 == 0
+        dup = F.col("media_id") % 41 == 0
+        payload = F.when(corrupt, F.expr("substring(payload, 1, 6)")).otherwise(
+            F.col("payload")
+        )
+        copies = F.when(~corrupt & dup, F.array(payload, payload)).otherwise(
+            F.array(payload)
+        )
+        feed = media.select(
+            "media_id", F.explode(copies).alias("payload"), "meta"
+        )
+        raw = os.path.join(root, "raw")
+        feed.write.mode("overwrite").parquet(raw)
+
+        raw_df = spark.read.parquet(raw)
+        torn = F.octet_length("payload") != F.col("meta.n_bytes")
+        quarantined = raw_df.filter(torn).count()
+        clean = raw_df.filter(~torn)
+        deduped = (
+            clean.withColumn("__digest", F.sha2(F.col("payload"), 256))
+            .dropDuplicates(["__digest"])
+            .drop("__digest")
+        )
+        kept = deduped.count()
+        dup_removed = clean.count() - kept
+        deduped.write.mode("overwrite").parquet(os.path.join(root, "serving"))
+        audit = spark.createDataFrame(
+            [
+                ("quarantined", "torn_payload", quarantined),
+                ("dup_removed", "at_least_once", dup_removed),
+            ],
+            "section string, k string, n long",
+        )
+        audit.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "audit")
+        )
+
+    root = session_fixture("mm_serving", sf_dir, "c31_d41_v1", build)
+    srv = read_dir(spark, os.path.join(root, "serving"))
+    dec = MM.decode_real(srv)
+
+    def r8(c: str):
+        # mean×8 reconstructs the integer byte/sample sum exactly (the
+        # mean was sum/8; /8 is lossless); +0.5-floor matches the oracle
+        return F.floor(F.col(c) * 8 + F.lit(0.5)).cast("long")
+
+    media_stats = (
+        dec.groupBy(F.col("fmt").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(r8("mean_r")).alias("sum_r8"),
+            F.sum(r8("mean_g")).alias("sum_g8"),
+            F.sum(r8("mean_b")).alias("sum_b8"),
+            F.sum(r8("amp_mean")).alias("sum_amp8"),
+        )
+        .select(
+            F.lit("media").alias("section"),
+            "k", "n", "sum_r8", "sum_g8", "sum_b8", "sum_amp8",
+        )
+    )
+    audit = read_dir(spark, os.path.join(root, "audit")).select(
+        "section",
+        "k",
+        "n",
+        F.lit(None).cast("long").alias("sum_r8"),
+        F.lit(None).cast("long").alias("sum_g8"),
+        F.lit(None).cast("long").alias("sum_b8"),
+        F.lit(None).cast("long").alias("sum_amp8"),
+    )
+    return media_stats.unionByName(audit)

@@ -63,6 +63,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_dir(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Schema-cached read of an arbitrary columnar directory (the fixture
+    layouts the layout/ingest queries write). Same discipline as
+    :func:`table`: infer once per (path, mtime, size), then pass the
+    schema explicitly so re-reading a session-cached fixture plans zero
+    jobs (the fixture-reuse gate in tests/test_scale_plans.py)."""
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = getattr(spark.read, fmt)(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return getattr(spark.read.schema(schema), fmt)(path)
+
+
 def _normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize events.ts to TIMESTAMP_NTZ regardless of physical layout.
 

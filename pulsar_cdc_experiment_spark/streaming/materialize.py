@@ -76,9 +76,32 @@ class AtomicStateDir:
             return None
         return spark.read.parquet(d)
 
+    @staticmethod
+    def _version_key(name: str) -> tuple[int, int] | None:
+        """Parse ``state_<id>[_r<n>]`` → (batch_id, attempt), else None."""
+        parts = name.split("_")
+        try:
+            batch = int(parts[1])
+        except (IndexError, ValueError):
+            return None
+        attempt = 0
+        if len(parts) >= 3 and parts[2].startswith("r"):
+            try:
+                attempt = int(parts[2][1:])
+            except ValueError:
+                return None
+        return (batch, attempt)
+
     def versions(self) -> list[str]:
         """Retained publication directory names, oldest → newest (by
-        publish order, i.e. directory mtime; the live one is last)."""
+        publish order; the live one is last).
+
+        Publish order is the parsed ``(batch_id, attempt)`` embedded in
+        the directory name — NOT mtime, which has 1-second granularity
+        on some filesystems, so rapid successive publishes could sort
+        wrongly and GC would drop the newer of two equal-mtime versions
+        (round-6 ADVICE). Mtime is only the tiebreak for names the
+        parser can't read (there should be none)."""
         live = self.current_dir()
         out = [
             d
@@ -91,7 +114,14 @@ class AtomicStateDir:
             # time-travel version while incomplete
             and os.path.exists(os.path.join(self.state_dir, d, self.COMPLETE))
         ]
-        out.sort(key=lambda d: os.path.getmtime(os.path.join(self.state_dir, d)))
+
+        def sort_key(d: str):
+            parsed = self._version_key(d)
+            if parsed is not None:
+                return (0, parsed[0], parsed[1], 0.0)
+            return (1, 0, 0, os.path.getmtime(os.path.join(self.state_dir, d)))
+
+        out.sort(key=sort_key)
         if live is not None and os.path.basename(live) in out:
             out.remove(os.path.basename(live))
             out.append(os.path.basename(live))
@@ -160,10 +190,20 @@ class AtomicStateDir:
         return spark.read.parquet(sub) if os.path.exists(sub) else None
 
     def _publish(self, write_fn, batch_id: int) -> None:
+        # The staged name must collide with NEITHER the live dir NOR any
+        # retained (_COMPLETE-marked) version: with keep_versions>1 and a
+        # stream restarted on a fresh checkpoint (batch ids reset to 0),
+        # state_0 may be a retained older version a pinned reader still
+        # holds — rmtree'ing it here would yank a live snapshot
+        # (round-6 ADVICE). Only an UNMARKED pre-existing dir is a dead
+        # staged leftover and safe to overwrite.
         prev_dir = self.current_dir()
+        taken = set(self.versions())
+        if prev_dir is not None:
+            taken.add(os.path.basename(prev_dir))
         staged_name = f"state_{batch_id}"
         attempt = 0
-        while prev_dir is not None and staged_name == os.path.basename(prev_dir):
+        while staged_name in taken:
             attempt += 1
             staged_name = f"state_{batch_id}_r{attempt}"
         staged = os.path.join(self.state_dir, staged_name)

@@ -49,6 +49,31 @@ def test_mass_is_conserved_up_to_floor_leakage(spark):
     assert total >= n * RANK_SCALE - 3 * len(edges) * 100
 
 
+def test_dangling_in_vertex_keeps_teleport_rank(spark):
+    """A vertex with out-edges but NO in-edges (directed graph) must not
+    vanish: it keeps teleport-only rank every round (round-6 ADVICE —
+    the groupBy('dst') used to drop it along with its teleport mass).
+    Graph: 3 → 1 ↔ 2; node 3 has in-degree 0."""
+    teleport = RANK_SCALE * 15 // 100
+    out = _ranks(spark, [(1, 2), (2, 1), (3, 1)], iters=3)
+    assert set(out) == {1, 2, 3}
+    assert out[3] == teleport
+    # node 3's damped mass flows to 1, so 1 outranks 2
+    assert out[1] > out[2]
+
+
+def test_converged_variant_keeps_dangling_in_vertex(spark):
+    from pulsar_cdc_experiment_spark.operators.graph import (
+        pagerank_until_converged,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    ranks, _rounds = pagerank_until_converged(df, eps_per_node=10**6, max_iters=10)
+    got = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert got[3] == RANK_SCALE * 15 // 100
+    assert set(got) == {1, 2, 3}
+
+
 def test_plan_is_lazy_and_deterministic(spark):
     """Construction plans zero jobs (unrolled lazy plan — the registry
     gate relies on this) and two executions return identical bits."""

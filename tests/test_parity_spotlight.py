@@ -79,6 +79,7 @@ BREADTH = [
     "dq_events_expectations",
     "funnel_conversion",
     "graph_pagerank",
+    "graph_pagerank_converged",
     "hierarchy_root_depth",
     "grouping_sets_revenue",
     "ingest_csv_events",
@@ -89,6 +90,7 @@ BREADTH = [
     "local_supplier_revenue",
     "math_bitwise_trig",
     "multimodal_resize",
+    "multimodal_serving_pipeline",
     "nation_market_share",
     "promo_revenue_share",
     "safe_casts",

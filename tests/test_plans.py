@@ -133,6 +133,15 @@ def test_bloom_filters_skip_row_groups(spark):
     assert cols == {"user_id": True, "v": False}
     assert bloom_columns(spark, without) == {"user_id": False, "v": False}
 
+    # round-6 ADVICE: an empty directory raises a descriptive error,
+    # not IndexError
+    empty = os.path.join(base, "empty")
+    os.makedirs(empty)
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="no parquet data files"):
+        bloom_columns(spark, empty)
+
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

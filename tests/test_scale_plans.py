@@ -30,6 +30,65 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_aqe_skew_join_engages_when_thresholds_match_data(spark):
+    """The AQE skew-join decision rule (round-6 verdict task 3), pinned:
+    OptimizeSkewedJoin splits a partition only when its shuffle size
+    exceeds BOTH skewedPartitionThresholdInBytes (default 256 MB) AND
+    medianFactor (5x) times the median partition. The bench's hot key
+    produces ~10 MB of shuffle bytes — below the default threshold, so
+    AQE correctly declines at sf0.1 (bench leg plain_aqe ≈ plain); sized
+    to the actual shuffle (8m/4m) it splits the hot partition, visible
+    as SortMergeJoin(skew=true) in the executed plan. At 100 TB the hot
+    partition dwarfs 256 MB and the DEFAULT thresholds engage — the
+    small-SF non-effect is a threshold artifact. SCALE.md carries the
+    user-facing rule; salting (plans/skew.py) stays the deterministic
+    fix for a KNOWN hot key."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    fact = spark.range(2_000_000).select(
+        F.when(F.col("id") % 20 < 19, F.lit(0))
+        .otherwise(F.pmod(F.hash(F.col("id")), F.lit(50_000)))
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("w")
+    )
+
+    def executed_plan():
+        out = fact.join(dim, "k").agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        out.collect()
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.shuffle.partitions", "32")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default thresholds: hot partition ~2.5 MB << 256 MB -> no split
+        assert "skew=true" not in executed_plan()
+        # thresholds sized to the data -> the split happens
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        assert "skew=true" in executed_plan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+
+
 def test_salted_left_join_keeps_unmatched(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], ["k", "v"])
     right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
@@ -302,6 +361,9 @@ def test_no_broadcast_hint_on_data_proportional_input(spark, sf_dir):
 _BUILD_JOBS_SANCTIONED = {
     "corpus_pack_bins",  # per-bucket prefix-sum offsets (fixed bucket count)
     "dedup_clusters",  # label propagation: per-iteration convergence count
+    # convergence-gated PageRank: one scalar residual per round (the
+    # label-propagation carve-out, operators/graph.py)
+    "graph_pagerank_converged",
     "embed_ann_lsh",  # 1-row query-vector fetch
     "embed_ivf_ann",  # kmeans: k×d centroid state per iteration
     "embed_ivf_portable",  # kmeans: k×d centroid state per iteration
@@ -324,6 +386,9 @@ _BUILD_JOBS_SANCTIONED = {
     "bloom_point_lookup",
     # partitioned layout write is the fixture (DPP needs a partitioned fact)
     "dpp_partitioned_join",
+    # media feed + quarantine + digest-dedup + serving write is the
+    # fixture (the multimodal capstone, queries/ingest_q.py)
+    "multimodal_serving_pipeline",
 }
 
 
@@ -335,6 +400,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     Table schemas are cached by sources/tables.py, so source resolution
     is job-free too. Streaming queries execute by construction (memory
     sink) and are exercised in test_streaming.py instead."""
+    from pulsar_cdc_experiment_spark.queries import fixture_cache
     from pulsar_cdc_experiment_spark.registry import (
         QUERIES,
         load_all_query_modules,
@@ -342,6 +408,11 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     from pulsar_cdc_experiment_spark.sources.tables import TABLES, table
 
     load_all_query_modules()
+    # an earlier test may have warmed the session fixture cache, which
+    # would make the sanctioned fixture-writers run ZERO jobs here and
+    # fail the exact-allowlist assertion from the other direction —
+    # clear it so every build demonstrably runs
+    fixture_cache.clear()
     for t in TABLES:
         table(spark, sf_dir, t)  # warm the schema cache (first read per path)
     sc = spark.sparkContext
@@ -359,6 +430,52 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         if tracker.getJobIdsForGroup(gid):
             ran_jobs.add(name)
     assert ran_jobs == _BUILD_JOBS_SANCTIONED
+
+
+#: fixture-writing queries that must REUSE their session fixture on a
+#: second invocation (round-6 verdict "what's wrong" #2): construction
+#: the second time runs the probe only — zero jobs, zero new temp dirs
+_FIXTURE_CACHED = [
+    "zorder_events_slabs",
+    "table_maintenance_report",
+    "bloom_point_lookup",
+    "dpp_partitioned_join",
+    "ingest_jsonl_events",
+    "ingest_csv_events",
+    "ingest_orc_events",
+    "ingest_to_serving_pipeline",
+    "multimodal_serving_pipeline",
+]
+
+
+def test_fixture_cache_second_invocation_probe_only(spark, sf_dir):
+    """Second construction of every fixture-writing query must run ZERO
+    Spark jobs (the fixture is session-cached; only the lazy probe is
+    rebuilt) and the result must match the first invocation — proving
+    reuse is sound, not just cheap."""
+    from pulsar_cdc_experiment_spark.queries import fixture_cache
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    fixture_cache.clear()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    for name in _FIXTURE_CACHED:
+        first = QUERIES[name](spark, sf_dir)  # builds the fixture
+        rows1 = sorted(map(tuple, first.collect()))
+        gid = f"__fixture_reuse_{name}"
+        sc.setJobGroup(gid, "reuse audit")
+        try:
+            second = QUERIES[name](spark, sf_dir)
+        finally:
+            sc.setJobGroup("__fixture_reuse_done", "")
+        assert not tracker.getJobIdsForGroup(gid), (
+            f"{name}: second construction re-ran fixture jobs"
+        )
+        assert sorted(map(tuple, second.collect())) == rows1, name
 
 
 def test_global_ntile_empty_and_single_row(spark):

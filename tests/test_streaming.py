@@ -313,6 +313,83 @@ def test_stream_stream_join_with_time_bound(spark):
     assert rows == [(1, "a", 9.0)]  # user 2's buy falls outside the window
 
 
+def test_stream_stream_join_state_is_evicted_by_watermark(spark):
+    """The 100 TB failure mode of a stream-stream join is UNBOUNDED
+    buffered state; the contract that prevents it is watermark eviction.
+    This pins the evidence (round-6 verdict task 5): across ≥3
+    micro-batches whose event time advances far past watermark + join
+    window, the join's stateOperators progress metrics must report
+    numRowsRemoved > 0, and the final buffered row count must be well
+    below the total rows ever added."""
+    import tempfile as _tf
+
+    clicks_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+        ]
+    )
+    buys_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType()),
+            T.StructField("buy_ts", T.TimestampType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    # 4 batches, one day apart: day N's rows are far beyond the 10-minute
+    # watermark + 1-hour window by the time day N+1 commits, so their
+    # buffered state must be removed
+    days = ["2024-01-0%dT10:00:00" % d for d in (1, 2, 3, 4)]
+    clicks = _staged_stream(
+        spark,
+        [[{"user": d, "click_ts": ts}] for d, ts in enumerate(days, start=1)],
+        clicks_schema,
+    )
+    buys = _staged_stream(
+        spark,
+        [
+            [{"user": d, "buy_ts": ts.replace("10:00", "10:20"), "amount": 1.0}]
+            for d, ts in enumerate(days, start=1)
+        ],
+        buys_schema,
+    )
+    c = clicks.withWatermark("click_ts", "10 minutes").alias("c")
+    b = buys.withWatermark("buy_ts", "10 minutes").alias("b")
+    joined = c.join(
+        b,
+        (F.col("c.user") == F.col("b.user"))
+        & (F.col("b.buy_ts") >= F.col("c.click_ts"))
+        & (F.col("b.buy_ts") <= F.col("c.click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("c.user", "b.amount")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_evict")
+        .outputMode("append")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_ss_evict_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 3  # one per staged micro-batch
+    removed = sum(
+        so["numRowsRemoved"] for p in progresses for so in p["stateOperators"]
+    )
+    added = sum(
+        so["numRowsUpdated"] for p in progresses for so in p["stateOperators"]
+    )
+    final_total = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert removed > 0, "watermark never evicted buffered join state"
+    assert final_total < added, (
+        f"state holds {final_total} of {added} rows ever buffered"
+    )
+    # every per-day pair matched before its state aged out
+    rows = spark.table("ss_join_evict").collect()
+    assert sorted((r["user"], r["amount"]) for r in rows) == [
+        (d, 1.0) for d in (1, 2, 3, 4)
+    ]
+
+
 def test_idempotent_sink_exactly_once(spark):
     """B1: re-executing a batch overwrites instead of duplicating — the
     at-least-once-execution -> exactly-once-output contract."""
@@ -818,6 +895,64 @@ def test_state_dir_version_retention_time_travel(spark):
         for r in m.current_totals(spark).collect()
     }
     assert now == {"a": (1, 25), "b": (1, 5)}
+
+
+def test_versions_order_by_batch_id_not_mtime(spark):
+    """Round-6 ADVICE: publish order must come from the parsed
+    (batch_id, attempt) in the directory name — mtime has 1-second
+    granularity on some filesystems, so rapid publishes can share an
+    mtime and GC/time-travel would pick the wrong version. Forcing ALL
+    dirs to one mtime must leave the order intact."""
+    import os
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        AtomicStateDir,
+    )
+
+    root = tempfile.mkdtemp(prefix="asd_order_")
+    s = AtomicStateDir(root, keep_versions=3)
+    df = spark.createDataFrame([(1,)], "k long")
+    for b in (0, 1, 2):
+        s.publish(df, b)
+    t = os.path.getmtime(root)
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if os.path.isdir(p):
+            os.utime(p, (t, t))
+    assert s.versions() == ["state_0", "state_1", "state_2"]
+
+
+def test_fresh_checkpoint_batch_reset_never_stages_into_retained_version(spark):
+    """Round-6 ADVICE: with keep_versions>1, a stream restarted on a
+    fresh checkpoint re-publishes batch 0 while state_0 is a RETAINED
+    older version a pinned reader may hold — staging must skip every
+    _COMPLETE-marked name, not just the live pointer target."""
+    import os
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        AtomicStateDir,
+    )
+
+    root = tempfile.mkdtemp(prefix="asd_reset_")
+    s = AtomicStateDir(root, keep_versions=2)
+    df0 = spark.createDataFrame([(0,)], "k long")
+    df1 = spark.createDataFrame([(1,)], "k long")
+    s.publish(df0, 0)
+    s.publish(df1, 1)
+    assert s.versions() == ["state_0", "state_1"]
+    marker = os.path.getmtime(os.path.join(root, "state_0", s.COMPLETE))
+    df2 = spark.createDataFrame([(2,)], "k long")
+    s.publish(df2, 0)  # restart: batch ids reset to 0
+    live = os.path.basename(s.current_dir())
+    assert live == "state_0_r1"  # NOT staged into the retained state_0
+    # state_0 leaves only via retention GC (after the swap), never a
+    # mid-publish rewrite — if still present its marker is untouched
+    old_marker = os.path.join(root, "state_0", s.COMPLETE)
+    if os.path.exists(old_marker):
+        assert os.path.getmtime(old_marker) == marker
+    assert {r["k"] for r in s.current_state(spark).collect()} == {2}
 
 
 def test_incremental_agg_supports_non_string_groups(spark):
