@@ -189,6 +189,31 @@ class AtomicStateDir:
         sub = os.path.join(d, name)
         return spark.read.parquet(sub) if os.path.exists(sub) else None
 
+    def vacuum(self, keep: int | None = None) -> list[str]:
+        """Explicit maintenance verb: drop retained publications beyond
+        the newest ``keep`` (default: this dir's ``keep_versions``) and
+        return the dropped names. The live version always survives.
+
+        This is the Delta-style VACUUM half of the retention story: the
+        per-publish GC bounds steady-state disk automatically, while
+        vacuum lets an operator shrink the window after the fact (e.g.
+        before a backfill). A reader that already MATERIALIZED a retained
+        version (persist/cache) is unaffected — eviction is directory
+        removal, not data rewrite — but an unmaterialized lazy plan over
+        a vacuumed version will fail on next action, exactly like reading
+        a vacuumed Delta snapshot (tests/test_streaming.py pins both
+        sides)."""
+        keep = self.keep_versions if keep is None else max(1, keep)
+        vs = self.versions()
+        live = self.current_dir()
+        dropped = []
+        for d in (vs[:-keep] if keep < len(vs) else []):
+            if live is not None and d == os.path.basename(live):
+                continue
+            shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+            dropped.append(d)
+        return dropped
+
     def _publish(self, write_fn, batch_id: int) -> None:
         # The staged name must collide with NEITHER the live dir NOR any
         # retained (_COMPLETE-marked) version: with keep_versions>1 and a

@@ -955,6 +955,43 @@ def test_fresh_checkpoint_batch_reset_never_stages_into_retained_version(spark):
     assert {r["k"] for r in s.current_state(spark).collect()} == {2}
 
 
+def test_vacuum_policy_bounds_disk_and_spares_pinned_readers(spark):
+    """Round-6 stretch: the VACUUM half of the retention story. Across 6
+    publishes with keep_versions=3, disk never exceeds 3 retained
+    versions (+1 transient during publish); an explicit vacuum(keep=1)
+    shrinks to the live version only; a reader that MATERIALIZED an old
+    version before the vacuum keeps its data (cache), while the vacuumed
+    directory is gone from disk and from versions()."""
+    import os
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        AtomicStateDir,
+    )
+
+    root = tempfile.mkdtemp(prefix="asd_vacuum_")
+    s = AtomicStateDir(root, keep_versions=3)
+    for b in range(6):
+        s.publish(spark.createDataFrame([(b,)], "k long"), b)
+        on_disk = [d for d in os.listdir(root) if d.startswith("state_")]
+        assert len(on_disk) <= 4  # keep_versions + the one being replaced
+    assert s.versions() == ["state_3", "state_4", "state_5"]
+
+    # pin the oldest retained version by materializing it
+    pinned = s.state_at(spark, "state_3").persist()
+    assert [r["k"] for r in pinned.collect()] == [3]
+
+    dropped = s.vacuum(keep=1)
+    assert dropped == ["state_3", "state_4"]
+    assert s.versions() == ["state_5"]
+    assert not os.path.exists(os.path.join(root, "state_3"))
+    # the pinned reader still serves its materialized data
+    assert [r["k"] for r in pinned.collect()] == [3]
+    pinned.unpersist()
+    # the live state is untouched
+    assert [r["k"] for r in s.current_state(spark).collect()] == [5]
+
+
 def test_incremental_agg_supports_non_string_groups(spark):
     """Review regression: the first-batch null before-images must take
     the FEED's column types — integer group keys and non-long values
