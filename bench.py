@@ -249,6 +249,14 @@ def main() -> None:
     spreads: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name in HEADLINE:
+        # deterministic per-query cache state: persisted datasets from
+        # EARLIER queries (graph edge structures, as-of state, corpus
+        # indexes) otherwise accumulate across the sweep and the 8g
+        # driver heap hits GC churn — observed as isolated-probe-fast
+        # queries reading 3-6x slow mid-sweep. Within a query's own 5-run
+        # block the cache persists, so iterative queries still measure
+        # their cached steady state from run 2 on.
+        spark.catalog.clearCache()
         runs = [run_once(name) for _ in range(5)]
         timings[name] = round(min(runs[:3]), 3)
         spreads[name] = round(max(runs[:3]) - min(runs[:3]), 3)

@@ -53,14 +53,16 @@ def pagerank_fixed_point(
     have out-edges — dangling-OUT vertices would leak rank mass; callers
     with genuinely directed graphs add the reversed self-handling edges
     first). Vertices that never appear as a ``dst`` (dangling-IN, e.g.
-    src-only nodes of a directed graph) are NOT dropped: each iteration
-    left-joins the contribution sums against the vertex set, so an
-    in-degree-0 vertex keeps its teleport-only rank instead of vanishing
-    from the output (round-6 ADVICE — previously the groupBy('dst')
-    silently removed it along with its teleport mass). Returns
-    ``(node, rank)`` with ``rank`` in :data:`RANK_SCALE` units, as one
-    unrolled lazy plan: ``iters`` × (join on src → integer contribution →
-    re-aggregate on dst → left-join vertices).
+    src-only nodes of a directed graph) are NOT dropped (round-6 ADVICE
+    — previously the groupBy('dst') silently removed them along with
+    their teleport mass): their rank is CONSTANT at teleport (no inbound
+    contributions ever), so the dangling set is computed ONCE with an
+    anti-join outside the loop and unioned into every round's aggregate
+    — no per-iteration join, just a union with a persisted (usually
+    empty) table. Returns ``(node, rank)`` with ``rank`` in
+    :data:`RANK_SCALE` units, as one unrolled lazy plan: ``iters`` ×
+    (join on src → integer contribution → re-aggregate on dst → union
+    dangling).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -77,12 +79,16 @@ def pagerank_fixed_point(
     # under memory pressure, so repeated invocation is bounded, not
     # accumulating.
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    # the vertex set is read every iteration (dangling-in left join) —
-    # same persist rationale as edges_deg
-    vertices = (
-        edges_deg.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"))
+    vertices = edges_deg.select("src").distinct().select(F.col("src").alias("node"))
+    # in-degree-0 vertices: rank is teleport in every round — computed
+    # once, read every iteration (same persist rationale as edges_deg)
+    dangling = (
+        vertices.join(
+            edges_deg.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.lit(teleport).cast("long").alias("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = vertices.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
@@ -97,16 +103,11 @@ def pagerank_fixed_point(
             # division here would silently lose integer resolution
             F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
         )
-        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("csum"))
-        v, s = vertices.alias(f"v{i}"), summed.alias(f"s{i}")
-        ranks = v.join(
-            s, F.col(f"v{i}.node") == F.col(f"s{i}.dst"), "left"
-        ).select(
-            F.col(f"v{i}.node").alias("node"),
-            (
-                F.lit(teleport).cast("long")
-                + F.coalesce(F.col("csum"), F.lit(0).cast("long"))
-            ).alias("rank"),
+        ranks = (
+            contrib.groupBy("dst")
+            .agg((F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .unionByName(dangling)
         )
     return ranks
 
@@ -139,16 +140,20 @@ def pagerank_until_converged(
     deg = out_degrees(edges)
     teleport = RANK_SCALE * (100 - damping_pct) // 100
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = (
-        edges_deg.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"))
+    vertices = edges_deg.select("src").distinct().select(F.col("src").alias("node"))
+    dangling = (
+        vertices.join(
+            edges_deg.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.lit(teleport).cast("long").alias("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ranks = vertices.select(
         "node", F.lit(RANK_SCALE).cast("long").alias("rank")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_nodes = vertices.count()
+    n_nodes = ranks.count()
     rounds = 0
     for i in range(max_iters):
         e, r = edges_deg.alias(f"ce{i}"), ranks.alias(f"cr{i}")
@@ -156,17 +161,11 @@ def pagerank_until_converged(
             F.col(f"ce{i}.dst").alias("dst"),
             F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
         )
-        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("csum"))
-        v, s = vertices.alias(f"cv{i}"), summed.alias(f"cs{i}")
         nxt = (
-            v.join(s, F.col(f"cv{i}.node") == F.col(f"cs{i}.dst"), "left")
-            .select(
-                F.col(f"cv{i}.node").alias("node"),
-                (
-                    F.lit(teleport).cast("long")
-                    + F.coalesce(F.col("csum"), F.lit(0).cast("long"))
-                ).alias("rank"),
-            )
+            contrib.groupBy("dst")
+            .agg((F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .unionByName(dangling)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         a, b = nxt.alias("nx"), ranks.alias("pv")

@@ -313,3 +313,83 @@ def dpp_partitioned_join(spark, sf_dir):
             ),
         )
     )
+
+
+_FRAG_TYPES = ("click", "purchase")  # the partitions the "stream" fragmented
+_FRAG_THRESHOLD = 8
+
+
+@register(
+    "incremental_maintenance_report",
+    oracle=f"""
+    SELECT event_type,
+           event_type IN {_FRAG_TYPES} AS rewritten,
+           TRUE AS healthy_after,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_maintenance_report(spark, sf_dir):
+    """Partition-scoped incremental OPTIMIZE end-to-end (the
+    ``OPTIMIZE ... WHERE partition`` shape): ``events`` lands hive-
+    partitioned by event_type with TWO partitions deliberately
+    fragmented into 32 files each (the streaming-sink hot-partition
+    pattern) and the rest healthy; ``plans/layout.optimize_partitions``
+    rewrites ONLY the fragmented two — maintenance cost proportional to
+    the fragmentation, not the table. Output per partition: the
+    ``rewritten`` decision (oracle predicts it from the fixture keying),
+    ``healthy_after`` (file count back under the threshold), and content
+    facts (row count, value cents) whose oracle runs on the ORIGINAL
+    table — the scoped rewrite must be value-preserving. File-level
+    no-touch identity for healthy partitions is pinned in
+    tests/test_plans.py::test_optimize_partitions_rewrites_only_fragmented.
+    Build-at-construction is the fixture, sanctioned + session-cached
+    like the other layout queries."""
+    import json
+    import os
+
+    from ..plans.layout import optimize_partitions
+
+    def build(root: str) -> None:
+        lay = os.path.join(root, "events")
+        ev = table(spark, sf_dir, "events")
+        for t in EVENT_TYPES:
+            part = ev.filter(F.col("event_type") == t).drop("event_type")
+            shape = part.repartition(32) if t in _FRAG_TYPES else part.coalesce(2)
+            shape.write.mode("overwrite").parquet(
+                os.path.join(lay, f"event_type={t}")
+            )
+        report = optimize_partitions(
+            spark, lay, frag_threshold_files=_FRAG_THRESHOLD
+        )
+        with open(os.path.join(root, "report.json"), "w") as f:
+            json.dump(report, f)
+
+    root = session_fixture("incr_maint", sf_dir, "frag32_thr8_v1", build)
+    with open(os.path.join(root, "report.json")) as f:
+        report = json.load(f)
+    rep_df = spark.createDataFrame(
+        [
+            (
+                entry.split("=", 1)[1],
+                r["rewritten"],
+                r["files_after"] <= _FRAG_THRESHOLD,
+            )
+            for entry, r in report.items()
+        ],
+        "event_type string, rewritten boolean, healthy_after boolean",
+    )
+    agg = (
+        read_dir(spark, os.path.join(root, "events"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    return agg.join(rep_df, "event_type").select(
+        "event_type", "rewritten", "healthy_after", "n", "sum_value_cents"
+    )

@@ -86,6 +86,7 @@ BREADTH = [
     "ingest_jsonl_events",
     "ingest_orc_events",
     "ingest_to_serving_pipeline",
+    "incremental_maintenance_report",
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",

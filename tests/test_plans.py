@@ -262,3 +262,56 @@ def test_nested_schema_pruning_on_envelopes(spark, sf_dir):
     # only the selected leaves survive into the scan schema
     assert "table" in rs and "id" in rs
     assert "email" not in rs and "lsn" not in rs and "snapshot" not in rs
+
+
+def test_optimize_partitions_rewrites_only_fragmented(spark, sf_dir):
+    """Partition-scoped incremental OPTIMIZE (plans/layout.py):
+    fragmented partitions compact below the threshold with content
+    preserved; healthy partitions are BYTE-UNTOUCHED (identical file
+    names and sizes) — the property that makes maintenance cost
+    proportional to fragmentation, not table size."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.plans.layout import optimize_partitions
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    root = tempfile.mkdtemp(prefix="incr_opt_")
+    ev = table(spark, sf_dir, "events")
+    for t, shape in (("click", 24), ("view", 2)):
+        part = ev.filter(F.col("event_type") == t).drop("event_type")
+        (part.repartition(shape) if shape > 2 else part.coalesce(shape)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"event_type={t}"))
+
+    def listing(p):
+        return {
+            f: os.path.getsize(os.path.join(root, p, f))
+            for f in os.listdir(os.path.join(root, p))
+            if f.startswith("part-")
+        }
+
+    before_healthy = listing("event_type=view")
+    n_click = spark.read.parquet(os.path.join(root, "event_type=click")).count()
+
+    report = optimize_partitions(spark, root, frag_threshold_files=8)
+
+    assert report["event_type=click"]["rewritten"] is True
+    assert report["event_type=click"]["files_before"] == 24
+    assert report["event_type=click"]["files_after"] <= 8
+    # coalesce(2) writes <=2 files depending on upstream partitions
+    n_healthy = len(before_healthy)
+    assert report["event_type=view"] == {
+        "files_before": n_healthy, "files_after": n_healthy, "rewritten": False,
+    }
+    # healthy partition byte-untouched
+    assert listing("event_type=view") == before_healthy
+    # fragmented partition content preserved
+    assert (
+        spark.read.parquet(os.path.join(root, "event_type=click")).count()
+        == n_click
+    )
+    # no staging/aside leftovers
+    assert not [d for d in os.listdir(root) if ".opt_staging" in d or d.endswith(".old")]

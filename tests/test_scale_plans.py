@@ -389,6 +389,9 @@ _BUILD_JOBS_SANCTIONED = {
     # media feed + quarantine + digest-dedup + serving write is the
     # fixture (the multimodal capstone, queries/ingest_q.py)
     "multimodal_serving_pipeline",
+    # partitioned layout + scoped rewrite is the fixture (incremental
+    # OPTIMIZE, queries/layout_q.py)
+    "incremental_maintenance_report",
 }
 
 
@@ -445,6 +448,7 @@ _FIXTURE_CACHED = [
     "ingest_orc_events",
     "ingest_to_serving_pipeline",
     "multimodal_serving_pipeline",
+    "incremental_maintenance_report",
 ]
 
 
