@@ -53,6 +53,26 @@ def session_fixture(
     return path
 
 
+_ONCE: set[tuple[str, str, str]] = set()
+
+
+def session_once(
+    kind: str, sf_dir: str, version: str, action: Callable[[], None]
+) -> None:
+    """Run ``action`` once per process for this key — the non-directory
+    cousin of :func:`session_fixture`, for fixtures that live in the
+    session CATALOG (bucketed saveAsTable) rather than a temp dir. A
+    failed action does not mark the key done. ``clear()`` resets the
+    marker (the build-jobs gate relies on this to re-observe the build);
+    the catalog table itself persists in the temp warehouse and is
+    rewritten by the next action run (mode=overwrite)."""
+    key = (kind, os.path.abspath(sf_dir), version)
+    if key in _ONCE:
+        return
+    action()
+    _ONCE.add(key)
+
+
 def clear(remove: bool = True) -> None:
     """Forget every cached fixture; ``remove=True`` also deletes the
     directories (the teardown hook)."""
@@ -60,6 +80,7 @@ def clear(remove: bool = True) -> None:
         if remove:
             shutil.rmtree(path, ignore_errors=True)
     _CACHE.clear()
+    _ONCE.clear()
 
 
 atexit.register(clear)

@@ -393,3 +393,72 @@ def incremental_maintenance_report(spark, sf_dir):
     return agg.join(rep_df, "event_type").select(
         "event_type", "rewritten", "healthy_after", "n", "sum_value_cents"
     )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark, sf_dir):
+    """Sort-merge-BUCKET join as a user-facing capability: both fact
+    tables pre-bucketed on the join key at write time (``bucketBy`` +
+    ``sortBy`` into the session warehouse), then joined with ZERO
+    exchanges — the physical plan carries SortMergeJoin with no Exchange
+    on either side (plan-asserted in
+    tests/test_scale_plans.py::test_bucketed_join_query_plan_has_no_exchange).
+    This is the 100 TB answer for REPEATED fact-fact joins: pay the
+    bucketed layout once at ingest, delete the dominant shuffle from
+    every subsequent join on that key (SCALE.md "Joins"). The `merge`
+    hint pins the join strategy so the assertion holds at any SF (at
+    tiny SF the planner would otherwise broadcast). Per-row cents floor
+    before the sum keeps the aggregate integer-exact across engines.
+    Bucketed tables are catalog objects, so the fixture is a
+    session_once CREATE (sanctioned in the build-jobs gate; tables land
+    in the temp warehouse, mode=overwrite on rebuild)."""
+    import os
+    import re
+    import shutil
+
+    from .fixture_cache import session_once
+
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/")).strip("_")
+    li_t, o_t = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+
+    def build() -> None:
+        # the catalog is per-process but the warehouse dir persists: a
+        # table absent from THIS session's catalog can still have a
+        # leftover managed location from a previous process, which
+        # saveAsTable refuses (LOCATION_ALREADY_EXISTS) — drop both
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        for name in (li_t, o_t):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+            if warehouse and os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            li_t, format="parquet", mode="overwrite"
+        )
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            o_t, format="parquet", mode="overwrite"
+        )
+
+    session_once("bucketed_join", sf_dir, "b8_v1", build)
+    li, orders = spark.table(li_t), spark.table(o_t).hint("merge")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("revenue_cents"))
+    )

@@ -63,6 +63,7 @@ BREADTH = [
     "agg_string_concat",
     "array_hof_functions",
     "bloom_point_lookup",
+    "bucketed_join_revenue",
     "cdc_dlq_routing",
     "cdc_incremental_agg",
     "cdc_snapshot_diff",

@@ -133,6 +133,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_join_query_plan_has_no_exchange(spark, sf_dir):
+    """The REGISTERED bucketed-join query (bucketed_join_revenue) joins
+    with zero Exchange nodes below the join: bucketing co-located both
+    sides at write time, so the only shuffle in the whole plan is the
+    final groupBy — the repeated-fact-fact-join contract, user-facing."""
+    import re
+
+    from pulsar_cdc_experiment_spark.queries.layout_q import (
+        bucketed_join_revenue,
+    )
+
+    df = bucketed_join_revenue(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
+    # exactly ONE Exchange in the whole plan: the final aggregate's own.
+    # A non-bucketed SMJ would add one per join side (three total), so
+    # this count IS the no-join-shuffle assertion.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_partitioned_sink_routing(spark, sf_dir):
     """B6/A18: route-partitioned parquet output — one directory per route,
     the Spark face of topic-per-table."""
@@ -392,6 +414,8 @@ _BUILD_JOBS_SANCTIONED = {
     # partitioned layout + scoped rewrite is the fixture (incremental
     # OPTIMIZE, queries/layout_q.py)
     "incremental_maintenance_report",
+    # bucketed saveAsTable fixtures (catalog objects, session_once)
+    "bucketed_join_revenue",
 }
 
 
