@@ -71,6 +71,13 @@ HEADLINE = [
     "ingest_jsonl_events",      # text ingest: JSONL write + schema-on-read + agg
     "table_maintenance_report", # OPTIMIZE composite: fragment->compact+zorder+stats
     "funnel_conversion",        # per-user min-agg chain, co-partitioned joins
+    # round-7 additions: the four new batch capabilities, benched from
+    # birth (stream_auto_maintenance stays out per the stream-IVM
+    # precedent: its sf0.1 wall is micro-batch fixture overhead)
+    "graph_pagerank_converged",     # residual-gated iteration (stops ~round 5)
+    "incremental_maintenance_report",  # partition-scoped OPTIMIZE cycle
+    "multimodal_serving_pipeline",  # binary media: quarantine->dedup->decode
+    "bucketed_join_revenue",        # SMB join: zero-shuffle fact-fact probe
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
@@ -219,10 +226,15 @@ def main() -> None:
     # before EVERY timed run so each run pays the full build+probe cycle
     # (the quantity r1–r6 benched; without this, runs 2+ would measure
     # the probe alone and read as a phantom 2–5x speedup)
+    # NOT cleared: bucketed_join_revenue — its steady state IS the probe
+    # (the bucketed layout is paid once at ingest; re-paying the
+    # saveAsTable every run would bench the write, not the capability)
     FIXTURE_BUILDERS = {
         "zorder_events_slabs",
         "table_maintenance_report",
         "ingest_jsonl_events",
+        "incremental_maintenance_report",
+        "multimodal_serving_pipeline",
     }
 
     def run_once(name: str) -> float:

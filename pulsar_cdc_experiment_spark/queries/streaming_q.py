@@ -980,3 +980,116 @@ def stream_ingest_jsonl(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "stream_ingest_jsonl", output_mode="complete")
+
+
+@register(
+    "stream_auto_maintenance",
+    oracle="""
+    WITH slices AS (
+      SELECT event_type,
+             count(DISTINCT CASE WHEN event_type = 'error' THEN 0
+                                 ELSE event_id % 6 END) AS n_slices
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           s.n_slices > 4 AS rewritten,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+    FROM events e JOIN slices s ON e.event_type = s.event_type
+    GROUP BY e.event_type, s.n_slices
+    """,
+)
+def stream_auto_maintenance(spark, sf_dir):
+    """The streaming-sink → maintenance lifecycle under ONE full oracle:
+    a partitioned streaming sink fragments exactly as production sinks do
+    (one file per micro-batch per touched partition), then the
+    partition-scoped incremental OPTIMIZE (plans/layout.
+    optimize_partitions) compacts ONLY the partitions the stream actually
+    fragmented — and the oracle predicts the REWRITE DECISION itself, not
+    just the data: the feed is sliced into 6 micro-batches by
+    ``event_id % 6`` with 'error' events routed entirely to slice 0 (a
+    one-shot backfill among continuous types), so each partition's file
+    count equals its DISTINCT slice count, computable in SQL. Types
+    landing in >4 slices exceed the fragmentation threshold and must be
+    rewritten; 'error' (1 file) must be left byte-untouched. Content
+    facts (count, value cents) run against the original table — the
+    whole lifecycle is value-preserving. This ties A18 (streaming sink)
+    to the round-7 incremental OPTIMIZE: at 100 TB this loop IS the
+    nightly maintenance job, and its cost is proportional to what the
+    stream fragmented since the last pass."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from ..plans.layout import optimize_partitions
+    from ..queries.fixture_cache import session_fixture
+    from ..sources.tables import read_dir
+    from ..streaming.pipeline import EVENTS_RAW
+
+    def build(root: str) -> None:
+        ev = spark.read.schema(EVENTS_RAW).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        slice_col = F.when(F.col("event_type") == "error", F.lit(0)).otherwise(
+            F.col("event_id") % 6
+        )
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        base = 1_700_000_000
+        for i in range(6):
+            stage = os.path.join(src, f"_stage{i}")
+            ev.filter(slice_col == i).coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            final = os.path.join(src, f"{i:03d}.parquet")
+            os.replace(part, final)
+            os.utime(final, (base + i * 60, base + i * 60))
+            shutil.rmtree(stage)
+
+        lay = os.path.join(root, "events")
+
+        def sink(batch_df, _batch_id):
+            # one task -> ONE file per touched partition per micro-batch:
+            # the canonical fragmentation shape of a partitioned sink
+            batch_df.coalesce(1).write.partitionBy("event_type").mode(
+                "append"
+            ).parquet(lay)
+
+        q = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation",
+                os.path.join(root, "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        report = optimize_partitions(spark, lay, frag_threshold_files=4)
+        with open(os.path.join(root, "report.json"), "w") as f:
+            json.dump(report, f)
+
+    root = session_fixture("stream_maint", sf_dir, "s6_thr4_v1", build)
+    with open(os.path.join(root, "report.json")) as f:
+        report = json.load(f)
+    rep_df = spark.createDataFrame(
+        [(k.split("=", 1)[1], v["rewritten"]) for k, v in report.items()],
+        "event_type string, rewritten boolean",
+    )
+    agg = (
+        read_dir(spark, os.path.join(root, "events"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    return agg.join(rep_df, "event_type").select(
+        "event_type", "rewritten", "n", "sum_value_cents"
+    )

@@ -278,13 +278,24 @@ class IncrementalMaterializer:
         return self._state.current_state(spark)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Fold the batch into state and publish via ONE atomic rename."""
+        """Fold the batch into state and publish via ONE atomic rename.
+
+        Schema evolution (additive, the CDC reality — an upstream ALTER
+        TABLE ADD COLUMN lands mid-stream): the union with prior state
+        allows missing columns on either side, so a feed that GAINS a
+        column widens the state table (old rows carry null, exactly what
+        the upstream table had before the ALTER), and a feed that DROPS
+        one keeps the column with nulls for new rows (no data loss on
+        the reader side). Key and order columns must remain present —
+        they are the materialization contract."""
         spark = batch_df.sparkSession
         folded = latest_by_key(batch_df, self.key_cols, self.order_cols)
         prev = self.current_state(spark)
         if prev is not None:
             folded = latest_by_key(
-                prev.unionByName(folded), self.key_cols, self.order_cols
+                prev.unionByName(folded, allowMissingColumns=True),
+                self.key_cols,
+                self.order_cols,
             )
         self._state.publish(folded, batch_id)
 

@@ -98,6 +98,7 @@ BREADTH = [
     "safe_casts",
     "set_intersect_except",
     "set_union",
+    "stream_auto_maintenance",
     "stream_cdc_incremental_agg",
     "stream_dq_expectations",
     "stream_ingest_jsonl",

@@ -473,6 +473,7 @@ _FIXTURE_CACHED = [
     "ingest_to_serving_pipeline",
     "multimodal_serving_pipeline",
     "incremental_maintenance_report",
+    "stream_auto_maintenance",
 ]
 
 

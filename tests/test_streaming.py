@@ -955,6 +955,46 @@ def test_fresh_checkpoint_batch_reset_never_stages_into_retained_version(spark):
     assert {r["k"] for r in s.current_state(spark).collect()} == {2}
 
 
+def test_materializer_state_survives_additive_schema_evolution(spark):
+    """The CDC reality: upstream ALTER TABLE ADD COLUMN lands mid-stream.
+    The materializer's state union allows missing columns, so the state
+    table WIDENS — rows last touched before the ALTER carry null in the
+    new column (matching the upstream table's own history), rows after
+    carry values, and the latest-fold stays correct throughout."""
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalMaterializer,
+    )
+
+    m = IncrementalMaterializer(
+        tempfile.mkdtemp(prefix="ivm_evo_"), key_cols=["id"], order_cols=["seq"]
+    )
+    b0 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b")], "id long, seq long, name string"
+    )
+    m.process_batch(b0, 0)
+    # the feed gains an email column; only key 2 is updated
+    b1 = spark.createDataFrame(
+        [(2, 2, "b2", "b@x.io")], "id long, seq long, name string, email string"
+    )
+    m.process_batch(b1, 1)
+    got = {
+        r["id"]: (r["name"], r["email"])
+        for r in m.current_state(spark).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", "b@x.io")}
+    # a later feed that DROPS the column keeps it in state (null for the
+    # new row) — no reader-side data loss
+    b2 = spark.createDataFrame([(3, 1, "c")], "id long, seq long, name string")
+    m.process_batch(b2, 2)
+    got = {
+        r["id"]: (r["name"], r["email"])
+        for r in m.current_state(spark).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b2", "b@x.io"), 3: ("c", None)}
+
+
 def test_vacuum_policy_bounds_disk_and_spares_pinned_readers(spark):
     """Round-6 stretch: the VACUUM half of the retention story. Across 6
     publishes with keep_versions=3, disk never exceeds 3 retained
