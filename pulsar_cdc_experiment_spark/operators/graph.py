@@ -44,6 +44,29 @@ def out_degrees(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.count("*").alias("outdeg"))
 
 
+def _vertices_and_dangling(edges_deg: DataFrame, teleport: int):
+    """Shared by both PageRank variants: the vertex universe (distinct
+    src) and the persisted dangling-IN set — vertices with no inbound
+    edges, whose rank is constant at ``teleport`` and is unioned back
+    into every iteration's aggregate (round-6 ADVICE: the dst-groupBy
+    would otherwise silently drop them)."""
+    from pyspark.storagelevel import StorageLevel
+
+    vertices = (
+        edges_deg.select("src").distinct().select(F.col("src").alias("node"))
+    )
+    dangling = (
+        vertices.join(
+            edges_deg.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .select("node", F.lit(teleport).cast("long").alias("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return vertices, dangling
+
+
 def pagerank_fixed_point(
     edges: DataFrame, iters: int = 3, damping_pct: int = 85
 ) -> DataFrame:
@@ -79,18 +102,7 @@ def pagerank_fixed_point(
     # under memory pressure, so repeated invocation is bounded, not
     # accumulating.
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = edges_deg.select("src").distinct().select(F.col("src").alias("node"))
-    # in-degree-0 vertices: rank is teleport in every round — computed
-    # once, read every iteration (same persist rationale as edges_deg)
-    dangling = (
-        vertices.join(
-            edges_deg.select(F.col("dst").alias("node")).distinct(),
-            "node",
-            "left_anti",
-        )
-        .select("node", F.lit(teleport).cast("long").alias("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    vertices, dangling = _vertices_and_dangling(edges_deg, teleport)
     ranks = vertices.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
     for i in range(iters):
         # per-iteration aliases: ranks shares lineage with edges_deg from
@@ -140,16 +152,7 @@ def pagerank_until_converged(
     deg = out_degrees(edges)
     teleport = RANK_SCALE * (100 - damping_pct) // 100
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = edges_deg.select("src").distinct().select(F.col("src").alias("node"))
-    dangling = (
-        vertices.join(
-            edges_deg.select(F.col("dst").alias("node")).distinct(),
-            "node",
-            "left_anti",
-        )
-        .select("node", F.lit(teleport).cast("long").alias("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    vertices, dangling = _vertices_and_dangling(edges_deg, teleport)
     ranks = vertices.select(
         "node", F.lit(RANK_SCALE).cast("long").alias("rank")
     ).persist(StorageLevel.MEMORY_AND_DISK)

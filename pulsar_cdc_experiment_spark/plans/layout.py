@@ -227,11 +227,16 @@ def optimize_partitions(
     to ingest since the last pass, not to table size — the property that
     lets maintenance run nightly.
 
-    Per-partition swap: the compacted rewrite lands in a hidden staging
-    dir, then old→aside / staged→live / aside-removed. A crash
-    mid-swap leaves either the old or the new complete partition plus a
-    leftover directory — never a half-written live partition. (On a
-    transactional table format the same loop is one metadata commit.)
+    Per-partition swap: the compacted rewrite lands in a DOT-PREFIXED
+    staging dir, the old partition moves to a dot-prefixed aside dir,
+    staged renames live, aside is removed. Dot prefixes matter (round-7
+    review catch): Spark's partition discovery skips hidden dirs, so
+    NEITHER crash window can corrupt reads — a crash between the two
+    renames leaves that partition temporarily ABSENT from reads (its
+    data intact in the hidden aside; the next run restores it), never
+    half-written, never duplicated, never resurfacing under a bogus
+    ``event_type=click.old`` partition value. (On a transactional table
+    format the same loop is one metadata commit.)
 
     Returns ``{partition_dir_name: {"files_before", "files_after",
     "rewritten"}}``.
@@ -239,17 +244,33 @@ def optimize_partitions(
     import glob
     import shutil
 
+    ASIDE, STAGING = ".opt_old_", ".opt_staging_"
+
     def data_files(path: str) -> list[str]:
         return sorted(glob.glob(os.path.join(path, "part-*")))
+
+    # crash recovery: a leftover aside whose live dir vanished (crash
+    # between the two renames) is the partition's only complete copy —
+    # restore it; any other leftover aside/staging is dead weight
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if entry.startswith(ASIDE) and os.path.isdir(p):
+            live = os.path.join(root, entry[len(ASIDE):])
+            if not os.path.exists(live):
+                os.rename(p, live)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        elif entry.startswith(STAGING) and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
 
     report: dict[str, dict] = {}
     for entry in sorted(os.listdir(root)):
         pdir = os.path.join(root, entry)
-        if not (os.path.isdir(pdir) and "=" in entry):
+        if entry.startswith(".") or not (os.path.isdir(pdir) and "=" in entry):
             continue
         before = len(data_files(pdir))
         if before > frag_threshold_files:
-            staged = os.path.join(root, f".opt_staging_{entry.replace('=', '_')}")
+            staged = os.path.join(root, STAGING + entry)
             n = target_file_count(dir_bytes(pdir), target_mb)
             # reading the partition dir directly yields data columns only
             # (the partition value lives in the dir name) — the rewrite
@@ -257,9 +278,7 @@ def optimize_partitions(
             spark.read.parquet(pdir).repartition(n).write.mode(
                 "overwrite"
             ).parquet(staged)
-            aside = pdir + ".old"
-            if os.path.exists(aside):
-                shutil.rmtree(aside)
+            aside = os.path.join(root, ASIDE + entry)
             os.rename(pdir, aside)
             os.rename(staged, pdir)
             shutil.rmtree(aside)

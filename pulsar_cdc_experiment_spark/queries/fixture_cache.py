@@ -73,14 +73,20 @@ def session_once(
     _ONCE.add(key)
 
 
-def clear(remove: bool = True) -> None:
+def clear(remove: bool = True, markers: bool = True) -> None:
     """Forget every cached fixture; ``remove=True`` also deletes the
-    directories (the teardown hook)."""
+    directories (the teardown hook). ``markers=False`` keeps the
+    :func:`session_once` markers — bench.py uses this so clearing a
+    DIRECTORY fixture between timed runs doesn't force unrelated
+    catalog fixtures (bucketed tables) to rebuild inside a later
+    query's timed region (round-7 review catch); the build-jobs gate
+    clears with ``markers=True`` to re-observe every build."""
     for path in _CACHE.values():
         if remove:
             shutil.rmtree(path, ignore_errors=True)
     _CACHE.clear()
-    _ONCE.clear()
+    if markers:
+        _ONCE.clear()
 
 
 atexit.register(clear)

@@ -464,9 +464,18 @@ def multimodal_serving_pipeline(spark, sf_dir):
         torn = F.octet_length("payload") != F.col("meta.n_bytes")
         quarantined = raw_df.filter(torn).count()
         clean = raw_df.filter(~torn)
+        # dedup key is (media_id, digest), not digest alone: the
+        # synthesized pixel patterns are PERIODIC in the id ((id+i)%256),
+        # so DISTINCT ids at distance 768 carry byte-identical payloads —
+        # digest-only dedup would collapse them (wrong vs the oracle at
+        # sf≥0.1 where ids are dense past 768; round-7 review catch).
+        # The semantics modeled is at-least-once REDELIVERY: the same
+        # record delivered twice with identical bytes. Cross-id content
+        # dedup is a separate, deliberate operator (dedup_exact on
+        # documents), not part of ingest hygiene.
         deduped = (
             clean.withColumn("__digest", F.sha2(F.col("payload"), 256))
-            .dropDuplicates(["__digest"])
+            .dropDuplicates(["media_id", "__digest"])
             .drop("__digest")
         )
         kept = deduped.count()
@@ -483,7 +492,7 @@ def multimodal_serving_pipeline(spark, sf_dir):
             os.path.join(root, "audit")
         )
 
-    root = session_fixture("mm_serving", sf_dir, "c31_d41_v1", build)
+    root = session_fixture("mm_serving", sf_dir, "c31_d41_v2", build)
     srv = read_dir(spark, os.path.join(root, "serving"))
     dec = MM.decode_real(srv)
 

@@ -1067,7 +1067,15 @@ def stream_auto_maintenance(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # the boolean matters (round-7 review catch): a timeout returns
+        # False without raising, and compacting while the sink still
+        # appends would cache a partially-built fixture as the session's
+        # permanent truth — fail loudly instead
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stream_auto_maintenance: sink did not finish within 600s"
+            )
 
         report = optimize_partitions(spark, lay, frag_threshold_files=4)
         with open(os.path.join(root, "report.json"), "w") as f:

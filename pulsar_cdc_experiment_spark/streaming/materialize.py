@@ -96,12 +96,19 @@ class AtomicStateDir:
         """Retained publication directory names, oldest → newest (by
         publish order; the live one is last).
 
-        Publish order is the parsed ``(batch_id, attempt)`` embedded in
-        the directory name — NOT mtime, which has 1-second granularity
-        on some filesystems, so rapid successive publishes could sort
-        wrongly and GC would drop the newer of two equal-mtime versions
-        (round-6 ADVICE). Mtime is only the tiebreak for names the
-        parser can't read (there should be none)."""
+        Publish order is ``(mtime, parsed batch_id, attempt)``: mtime
+        carries the coarse chronology — which stays correct across a
+        stream RESTART on a fresh checkpoint, where batch ids reset to 0
+        and a name-only sort would rank the new run's state_0_r1 below
+        the old run's stale state_2 (and GC would then drop the NEWEST
+        snapshot; round-7 review catch) — while the parsed
+        ``(batch_id, attempt)`` from ``state_<id>[_r<n>]`` breaks ties
+        when a filesystem's 1-second mtime granularity makes rapid
+        same-run publishes indistinguishable (round-6 ADVICE; within one
+        run batch ids are monotone, so the tiebreak is exact). The one
+        shape neither key resolves — a restart landing inside the same
+        mtime tick as the previous run's last publish — would need a
+        run-id in the name; publish cadence makes it unreachable here."""
         live = self.current_dir()
         out = [
             d
@@ -116,10 +123,9 @@ class AtomicStateDir:
         ]
 
         def sort_key(d: str):
-            parsed = self._version_key(d)
-            if parsed is not None:
-                return (0, parsed[0], parsed[1], 0.0)
-            return (1, 0, 0, os.path.getmtime(os.path.join(self.state_dir, d)))
+            parsed = self._version_key(d) or (0, 0)
+            mtime = os.path.getmtime(os.path.join(self.state_dir, d))
+            return (mtime, parsed[0], parsed[1])
 
         out.sort(key=sort_key)
         if live is not None and os.path.basename(live) in out:

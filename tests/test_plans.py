@@ -314,4 +314,42 @@ def test_optimize_partitions_rewrites_only_fragmented(spark, sf_dir):
         == n_click
     )
     # no staging/aside leftovers
-    assert not [d for d in os.listdir(root) if ".opt_staging" in d or d.endswith(".old")]
+    assert not [d for d in os.listdir(root) if d.startswith(".opt_")]
+
+
+def test_optimize_partitions_recovers_from_crash_between_renames(spark, sf_dir):
+    """Crash-window recovery: a leftover hidden aside dir whose live
+    partition vanished (crash between old→aside and staged→live) is the
+    only complete copy — the next run restores it before maintaining.
+    Hidden naming also keeps BOTH crash windows invisible to partition
+    discovery (no duplicated or bogus-valued partitions in reads)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.plans.layout import optimize_partitions
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    root = tempfile.mkdtemp(prefix="incr_opt_crash_")
+    ev = table(spark, sf_dir, "events")
+    for t, parts in (("click", 12), ("view", 1)):
+        sub = ev.filter(F.col("event_type") == t).drop("event_type")
+        (sub.repartition(parts) if parts > 1 else sub.coalesce(1)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"event_type={t}"))
+    n_click = spark.read.parquet(os.path.join(root, "event_type=click")).count()
+    n_view = spark.read.parquet(os.path.join(root, "event_type=view")).count()
+    # simulate the crash: click's live dir moved aside, staged/live missing
+    os.rename(
+        os.path.join(root, "event_type=click"),
+        os.path.join(root, ".opt_old_event_type=click"),
+    )
+    # reads see that partition as absent — NOT half-written, duplicated,
+    # or resurfacing under a bogus partition value
+    assert spark.read.parquet(root).count() == n_view
+
+    report = optimize_partitions(spark, root, frag_threshold_files=8)
+    assert report["event_type=click"]["rewritten"] is True  # restored, compacted
+    assert spark.read.parquet(root).count() == n_click + n_view
+    assert not [d for d in os.listdir(root) if d.startswith(".opt_")]

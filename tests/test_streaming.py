@@ -923,6 +923,37 @@ def test_versions_order_by_batch_id_not_mtime(spark):
     assert s.versions() == ["state_0", "state_1", "state_2"]
 
 
+def test_versions_restart_retains_new_run_not_stale_old_run(spark):
+    """Round-7 review catch: after a restart on a fresh checkpoint
+    (batch ids reset to 0), retention must keep the NEW run's
+    publications and GC the old run's stale ones — a name-only
+    (batch_id, attempt) sort would rank state_0_r1 below the old run's
+    state_1 and delete the newest snapshot. The composite
+    (mtime, batch, attempt) order keeps chronology across runs."""
+    import os
+    import tempfile
+    import time as _time
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        AtomicStateDir,
+    )
+
+    root = tempfile.mkdtemp(prefix="asd_restart_")
+    s = AtomicStateDir(root, keep_versions=2)
+    s.publish(spark.createDataFrame([(10,)], "k long"), 0)  # old run
+    s.publish(spark.createDataFrame([(11,)], "k long"), 1)
+    past = _time.time() - 3600
+    for d in ("state_0", "state_1"):
+        os.utime(os.path.join(root, d), (past, past))
+
+    # restart: fresh checkpoint, batch ids reset
+    s.publish(spark.createDataFrame([(20,)], "k long"), 0)  # -> state_0_r1
+    s.publish(spark.createDataFrame([(21,)], "k long"), 1)  # -> state_1_r1
+    assert s.versions() == ["state_0_r1", "state_1_r1"]
+    assert not os.path.exists(os.path.join(root, "state_1"))  # stale GC'd
+    assert {r["k"] for r in s.current_state(spark).collect()} == {21}
+
+
 def test_fresh_checkpoint_batch_reset_never_stages_into_retained_version(spark):
     """Round-6 ADVICE: with keep_versions>1, a stream restarted on a
     fresh checkpoint re-publishes batch 0 while state_0 is a RETAINED
