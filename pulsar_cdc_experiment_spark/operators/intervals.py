@@ -1,0 +1,91 @@
+"""Pure interval-containment join (NO equi key) via bin bucketing.
+
+``join_range`` (queries/relational.py) band-joins WITH an equi key — the
+planner hash-joins on the key and post-filters the band, which scales.
+The shape Spark has no native answer for is the KEYLESS containment join:
+``points.t BETWEEN intervals.start AND intervals.end`` with nothing to
+hash on — the planner's only plan is BroadcastNestedLoopJoin (fine for a
+small interval table, O(|points|·|intervals|) death at 100 TB when the
+intervals side is data-proportional).
+
+The classic fix, implemented here: pick a bin width ``W`` at least as
+large as the longest interval, bucket points into ``floor(t/W)``, explode
+each interval into the (at most TWO, by the width bound) bins it touches,
+equi-join on the bin, and post-filter exact containment. Every true
+(point, interval) pair shares a bin — the point's single bin lies within
+the interval's touched bins — so the equi-join loses nothing, and each
+pair is produced exactly once (the point has ONE bin; the interval lists
+each bin once). Cost: one shuffle on the bin key + |intervals| ≤ 2×
+expansion, instead of a cross product.
+
+Reference analog: the enrichment function's event-time windows are the
+degenerate one-sided case (cdc_enrichment_function.py:60-66 routes by
+time); a true interval dimension (maintenance windows, promo periods,
+incident spans) needs this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.time import epoch_micros
+
+MICROS_PER_DAY = 86_400 * 1_000_000
+
+
+def interval_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str,
+    start_col: str,
+    end_col: str,
+    bin_micros: int,
+    validate: bool = True,
+) -> DataFrame:
+    """Inner-join ``points`` to every interval containing them
+    (half-open: ``start <= t < end``) without an equi key.
+
+    PRECONDITION: every interval's length must be ≤ ``bin_micros`` (that
+    is what bounds the explode at 2 bins and guarantees no pair is
+    missed). ``validate=True`` (default) enforces it in-plan with
+    ``assert_true`` — a violating interval fails the job loudly instead
+    of silently losing its matches past the second bin.
+
+    Output columns: points.* then intervals.* (helper columns dropped).
+    """
+    t_us = epoch_micros(F.col(t_col))
+    s_us = epoch_micros(F.col(start_col))
+    e_us = epoch_micros(F.col(end_col))
+
+    p = points.withColumn(
+        "__bin", F.floor(t_us / F.lit(bin_micros)).cast("long")
+    )
+
+    iv = intervals.withColumn("__s_us", s_us).withColumn("__e_us", e_us)
+    if validate:
+        # assert_true returns NULL when the predicate holds; filtering on
+        # isNull() keeps every row AND forces the check to evaluate (a
+        # withColumn+drop would be pruned away before it ever ran)
+        iv = iv.filter(
+            F.assert_true(
+                F.col("__e_us") - F.col("__s_us") <= F.lit(bin_micros),
+                F.lit("interval longer than bin width"),
+            ).isNull()
+        )
+    # half-open end: the bin of the last contained microsecond
+    iv = iv.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__s_us") / F.lit(bin_micros)).cast("long"),
+                F.floor((F.col("__e_us") - 1) / F.lit(bin_micros)).cast("long"),
+            )
+        ),
+    )
+
+    joined = p.join(iv, "__bin").filter(
+        (epoch_micros(F.col(t_col)) >= F.col("__s_us"))
+        & (epoch_micros(F.col(t_col)) < F.col("__e_us"))
+    )
+    return joined.drop("__bin", "__s_us", "__e_us")

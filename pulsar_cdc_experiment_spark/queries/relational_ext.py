@@ -602,3 +602,61 @@ def hll_partial_merge(spark, sf_dir):
         "direct_est",
         (F.col("est") == F.col("direct_est")).alias("consistent"),
     )
+
+
+@register(
+    "interval_shipping_pressure",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_in_window,
+           CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 300000
+    GROUP BY o.o_orderkey
+    """,
+)
+def interval_shipping_pressure(spark, sf_dir):
+    """Pure interval-containment join — NO equi key — solved at scale by
+    bin bucketing (operators/intervals.interval_join_binned): how much
+    shipping volume (any order's lineitems) moved during each urgent
+    high-value order's first week. The predicate
+    ``l_shipdate ∈ [o_orderdate, o_orderdate+7d)`` has nothing to hash
+    on, so Spark's native plan is BroadcastNestedLoopJoin —
+    O(|points|·|intervals|) and a non-starter when the interval side is
+    data-proportional. Bucketing points into 7-day bins and exploding
+    each interval into its ≤2 touched bins turns it into ONE equi-join
+    shuffle + exact post-filter; the plan is asserted BNLJ-free
+    (tests/test_scale_plans.py) and the operator is proven
+    pair-for-pair identical to the naive theta join
+    (tests/test_relational_ext... test in test_scale_plans). Oracle: the
+    plain range-predicate join in SQL. Integer-cents quantity keeps the
+    aggregate hash-exact."""
+    from ..operators.intervals import MICROS_PER_DAY, interval_join_binned
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_quantity"
+    )
+    iv = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 300000)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("__o_end"),
+        )
+    )
+    joined = interval_join_binned(
+        li, iv, "l_shipdate", "o_orderdate", "__o_end", 7 * MICROS_PER_DAY
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_in_window"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_qty_cents"
+        ),
+    )

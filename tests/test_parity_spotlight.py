@@ -88,6 +88,7 @@ BREADTH = [
     "ingest_orc_events",
     "ingest_to_serving_pipeline",
     "incremental_maintenance_report",
+    "interval_shipping_pressure",
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",

@@ -89,6 +89,69 @@ def test_aqe_skew_join_engages_when_thresholds_match_data(spark):
         conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
 
 
+def test_interval_join_binned_matches_theta_and_avoids_nested_loop(spark, sf_dir):
+    """The keyless containment join: binned formulation must (a) produce
+    pair-for-pair the naive theta join's result, (b) plan as an EQUI
+    join on the bin — no BroadcastNestedLoopJoin / CartesianProduct —
+    and (c) reject an interval longer than the bin width loudly
+    (silent match loss past the second bin is the failure mode)."""
+    import pytest
+
+    from pulsar_cdc_experiment_spark.operators.intervals import (
+        MICROS_PER_DAY,
+        interval_join_binned,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    iv = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 300000)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("o_end"),
+        )
+    )
+    binned = interval_join_binned(
+        li, iv, "l_shipdate", "o_orderdate", "o_end", 7 * MICROS_PER_DAY
+    ).groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    plain = (
+        li.join(
+            iv,
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_end")),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, binned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = binned._sc._jvm.PythonSQLUtils.explainString(
+        binned._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+    # naive formulation IS the nested loop — the contrast this operator removes
+    plan_plain = plain._sc._jvm.PythonSQLUtils.explainString(
+        plain._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoop" in plan_plain
+
+    # width-violation guard fires instead of silently losing matches
+    wide = iv.withColumn(
+        "o_end", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    bad = interval_join_binned(
+        li, wide, "l_shipdate", "o_orderdate", "o_end", 7 * MICROS_PER_DAY
+    )
+    with pytest.raises(Exception, match="interval longer than bin width"):
+        bad.count()
+
+
 def test_salted_left_join_keeps_unmatched(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], ["k", "v"])
     right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
