@@ -78,6 +78,7 @@ HEADLINE = [
     "incremental_maintenance_report",  # partition-scoped OPTIMIZE cycle
     "multimodal_serving_pipeline",  # binary media: quarantine->dedup->decode
     "bucketed_join_revenue",        # SMB join: zero-shuffle fact-fact probe
+    "interval_shipping_pressure",   # keyless containment join, binned (no BNLJ)
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
