@@ -219,8 +219,42 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
         )
 
+    def interval_join(n_points):
+        """The keyless containment-join asymptote: bin-bucketed interval
+        join (operators/intervals.py) of n points against n/200
+        one-hour-wide intervals spread over a year. The naive plan is
+        BroadcastNestedLoopJoin — O(n·m) predicate evaluations, ~1e13 at
+        this size, infeasible to even attempt — so the binned join's
+        rows/s IS the feasibility boundary for interval dimensions at
+        100 TB. Rows/s counts points."""
+        from pulsar_cdc_experiment_spark.functions.time import ntz_from_micros
+        from pulsar_cdc_experiment_spark.operators.intervals import (
+            interval_join_binned,
+        )
+
+        year_us = 365 * 86_400 * 1_000_000
+        hour_us = 3_600 * 1_000_000
+        points = spark.range(n_points).select(
+            ntz_from_micros(F.pmod(F.xxhash64("id"), F.lit(year_us))).alias("t"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        n_iv = max(1000, n_points // 200)
+        iv_start = F.pmod(F.xxhash64(F.col("id") + 7), F.lit(year_us - hour_us))
+        intervals = spark.range(n_iv).select(
+            F.col("id").alias("iv_id"),
+            ntz_from_micros(iv_start).alias("s"),
+            ntz_from_micros(iv_start + F.lit(hour_us)).alias("e"),
+        )
+        (
+            interval_join_binned(points, intervals, "t", "s", "e", hour_us)
+            .groupBy("iv_id")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+            .write.format("noop").mode("overwrite").save()
+        )
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
+    run("interval_join_binned", int(20e6 * s), interval_join)
     run("jsonl_parse", int(60e6 * s), jsonl_parse)
     run("join_fact_dim", int(150e6 * s), join_fact_dim)
     run("window_partitioned", int(100e6 * s), window_partitioned)
