@@ -46,33 +46,58 @@ def interval_join_binned(
     """Inner-join ``points`` to every interval containing them
     (half-open: ``start <= t < end``) without an equi key.
 
-    PRECONDITION: every interval's length must be ≤ ``bin_micros`` (that
-    is what bounds the explode at 2 bins and guarantees no pair is
-    missed). ``validate=True`` (default) enforces it in-plan with
-    ``assert_true`` — a violating interval fails the job loudly instead
-    of silently losing its matches past the second bin.
+    PRECONDITION: every interval must be well-formed (``start <= end``)
+    and no longer than ``bin_micros`` — that is what bounds the explode
+    at 2 bins and guarantees no pair is missed. ``validate=True``
+    (default) enforces BOTH in-plan with ``assert_true`` — a violating
+    interval fails the job loudly instead of silently losing matches
+    past the second bin (too long) or exploding into a descending
+    half-million-bin sequence (inverted; round-7 review catch).
+    NULL-bounded intervals match nothing, exactly like the naive theta
+    join (NULL comparisons are false), under either validate setting.
 
-    Output columns: points.* then intervals.* (helper columns dropped).
+    Output columns: points.* then intervals.* (helper columns dropped;
+    a caller column that collides with a helper name raises).
     """
-    t_us = epoch_micros(F.col(t_col))
-    s_us = epoch_micros(F.col(start_col))
-    e_us = epoch_micros(F.col(end_col))
+    helpers = ("__bin", "__t_us", "__s_us", "__e_us")
+    for df, side in ((points, "points"), (intervals, "intervals")):
+        clash = sorted(set(df.columns) & set(helpers))
+        if clash:
+            raise ValueError(
+                f"{side} carries reserved helper column(s) {clash}; rename"
+            )
 
-    p = points.withColumn(
-        "__bin", F.floor(t_us / F.lit(bin_micros)).cast("long")
+    # compute the point epoch ONCE: reused by the bin key and the
+    # containment filter (a bare re-resolve of t_col after the join is
+    # ambiguous when intervals happens to carry a same-named column)
+    p = points.withColumn("__t_us", epoch_micros(F.col(t_col))).withColumn(
+        "__bin", F.floor(F.col("__t_us") / F.lit(bin_micros)).cast("long")
     )
 
-    iv = intervals.withColumn("__s_us", s_us).withColumn("__e_us", e_us)
+    iv = intervals.withColumn(
+        "__s_us", epoch_micros(F.col(start_col))
+    ).withColumn("__e_us", epoch_micros(F.col(end_col)))
+    # NULL bounds match nothing — filter them out BEFORE validation so
+    # the guard never aborts the job over a row the theta-join
+    # equivalence defines as simply unmatched
+    iv = iv.filter(F.col("__s_us").isNotNull() & F.col("__e_us").isNotNull())
     if validate:
         # assert_true returns NULL when the predicate holds; filtering on
         # isNull() keeps every row AND forces the check to evaluate (a
         # withColumn+drop would be pruned away before it ever ran)
+        width = F.col("__e_us") - F.col("__s_us")
         iv = iv.filter(
             F.assert_true(
-                F.col("__e_us") - F.col("__s_us") <= F.lit(bin_micros),
-                F.lit("interval longer than bin width"),
+                (width >= 0) & (width <= F.lit(bin_micros)),
+                F.lit(
+                    "interval inverted (end < start) or longer than bin width"
+                ),
             ).isNull()
         )
+    else:
+        # without the loud guard, still refuse to explode an inverted
+        # interval into a descending bin sequence
+        iv = iv.filter(F.col("__s_us") <= F.col("__e_us"))
     # half-open end: the bin of the last contained microsecond
     iv = iv.withColumn(
         "__bin",
@@ -85,7 +110,7 @@ def interval_join_binned(
     )
 
     joined = p.join(iv, "__bin").filter(
-        (epoch_micros(F.col(t_col)) >= F.col("__s_us"))
-        & (epoch_micros(F.col(t_col)) < F.col("__e_us"))
+        (F.col("__t_us") >= F.col("__s_us"))
+        & (F.col("__t_us") < F.col("__e_us"))
     )
-    return joined.drop("__bin", "__s_us", "__e_us")
+    return joined.drop("__bin", "__t_us", "__s_us", "__e_us")

@@ -148,8 +148,43 @@ def test_interval_join_binned_matches_theta_and_avoids_nested_loop(spark, sf_dir
     bad = interval_join_binned(
         li, wide, "l_shipdate", "o_orderdate", "o_end", 7 * MICROS_PER_DAY
     )
-    with pytest.raises(Exception, match="interval longer than bin width"):
+    with pytest.raises(Exception, match="longer than bin width"):
         bad.count()
+
+    # an INVERTED interval must fail the same guard, not explode into a
+    # descending half-million-bin sequence (round-7 review catch)
+    inverted = iv.withColumn(
+        "o_end", F.col("o_orderdate") - F.expr("INTERVAL 1 DAY")
+    )
+    with pytest.raises(Exception, match="inverted"):
+        interval_join_binned(
+            li, inverted, "l_shipdate", "o_orderdate", "o_end", 7 * MICROS_PER_DAY
+        ).count()
+
+    # NULL-bounded intervals match nothing (theta-join semantics), and
+    # must NOT abort the job under validate=True
+    nullish = iv.withColumn(
+        "o_end",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_end")),
+    )
+    n_null = interval_join_binned(
+        li, nullish, "l_shipdate", "o_orderdate", "o_end", 7 * MICROS_PER_DAY
+    ).count()
+    n_even_only = (
+        li.join(
+            nullish,
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_end")),
+        ).count()
+    )
+    assert n_null == n_even_only
+
+    # helper-name collision raises instead of silently clobbering
+    with pytest.raises(ValueError, match="reserved helper"):
+        interval_join_binned(
+            li.withColumn("__bin", F.lit(1)),
+            iv, "l_shipdate", "o_orderdate", "o_end", 7 * MICROS_PER_DAY,
+        )
 
 
 def test_salted_left_join_keeps_unmatched(spark):
