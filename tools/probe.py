@@ -67,10 +67,26 @@ def main() -> None:
         except Exception:
             pass
 
+    # identical fixture discipline to bench.py: fixture-building queries
+    # re-pay the full build+probe cycle per run (clear keeps session_once
+    # catalog fixtures, matching bench); others reuse the session cache
+    from pulsar_cdc_experiment_spark.queries import fixture_cache
+
+    FIXTURE_BUILDERS = {
+        "zorder_events_slabs",
+        "table_maintenance_report",
+        "ingest_jsonl_events",
+        "incremental_maintenance_report",
+        "multimodal_serving_pipeline",
+    }
+
     runs: dict[str, list[float]] = {}
     for name in names:
+        spark.catalog.clearCache()
         seq = []
         for _ in range(N_RUNS):
+            if name in FIXTURE_BUILDERS:
+                fixture_cache.clear(markers=False)
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
