@@ -8,15 +8,32 @@ hash on — the planner's only plan is BroadcastNestedLoopJoin (fine for a
 small interval table, O(|points|·|intervals|) death at 100 TB when the
 intervals side is data-proportional).
 
-The classic fix, implemented here: pick a bin width ``W`` at least as
-large as the longest interval, bucket points into ``floor(t/W)``, explode
-each interval into the (at most TWO, by the width bound) bins it touches,
+The classic fix, implemented here: pick a bin width ``W``, bucket points
+into ``floor(t/W)``, explode each interval into the bins it touches,
 equi-join on the bin, and post-filter exact containment. Every true
 (point, interval) pair shares a bin — the point's single bin lies within
 the interval's touched bins — so the equi-join loses nothing, and each
 pair is produced exactly once (the point has ONE bin; the interval lists
-each bin once). Cost: one shuffle on the bin key + |intervals| ≤ 2×
-expansion, instead of a cross product.
+each bin once). Cost: one shuffle on the bin key + a bounded per-interval
+explode, instead of a cross product.
+
+Bin sizing (round 8 — ``max_bins`` generalization): ``W`` no longer has
+to cover the LONGEST interval. An interval of width ``w`` explodes into
+``≤ ceil(w/W)+1`` bins, capped in-plan at ``max_bins``; a point in bin
+``b`` meets every interval touching ``b``, so the candidate set per point
+is the intervals overlapping its ``W``-wide bin. The trade:
+
+* ``W`` too LARGE (the old longest-interval rule with one outlier):
+  every point's candidate set spans a huge bin — candidates ≫ matches.
+* ``W`` too SMALL: long intervals explode into many bins — interval-side
+  row expansion.
+
+Decision rule (SCALE.md "Keyless interval join"): size ``W`` to the
+TYPICAL interval width, then set ``max_bins ≥ ceil(longest/W)+1`` so the
+rare long interval pays a bounded explode instead of taxing every
+point's candidate set. The in-plan guard still fails loudly on an
+interval longer than ``(max_bins-1)·W`` rather than silently losing its
+matches past the last exploded bin.
 
 Reference analog: the enrichment function's event-time windows are the
 degenerate one-sided case (cdc_enrichment_function.py:60-66 routes by
@@ -42,23 +59,31 @@ def interval_join_binned(
     end_col: str,
     bin_micros: int,
     validate: bool = True,
+    max_bins: int = 2,
 ) -> DataFrame:
     """Inner-join ``points`` to every interval containing them
     (half-open: ``start <= t < end``) without an equi key.
 
     PRECONDITION: every interval must be well-formed (``start <= end``)
-    and no longer than ``bin_micros`` — that is what bounds the explode
-    at 2 bins and guarantees no pair is missed. ``validate=True``
-    (default) enforces BOTH in-plan with ``assert_true`` — a violating
-    interval fails the job loudly instead of silently losing matches
-    past the second bin (too long) or exploding into a descending
-    half-million-bin sequence (inverted; round-7 review catch).
-    NULL-bounded intervals match nothing, exactly like the naive theta
-    join (NULL comparisons are false), under either validate setting.
+    and no longer than ``(max_bins - 1) * bin_micros`` — that is what
+    bounds the explode at ``max_bins`` bins and guarantees no pair is
+    missed. The default ``max_bins=2`` is the classic
+    width-must-fit-one-bin contract; raise it when interval widths are
+    mixed so ``bin_micros`` can track the TYPICAL width while outliers
+    explode into up to ``max_bins`` bins (module docstring has the
+    sizing rule). ``validate=True`` (default) enforces the bound
+    in-plan with ``assert_true`` — a violating interval fails the job
+    loudly instead of silently losing matches past the last exploded
+    bin (too long) or exploding into a descending half-million-bin
+    sequence (inverted; round-7 review catch). NULL-bounded intervals
+    match nothing, exactly like the naive theta join (NULL comparisons
+    are false), under either validate setting.
 
     Output columns: points.* then intervals.* (helper columns dropped;
     a caller column that collides with a helper name raises).
     """
+    if max_bins < 2:
+        raise ValueError(f"max_bins must be >= 2, got {max_bins}")
     helpers = ("__bin", "__t_us", "__s_us", "__e_us")
     for df, side in ((points, "points"), (intervals, "intervals")):
         clash = sorted(set(df.columns) & set(helpers))
@@ -84,13 +109,21 @@ def interval_join_binned(
     if validate:
         # assert_true returns NULL when the predicate holds; filtering on
         # isNull() keeps every row AND forces the check to evaluate (a
-        # withColumn+drop would be pruned away before it ever ran)
+        # withColumn+drop would be pruned away before it ever ran).
+        # The predicate is SELF-CONTAINED under NULL bounds (explicitly
+        # true when either bound is NULL) so correctness never depends
+        # on Catalyst evaluating the preceding isNotNull filter first
+        # after CombineFilters merges the conjuncts (round-7 ADVICE).
         width = F.col("__e_us") - F.col("__s_us")
+        width_cap = (max_bins - 1) * bin_micros
         iv = iv.filter(
             F.assert_true(
-                (width >= 0) & (width <= F.lit(bin_micros)),
+                F.col("__s_us").isNull()
+                | F.col("__e_us").isNull()
+                | ((width >= 0) & (width <= F.lit(width_cap))),
                 F.lit(
-                    "interval inverted (end < start) or longer than bin width"
+                    "interval inverted (end < start) or longer than "
+                    f"(max_bins-1)*bin_micros = {width_cap}us"
                 ),
             ).isNull()
         )

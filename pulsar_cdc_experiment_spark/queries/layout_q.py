@@ -432,7 +432,10 @@ def bucketed_join_revenue(spark, sf_dir):
 
     from .fixture_cache import session_once
 
-    tag = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/")).strip("_")
+    # abspath so the table name agrees with session_once's cache key (r7
+    # ADVICE: a relative spelling of the same dir would skip the build
+    # yet read a differently-named, nonexistent table)
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.abspath(sf_dir)).strip("_")
     li_t, o_t = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
 
     def build() -> None:

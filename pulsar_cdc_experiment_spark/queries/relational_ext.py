@@ -660,3 +660,79 @@ def interval_shipping_pressure(spark, sf_dir):
             "sum_qty_cents"
         ),
     )
+
+
+@register(
+    "interval_mixed_widths",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(CASE WHEN o.o_orderpriority = '5-LOW' THEN 30 ELSE 2 END AS BIGINT) AS window_days,
+           CAST(count(*) AS BIGINT) AS n_in_window,
+           CAST(sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate
+         + (CASE WHEN o.o_orderpriority = '5-LOW' THEN 30 ELSE 2 END) * INTERVAL 1 DAY
+    WHERE o.o_totalprice > 400000 AND l.l_quantity > 45
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+)
+def interval_mixed_widths(spark, sf_dir):
+    """Keyless containment join with MIXED interval widths (round-8
+    generalization of operators/intervals.interval_join_binned): each
+    high-value order watches bulk shipments (quantity > 45) for a
+    priority-dependent window — 2 days normally, 30 days for the rare
+    low-priority long tail (~20% of intervals). Under the round-7
+    operator the 30-day class would force bin_micros = 30 days for the
+    WHOLE join, putting every point's candidate set at a month of
+    traffic — measured 4.9x the true matches; with ``max_bins`` the bin
+    tracks the TYPICAL width (2 days) and only the long intervals
+    explode (≤16 bins each) — candidate pairs stay 1.15x matches,
+    stable across sf0.001/sf0.01 (measured in tests/test_scale_plans.py
+    ::test_interval_mixed_widths_candidate_ratio). Plan remains ONE
+    equi-join shuffle, BNLJ-free (same assertion), and the operator
+    stays pair-for-pair identical to the naive theta join. Oracle: the
+    plain range-predicate join with a CASE window length.
+
+    Reference analog: cdc_enrichment_function.py:60-66 routes by event
+    time; heterogeneous maintenance/promo/incident windows are the
+    interval dimension a real deployment joins against."""
+    from ..operators.intervals import MICROS_PER_DAY, interval_join_binned
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_shipdate", "l_quantity"
+    )
+    window_days = (
+        F.when(F.col("o_orderpriority") == "5-LOW", 30)
+        .otherwise(2)
+        .cast("long")
+    )
+    iv = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            window_days.alias("window_days"),
+            (
+                F.col("o_orderdate")
+                + F.make_dt_interval(days=window_days)
+            ).alias("__o_end"),
+        )
+    )
+    joined = interval_join_binned(
+        li,
+        iv,
+        "l_shipdate",
+        "o_orderdate",
+        "__o_end",
+        2 * MICROS_PER_DAY,
+        max_bins=16,
+    )
+    return joined.groupBy("o_orderkey", "window_days").agg(
+        F.count("*").alias("n_in_window"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_qty_cents"
+        ),
+    )

@@ -1048,12 +1048,29 @@ def stream_auto_maintenance(spark, sf_dir):
 
         lay = os.path.join(root, "events")
 
-        def sink(batch_df, _batch_id):
+        def sink(batch_df, batch_id):
             # one task -> ONE file per touched partition per micro-batch:
-            # the canonical fragmentation shape of a partitioned sink
-            batch_df.coalesce(1).write.partitionBy("event_type").mode(
-                "append"
-            ).parquet(lay)
+            # the canonical fragmentation shape of a partitioned sink.
+            # IDEMPOTENT under micro-batch retry (r7 ADVICE: a bare
+            # mode('append') would double-append on retry, breaking the
+            # file-count == slice-count premise the oracle's rewrite
+            # prediction rests on): write to a batch-keyed staging dir,
+            # then os.replace each partition's file to a DETERMINISTIC
+            # batch-keyed name — a retried batch overwrites its own
+            # files instead of adding new ones
+            bdir = os.path.join(root, "_sink_stage", str(batch_id))
+            shutil.rmtree(bdir, ignore_errors=True)
+            batch_df.coalesce(1).write.partitionBy("event_type").parquet(bdir)
+            for pdir in glob.glob(os.path.join(bdir, "event_type=*")):
+                part = glob.glob(os.path.join(pdir, "part-*.parquet"))[0]
+                dest = os.path.join(lay, os.path.basename(pdir))
+                os.makedirs(dest, exist_ok=True)
+                # keep the part-* prefix: optimize_partitions counts
+                # data files by that glob
+                os.replace(
+                    part, os.path.join(dest, f"part-b{batch_id:05d}.parquet")
+                )
+            shutil.rmtree(bdir, ignore_errors=True)
 
         q = (
             spark.readStream.schema(EVENTS_RAW)

@@ -66,11 +66,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def read_dir(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Schema-cached read of an arbitrary columnar directory (the fixture
     layouts the layout/ingest queries write). Same discipline as
-    :func:`table`: infer once per (path, mtime, size), then pass the
-    schema explicitly so re-reading a session-cached fixture plans zero
-    jobs (the fixture-reuse gate in tests/test_scale_plans.py)."""
+    :func:`table`: infer once per directory STATE, then pass the schema
+    explicitly so re-reading a session-cached fixture plans zero jobs
+    (the fixture-reuse gate in tests/test_scale_plans.py).
+
+    The cache key folds in a recursive file-listing digest — (relpath,
+    mtime_ns, size) of every data file — not just the directory's own
+    stat: rewriting a data file IN PLACE changes no directory entry, so
+    a dir-stat key would serve a stale schema (r7 ADVICE). Local
+    fixture dirs are small, so the walk is microseconds; a 100 TB
+    deployment gets this freshness from its catalog instead."""
     st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        h = 0
+        for dirpath, dirnames, filenames in os.walk(path):
+            # sorted traversal: the digest must not depend on listdir order
+            dirnames[:] = sorted(
+                d for d in dirnames if not d.startswith((".", "_"))
+            )
+            for fn in sorted(filenames):
+                if fn.startswith((".", "_")):
+                    continue
+                fst = os.stat(os.path.join(dirpath, fn))
+                h = hash((h, os.path.relpath(dirpath, path), fn,
+                          fst.st_mtime_ns, fst.st_size))
+        key = (path, h, st.st_size)
+    else:
+        key = (path, st.st_mtime_ns, st.st_size)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         schema = getattr(spark.read, fmt)(path).schema
