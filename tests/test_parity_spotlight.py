@@ -88,6 +88,7 @@ BREADTH = [
     "ingest_orc_events",
     "ingest_to_serving_pipeline",
     "incremental_maintenance_report",
+    "interval_mixed_widths",
     "interval_shipping_pressure",
     "json_typed_parse",
     "local_supplier_revenue",
@@ -104,6 +105,8 @@ BREADTH = [
     "stream_dq_expectations",
     "stream_ingest_jsonl",
     "stream_state_time_travel",
+    "stream_state_vacuum",
+    "stream_cdc_hetero_schemas",
     "stream_cdc_multi_table_state",
     "string_functions2",
     "string_regexp",

@@ -84,3 +84,57 @@ def test_fanout_isolates_tables_and_folds_incrementally(spark, sf_dir):
     assert got.count() == expect.count()
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_hetero_fanout_typed_schemas_and_batch_invariance(spark, sf_dir):
+    """Round-8 heterogeneous fan-out: two tables with DIFFERENT key
+    types and after-schemas in one envelope feed. Pins (a) each
+    per-table state carries exactly its own TYPED schema (bigint key vs
+    string key — nothing stringly-typed survives the routing), and (b)
+    the 2-micro-batch incremental fold equals the one-shot batch fold
+    per table (batch-slicing invariance with per-table typed parsing in
+    the loop)."""
+    from pulsar_cdc_experiment_spark.operators.materialize import latest_by_key
+    from pulsar_cdc_experiment_spark.queries.streaming_q import (
+        HETERO_SPECS,
+        hetero_envelope_stream,
+        run_heterogeneous_fanout,
+    )
+
+    stream, ev = _two_file_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="hetero_root_")
+    state = run_heterogeneous_fanout(spark, hetero_envelope_stream(stream), root)
+
+    # (a) typed per-table schemas: the union carries BOTH tables' typed
+    # columns; each table's slice is non-null exactly on its own columns
+    types = dict(state.dtypes)
+    assert types["acct_id"] == "bigint" and types["sess_key"] == "string"
+    assert types["balance"] == "double" and types["hits"] == "bigint"
+    acc = state.filter(F.col("tbl") == "accounts")
+    sess = state.filter(F.col("tbl") == "sessions")
+    assert acc.filter(F.col("acct_id").isNull()).count() == 0
+    assert acc.filter(F.col("sess_key").isNotNull()).count() == 0
+    assert sess.filter(F.col("sess_key").isNull()).count() == 0
+    assert sess.filter(F.col("acct_id").isNotNull()).count() == 0
+    # different key types really met different fold keys: accounts keys
+    # are per-user, sessions keys collapse onto the s<residue> space
+    assert acc.count() == ev.filter(F.col("user_id") % 2 == 0).select(
+        "user_id"
+    ).distinct().count()
+
+    # (b) incremental 2-batch fold == one-shot fold, per table
+    env_batch = hetero_envelope_stream(ev)
+    for t, spec in HETERO_SPECS.items():
+        typed = (
+            env_batch.filter(F.col("tbl") == t)
+            .select(
+                "lsn", "op",
+                F.from_json(F.col("after_json"), spec["schema"]).alias("a"),
+            )
+            .select("lsn", "op", "a.*")
+        )
+        expect = latest_by_key(typed, spec["keys"], ["lsn"])
+        got = state.filter(F.col("tbl") == t).select(*expect.columns)
+        assert got.count() == expect.count()
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
