@@ -98,3 +98,39 @@ def test_probe_buckets_hamming_radius():
             assert len(got) == sum(comb(bits, r) for r in range(radius + 1))
     # radius beyond bit width saturates, never errors
     assert probe_buckets(3, 3, 99) == set(range(8))
+
+
+def test_ivf_nprobe_recall_curve_on_real_embeddings(spark, sf_dir):
+    """Round-8 (r7 verdict #5): pin the nprobe → recall trade-off that
+    justifies IVF at scale on the REAL embeddings table, not a planted
+    cluster. Asserts (a) recall@10 at the DEFAULT nprobe=4 stays ≥ 0.6
+    (measured 0.73 at sf0.001, 0.68 at sf0.1 — tools/ivf_curve.py, table
+    in SCALE.md), (b) recall is monotone in nprobe (more lists probed
+    can only add candidates), and (c) nprobe = n_lists is exact —
+    probing everything IS brute force. The wall-clock trade lives in
+    tools/ivf_curve.py's scan-fraction column (nprobe/n_lists of the
+    corpus read per probe on the partitioned layout)."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(emb, k=16, iters=3)
+    qrows = (
+        emb.filter(F.col("vec_id") % 7 == 0).orderBy("vec_id").limit(8).collect()
+    )
+    queries = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+
+    def recall_at(nprobe: int) -> float:
+        hits = 0
+        for _qid, qv in queries:
+            exact = {r["vec_id"] for r in S.brute_force_topk(emb, qv, k=10).collect()}
+            got = {
+                r["vec_id"]
+                for r in S.ivf_topk(emb, qv, cents, k=10, nprobe=nprobe).collect()
+            }
+            hits += len(got & exact)
+        return hits / (10 * len(queries))
+
+    curve = {np_: recall_at(np_) for np_ in (1, 4, 16)}
+    assert curve[4] >= 0.6, curve
+    assert curve[1] <= curve[4] <= curve[16], curve
+    assert curve[16] == 1.0, curve

@@ -252,8 +252,61 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
         )
 
+    CHAIN_DEPTH = 64
+
+    def chain_minlabel(n_nodes):
+        """Adversarial diameter for min-label propagation (round-7
+        verdict task 6): parallel CHAINS of depth 64 — the label needs
+        DIAMETER rounds to traverse each chain, i.e. 64 join+agg rounds
+        + a convergence probe each, vs the 3-6 rounds of the shallow
+        near-clique graphs LSH banding produces. Wall scales ~linearly
+        with depth; this leg is the measured evidence behind SCALE.md's
+        decision rule (min-label for shallow dedup graphs,
+        pointer_double for deep hierarchies)."""
+        from pulsar_cdc_experiment_spark.operators.components import (
+            connected_components,
+        )
+
+        d = CHAIN_DEPTH
+        ids = spark.range(n_nodes)
+        nodes = ids.select(F.col("id"))
+        edges = ids.filter(F.col("id") % d != d - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        comp = connected_components(nodes, edges, "id", max_iter=d + 2)
+        bad = comp.filter(
+            F.col("component") != F.col("id") - F.col("id") % d
+        ).count()
+        assert bad == 0, f"{bad} nodes mislabeled"
+
+    def chain_pointer_double(n_nodes):
+        """The same depth-64 chains resolved by pointer doubling
+        (operators/graph.pointer_double): ceil(log2(64)) + 1 = 7
+        self-join rounds in ONE lazy plan, no per-round action — the
+        O(log d) alternative for deep tree/forest shapes."""
+        from pulsar_cdc_experiment_spark.operators.graph import pointer_double
+
+        d = CHAIN_DEPTH
+        state = spark.range(n_nodes).select(
+            F.col("id").alias("node"),
+            F.when(F.col("id") % d == 0, F.col("id"))
+            .otherwise(F.col("id") - 1)
+            .alias("anc"),
+            F.when(F.col("id") % d == 0, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("dist"),
+        )
+        jump = pointer_double(state, rounds=7)
+        bad = jump.filter(
+            F.col("anc") != F.col("node") - F.col("node") % d
+        ).count()
+        assert bad == 0, f"{bad} nodes did not reach their root"
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
+    run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
+    run("chain_pointer_double_d64", int(2e6 * s), chain_pointer_double)
     run("interval_join_binned", int(20e6 * s), interval_join)
     run("jsonl_parse", int(60e6 * s), jsonl_parse)
     run("join_fact_dim", int(150e6 * s), join_fact_dim)
