@@ -101,6 +101,8 @@ HEADLINE = [
     # round-8 additions
     "interval_mixed_widths",        # max_bins: typical-width bins + bounded
                                     # explode for the rare long interval
+    "interval_overlap_windows",     # interval x interval overlap join,
+                                    # binned + in-plan exactly-once dedup
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}

@@ -147,3 +147,92 @@ def interval_join_binned(
         & (F.col("__t_us") < F.col("__e_us"))
     )
     return joined.drop("__bin", "__t_us", "__s_us", "__e_us")
+
+
+def interval_overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_micros: int,
+    validate: bool = True,
+    max_bins: int = 2,
+) -> DataFrame:
+    """Inner-join LEFT intervals to every RIGHT interval they OVERLAP
+    (non-empty half-open intersection: ``max(starts) < min(ends)``) —
+    the interval×interval companion of :func:`interval_join_binned`
+    (round 8), again with NO equi key, again BNLJ-free.
+
+    Both sides explode into the bins they touch (each bounded by
+    ``max_bins``, same precondition and in-plan guard as the
+    point-in-interval join), equi-join on the bin, exact-overlap
+    post-filter — and because an overlapping pair shares EVERY bin its
+    intersection touches, the pair is DEDUPLICATED in-plan by keeping
+    only the intersection's FIRST bin:
+    ``__bin == floor(max(starts)/W)``, which equals
+    ``max(floor(l_start/W), floor(r_start/W))`` (floor is monotone), a
+    bin both sides provably list. Each true pair survives exactly once;
+    no distinct/aggregate needed. Empty (zero-width) intervals overlap
+    nothing, exactly like the naive theta join.
+
+    Output columns: left.* then right.* (helper columns dropped; a
+    caller column colliding with a helper name raises).
+    """
+    if max_bins < 2:
+        raise ValueError(f"max_bins must be >= 2, got {max_bins}")
+    helpers = ("__bin", "__ls_us", "__le_us", "__rs_us", "__re_us")
+    for df, side in ((left, "left"), (right, "right")):
+        clash = sorted(set(df.columns) & set(helpers))
+        if clash:
+            raise ValueError(
+                f"{side} carries reserved helper column(s) {clash}; rename"
+            )
+    width_cap = (max_bins - 1) * bin_micros
+
+    def prep(df: DataFrame, start: str, end: str, s_h: str, e_h: str):
+        out = df.withColumn(s_h, epoch_micros(F.col(start))).withColumn(
+            e_h, epoch_micros(F.col(end))
+        )
+        out = out.filter(F.col(s_h).isNotNull() & F.col(e_h).isNotNull())
+        if validate:
+            width = F.col(e_h) - F.col(s_h)
+            out = out.filter(
+                F.assert_true(
+                    F.col(s_h).isNull()
+                    | F.col(e_h).isNull()
+                    | ((width >= 0) & (width <= F.lit(width_cap))),
+                    F.lit(
+                        "interval inverted (end < start) or longer than "
+                        f"(max_bins-1)*bin_micros = {width_cap}us"
+                    ),
+                ).isNull()
+            )
+        else:
+            out = out.filter(F.col(s_h) <= F.col(e_h))
+        return out.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s_h) / F.lit(bin_micros)).cast("long"),
+                    F.floor((F.col(e_h) - 1) / F.lit(bin_micros)).cast("long"),
+                )
+            ),
+        )
+
+    lf = prep(left, l_start, l_end, "__ls_us", "__le_us")
+    rf = prep(right, r_start, r_end, "__rs_us", "__re_us")
+
+    inter_start = F.greatest(F.col("__ls_us"), F.col("__rs_us"))
+    inter_end = F.least(F.col("__le_us"), F.col("__re_us"))
+    joined = (
+        lf.join(rf, "__bin")
+        .filter(inter_start < inter_end)  # non-empty half-open intersection
+        # exactly-once: keep the intersection's first bin only
+        .filter(
+            F.col("__bin")
+            == F.floor(inter_start / F.lit(bin_micros)).cast("long")
+        )
+    )
+    return joined.drop("__bin", "__ls_us", "__le_us", "__rs_us", "__re_us")

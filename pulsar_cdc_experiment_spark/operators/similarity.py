@@ -255,6 +255,54 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    df: DataFrame,
+    dst: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF lists as an ``__ivf``-partitioned parquet layout —
+    the IVF mirror of :func:`write_ann_index` (round 8): list assignment
+    is computed ONCE at write time, one directory per list, so a served
+    probe is a partition-pruned scan reading only the ``nprobe`` probed
+    lists' files (`nprobe/n_lists` of the corpus — the scan-fraction
+    column of SCALE.md's nprobe curve made physical).
+    tests/test_scale_plans.py asserts the probe plan carries non-empty
+    PartitionFilters on __ivf."""
+    ivf_bucketize(df, centroids, vec_col).write.partitionBy("__ivf").mode(
+        "overwrite"
+    ).parquet(dst)
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a :func:`write_ivf_index` layout: the nearest-list
+    selection happens driver-side against the k×d centroid model (no
+    data scan), and the ``__ivf IN (...)`` filter is a PARTITION filter
+    over the layout's directories."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    probes = [int(i) for i in np.argsort(d2)[:nprobe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("__ivf").isin(*probes))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pairwise_cosine_in_blocks(
     df: DataFrame,
     block_col: str,

@@ -736,3 +736,79 @@ def interval_mixed_widths(spark, sf_dir):
             "sum_qty_cents"
         ),
     )
+
+
+@register(
+    "interval_overlap_windows",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+             o_orderdate + INTERVAL 7 DAY AS a_end
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+    ), b AS (
+      SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+             o_orderdate + INTERVAL 14 DAY AS b_end
+      FROM orders
+      WHERE o_orderpriority = '2-HIGH' AND o_totalprice > 350000
+    )
+    SELECT a.a_key,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(epoch_us(least(a.a_end, b.b_end))
+                    - epoch_us(greatest(a.a_start, b.b_start))) AS BIGINT)
+             AS sum_overlap_micros
+    FROM a JOIN b
+      ON a.a_start < b.b_end AND b.b_start < a.a_end
+    GROUP BY a.a_key
+    """,
+)
+def interval_overlap_windows(spark, sf_dir):
+    """Interval×interval OVERLAP join — NO equi key on either side
+    (round 8, operators/intervals.interval_overlap_join_binned): for
+    each urgent high-value order's 7-day window, every high-priority
+    order whose 14-day window overlaps it, aggregated to overlap count
+    and total overlap duration (exact integer micros). The naive plan
+    is again BroadcastNestedLoopJoin; binning both interval sides and
+    keeping each pair's FIRST shared bin makes it ONE equi-join shuffle
+    with in-plan exactly-once dedup — no distinct pass (plan- and
+    pair-for-pair-asserted in tests/test_scale_plans.py::
+    test_interval_overlap_join_matches_theta). This is the uptime/
+    conflict/co-occurrence join shape (incident windows × deploy
+    windows, promo periods × maintenance) at 100 TB.
+
+    Reference analog: cdc_enrichment_function.py:60-66 routes by event
+    time; overlapping operational windows are the two-sided version."""
+    from ..functions.time import epoch_micros
+    from ..operators.intervals import (
+        MICROS_PER_DAY,
+        interval_overlap_join_binned,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 350000)
+    ).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("a_end"),
+    )
+    b = orders.filter(
+        (F.col("o_orderpriority") == "2-HIGH")
+        & (F.col("o_totalprice") > 350000)
+    ).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("b_end"),
+    )
+    joined = interval_overlap_join_binned(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        7 * MICROS_PER_DAY, max_bins=3,
+    )
+    overlap_us = epoch_micros(
+        F.least(F.col("a_end"), F.col("b_end"))
+    ) - epoch_micros(F.greatest(F.col("a_start"), F.col("b_start")))
+    return joined.groupBy("a_key").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum(overlap_us).alias("sum_overlap_micros"),
+    )

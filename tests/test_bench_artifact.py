@@ -1,0 +1,100 @@
+"""Truncation-proofing of the bench artifact (round-8 verdict task 1).
+
+The driver keeps only the LAST ~2000 chars of bench.py's stdout; r7 lost
+its min-of-3 map to that window. These tests pin the contract that
+prevents a recurrence: the compact final line fits the window whole for
+the CURRENT headline set (with headroom), and tools/bench_series.py
+recovers every series shape the committed artifacts actually contain —
+the r8+ pair format, the r7 steady-only fragment, and the r6
+front-truncated tail. Pure-python: no Spark session.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, os.path.join(ROOT, path))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_compact_line_fits_tail_window_with_headroom():
+    """A synthetic compact line for the CURRENT headline set (worst-case
+    3-digit-seconds values) must fit well under the driver's 2000-char
+    tail — failing this test is the early warning to shed fields or
+    split the artifact BEFORE a round's data is lost."""
+    bench = _load("bench.py", "bench_mod")
+    names = list(bench.HEADLINE) + ["cdc_enrich_plane"]
+    compact = {
+        "metric": "headline_total",
+        "value": 999.999,
+        "steady_value": 999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "calib_sec": 9.999,
+        "fmt": "min3_steady_pairs",
+        "key_aliases": {"dedup_minhash_lsh_fast": "dedup_minhash_lsh"},
+        "skew_join": {"plain": 99.99, "salted": 99.99,
+                      "plain_aqe": 99.99, "plain_aqe_tuned": 99.99},
+        "queries": {n: [999.99, 999.99] for n in names},
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"compact bench line {len(line)} chars — shed fields or trim "
+        "precision before the next round's artifact truncates"
+    )
+
+
+def test_bench_series_expands_pair_format():
+    bs = _load("tools/bench_series.py", "bench_series_mod")
+    parsed = bs._expand_pairs({
+        "fmt": "min3_steady_pairs",
+        "queries": {"q1": [0.5, 0.7], "q2": [1.0, 1.2]},
+        "steady_value": 1.9,
+    })
+    assert parsed["queries"] == {"q1": 0.5, "q2": 1.0}
+    assert parsed["steady"] == {"q1": 0.7, "q2": 1.2}
+    # non-pair blobs pass through untouched
+    plain = {"queries": {"q1": 0.5}}
+    assert bs._expand_pairs(plain) is plain
+
+
+def test_bench_series_recovers_steady_only_tail():
+    """The r7 shape: queries map truncated away, steady map intact —
+    recovery must yield the steady series instead of dropping the round."""
+    bs = _load("tools/bench_series.py", "bench_series_mod")
+    tail = (
+        '_pipeline": 0.934, "order_value_deciles": 0.724}, '
+        '"steady": {"q1": 1.1, "q2": 2.2}, "steady_value": 3.3, '
+        '"key_aliases": {"a": "b"}, "skew_join": {"plain": 3.0}, "sf": 0.1}\n'
+    )
+    rec = bs._recover_from_tail(tail)
+    assert rec is not None
+    assert rec["steady"] == {"q1": 1.1, "q2": 2.2}
+    assert rec["steady_value"] == 3.3
+    assert rec["skew_join"] == {"plain": 3.0}
+
+
+def test_bench_series_loads_every_committed_round():
+    """Every committed BENCH_r*.json must stay loadable — a regression
+    here silently drops a column from BENCHSERIES.md."""
+    import glob
+    import re
+
+    bs = _load("tools/bench_series.py", "bench_series_mod")
+    rounds = bs.load_rounds()
+    committed = sorted(
+        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+    )
+    assert sorted(rounds) == committed
+    # r7 contributes its steady series even though min-of-3 is lost
+    if 7 in rounds:
+        assert rounds[7].get("steady"), "r7 steady recovery regressed"

@@ -89,6 +89,7 @@ BREADTH = [
     "ingest_to_serving_pipeline",
     "incremental_maintenance_report",
     "interval_mixed_widths",
+    "interval_overlap_windows",
     "interval_shipping_pressure",
     "json_typed_parse",
     "local_supplier_revenue",

@@ -292,6 +292,74 @@ def test_interval_mixed_widths_candidate_ratio(spark, sf_dir):
         )
 
 
+def test_interval_overlap_join_matches_theta(spark, sf_dir):
+    """Round-8 interval×interval overlap join: (a) pair-for-pair equal
+    to the naive theta overlap join (which is BNLJ) including the
+    exactly-once in-plan dedup — no pair may appear twice even though
+    overlapping pairs share multiple bins, (b) the binned plan is
+    BNLJ-free, (c) zero-width intervals overlap nothing, (d) the width
+    guard fires on an interval exceeding (max_bins-1)*bin."""
+    import pytest
+
+    from pulsar_cdc_experiment_spark.operators.intervals import (
+        MICROS_PER_DAY,
+        interval_overlap_join_binned,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    ).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("a_end"),
+    )
+    b = orders.filter(
+        (F.col("o_orderpriority") == "2-HIGH") & (F.col("o_totalprice") > 350000)
+    ).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("b_end"),
+    )
+
+    binned = interval_overlap_join_binned(
+        a, b, "a_start", "a_end", "b_start", "b_end",
+        7 * MICROS_PER_DAY, max_bins=3,
+    )
+    got = sorted((r["a_key"], r["b_key"]) for r in binned.collect())
+    plain = a.join(
+        b,
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")),
+    )
+    want = sorted((r["a_key"], r["b_key"]) for r in plain.collect())
+    assert got == want and len(got) > 0
+    assert len(set(got)) == len(got), "a pair was emitted more than once"
+
+    plan = binned._sc._jvm.PythonSQLUtils.explainString(
+        binned._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    plan_plain = plain._sc._jvm.PythonSQLUtils.explainString(
+        plain._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoop" in plan_plain
+
+    # zero-width left intervals overlap nothing
+    empty_a = a.withColumn("a_end", F.col("a_start"))
+    n = interval_overlap_join_binned(
+        empty_a, b, "a_start", "a_end", "b_start", "b_end",
+        7 * MICROS_PER_DAY, max_bins=3,
+    ).count()
+    assert n == 0
+
+    # width guard: 14-day b side no longer fits max_bins=2 at 7-day bins
+    with pytest.raises(Exception, match="longer than"):
+        interval_overlap_join_binned(
+            a, b, "a_start", "a_end", "b_start", "b_end",
+            7 * MICROS_PER_DAY, max_bins=2,
+        ).count()
+
+
 def test_salted_left_join_keeps_unmatched(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], ["k", "v"])
     right = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "w"])
@@ -792,6 +860,35 @@ def test_ann_index_probe_is_partition_pruned(spark, sf_dir):
     expect = [
         (r["vec_id"], round(r["cos_sim"], 9))
         for r in S.lsh_topk(emb, qvec, planes, k=10, multiprobe=1).collect()
+    ]
+    got = [(r["vec_id"], round(r["cos_sim"], 9)) for r in probe.collect()]
+    assert got == expect
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir):
+    """Round-8 IVF mirror of the LSH index test: a persisted
+    write_ivf_index layout (one directory per IVF list) makes the probe
+    a PARTITION-PRUNED scan — non-empty PartitionFilters on __ivf, and
+    the pruned probe returns exactly what the scan-everything ivf_topk
+    returns for the same query/centroids/nprobe."""
+    from pulsar_cdc_experiment_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = S.kmeans_centroids(emb, k=8, iters=2)
+
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    S.write_ivf_index(emb, idx, cents)
+
+    probe = S.probe_ivf_index(spark, idx, qvec, cents, k=10, nprobe=2)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "__ivf" in pf and "in (" in pf.lower(), pf
+    expect = [
+        (r["vec_id"], round(r["cos_sim"], 9))
+        for r in S.ivf_topk(emb, qvec, cents, k=10, nprobe=2).collect()
     ]
     got = [(r["vec_id"], round(r["cos_sim"], 9)) for r in probe.collect()]
     assert got == expect
