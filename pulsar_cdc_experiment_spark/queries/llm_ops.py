@@ -798,6 +798,62 @@ def corpus_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "corpus_sample_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY {_DHASH}, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
+    FROM c WHERE cum <= 600
+    GROUP BY source
+    """,
+)
+def corpus_sample_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (round 8): fill each source's quota
+    of TRAINING TOKENS — not document counts — by taking the largest
+    prefix, in deterministic hash order, whose cumulative token total
+    stays within the per-source budget. This is the pretraining-mixture
+    primitive (domain weights are token budgets; a doc-count sample
+    over-represents sources with long documents); hash order makes the
+    sample reproducible and incremental-friendly (a re-run over a grown
+    corpus keeps previously-chosen docs whose hash rank still fits).
+    Plan shape: ONE shuffle — the running sum's window partitions by
+    source, and the final per-source aggregate reuses that partitioning
+    (no second Exchange); per-stratum sort cost is bounded by stratum
+    size, never a global sort. Oracle: the same windowed prefix in SQL."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_hash32("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.filter(F.col("cum") <= 600)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sampled_tokens"),
+        )
+    )
+
+
+@register(
     "llm_prep_pipeline",
     oracle=f"""
     WITH t AS (
