@@ -360,30 +360,41 @@ def hetero_envelope_stream(ev):
     )
 
 
-def run_heterogeneous_fanout(spark, stream_df, root: str):
+def run_heterogeneous_fanout(spark, stream_df, root: str, specs=None):
     """Multi-table CDC fan-out with PER-TABLE TYPED PARSING: the stream
     carries (tbl, lsn, op, after_json) envelopes; inside foreachBatch
     each table's slice is parsed with ITS OWN schema (from_json against
-    HETERO_SPECS) and folded by ITS OWN key columns into a per-table
-    IncrementalMaterializer. Scale shape: per-batch work is one cached
-    pass + |tables| typed projections; state shuffles are per-table,
-    keyed on that table's key, never the whole feed; adding a table adds
-    a spec entry, not a pipeline."""
+    ``specs``, default HETERO_SPECS) and folded by ITS OWN key columns
+    into a per-table IncrementalMaterializer. Scale shape: per-batch
+    work is one cached pass + |tables| typed projections; state shuffles
+    are per-table, keyed on that table's key, never the whole feed;
+    adding a table adds a spec entry, not a pipeline.
+
+    Schema evolution: a typed from_json PINS each table's schema — an
+    upstream ADD COLUMN arrives as ignored JSON until the spec is
+    upgraded (redeploy with a v2 spec, same state root): the
+    materializer's union-by-name widens that table's state (old rows
+    null) without touching other tables
+    (tests/test_streaming_fanout.py::test_hetero_fanout_schema_evolution).
+    Unknown-shape drift belongs to sources/cdc.parse_envelopes_rescued
+    BEFORE routing."""
     import os
 
     from ..streaming.materialize import IncrementalMaterializer
 
+    if specs is None:
+        specs = HETERO_SPECS
     mats = {
         t: IncrementalMaterializer(
             os.path.join(root, f"state_{t}"), spec["keys"], ["lsn"]
         )
-        for t, spec in HETERO_SPECS.items()
+        for t, spec in specs.items()
     }
 
     def route(batch_df, batch_id):
         batch_df.persist()
         try:
-            for t, spec in HETERO_SPECS.items():
+            for t, spec in specs.items():
                 typed = (
                     batch_df.filter(F.col("tbl") == t)
                     .select(
@@ -411,7 +422,7 @@ def run_heterogeneous_fanout(spark, stream_df, root: str):
         raise TimeoutError("heterogeneous fan-out did not drain within 300s")
 
     out = None
-    for t in HETERO_SPECS:
+    for t in specs:
         st = mats[t].current_state(spark)
         if st is None:
             continue

@@ -138,3 +138,98 @@ def test_hetero_fanout_typed_schemas_and_batch_invariance(spark, sf_dir):
         assert got.count() == expect.count()
         assert got.exceptAll(expect).count() == 0
         assert expect.exceptAll(got).count() == 0
+
+
+def test_hetero_fanout_schema_evolution(spark, sf_dir):
+    """Per-table typed parsing PINS the schema; the realistic evolution
+    path is a parser redeploy with a v2 spec over the SAME state root.
+    Pins: (a) the evolved table's state widens (new column typed, old
+    rows null — the materializer's union-by-name), (b) the OTHER
+    table's state is untouched by the evolution, (c) later-lsn v2 rows
+    supersede v1 rows for the same key across the restart."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.queries.streaming_q import (
+        HETERO_SPECS,
+        run_heterogeneous_fanout,
+    )
+    from pulsar_cdc_experiment_spark.streaming.pipeline import EVENTS_RAW
+
+    ev = spark.read.schema(EVENTS_RAW).parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    tbl = F.when(F.col("user_id") % 2 == 0, "accounts").otherwise("sessions")
+    base_after = F.to_json(
+        F.struct(
+            F.col("user_id").cast("long").alias("acct_id"),
+            F.col("value").alias("balance"),
+            F.col("event_type").alias("status"),
+        )
+    )
+    sess_after = F.to_json(
+        F.struct(
+            F.concat(F.lit("s"), (F.col("user_id") % 500).cast("string")).alias(
+                "sess_key"
+            ),
+            (F.col("event_id") % 7).cast("long").alias("hits"),
+            F.upper(F.col("event_type")).alias("agent"),
+        )
+    )
+    # v2 payload: accounts gains a typed `tier` column upstream
+    v2_after = F.to_json(
+        F.struct(
+            F.col("user_id").cast("long").alias("acct_id"),
+            F.col("value").alias("balance"),
+            F.col("event_type").alias("status"),
+            (F.col("user_id") % 3).cast("long").alias("tier"),
+        )
+    )
+
+    def env(after_acc, lsn_shift):
+        return ev.select(
+            tbl.alias("tbl"),
+            (F.col("event_id") + lsn_shift).cast("long").alias("lsn"),
+            F.lit("u").alias("op"),
+            F.when(tbl == "accounts", after_acc)
+            .otherwise(sess_after)
+            .alias("after_json"),
+        )
+
+    def stream_of(df):
+        src = tempfile.mkdtemp(prefix="hetero_evo_src_")
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    root = tempfile.mkdtemp(prefix="hetero_evo_root_")
+    # run 1: v1 parser
+    run_heterogeneous_fanout(spark, stream_of(env(base_after, 0)), root)
+    # run 2 (redeploy): v2 parser, SAME root, later lsns
+    specs_v2 = {
+        "accounts": {
+            "schema": "acct_id BIGINT, balance DOUBLE, status STRING, tier BIGINT",
+            "keys": ["acct_id"],
+        },
+        "sessions": HETERO_SPECS["sessions"],
+    }
+    state = run_heterogeneous_fanout(
+        spark, stream_of(env(v2_after, 1_000_000)), root, specs=specs_v2
+    )
+
+    # (a) widened + typed; v2 rows superseded v1 (all lsns shifted)
+    acc = state.filter(F.col("tbl") == "accounts")
+    assert dict(state.dtypes)["tier"] == "bigint"
+    assert acc.filter(F.col("lsn") < 1_000_000).count() == 0
+    assert acc.filter(F.col("tier").isNull()).count() == 0
+    assert (
+        acc.filter(F.col("tier") != F.col("acct_id") % 3).count() == 0
+    )
+    # (b) sessions untouched by accounts' evolution: no tier values
+    sess = state.filter(F.col("tbl") == "sessions")
+    assert sess.filter(F.col("tier").isNotNull()).count() == 0
+    assert sess.count() > 0
