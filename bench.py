@@ -416,8 +416,12 @@ def main() -> None:
             break
         compact.pop(drop, None)
         line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    # stop BEFORE the final print: the driver's capture merges stderr,
+    # and any JVM shutdown chatter emitted after the compact line would
+    # displace it from the 2000-char tail window — the exact failure
+    # this line exists to prevent
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
