@@ -798,6 +798,73 @@ def corpus_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "corpus_chunk_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+      WHERE doc_id % 5 = 0
+    ), s AS (
+      SELECT doc_id, toks, n_tok,
+             CAST(greatest(1, n_tok - 40 + 1) AS BIGINT) AS last_start
+      FROM t
+    ), st AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(list_distinct(list_append(
+               generate_series(1, CAST(last_start AS BIGINT), 30), last_start
+             ))) AS chunk_start
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(len(list_slice(toks, chunk_start, chunk_start + 39)) AS BIGINT)
+             AS n_chunk_tok,
+           array_to_string(list_slice(toks, chunk_start, chunk_start + 39), ' ')
+             AS chunk_text
+    FROM st
+    """,
+)
+def corpus_chunk_tokens(spark, sf_dir):
+    """Context-window chunking (round 8): split each document into
+    40-token chunks at stride 30 (10-token overlap), one output row per
+    chunk with full doc lineage — the sequence-construction step between
+    cleaning and packing in a training pipeline. Pure expressions
+    (sequence → explode → slice → concat_ws), no UDF; tail coverage is
+    guaranteed by appending the LAST valid start (``n - k + 1``) to the
+    stride grid and deduplicating, so the final tokens are never dropped
+    when ``n - k`` is not a stride multiple — the off-by-one most
+    chunkers get wrong, here value-checked by the oracle computing the
+    identical grid in SQL. Docs shorter than one window yield exactly
+    one (short) chunk. At 100 TB this is a map-only stage: no shuffle,
+    output rows ≈ n_tok/stride per doc, and the chunk text column is
+    projected away before any downstream shuffle (same discipline as
+    the dedup digest shuffle). doc_id % 5 keeps the driver-compare
+    volume bounded; the operator is volume-independent."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    k, stride = 40, 30
+    t = docs.select(
+        "doc_id", TX.tokens(F.col("text")).alias("__toks")
+    ).withColumn("__n", F.size("__toks").cast("long"))
+    last_start = F.greatest(F.lit(1).cast("long"), F.col("__n") - k + 1)
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1).cast("long"), last_start, F.lit(stride).cast("long")),
+            F.array(last_start),
+        )
+    )
+    exploded = t.select(
+        "doc_id", "__toks", F.explode(starts).alias("chunk_start")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_start").cast("int"), k)
+    return exploded.select(
+        "doc_id",
+        "chunk_start",
+        F.size(chunk).cast("long").alias("n_chunk_tok"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@register(
     "corpus_sample_token_budget",
     oracle=f"""
     WITH t AS (

@@ -411,3 +411,53 @@ def test_signature_index_compaction_preserves_probes(spark, sf_dir):
     )
     assert D.read_signature_index(spark, idx)[0].count() == n_sh_before
     assert _probe_pairs(spark, idx) == pairs_before
+
+
+def test_corpus_chunk_tokens_covers_every_token(spark):
+    """Chunk grid property check on adversarial lengths (1, 39, 40, 41,
+    95, 100 tokens — 95 is the n-k-not-a-stride-multiple case whose tail
+    a naive stride grid drops): every token position is covered by at
+    least one chunk, no chunk exceeds k, starts are the stride grid plus
+    the appended last valid start, and short docs yield exactly one
+    chunk."""
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators import text as TX
+
+    k, stride = 40, 30
+    rows = [(n, " ".join(f"w{i}" for i in range(1, n + 1))) for n in (1, 39, 40, 41, 95, 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).withColumn(
+        "n", F.size("toks").cast("long")
+    )
+    last_start = F.greatest(F.lit(1).cast("long"), F.col("n") - k + 1)
+    starts = F.array_distinct(
+        F.concat(
+            F.sequence(F.lit(1).cast("long"), last_start, F.lit(stride).cast("long")),
+            F.array(last_start),
+        )
+    )
+    out = t.select(
+        "doc_id", "n", "toks", F.explode(starts).alias("s")
+    ).select(
+        "doc_id", "n", "s",
+        F.size(F.slice(F.col("toks"), F.col("s").cast("int"), k)).alias("len"),
+    ).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n, chunks in ((r[0], by_doc[r[0]]) for r in rows):
+        covered = set()
+        for c in chunks:
+            assert c["len"] <= k
+            covered.update(range(c["s"], c["s"] + c["len"]))
+        assert covered == set(range(1, n + 1)), (n, sorted(covered))
+        ss = sorted(c["s"] for c in chunks)
+        assert len(ss) == len(set(ss))
+        if n <= k:
+            assert ss == [1]
+        else:
+            assert ss[-1] == n - k + 1  # tail start always present
+            assert all(b - a <= stride for a, b in zip(ss, ss[1:]))

@@ -71,6 +71,7 @@ BREADTH = [
     "cdc_table_filter",
     "conditional_nulls",
     "content_digests",
+    "corpus_chunk_tokens",
     "corpus_sample_token_budget",
     "cube_orders",
     "customer_order_distribution",
