@@ -202,6 +202,36 @@ def _median(xs: list[float]) -> float:
     return round(m, 3)
 
 
+def _compact_line(compact: dict, limit: int = 1900) -> str:
+    """Serialize the compact artifact dict under the driver's tail
+    window. Shed the fields that also live in the full line (whose own
+    tail — skew_join, calib_sec, sf — lands just before this line in
+    the window, so shed data stays brace-recoverable), least-essential
+    first; then trade pair precision for fit; and if even 1-decimal
+    pairs overflow, fail LOUDLY (round-8 review: a headline set grown
+    past what shedding absorbs must not silently reintroduce the r7
+    truncation — test_bench_artifact.py alerts before this ever fires).
+    """
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("skew_join", "key_aliases", "calib_sec"):
+        if len(line) <= limit:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > limit:
+        compact["queries"] = {
+            n: [round(v[0], 1), round(v[1], 1)]
+            for n, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > limit:
+            raise RuntimeError(
+                f"compact bench line {len(line)} chars exceeds the tail "
+                "window even at 1-decimal precision; split the artifact"
+            )
+    return line
+
+
 def measure_calibration(spark) -> float:
     """Fixed-work machine-speed probe: hash-reduce 64M longs through one
     1000-bucket shuffle. No data dependence, no Python workers, no IO —
@@ -406,16 +436,7 @@ def main() -> None:
             for n in timings
         },
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    # size guard: the line must fit a 2000-char tail WHOLE. Shed the
-    # fields that also live in the full line (whose own tail — skew_join,
-    # calib_sec, sf — lands just before this line in the window, so shed
-    # data stays brace-recoverable), least-essential first.
-    for drop in ("skew_join", "key_aliases", "calib_sec"):
-        if len(line) <= 1900:
-            break
-        compact.pop(drop, None)
-        line = json.dumps(compact, separators=(",", ":"))
+    line = _compact_line(compact)
     # stop BEFORE the final print: the driver's capture merges stderr,
     # and any JVM shutdown chatter emitted after the compact line would
     # displace it from the 2000-char tail window — the exact failure

@@ -99,27 +99,55 @@ def interval_join_binned(
         "__bin", F.floor(F.col("__t_us") / F.lit(bin_micros)).cast("long")
     )
 
-    iv = intervals.withColumn(
-        "__s_us", epoch_micros(F.col(start_col))
-    ).withColumn("__e_us", epoch_micros(F.col(end_col)))
-    # NULL bounds match nothing — filter them out BEFORE validation so
-    # the guard never aborts the job over a row the theta-join
-    # equivalence defines as simply unmatched
-    iv = iv.filter(F.col("__s_us").isNotNull() & F.col("__e_us").isNotNull())
+    iv = _explode_interval_bins(
+        intervals, start_col, end_col, "__s_us", "__e_us",
+        bin_micros, max_bins, validate,
+    )
+
+    joined = p.join(iv, "__bin").filter(
+        (F.col("__t_us") >= F.col("__s_us"))
+        & (F.col("__t_us") < F.col("__e_us"))
+    )
+    return joined.drop("__bin", "__t_us", "__s_us", "__e_us")
+
+
+def _explode_interval_bins(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    s_h: str,
+    e_h: str,
+    bin_micros: int,
+    max_bins: int,
+    validate: bool,
+) -> DataFrame:
+    """Shared interval-side pipeline for both binned joins: epoch
+    conversion into helper columns, NULL-bound drop, the width/inversion
+    guard, and the explode into every touched bin (``__bin``).
+
+    NULL bounds match nothing — filtered out BEFORE validation so the
+    guard never aborts the job over a row the theta-join equivalence
+    defines as simply unmatched. Under ``validate=True``, assert_true
+    returns NULL when the predicate holds; filtering on isNull() keeps
+    every row AND forces the check to evaluate (a withColumn+drop would
+    be pruned away before it ever ran). The predicate is SELF-CONTAINED
+    under NULL bounds (explicitly true when either bound is NULL) so
+    correctness never depends on Catalyst evaluating the preceding
+    isNotNull filter first after CombineFilters merges the conjuncts
+    (round-7 ADVICE). One implementation on purpose (round-8 review):
+    a guard fix landing in only one of the two joins would silently
+    diverge their validation semantics."""
+    out = df.withColumn(s_h, epoch_micros(F.col(start_col))).withColumn(
+        e_h, epoch_micros(F.col(end_col))
+    )
+    out = out.filter(F.col(s_h).isNotNull() & F.col(e_h).isNotNull())
     if validate:
-        # assert_true returns NULL when the predicate holds; filtering on
-        # isNull() keeps every row AND forces the check to evaluate (a
-        # withColumn+drop would be pruned away before it ever ran).
-        # The predicate is SELF-CONTAINED under NULL bounds (explicitly
-        # true when either bound is NULL) so correctness never depends
-        # on Catalyst evaluating the preceding isNotNull filter first
-        # after CombineFilters merges the conjuncts (round-7 ADVICE).
-        width = F.col("__e_us") - F.col("__s_us")
+        width = F.col(e_h) - F.col(s_h)
         width_cap = (max_bins - 1) * bin_micros
-        iv = iv.filter(
+        out = out.filter(
             F.assert_true(
-                F.col("__s_us").isNull()
-                | F.col("__e_us").isNull()
+                F.col(s_h).isNull()
+                | F.col(e_h).isNull()
                 | ((width >= 0) & (width <= F.lit(width_cap))),
                 F.lit(
                     "interval inverted (end < start) or longer than "
@@ -130,23 +158,17 @@ def interval_join_binned(
     else:
         # without the loud guard, still refuse to explode an inverted
         # interval into a descending bin sequence
-        iv = iv.filter(F.col("__s_us") <= F.col("__e_us"))
+        out = out.filter(F.col(s_h) <= F.col(e_h))
     # half-open end: the bin of the last contained microsecond
-    iv = iv.withColumn(
+    return out.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col("__s_us") / F.lit(bin_micros)).cast("long"),
-                F.floor((F.col("__e_us") - 1) / F.lit(bin_micros)).cast("long"),
+                F.floor(F.col(s_h) / F.lit(bin_micros)).cast("long"),
+                F.floor((F.col(e_h) - 1) / F.lit(bin_micros)).cast("long"),
             )
         ),
     )
-
-    joined = p.join(iv, "__bin").filter(
-        (F.col("__t_us") >= F.col("__s_us"))
-        & (F.col("__t_us") < F.col("__e_us"))
-    )
-    return joined.drop("__bin", "__t_us", "__s_us", "__e_us")
 
 
 def interval_overlap_join_binned(
@@ -189,40 +211,14 @@ def interval_overlap_join_binned(
             raise ValueError(
                 f"{side} carries reserved helper column(s) {clash}; rename"
             )
-    width_cap = (max_bins - 1) * bin_micros
-
-    def prep(df: DataFrame, start: str, end: str, s_h: str, e_h: str):
-        out = df.withColumn(s_h, epoch_micros(F.col(start))).withColumn(
-            e_h, epoch_micros(F.col(end))
-        )
-        out = out.filter(F.col(s_h).isNotNull() & F.col(e_h).isNotNull())
-        if validate:
-            width = F.col(e_h) - F.col(s_h)
-            out = out.filter(
-                F.assert_true(
-                    F.col(s_h).isNull()
-                    | F.col(e_h).isNull()
-                    | ((width >= 0) & (width <= F.lit(width_cap))),
-                    F.lit(
-                        "interval inverted (end < start) or longer than "
-                        f"(max_bins-1)*bin_micros = {width_cap}us"
-                    ),
-                ).isNull()
-            )
-        else:
-            out = out.filter(F.col(s_h) <= F.col(e_h))
-        return out.withColumn(
-            "__bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(s_h) / F.lit(bin_micros)).cast("long"),
-                    F.floor((F.col(e_h) - 1) / F.lit(bin_micros)).cast("long"),
-                )
-            ),
-        )
-
-    lf = prep(left, l_start, l_end, "__ls_us", "__le_us")
-    rf = prep(right, r_start, r_end, "__rs_us", "__re_us")
+    lf = _explode_interval_bins(
+        left, l_start, l_end, "__ls_us", "__le_us",
+        bin_micros, max_bins, validate,
+    )
+    rf = _explode_interval_bins(
+        right, r_start, r_end, "__rs_us", "__re_us",
+        bin_micros, max_bins, validate,
+    )
 
     inter_start = F.greatest(F.col("__ls_us"), F.col("__rs_us"))
     inter_end = F.least(F.col("__le_us"), F.col("__re_us"))

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from ..functions.rounding import rn
 from ..registry import register
 from ..sources.tables import table
-from ..streaming.pipeline import read_events_stream, run_to_memory, with_event_time
+from ..streaming.pipeline import (
+    drain_or_raise,
+    read_events_stream,
+    run_to_memory,
+    with_event_time,
+)
 from ..streaming.stateful import running_totals
 
 
@@ -250,7 +255,7 @@ def run_multi_table_fanout(spark, stream_df, root: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_or_raise(q, 300, "run_multi_table_fanout")
 
     out = None
     for t in FANOUT_TABLES:
@@ -259,6 +264,11 @@ def run_multi_table_fanout(spark, stream_df, root: str):
             continue
         st = st.withColumn("tbl", F.lit(t))
         out = st if out is None else out.unionByName(st)
+    if out is None:
+        raise RuntimeError(
+            "multi-table fan-out drained without publishing any state "
+            "(empty source?)"
+        )
     return out, routed
 
 
@@ -431,6 +441,14 @@ def run_heterogeneous_fanout(spark, stream_df, root: str, specs=None):
             st
             if out is None
             else out.unionByName(st, allowMissingColumns=True)
+        )
+    if out is None:
+        # zero micro-batches (empty source): no materializer ever
+        # published — fail loudly instead of handing the caller a None
+        # it will dereference (round-8 review)
+        raise RuntimeError(
+            "heterogeneous fan-out drained without publishing any state "
+            "(empty source?)"
         )
     return out
 
@@ -848,7 +866,7 @@ def run_incremental_agg(spark, stream_df, root: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_or_raise(q, 300, "run_incremental_agg")
     return maint.current_totals(spark)
 
 
@@ -1007,7 +1025,7 @@ def stream_dq_expectations(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_or_raise(q, 300, "stream_dq_expectations")
     return spark.read.parquet(os.path.join(report_dir, "report")).select(
         "batch", "rule", "n_violations", "n_rows", "passed"
     )
@@ -1085,7 +1103,7 @@ def stream_state_time_travel(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_or_raise(q, 300, "stream_state_time_travel")
 
     versions = maint._state.versions()  # oldest → newest: batches 0, 1, 2
     as_of_1 = (
@@ -1189,7 +1207,7 @@ def stream_state_vacuum(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    drain_or_raise(q, 300, "stream_state_vacuum")
 
     published = len(maint._state.versions())  # batches 0..3
     dropped = maint._state.vacuum(keep=2)

@@ -78,14 +78,24 @@ def read_dir(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     deployment gets this freshness from its catalog instead."""
     st = os.stat(path)
     if os.path.isdir(path):
+        def visible(name: str) -> bool:
+            # mirror Spark's shouldFilterOutPathName: '.'-prefixed and
+            # '_'-prefixed entries are metadata EXCEPT '_'-names carrying
+            # '=' — those are partition directories for '_'-prefixed
+            # partition columns (write_ivf_index's __ivf=N layout), and
+            # pruning them would make the digest content-blind for
+            # exactly the layouts it exists to keep fresh (round-8
+            # review)
+            if name.startswith("."):
+                return False
+            return not name.startswith("_") or "=" in name
+
         h = 0
         for dirpath, dirnames, filenames in os.walk(path):
             # sorted traversal: the digest must not depend on listdir order
-            dirnames[:] = sorted(
-                d for d in dirnames if not d.startswith((".", "_"))
-            )
+            dirnames[:] = sorted(d for d in dirnames if visible(d))
             for fn in sorted(filenames):
-                if fn.startswith((".", "_")):
+                if not visible(fn):
                     continue
                 fst = os.stat(os.path.join(dirpath, fn))
                 h = hash((h, os.path.relpath(dirpath, path), fn,

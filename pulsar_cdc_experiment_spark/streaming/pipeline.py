@@ -76,6 +76,19 @@ def with_event_time(df: DataFrame, ntz_col: str, wm_col: str = "__wm_ts") -> Dat
     return df.withColumn(wm_col, F.timestamp_micros(epoch_micros(ntz_col)))
 
 
+def drain_or_raise(q, timeout_sec: int, what: str) -> None:
+    """Await an AvailableNow stream's completion and FAIL LOUDLY on
+    timeout (round-8 review, generalizing the round-7
+    stream_auto_maintenance catch): ``awaitTermination(timeout)``
+    returns False without raising, and every caller here reads state
+    the stream writes — proceeding would serve partial results (or race
+    post-run state surgery like vacuum against in-flight publishes) as
+    a silent wrong answer instead of an error."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"{what}: stream did not drain within {timeout_sec}s")
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -99,7 +112,7 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    drain_or_raise(q, timeout_sec, f"run_to_memory({name})")
     return spark.table(name)
 
 

@@ -98,3 +98,37 @@ def test_bench_series_loads_every_committed_round():
     # r7 contributes its steady series even though min-of-3 is lost
     if 7 in rounds:
         assert rounds[7].get("steady"), "r7 steady recovery regressed"
+
+
+def test_compact_line_sheds_then_trims_then_fails_loudly():
+    """_compact_line's degradation ladder: full line under the limit
+    passes through; an over-limit line sheds skew/aliases/calib before
+    touching the pair map; a pathologically large map trims to 1-decimal
+    pairs; and if even that overflows, it raises instead of printing a
+    line the driver's tail would truncate."""
+    import pytest
+
+    bench = _load("bench.py", "bench_mod2")
+
+    def mk(n_queries):
+        return {
+            "metric": "headline_total", "value": 1.0, "steady_value": 1.0,
+            "unit": "sec", "sf": 0.1, "calib_sec": 0.2,
+            "fmt": "min3_steady_pairs",
+            "key_aliases": {"a": "b"},
+            "skew_join": {"plain": 1.0, "salted": 0.5},
+            "queries": {f"query_name_{i:04d}": [12.34, 56.78] for i in range(n_queries)},
+        }
+
+    small = bench._compact_line(mk(10))
+    assert len(small) <= 1900 and '"skew_join"' in small
+
+    shed = json.loads(bench._compact_line(mk(54)))
+    assert "skew_join" not in shed  # shed before touching the pairs
+    assert shed["queries"]["query_name_0000"] == [12.34, 56.78]
+
+    trimmed = json.loads(bench._compact_line(mk(56)))
+    assert trimmed["queries"]["query_name_0000"] == [12.3, 56.8]
+
+    with pytest.raises(RuntimeError, match="split the artifact"):
+        bench._compact_line(mk(60))
