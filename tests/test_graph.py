@@ -129,3 +129,35 @@ def test_pointer_double_reaches_deep_roots_in_log_rounds(spark):
     out = {r["node"]: (r["anc"], r["dist"]) for r in pointer_double(nodes, 10).collect()}
     assert len(out) == n
     assert all(out[i] == (0, i) for i in range(n))
+
+
+def test_dangling_set_is_persisted_and_o_dangling(spark):
+    """r7 verdict watch item: the dangling-in correctness fix must keep
+    the per-round union O(dangling), not O(V) — the dangling table is
+    computed ONCE (anti-join), persisted, and holds exactly the
+    vertices with no inbound edges, each at constant teleport rank."""
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators.graph import (
+        RANK_SCALE,
+        _vertices_and_dangling,
+        out_degrees,
+    )
+
+    # 100 vertices in a ring (everyone has in-edges) + 10 src-only nodes
+    ring = [(i, (i + 1) % 100) for i in range(100)]
+    srconly = [(1000 + i, i) for i in range(10)]
+    edges = spark.createDataFrame(ring + srconly, "src long, dst long")
+    edges_deg = edges.join(out_degrees(edges), "src")
+
+    teleport = RANK_SCALE * 15 // 100
+    vertices, dangling = _vertices_and_dangling(edges_deg, teleport)
+    try:
+        assert vertices.count() == 110
+        rows = dangling.collect()
+        assert len(rows) == 10  # O(dangling), not O(V)
+        assert {r["node"] for r in rows} == {1000 + i for i in range(10)}
+        assert all(r["rank"] == teleport for r in rows)
+        assert dangling.storageLevel.useMemory or dangling.storageLevel.useDisk
+    finally:
+        dangling.unpersist()

@@ -290,3 +290,59 @@ def test_snapshot_diff_roundtrip(spark_global, rows):
     got = sorted(map(tuple, rebuilt.collect()))
     want = sorted(b_rows)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(0, 180)),
+        min_size=1, max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(0, 180)),
+        min_size=1, max_size=40,
+    ),
+    st.integers(2, 9),
+)
+@settings(max_examples=12, deadline=None)
+def test_interval_overlap_binned_matches_naive(spark_global, lefts, rights, max_bins):
+    """Round-8 overlap join property: for arbitrary interval sets
+    (including zero-width and cap-width intervals) and arbitrary
+    max_bins, the binned join's (left_id, right_id) pair multiset equals
+    the naive theta overlap join's, with every pair emitted EXACTLY
+    once — the in-plan first-shared-bin dedup under randomized bin
+    alignment, the part a fixed-fixture test can't sweep."""
+    from pulsar_cdc_experiment_spark.functions.time import ntz_from_micros
+    from pulsar_cdc_experiment_spark.operators.intervals import (
+        interval_overlap_join_binned,
+    )
+
+    bin_us = 50_000_000  # 50s bins; offsets in seconds scaled below
+    cap = (max_bins - 1) * 50  # seconds, matches the width guard
+
+    def df(rows, id_name, s_name, e_name):
+        data = [
+            (i, s * 1_000_000, (s + min(w, cap)) * 1_000_000)
+            for i, (s, w) in enumerate(rows)
+        ]
+        base = spark_global.createDataFrame(
+            data, f"{id_name} long, __su long, __eu long"
+        )
+        return base.select(
+            id_name,
+            ntz_from_micros(F.col("__su")).alias(s_name),
+            ntz_from_micros(F.col("__eu")).alias(e_name),
+        )
+
+    a = df(lefts, "a_id", "a_s", "a_e")
+    b = df(rights, "b_id", "b_s", "b_e")
+
+    binned = interval_overlap_join_binned(
+        a, b, "a_s", "a_e", "b_s", "b_e", bin_us, max_bins=max_bins
+    )
+    got = sorted((r["a_id"], r["b_id"]) for r in binned.collect())
+    naive = a.join(
+        b, (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+    )
+    want = sorted((r["a_id"], r["b_id"]) for r in naive.collect())
+    assert got == want
+    assert len(set(got)) == len(got)  # exactly-once, no multi-bin dup
