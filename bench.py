@@ -204,14 +204,16 @@ def _median(xs: list[float]) -> float:
 
 def _compact_line(compact: dict, limit: int = 1900) -> str:
     """Serialize the compact artifact dict under the driver's tail
-    window. Shed the fields that also live in the full line (whose own
-    tail — skew_join, calib_sec, sf — lands just before this line in
-    the window, so shed data stays brace-recoverable), least-essential
-    first; then trade pair precision for fit; and if even 1-decimal
-    pairs overflow, fail LOUDLY (round-8 review: a headline set grown
-    past what shedding absorbs must not silently reintroduce the r7
-    truncation — test_bench_artifact.py alerts before this ever fires).
-    """
+    window. Shed the least-essential fields first (they remain in the
+    FULL line for any reader with the complete run log; shedding is
+    lossy for the tail-only artifact BY DESIGN — the shed fields are
+    secondary to the per-query series, and test_bench_artifact.py
+    alerts while the unshedded line still fits); then trade pair
+    precision for fit; and if even 1-decimal pairs overflow, fail
+    LOUDLY (round-8 review: a headline set grown past what shedding
+    absorbs must not silently reintroduce the r7 truncation). Operates
+    on a copy — the caller's dict is never mutated."""
+    compact = dict(compact)
     line = json.dumps(compact, separators=(",", ":"))
     for drop in ("skew_join", "key_aliases", "calib_sec"):
         if len(line) <= limit:

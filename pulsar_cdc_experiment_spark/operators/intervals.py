@@ -159,6 +159,13 @@ def _explode_interval_bins(
         # without the loud guard, still refuse to explode an inverted
         # interval into a descending bin sequence
         out = out.filter(F.col(s_h) <= F.col(e_h))
+    # zero-width intervals contain/overlap NOTHING under half-open
+    # semantics, and one starting exactly on a bin boundary would
+    # explode into a descending 2-element sequence (sequence() steps -1
+    # when start > stop) — guaranteed-dead join fan-in. Drop them here:
+    # semantics-preserving for both joins, and the explode below is now
+    # provably ascending (s <= e-1) — round-8 review.
+    out = out.filter(F.col(s_h) < F.col(e_h))
     # half-open end: the bin of the last contained microsecond
     return out.withColumn(
         "__bin",
@@ -186,6 +193,15 @@ def interval_overlap_join_binned(
     (non-empty half-open intersection: ``max(starts) < min(ends)``) —
     the interval×interval companion of :func:`interval_join_binned`
     (round 8), again with NO equi key, again BNLJ-free.
+
+    Semantics note (surfaced by the hypothesis property test): this is
+    the NON-EMPTY-INTERSECTION definition, which differs from the
+    common 2-conjunct predicate ``s1 < e2 AND s2 < e1`` in exactly one
+    case — a zero-width interval strictly inside another (the conjuncts
+    hold, but the set intersection is empty). Here a zero-width
+    interval overlaps NOTHING; for non-empty intervals on both sides
+    the two definitions are provably identical, so SQL oracles written
+    with the 2-conjunct form stay valid whenever widths are positive.
 
     Both sides explode into the bins they touch (each bounded by
     ``max_bins``, same precondition and in-plan guard as the

@@ -427,9 +427,7 @@ def run_heterogeneous_fanout(spark, stream_df, root: str, specs=None):
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("heterogeneous fan-out did not drain within 300s")
+    drain_or_raise(q, 300, "run_heterogeneous_fanout")
 
     out = None
     for t in specs:
@@ -1422,11 +1420,7 @@ def stream_auto_maintenance(spark, sf_dir):
         # False without raising, and compacting while the sink still
         # appends would cache a partially-built fixture as the session's
         # permanent truth — fail loudly instead
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "stream_auto_maintenance: sink did not finish within 600s"
-            )
+        drain_or_raise(q, 600, "stream_auto_maintenance sink")
 
         report = optimize_partitions(spark, lay, frag_threshold_files=4)
         with open(os.path.join(root, "report.json"), "w") as f:

@@ -340,8 +340,16 @@ def test_interval_overlap_binned_matches_naive(spark_global, lefts, rights, max_
         a, b, "a_s", "a_e", "b_s", "b_e", bin_us, max_bins=max_bins
     )
     got = sorted((r["a_id"], r["b_id"]) for r in binned.collect())
+    # naive reference uses the operator's OWN definition — NON-EMPTY
+    # intersection max(starts) < min(ends). The common 2-conjunct form
+    # (s1<e2 AND s2<e1) differs exactly on zero-width intervals strictly
+    # inside another (it says true, set intersection is empty) — this
+    # property run is what surfaced that distinction; the operator
+    # docstring now states it
     naive = a.join(
-        b, (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+        b,
+        F.greatest(F.col("a_s"), F.col("b_s"))
+        < F.least(F.col("a_e"), F.col("b_e")),
     )
     want = sorted((r["a_id"], r["b_id"]) for r in naive.collect())
     assert got == want
