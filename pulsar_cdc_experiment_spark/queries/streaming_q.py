@@ -404,6 +404,20 @@ def run_heterogeneous_fanout(spark, stream_df, root: str, specs=None):
     def route(batch_df, batch_id):
         batch_df.persist()
         try:
+            # fail loud on unrouted envelopes: a table added upstream
+            # before its spec lands would otherwise vanish silently —
+            # the same convention parse_envelopes_rescued applies to
+            # unparseable payloads (r8 ADVICE)
+            unrouted = batch_df.filter(
+                ~F.col("tbl").isin(*specs.keys())
+            ).count()
+            if unrouted:
+                raise RuntimeError(
+                    f"heterogeneous fan-out batch {batch_id}: {unrouted} "
+                    f"row(s) whose tbl has no spec in {sorted(specs)}; "
+                    "add the table's spec (or quarantine upstream via "
+                    "parse_envelopes_rescued) before deploying"
+                )
             for t, spec in specs.items():
                 typed = (
                     batch_df.filter(F.col("tbl") == t)

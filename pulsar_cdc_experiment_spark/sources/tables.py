@@ -90,7 +90,7 @@ def read_dir(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
                 return False
             return not name.startswith("_") or "=" in name
 
-        h = 0
+        entries = []
         for dirpath, dirnames, filenames in os.walk(path):
             # sorted traversal: the digest must not depend on listdir order
             dirnames[:] = sorted(d for d in dirnames if visible(d))
@@ -98,9 +98,12 @@ def read_dir(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
                 if not visible(fn):
                     continue
                 fst = os.stat(os.path.join(dirpath, fn))
-                h = hash((h, os.path.relpath(dirpath, path), fn,
-                          fst.st_mtime_ns, fst.st_size))
-        key = (path, h, st.st_size)
+                entries.append((os.path.relpath(dirpath, path), fn,
+                                fst.st_mtime_ns, fst.st_size))
+        # the exact entry tuple IS the key component — folding it through
+        # hash() would admit a 64-bit collision serving a stale schema
+        # after an in-place rewrite, for zero savings (r8 ADVICE)
+        key = (path, tuple(entries), st.st_size)
     else:
         key = (path, st.st_mtime_ns, st.st_size)
     schema = _SCHEMA_CACHE.get(key)

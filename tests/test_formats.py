@@ -68,3 +68,38 @@ def test_xml_round_trip(spark, sf_dir):
         for r in back.filter(F.col("event_id").isin(*a)).collect()
     }
     assert b == a
+
+
+def test_read_dir_schema_cache_exact_freshness(spark, sf_dir):
+    """read_dir's schema cache must serve the NEW schema after an
+    in-place rewrite, and its key is the exact file-listing tuple —
+    not a folded hash that could collide (r8 ADVICE). Pins: (a) cache
+    hit on an unchanged dir (same key object reused), (b) a rewrite
+    that changes the schema is seen immediately."""
+    import os
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.sources import tables as tmod
+
+    out = tempfile.mkdtemp(prefix="read_dir_fresh_")
+    _events(spark, sf_dir).limit(10).write.mode("overwrite").parquet(out)
+
+    before = len(tmod._SCHEMA_CACHE)
+    s1 = tmod.read_dir(spark, out).schema
+    assert len(tmod._SCHEMA_CACHE) == before + 1
+    tmod.read_dir(spark, out)  # unchanged dir → cache hit, no new entry
+    assert len(tmod._SCHEMA_CACHE) == before + 1
+    # the key embeds the exact (relpath, name, mtime_ns, size) entries
+    new_keys = [k for k in tmod._SCHEMA_CACHE if k[0] == out]
+    assert any(
+        isinstance(k[1], tuple)
+        and all(len(e) == 4 and isinstance(e[3], int) for e in k[1])
+        for k in new_keys
+    )
+
+    # in-place rewrite with a WIDER schema → read_dir must see it
+    _events(spark, sf_dir).limit(10).withColumn(
+        "extra", F.lit(1)
+    ).write.mode("overwrite").parquet(out)
+    s2 = tmod.read_dir(spark, out).schema
+    assert "extra" in s2.fieldNames() and "extra" not in s1.fieldNames()

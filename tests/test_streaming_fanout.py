@@ -140,6 +140,33 @@ def test_hetero_fanout_typed_schemas_and_batch_invariance(spark, sf_dir):
         assert expect.exceptAll(got).count() == 0
 
 
+def test_hetero_fanout_rejects_unrouted_table(spark, sf_dir):
+    """An envelope whose tbl has no spec must FAIL the stream, not vanish:
+    silently dropping an upstream table added before its spec lands is
+    exactly the data-loss mode multi-table CDC exists to prevent (r8
+    ADVICE). Pins that route() raises and the error names the stray
+    table count."""
+    import pytest
+
+    from pulsar_cdc_experiment_spark.queries.streaming_q import (
+        hetero_envelope_stream,
+        run_heterogeneous_fanout,
+    )
+
+    stream, _ = _two_file_stream(spark, sf_dir)
+    env = hetero_envelope_stream(stream)
+    # rebadge a slice of the feed as a table no spec knows about
+    env = env.withColumn(
+        "tbl",
+        F.when(F.col("lsn") % 97 == 0, F.lit("ghosts")).otherwise(
+            F.col("tbl")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="hetero_unrouted_")
+    with pytest.raises(Exception, match="no spec"):
+        run_heterogeneous_fanout(spark, env, root)
+
+
 def test_hetero_fanout_schema_evolution(spark, sf_dir):
     """Per-table typed parsing PINS the schema; the realistic evolution
     path is a parser redeploy with a v2 spec over the SAME state root.
