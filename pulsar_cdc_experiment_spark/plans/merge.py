@@ -1,0 +1,280 @@
+"""Partition-pruned copy-on-write MERGE INTO over a hive-partitioned
+parquet table — the lakehouse write primitive (Delta/Iceberg ``MERGE``).
+
+The reference's implied end-use is applying a CDC changeset to a serving
+table (its feed carries c/u/d ops, reference connectors/README.md:152-157;
+materialization is the read view, operators/materialize.py). ``merge_into``
+is the WRITE half of that story: given a changeset keyed like the target,
+apply update/delete/insert in ONE pass that rewrites only the partitions
+the changeset touches.
+
+Semantics (the three standard MERGE clauses, ``UPDATE SET *`` form):
+
+- matched by ``keys``, ``delete_col`` true   -> row removed
+- matched by ``keys``, ``delete_col`` false  -> row replaced by source row
+- not matched,          ``delete_col`` false -> row inserted
+- not matched,          ``delete_col`` true  -> no-op
+
+Preconditions (guarded, fail-loud): the source is unique per key (a
+multi-match MERGE is ambiguous — same error Delta raises), and the
+source's partition column is non-null (null partitions need a table
+format's default-partition convention, out of scope here).
+
+Why this shape survives 100 TB:
+
+- **Touched-partition discovery** is the union of (a) the changeset's own
+  partition values and (b) the partitions of MATCHED target keys — (b) is
+  found with a key+partition column-pruned scan of the target (two thin
+  columns through the parquet scan; a transactional table format answers
+  the same question from file-level key bounds / bloom metadata, which is
+  the only piece local parquet cannot give us). This makes PARTITION
+  DRIFT safe: an update that moves a row across partitions rewrites both
+  the old and new partition, never leaving a stale twin behind.
+- **Rewrite cost ∝ changeset locality, not table size**: only touched
+  partitions are read fully (partition-pruned scan) and rewritten; the
+  merge itself is ONE key-shuffle join (anti-join of old rows against
+  changeset keys) plus a union of surviving source rows. AQE is free to
+  broadcast a small changeset.
+- **Re-applying the same changeset is a no-op** (update replaces with the
+  same values, the insert's key now matches and replaces itself, deletes
+  stay deleted) — a failed orchestrator can always just run the merge
+  again; test-pinned.
+- **Crash-safe publish** via the same dot-prefixed staging/aside rename
+  discipline as layout.optimize_partitions: hidden dirs are invisible to
+  Spark's partition discovery, so no crash window can serve a
+  half-written or duplicated partition; a leftover aside whose live dir
+  vanished is restored on the next run.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import urllib.parse
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .layout import dir_bytes, target_file_count
+
+ASIDE, STAGING = ".merge_old_", ".merge_staging_"
+
+
+def _part_dirs(root: str, partition_col: str) -> dict[str, str]:
+    """Map decoded partition VALUE -> directory name for every live
+    partition dir. Spark percent-escapes special chars in partition dir
+    names (ExternalCatalogUtils.escapePathName); decoding the written
+    names is exact, whereas re-implementing the escape table would be a
+    second source of truth."""
+    out: dict[str, str] = {}
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(root)):
+        if entry.startswith(".") or not entry.startswith(prefix):
+            continue
+        if os.path.isdir(os.path.join(root, entry)):
+            out[urllib.parse.unquote(entry[len(prefix):])] = entry
+    return out
+
+
+def _recover(root: str) -> None:
+    """Crash recovery sweep (same contract as layout.optimize_partitions):
+    an aside whose live dir vanished is the partition's only complete
+    copy — restore it; every other leftover hidden dir is dead weight."""
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if entry.startswith(ASIDE) and os.path.isdir(p):
+            live = os.path.join(root, entry[len(ASIDE):])
+            if not os.path.exists(live):
+                os.rename(p, live)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
+        elif entry.startswith(STAGING) and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    *,
+    keys: Sequence[str],
+    partition_col: str,
+    delete_col: str = "is_delete",
+    target_mb: int = 256,
+) -> dict:
+    """Apply ``source`` (changeset) to the partitioned parquet table at
+    ``root``; returns a report::
+
+        {"touched": [value, ...], "untouched": [value, ...],
+         "deleted_partitions": [value, ...],
+         "n_updated": int, "n_deleted": int, "n_inserted": int,
+         "n_noop_deletes": int}
+
+    ``source`` must carry every target data column plus ``partition_col``
+    plus boolean ``delete_col``. Columns are matched by NAME.
+    """
+    keys = list(keys)
+    _recover(root)
+    live = _part_dirs(root, partition_col)
+    target = spark.read.parquet(root)  # partition-discovering read
+    data_cols = [c for c in target.columns if c != partition_col]
+    out_cols = data_cols + [partition_col]
+    missing = [c for c in out_cols + [delete_col] if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge source lacks column(s) {missing}")
+
+    src = source.select(*out_cols, F.col(delete_col).cast("boolean"))
+    src.persist()
+    try:
+        # -- guard + stats + touched discovery: one bounded-output pass.
+        # The target side is a key+partition projection (column-pruned
+        # scan); output is one row of counters plus two partition-value
+        # sets (bounded by partition count) — the sanctioned
+        # bounded-model-state shape, same as the layout reports.
+        per_key = src.groupBy(*keys).agg(
+            F.count("*").alias("__c"),
+            F.max(delete_col).alias("__del"),
+            F.max(F.col(partition_col).isNull().cast("int")).alias("__np"),
+            F.first(partition_col).alias("__sp"),
+        )
+        tgt_keys = target.select(
+            *keys, F.col(partition_col).alias("__tp")
+        )
+        stats = (
+            per_key.join(tgt_keys, keys, "left")
+            .agg(
+                F.max("__c").alias("max_dup"),
+                F.sum("__np").alias("null_parts"),
+                F.sum(
+                    (F.col("__tp").isNotNull() & ~F.col("__del")).cast("long")
+                ).alias("n_updated"),
+                F.sum(
+                    (F.col("__tp").isNotNull() & F.col("__del")).cast("long")
+                ).alias("n_deleted"),
+                F.sum(
+                    (F.col("__tp").isNull() & ~F.col("__del")).cast("long")
+                ).alias("n_inserted"),
+                F.sum(
+                    (F.col("__tp").isNull() & F.col("__del")).cast("long")
+                ).alias("n_noop_deletes"),
+                # deletes take effect where the TARGET copy lives
+                # (tgt_parts); a no-op delete must not claim its source
+                # partition as touched
+                F.collect_set(
+                    F.when(~F.col("__del"), F.col("__sp"))
+                ).alias("src_parts"),
+                F.collect_set("__tp").alias("tgt_parts"),
+            )
+            .collect()[0]
+        )
+        if stats["max_dup"] and stats["max_dup"] > 1:
+            raise ValueError(
+                "merge source has multiple rows for at least one key "
+                f"(max {stats['max_dup']}); MERGE requires a unique "
+                "changeset per key — fold it first (latest_by_key)"
+            )
+        if stats["null_parts"]:
+            raise ValueError(
+                f"merge source has {stats['null_parts']} key(s) with a "
+                f"NULL {partition_col}; null partitions are not supported"
+            )
+        touched = sorted(
+            set(stats["src_parts"]) | set(stats["tgt_parts"])
+        )
+        untouched = sorted(set(live) - set(touched))
+        if not touched:
+            # changeset was all no-op deletes: nothing to rewrite, but
+            # the stats still report what the changeset asked for
+            return {
+                "touched": [], "untouched": untouched,
+                "deleted_partitions": [], "n_updated": 0, "n_deleted": 0,
+                "n_inserted": 0,
+                "n_noop_deletes": int(stats["n_noop_deletes"]),
+            }
+
+        # -- the merge plan: partition-pruned read of touched partitions,
+        # ONE key-shuffle anti-join dropping every old copy of a changeset
+        # key (including drifted copies in other touched partitions),
+        # union of surviving source rows. No manual broadcast — AQE
+        # decides from the changeset's actual size.
+        old = target.filter(F.col(partition_col).isin(touched)).select(
+            *out_cols
+        )
+        merged = old.join(src.select(*keys), keys, "left_anti").unionByName(
+            src.filter(~F.col(delete_col)).select(*out_cols)
+        )
+
+        # -- size the rewrite: k files per touched partition from the
+        # touched partitions' current bytes (at 100 TB the table format's
+        # file-size targets drive this instead)
+        touched_bytes = sum(
+            dir_bytes(os.path.join(root, live[v])) for v in touched
+            if v in live
+        )
+        k = max(
+            1, target_file_count(touched_bytes // max(1, len(touched)),
+                                 target_mb),
+        )
+        staging = os.path.join(root, STAGING + "merge")
+        (
+            merged.repartition(
+                len(touched) * k,
+                F.col(partition_col),
+                F.pmod(F.hash(*keys), F.lit(k)),
+            )
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+
+        # -- publish: swap staged partitions in, remove touched partitions
+        # the merge emptied (hidden-dir rename discipline throughout)
+        staged = _part_dirs(staging, partition_col)
+        deleted_parts = []
+        for v in touched:
+            sdir = staged.get(v)
+            # a brand-new partition takes its dir name from the staging
+            # write — Spark's own escaping, never re-derived here
+            ldir = live.get(v) or sdir
+            if ldir is None:
+                continue  # touched value with neither live nor staged dir
+            live_p = os.path.join(root, ldir)
+            aside = os.path.join(root, ASIDE + ldir)
+            if sdir is not None:
+                if os.path.exists(live_p):
+                    os.rename(live_p, aside)
+                os.rename(os.path.join(staging, sdir), live_p)
+                shutil.rmtree(aside, ignore_errors=True)
+            elif v in live:
+                os.rename(live_p, aside)
+                shutil.rmtree(aside, ignore_errors=True)
+                deleted_parts.append(v)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        return {
+            "touched": touched,
+            "untouched": untouched,
+            "deleted_partitions": deleted_parts,
+            "n_updated": int(stats["n_updated"]),
+            "n_deleted": int(stats["n_deleted"]),
+            "n_inserted": int(stats["n_inserted"]),
+            "n_noop_deletes": int(stats["n_noop_deletes"]),
+        }
+    finally:
+        src.unpersist()
+
+
+def partition_file_listing(root: str, partition_col: str) -> dict:
+    """(dir name -> sorted [(file name, size)]) for every live partition —
+    the identity probe tests use to pin that untouched partitions stay
+    byte-identical through a merge."""
+    out = {}
+    for v, entry in _part_dirs(root, partition_col).items():
+        files = sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(os.path.join(root, entry, "part-*"))
+        )
+        out[entry] = files
+    return out

@@ -82,6 +82,7 @@ def load_all_query_modules() -> None:
         ingest_q,
         layout_q,
         llm_ops,
+        merge_q,
         relational,
         relational_ext,
         scalar_fns,

@@ -1,0 +1,216 @@
+"""plans/merge.merge_into — the guarantees the oracle cannot see:
+untouched-partition byte identity, partition-drift containment, re-apply
+idempotence, empty-partition removal, crash recovery, and the fail-loud
+preconditions (duplicate changeset keys, null partition values)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_cdc_experiment_spark.plans.merge import (
+    ASIDE,
+    merge_into,
+    partition_file_listing,
+)
+
+
+def _mk_table(spark, root, rows):
+    df = spark.createDataFrame(
+        rows, "k bigint, v double, p string"
+    )
+    df.repartition(2).write.mode("overwrite").partitionBy("p").parquet(root)
+
+
+def _state(spark, root):
+    return {
+        (r["k"], r["v"], r["p"])
+        for r in spark.read.parquet(root).collect()
+    }
+
+
+def _base_rows():
+    return [
+        (i, float(i), "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+        for i in range(30)
+    ]
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, v double, p string, is_delete boolean"
+    )
+
+
+def test_merge_untouched_partitions_byte_identical_and_values(spark):
+    root = tempfile.mkdtemp(prefix="merge_t1_")
+    _mk_table(spark, root, _base_rows())
+    before = partition_file_listing(root, "p")
+
+    # update two 'a' rows, insert one new 'a' row, delete one 'a' row;
+    # 'b' and 'c' never mentioned
+    chg = _chg(
+        spark,
+        [
+            (0, 100.0, "a", False),
+            (3, 103.0, "a", False),
+            (900, 900.0, "a", False),
+            (6, 0.0, "a", True),
+        ],
+    )
+    rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    assert rep["touched"] == ["a"]
+    assert sorted(rep["untouched"]) == ["b", "c"]
+    assert rep["n_updated"] == 2
+    assert rep["n_deleted"] == 1
+    assert rep["n_inserted"] == 1
+    assert rep["n_noop_deletes"] == 0
+
+    after = partition_file_listing(root, "p")
+    assert before["p=b"] == after["p=b"]
+    assert before["p=c"] == after["p=c"]
+
+    st = _state(spark, root)
+    assert (0, 100.0, "a") in st and (3, 103.0, "a") in st
+    assert (900, 900.0, "a") in st
+    assert not any(k == 6 for k, _, _ in st)
+    # untouched rows intact
+    expect_rest = {
+        (i, float(i), "b" if i % 3 == 1 else "c")
+        for i in range(30)
+        if i % 3 != 0
+    }
+    assert expect_rest <= st
+
+
+def test_merge_partition_drift_leaves_no_stale_twin(spark):
+    root = tempfile.mkdtemp(prefix="merge_t2_")
+    _mk_table(spark, root, _base_rows())
+    # move k=9 (lives in 'a') to partition 'b' with a new value
+    chg = _chg(spark, [(9, 999.0, "b", False)])
+    rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    # both the destination AND the old home were rewritten
+    assert rep["touched"] == ["a", "b"]
+    st = _state(spark, root)
+    copies = [(k, v, p) for (k, v, p) in st if k == 9]
+    assert copies == [(9, 999.0, "b")]
+
+
+def test_merge_reapply_is_idempotent(spark):
+    root = tempfile.mkdtemp(prefix="merge_t3_")
+    _mk_table(spark, root, _base_rows())
+    chg = _chg(
+        spark,
+        [(0, 50.0, "a", False), (1, 51.0, "b", False), (2, 0.0, "c", True),
+         (700, 7.0, "a", False)],
+    )
+    merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    st1 = _state(spark, root)
+    rep2 = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    assert _state(spark, root) == st1
+    # second apply: the insert's key now matches (counted as update),
+    # the delete is now unmatched (no-op)
+    assert rep2["n_inserted"] == 0
+    assert rep2["n_updated"] == 3
+    assert rep2["n_noop_deletes"] == 1
+
+
+def test_merge_can_empty_a_partition(spark):
+    root = tempfile.mkdtemp(prefix="merge_t4_")
+    _mk_table(
+        spark, root, [(1, 1.0, "solo"), (2, 2.0, "rest"), (3, 3.0, "rest")]
+    )
+    chg = _chg(spark, [(1, 0.0, "solo", True)])
+    rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    assert rep["deleted_partitions"] == ["solo"]
+    assert not os.path.exists(os.path.join(root, "p=solo"))
+    assert _state(spark, root) == {(2, 2.0, "rest"), (3, 3.0, "rest")}
+
+
+def test_merge_noop_delete_does_not_touch_its_partition(spark):
+    root = tempfile.mkdtemp(prefix="merge_t5_")
+    _mk_table(spark, root, _base_rows())
+    before = partition_file_listing(root, "p")
+    chg = _chg(spark, [(12345, 0.0, "b", True)])  # absent key
+    rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    assert rep["touched"] == [] and rep["n_noop_deletes"] == 1
+    assert partition_file_listing(root, "p") == before
+
+
+def test_merge_crash_recovery_restores_lost_partition(spark):
+    root = tempfile.mkdtemp(prefix="merge_t6_")
+    _mk_table(spark, root, _base_rows())
+    st0 = _state(spark, root)
+    # simulate the crash window between the two renames: live dir moved
+    # aside, staged dir never renamed in
+    os.rename(os.path.join(root, "p=b"), os.path.join(root, ASIDE + "p=b"))
+    assert "p=b" not in partition_file_listing(root, "p")
+    # next merge run recovers it before doing anything else
+    rep = merge_into(
+        spark, root, _chg(spark, [(0, 42.0, "a", False)]),
+        keys=["k"], partition_col="p",
+    )
+    assert rep["touched"] == ["a"]
+    st = _state(spark, root)
+    assert {(k, v, p) for (k, v, p) in st if p == "b"} == {
+        (k, v, p) for (k, v, p) in st0 if p == "b"
+    }
+    assert (0, 42.0, "a") in st
+
+
+def test_merge_rejects_duplicate_keys_and_null_partitions(spark):
+    root = tempfile.mkdtemp(prefix="merge_t7_")
+    _mk_table(spark, root, _base_rows())
+    snapshot = _state(spark, root)
+    with pytest.raises(ValueError, match="unique changeset"):
+        merge_into(
+            spark, root,
+            _chg(spark, [(0, 1.0, "a", False), (0, 2.0, "a", False)]),
+            keys=["k"], partition_col="p",
+        )
+    with pytest.raises(ValueError, match="NULL p"):
+        merge_into(
+            spark, root, _chg(spark, [(0, 1.0, None, False)]),
+            keys=["k"], partition_col="p",
+        )
+    # failed merges left the table untouched
+    assert _state(spark, root) == snapshot
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_fixture_report_matches_changeset_definition(spark, sf_dir):
+    """The registered query's fixture report agrees with the closed-form
+    changeset the oracle uses."""
+    import json
+
+    from pulsar_cdc_experiment_spark.queries.merge_q import (
+        merge_orders_fixture,
+    )
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    root = merge_orders_fixture(spark, sf_dir)
+    with open(os.path.join(root, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["touched"] == ["1-URGENT", "3-MEDIUM"]
+    assert "4-NOT SPECIFIED" in rep["untouched"]
+
+    o = table(spark, sf_dir, "orders")
+    key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+    n_upd = o.filter(
+        (key % 50 == 3) & pri.isin("1-URGENT", "3-MEDIUM")
+    ).count() + o.filter((key % 50 == 19) & (pri == "3-MEDIUM")).count()
+    n_del = o.filter(
+        (key % 50 == 7) & pri.isin("1-URGENT", "3-MEDIUM")
+    ).count()
+    n_ins = o.filter((key % 50 == 11) & (pri == "5-LOW")).count()
+    n_noop = o.filter(
+        (key % 50 == 13) & (pri == "4-NOT SPECIFIED")
+    ).count()
+    assert rep["n_updated"] == n_upd
+    assert rep["n_deleted"] == n_del
+    assert rep["n_inserted"] == n_ins
+    assert rep["n_noop_deletes"] == n_noop

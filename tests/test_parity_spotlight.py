@@ -96,6 +96,7 @@ BREADTH = [
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",
+    "merge_upsert_partitioned",
     "multimodal_resize",
     "multimodal_serving_pipeline",
     "nation_market_share",

@@ -687,6 +687,9 @@ _BUILD_JOBS_SANCTIONED = {
     "incremental_maintenance_report",
     # bucketed saveAsTable fixtures (catalog objects, session_once)
     "bucketed_join_revenue",
+    # partitioned base + copy-on-write MERGE is the fixture (the apply
+    # step IS the operator, plans/merge.py)
+    "merge_upsert_partitioned",
 }
 
 
@@ -745,6 +748,7 @@ _FIXTURE_CACHED = [
     "multimodal_serving_pipeline",
     "incremental_maintenance_report",
     "stream_auto_maintenance",
+    "merge_upsert_partitioned",
 ]
 
 
