@@ -181,3 +181,99 @@ def merge_upsert_partitioned(spark, sf_dir):
         )
         .select("o_orderpriority", "rewritten", "n", "sum_cents", "n_ins")
     )
+
+
+_T0 = "2024-01-15 00:00:00"
+
+
+def cdc_merge_fixture(spark, sf_dir: str) -> str:
+    """CDC-apply fixture: materialize a base state table from the feed's
+    first period (users onboarded late — ``user_id % 5 == 0`` — absent),
+    hive-partitioned by the mutable ``event_type`` column, then fold the
+    second period into a keyed changeset (tombstone = 'error', the
+    cdc_latest_state convention) and apply it with merge_into."""
+
+    def build(root: str) -> None:
+        from ..operators.materialize import latest_by_key
+
+        dst = os.path.join(root, "state")
+        ev = table(spark, sf_dir, "events")
+        t0 = F.lit(_T0).cast("timestamp_ntz")
+        cols = ["user_id", "event_type", "value", "event_id"]
+        base = (
+            latest_by_key(
+                ev.filter((F.col("ts") < t0) & (F.col("user_id") % 5 != 0)),
+                ["user_id"],
+                ["ts", "event_id"],
+            )
+            .filter(F.col("event_type") != "error")
+            .select(*cols)
+        )
+        base.write.partitionBy("event_type").parquet(dst)
+        chg = latest_by_key(
+            ev.filter(F.col("ts") >= t0), ["user_id"], ["ts", "event_id"]
+        ).select(
+            *cols, (F.col("event_type") == "error").alias("is_delete")
+        )
+        report = merge_into(
+            spark, dst, chg, keys=["user_id"], partition_col="event_type"
+        )
+        with open(os.path.join(root, "report.json"), "w") as f:
+            json.dump(report, f)
+
+    return session_fixture("cdc_merge", sf_dir, "t0jan15_v1", build)
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, value, event_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+        WHERE ts < TIMESTAMP '{_T0}' AND user_id % 5 <> 0
+      ) WHERE rn = 1 AND event_type <> 'error'
+    ), chg AS (
+      SELECT user_id, event_type, value, event_id,
+             event_type = 'error' AS is_delete FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{_T0}'
+      ) WHERE rn = 1
+    ), final AS (
+      SELECT user_id, event_type, value, event_id FROM base
+      WHERE user_id NOT IN (SELECT user_id FROM chg)
+      UNION ALL
+      SELECT user_id, event_type, value, event_id FROM chg
+      WHERE NOT is_delete
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(max(event_id) AS BIGINT) AS max_event
+    FROM final GROUP BY 1
+    """,
+)
+def cdc_merge_apply(spark, sf_dir):
+    """CDC→lakehouse apply capstone: the feed's first period materializes
+    a keyed base table partitioned by a MUTABLE column (event_type), the
+    second period folds to a latest-per-key changeset (tombstone =
+    'error'), and plans/merge.merge_into applies it — updates where the
+    user's latest type is unchanged, partition-DRIFT updates where it
+    changed (the row moves partitions; naive pruning would leave a stale
+    twin), deletes for tombstoned users, inserts for users onboarded
+    after the cutover. The oracle recomputes the whole pipeline —
+    base fold, changeset fold, merge semantics — in SQL and checks the
+    served per-partition aggregates. This is the reference's implied
+    end-use (c/u/d feed applied to a serving table,
+    connectors/README.md:152-157) done the lakehouse way."""
+    root = cdc_merge_fixture(spark, sf_dir)
+    merged = read_dir(spark, os.path.join(root, "state"))
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+        F.max("event_id").alias("max_event"),
+    )

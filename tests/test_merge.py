@@ -214,3 +214,56 @@ def test_merge_fixture_report_matches_changeset_definition(spark, sf_dir):
     assert rep["n_deleted"] == n_del
     assert rep["n_inserted"] == n_ins
     assert rep["n_noop_deletes"] == n_noop
+
+
+def test_cdc_merge_apply_exercises_every_clause(spark, sf_dir):
+    """The CDC-apply capstone must be non-vacuous: the changeset really
+    produced updates, deletes, AND inserts, and at least one update
+    DRIFTED partitions (the user's latest event_type changed across the
+    cutover) — otherwise the oracle match proves less than it claims."""
+    import json
+
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        latest_by_key,
+    )
+    from pulsar_cdc_experiment_spark.queries.merge_q import (
+        _T0,
+        cdc_merge_fixture,
+    )
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    root = cdc_merge_fixture(spark, sf_dir)
+    with open(os.path.join(root, "report.json")) as f:
+        rep = json.load(f)
+    assert rep["n_updated"] > 0
+    assert rep["n_deleted"] > 0
+    assert rep["n_inserted"] > 0
+
+    # drift really happened: some user's latest pre-cutover type (the
+    # base partition) differs from their latest post-cutover type
+    ev = table(spark, sf_dir, "events")
+    t0 = F.col("ts") < F.lit(_T0).cast("timestamp_ntz")
+    base = (
+        latest_by_key(
+            ev.filter(t0 & (F.col("user_id") % 5 != 0)),
+            ["user_id"], ["ts", "event_id"],
+        )
+        .filter(F.col("event_type") != "error")
+        .select("user_id", F.col("event_type").alias("base_type"))
+    )
+    chg = latest_by_key(
+        ev.filter(~t0), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", F.col("event_type").alias("chg_type"))
+    drifted = (
+        base.join(chg, "user_id")
+        .filter(
+            (F.col("chg_type") != "error")
+            & (F.col("chg_type") != F.col("base_type"))
+        )
+        .count()
+    )
+    assert drifted > 0
+
+    # and the served table holds exactly one row per surviving user
+    st = spark.read.parquet(os.path.join(root, "state"))
+    assert st.count() == st.select("user_id").distinct().count()

@@ -66,6 +66,7 @@ BREADTH = [
     "bucketed_join_revenue",
     "cdc_dlq_routing",
     "cdc_incremental_agg",
+    "cdc_merge_apply",
     "cdc_snapshot_diff",
     "cdc_snapshot_patch",
     "cdc_table_filter",
