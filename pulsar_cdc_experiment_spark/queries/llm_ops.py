@@ -1582,3 +1582,96 @@ def corpus_decontaminate(spark, sf_dir):
         "n_shared",
         rn(F.col("n_shared") / F.col("__n_eval"), 6).alias("eval_containment"),
     )
+
+
+_SEG_W = 5  # words per segment
+
+
+@register(
+    "corpus_dedup_segments",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(w[i*{_SEG_W}+1 : i*{_SEG_W}+{_SEG_W}], ' ') AS seg
+      FROM words,
+           unnest(generate_series(
+             0, CAST(ceil(len(w) / {_SEG_W}.0) AS INT) - 1)) AS t(i)
+    ), kept AS (
+      SELECT doc_id, seg_idx, seg FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        FROM segs
+      ) WHERE rn = 1
+    ), rebuilt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(ceil(len(w.w) / {_SEG_W}.0) AS BIGINT) AS n_segs,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM words w LEFT JOIN rebuilt r ON w.doc_id = r.doc_id
+    """,
+)
+def corpus_dedup_segments(spark, sf_dir):
+    """Within-corpus SEGMENT-level exact dedup with order-preserving
+    reconstruction (the ExactSubstr idea of Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better", at fixed-grid
+    granularity): split every document into consecutive 5-word
+    segments, keep only the FIRST occurrence of each distinct segment
+    corpus-wide (ordered by doc_id, seg_idx), and re-assemble each
+    document from its surviving segments in order. Removes boilerplate
+    repeated ACROSS documents — the redundancy document-level near-dup
+    cannot touch — while exact-duplicate tails collapse to their first
+    holder. Shape: explode to segments (map-side), ONE shuffle on the
+    segment string for the first-occurrence window (at 100 TB, window
+    on xxhash64(seg) digests so the shuffle carries 8-byte keys), one
+    shuffle back on doc_id to rebuild; no UDFs, all expressions.
+    Documents whose every segment lost the race survive with
+    clean_text='' (left join back to the corpus) — a downstream length
+    filter decides their fate, not silent row loss."""
+    docs = table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_segs = F.ceil(F.size("w") / F.lit(float(_SEG_W))).cast("long")
+    segs = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs.cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice("w", i * _SEG_W + 1, _SEG_W), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    from pyspark.sql import Window
+
+    first = F.row_number().over(
+        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    )
+    kept = segs.withColumn("rn", first).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "seg"))
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        w.select("doc_id", n_segs.alias("n_segs"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -611,6 +611,115 @@ def stream_stream_join(spark, sf_dir):
     return run_to_memory(joined, "stream_stream_join", output_mode="append")
 
 
+def _events_feed_with_flush_sentinels(spark, sf_dir):
+    """Stage the events feed plus one far-future sentinel row PER SIDE
+    (user_id = -1, ts = 2024-03-01, past every real event's join window).
+    An outer stream-stream join only emits its null-padded unmatched
+    rows when the WATERMARK passes their eviction time; without the
+    sentinels the tail of unmatched purchases would sit in state forever
+    and AvailableNow would close with them unemitted — the classic
+    outer-join flush trap. The sentinels push the final watermark past
+    all real data; the closing no-data micro-batch then evicts and emits
+    everything. Session-cached fixture; sentinels filtered from output."""
+    import datetime
+    import os
+
+    from ..streaming.pipeline import EVENTS_RAW
+
+    from .fixture_cache import session_fixture
+
+    def build(root: str) -> None:
+        ev = spark.read.schema(EVENTS_RAW).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        far = datetime.datetime(2024, 3, 1)
+        sent = spark.createDataFrame(
+            [
+                (-1, far, -1, "purchase", 0.0, None),
+                (-2, far, -1, "signup", 0.0, None),
+            ],
+            EVENTS_RAW,
+        )
+        ev.unionByName(sent).write.parquet(os.path.join(root, "feed"))
+
+    root = session_fixture("ss_outer_feed", sf_dir, "sent_v1", build)
+    return spark.readStream.schema(EVENTS_RAW).parquet(
+        os.path.join(root, "feed")
+    )
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_event, s.event_id AS signup_event,
+           p.user_id,
+           floor((p.value) * 100 + 0.5) / 100 AS purchase_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+    """,
+)
+def stream_stream_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join (C35's missing half): purchases with
+    no signup in the preceding 7 days must still be emitted, null-padded
+    — and in a streaming join that only happens when the watermark passes
+    the row's eviction time. The feed carries far-future flush sentinels
+    (see _events_feed_with_flush_sentinels) so the final no-data
+    micro-batch provably drains the unmatched tail; the full batch LEFT
+    JOIN oracle then applies — matched rows AND null-padded rows both
+    value-checked. State eviction under this join is pinned in
+    tests/test_streaming.py (numRowsRemoved > 0 for the inner variant;
+    the outer adds the null-emission path)."""
+    feed = _events_feed_with_flush_sentinels(spark, sf_dir)
+    purchases = (
+        with_event_time(
+            feed.filter(F.col("event_type") == "purchase"), "ts", "p_ts"
+        )
+        .select(
+            "user_id",
+            "p_ts",
+            F.col("event_id").alias("purchase_event"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        with_event_time(
+            feed.filter(F.col("event_type") == "signup"), "ts", "s_ts"
+        )
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            "s_ts",
+            F.col("event_id").alias("signup_event"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        "left_outer",
+    ).select(
+        "purchase_event",
+        "signup_event",
+        "user_id",
+        rn(F.col("value"), 2).alias("purchase_value"),
+    )
+    out = run_to_memory(
+        joined, "stream_stream_left_outer", output_mode="append"
+    )
+    # sentinel filter on the MATERIALIZED batch result, never in the
+    # streaming plan: Catalyst pushes a left-side predicate below the
+    # watermark node, which would drop the flush row before it can
+    # advance the watermark — exactly the stall the sentinels exist to
+    # prevent (pinned in tests/test_streaming.py)
+    return out.filter(F.col("user_id") >= 0)
+
+
 def _stream_dedup_oracle(threshold=0.15, num_hashes=16, bands=4) -> str:
     """DuckDB mirror of stream_dedup_against_corpus: identical portable
     MinHash pipeline, candidates restricted to (new x corpus) pairs."""

