@@ -103,6 +103,12 @@ HEADLINE = [
                                     # explode for the rare long interval
     "interval_overlap_windows",     # interval x interval overlap join,
                                     # binned + in-plan exactly-once dedup
+    # round-9 additions
+    "merge_upsert_partitioned",     # copy-on-write MERGE: partitioned base
+                                    # build + partition-pruned apply cycle
+    "cdc_merge_apply",              # CDC changeset fold -> MERGE apply
+    "stream_stream_left_outer",     # outer stream-stream join + wm flush
+    "corpus_dedup_segments",        # segment-grid exact dedup + rebuild
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
@@ -324,6 +330,13 @@ def main() -> None:
         "ingest_jsonl_events",
         "incremental_maintenance_report",
         "multimodal_serving_pipeline",
+        # the MERGE cycle (partitioned base build + changeset apply) IS
+        # the operator — re-paid every run like the other layout ops
+        "merge_upsert_partitioned",
+        "cdc_merge_apply",
+        # NOT stream_stream_left_outer: its staged feed is plain source
+        # staging (the operator is the stateful join, re-run in full
+        # every invocation regardless)
     }
 
     def run_once(name: str) -> float:

@@ -103,6 +103,7 @@ def merge_into(
     partition_col: str,
     delete_col: str = "is_delete",
     target_mb: int = 256,
+    evolve_schema: bool = False,
 ) -> dict:
     """Apply ``source`` (changeset) to the partitioned parquet table at
     ``root``; returns a report::
@@ -113,17 +114,42 @@ def merge_into(
          "n_noop_deletes": int}
 
     ``source`` must carry every target data column plus ``partition_col``
-    plus boolean ``delete_col``. Columns are matched by NAME.
+    plus boolean ``delete_col``. Columns are matched by NAME. Source
+    columns the target lacks are an ERROR unless ``evolve_schema=True``,
+    which widens the rewritten partitions (surviving old rows take NULL
+    in the new columns — the union-by-name convention the streaming
+    materializer uses); the report then carries ``"schema_evolved"``.
+    Untouched partitions keep their old files, so post-evolution reads
+    of the whole table must merge footers (``mergeSchema``) or use a
+    catalog schema — the same contract as any evolving parquet layout,
+    and why this function's own target read merges footers.
     """
     keys = list(keys)
     _recover(root)
     live = _part_dirs(root, partition_col)
-    target = spark.read.parquet(root)  # partition-discovering read
+    # mergeSchema: a previously evolved table carries files of mixed
+    # width — the target schema is the union (a table format answers
+    # this from its catalog instead of footers)
+    target = spark.read.option("mergeSchema", "true").parquet(root)
     data_cols = [c for c in target.columns if c != partition_col]
-    out_cols = data_cols + [partition_col]
-    missing = [c for c in out_cols + [delete_col] if c not in source.columns]
+    missing = [
+        c
+        for c in data_cols + [partition_col, delete_col]
+        if c not in source.columns
+    ]
     if missing:
         raise ValueError(f"merge source lacks column(s) {missing}")
+    extra = [
+        c
+        for c in source.columns
+        if c not in data_cols + [partition_col, delete_col]
+    ]
+    if extra and not evolve_schema:
+        raise ValueError(
+            f"merge source carries column(s) {extra} the target lacks; "
+            "pass evolve_schema=True to widen the table (or drop them)"
+        )
+    out_cols = data_cols + extra + [partition_col]
 
     src = source.select(*out_cols, F.col(delete_col).cast("boolean"))
     src.persist()
@@ -192,6 +218,7 @@ def merge_into(
                 "deleted_partitions": [], "n_updated": 0, "n_deleted": 0,
                 "n_inserted": 0,
                 "n_noop_deletes": int(stats["n_noop_deletes"]),
+                "schema_evolved": [],
             }
 
         # -- the merge plan: partition-pruned read of touched partitions,
@@ -200,10 +227,12 @@ def merge_into(
         # union of surviving source rows. No manual broadcast — AQE
         # decides from the changeset's actual size.
         old = target.filter(F.col(partition_col).isin(touched)).select(
-            *out_cols
+            *[c for c in out_cols if c in target.columns]
         )
         merged = old.join(src.select(*keys), keys, "left_anti").unionByName(
-            src.filter(~F.col(delete_col)).select(*out_cols)
+            src.filter(~F.col(delete_col)).select(*out_cols),
+            # surviving old rows take NULL in evolution-added columns
+            allowMissingColumns=True,
         )
 
         # -- size the rewrite: k files per touched partition from the
@@ -261,6 +290,7 @@ def merge_into(
             "n_deleted": int(stats["n_deleted"]),
             "n_inserted": int(stats["n_inserted"]),
             "n_noop_deletes": int(stats["n_noop_deletes"]),
+            "schema_evolved": extra,
         }
     finally:
         src.unpersist()

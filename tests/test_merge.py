@@ -267,3 +267,50 @@ def test_cdc_merge_apply_exercises_every_clause(spark, sf_dir):
     # and the served table holds exactly one row per surviving user
     st = spark.read.parquet(os.path.join(root, "state"))
     assert st.count() == st.select("user_id").distinct().count()
+
+
+def test_merge_schema_evolution_widens_only_with_opt_in(spark):
+    """(a) A changeset carrying an unknown column fails loud by default,
+    (b) evolve_schema=True widens rewritten partitions (old surviving
+    rows NULL in the new column, union-by-name convention), (c) the
+    report names the evolution, (d) a SECOND merge against the evolved
+    (mixed-width) table sees the union schema via footer merge."""
+    root = tempfile.mkdtemp(prefix="merge_t8_")
+    _mk_table(spark, root, _base_rows())
+
+    chg = spark.createDataFrame(
+        [(0, 100.0, "a", "gold", False)],
+        "k bigint, v double, p string, tier string, is_delete boolean",
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        merge_into(spark, root, chg, keys=["k"], partition_col="p")
+
+    rep = merge_into(
+        spark, root, chg, keys=["k"], partition_col="p",
+        evolve_schema=True,
+    )
+    assert rep["schema_evolved"] == ["tier"]
+    assert rep["touched"] == ["a"]
+
+    evolved = spark.read.option("mergeSchema", "true").parquet(root)
+    assert "tier" in evolved.columns
+    rows = {(r["k"], r["tier"]) for r in evolved.filter("p = 'a'").collect()}
+    assert (0, "gold") in rows
+    # surviving old rows in the rewritten partition: tier NULL
+    assert (3, None) in rows
+    # untouched partitions were not rewritten (no tier column on disk
+    # there; mergeSchema read presents NULL)
+    assert evolved.filter("p = 'b' AND tier IS NOT NULL").count() == 0
+
+    # (d) second merge: target schema is the footer union, so a
+    # changeset with the evolved column is no longer "extra"
+    chg2 = spark.createDataFrame(
+        [(1, 51.0, "b", "silver", False)],
+        "k bigint, v double, p string, tier string, is_delete boolean",
+    )
+    rep2 = merge_into(spark, root, chg2, keys=["k"], partition_col="p")
+    assert rep2["schema_evolved"] == []
+    after = spark.read.option("mergeSchema", "true").parquet(root)
+    got = {(r["k"], r["tier"]) for r in after.filter("p = 'b'").collect()}
+    assert (1, "silver") in got
+    shutil.rmtree(root, ignore_errors=True)
