@@ -18,7 +18,11 @@ Semantics (the three standard MERGE clauses, ``UPDATE SET *`` form):
 Preconditions (guarded, fail-loud): the source is unique per key (a
 multi-match MERGE is ambiguous — same error Delta raises), and the
 source's partition column is non-null (null partitions need a table
-format's default-partition convention, out of scope here).
+format's default-partition convention, out of scope here). The TARGET
+is assumed unique per key (it is a keyed table; merge itself preserves
+uniqueness, and a pre-existing duplicate is collapsed by the next
+update of that key — but the report's matched counts would overcount
+until then).
 
 Why this shape survives 100 TB:
 
@@ -129,8 +133,19 @@ def merge_into(
     live = _part_dirs(root, partition_col)
     # mergeSchema: a previously evolved table carries files of mixed
     # width — the target schema is the union (a table format answers
-    # this from its catalog instead of footers)
-    target = spark.read.option("mergeSchema", "true").parquet(root)
+    # this from its catalog instead of footers). Partition type
+    # inference is disabled for THIS read only: merge bookkeeping keys
+    # partitions by their hive dir-name spelling (strings), and letting
+    # discovery re-type `p=0` as int would make touched-set values
+    # incomparable with the source's. Inference runs eagerly at read
+    # time, so restoring the conf immediately after is safe.
+    inf_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_inf = spark.conf.get(inf_conf, "true")
+    spark.conf.set(inf_conf, "false")
+    try:
+        target = spark.read.option("mergeSchema", "true").parquet(root)
+    finally:
+        spark.conf.set(inf_conf, prev_inf)
     data_cols = [c for c in target.columns if c != partition_col]
     missing = [
         c
@@ -151,7 +166,10 @@ def merge_into(
         )
     out_cols = data_cols + extra + [partition_col]
 
-    src = source.select(*out_cols, F.col(delete_col).cast("boolean"))
+    # partition values travel as their dir-name spelling throughout
+    src = source.withColumn(
+        partition_col, F.col(partition_col).cast("string")
+    ).select(*out_cols, F.col(delete_col).cast("boolean"))
     src.persist()
     try:
         # -- guard + stats + touched discovery: one bounded-output pass.

@@ -303,8 +303,77 @@ def main() -> None:
         ).count()
         assert bad == 0, f"{bad} nodes did not reach their root"
 
+    MERGE_PARTS = 16
+
+    def merge_scoped(n_rows):
+        """The MERGE cost claim measured (round 9): a 16-partition table
+        on disk, a changeset confined to ONE partition. merge_scoped
+        pays discovery (key+partition thin scan) + one partition's
+        rewrite; the full-rewrite alternative (what a non-pruning engine
+        does) rewrites all 16. The wall ratio is the 'cost ∝ touched
+        partitions, not table size' evidence in SCALE.md — at 16
+        partitions the ideal asymptote is ~16x, shrunk locally by the
+        fixed discovery scan."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pulsar_cdc_experiment_spark.plans.merge import merge_into
+
+        root = _tf.mkdtemp(prefix="stress_merge_")
+        try:
+            base = spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+                (F.col("id") % MERGE_PARTS).cast("string").alias("p"),
+            )
+            base.repartition(64).write.mode("overwrite").partitionBy(
+                "p"
+            ).parquet(root)
+            chg = (
+                spark.range(n_rows // MERGE_PARTS // 10)
+                .select(
+                    (F.col("id") * MERGE_PARTS).alias("k"),  # all in p='0'
+                    F.lit(-1.0).alias("v"),
+                    F.lit("0").alias("p"),
+                    F.lit(False).alias("is_delete"),
+                )
+            )
+            t0 = time.perf_counter()
+            rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+            merged_sec = time.perf_counter() - t0
+            assert rep["touched"] == ["0"] and len(rep["untouched"]) == 15
+
+            # the non-pruning alternative: rewrite the WHOLE table
+            full_dst = _tf.mkdtemp(prefix="stress_merge_full_")
+            t0 = time.perf_counter()
+            tgt = spark.read.parquet(root)
+            rewritten = tgt.join(
+                chg.select("k"), "k", "left_anti"
+            ).unionByName(chg.drop("is_delete"))
+            rewritten.repartition(64).write.mode("overwrite").partitionBy(
+                "p"
+            ).parquet(full_dst)
+            full_sec = time.perf_counter() - t0
+            _sh.rmtree(full_dst, ignore_errors=True)
+            results["merge_full_rewrite"] = {
+                "rows": n_rows,
+                "sec": round(full_sec, 2),
+                "scoped_sec": round(merged_sec, 2),
+                "speedup": round(full_sec / merged_sec, 2),
+            }
+            print(
+                json.dumps(
+                    {"op": "merge_full_rewrite",
+                     **results["merge_full_rewrite"]}
+                ),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
+    run("merge_scoped_1of16", int(40e6 * s), merge_scoped)
     run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
     run("chain_pointer_double_d64", int(2e6 * s), chain_pointer_double)
     run("interval_join_binned", int(20e6 * s), interval_join)
