@@ -172,11 +172,18 @@ def merge_into(
     ).select(*out_cols, F.col(delete_col).cast("boolean"))
     src.persist()
     try:
-        # -- guard + stats + touched discovery: one bounded-output pass.
-        # The target side is a key+partition projection (column-pruned
-        # scan); output is one row of counters plus two partition-value
-        # sets (bounded by partition count) — the sanctioned
-        # bounded-model-state shape, same as the layout reports.
+        # -- guard + stats + touched discovery: one bounded-output
+        # action. The target side is a key+partition projection
+        # (column-pruned scan); output is one row of counters plus two
+        # partition-value sets (bounded by partition count) — the
+        # sanctioned bounded-model-state shape, same as the layout
+        # reports. The matched side is an INNER join (changeset-sized
+        # build side, so AQE broadcasts it and the 100 TB-side thin
+        # scan is a map-side hash probe — a LEFT join here would pin
+        # the preserved side as the stream side and force a full
+        # sort-merge shuffle of every target key, which benchmarked as
+        # the whole scoped-merge advantage); insert/no-op counts are
+        # derived as source totals minus matched.
         per_key = src.groupBy(*keys).agg(
             F.count("*").alias("__c"),
             F.max(delete_col).alias("__del"),
@@ -186,33 +193,31 @@ def merge_into(
         tgt_keys = target.select(
             *keys, F.col(partition_col).alias("__tp")
         )
-        stats = (
-            per_key.join(tgt_keys, keys, "left")
+        src_totals = per_key.agg(
+            F.max("__c").alias("max_dup"),
+            F.sum("__np").alias("null_parts"),
+            F.sum((~F.col("__del")).cast("long")).alias("n_upserts"),
+            F.sum(F.col("__del").cast("long")).alias("n_src_deletes"),
+            # deletes take effect where the TARGET copy lives
+            # (tgt_parts); a no-op delete must not claim its source
+            # partition as touched
+            F.collect_set(
+                F.when(~F.col("__del"), F.col("__sp"))
+            ).alias("src_parts"),
+        )
+        matched_totals = (
+            tgt_keys.join(per_key.select(*keys, "__del"), keys)
             .agg(
-                F.max("__c").alias("max_dup"),
-                F.sum("__np").alias("null_parts"),
-                F.sum(
-                    (F.col("__tp").isNotNull() & ~F.col("__del")).cast("long")
-                ).alias("n_updated"),
-                F.sum(
-                    (F.col("__tp").isNotNull() & F.col("__del")).cast("long")
-                ).alias("n_deleted"),
-                F.sum(
-                    (F.col("__tp").isNull() & ~F.col("__del")).cast("long")
-                ).alias("n_inserted"),
-                F.sum(
-                    (F.col("__tp").isNull() & F.col("__del")).cast("long")
-                ).alias("n_noop_deletes"),
-                # deletes take effect where the TARGET copy lives
-                # (tgt_parts); a no-op delete must not claim its source
-                # partition as touched
-                F.collect_set(
-                    F.when(~F.col("__del"), F.col("__sp"))
-                ).alias("src_parts"),
+                F.sum((~F.col("__del")).cast("long")).alias("n_updated"),
+                F.sum(F.col("__del").cast("long")).alias("n_deleted"),
                 F.collect_set("__tp").alias("tgt_parts"),
             )
-            .collect()[0]
         )
+        stats = src_totals.crossJoin(matched_totals).collect()[0]
+        n_updated = int(stats["n_updated"] or 0)
+        n_deleted = int(stats["n_deleted"] or 0)
+        n_inserted = int(stats["n_upserts"] or 0) - n_updated
+        n_noop_deletes = int(stats["n_src_deletes"] or 0) - n_deleted
         if stats["max_dup"] and stats["max_dup"] > 1:
             raise ValueError(
                 "merge source has multiple rows for at least one key "
@@ -235,7 +240,7 @@ def merge_into(
                 "touched": [], "untouched": untouched,
                 "deleted_partitions": [], "n_updated": 0, "n_deleted": 0,
                 "n_inserted": 0,
-                "n_noop_deletes": int(stats["n_noop_deletes"]),
+                "n_noop_deletes": n_noop_deletes,
                 "schema_evolved": [],
             }
 
@@ -260,9 +265,18 @@ def merge_into(
             dir_bytes(os.path.join(root, live[v])) for v in touched
             if v in live
         )
+        # files per touched partition: the byte-derived 256 MB target,
+        # floored by available parallelism so a small touched set still
+        # rewrites with every core (at 100 TB the byte target dominates;
+        # locally a k=1 target would funnel the rewrite through one
+        # task — benchmarked as most of the scoped-merge wall). Extra
+        # small files are optimize_partitions' job, same as any sink.
+        par = spark.sparkContext.defaultParallelism
         k = max(
-            1, target_file_count(touched_bytes // max(1, len(touched)),
-                                 target_mb),
+            1,
+            target_file_count(touched_bytes // max(1, len(touched)),
+                              target_mb),
+            -(-par // len(touched)),
         )
         staging = os.path.join(root, STAGING + "merge")
         (
@@ -304,10 +318,10 @@ def merge_into(
             "touched": touched,
             "untouched": untouched,
             "deleted_partitions": deleted_parts,
-            "n_updated": int(stats["n_updated"]),
-            "n_deleted": int(stats["n_deleted"]),
-            "n_inserted": int(stats["n_inserted"]),
-            "n_noop_deletes": int(stats["n_noop_deletes"]),
+            "n_updated": n_updated,
+            "n_deleted": n_deleted,
+            "n_inserted": n_inserted,
+            "n_noop_deletes": n_noop_deletes,
             "schema_evolved": extra,
         }
     finally:

@@ -321,9 +321,21 @@ def main() -> None:
 
         root = _tf.mkdtemp(prefix="stress_merge_")
         try:
+            # a REALISTIC row width (12 data columns + a string payload):
+            # the scoped-merge advantage is IO-proportional, and a
+            # 3-column toy table makes the key+partition discovery scan
+            # ~40% of a full pass, flattening the ratio a wide
+            # production table actually shows
+            payload = [
+                ((F.col("id") * (i + 3)) % 1009).cast("double").alias(f"c{i}")
+                for i in range(8)
+            ]
+            spayload = F.sha2(F.col("id").cast("string"), 256).alias("s")
             base = spark.range(n_rows).select(
                 F.col("id").alias("k"),
                 (F.col("id") % 97).cast("double").alias("v"),
+                *payload,
+                spayload,
                 (F.col("id") % MERGE_PARTS).cast("string").alias("p"),
             )
             base.repartition(64).write.mode("overwrite").partitionBy(
@@ -334,27 +346,41 @@ def main() -> None:
                 .select(
                     (F.col("id") * MERGE_PARTS).alias("k"),  # all in p='0'
                     F.lit(-1.0).alias("v"),
+                    *[F.lit(-1.0).alias(f"c{i}") for i in range(8)],
+                    F.lit("x").alias("s"),
                     F.lit("0").alias("p"),
                     F.lit(False).alias("is_delete"),
                 )
             )
-            t0 = time.perf_counter()
-            rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
-            merged_sec = time.perf_counter() - t0
-            assert rep["touched"] == ["0"] and len(rep["untouched"]) == 15
+            # min-of-2 per path: single write-heavy runs on this box
+            # spread ~2x (GC/page-cache state), wide enough to swallow
+            # the effect being measured
+            scoped_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rep = merge_into(
+                    spark, root, chg, keys=["k"], partition_col="p"
+                )
+                scoped_runs.append(time.perf_counter() - t0)
+                assert rep["touched"] == ["0"]
+                assert len(rep["untouched"]) == 15
+            merged_sec = min(scoped_runs)
 
             # the non-pruning alternative: rewrite the WHOLE table
-            full_dst = _tf.mkdtemp(prefix="stress_merge_full_")
-            t0 = time.perf_counter()
-            tgt = spark.read.parquet(root)
-            rewritten = tgt.join(
-                chg.select("k"), "k", "left_anti"
-            ).unionByName(chg.drop("is_delete"))
-            rewritten.repartition(64).write.mode("overwrite").partitionBy(
-                "p"
-            ).parquet(full_dst)
-            full_sec = time.perf_counter() - t0
-            _sh.rmtree(full_dst, ignore_errors=True)
+            full_runs = []
+            for _ in range(2):
+                full_dst = _tf.mkdtemp(prefix="stress_merge_full_")
+                t0 = time.perf_counter()
+                tgt = spark.read.parquet(root)
+                rewritten = tgt.join(
+                    chg.select("k"), "k", "left_anti"
+                ).unionByName(chg.drop("is_delete"))
+                rewritten.repartition(64).write.mode(
+                    "overwrite"
+                ).partitionBy("p").parquet(full_dst)
+                full_runs.append(time.perf_counter() - t0)
+                _sh.rmtree(full_dst, ignore_errors=True)
+            full_sec = min(full_runs)
             results["merge_full_rewrite"] = {
                 "rows": n_rows,
                 "sec": round(full_sec, 2),
