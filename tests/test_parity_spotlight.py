@@ -111,6 +111,7 @@ BREADTH = [
     "stream_cdc_incremental_agg",
     "stream_dq_expectations",
     "stream_ingest_jsonl",
+    "stream_merge_apply",
     "stream_state_time_travel",
     "stream_state_vacuum",
     "stream_cdc_hetero_schemas",
