@@ -25,6 +25,43 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+# hidden-dir prefix pairs used by every in-place partition-swap
+# operator in this package: (aside, staging) for partition-scoped
+# OPTIMIZE (this module) and for MERGE (plans/merge.py). Recovery must
+# sweep ALL pairs regardless of which operator is running — a table
+# maintained by both would otherwise read minus a partition whose aside
+# only the OTHER operator knows how to restore (round-9 review).
+OPT_ASIDE, OPT_STAGING = ".opt_old_", ".opt_staging_"
+MERGE_ASIDE, MERGE_STAGING = ".merge_old_", ".merge_staging_"
+SWAP_PREFIXES = (
+    (OPT_ASIDE, OPT_STAGING),
+    (MERGE_ASIDE, MERGE_STAGING),
+)
+
+
+def recover_partition_swaps(root: str) -> None:
+    """Crash-recovery sweep for the staged-swap rename discipline: an
+    aside whose live dir vanished (crash between the two renames) is
+    that partition's only complete copy — restore it; every other
+    leftover aside/staging is dead weight. Sweeps every operator's
+    prefix family (SWAP_PREFIXES)."""
+    import shutil
+
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if not os.path.isdir(p):
+            continue
+        for aside, staging in SWAP_PREFIXES:
+            if entry.startswith(aside):
+                live = os.path.join(root, entry[len(aside):])
+                if not os.path.exists(live):
+                    os.rename(p, live)
+                else:
+                    shutil.rmtree(p, ignore_errors=True)
+            elif entry.startswith(staging):
+                shutil.rmtree(p, ignore_errors=True)
+
+
 def dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -244,24 +281,12 @@ def optimize_partitions(
     import glob
     import shutil
 
-    ASIDE, STAGING = ".opt_old_", ".opt_staging_"
+    ASIDE, STAGING = OPT_ASIDE, OPT_STAGING
 
     def data_files(path: str) -> list[str]:
         return sorted(glob.glob(os.path.join(path, "part-*")))
 
-    # crash recovery: a leftover aside whose live dir vanished (crash
-    # between the two renames) is the partition's only complete copy —
-    # restore it; any other leftover aside/staging is dead weight
-    for entry in sorted(os.listdir(root)):
-        p = os.path.join(root, entry)
-        if entry.startswith(ASIDE) and os.path.isdir(p):
-            live = os.path.join(root, entry[len(ASIDE):])
-            if not os.path.exists(live):
-                os.rename(p, live)
-            else:
-                shutil.rmtree(p, ignore_errors=True)
-        elif entry.startswith(STAGING) and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+    recover_partition_swaps(root)
 
     report: dict[str, dict] = {}
     for entry in sorted(os.listdir(root)):

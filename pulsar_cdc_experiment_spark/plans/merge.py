@@ -61,9 +61,25 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .layout import dir_bytes, target_file_count
+from .layout import (
+    MERGE_ASIDE as ASIDE,
+)
+from .layout import (
+    MERGE_STAGING as STAGING,
+)
+from .layout import (
+    dir_bytes,
+    recover_partition_swaps,
+    target_file_count,
+)
 
-ASIDE, STAGING = ".merge_old_", ".merge_staging_"
+# Spark writes NULL and ''-valued partitions to this reserved dir name;
+# rows in it read back as NULL. merge_into refuses both on the source
+# side AND refuses a target already carrying one — supporting it needs
+# a table format's default-partition convention, and half-supporting it
+# silently loses rows (round-9 review: an '' insert vanished while the
+# report claimed success).
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
 def _part_dirs(root: str, partition_col: str) -> dict[str, str]:
@@ -80,22 +96,6 @@ def _part_dirs(root: str, partition_col: str) -> dict[str, str]:
         if os.path.isdir(os.path.join(root, entry)):
             out[urllib.parse.unquote(entry[len(prefix):])] = entry
     return out
-
-
-def _recover(root: str) -> None:
-    """Crash recovery sweep (same contract as layout.optimize_partitions):
-    an aside whose live dir vanished is the partition's only complete
-    copy — restore it; every other leftover hidden dir is dead weight."""
-    for entry in sorted(os.listdir(root)):
-        p = os.path.join(root, entry)
-        if entry.startswith(ASIDE) and os.path.isdir(p):
-            live = os.path.join(root, entry[len(ASIDE):])
-            if not os.path.exists(live):
-                os.rename(p, live)
-            else:
-                shutil.rmtree(p, ignore_errors=True)
-        elif entry.startswith(STAGING) and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
 
 
 def merge_into(
@@ -129,8 +129,14 @@ def merge_into(
     and why this function's own target read merges footers.
     """
     keys = list(keys)
-    _recover(root)
+    recover_partition_swaps(root)
     live = _part_dirs(root, partition_col)
+    if HIVE_DEFAULT_PARTITION in live:  # decoded value == the dir label
+        raise ValueError(
+            f"target at {root} carries a {HIVE_DEFAULT_PARTITION} dir "
+            "(null/empty partition values); merge_into does not support "
+            "the hive default partition — repartition those rows first"
+        )
     # mergeSchema: a previously evolved table carries files of mixed
     # width — the target schema is the union (a table format answers
     # this from its catalog instead of footers). Partition type
@@ -187,7 +193,15 @@ def merge_into(
         per_key = src.groupBy(*keys).agg(
             F.count("*").alias("__c"),
             F.max(delete_col).alias("__del"),
-            F.max(F.col(partition_col).isNull().cast("int")).alias("__np"),
+            # NULL *or* empty-string: both land in the hive default
+            # partition dir, whose name round-trips as a literal string
+            # and silently breaks the swap bookkeeping (round-9 review)
+            F.max(
+                (
+                    F.col(partition_col).isNull()
+                    | (F.col(partition_col) == "")
+                ).cast("int")
+            ).alias("__np"),
             F.first(partition_col).alias("__sp"),
         )
         tgt_keys = target.select(
@@ -227,7 +241,8 @@ def merge_into(
         if stats["null_parts"]:
             raise ValueError(
                 f"merge source has {stats['null_parts']} key(s) with a "
-                f"NULL {partition_col}; null partitions are not supported"
+                f"NULL or empty {partition_col}; the hive default "
+                "partition is not supported"
             )
         touched = sorted(
             set(stats["src_parts"]) | set(stats["tgt_parts"])
@@ -294,8 +309,11 @@ def merge_into(
         # the merge emptied (hidden-dir rename discipline throughout)
         staged = _part_dirs(staging, partition_col)
         deleted_parts = []
+        consumed = set()
         for v in touched:
             sdir = staged.get(v)
+            if sdir is not None:
+                consumed.add(sdir)
             # a brand-new partition takes its dir name from the staging
             # write — Spark's own escaping, never re-derived here
             ldir = live.get(v) or sdir
@@ -312,6 +330,18 @@ def merge_into(
                 os.rename(live_p, aside)
                 shutil.rmtree(aside, ignore_errors=True)
                 deleted_parts.append(v)
+        # fail loud BEFORE deleting staging if any staged dir was never
+        # consumed — removing it would silently discard merged rows (the
+        # round-9-review '' data-loss mode; any future spelling mismatch
+        # between touched values and staged dir names lands here too)
+        orphans = sorted(set(staged.values()) - consumed)
+        if orphans:
+            raise RuntimeError(
+                f"merge publish produced staged partition dir(s) {orphans} "
+                "with no matching touched value; refusing to discard "
+                "merged rows (staging left in place for inspection at "
+                f"{staging})"
+            )
         shutil.rmtree(staging, ignore_errors=True)
 
         return {

@@ -394,6 +394,8 @@ def run_heterogeneous_fanout(spark, stream_df, root: str, specs=None):
 
     if specs is None:
         specs = HETERO_SPECS
+    if not specs:
+        raise ValueError("heterogeneous fan-out needs at least one spec")
     mats = {
         t: IncrementalMaterializer(
             os.path.join(root, f"state_{t}"), spec["keys"], ["lsn"]
@@ -407,9 +409,13 @@ def run_heterogeneous_fanout(spark, stream_df, root: str, specs=None):
             # fail loud on unrouted envelopes: a table added upstream
             # before its spec lands would otherwise vanish silently —
             # the same convention parse_envelopes_rescued applies to
-            # unparseable payloads (r8 ADVICE)
+            # unparseable payloads (r8 ADVICE). NULL tbl must count as
+            # unrouted too: ~isin(NULL) is NULL, which filter() drops —
+            # the exact silent-vanish mode this guard exists to prevent
+            # (round-9 review)
             unrouted = batch_df.filter(
                 ~F.col("tbl").isin(*specs.keys())
+                | F.col("tbl").isNull()
             ).count()
             if unrouted:
                 raise RuntimeError(
@@ -1611,7 +1617,14 @@ def stream_merge_apply(spark, sf_dir):
     from ..streaming.pipeline import EVENTS_RAW
     from .fixture_cache import session_fixture
 
-    def build_feed(root: str) -> None:
+    def build(root: str) -> None:
+        # feed staging, the streamed two-batch merge run, AND its
+        # checkpoint all live inside ONE session-cached fixture root —
+        # a per-invocation mkdtemp here would re-accumulate a full
+        # partitioned state copy per call, the round-6 leak
+        # fixture_cache exists to prevent (round-9 review)
+        feed_root = os.path.join(root, "feed")
+        state_root = os.path.join(root, "state")
         ev = spark.read.schema(EVENTS_RAW).parquet(
             os.path.join(sf_dir, "events.parquet")
         )
@@ -1620,57 +1633,58 @@ def stream_merge_apply(spark, sf_dir):
         for i, part in enumerate(
             (ev.filter(F.col("ts") < t0), ev.filter(F.col("ts") >= t0))
         ):
-            p = os.path.join(root, f"{i:03d}")
+            p = os.path.join(feed_root, f"{i:03d}")
             part.coalesce(1).write.parquet(p)
             for f in os.listdir(p):
                 os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
 
-    feed_root = session_fixture("merge_feed", sf_dir, "t0jan15_v1", build_feed)
-    stream = (
-        spark.readStream.schema(EVENTS_RAW)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(feed_root)
-    )
-
-    state_root = tempfile.mkdtemp(prefix="stream_merge_state_")
-
-    def apply_batch(batch_df, batch_id):
-        chg = latest_by_key(
-            batch_df, ["user_id"], ["ts", "event_id"]
-        ).select(
-            "user_id",
-            "value",
-            "event_id",
-            (F.col("event_type") == "error").alias("is_delete"),
-            "event_type",
+        stream = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
         )
-        booted = any(
-            "=" in e for e in os.listdir(state_root)
-        ) if os.path.isdir(state_root) else False
-        if not booted:
-            chg.filter(~F.col("is_delete")).drop("is_delete").write.mode(
-                "overwrite"
-            ).partitionBy("event_type").parquet(state_root)
-        else:
-            merge_into(
-                spark,
-                state_root,
-                chg,
-                keys=["user_id"],
-                partition_col="event_type",
+
+        def apply_batch(batch_df, batch_id):
+            chg = latest_by_key(
+                batch_df, ["user_id"], ["ts", "event_id"]
+            ).select(
+                "user_id",
+                "value",
+                "event_id",
+                (F.col("event_type") == "error").alias("is_delete"),
+                "event_type",
             )
+            booted = any(
+                "=" in e for e in os.listdir(state_root)
+            ) if os.path.isdir(state_root) else False
+            if not booted:
+                chg.filter(~F.col("is_delete")).drop(
+                    "is_delete"
+                ).write.mode("overwrite").partitionBy(
+                    "event_type"
+                ).parquet(state_root)
+            else:
+                merge_into(
+                    spark,
+                    state_root,
+                    chg,
+                    keys=["user_id"],
+                    partition_col="event_type",
+                )
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_stream_merge_")
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_or_raise(q, 300, "stream_merge_apply")
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation", os.path.join(root, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_merge_apply")
 
-    served = spark.read.parquet(state_root)
+    root = session_fixture("stream_merge", sf_dir, "t0jan15_v1", build)
+    served = spark.read.parquet(os.path.join(root, "state"))
     return served.groupBy("event_type").agg(
         F.count("*").alias("n_users"),
         F.sum(

@@ -35,11 +35,16 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# (path, mtime_ns, size) -> inferred StructType; filled on first read of
-# each table file. The mtime/size key invalidates the entry when a table
-# file is regenerated in place (a stale explicit schema on a parquet read
-# silently returns nulls for renamed/retyped columns instead of failing).
-_SCHEMA_CACHE: dict[tuple[str, int, int], T.StructType] = {}
+# path -> (freshness state, inferred StructType); filled on first read
+# of each table file/dir. The freshness state (stat fields, or the full
+# file listing for directories) invalidates the entry when content is
+# regenerated in place (a stale explicit schema on a parquet read
+# silently returns nulls for renamed/retyped columns instead of
+# failing). Keyed per PATH with replace-on-change — keying on the state
+# itself would retain one dead entry (holding an entire directory
+# listing) per rewrite of a repeatedly-rebuilt fixture dir, unbounded
+# over a bench sweep (round-9 review).
+_SCHEMA_CACHE: dict[str, tuple[object, T.StructType]] = {}
 
 
 def clear_schema_cache() -> None:
@@ -47,16 +52,25 @@ def clear_schema_cache() -> None:
     _SCHEMA_CACHE.clear()
 
 
+def _cached_schema(path: str, state: object, infer):
+    hit = _SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == state:
+        return hit[1]
+    schema = infer()
+    _SCHEMA_CACHE[path] = (state, schema)
+    return schema
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _enable_nanos_as_long(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = schema
+    schema = _cached_schema(
+        path,
+        (st.st_mtime_ns, st.st_size),
+        lambda: spark.read.parquet(path).schema,
+    )
     df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = _normalize_events_ts(df)
@@ -100,16 +114,15 @@ def read_dir(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
                 fst = os.stat(os.path.join(dirpath, fn))
                 entries.append((os.path.relpath(dirpath, path), fn,
                                 fst.st_mtime_ns, fst.st_size))
-        # the exact entry tuple IS the key component — folding it through
-        # hash() would admit a 64-bit collision serving a stale schema
-        # after an in-place rewrite, for zero savings (r8 ADVICE)
-        key = (path, tuple(entries), st.st_size)
+        # the exact entry tuple IS the freshness state — folding it
+        # through hash() would admit a 64-bit collision serving a stale
+        # schema after an in-place rewrite, for zero savings (r8 ADVICE)
+        state: object = (tuple(entries), st.st_size)
     else:
-        key = (path, st.st_mtime_ns, st.st_size)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
-        schema = getattr(spark.read, fmt)(path).schema
-        _SCHEMA_CACHE[key] = schema
+        state = (st.st_mtime_ns, st.st_size)
+    schema = _cached_schema(
+        path, state, lambda: getattr(spark.read, fmt)(path).schema
+    )
     return getattr(spark.read.schema(schema), fmt)(path)
 
 

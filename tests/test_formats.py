@@ -72,10 +72,12 @@ def test_xml_round_trip(spark, sf_dir):
 
 def test_read_dir_schema_cache_exact_freshness(spark, sf_dir):
     """read_dir's schema cache must serve the NEW schema after an
-    in-place rewrite, and its key is the exact file-listing tuple —
-    not a folded hash that could collide (r8 ADVICE). Pins: (a) cache
-    hit on an unchanged dir (same key object reused), (b) a rewrite
-    that changes the schema is seen immediately."""
+    in-place rewrite, its freshness state is the exact file-listing
+    tuple — not a folded hash that could collide (r8 ADVICE) — and it
+    is keyed per PATH with replace-on-change, so rewriting the same dir
+    repeatedly never grows the cache (r9 review). Pins: (a) cache hit
+    on an unchanged dir, (b) a rewrite that changes the schema is seen
+    immediately, (c) one entry per path regardless of rewrites."""
     import os
     import tempfile
 
@@ -89,17 +91,18 @@ def test_read_dir_schema_cache_exact_freshness(spark, sf_dir):
     assert len(tmod._SCHEMA_CACHE) == before + 1
     tmod.read_dir(spark, out)  # unchanged dir → cache hit, no new entry
     assert len(tmod._SCHEMA_CACHE) == before + 1
-    # the key embeds the exact (relpath, name, mtime_ns, size) entries
-    new_keys = [k for k in tmod._SCHEMA_CACHE if k[0] == out]
-    assert any(
-        isinstance(k[1], tuple)
-        and all(len(e) == 4 and isinstance(e[3], int) for e in k[1])
-        for k in new_keys
-    )
+    # the freshness state embeds the exact (relpath, name, mtime_ns,
+    # size) entries
+    state, _schema = tmod._SCHEMA_CACHE[out]
+    listing = state[0]
+    assert isinstance(listing, tuple) and len(listing) > 0
+    assert all(len(e) == 4 and isinstance(e[3], int) for e in listing)
 
-    # in-place rewrite with a WIDER schema → read_dir must see it
+    # in-place rewrite with a WIDER schema → read_dir must see it, and
+    # the old entry is REPLACED, not retained
     _events(spark, sf_dir).limit(10).withColumn(
         "extra", F.lit(1)
     ).write.mode("overwrite").parquet(out)
     s2 = tmod.read_dir(spark, out).schema
     assert "extra" in s2.fieldNames() and "extra" not in s1.fieldNames()
+    assert len(tmod._SCHEMA_CACHE) == before + 1

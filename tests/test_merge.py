@@ -172,7 +172,7 @@ def test_merge_rejects_duplicate_keys_and_null_partitions(spark):
             _chg(spark, [(0, 1.0, "a", False), (0, 2.0, "a", False)]),
             keys=["k"], partition_col="p",
         )
-    with pytest.raises(ValueError, match="NULL p"):
+    with pytest.raises(ValueError, match="NULL or empty"):
         merge_into(
             spark, root, _chg(spark, [(0, 1.0, None, False)]),
             keys=["k"], partition_col="p",
@@ -313,4 +313,57 @@ def test_merge_schema_evolution_widens_only_with_opt_in(spark):
     after = spark.read.option("mergeSchema", "true").parquet(root)
     got = {(r["k"], r["tier"]) for r in after.filter("p = 'b'").collect()}
     assert (1, "silver") in got
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_rejects_hive_default_partition_both_sides(spark):
+    """Round-9 review: ''-valued partition values land in
+    __HIVE_DEFAULT_PARTITION__, whose dir name does not round-trip to
+    the value — a naive merge would stage the row and then silently
+    discard it (verified data loss). Both sides fail loud: a changeset
+    carrying ''/NULL partition values, and a target already holding a
+    hive default partition dir."""
+    root = tempfile.mkdtemp(prefix="merge_t9_")
+    _mk_table(spark, root, _base_rows())
+    snapshot = _state(spark, root)
+    with pytest.raises(ValueError, match="NULL or empty"):
+        merge_into(
+            spark, root, _chg(spark, [(900, 1.0, "", False)]),
+            keys=["k"], partition_col="p",
+        )
+    assert _state(spark, root) == snapshot
+
+    # target side: a pre-existing default-partition dir is refused
+    # outright (its rows read back as NULL, so drift tracking for keys
+    # living there would be blind)
+    spark.createDataFrame([(777, 7.0, None)], "k bigint, v double, p string") \
+        .write.mode("append").partitionBy("p").parquet(root)
+    assert os.path.isdir(os.path.join(root, "p=__HIVE_DEFAULT_PARTITION__"))
+    with pytest.raises(ValueError, match="default partition"):
+        merge_into(
+            spark, root, _chg(spark, [(0, 1.0, "a", False)]),
+            keys=["k"], partition_col="p",
+        )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_recovers_other_operators_asides(spark):
+    """The recovery sweep covers EVERY swap-operator's prefix family
+    (round-9 review): a crashed optimize_partitions aside (.opt_old_)
+    must be restored by merge_into's entry sweep — otherwise merge
+    reads a table minus that partition, re-inserts its keys elsewhere,
+    and a later optimize restore duplicates them."""
+    root = tempfile.mkdtemp(prefix="merge_t10_")
+    _mk_table(spark, root, _base_rows())
+    st0 = _state(spark, root)
+    os.rename(
+        os.path.join(root, "p=c"), os.path.join(root, ".opt_old_p=c")
+    )
+    rep = merge_into(
+        spark, root, _chg(spark, [(0, 42.0, "a", False)]),
+        keys=["k"], partition_col="p",
+    )
+    assert rep["touched"] == ["a"]
+    st = _state(spark, root)
+    assert {t for t in st if t[2] == "c"} == {t for t in st0 if t[2] == "c"}
     shutil.rmtree(root, ignore_errors=True)

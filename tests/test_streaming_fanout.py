@@ -167,6 +167,29 @@ def test_hetero_fanout_rejects_unrouted_table(spark, sf_dir):
         run_heterogeneous_fanout(spark, env, root)
 
 
+def test_hetero_fanout_rejects_null_table(spark, sf_dir):
+    """NULL tbl must count as unrouted too: ~isin(NULL) is NULL, which
+    a plain filter silently drops — the round-9-review hole in the r8
+    fail-loud guard. A malformed feed where the table field is missing
+    must fail the stream, not vanish."""
+    import pytest
+
+    from pulsar_cdc_experiment_spark.queries.streaming_q import (
+        hetero_envelope_stream,
+        run_heterogeneous_fanout,
+    )
+
+    stream, _ = _two_file_stream(spark, sf_dir)
+    env = hetero_envelope_stream(stream).withColumn(
+        "tbl",
+        F.when(F.col("lsn") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("tbl")),
+    )
+    root = tempfile.mkdtemp(prefix="hetero_nulltbl_")
+    with pytest.raises(Exception, match="no spec"):
+        run_heterogeneous_fanout(spark, env, root)
+
+
 def test_hetero_fanout_schema_evolution(spark, sf_dir):
     """Per-table typed parsing PINS the schema; the realistic evolution
     path is a parser redeploy with a v2 spec over the SAME state root.

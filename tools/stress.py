@@ -399,7 +399,12 @@ def main() -> None:
 
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
-    run("merge_scoped_1of16", int(40e6 * s), merge_scoped)
+    # NOT through run(): its wall spans build + 2x scoped + 2x full
+    # rewrite, so a rows_per_sec over it measures nothing — the leg
+    # emits its own merge_full_rewrite record with the meaningful
+    # scoped/full split (round-9 review)
+    if args.only is None or "merge_scoped_1of16" in args.only:
+        merge_scoped(int(40e6 * s))
     run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
     run("chain_pointer_double_d64", int(2e6 * s), chain_pointer_double)
     run("interval_join_binned", int(20e6 * s), interval_join)
