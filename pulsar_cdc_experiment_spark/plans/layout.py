@@ -43,14 +43,21 @@ def recover_partition_swaps(root: str) -> None:
     """Crash-recovery sweep for the staged-swap rename discipline: an
     aside whose live dir vanished (crash between the two renames) is
     that partition's only complete copy — restore it; every other
-    leftover aside/staging is dead weight. Sweeps every operator's
-    prefix family (SWAP_PREFIXES)."""
+    leftover aside/staging is dead weight (including the tombstone
+    renames of intentionally-deleted partitions, which use a
+    STAGING-prefixed name precisely so this sweep DISCARDS them instead
+    of resurrecting rows a merge meant to remove — round-9 advice).
+    Sweeps every operator's prefix family (SWAP_PREFIXES) and recurses
+    into nested partition levels (``a=x/.merge_old_b=y`` for composite
+    partition keys); hidden dirs like ``.merge_history`` are never
+    descended into."""
     import shutil
 
     for entry in sorted(os.listdir(root)):
         p = os.path.join(root, entry)
         if not os.path.isdir(p):
             continue
+        handled = False
         for aside, staging in SWAP_PREFIXES:
             if entry.startswith(aside):
                 live = os.path.join(root, entry[len(aside):])
@@ -58,8 +65,68 @@ def recover_partition_swaps(root: str) -> None:
                     os.rename(p, live)
                 else:
                     shutil.rmtree(p, ignore_errors=True)
+                handled = True
+                break
             elif entry.startswith(staging):
                 shutil.rmtree(p, ignore_errors=True)
+                handled = True
+                break
+        if not handled and "=" in entry and not entry.startswith("."):
+            recover_partition_swaps(p)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+class maintenance_lock:
+    """Single-writer guard for in-place table maintenance (MERGE,
+    partition-scoped OPTIMIZE, rollback/vacuum): all of them sweep each
+    other's staging/aside dirs at entry, so two concurrent maintainers
+    on the same table root would destroy each other's in-flight state
+    (round-9 advice — the contract was implicit and unguarded). A lock
+    FILE at the table root (atomic O_EXCL create, holder pid inside)
+    makes the second operator fail LOUD instead; a lock whose pid is
+    dead (crashed holder) is stolen. This is the local stand-in for a
+    table format's commit/transaction protocol — at 100 TB Delta/
+    Iceberg's optimistic-concurrency commit does this job."""
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, ".maintenance_lock")
+
+    def __enter__(self):
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(self.path) as f:
+                    pid = int(f.read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid and _pid_alive(pid):
+                raise RuntimeError(
+                    f"table maintenance lock at {self.path} is held by "
+                    f"live pid {pid}; concurrent maintenance on one table "
+                    "root is not supported (single-writer contract)"
+                ) from None
+            os.unlink(self.path)  # stale lock from a crashed holder
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 def dir_bytes(path: str) -> int:
@@ -286,36 +353,39 @@ def optimize_partitions(
     def data_files(path: str) -> list[str]:
         return sorted(glob.glob(os.path.join(path, "part-*")))
 
-    recover_partition_swaps(root)
+    with maintenance_lock(root):
+        recover_partition_swaps(root)
 
-    report: dict[str, dict] = {}
-    for entry in sorted(os.listdir(root)):
-        pdir = os.path.join(root, entry)
-        if entry.startswith(".") or not (os.path.isdir(pdir) and "=" in entry):
-            continue
-        before = len(data_files(pdir))
-        if before > frag_threshold_files:
-            staged = os.path.join(root, STAGING + entry)
-            n = target_file_count(dir_bytes(pdir), target_mb)
-            # reading the partition dir directly yields data columns only
-            # (the partition value lives in the dir name) — the rewrite
-            # preserves exactly the on-disk column set
-            spark.read.parquet(pdir).repartition(n).write.mode(
-                "overwrite"
-            ).parquet(staged)
-            aside = os.path.join(root, ASIDE + entry)
-            os.rename(pdir, aside)
-            os.rename(staged, pdir)
-            shutil.rmtree(aside)
-            report[entry] = {
-                "files_before": before,
-                "files_after": len(data_files(pdir)),
-                "rewritten": True,
-            }
-        else:
-            report[entry] = {
-                "files_before": before,
-                "files_after": before,
-                "rewritten": False,
-            }
-    return report
+        report: dict[str, dict] = {}
+        for entry in sorted(os.listdir(root)):
+            pdir = os.path.join(root, entry)
+            if entry.startswith(".") or not (
+                os.path.isdir(pdir) and "=" in entry
+            ):
+                continue
+            before = len(data_files(pdir))
+            if before > frag_threshold_files:
+                staged = os.path.join(root, STAGING + entry)
+                n = target_file_count(dir_bytes(pdir), target_mb)
+                # reading the partition dir directly yields data columns
+                # only (the partition value lives in the dir name) — the
+                # rewrite preserves exactly the on-disk column set
+                spark.read.parquet(pdir).repartition(n).write.mode(
+                    "overwrite"
+                ).parquet(staged)
+                aside = os.path.join(root, ASIDE + entry)
+                os.rename(pdir, aside)
+                os.rename(staged, pdir)
+                shutil.rmtree(aside)
+                report[entry] = {
+                    "files_before": before,
+                    "files_after": len(data_files(pdir)),
+                    "rewritten": True,
+                }
+            else:
+                report[entry] = {
+                    "files_before": before,
+                    "files_after": before,
+                    "rewritten": False,
+                }
+        return report
