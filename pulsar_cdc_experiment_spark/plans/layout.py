@@ -101,31 +101,58 @@ class maintenance_lock:
         self.path = os.path.join(root, ".maintenance_lock")
 
     def __enter__(self):
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        # bounded retries: each loop either creates the lock (O_EXCL,
+        # atomic), fails loud on a LIVE holder, or steals a stale lock.
+        # The steal is rename-based so it is single-winner: two waiters
+        # that both read a dead pid race on os.rename of the SAME stale
+        # file — exactly one succeeds, the other gets FileNotFoundError
+        # and retries the O_EXCL create (round-10 review: the previous
+        # unlink-then-recreate steal let the second unlink delete the
+        # first waiter's fresh lock, silently double-granting).
+        for attempt in range(4):
             try:
-                with open(self.path) as f:
-                    pid = int(f.read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0
-            if pid and _pid_alive(pid):
-                raise RuntimeError(
-                    f"table maintenance lock at {self.path} is held by "
-                    f"live pid {pid}; concurrent maintenance on one table "
-                    "root is not supported (single-writer contract)"
-                ) from None
-            os.unlink(self.path)  # stale lock from a crashed holder
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-        return self
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                if pid and _pid_alive(pid):
+                    raise RuntimeError(
+                        f"table maintenance lock at {self.path} is held by "
+                        f"live pid {pid}; concurrent maintenance on one "
+                        "table root is not supported (single-writer "
+                        "contract)"
+                    ) from None
+                grave = f"{self.path}.stale.{os.getpid()}.{attempt}"
+                try:
+                    os.rename(self.path, grave)  # atomic single-winner
+                    os.unlink(grave)
+                except FileNotFoundError:
+                    pass  # another waiter won the steal; retry create
+                continue
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return self
+        raise RuntimeError(
+            f"could not acquire maintenance lock at {self.path} after "
+            f"{attempt + 1} stale-lock steal attempts (live contention)"
+        )
 
     def __exit__(self, *exc):
+        # release only a lock THIS process holds: after a stale-lock
+        # steal elsewhere, self.path may be another waiter's fresh lock
         try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+            with open(self.path) as f:
+                own = f.read().strip() == str(os.getpid())
+        except OSError:
+            own = False
+        if own:
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
         return False
 
 

@@ -69,6 +69,7 @@ from .layout import (
 )
 from .layout import (
     dir_bytes,
+    maintenance_lock,
     recover_partition_swaps,
     target_file_count,
 )
@@ -127,7 +128,38 @@ def merge_into(
     of the whole table must merge footers (``mergeSchema``) or use a
     catalog schema — the same contract as any evolving parquet layout,
     and why this function's own target read merges footers.
+
+    Single-writer: the whole mutation (recovery sweep through publish)
+    runs under :class:`plans.layout.maintenance_lock`, so a MERGE
+    concurrent with another MERGE or a partition-scoped OPTIMIZE on the
+    same root fails LOUD instead of sweeping the other's in-flight
+    staging/aside dirs (round-10 review: the lock existed but merge
+    never took it).
     """
+    with maintenance_lock(root):
+        return _merge_into_unlocked(
+            spark,
+            root,
+            source,
+            keys=keys,
+            partition_col=partition_col,
+            delete_col=delete_col,
+            target_mb=target_mb,
+            evolve_schema=evolve_schema,
+        )
+
+
+def _merge_into_unlocked(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    *,
+    keys: Sequence[str],
+    partition_col: str,
+    delete_col: str,
+    target_mb: int,
+    evolve_schema: bool,
+) -> dict:
     keys = list(keys)
     recover_partition_swaps(root)
     live = _part_dirs(root, partition_col)
@@ -327,8 +359,17 @@ def merge_into(
                 os.rename(os.path.join(staging, sdir), live_p)
                 shutil.rmtree(aside, ignore_errors=True)
             elif v in live:
-                os.rename(live_p, aside)
-                shutil.rmtree(aside, ignore_errors=True)
+                # intentional delete: tombstone with the STAGING prefix,
+                # which recover_partition_swaps unconditionally DISCARDS.
+                # An ASIDE rename here would make a crash between the
+                # rename and the rmtree resurrect every deleted row on
+                # the next recovery sweep (round-10 review: the
+                # layout.py docstring claimed this fix before it
+                # existed; test_merge_crash_window_keeps_partition_deleted
+                # now pins it).
+                tomb = os.path.join(root, STAGING + "deleted_" + ldir)
+                os.rename(live_p, tomb)
+                shutil.rmtree(tomb, ignore_errors=True)
                 deleted_parts.append(v)
         # fail loud BEFORE deleting staging if any staged dir was never
         # consumed — removing it would silently discard merged rows (the

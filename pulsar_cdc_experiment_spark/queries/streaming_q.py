@@ -1577,6 +1577,20 @@ def stream_auto_maintenance(spark, sf_dir):
     )
 
 
+def _bootstrap_complete(state_root: str) -> bool:
+    """True iff the serving table's bootstrap write COMPLETED: Spark
+    writes ``_SUCCESS`` only after every task of the job commits, so a
+    micro-batch-0 RETRY over a partially-written bootstrap (partition
+    dirs present, job crashed mid-write) re-runs the overwrite instead
+    of MERGE-ing into partial state (round-10 advice: the old
+    ``any('=' in dir)`` probe flipped to merge-mode on the first
+    partition dir, serving silently wrong state until the oracle
+    caught it). Test-pinned in tests/test_streaming.py."""
+    import os
+
+    return os.path.exists(os.path.join(state_root, "_SUCCESS"))
+
+
 @register(
     "stream_merge_apply",
     oracle="""
@@ -1655,10 +1669,7 @@ def stream_merge_apply(spark, sf_dir):
                 (F.col("event_type") == "error").alias("is_delete"),
                 "event_type",
             )
-            booted = any(
-                "=" in e for e in os.listdir(state_root)
-            ) if os.path.isdir(state_root) else False
-            if not booted:
+            if not _bootstrap_complete(state_root):
                 chg.filter(~F.col("is_delete")).drop(
                     "is_delete"
                 ).write.mode("overwrite").partitionBy(

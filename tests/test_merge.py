@@ -162,6 +162,71 @@ def test_merge_crash_recovery_restores_lost_partition(spark):
     assert (0, 42.0, "a") in st
 
 
+def test_merge_crash_window_keeps_partition_deleted(spark):
+    """Delete path of the crash-recovery discipline (round-10 advice #1):
+    an intentionally-emptied partition is tombstoned with the STAGING
+    prefix, so a crash between the tombstone rename and the rmtree must
+    leave the partition DELETED after recovery — the old ASIDE rename
+    made recovery resurrect every deleted row."""
+    root = tempfile.mkdtemp(prefix="merge_t11_")
+    _mk_table(
+        spark, root, [(1, 1.0, "solo"), (2, 2.0, "rest"), (3, 3.0, "rest")]
+    )
+    # run the real delete so the code path itself is exercised once
+    merge_into(
+        spark, root, _chg(spark, [(1, 0.0, "solo", True)]),
+        keys=["k"], partition_col="p",
+    )
+    assert _state(spark, root) == {(2, 2.0, "rest"), (3, 3.0, "rest")}
+    # now simulate the crash window: rebuild, rename the live dir to the
+    # tombstone name exactly as the publish does, but "crash" before the
+    # rmtree — the next merge's recovery sweep must DISCARD it
+    shutil.rmtree(root)
+    _mk_table(
+        spark, root, [(1, 1.0, "solo"), (2, 2.0, "rest"), (3, 3.0, "rest")]
+    )
+    from pulsar_cdc_experiment_spark.plans.merge import STAGING
+
+    os.rename(
+        os.path.join(root, "p=solo"),
+        os.path.join(root, STAGING + "deleted_p=solo"),
+    )
+    rep = merge_into(
+        spark, root, _chg(spark, [(2, 22.0, "rest", False)]),
+        keys=["k"], partition_col="p",
+    )
+    assert rep["touched"] == ["rest"]
+    assert not os.path.exists(os.path.join(root, "p=solo"))
+    assert _state(spark, root) == {(2, 22.0, "rest"), (3, 3.0, "rest")}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_fails_loud_under_concurrent_maintenance(spark):
+    """merge_into runs under maintenance_lock (round-10 advice #2): with
+    another maintainer holding the table root's lock, the merge must
+    refuse — and must leave the table untouched."""
+    root = tempfile.mkdtemp(prefix="merge_t12_")
+    _mk_table(spark, root, _base_rows())
+    snapshot = _state(spark, root)
+    lock_path = os.path.join(root, ".maintenance_lock")
+    with open(lock_path, "w") as f:
+        f.write(str(os.getpid()))  # a live "other" holder
+    with pytest.raises(RuntimeError, match="held by live pid"):
+        merge_into(
+            spark, root, _chg(spark, [(0, 1.0, "a", False)]),
+            keys=["k"], partition_col="p",
+        )
+    os.unlink(lock_path)
+    assert _state(spark, root) == snapshot
+    # lock is released after a successful merge
+    merge_into(
+        spark, root, _chg(spark, [(0, 1.0, "a", False)]),
+        keys=["k"], partition_col="p",
+    )
+    assert not os.path.exists(lock_path)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_merge_rejects_duplicate_keys_and_null_partitions(spark):
     root = tempfile.mkdtemp(prefix="merge_t7_")
     _mk_table(spark, root, _base_rows())

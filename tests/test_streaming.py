@@ -1236,3 +1236,43 @@ def test_outer_join_unmatched_tail_needs_watermark_flush(spark, sf_dir):
         output_mode="append",
     )
     assert 3 not in {r["eid"] for r in stuck.collect()}
+
+
+def test_bootstrap_probe_retries_over_partial_state(spark):
+    """Micro-batch-0 retry discipline for foreachBatch+MERGE serving
+    (round-10 advice #3): bootedness is gated on _SUCCESS, so a retry
+    over a PARTIALLY-written bootstrap (partition dirs present, no
+    _SUCCESS) re-runs the overwrite — it must never MERGE into partial
+    state, and the partial rows must not survive."""
+    import shutil
+
+    from pulsar_cdc_experiment_spark.queries.streaming_q import (
+        _bootstrap_complete,
+    )
+
+    state_root = tempfile.mkdtemp(prefix="boot_probe_")
+    shutil.rmtree(state_root)
+    # crash artifact: one partition dir written, job never committed
+    os.makedirs(os.path.join(state_root, "event_type=click"))
+    spark.createDataFrame(
+        [(1, 1.0)], "user_id bigint, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_root, "event_type=click")
+    )
+    assert not _bootstrap_complete(state_root)  # old probe said True
+
+    # the retry path: full overwrite, exactly as apply_batch batch 0
+    full = spark.createDataFrame(
+        [(7, 9.0, "view"), (8, 4.0, "purchase")],
+        "user_id bigint, value double, event_type string",
+    )
+    full.write.mode("overwrite").partitionBy("event_type").parquet(
+        state_root
+    )
+    assert _bootstrap_complete(state_root)
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(state_root).collect()
+    }
+    assert got == {(7, "view"), (8, "purchase")}  # partial rows gone
+    shutil.rmtree(state_root, ignore_errors=True)
