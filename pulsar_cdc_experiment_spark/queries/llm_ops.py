@@ -1626,9 +1626,13 @@ def corpus_dedup_segments(spark, sf_dir):
     document from its surviving segments in order. Removes boilerplate
     repeated ACROSS documents — the redundancy document-level near-dup
     cannot touch — while exact-duplicate tails collapse to their first
-    holder. Shape: explode to segments (map-side), ONE shuffle on the
-    segment string for the first-occurrence window (at 100 TB, window
-    on xxhash64(seg) digests so the shuffle carries 8-byte keys), one
+    holder. Shape: explode to segments (map-side), ONE shuffle keyed on
+    the 8-byte xxhash64(seg) digest for the first-occurrence window
+    (never the raw segment string — at 100 TB the Exchange's hash and
+    sort comparisons run on fixed-width longs; the (digest, seg) window
+    partition neutralizes digest collisions exactly, and because the
+    repartition keys are a subset of the window keys Catalyst inserts
+    no second exchange — plan-pinned in tests/test_scale_plans.py), one
     shuffle back on doc_id to rebuild; no UDFs, all expressions.
     Documents whose every segment lost the race survive with
     clean_text='' (left join back to the corpus) — a downstream length
@@ -1649,10 +1653,15 @@ def corpus_dedup_segments(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    first = F.row_number().over(
-        Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    segs = segs.withColumn("__d", F.xxhash64("seg")).repartition(
+        F.col("__d")
     )
-    kept = segs.withColumn("rn", first).filter(F.col("rn") == 1)
+    first = F.row_number().over(
+        Window.partitionBy("__d", "seg").orderBy("doc_id", "seg_idx")
+    )
+    kept = (
+        segs.withColumn("rn", first).filter(F.col("rn") == 1).drop("__d")
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(

@@ -1219,3 +1219,31 @@ def test_zorder_layout_guards_and_null_placement(spark):
     back = spark.read.parquet(out)
     assert back.count() == 1024
     assert back.filter(F.col("y").isNull()).count() == 1024 // 64
+
+
+def test_segment_dedup_shuffle_keyed_on_digest(spark, sf_dir):
+    """corpus_dedup_segments' first-occurrence Exchange carries 8-byte
+    xxhash64 digests, never the raw 5-word segment string (round-9/10
+    advice): the repartition key is the digest alone, and because that
+    is a subset of the window's (digest, seg) partition keys Catalyst
+    inserts no second exchange before the window sort."""
+    import re
+
+    from pulsar_cdc_experiment_spark.queries.llm_ops import (
+        corpus_dedup_segments,
+    )
+
+    df = corpus_dedup_segments(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert parts, "expected hashpartitioning exchanges in the plan"
+    # the digest exchange exists (the materialized __d long, #NNL);
+    # NO exchange is keyed on the raw seg string
+    assert any(p.startswith("__d#") and "L" in p for p in parts), parts
+    assert not any(re.match(r"seg#", p) for p in parts), parts
+    # window runs directly on the repartitioned stream: the digest
+    # exchange appears exactly once (no duplicate exchange for the
+    # window's own (digest, seg) distribution requirement)
+    assert sum(p.startswith("__d#") for p in parts) == 1, parts
