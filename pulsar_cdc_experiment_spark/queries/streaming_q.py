@@ -726,6 +726,77 @@ def stream_stream_left_outer(spark, sf_dir):
     return out.filter(F.col("user_id") >= 0)
 
 
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_event, s.event_id AS signup_event,
+           COALESCE(p.user_id, s.user_id) AS user_id,
+           floor((p.value) * 100 + 0.5) / 100 AS purchase_value
+    FROM (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+    """,
+)
+def stream_stream_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER join (C35 complete): unmatched rows from
+    BOTH sides are emitted null-padded — purchases with no signup in the
+    preceding 7 days AND signups that never converted. Each direction
+    only emits when the watermark passes that row's eviction time, so
+    the feed carries a far-future flush sentinel PER SIDE
+    (_events_feed_with_flush_sentinels — the global watermark is the MIN
+    across inputs, so one side's sentinel alone would leave the other's
+    tail stuck). The batch FULL JOIN oracle value-checks all three row
+    classes: matched, left-unmatched (null signup_event), and
+    right-unmatched (null purchase_event AND null purchase_value). The
+    sentinel filter runs on the MATERIALIZED result over the COALESCED
+    key — inside the streaming plan Catalyst would push it below the
+    watermark node and strand both tails (trap pinned for both sides in
+    tests/test_streaming.py)."""
+    feed = _events_feed_with_flush_sentinels(spark, sf_dir)
+    purchases = (
+        with_event_time(
+            feed.filter(F.col("event_type") == "purchase"), "ts", "p_ts"
+        )
+        .select(
+            "user_id",
+            "p_ts",
+            F.col("event_id").alias("purchase_event"),
+            "value",
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        with_event_time(
+            feed.filter(F.col("event_type") == "signup"), "ts", "s_ts"
+        )
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            "s_ts",
+            F.col("event_id").alias("signup_event"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+        "full_outer",
+    ).select(
+        "purchase_event",
+        "signup_event",
+        F.coalesce("user_id", "s_user_id").alias("user_id"),
+        rn(F.col("value"), 2).alias("purchase_value"),
+    )
+    out = run_to_memory(
+        joined, "stream_stream_full_outer", output_mode="append"
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
 def _stream_dedup_oracle(threshold=0.15, num_hashes=16, bands=4) -> str:
     """DuckDB mirror of stream_dedup_against_corpus: identical portable
     MinHash pipeline, candidates restricted to (new x corpus) pairs."""

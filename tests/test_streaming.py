@@ -1276,3 +1276,111 @@ def test_bootstrap_probe_retries_over_partial_state(spark):
     }
     assert got == {(7, "view"), (8, "purchase")}  # partial rows gone
     shutil.rmtree(state_root, ignore_errors=True)
+
+
+def test_full_outer_join_flushes_both_unmatched_tails(spark, sf_dir):
+    """stream_stream_full_outer's right side: an unmatched SIGNUP at the
+    stream's end only emits once the watermark passes its eviction time
+    — with flush sentinels on BOTH sides both tails drain; with only
+    the left-side sentinel the right tail stays stuck (the global
+    watermark is the min across inputs, but eviction of right-side
+    state needs the watermark past the signup's own window)."""
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    load_all_query_modules()
+    out = QUERIES["stream_stream_full_outer"](spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    batch = p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 7 DAYS")),
+        "full_outer",
+    )
+    assert out.count() == batch.count()
+    # both null-padded directions present and equal to the batch join
+    n_left = out.filter(F.col("signup_event").isNull()).count()
+    n_right = out.filter(F.col("purchase_event").isNull()).count()
+    assert n_left == batch.filter(F.col("s.user_id").isNull()).count() > 0
+    assert n_right == batch.filter(F.col("p.user_id").isNull()).count() > 0
+
+    # deterministic mini-feed: unmatched signup at the end; flush row on
+    # the purchase side ONLY → right tail stuck; flush on both → drains
+    def outer_plan(feed):
+        purchases = (
+            feed.filter(F.col("kind") == "p")
+            .select("uid", F.col("ts").alias("p_ts"), "eid")
+            .withWatermark("p_ts", "10 minutes")
+        )
+        signups = (
+            feed.filter(F.col("kind") == "s")
+            .select(
+                F.col("uid").alias("s_uid"),
+                F.col("ts").alias("s_ts"),
+                F.col("s_eid"),
+            )
+            .withWatermark("s_ts", "10 minutes")
+        )
+        return purchases.join(
+            signups,
+            (F.col("uid") == F.col("s_uid"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        )
+
+    mini = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("s_eid", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    rows = [
+        {"eid": 1, "s_eid": None, "ts": "2024-01-01T10:30:00", "uid": 1,
+         "kind": "p"},
+        {"eid": None, "s_eid": 11, "ts": "2024-01-01T10:00:00", "uid": 1,
+         "kind": "s"},
+        # unmatched signup at the very end of the stream:
+        {"eid": None, "s_eid": 12, "ts": "2024-01-01T11:00:00", "uid": 2,
+         "kind": "s"},
+    ]
+    flush_p = {"eid": 9, "s_eid": None, "ts": "2024-01-02T00:00:00",
+               "uid": -1, "kind": "p"}
+    flush_s = {"eid": None, "s_eid": 10, "ts": "2024-01-02T00:00:00",
+               "uid": -1, "kind": "s"}
+
+    one_side = run_to_memory(
+        outer_plan(_staged_stream(spark, [rows + [flush_p]], mini)),
+        "ss_fo_one_side",
+        output_mode="append",
+    )
+    both = run_to_memory(
+        outer_plan(_staged_stream(spark, [rows + [flush_p, flush_s]], mini)),
+        "ss_fo_both",
+        output_mode="append",
+    )
+    both_seids = {
+        r["s_eid"]
+        for r in both.filter(
+            F.coalesce("uid", "s_uid") >= 0
+        ).collect()
+        if r["s_eid"] is not None
+    }
+    assert both_seids == {11, 12}  # matched + right-unmatched both out
+    one_seids = {
+        r["s_eid"]
+        for r in one_side.filter(
+            F.coalesce("uid", "s_uid") >= 0
+        ).collect()
+        if r["s_eid"] is not None
+    }
+    assert 12 not in one_seids  # right tail stuck without its sentinel
