@@ -83,19 +83,36 @@ from .layout import (
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
-def _part_dirs(root: str, partition_col: str) -> dict[str, str]:
-    """Map decoded partition VALUE -> directory name for every live
-    partition dir. Spark percent-escapes special chars in partition dir
-    names (ExternalCatalogUtils.escapePathName); decoding the written
-    names is exact, whereas re-implementing the escape table would be a
-    second source of truth."""
-    out: dict[str, str] = {}
-    prefix = f"{partition_col}="
-    for entry in sorted(os.listdir(root)):
-        if entry.startswith(".") or not entry.startswith(prefix):
-            continue
-        if os.path.isdir(os.path.join(root, entry)):
-            out[urllib.parse.unquote(entry[len(prefix):])] = entry
+def _part_dirs(
+    root: str, partition_cols: str | Sequence[str]
+) -> dict[tuple, str]:
+    """Map decoded partition VALUE TUPLE -> relative leaf dir path for
+    every live (leaf) partition dir, one tuple slot per partition level
+    (``('1-URGENT', 'O') -> 'o_orderpriority=1-URGENT/o_orderstatus=O'``).
+    Spark percent-escapes special chars in partition dir names
+    (ExternalCatalogUtils.escapePathName); decoding the written names is
+    exact, whereas re-implementing the escape table would be a second
+    source of truth."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(
+        partition_cols
+    )
+    out: dict[tuple, str] = {}
+
+    def walk(d: str, level: int, vals: tuple, rel: str) -> None:
+        prefix = f"{cols[level]}="
+        for entry in sorted(os.listdir(d)):
+            if entry.startswith(".") or not entry.startswith(prefix):
+                continue
+            if not os.path.isdir(os.path.join(d, entry)):
+                continue
+            v = urllib.parse.unquote(entry[len(prefix):])
+            nrel = os.path.join(rel, entry) if rel else entry
+            if level + 1 == len(cols):
+                out[(*vals, v)] = nrel
+            else:
+                walk(os.path.join(d, entry), level + 1, (*vals, v), nrel)
+
+    walk(root, 0, (), "")
     return out
 
 
@@ -105,7 +122,7 @@ def merge_into(
     source: DataFrame,
     *,
     keys: Sequence[str],
-    partition_col: str,
+    partition_col: str | Sequence[str],
     delete_col: str = "is_delete",
     target_mb: int = 256,
     evolve_schema: bool = False,
@@ -118,8 +135,15 @@ def merge_into(
          "n_updated": int, "n_deleted": int, "n_inserted": int,
          "n_noop_deletes": int}
 
-    ``source`` must carry every target data column plus ``partition_col``
-    plus boolean ``delete_col``. Columns are matched by NAME. Source
+    ``partition_col`` may be a single column name or a SEQUENCE of names
+    for a composite (multi-level hive) layout — touched-set discovery,
+    pruning, drift containment and the staged-swap publish all operate
+    on full value TUPLES; report entries for a composite table are
+    value lists (``["1-URGENT", "O"]``), plain strings for a single
+    column (back-compat).
+
+    ``source`` must carry every target data column plus every partition
+    column plus boolean ``delete_col``. Columns are matched by NAME. Source
     columns the target lacks are an ERROR unless ``evolve_schema=True``,
     which widens the rewritten partitions (surviving old rows take NULL
     in the new columns — the union-by-name convention the streaming
@@ -155,15 +179,17 @@ def _merge_into_unlocked(
     source: DataFrame,
     *,
     keys: Sequence[str],
-    partition_col: str,
+    partition_col: str | Sequence[str],
     delete_col: str,
     target_mb: int,
     evolve_schema: bool,
 ) -> dict:
     keys = list(keys)
+    single = isinstance(partition_col, str)
+    pcols = [partition_col] if single else list(partition_col)
     recover_partition_swaps(root)
-    live = _part_dirs(root, partition_col)
-    if HIVE_DEFAULT_PARTITION in live:  # decoded value == the dir label
+    live = _part_dirs(root, pcols)
+    if any(HIVE_DEFAULT_PARTITION in t for t in live):
         raise ValueError(
             f"target at {root} carries a {HIVE_DEFAULT_PARTITION} dir "
             "(null/empty partition values); merge_into does not support "
@@ -184,10 +210,10 @@ def _merge_into_unlocked(
         target = spark.read.option("mergeSchema", "true").parquet(root)
     finally:
         spark.conf.set(inf_conf, prev_inf)
-    data_cols = [c for c in target.columns if c != partition_col]
+    data_cols = [c for c in target.columns if c not in pcols]
     missing = [
         c
-        for c in data_cols + [partition_col, delete_col]
+        for c in data_cols + pcols + [delete_col]
         if c not in source.columns
     ]
     if missing:
@@ -195,19 +221,20 @@ def _merge_into_unlocked(
     extra = [
         c
         for c in source.columns
-        if c not in data_cols + [partition_col, delete_col]
+        if c not in data_cols + pcols + [delete_col]
     ]
     if extra and not evolve_schema:
         raise ValueError(
             f"merge source carries column(s) {extra} the target lacks; "
             "pass evolve_schema=True to widen the table (or drop them)"
         )
-    out_cols = data_cols + extra + [partition_col]
+    out_cols = data_cols + extra + pcols
 
     # partition values travel as their dir-name spelling throughout
-    src = source.withColumn(
-        partition_col, F.col(partition_col).cast("string")
-    ).select(*out_cols, F.col(delete_col).cast("boolean"))
+    src = source
+    for c in pcols:
+        src = src.withColumn(c, F.col(c).cast("string"))
+    src = src.select(*out_cols, F.col(delete_col).cast("boolean"))
     src.persist()
     try:
         # -- guard + stats + touched discovery: one bounded-output
@@ -222,22 +249,23 @@ def _merge_into_unlocked(
         # sort-merge shuffle of every target key, which benchmarked as
         # the whole scoped-merge advantage); insert/no-op counts are
         # derived as source totals minus matched.
+        null_part = F.lit(False)
+        for c in pcols:
+            null_part = null_part | F.col(c).isNull() | (F.col(c) == "")
         per_key = src.groupBy(*keys).agg(
             F.count("*").alias("__c"),
             F.max(delete_col).alias("__del"),
-            # NULL *or* empty-string: both land in the hive default
-            # partition dir, whose name round-trips as a literal string
-            # and silently breaks the swap bookkeeping (round-9 review)
-            F.max(
-                (
-                    F.col(partition_col).isNull()
-                    | (F.col(partition_col) == "")
-                ).cast("int")
-            ).alias("__np"),
-            F.first(partition_col).alias("__sp"),
+            # NULL *or* empty-string IN ANY LEVEL: both land in the hive
+            # default partition dir, whose name round-trips as a literal
+            # string and silently breaks the swap bookkeeping (round-9)
+            F.max(null_part.cast("int")).alias("__np"),
+            F.first(F.struct(*pcols)).alias("__sp"),
         )
         tgt_keys = target.select(
-            *keys, F.col(partition_col).alias("__tp")
+            *keys,
+            F.struct(
+                *[F.col(c).cast("string").alias(c) for c in pcols]
+            ).alias("__tp"),
         )
         src_totals = per_key.agg(
             F.max("__c").alias("max_dup"),
@@ -276,15 +304,23 @@ def _merge_into_unlocked(
                 f"NULL or empty {partition_col}; the hive default "
                 "partition is not supported"
             )
+        # struct values come back as Rows; bookkeeping keys are tuples
         touched = sorted(
-            set(stats["src_parts"]) | set(stats["tgt_parts"])
+            {tuple(r) for r in stats["src_parts"]}
+            | {tuple(r) for r in stats["tgt_parts"]}
         )
         untouched = sorted(set(live) - set(touched))
+
+        def _rep(v: tuple):
+            # report spelling: plain value for a single-level layout
+            # (back-compat), value list for composite
+            return v[0] if single else list(v)
+
         if not touched:
             # changeset was all no-op deletes: nothing to rewrite, but
             # the stats still report what the changeset asked for
             return {
-                "touched": [], "untouched": untouched,
+                "touched": [], "untouched": [_rep(v) for v in untouched],
                 "deleted_partitions": [], "n_updated": 0, "n_deleted": 0,
                 "n_inserted": 0,
                 "n_noop_deletes": n_noop_deletes,
@@ -296,7 +332,17 @@ def _merge_into_unlocked(
         # key (including drifted copies in other touched partitions),
         # union of surviving source rows. No manual broadcast — AQE
         # decides from the changeset's actual size.
-        old = target.filter(F.col(partition_col).isin(touched)).select(
+        # OR-of-ANDs over touched tuples: each conjunct is a literal
+        # equality on a partition column, so Catalyst's partition
+        # pruning evaluates it against directory values — same pruning
+        # as the single-column isin, one conjunction per level
+        prune = F.lit(False)
+        for v in touched:
+            conj = F.lit(True)
+            for c, val in zip(pcols, v):
+                conj = conj & (F.col(c) == F.lit(val))
+            prune = prune | conj
+        old = target.filter(prune).select(
             *[c for c in out_cols if c in target.columns]
         )
         merged = old.join(src.select(*keys), keys, "left_anti").unionByName(
@@ -329,11 +375,11 @@ def _merge_into_unlocked(
         (
             merged.repartition(
                 len(touched) * k,
-                F.col(partition_col),
+                *[F.col(c) for c in pcols],
                 F.pmod(F.hash(*keys), F.lit(k)),
             )
             .write.mode("overwrite")
-            .partitionBy(partition_col)
+            .partitionBy(*pcols)
             .parquet(staging)
         )
 
