@@ -369,6 +369,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     steady: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         # deterministic per-query cache state: persisted datasets from
         # EARLIER queries (graph edge structures, as-of state, corpus
@@ -378,7 +379,15 @@ def main() -> None:
         # block the cache persists, so iterative queries still measure
         # their cached steady state from run 2 on.
         spark.catalog.clearCache()
-        runs = [run_once(name) for _ in range(n_runs)]
+        # per-query error isolation (round-11 postmortem: ONE broken
+        # fixture aborted the whole artifact — a red query must cost one
+        # error entry, never the round's bench data)
+        try:
+            runs = [run_once(name) for _ in range(n_runs)]
+        except Exception as e:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(min(runs[:3]), 3)
         spreads[name] = round(max(runs[:3]) - min(runs[:3]), 3)
         steady[name] = _median(runs[2:])
@@ -433,6 +442,8 @@ def main() -> None:
         "calib_sec": calib,
         "sf": sf,
     }
+    if errors:
+        full["errors"] = errors
     print(json.dumps(full))
     # compact artifact line LAST (module docstring: the driver's tail
     # window keeps the END of stdout, so this is the line that survives)
@@ -451,6 +462,8 @@ def main() -> None:
             for n in timings
         },
     }
+    if errors:
+        compact["errors"] = sorted(errors)
     line = _compact_line(compact)
     # stop BEFORE the final print: the driver's capture merges stderr,
     # and any JVM shutdown chatter emitted after the compact line would

@@ -75,74 +75,62 @@ def recover_partition_swaps(root: str) -> None:
             recover_partition_swaps(p)
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
-
-
 class maintenance_lock:
     """Single-writer guard for in-place table maintenance (MERGE,
     partition-scoped OPTIMIZE, rollback/vacuum): all of them sweep each
     other's staging/aside dirs at entry, so two concurrent maintainers
     on the same table root would destroy each other's in-flight state
-    (round-9 advice — the contract was implicit and unguarded). A lock
-    FILE at the table root (atomic O_EXCL create, holder pid inside)
-    makes the second operator fail LOUD instead; a lock whose pid is
-    dead (crashed holder) is stolen. This is the local stand-in for a
-    table format's commit/transaction protocol — at 100 TB Delta/
-    Iceberg's optimistic-concurrency commit does this job."""
+    (round-9 advice — the contract was implicit and unguarded).
+
+    Mutual exclusion is ``fcntl.flock`` (LOCK_EX|LOCK_NB) on a
+    PERSISTENT sidecar file: the kernel releases the lock the instant
+    the holder dies, so a crashed maintainer never needs a stale-lock
+    steal — and there is no steal *protocol* to race on. The round-10
+    rename-based steal was still double-grantable (round-11 advice: a
+    waiter that read a dead pid could rename away a SECOND waiter's
+    freshly-created live lock); flock's conflict check is atomic in the
+    kernel per open-file-description, so exactly one acquirer wins, in-
+    and cross-process alike. A ``.maintenance_lock`` pid file (created
+    under the flock, removed on release) remains the human-readable
+    "who holds this table" breadcrumb and feeds the loud-failure
+    message. Local-filesystem stand-in for a table format's
+    commit/transaction protocol — at 100 TB Delta/Iceberg's
+    optimistic-concurrency commit does this job (flock is also not
+    NFS-safe; neither is the rest of the rename discipline)."""
 
     def __init__(self, root: str):
         self.path = os.path.join(root, ".maintenance_lock")
+        self._fd = -1
 
     def __enter__(self):
-        # bounded retries: each loop either creates the lock (O_EXCL,
-        # atomic), fails loud on a LIVE holder, or steals a stale lock.
-        # The steal is rename-based so it is single-winner: two waiters
-        # that both read a dead pid race on os.rename of the SAME stale
-        # file — exactly one succeeds, the other gets FileNotFoundError
-        # and retries the O_EXCL create (round-10 review: the previous
-        # unlink-then-recreate steal let the second unlink delete the
-        # first waiter's fresh lock, silently double-granting).
-        for attempt in range(4):
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                try:
-                    with open(self.path) as f:
-                        pid = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    pid = 0
-                if pid and _pid_alive(pid):
-                    raise RuntimeError(
-                        f"table maintenance lock at {self.path} is held by "
-                        f"live pid {pid}; concurrent maintenance on one "
-                        "table root is not supported (single-writer "
-                        "contract)"
-                    ) from None
-                grave = f"{self.path}.stale.{os.getpid()}.{attempt}"
-                try:
-                    os.rename(self.path, grave)  # atomic single-winner
-                    os.unlink(grave)
-                except FileNotFoundError:
-                    pass  # another waiter won the steal; retry create
-                continue
-            os.write(fd, str(os.getpid()).encode())
+        import fcntl
+
+        fd = os.open(self.path + ".flock", os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
             os.close(fd)
-            return self
-        raise RuntimeError(
-            f"could not acquire maintenance lock at {self.path} after "
-            f"{attempt + 1} stale-lock steal attempts (live contention)"
-        )
+            try:
+                with open(self.path) as f:
+                    pid = f.read().strip() or "unknown"
+            except OSError:
+                pid = "unknown"
+            raise RuntimeError(
+                f"table maintenance lock at {self.path} is held by "
+                f"live pid {pid}; concurrent maintenance on one "
+                "table root is not supported (single-writer "
+                "contract)"
+            ) from None
+        self._fd = fd
+        # breadcrumb written only AFTER the flock is ours; a leftover
+        # pid file from a crashed holder is dead weight — overwrite it
+        with open(self.path, "w") as f:
+            f.write(str(os.getpid()))
+        return self
 
     def __exit__(self, *exc):
-        # release only a lock THIS process holds: after a stale-lock
-        # steal elsewhere, self.path may be another waiter's fresh lock
+        # remove only a breadcrumb THIS process wrote (a test/operator
+        # may have replaced it); the flock itself releases on close
         try:
             with open(self.path) as f:
                 own = f.read().strip() == str(os.getpid())
@@ -153,6 +141,9 @@ class maintenance_lock:
                 os.unlink(self.path)
             except FileNotFoundError:
                 pass
+        if self._fd >= 0:
+            os.close(self._fd)
+            self._fd = -1
         return False
 
 

@@ -301,7 +301,7 @@ def _merge_into_unlocked(
         if stats["null_parts"]:
             raise ValueError(
                 f"merge source has {stats['null_parts']} key(s) with a "
-                f"NULL or empty {partition_col}; the hive default "
+                f"NULL or empty {', '.join(pcols)}; the hive default "
                 "partition is not supported"
             )
         # struct values come back as Rows; bookkeeping keys are tuples
@@ -398,10 +398,19 @@ def _merge_into_unlocked(
             if ldir is None:
                 continue  # touched value with neither live nor staged dir
             live_p = os.path.join(root, ldir)
-            aside = os.path.join(root, ASIDE + ldir)
+            # hidden-prefix names attach to the LEAF component only
+            # (``a=x/.merge_old_b=y``) — the convention
+            # recover_partition_swaps' nested sweep restores; prefixing
+            # the whole relative path would name a dir whose parent
+            # doesn't exist
+            head, leaf = os.path.split(ldir)
+            aside = os.path.join(root, head, ASIDE + leaf)
             if sdir is not None:
                 if os.path.exists(live_p):
                     os.rename(live_p, aside)
+                # a brand-new leaf in a composite layout may need its
+                # parent level created before the staged dir renames in
+                os.makedirs(os.path.dirname(live_p), exist_ok=True)
                 os.rename(os.path.join(staging, sdir), live_p)
                 shutil.rmtree(aside, ignore_errors=True)
             elif v in live:
@@ -413,7 +422,9 @@ def _merge_into_unlocked(
                 # layout.py docstring claimed this fix before it
                 # existed; test_merge_crash_window_keeps_partition_deleted
                 # now pins it).
-                tomb = os.path.join(root, STAGING + "deleted_" + ldir)
+                tomb = os.path.join(
+                    root, head, STAGING + "deleted_" + leaf
+                )
                 os.rename(live_p, tomb)
                 shutil.rmtree(tomb, ignore_errors=True)
                 deleted_parts.append(v)
@@ -431,10 +442,14 @@ def _merge_into_unlocked(
             )
         shutil.rmtree(staging, ignore_errors=True)
 
+        # _rep(): the documented report spelling (plain value for a
+        # single-level layout, value list for composite) — round-11
+        # review: the main return shipped raw tuples, which JSON
+        # round-trip as nested lists and broke every single-column caller
         return {
-            "touched": touched,
-            "untouched": untouched,
-            "deleted_partitions": deleted_parts,
+            "touched": [_rep(v) for v in touched],
+            "untouched": [_rep(v) for v in untouched],
+            "deleted_partitions": [_rep(v) for v in deleted_parts],
             "n_updated": n_updated,
             "n_deleted": n_deleted,
             "n_inserted": n_inserted,

@@ -183,6 +183,185 @@ def merge_upsert_partitioned(spark, sf_dir):
     )
 
 
+def _changeset2(orders):
+    """Composite-layout changeset over ``orders`` partitioned by
+    (o_orderpriority, o_orderstatus): in-place updates, level-2 drift
+    (status O→F within 2-HIGH), BOTH-level drift (3-MEDIUM/P →
+    1-URGENT/F), inserts into one leaf, deletes across 1-URGENT."""
+    key = F.col("o_orderkey")
+    pri = F.col("o_orderpriority")
+    st = F.col("o_orderstatus")
+    upd = (
+        orders.filter((key % 50 == 3) & (pri == "1-URGENT"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.07)
+        .withColumn("is_delete", F.lit(False))
+    )
+    mov2 = (
+        orders.filter((key % 50 == 19) & (pri == "2-HIGH") & (st == "O"))
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    movb = (
+        orders.filter((key % 50 == 23) & (pri == "3-MEDIUM") & (st == "P"))
+        .withColumn("o_orderpriority", F.lit("1-URGENT"))
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = (
+        orders.filter((key % 50 == 11) & (pri == "5-LOW"))
+        .withColumn("o_orderkey", key + 10_000_000)
+        .withColumn("o_orderpriority", F.lit("1-URGENT"))
+        .withColumn("o_orderstatus", F.lit("O"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    dele = orders.filter((key % 50 == 7) & (pri == "1-URGENT")).withColumn(
+        "is_delete", F.lit(True)
+    )
+    return (
+        upd.unionByName(mov2).unionByName(movb).unionByName(ins)
+        .unionByName(dele)
+    )
+
+
+def merge_orders_composite_fixture(spark, sf_dir: str) -> str:
+    """Two-level hive layout (priority × status, the reference's
+    topic-per-table layout one level deeper, docs/setup-guide.md:33-35),
+    changeset applied with ``partition_col=["o_orderpriority",
+    "o_orderstatus"]``; persists the report for the serving query."""
+
+    def build(root: str) -> None:
+        dst = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        orders.repartition(4).write.partitionBy(
+            "o_orderpriority", "o_orderstatus"
+        ).parquet(dst)
+        report = merge_into(
+            spark,
+            dst,
+            _changeset2(orders),
+            keys=["o_orderkey"],
+            partition_col=["o_orderpriority", "o_orderstatus"],
+        )
+        with open(os.path.join(root, "report.json"), "w") as f:
+            json.dump(report, f)
+
+    return session_fixture("merge_orders_composite", sf_dir, "cs50c_v1", build)
+
+
+@register(
+    "merge_upsert_composite",
+    oracle="""
+    WITH chg_upd AS (
+      SELECT o_orderkey, floor(o_totalprice * 1.07 * 100 + 0.5) AS cents,
+             o_orderpriority, o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 50 = 3 AND o_orderpriority = '1-URGENT'
+    ), chg_mov2 AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             o_orderpriority, 'F' AS o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '2-HIGH'
+        AND o_orderstatus = 'O'
+    ), chg_movb AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority, 'F' AS o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 50 = 23 AND o_orderpriority = '3-MEDIUM'
+        AND o_orderstatus = 'P'
+    ), chg_ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority, 'O' AS o_orderstatus
+      FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    ), chg_keys AS (
+      SELECT o_orderkey FROM chg_upd
+      UNION ALL SELECT o_orderkey FROM chg_mov2
+      UNION ALL SELECT o_orderkey FROM chg_movb
+      UNION ALL SELECT o_orderkey FROM chg_ins
+      UNION ALL SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 50 = 7 AND o_orderpriority = '1-URGENT'
+    ), final AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             o_orderpriority, o_orderstatus
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg_keys)
+      UNION ALL SELECT * FROM chg_upd
+      UNION ALL SELECT * FROM chg_mov2
+      UNION ALL SELECT * FROM chg_movb
+      UNION ALL SELECT * FROM chg_ins
+    ), touched AS (
+      -- merge touched set = changeset destinations + matched sources
+      SELECT DISTINCT tp, ts FROM (
+        SELECT o_orderpriority AS tp, o_orderstatus AS ts FROM chg_upd
+        UNION ALL SELECT o_orderpriority, o_orderstatus FROM orders
+          WHERE o_orderkey % 50 = 19 AND o_orderpriority = '2-HIGH'
+            AND o_orderstatus = 'O'
+        UNION ALL SELECT o_orderpriority, o_orderstatus FROM chg_mov2
+        UNION ALL SELECT o_orderpriority, o_orderstatus FROM orders
+          WHERE o_orderkey % 50 = 23 AND o_orderpriority = '3-MEDIUM'
+            AND o_orderstatus = 'P'
+        UNION ALL SELECT o_orderpriority, o_orderstatus FROM chg_movb
+        UNION ALL SELECT o_orderpriority, o_orderstatus FROM chg_ins
+        UNION ALL SELECT o_orderpriority, o_orderstatus FROM orders
+          WHERE o_orderkey % 50 = 7 AND o_orderpriority = '1-URGENT'
+      )
+    ), agg AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+             CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ins
+      FROM final GROUP BY 1, 2
+    )
+    SELECT a.o_orderpriority, a.o_orderstatus,
+           t.tp IS NOT NULL AS rewritten, a.n, a.sum_cents, a.n_ins
+    FROM agg a LEFT JOIN touched t
+      ON a.o_orderpriority = t.tp AND a.o_orderstatus = t.ts
+    """,
+)
+def merge_upsert_composite(spark, sf_dir):
+    """Composite-partition MERGE INTO (round-10 task #4): the base table
+    is hive-partitioned TWO levels deep (priority × status) and the
+    changeset exercises drift at the second level alone (status O→F
+    inside 2-HIGH), drift across BOTH levels at once (3-MEDIUM/P →
+    1-URGENT/F), plus updates, inserts, and deletes. merge_into's
+    touched-set discovery, pruning predicate, anti-join and staged-swap
+    publish all operate on full value tuples; the report's ``touched``
+    entries are two-element lists, checked here by driving the
+    ``rewritten`` flag from them. The oracle recomputes the merged state
+    closed-form and predicts the per-LEAF aggregates. Leaf-level aside/
+    tombstone naming and nested crash recovery are pinned in
+    tests/test_merge.py (composite family). Reference analog:
+    topic-per-table layout, docs/setup-guide.md:33-35."""
+    root = merge_orders_composite_fixture(spark, sf_dir)
+    with open(os.path.join(root, "report.json")) as f:
+        report = json.load(f)
+    touched = {tuple(v) for v in report["touched"]}
+    merged = read_dir(spark, os.path.join(root, "orders"))
+    rewrit = F.lit(False)
+    for pri, st in sorted(touched):
+        rewrit = rewrit | (
+            (F.col("o_orderpriority") == pri) & (F.col("o_orderstatus") == st)
+        )
+    return (
+        merged.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+            F.sum((F.col("o_orderkey") >= 10_000_000).cast("long")).alias(
+                "n_ins"
+            ),
+        )
+        .withColumn("rewritten", rewrit)
+        .select(
+            "o_orderpriority", "o_orderstatus", "rewritten", "n",
+            "sum_cents", "n_ins",
+        )
+    )
+
+
 _T0 = "2024-01-15 00:00:00"
 
 

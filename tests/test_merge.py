@@ -209,14 +209,18 @@ def test_merge_fails_loud_under_concurrent_maintenance(spark):
     _mk_table(spark, root, _base_rows())
     snapshot = _state(spark, root)
     lock_path = os.path.join(root, ".maintenance_lock")
-    with open(lock_path, "w") as f:
-        f.write(str(os.getpid()))  # a live "other" holder
-    with pytest.raises(RuntimeError, match="held by live pid"):
-        merge_into(
-            spark, root, _chg(spark, [(0, 1.0, "a", False)]),
-            keys=["k"], partition_col="p",
-        )
-    os.unlink(lock_path)
+    from pulsar_cdc_experiment_spark.plans.layout import maintenance_lock
+
+    holder = maintenance_lock(root)  # a live "other" holder (flock held)
+    holder.__enter__()
+    try:
+        with pytest.raises(RuntimeError, match="held by live pid"):
+            merge_into(
+                spark, root, _chg(spark, [(0, 1.0, "a", False)]),
+                keys=["k"], partition_col="p",
+            )
+    finally:
+        holder.__exit__(None, None, None)
     assert _state(spark, root) == snapshot
     # lock is released after a successful merge
     merge_into(
@@ -431,4 +435,153 @@ def test_merge_recovers_other_operators_asides(spark):
     assert rep["touched"] == ["a"]
     st = _state(spark, root)
     assert {t for t in st if t[2] == "c"} == {t for t in st0 if t[2] == "c"}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_report_json_round_trips_single_column(spark):
+    """Round-11 regression: the MAIN return shipped raw value tuples, so
+    after json.dump a single-column report's entries came back as nested
+    LISTS and ``set(report["touched"])`` threw. The check must go
+    through JSON — in-memory tuples are hashable and hide the bug."""
+    import json
+
+    root = tempfile.mkdtemp(prefix="merge_t13_")
+    _mk_table(spark, root, _base_rows())
+    rep = merge_into(
+        spark, root,
+        _chg(spark, [(0, 50.0, "a", False), (1, 0.0, "b", True)]),
+        keys=["k"], partition_col="p",
+    )
+    rep = json.loads(json.dumps(rep))
+    assert set(rep["touched"]) == {"a", "b"}
+    assert set(rep["untouched"]) == {"c"}
+    assert rep["deleted_partitions"] == []
+    assert all(isinstance(v, str) for v in rep["touched"] + rep["untouched"])
+    shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# composite (multi-level hive) partition layouts — round-10 task #4 / the
+# round-11 advice's untested publish path
+
+
+def _mk_table2(spark, root, rows):
+    df = spark.createDataFrame(rows, "k bigint, v double, a string, b string")
+    df.repartition(2).write.mode("overwrite").partitionBy("a", "b").parquet(
+        root
+    )
+
+
+def _state2(spark, root):
+    # b's values are numeric-spelled ("1"/"2") — partition type inference
+    # re-types them on read; compare by dir-name spelling
+    return {
+        (r["k"], r["v"], r["a"], r["b"])
+        for r in spark.read.parquet(root)
+        .select("k", "v", "a", F.col("b").cast("string").alias("b"))
+        .collect()
+    }
+
+
+def _chg2(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, v double, a string, b string, is_delete boolean"
+    )
+
+
+def _base_rows2():
+    # leaves: (x,1) keys 0,4,8,... (x,2) keys 1,5,... (y,1) 2,6 (y,2) 3,7
+    return [
+        (i, float(i), "x" if i % 4 < 2 else "y", str(i % 2 + 1))
+        for i in range(24)
+    ]
+
+
+def test_merge_composite_update_report_and_untouched_bytes(spark):
+    """Two-level layout end-to-end: update one leaf, report values are
+    LISTS of two levels (json-round-tripped), every other leaf is
+    byte-identical."""
+    import json
+
+    root = tempfile.mkdtemp(prefix="merge_c1_")
+    _mk_table2(spark, root, _base_rows2())
+    before = partition_file_listing(root, ["a", "b"])
+    rep = merge_into(
+        spark, root, _chg2(spark, [(0, 100.0, "x", "1", False)]),
+        keys=["k"], partition_col=["a", "b"],
+    )
+    rep = json.loads(json.dumps(rep))
+    assert rep["touched"] == [["x", "1"]]
+    assert sorted(map(tuple, rep["untouched"])) == [
+        ("x", "2"), ("y", "1"), ("y", "2")
+    ]
+    after = partition_file_listing(root, ["a", "b"])
+    for leaf in ("a=x/b=2", "a=y/b=1", "a=y/b=2"):
+        assert before[leaf] == after[leaf]
+    assert (0, 100.0, "x", "1") in _state2(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_composite_drift_across_both_levels(spark):
+    """A key moving (x,1) -> (y,2) rewrites BOTH leaves and leaves no
+    stale twin; a second identical apply is a no-op (idempotence)."""
+    root = tempfile.mkdtemp(prefix="merge_c2_")
+    _mk_table2(spark, root, _base_rows2())
+    chg = _chg2(spark, [(0, 777.0, "y", "2", False)])
+    rep = merge_into(
+        spark, root, chg, keys=["k"], partition_col=["a", "b"]
+    )
+    assert rep["touched"] == [["x", "1"], ["y", "2"]]
+    st = _state2(spark, root)
+    assert [t for t in st if t[0] == 0] == [(0, 777.0, "y", "2")]
+    st1 = st
+    merge_into(spark, root, chg, keys=["k"], partition_col=["a", "b"])
+    assert _state2(spark, root) == st1
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_composite_delete_empties_leaf_and_new_leaf_insert(spark):
+    """Deleting every row of a leaf removes the LEAF dir (tombstone at
+    the nested level — the round-11 advice's FileNotFoundError path);
+    inserting into a brand-new (a,b) combination creates the new leaf
+    including its parent level."""
+    root = tempfile.mkdtemp(prefix="merge_c3_")
+    _mk_table2(spark, root, _base_rows2())
+    # (y,1) holds keys 2,6,10,14,18,22
+    dele = [(k, 0.0, "y", "1", True) for k in (2, 6, 10, 14, 18, 22)]
+    ins = [(500, 5.0, "z", "9", False)]
+    rep = merge_into(
+        spark, root, _chg2(spark, dele + ins),
+        keys=["k"], partition_col=["a", "b"],
+    )
+    assert ["y", "1"] in [list(v) for v in rep["deleted_partitions"]]
+    assert not os.path.exists(os.path.join(root, "a=y", "b=1"))
+    assert os.path.isdir(os.path.join(root, "a=z", "b=9"))
+    st = _state2(spark, root)
+    assert (500, 5.0, "z", "9") in st
+    assert not any(t[2] == "y" and t[3] == "1" for t in st)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_composite_crash_recovery_nested_aside(spark):
+    """Crash window between the two renames at a NESTED leaf: the aside
+    (a=x/.merge_old_b=1) is that leaf's only copy — the next merge's
+    entry sweep must restore it."""
+    root = tempfile.mkdtemp(prefix="merge_c4_")
+    _mk_table2(spark, root, _base_rows2())
+    st0 = _state2(spark, root)
+    os.rename(
+        os.path.join(root, "a=x", "b=1"),
+        os.path.join(root, "a=x", ASIDE + "b=1"),
+    )
+    rep = merge_into(
+        spark, root, _chg2(spark, [(3, 33.0, "y", "2", False)]),
+        keys=["k"], partition_col=["a", "b"],
+    )
+    assert rep["touched"] == [["y", "2"]]
+    st = _state2(spark, root)
+    assert {t for t in st0 if t[2] == "x" and t[3] == "1"} == {
+        t for t in st if t[2] == "x" and t[3] == "1"
+    }
+    assert (3, 33.0, "y", "2") in st
     shutil.rmtree(root, ignore_errors=True)

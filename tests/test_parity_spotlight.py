@@ -44,10 +44,12 @@ SPOTLIGHT = [
     "embed_ivf_portable",
     "json_variant_probe",
     "llm_prep_pipeline",
+    "merge_upsert_composite",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_stream_join",
     "stream_stream_left_outer",
+    "stream_stream_full_outer",
     "text_pii_redact",
     "udf_map_in_arrow",
     "xml_functions",

@@ -690,6 +690,7 @@ _BUILD_JOBS_SANCTIONED = {
     # partitioned base + copy-on-write MERGE is the fixture (the apply
     # step IS the operator, plans/merge.py)
     "merge_upsert_partitioned",
+    "merge_upsert_composite",
     "cdc_merge_apply",
 }
 
@@ -750,6 +751,7 @@ _FIXTURE_CACHED = [
     "incremental_maintenance_report",
     "stream_auto_maintenance",
     "merge_upsert_partitioned",
+    "merge_upsert_composite",
     "cdc_merge_apply",
 ]
 
