@@ -53,6 +53,7 @@ Why this shape survives 100 TB:
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
 import urllib.parse
@@ -81,6 +82,10 @@ from .layout import (
 # silently loses rows (round-9 review: an '' insert vanished while the
 # report claimed success).
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+#: merge version-retention dir (hidden: partition discovery and the
+#: recovery sweep both skip it — pinned in tests/test_maintenance_lock)
+HISTORY = ".merge_history"
 
 
 def _part_dirs(
@@ -116,6 +121,104 @@ def _part_dirs(
     return out
 
 
+def _file_key_ranges(
+    root: str, live: dict[tuple, str], touched, keys: Sequence[str]
+) -> list[tuple]:
+    """``(value_tuple, file_name, {key_col: (lo, hi)} | None)`` for every
+    data file in the touched partitions, from parquet FOOTER statistics
+    (driver-side, bounded by touched-partition file count — a table
+    format serves the same ranges from manifest column stats without
+    touching storage). ``None`` ranges mean the stats were unusable for
+    some key column; such files conservatively count as intersecting."""
+    import pyarrow.parquet as pq
+
+    out: list[tuple] = []
+    for v in touched:
+        ldir = live.get(v)
+        if ldir is None:
+            continue
+        pdir = os.path.join(root, ldir)
+        for fname in sorted(os.listdir(pdir)):
+            if not fname.startswith("part-") or not fname.endswith(
+                ".parquet"
+            ):
+                continue
+            ranges: dict | None = {}
+            try:
+                md = pq.ParquetFile(os.path.join(pdir, fname)).metadata
+                rg0 = md.row_group(0)
+                idx = {
+                    rg0.column(i).path_in_schema: i
+                    for i in range(md.num_columns)
+                }
+                for c in keys:
+                    los, his = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            raise LookupError(c)
+                        los.append(st.min)
+                        his.append(st.max)
+                    ranges[c] = (min(los), max(his))
+            except Exception:
+                ranges = None
+            out.append((v, fname, ranges))
+    return out
+
+
+def _intersecting_files(
+    spark: SparkSession,
+    src: DataFrame,
+    keys: Sequence[str],
+    entries: list[tuple],
+    live: dict[tuple, str],
+) -> tuple[list[str], dict[tuple, list[str]]]:
+    """Split the touched partitions' files into (rewrite set, kept set):
+    a file must be rewritten iff its per-column key range can contain at
+    least one changeset key (AND over key columns — if any column's
+    value falls outside the file's range for that column, the file
+    cannot hold that key row). The probe is a range join of the small
+    file-stats relation against the changeset's key projection; output
+    is bounded by file count (sanctioned bounded model state)."""
+    hit: set[str] = set()
+    rows = []
+    for v, fname, ranges in entries:
+        rel = f"{live[v]}/{fname}"
+        if ranges is None:
+            hit.add(rel)
+        else:
+            rows.append((rel, *[b for c in keys for b in ranges[c]]))
+    if rows:
+        from pyspark.sql import types as T
+
+        ktype = {f.name: f.dataType for f in src.schema.fields}
+        fields = [T.StructField("__path", T.StringType())]
+        for c in keys:
+            fields.append(T.StructField(f"__lo_{c}", ktype[c]))
+            fields.append(T.StructField(f"__hi_{c}", ktype[c]))
+        stats = spark.createDataFrame(rows, T.StructType(fields))
+        cond = F.lit(True)
+        for c in keys:
+            cond = (
+                cond
+                & (F.col(c) >= F.col(f"__lo_{c}"))
+                & (F.col(c) <= F.col(f"__hi_{c}"))
+            )
+        probe = (
+            src.select(*keys)
+            .join(stats, on=cond)
+            .select("__path")
+            .distinct()
+            .collect()
+        )
+        hit |= {r["__path"] for r in probe}
+    kept: dict[tuple, list[str]] = {}
+    for v, fname, _r in entries:
+        if f"{live[v]}/{fname}" not in hit:
+            kept.setdefault(v, []).append(fname)
+    return sorted(hit), kept
+
+
 def merge_into(
     spark: SparkSession,
     root: str,
@@ -126,6 +229,8 @@ def merge_into(
     delete_col: str = "is_delete",
     target_mb: int = 256,
     evolve_schema: bool = False,
+    file_scope: bool = True,
+    keep_history: bool = False,
 ) -> dict:
     """Apply ``source`` (changeset) to the partitioned parquet table at
     ``root``; returns a report::
@@ -153,6 +258,23 @@ def merge_into(
     catalog schema — the same contract as any evolving parquet layout,
     and why this function's own target read merges footers.
 
+    ``file_scope=True`` (default) narrows the rewrite INSIDE each
+    touched partition to the data files whose footer key range can
+    contain a changeset key; every other file is kept byte-identical
+    (hardlinked into the staged swap). Rewrite cost then tracks
+    intersecting files, not touched-partition bytes — on a key-clustered
+    layout (range/Z-order within the partition) that is a small
+    fraction, the same file-skipping a table format drives from manifest
+    stats. The report gains ``"files_rewritten"`` / ``"files_kept"``.
+
+    ``keep_history=True`` preserves each replaced/deleted partition's
+    pre-merge copy under ``root/.merge_history/v<NNNNNN>/`` with a
+    manifest, instead of discarding it — the keep-N version retention
+    the ``.merge_history`` name reserves. :func:`rollback_last_merge`
+    undoes the newest version crash-safely; :func:`vacuum_merge_history`
+    applies the retention policy (the AtomicStateDir ``keep_versions``
+    policy, applied to merge versions). The report gains ``"version"``.
+
     Single-writer: the whole mutation (recovery sweep through publish)
     runs under :class:`plans.layout.maintenance_lock`, so a MERGE
     concurrent with another MERGE or a partition-scoped OPTIMIZE on the
@@ -170,6 +292,8 @@ def merge_into(
             delete_col=delete_col,
             target_mb=target_mb,
             evolve_schema=evolve_schema,
+            file_scope=file_scope,
+            keep_history=keep_history,
         )
 
 
@@ -183,6 +307,8 @@ def _merge_into_unlocked(
     delete_col: str,
     target_mb: int,
     evolve_schema: bool,
+    file_scope: bool,
+    keep_history: bool,
 ) -> dict:
     keys = list(keys)
     single = isinstance(partition_col, str)
@@ -327,37 +453,91 @@ def _merge_into_unlocked(
                 "schema_evolved": [],
             }
 
-        # -- the merge plan: partition-pruned read of touched partitions,
-        # ONE key-shuffle anti-join dropping every old copy of a changeset
-        # key (including drifted copies in other touched partitions),
-        # union of surviving source rows. No manual broadcast — AQE
-        # decides from the changeset's actual size.
-        # OR-of-ANDs over touched tuples: each conjunct is a literal
-        # equality on a partition column, so Catalyst's partition
-        # pruning evaluates it against directory values — same pruning
-        # as the single-column isin, one conjunction per level
-        prune = F.lit(False)
-        for v in touched:
-            conj = F.lit(True)
-            for c, val in zip(pcols, v):
-                conj = conj & (F.col(c) == F.lit(val))
-            prune = prune | conj
-        old = target.filter(prune).select(
-            *[c for c in out_cols if c in target.columns]
-        )
-        merged = old.join(src.select(*keys), keys, "left_anti").unionByName(
-            src.filter(~F.col(delete_col)).select(*out_cols),
-            # surviving old rows take NULL in evolution-added columns
-            allowMissingColumns=True,
-        )
+        # -- file-level scoping: footer key ranges decide which files
+        # inside the touched partitions can possibly hold a changeset
+        # key; the rest are kept byte-identical. Any failure to build
+        # the probe falls back to whole-partition rewrite (slower,
+        # never incorrect).
+        kept: dict[tuple, list[str]] = {}
+        scoped: list[str] | None = None
+        if file_scope:
+            try:
+                entries = _file_key_ranges(root, live, touched, keys)
+                scoped, kept = _intersecting_files(
+                    spark, src, keys, entries, live
+                )
+            except Exception:
+                scoped, kept = None, {}
+
+        # -- the merge plan: partition-pruned (or file-scoped) read of
+        # the touched data, ONE key-shuffle anti-join dropping every old
+        # copy of a changeset key (including drifted copies in other
+        # touched partitions), union of surviving source rows. No manual
+        # broadcast — AQE decides from the changeset's actual size.
+        if scoped is not None:
+            if scoped:
+                # path-scoped read: basePath keeps the partition columns;
+                # inference stays off so their values remain dir-name
+                # spellings (same contract as the target read above)
+                spark.conf.set(inf_conf, "false")
+                try:
+                    old = (
+                        spark.read.option("mergeSchema", "true")
+                        .option("basePath", root)
+                        .parquet(*[os.path.join(root, p) for p in scoped])
+                    )
+                finally:
+                    spark.conf.set(inf_conf, prev_inf)
+                old = old.select(
+                    *[c for c in out_cols if c in old.columns]
+                )
+                merged = old.join(
+                    src.select(*keys), keys, "left_anti"
+                ).unionByName(
+                    src.filter(~F.col(delete_col)).select(*out_cols),
+                    allowMissingColumns=True,
+                )
+            else:
+                # pure-insert changeset whose keys miss every file range:
+                # nothing old to rewrite, only new rows land
+                merged = src.filter(~F.col(delete_col)).select(*out_cols)
+        else:
+            # OR-of-ANDs over touched tuples: each conjunct is a literal
+            # equality on a partition column, so Catalyst's partition
+            # pruning evaluates it against directory values — same
+            # pruning as the single-column isin, one conjunction per
+            # level
+            prune = F.lit(False)
+            for v in touched:
+                conj = F.lit(True)
+                for c, val in zip(pcols, v):
+                    conj = conj & (F.col(c) == F.lit(val))
+                prune = prune | conj
+            old = target.filter(prune).select(
+                *[c for c in out_cols if c in target.columns]
+            )
+            merged = old.join(
+                src.select(*keys), keys, "left_anti"
+            ).unionByName(
+                src.filter(~F.col(delete_col)).select(*out_cols),
+                # surviving old rows take NULL in evolution-added columns
+                allowMissingColumns=True,
+            )
 
         # -- size the rewrite: k files per touched partition from the
-        # touched partitions' current bytes (at 100 TB the table format's
-        # file-size targets drive this instead)
-        touched_bytes = sum(
-            dir_bytes(os.path.join(root, live[v])) for v in touched
-            if v in live
-        )
+        # bytes actually being rewritten — the intersecting files when
+        # scoped, the touched partitions' full bytes otherwise (at
+        # 100 TB the table format's file-size targets drive this
+        # instead)
+        if scoped is not None:
+            touched_bytes = sum(
+                os.path.getsize(os.path.join(root, p)) for p in scoped
+            )
+        else:
+            touched_bytes = sum(
+                dir_bytes(os.path.join(root, live[v])) for v in touched
+                if v in live
+            )
         # files per touched partition: the byte-derived 256 MB target,
         # floored by available parallelism so a small touched set still
         # rewrites with every core (at 100 TB the byte target dominates;
@@ -383,13 +563,48 @@ def _merge_into_unlocked(
             .parquet(staging)
         )
 
+        # -- history version dir: replaced/deleted partitions MOVE here
+        # instead of being discarded (kept files arrive as hardlinks, so
+        # a retained version shares storage with the live table the way
+        # a table format's version snapshots share data files)
+        vdir = None
+        version = None
+        hist: dict | None = None
+        if keep_history:
+            hist_root = os.path.join(root, HISTORY)
+            os.makedirs(hist_root, exist_ok=True)
+            prior = [
+                int(d[1:])
+                for d in os.listdir(hist_root)
+                if d.startswith("v") and d[1:].isdigit()
+            ]
+            version = max(prior, default=0) + 1
+            vdir = os.path.join(hist_root, f"v{version:06d}")
+            os.makedirs(vdir)
+            hist = {"replaced": [], "created": [], "deleted": []}
+
+        def _to_history(path: str, ldir: str, kind: str) -> None:
+            dst = os.path.join(vdir, ldir)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(path, dst)
+            hist[kind].append(ldir)
+
         # -- publish: swap staged partitions in, remove touched partitions
         # the merge emptied (hidden-dir rename discipline throughout)
         staged = _part_dirs(staging, partition_col)
         deleted_parts = []
         consumed = set()
+        n_kept = sum(len(fs) for fs in kept.values())
         for v in touched:
             sdir = staged.get(v)
+            keep_list = kept.get(v, [])
+            if sdir is None and keep_list:
+                # every changeset row for this leaf vanished (all its
+                # keys deleted) but scoping kept some files: the
+                # "rewrite" is the kept set alone
+                sdir = live[v]
+                os.makedirs(os.path.join(staging, sdir), exist_ok=True)
+                staged[v] = sdir
             if sdir is not None:
                 consumed.add(sdir)
             # a brand-new partition takes its dir name from the staging
@@ -405,6 +620,23 @@ def _merge_into_unlocked(
             # doesn't exist
             head, leaf = os.path.split(ldir)
             aside = os.path.join(root, head, ASIDE + leaf)
+            if sdir is not None and keep_list:
+                # non-intersecting files survive by hardlink into the
+                # staged dir BEFORE the swap — byte-identical, same
+                # names, zero copy; the aside then carries the second
+                # link until it is dropped (or retained as history)
+                for fname in keep_list:
+                    dst = os.path.join(staging, sdir, fname)
+                    if os.path.exists(dst):
+                        raise RuntimeError(
+                            f"kept file {fname} collides with a staged "
+                            f"file in {sdir}; refusing to overwrite"
+                        )
+                    src_f = os.path.join(live_p, fname)
+                    try:
+                        os.link(src_f, dst)
+                    except OSError:
+                        shutil.copy2(src_f, dst)
             if sdir is not None:
                 if os.path.exists(live_p):
                     os.rename(live_p, aside)
@@ -412,7 +644,12 @@ def _merge_into_unlocked(
                 # parent level created before the staged dir renames in
                 os.makedirs(os.path.dirname(live_p), exist_ok=True)
                 os.rename(os.path.join(staging, sdir), live_p)
-                shutil.rmtree(aside, ignore_errors=True)
+                if hist is not None and os.path.exists(aside):
+                    _to_history(aside, ldir, "replaced")
+                else:
+                    shutil.rmtree(aside, ignore_errors=True)
+                if hist is not None and v not in live:
+                    hist["created"].append(ldir)
             elif v in live:
                 # intentional delete: tombstone with the STAGING prefix,
                 # which recover_partition_swaps unconditionally DISCARDS.
@@ -426,7 +663,10 @@ def _merge_into_unlocked(
                     root, head, STAGING + "deleted_" + leaf
                 )
                 os.rename(live_p, tomb)
-                shutil.rmtree(tomb, ignore_errors=True)
+                if hist is not None:
+                    _to_history(tomb, ldir, "deleted")
+                else:
+                    shutil.rmtree(tomb, ignore_errors=True)
                 deleted_parts.append(v)
         # fail loud BEFORE deleting staging if any staged dir was never
         # consumed — removing it would silently discard merged rows (the
@@ -446,7 +686,7 @@ def _merge_into_unlocked(
         # single-level layout, value list for composite) — round-11
         # review: the main return shipped raw tuples, which JSON
         # round-trip as nested lists and broke every single-column caller
-        return {
+        report = {
             "touched": [_rep(v) for v in touched],
             "untouched": [_rep(v) for v in untouched],
             "deleted_partitions": [_rep(v) for v in deleted_parts],
@@ -456,6 +696,27 @@ def _merge_into_unlocked(
             "n_noop_deletes": n_noop_deletes,
             "schema_evolved": extra,
         }
+        if scoped is not None:
+            report["files_rewritten"] = len(scoped)
+            report["files_kept"] = n_kept
+        if hist is not None:
+            # manifest LAST (atomic tmp+replace): a version without a
+            # manifest is incomplete and ignored by merge_history
+            man = {
+                "version": version,
+                "touched": report["touched"],
+                "replaced": sorted(hist["replaced"]),
+                "created": sorted(hist["created"]),
+                "deleted": sorted(hist["deleted"]),
+                "partition_col": pcols,
+                "keys": keys,
+            }
+            tmp = os.path.join(vdir, "manifest.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, os.path.join(vdir, "manifest.json"))
+            report["version"] = version
+        return report
     finally:
         src.unpersist()
 
@@ -472,3 +733,105 @@ def partition_file_listing(root: str, partition_col: str) -> dict:
         )
         out[entry] = files
     return out
+
+
+# ---------------------------------------------------------------------------
+# merge version retention: history / rollback / vacuum (the Delta
+# ``RESTORE`` + ``VACUUM`` pair over the ``.merge_history`` dir that
+# ``merge_into(keep_history=True)`` populates)
+
+
+def merge_history(root: str) -> list[dict]:
+    """Retained merge versions' manifests, oldest → newest. A version
+    dir without a complete ``manifest.json`` (crash mid-publish) is
+    ignored — its partitions were either published or recovered by the
+    aside sweep, so the table is consistent without it."""
+    hist_root = os.path.join(root, HISTORY)
+    if not os.path.isdir(hist_root):
+        return []
+    out = []
+    for d in sorted(os.listdir(hist_root)):
+        mpath = os.path.join(hist_root, d, "manifest.json")
+        if d.startswith("v") and os.path.exists(mpath):
+            with open(mpath) as f:
+                out.append(json.load(f))
+    out.sort(key=lambda m: m["version"])
+    return out
+
+
+def rollback_last_merge(root: str) -> dict:
+    """Undo the NEWEST retained merge version — Delta ``RESTORE`` for
+    the copy-on-write merge: every partition the merge replaced or
+    deleted is put back from its history copy; every partition the
+    merge created is removed. Returns the undone manifest.
+
+    Crash-safe and idempotent per partition: the history copy first
+    renames to the partition's hidden ASIDE name (invisible to reads),
+    the merged dir then renames to a STAGING tombstone, and the aside
+    renames live — at every crash point the recovery sweep yields the
+    rolled-back state for that partition (aside restored, tombstone
+    discarded). A re-run skips partitions whose history copy is already
+    consumed. Rolling back more than one version = calling this in a
+    loop (newest-first, the only order that is well-defined — version
+    N+1's pre-state embeds version N's post-state)."""
+    with maintenance_lock(root):
+        recover_partition_swaps(root)
+        versions = merge_history(root)
+        if not versions:
+            raise ValueError(f"no retained merge history under {root}")
+        man = versions[-1]
+        vdir = os.path.join(root, HISTORY, f"v{man['version']:06d}")
+
+        def _discard_live(ldir: str) -> None:
+            live_p = os.path.join(root, ldir)
+            if not os.path.exists(live_p):
+                return
+            head, leaf = os.path.split(ldir)
+            tomb = os.path.join(root, head, STAGING + "rollback_" + leaf)
+            os.rename(live_p, tomb)
+            shutil.rmtree(tomb, ignore_errors=True)
+
+        for ldir in man["replaced"] + man["deleted"]:
+            saved = os.path.join(vdir, ldir)
+            if not os.path.exists(saved):
+                continue  # already restored by an interrupted run
+            head, leaf = os.path.split(ldir)
+            aside = os.path.join(root, head, ASIDE + leaf)
+            os.makedirs(os.path.dirname(aside), exist_ok=True)
+            os.rename(saved, aside)
+            _discard_live(ldir)
+            os.rename(aside, os.path.join(root, ldir))
+        for ldir in man["created"]:
+            _discard_live(ldir)
+        shutil.rmtree(vdir, ignore_errors=True)
+        return man
+
+
+def vacuum_merge_history(root: str, keep_last: int = 1) -> list[int]:
+    """Retention policy for ``.merge_history``: keep the newest
+    ``keep_last`` versions, drop the rest (the AtomicStateDir
+    ``keep_versions`` policy applied to merge versions — after vacuum,
+    rollback reaches only the retained tail). Incomplete version dirs
+    (no manifest) are always swept. Returns the dropped version
+    numbers."""
+    with maintenance_lock(root):
+        hist_root = os.path.join(root, HISTORY)
+        if not os.path.isdir(hist_root):
+            return []
+        complete = merge_history(root)
+        dropped = []
+        keep = {m["version"] for m in complete[max(0, len(complete) - max(0, keep_last)):]} if keep_last > 0 else set()
+        for m in complete:
+            if m["version"] not in keep:
+                shutil.rmtree(
+                    os.path.join(hist_root, f"v{m['version']:06d}"),
+                    ignore_errors=True,
+                )
+                dropped.append(m["version"])
+        complete_names = {f"v{m['version']:06d}" for m in complete}
+        for d in os.listdir(hist_root):
+            if d.startswith("v") and d not in complete_names:
+                shutil.rmtree(
+                    os.path.join(hist_root, d), ignore_errors=True
+                )
+        return dropped

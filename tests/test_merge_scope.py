@@ -1,0 +1,245 @@
+"""plans/merge file-level scoping + version retention (rounds 10-12):
+
+- file_scope: inside a touched partition, only files whose footer key
+  range can hold a changeset key are rewritten; the rest survive
+  byte-identical under their own names (hardlinked through the swap)
+- keep_history / rollback_last_merge / vacuum_merge_history: the
+  .merge_history keep-N retention + Delta-RESTORE-style undo
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pulsar_cdc_experiment_spark.plans.merge import (
+    merge_history,
+    merge_into,
+    partition_file_listing,
+    rollback_last_merge,
+    vacuum_merge_history,
+)
+
+
+def _mk_ranged_table(spark, root):
+    """3 files per partition, each a TIGHT key range ([0,10), [10,20),
+    [20,30)) — the layout a range/Z-order maintenance pass produces,
+    where file scoping pays off."""
+    for lo in (0, 10, 20):
+        rows = [
+            (k, float(k), "a" if k % 2 == 0 else "b")
+            for k in range(lo, lo + 10)
+        ]
+        df = spark.createDataFrame(rows, "k bigint, v double, p string")
+        df.coalesce(1).write.mode("append").partitionBy("p").parquet(root)
+
+
+def _state(spark, root):
+    return {
+        (r["k"], r["v"], r["p"])
+        for r in spark.read.parquet(root).collect()
+    }
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, v double, p string, is_delete boolean"
+    )
+
+
+def _files(root, pdir):
+    return sorted(
+        (f, os.path.getsize(os.path.join(root, pdir, f)))
+        for f in os.listdir(os.path.join(root, pdir))
+        if f.startswith("part-")
+    )
+
+
+def test_file_scope_rewrites_only_intersecting_files(spark):
+    root = tempfile.mkdtemp(prefix="mscope1_")
+    _mk_ranged_table(spark, root)
+    before_a = _files(root, "p=a")
+    assert len(before_a) == 3
+    st0 = _state(spark, root)
+
+    # k=4 lives in the [0,10) file of p=a only
+    rep = merge_into(
+        spark, root, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p",
+    )
+    assert rep["touched"] == ["a"]
+    assert rep["files_rewritten"] == 1
+    assert rep["files_kept"] == 2
+    after_a = _files(root, "p=a")
+    # the two non-intersecting files survive under their own names/bytes
+    kept = set(before_a) & set(after_a)
+    assert len(kept) == 2
+    st = _state(spark, root)
+    assert (4, 400.0, "a") in st
+    assert st == (st0 - {(4, 4.0, "a")}) | {(4, 400.0, "a")}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_file_scope_pure_insert_misses_every_range(spark):
+    """Insert keys outside every file's range: zero files rewritten, all
+    kept, the new rows land in fresh files."""
+    root = tempfile.mkdtemp(prefix="mscope2_")
+    _mk_ranged_table(spark, root)
+    before_a = _files(root, "p=a")
+    rep = merge_into(
+        spark, root, _chg(spark, [(1000, 1.0, "a", False)]),
+        keys=["k"], partition_col="p",
+    )
+    assert rep["files_rewritten"] == 0
+    assert rep["files_kept"] == 3
+    after_a = _files(root, "p=a")
+    assert set(before_a) <= set(after_a)
+    assert (1000, 1.0, "a") in _state(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_file_scope_delete_whole_file_keeps_rest(spark):
+    """Deleting every key of ONE file leaves the partition holding the
+    two kept files alone (the staged-dir-absent + kept-files branch)."""
+    root = tempfile.mkdtemp(prefix="mscope3_")
+    _mk_ranged_table(spark, root)
+    # p=a holds even keys; [0,10) file of p=a = {0,2,4,6,8}
+    dele = [(k, 0.0, "a", True) for k in (0, 2, 4, 6, 8)]
+    rep = merge_into(
+        spark, root, _chg(spark, dele), keys=["k"], partition_col="p"
+    )
+    assert rep["touched"] == ["a"]
+    assert rep["n_deleted"] == 5
+    assert rep["files_kept"] == 2
+    st = _state(spark, root)
+    assert not any(k < 10 and p == "a" for k, _v, p in st)
+    assert (10, 10.0, "a") in st and (28, 28.0, "a") in st
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_file_scope_idempotent_and_drift_containment(spark):
+    """Re-apply is a no-op under scoping (the updated copy's file now
+    intersects); drift (a->b) still leaves no stale twin."""
+    root = tempfile.mkdtemp(prefix="mscope4_")
+    _mk_ranged_table(spark, root)
+    chg = _chg(spark, [(4, 999.0, "b", False)])  # k=4 moves a -> b
+    rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    assert rep["touched"] == ["a", "b"]
+    st1 = _state(spark, root)
+    assert [t for t in st1 if t[0] == 4] == [(4, 999.0, "b")]
+    merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    assert _state(spark, root) == st1
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_file_scope_off_matches_on(spark):
+    """Same changeset with scoping on vs off: identical final state."""
+    roots = []
+    states = []
+    for scope in (True, False):
+        root = tempfile.mkdtemp(prefix=f"mscope5{int(scope)}_")
+        roots.append(root)
+        _mk_ranged_table(spark, root)
+        rep = merge_into(
+            spark, root,
+            _chg(spark, [(4, 7.0, "a", False), (15, 0.0, "b", True)]),
+            keys=["k"], partition_col="p", file_scope=scope,
+        )
+        if scope:
+            assert "files_rewritten" in rep
+        else:
+            assert "files_rewritten" not in rep
+        states.append(_state(spark, root))
+    assert states[0] == states[1]
+    for r in roots:
+        shutil.rmtree(r, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# version retention / rollback / vacuum
+
+
+def test_history_rollback_restores_pre_merge_state(spark):
+    root = tempfile.mkdtemp(prefix="mhist1_")
+    _mk_ranged_table(spark, root)
+    st0 = _state(spark, root)
+    listing0 = partition_file_listing(root, "p")
+
+    dele = [(k, 0.0, "b", True) for k in range(30) if k % 2 == 1]
+    chg = _chg(spark, [(4, 44.0, "a", False), (501, 5.0, "c", False)] + dele)
+    rep = merge_into(
+        spark, root, chg, keys=["k"], partition_col="p",
+        keep_history=True,
+    )
+    rep = json.loads(json.dumps(rep))
+    assert rep["version"] == 1
+    assert rep["deleted_partitions"] == ["b"]  # fully tombstoned
+    assert os.path.isdir(os.path.join(root, "p=c"))
+    st1 = _state(spark, root)
+    assert (4, 44.0, "a") in st1 and (501, 5.0, "c") in st1
+    assert not any(p == "b" for _k, _v, p in st1)
+
+    man = rollback_last_merge(root)
+    assert man["version"] == 1
+    assert _state(spark, root) == st0
+    # byte-level: every partition back to its original file listing
+    assert partition_file_listing(root, "p") == listing0
+    # created partition p=c is gone, history consumed
+    assert not os.path.exists(os.path.join(root, "p=c"))
+    assert merge_history(root) == []
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_history_chain_and_vacuum_keep_n(spark):
+    root = tempfile.mkdtemp(prefix="mhist2_")
+    _mk_ranged_table(spark, root)
+    for i in range(3):
+        merge_into(
+            spark, root,
+            _chg(spark, [(4, float(i), "a", False)]),
+            keys=["k"], partition_col="p", keep_history=True,
+        )
+    vs = [m["version"] for m in merge_history(root)]
+    assert vs == [1, 2, 3]
+    dropped = vacuum_merge_history(root, keep_last=1)
+    assert dropped == [1, 2]
+    assert [m["version"] for m in merge_history(root)] == [3]
+    # rollback still reaches the retained tail
+    rollback_last_merge(root)
+    st = _state(spark, root)
+    assert (4, 1.0, "a") in st  # state after version 2
+    with pytest.raises(ValueError, match="no retained merge history"):
+        rollback_last_merge(root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_rollback_crash_window_recovers(spark):
+    """Kill the rollback between the live-discard and the aside-restore:
+    the recovery sweep must finish the job (aside restored)."""
+    root = tempfile.mkdtemp(prefix="mhist3_")
+    _mk_ranged_table(spark, root)
+    st0 = _state(spark, root)
+    merge_into(
+        spark, root, _chg(spark, [(4, 9.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    # hand-simulate the crash: history copy moved to the aside name and
+    # the merged live dir already discarded — exactly the window between
+    # _discard_live and the final rename
+    from pulsar_cdc_experiment_spark.plans.layout import (
+        recover_partition_swaps,
+    )
+    from pulsar_cdc_experiment_spark.plans.merge import HISTORY
+
+    vdir = os.path.join(root, HISTORY, "v000001")
+    os.rename(
+        os.path.join(vdir, "p=a"), os.path.join(root, ".merge_old_p=a")
+    )
+    shutil.rmtree(os.path.join(root, "p=a"))
+    recover_partition_swaps(root)
+    assert _state(spark, root) == st0
+    shutil.rmtree(root, ignore_errors=True)

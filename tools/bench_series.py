@@ -48,6 +48,17 @@ def load_rounds() -> dict[int, dict]:
             parsed = blob
         if parsed:
             rounds[int(m.group(1))] = _expand_pairs(parsed)
+        else:
+            # a committed artifact with NO recoverable data (r11: the
+            # run crashed mid-suite, rc=1, tail is a progress bar) —
+            # keep the round as an explicit dataless column rather than
+            # silently dropping it from the series
+            rounds[int(m.group(1))] = {
+                "queries": {},
+                "steady": {},
+                "dataless": True,
+                "rc": blob.get("rc"),
+            }
     return rounds
 
 
