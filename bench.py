@@ -109,6 +109,9 @@ HEADLINE = [
     "cdc_merge_apply",              # CDC changeset fold -> MERGE apply
     "stream_stream_left_outer",     # outer stream-stream join + wm flush
     "corpus_dedup_segments",        # segment-grid exact dedup + rebuild
+    # round-12 addition
+    "merge_upsert_composite",       # two-level-partitioned MERGE: tuple
+                                    # touched discovery + leaf-level swap
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
@@ -333,6 +336,7 @@ def main() -> None:
         # the MERGE cycle (partitioned base build + changeset apply) IS
         # the operator — re-paid every run like the other layout ops
         "merge_upsert_partitioned",
+        "merge_upsert_composite",
         "cdc_merge_apply",
         # NOT stream_stream_left_outer: its staged feed is plain source
         # staging (the operator is the stateful join, re-run in full

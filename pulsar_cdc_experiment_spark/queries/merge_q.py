@@ -456,3 +456,114 @@ def cdc_merge_apply(spark, sf_dir):
         ).alias("sum_cents"),
         F.max("event_id").alias("max_event"),
     )
+
+
+def merge_lifecycle_fixture(spark, sf_dir: str) -> str:
+    """Version-retention lifecycle: base → merge v1 (the standard
+    changeset, history retained) → merge v2 (a destructive second
+    changeset: every 1-URGENT row deleted, 5-LOW prices doubled) →
+    ``rollback_last_merge`` undoes v2 → the served state must be
+    EXACTLY the post-v1 state. Persists both reports + the undone
+    manifest."""
+
+    def build(root: str) -> None:
+        from ..plans.merge import merge_history, rollback_last_merge
+
+        dst = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        orders.repartition(4).write.partitionBy("o_orderpriority").parquet(
+            dst
+        )
+        rep1 = merge_into(
+            spark, dst, _changeset(orders),
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+            keep_history=True,
+        )
+        assert rep1["version"] == 1
+        merged1 = spark.read.parquet(dst)
+        chg2 = (
+            merged1.filter(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("is_delete", F.lit(True))
+            .unionByName(
+                merged1.filter(F.col("o_orderpriority") == "5-LOW")
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                .withColumn("is_delete", F.lit(False))
+            )
+        )
+        rep2 = merge_into(
+            spark, dst, chg2,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+            keep_history=True,
+        )
+        assert rep2["version"] == 2
+        undone = rollback_last_merge(dst)
+        assert undone["version"] == 2
+        assert [m["version"] for m in merge_history(dst)] == [1]
+        with open(os.path.join(root, "lifecycle.json"), "w") as f:
+            json.dump({"rep1": rep1, "rep2": rep2, "undone": undone}, f)
+
+    return session_fixture("merge_lifecycle", sf_dir, "v2undo_v1", build)
+
+
+@register(
+    "merge_rollback_lifecycle",
+    oracle="""
+    WITH chg_upd AS (
+      SELECT o_orderkey, floor(o_totalprice * 1.07 * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 3 AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), chg_mov AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    ), chg_ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    ), chg_keys AS (
+      SELECT o_orderkey FROM chg_upd
+      UNION ALL SELECT o_orderkey FROM chg_mov
+      UNION ALL SELECT o_orderkey FROM chg_ins
+      UNION ALL SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 50 = 7
+          AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), final AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg_keys)
+      UNION ALL SELECT * FROM chg_upd
+      UNION ALL SELECT * FROM chg_mov
+      UNION ALL SELECT * FROM chg_ins
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM final GROUP BY 1
+    """,
+)
+def merge_rollback_lifecycle(spark, sf_dir):
+    """MERGE version retention end-to-end (round-10 task #9): merge v1
+    retains history, a destructive merge v2 deletes a whole partition
+    and rewrites another, ``rollback_last_merge`` undoes v2 through the
+    hidden-aside rename discipline — and the served table must equal
+    the post-v1 state EXACTLY, which the oracle recomputes closed-form
+    from the original table (identical final-state CTEs as
+    ``merge_upsert_partitioned``; if the rollback leaked v2 rows or
+    resurrected deleted ones, every aggregate here shifts). Vacuum
+    policy and crash-window recovery are pinned in
+    tests/test_merge_scope.py. Reference analog: recovering from a bad
+    changeset apply without a full re-snapshot (the reference redeploys
+    its connector + re-snapshots, docs/setup-guide.md)."""
+    root = merge_lifecycle_fixture(spark, sf_dir)
+    merged = read_dir(spark, os.path.join(root, "orders"))
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+        F.max("o_orderkey").alias("max_key"),
+    )

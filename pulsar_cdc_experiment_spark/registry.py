@@ -95,8 +95,18 @@ def load_all_query_modules() -> None:
     by_family: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         by_family.setdefault(getattr(fn, "__family__", "other"), []).append(name)
+    # rotate each family by a registry-size-derived offset: as the
+    # registry grows round-over-round, a prefix-sampling driver sees a
+    # DIFFERENT stratified 50 each round instead of pinning the same
+    # head forever (round-11 verdict #8: the streaming/merge/LLM tail
+    # only ever got builder-side eyes). Deterministic within a round —
+    # correctness artifacts stay reproducible.
+    rot = len(QUERIES)
+    buckets = [
+        b[rot % len(b):] + b[: rot % len(b)] for b in by_family.values()
+    ]
+    buckets = buckets[rot % len(buckets):] + buckets[: rot % len(buckets)]
     interleaved: list[str] = []
-    buckets = list(by_family.values())
     i = 0
     while len(interleaved) < len(QUERIES):
         for b in buckets:

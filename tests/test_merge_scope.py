@@ -69,7 +69,7 @@ def test_file_scope_rewrites_only_intersecting_files(spark):
     # k=4 lives in the [0,10) file of p=a only
     rep = merge_into(
         spark, root, _chg(spark, [(4, 400.0, "a", False)]),
-        keys=["k"], partition_col="p",
+        keys=["k"], partition_col="p", file_scope_min_mb=0,
     )
     assert rep["touched"] == ["a"]
     assert rep["files_rewritten"] == 1
@@ -92,7 +92,7 @@ def test_file_scope_pure_insert_misses_every_range(spark):
     before_a = _files(root, "p=a")
     rep = merge_into(
         spark, root, _chg(spark, [(1000, 1.0, "a", False)]),
-        keys=["k"], partition_col="p",
+        keys=["k"], partition_col="p", file_scope_min_mb=0,
     )
     assert rep["files_rewritten"] == 0
     assert rep["files_kept"] == 3
@@ -110,7 +110,7 @@ def test_file_scope_delete_whole_file_keeps_rest(spark):
     # p=a holds even keys; [0,10) file of p=a = {0,2,4,6,8}
     dele = [(k, 0.0, "a", True) for k in (0, 2, 4, 6, 8)]
     rep = merge_into(
-        spark, root, _chg(spark, dele), keys=["k"], partition_col="p"
+        spark, root, _chg(spark, dele), keys=["k"], partition_col="p", file_scope_min_mb=0
     )
     assert rep["touched"] == ["a"]
     assert rep["n_deleted"] == 5
@@ -127,11 +127,11 @@ def test_file_scope_idempotent_and_drift_containment(spark):
     root = tempfile.mkdtemp(prefix="mscope4_")
     _mk_ranged_table(spark, root)
     chg = _chg(spark, [(4, 999.0, "b", False)])  # k=4 moves a -> b
-    rep = merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    rep = merge_into(spark, root, chg, keys=["k"], partition_col="p", file_scope_min_mb=0)
     assert rep["touched"] == ["a", "b"]
     st1 = _state(spark, root)
     assert [t for t in st1 if t[0] == 4] == [(4, 999.0, "b")]
-    merge_into(spark, root, chg, keys=["k"], partition_col="p")
+    merge_into(spark, root, chg, keys=["k"], partition_col="p", file_scope_min_mb=0)
     assert _state(spark, root) == st1
     shutil.rmtree(root, ignore_errors=True)
 
@@ -148,6 +148,7 @@ def test_file_scope_off_matches_on(spark):
             spark, root,
             _chg(spark, [(4, 7.0, "a", False), (15, 0.0, "b", True)]),
             keys=["k"], partition_col="p", file_scope=scope,
+            file_scope_min_mb=0,
         )
         if scope:
             assert "files_rewritten" in rep

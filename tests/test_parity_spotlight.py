@@ -45,6 +45,7 @@ SPOTLIGHT = [
     "json_variant_probe",
     "llm_prep_pipeline",
     "merge_upsert_composite",
+    "merge_rollback_lifecycle",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_stream_join",

@@ -691,6 +691,7 @@ _BUILD_JOBS_SANCTIONED = {
     # step IS the operator, plans/merge.py)
     "merge_upsert_partitioned",
     "merge_upsert_composite",
+    "merge_rollback_lifecycle",
     "cdc_merge_apply",
 }
 
@@ -752,6 +753,7 @@ _FIXTURE_CACHED = [
     "stream_auto_maintenance",
     "merge_upsert_partitioned",
     "merge_upsert_composite",
+    "merge_rollback_lifecycle",
     "cdc_merge_apply",
 ]
 

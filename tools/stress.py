@@ -397,8 +397,95 @@ def main() -> None:
         finally:
             _sh.rmtree(root, ignore_errors=True)
 
+    def merge_file_scoped(n_rows):
+        """Round-12: FILE-level scoping measured. ONE partition holding
+        16 range-laid-out files (the layout a range/Z-order maintenance
+        pass produces); the changeset's keys all live inside one file's
+        range. file_scope=True rewrites the 1 intersecting file and
+        hardlinks the other 15 through the swap; file_scope=False
+        rewrites the partition's full 16 — the wall ratio is the
+        'rewrite cost ∝ intersecting files, not touched-partition
+        bytes' evidence in SCALE.md. Ideal asymptote 16x, shrunk
+        locally by the fixed discovery scan + footer probe."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pulsar_cdc_experiment_spark.plans.merge import merge_into
+
+        N_FILES = 16
+        payload = [
+            ((F.col("id") * (i + 3)) % 1009).cast("double").alias(f"c{i}")
+            for i in range(8)
+        ]
+        spayload = F.sha2(F.col("id").cast("string"), 256).alias("s")
+        chg = spark.range(n_rows // N_FILES // 10).select(
+            (F.col("id") * 10).alias("k"),  # all inside file 0's range
+            F.lit(-1.0).alias("v"),
+            *[F.lit(-1.0).alias(f"c{i}") for i in range(8)],
+            F.lit("x").alias("s"),
+            F.lit("0").alias("p"),
+            F.lit(False).alias("is_delete"),
+        )
+        secs = {True: [], False: []}
+        reps = {}
+        # interleaved scoped/unscoped rounds with a discarded warm-up
+        # pair: JVM/codegen/page-cache state otherwise biases whichever
+        # mode runs second (observed as a phantom 1.0x on the first cut
+        # of this leg)
+        for rnd in range(3):
+            for scope in (True, False):
+                root = _tf.mkdtemp(prefix=f"stress_mfs{int(scope)}_")
+                try:
+                    base = spark.range(n_rows).select(
+                        F.col("id").alias("k"),
+                        (F.col("id") % 97).cast("double").alias("v"),
+                        *payload,
+                        spayload,
+                        F.lit("0").alias("p"),
+                    )
+                    (
+                        base.repartitionByRange(N_FILES, F.col("k"))
+                        .sortWithinPartitions("k")
+                        .write.mode("overwrite")
+                        .partitionBy("p")
+                        .parquet(root)
+                    )
+                    t0 = time.perf_counter()
+                    rep = merge_into(
+                        spark, root, chg, keys=["k"], partition_col="p",
+                        file_scope=scope,
+                    )
+                    if rnd > 0:  # round 0 is the discarded warm-up
+                        secs[scope].append(time.perf_counter() - t0)
+                    assert rep["touched"] == ["0"]
+                    if scope:
+                        # boundary straddle tolerance: ≤2 of 16 rewritten
+                        assert rep["files_rewritten"] <= 2, rep
+                        assert rep["files_kept"] >= N_FILES - 2, rep
+                        reps[scope] = rep
+                finally:
+                    _sh.rmtree(root, ignore_errors=True)
+        secs = {k: min(v) for k, v in secs.items()}
+        results["merge_file_scoped"] = {
+            "rows": n_rows,
+            "files": N_FILES,
+            "files_rewritten": reps[True]["files_rewritten"],
+            "scoped_sec": round(secs[True], 2),
+            "unscoped_sec": round(secs[False], 2),
+            "speedup": round(secs[False] / secs[True], 2),
+        }
+        print(
+            json.dumps(
+                {"op": "merge_file_scoped",
+                 **results["merge_file_scoped"]}
+            ),
+            flush=True,
+        )
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
+    if args.only is None or "merge_file_scoped_1of16" in args.only:
+        merge_file_scoped(int(40e6 * s))
     # NOT through run(): its wall spans build + 2x scoped + 2x full
     # rewrite, so a rows_per_sec over it measures nothing — the leg
     # emits its own merge_full_rewrite record with the meaningful
