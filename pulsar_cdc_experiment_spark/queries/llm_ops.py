@@ -1684,3 +1684,43 @@ def corpus_dedup_segments(spark, sf_dir):
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+@register(
+    "frequent_tokens_sketch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS freq
+    FROM toks
+    GROUP BY tok
+    HAVING count(*) * 41 > (SELECT count(*) FROM toks)
+    """,
+)
+def frequent_tokens_sketch(spark, sf_dir):
+    """Corpus heavy hitters via the two-pass Misra-Gries pattern
+    (operators/sketch.py): per-partition bounded-memory candidate
+    summaries (capacity 40 → guarantee threshold n/41), a left-semi prune
+    of the token stream down to candidates, then an EXACT recount +
+    threshold filter — so the result is exactly the tokens with
+    frequency > n/41, which the oracle recomputes with a plain
+    GROUP BY/HAVING. The threshold compare is integer (freq*41 > n), no
+    float boundary. At 100 TB the candidate summaries are
+    capacity×partitions rows and the recount shuffle carries only
+    candidate tokens; the oracle's full-vocabulary groupBy is the plan
+    this avoids."""
+    from ..operators.sketch import mg_candidates
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    cand = mg_candidates(toks, "tok", capacity=40)
+    total = toks.agg(F.count("*").alias("__n"))
+    return (
+        toks.join(cand, "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") * 41 > F.col("__n"))
+        .select("tok", "freq")
+    )

@@ -567,3 +567,37 @@ def merge_rollback_lifecycle(spark, sf_dir):
         ).alias("sum_cents"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "merge_time_travel_read",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders GROUP BY 1
+    """,
+)
+def merge_time_travel_read(spark, sf_dir):
+    """Time-travel READ (``VERSION AS OF``) over merge history — the
+    query half of the retention story (``merge_rollback_lifecycle`` is
+    the RESTORE half). On the lifecycle fixture the table has been
+    merged twice and rolled back once (live = post-v1, history = [v1]);
+    ``read_version(root, 0)`` must reconstruct the ORIGINAL pre-merge
+    base by overlaying v1's saved pre-state copies onto the live
+    partitions — so the oracle is a plain aggregate over the untouched
+    ``orders`` table: any leaked merged row, missed overlay, or dropped
+    partition shifts it. No mutation, no lock; the reconstruction is a
+    manifest walk + parquet scan over hardlink-shared copies."""
+    from ..plans.merge import read_version
+
+    root = merge_lifecycle_fixture(spark, sf_dir)
+    v0 = read_version(spark, os.path.join(root, "orders"), 0)
+    return v0.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+        F.max("o_orderkey").alias("max_key"),
+    )

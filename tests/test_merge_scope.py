@@ -244,3 +244,61 @@ def test_rollback_crash_window_recovers(spark):
     recover_partition_swaps(root)
     assert _state(spark, root) == st0
     shutil.rmtree(root, ignore_errors=True)
+
+
+# --- read_version: time-travel READ over .merge_history ---------------------
+
+
+def _tt_state(df):
+    return {(r["k"], r["v"], r["p"]) for r in df.collect()}
+
+
+def test_read_version_reconstructs_every_retained_state(spark):
+    from pulsar_cdc_experiment_spark.plans.merge import read_version
+
+    root = tempfile.mkdtemp(prefix="mtt1_")
+    _mk_ranged_table(spark, root)
+    snaps = {0: _state(spark, root)}
+    # v1: update + drift; v2: delete a whole partition's rows via keys;
+    # v3: pure insert creating a NEW partition value
+    changes = [
+        [(4, 400.0, "a", False), (5, 555.0, "a", False)],   # 5 drifts b->a
+        [(k, 0.0, "b", True) for k in range(1, 30, 2)],      # delete all b
+        [(100, 1.0, "c", False), (101, 2.0, "c", False)],    # create p=c
+    ]
+    for i, rows in enumerate(changes, start=1):
+        rep = merge_into(
+            spark, root, _chg(spark, rows), keys=["k"],
+            partition_col="p", keep_history=True,
+        )
+        assert rep["version"] == i
+        snaps[i] = _state(spark, root)
+    for v, want in snaps.items():
+        got = _tt_state(read_version(spark, root, v))
+        assert got == want, f"as_of={v}"
+    # deleted-partition coverage: v2 removed p=b entirely; as_of=1 must
+    # resurrect it read-only while live stays without it
+    assert {t for t in _tt_state(read_version(spark, root, 1)) if t[2] == "b"}
+    assert not {t for t in _state(spark, root) if t[2] == "b"}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_read_version_rejects_future_and_vacuumed_gap(spark):
+    from pulsar_cdc_experiment_spark.plans.merge import read_version
+
+    root = tempfile.mkdtemp(prefix="mtt2_")
+    _mk_ranged_table(spark, root)
+    for rows in ([(4, 1.0, "a", False)], [(6, 2.0, "a", False)]):
+        merge_into(
+            spark, root, _chg(spark, rows), keys=["k"],
+            partition_col="p", keep_history=True,
+        )
+    with pytest.raises(ValueError, match="newer than the latest"):
+        read_version(spark, root, 9)
+    live = _state(spark, root)
+    assert _tt_state(read_version(spark, root, 2)) == live
+    vacuum_merge_history(root, keep_last=1)  # drops v1 -> gap below v1
+    assert _tt_state(read_version(spark, root, 1)) is not None  # still ok
+    with pytest.raises(ValueError, match="history gap|no retained"):
+        read_version(spark, root, 0)
+    shutil.rmtree(root, ignore_errors=True)

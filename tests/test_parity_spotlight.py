@@ -84,8 +84,10 @@ BREADTH = [
     "date_functions2",
     "date_functions3",
     "disjunctive_filter_revenue",
+    "dominant_part_supplier",
     "dpp_partitioned_join",
     "dq_events_expectations",
+    "frequent_tokens_sketch",
     "funnel_conversion",
     "graph_pagerank",
     "graph_pagerank_converged",
@@ -102,14 +104,19 @@ BREADTH = [
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",
+    "merge_time_travel_read",
     "merge_upsert_partitioned",
+    "min_cost_supplier_region",
     "multimodal_resize",
     "multimodal_serving_pipeline",
     "nation_market_share",
+    "nation_value_share",
+    "part_supplier_counts",
     "promo_revenue_share",
     "safe_casts",
     "set_intersect_except",
     "set_union",
+    "sole_late_supplier",
     "stream_auto_maintenance",
     "stream_cdc_incremental_agg",
     "stream_dq_expectations",
@@ -124,6 +131,7 @@ BREADTH = [
     "table_maintenance_report",
     "time_grain_rollup",
     "top_k",
+    "top_revenue_supplier",
     "unpivot_metrics",
     "url_functions",
     "volume_shipping",

@@ -692,6 +692,7 @@ _BUILD_JOBS_SANCTIONED = {
     "merge_upsert_partitioned",
     "merge_upsert_composite",
     "merge_rollback_lifecycle",
+    "merge_time_travel_read",
     "cdc_merge_apply",
 }
 
@@ -754,6 +755,7 @@ _FIXTURE_CACHED = [
     "merge_upsert_partitioned",
     "merge_upsert_composite",
     "merge_rollback_lifecycle",
+    "merge_time_travel_read",
     "cdc_merge_apply",
 ]
 
