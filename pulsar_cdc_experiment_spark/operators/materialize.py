@@ -249,3 +249,59 @@ def apply_diff(
         *[F.col(f"after_{c}").alias(c) for c in compare_cols],
     )
     return kept.select(*key_cols, *compare_cols).unionByName(upserts)
+
+
+def join_delta(
+    a: DataFrame,
+    b: DataFrame,
+    da: DataFrame,
+    db: DataFrame,
+    on: list[str],
+    z: str = "__z",
+) -> DataFrame:
+    """Incremental maintenance of a two-table equi-join view — the Z-set
+    delta rule (DBSP / differential-dataflow formulation):
+
+        d(A ⋈ B)  =  dA ⋈ B  +  A ⋈ dB  +  dA ⋈ dB
+
+    with A, B the PRE-change states and dA, dB signed-multiplicity
+    deltas (``z`` = +1 insert, -1 delete; an update is the -old/+new
+    pair). Multiplicities MULTIPLY across a join, so the third term
+    carries z_dA·z_dB — the correction a naive two-term implementation
+    misses exactly when the SAME key changes on both sides in one batch
+    (e.g. an order deleted while a lineitem is inserted under it: the
+    A ⋈ dB term emits a phantom +1 against the stale order, and only
+    dA ⋈ dB's (-1)·(+1) cancels it).
+
+    Returns the un-folded delta rows (join columns + both payloads + the
+    ``z`` column); callers fold by summing ``z`` per row or straight into
+    per-group aggregates (``sum(z)``, ``sum(z·v)``), after which groups
+    netting to zero drop out.
+
+    Scale story: the three joins are delta-sized on at least one side —
+    work per maintenance batch is O(|dA|·fanout + |dB|·fanout + |dA⋈dB|),
+    never O(|view|); at 100 TB the stored view is only ever APPENDED
+    folded deltas (the delta_fold_group_agg discipline above), and the
+    base-table probes prune to the delta's key range. ``a``/``b`` rows
+    carry implicit multiplicity 1; pass a ``z`` column on them only via
+    the deltas.
+    """
+    za, zb = z + "__a", z + "__b"
+    da_r = da.withColumnRenamed(z, za)
+    db_r = db.withColumnRenamed(z, zb)
+    t1 = (
+        da_r.join(b, on=on)
+        .withColumn(z, F.col(za))
+        .drop(za)
+    )
+    t2 = (
+        a.join(db_r, on=on)
+        .withColumn(z, F.col(zb))
+        .drop(zb)
+    )
+    t3 = (
+        da_r.join(db_r, on=on)
+        .withColumn(z, (F.col(za) * F.col(zb)).cast("long"))
+        .drop(za, zb)
+    )
+    return t1.unionByName(t2).unionByName(t3)

@@ -810,3 +810,148 @@ def cdc_snapshot_patch(spark, sf_dir):
     a = state_at(_SNAP_T1)
     diff = snapshot_diff(a, state_at(_SNAP_T2), ["user_id"], ["event_type", "vc"])
     return apply_diff(a, diff, ["user_id"], ["event_type", "vc"])
+
+
+@register(
+    "ivm_join_delta",
+    oracle="""
+    WITH a0 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS ocents
+      FROM orders
+    ), b0 AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber, l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS lcents
+      FROM lineitem
+    ), a1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 50 = 3
+                  THEN CAST(floor(o_totalprice * 1.07 * 100 + 0.5) AS BIGINT)
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS ocents
+      FROM orders WHERE o_orderkey % 50 <> 7
+    ), b1 AS (
+      SELECT * FROM b0
+      WHERE NOT (o_orderkey % 50 = 19 AND l_linenumber = 1)
+      UNION ALL
+      SELECT o_orderkey, 99, l_returnflag, lcents * 2
+      FROM b0 WHERE o_orderkey % 50 = 7 AND l_linenumber = 1
+      UNION ALL
+      SELECT o_orderkey, 98, l_returnflag, lcents + 5
+      FROM b0 WHERE o_orderkey % 50 = 3 AND l_linenumber = 2
+    ), orig AS (
+      SELECT o_orderpriority, l_returnflag, count(*) AS n,
+             sum(lcents) AS sl, sum(ocents) AS so
+      FROM a0 JOIN b0 USING (o_orderkey) GROUP BY 1, 2
+    ), neu AS (
+      SELECT o_orderpriority, l_returnflag, count(*) AS n,
+             sum(lcents) AS sl, sum(ocents) AS so
+      FROM a1 JOIN b1 USING (o_orderkey) GROUP BY 1, 2
+    )
+    SELECT coalesce(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+           coalesce(n.l_returnflag, o.l_returnflag) AS l_returnflag,
+           CAST(coalesce(n.n, 0) - coalesce(o.n, 0) AS BIGINT) AS d_n,
+           CAST(coalesce(n.sl, 0) - coalesce(o.sl, 0) AS BIGINT) AS d_lcents,
+           CAST(coalesce(n.so, 0) - coalesce(o.so, 0) AS BIGINT) AS d_ocents
+    FROM neu n FULL OUTER JOIN orig o
+      ON n.o_orderpriority = o.o_orderpriority
+     AND n.l_returnflag = o.l_returnflag
+    WHERE coalesce(n.n, 0) <> coalesce(o.n, 0)
+       OR coalesce(n.sl, 0) <> coalesce(o.sl, 0)
+       OR coalesce(n.so, 0) <> coalesce(o.so, 0)
+    """,
+)
+def ivm_join_delta(spark, sf_dir):
+    """Incremental maintenance of a JOIN view (operators/materialize.py
+    ``join_delta``): the Z-set delta rule
+    ``d(A ⋈ B) = dA ⋈ B + A ⋈ dB + dA ⋈ dB`` applied to an
+    orders ⋈ lineitem view, returning the per-group aggregate CHANGE the
+    batch induces. The changeset is closed-form and deliberately evil:
+    orders %50==7 are DELETED while a new lineitem is INSERTED under
+    them, and orders %50==3 are UPDATED while another lineitem arrives —
+    both cases where the naive two-term rule (missing dA ⋈ dB) emits
+    phantom rows against stale parents; the oracle recomputes the diff
+    as (patched join) - (original join), so any phantom shifts it.
+    Work is delta-sized on one side of every join (the production plan
+    never touches the stored view — folded deltas append to it); cents
+    are exact longs so the fold cancels exactly. Reference analog: the
+    CDC feed's before/after images applied to a JOINED serving view
+    rather than the single-table state B5 materializes."""
+    from ..operators.materialize import join_delta
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ocents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    ocents_new = F.floor(
+        F.col("o_totalprice") * 1.07 * 100 + F.lit(0.5)
+    ).cast("long")
+    lcents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    a0 = orders.select(
+        "o_orderkey", "o_orderpriority", ocents.alias("ocents")
+    )
+    b0 = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_returnflag",
+        lcents.alias("lcents"),
+    )
+    z1 = F.lit(1).cast("long")
+    upd = orders.filter(F.col("o_orderkey") % 50 == 3)
+    da = (
+        upd.select("o_orderkey", "o_orderpriority", ocents.alias("ocents"))
+        .withColumn("__z", -z1)
+        .unionByName(
+            upd.select(
+                "o_orderkey", "o_orderpriority", ocents_new.alias("ocents")
+            ).withColumn("__z", z1)
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 50 == 7)
+            .select("o_orderkey", "o_orderpriority", ocents.alias("ocents"))
+            .withColumn("__z", -z1)
+        )
+    )
+    db = (
+        b0.filter((F.col("o_orderkey") % 50 == 19) & (F.col("l_linenumber") == 1))
+        .withColumn("__z", -z1)
+        .unionByName(
+            b0.filter(
+                (F.col("o_orderkey") % 50 == 7) & (F.col("l_linenumber") == 1)
+            )
+            .select(
+                "o_orderkey",
+                F.lit(99).cast(b0.schema["l_linenumber"].dataType).alias(
+                    "l_linenumber"
+                ),
+                "l_returnflag",
+                (F.col("lcents") * 2).alias("lcents"),
+            )
+            .withColumn("__z", z1)
+        )
+        .unionByName(
+            b0.filter(
+                (F.col("o_orderkey") % 50 == 3) & (F.col("l_linenumber") == 2)
+            )
+            .select(
+                "o_orderkey",
+                F.lit(98).cast(b0.schema["l_linenumber"].dataType).alias(
+                    "l_linenumber"
+                ),
+                "l_returnflag",
+                (F.col("lcents") + 5).alias("lcents"),
+            )
+            .withColumn("__z", z1)
+        )
+    )
+    dv = join_delta(a0, b0, da, db, on=["o_orderkey"])
+    return (
+        dv.groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum("__z").alias("d_n"),
+            F.sum(F.col("__z") * F.col("lcents")).alias("d_lcents"),
+            F.sum(F.col("__z") * F.col("ocents")).alias("d_ocents"),
+        )
+        .filter(
+            (F.col("d_n") != 0) | (F.col("d_lcents") != 0) | (F.col("d_ocents") != 0)
+        )
+    )

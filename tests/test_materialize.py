@@ -360,3 +360,84 @@ def test_snapshot_diff_presence_only(spark):
     b = spark.createDataFrame([(2,), (3,)], "k long")
     out = {r["k"]: r["op"] for r in snapshot_diff(a, b, ["k"], []).collect()}
     assert out == {1: "d", 3: "c"}
+
+
+# --- join_delta: the Z-set delta rule for join views -------------------------
+
+
+def test_join_delta_equals_full_recompute_with_both_side_churn(spark):
+    """d(A ⋈ B) folded into the old view must equal the patched join —
+    randomized changesets that hit the SAME keys on both sides, the case
+    the dA⋈dB correction term exists for."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators.materialize import join_delta
+
+    rng = random.Random(42)
+    keys = list(range(30))
+    a_rows = [(k, rng.randrange(100)) for k in keys for _ in range(rng.randrange(3))]
+    b_rows = [(k, rng.randrange(100)) for k in keys for _ in range(rng.randrange(4))]
+    a = spark.createDataFrame(a_rows, "k long, av long")
+    b = spark.createDataFrame(b_rows, "k long, bv long")
+
+    # deltas: delete a random subset of existing rows, insert fresh ones —
+    # deliberately overlapping key sets between the two sides
+    da_rows = [(k, v, -1) for (k, v) in a_rows if rng.random() < 0.4]
+    da_rows += [(k, 1000 + i, 1) for i, k in enumerate(rng.choices(keys, k=12))]
+    db_rows = [(k, v, -1) for (k, v) in b_rows if rng.random() < 0.4]
+    db_rows += [(k, 2000 + i, 1) for i, k in enumerate(rng.choices(keys, k=15))]
+    da = spark.createDataFrame(da_rows, "k long, av long, __z long")
+    db = spark.createDataFrame(db_rows, "k long, bv long, __z long")
+
+    def patched(rows, drows):
+        from collections import Counter
+
+        c = Counter(rows)
+        for k, v, zz in drows:
+            c[(k, v)] += zz
+        assert all(n >= 0 for n in c.values())
+        return [t for t, n in c.items() for _ in range(n)]
+
+    a1 = spark.createDataFrame(patched(a_rows, da_rows), "k long, av long")
+    b1 = spark.createDataFrame(patched(b_rows, db_rows), "k long, bv long")
+
+    def agg(df, zcol=None):
+        zc = F.col(zcol) if zcol else F.lit(1).cast("long")
+        rows = df.groupBy("k").agg(
+            F.sum(zc).alias("n"),
+            F.sum(zc * (F.col("av") * 1000 + F.col("bv"))).alias("s"),
+        ).collect()
+        return {r.k: (r.n, r.s) for r in rows}
+
+    old = agg(a.join(b, on=["k"]))
+    new = agg(a1.join(b1, on=["k"]))
+    dv = agg(join_delta(a, b, da, db, on=["k"]), zcol="__z")
+    folded = {}
+    for k in set(old) | set(dv):
+        n = old.get(k, (0, 0))[0] + dv.get(k, (0, 0))[0]
+        s = old.get(k, (0, 0))[1] + dv.get(k, (0, 0))[1]
+        if n or s:
+            folded[k] = (n, s)
+    assert folded == {k: v for k, v in new.items() if v != (0, 0)}
+
+
+def test_join_delta_correction_term_cancels_phantom(spark):
+    """Parent deleted + child inserted in the same batch: without the
+    dA⋈dB term the delta would net +1 phantom row; with it, zero."""
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators.materialize import join_delta
+
+    a = spark.createDataFrame([(1, 10)], "k long, av long")
+    b = spark.createDataFrame([], "k long, bv long")
+    da = spark.createDataFrame([(1, 10, -1)], "k long, av long, __z long")
+    db = spark.createDataFrame([(1, 20, 1)], "k long, bv long, __z long")
+    net = (
+        join_delta(a, b, da, db, on=["k"])
+        .agg(F.coalesce(F.sum("__z"), F.lit(0)).alias("z"))
+        .collect()[0]
+        .z
+    )
+    assert net == 0

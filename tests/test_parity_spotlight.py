@@ -101,6 +101,7 @@ BREADTH = [
     "interval_mixed_widths",
     "interval_overlap_windows",
     "interval_shipping_pressure",
+    "ivm_join_delta",
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",
