@@ -1774,3 +1774,190 @@ def stream_merge_apply(spark, sf_dir):
         ).alias("sum_cents"),
         F.max("event_id").alias("max_event"),
     )
+
+
+@register(
+    "stream_ivm_join",
+    oracle="""
+    WITH b0 AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber, l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS lcents
+      FROM lineitem
+    ), a1 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 50 = 3
+                  THEN CAST(floor(o_totalprice * 1.07 * 100 + 0.5) AS BIGINT)
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS ocents
+      FROM orders WHERE o_orderkey % 50 <> 7
+    ), b1 AS (
+      SELECT * FROM b0
+      WHERE NOT (o_orderkey % 50 = 19 AND l_linenumber = 1)
+      UNION ALL
+      SELECT o_orderkey, 99, l_returnflag, lcents * 2
+      FROM b0 WHERE o_orderkey % 50 = 7 AND l_linenumber = 1
+      UNION ALL
+      SELECT o_orderkey, 98, l_returnflag, lcents + 5
+      FROM b0 WHERE o_orderkey % 50 = 3 AND l_linenumber = 2
+    )
+    SELECT o_orderpriority, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(lcents) AS BIGINT) AS sum_lcents,
+           CAST(sum(ocents) AS BIGINT) AS sum_ocents
+    FROM a1 JOIN b1 USING (o_orderkey) GROUP BY 1, 2
+    """,
+)
+def stream_ivm_join(spark, sf_dir):
+    """STREAMING incremental maintenance of a JOIN view
+    (streaming/materialize.IncrementalJoinMaintainer): a two-batch CDC
+    feed carries both sides' signed-multiplicity changes — batch 0 the
+    base inserts (against empty states the delta rule degenerates to
+    dA ⋈ dB, which IS the bootstrap materialization; no special case),
+    batch 1 the same evil changeset as ``ivm_join_delta`` (orders
+    deleted while lineitems are inserted under them, updates racing
+    child inserts). Each batch computes d(A ⋈ B) against the
+    pre-batch states, folds it into the per-group view, and publishes
+    a/b/view under ONE atomic pointer swap; a redelivered batch id is
+    skipped whole. The served view must equal the batch join of the
+    final patched tables, which the oracle recomputes closed-form —
+    per-batch work is delta-sized, and the full join is never executed
+    anywhere in the maintained path. Reference analog: continuous c/u/d
+    apply maintaining a JOINED serving view rather than the single-table
+    B5 state (connectors/README.md:152-157)."""
+    import os
+
+    from ..streaming.materialize import IncrementalJoinMaintainer
+    from .fixture_cache import session_fixture
+
+    feed_schema = (
+        "side string, o_orderkey bigint, o_orderpriority string, "
+        "ocents bigint, l_linenumber bigint, l_returnflag string, "
+        "lcents bigint, __z bigint"
+    )
+
+    def build(root: str) -> None:
+        feed_root = os.path.join(root, "feed")
+        orders = table(spark, sf_dir, "orders")
+        li = table(spark, sf_dir, "lineitem")
+        ocents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ocents_new = F.floor(
+            F.col("o_totalprice") * 1.07 * 100 + F.lit(0.5)
+        ).cast("long")
+        lcents = F.floor(
+            F.col("l_extendedprice") * 100 + F.lit(0.5)
+        ).cast("long")
+        nl = F.lit(None)
+        z1 = F.lit(1).cast("long")
+
+        def a_rows(df, oc, z):
+            return df.select(
+                F.lit("a").alias("side"),
+                F.col("o_orderkey"),
+                F.col("o_orderpriority"),
+                oc.alias("ocents"),
+                nl.cast("bigint").alias("l_linenumber"),
+                nl.cast("string").alias("l_returnflag"),
+                nl.cast("bigint").alias("lcents"),
+                z.alias("__z"),
+            )
+
+        def b_rows(df, ln, lc, z):
+            return df.select(
+                F.lit("b").alias("side"),
+                F.col("l_orderkey").alias("o_orderkey"),
+                nl.cast("string").alias("o_orderpriority"),
+                nl.cast("bigint").alias("ocents"),
+                ln.cast("bigint").alias("l_linenumber"),
+                F.col("l_returnflag"),
+                lc.alias("lcents"),
+                z.alias("__z"),
+            )
+
+        batch0 = a_rows(orders, ocents, z1).unionByName(
+            b_rows(li, F.col("l_linenumber"), lcents, z1)
+        )
+        upd = orders.filter(F.col("o_orderkey") % 50 == 3)
+        dele = orders.filter(F.col("o_orderkey") % 50 == 7)
+        li_k = li.withColumn("__k", F.col("l_orderkey"))
+        batch1 = (
+            a_rows(upd, ocents, -z1)
+            .unionByName(a_rows(upd, ocents_new, z1))
+            .unionByName(a_rows(dele, ocents, -z1))
+            .unionByName(
+                b_rows(
+                    li_k.filter(
+                        (F.col("__k") % 50 == 19) & (F.col("l_linenumber") == 1)
+                    ),
+                    F.col("l_linenumber"),
+                    lcents,
+                    -z1,
+                )
+            )
+            .unionByName(
+                b_rows(
+                    li_k.filter(
+                        (F.col("__k") % 50 == 7) & (F.col("l_linenumber") == 1)
+                    ),
+                    F.lit(99),
+                    lcents * 2,
+                    z1,
+                )
+            )
+            .unionByName(
+                b_rows(
+                    li_k.filter(
+                        (F.col("__k") % 50 == 3) & (F.col("l_linenumber") == 2)
+                    ),
+                    F.lit(98),
+                    lcents + 5,
+                    z1,
+                )
+            )
+        )
+        base = 1_700_000_000
+        for i, part in enumerate((batch0, batch1)):
+            p = os.path.join(feed_root, f"{i:03d}")
+            part.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+
+        maintainer = IncrementalJoinMaintainer(
+            os.path.join(root, "state"),
+            on=["o_orderkey"],
+            group_cols=["o_orderpriority", "l_returnflag"],
+            measure_cols=["lcents", "ocents"],
+        )
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+
+        def apply_batch(batch_df, batch_id):
+            da = batch_df.filter(F.col("side") == "a").select(
+                "o_orderkey", "o_orderpriority", "ocents", "__z"
+            )
+            db = batch_df.filter(F.col("side") == "b").select(
+                "o_orderkey", "l_linenumber", "l_returnflag", "lcents", "__z"
+            )
+            maintainer.process_batch(da, db, batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_ivm_join")
+
+    root = session_fixture("stream_ivm_join", sf_dir, "zset_2batch_v1", build)
+    maintainer = IncrementalJoinMaintainer(
+        os.path.join(root, "state"),
+        on=["o_orderkey"],
+        group_cols=["o_orderpriority", "l_returnflag"],
+        measure_cols=["lcents", "ocents"],
+    )
+    view = maintainer.current_view(spark)
+    return view.select(
+        "o_orderpriority", "l_returnflag", "n", "sum_lcents", "sum_ocents"
+    )

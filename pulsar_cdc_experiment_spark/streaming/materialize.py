@@ -193,7 +193,14 @@ class AtomicStateDir:
         if d is None:
             return None
         sub = os.path.join(d, name)
-        return spark.read.parquet(sub) if os.path.exists(sub) else None
+        if not os.path.exists(sub):
+            return None
+        # schema-cached read (sources.tables.read_dir): a published state
+        # dir is immutable, so re-probing it must plan ZERO jobs — the
+        # fixture-reuse gate in tests/test_scale_plans.py
+        from ..sources.tables import read_dir
+
+        return read_dir(spark, sub)
 
     def vacuum(self, keep: int | None = None) -> list[str]:
         """Explicit maintenance verb: drop retained publications beyond
@@ -455,3 +462,119 @@ class IncrementalAggMaintainer:
             )
         finally:
             b.unpersist()
+
+
+class IncrementalJoinMaintainer:
+    """Streaming incremental maintenance of a JOIN view — the Z-set delta
+    rule (operators/materialize.join_delta) driven from a change feed:
+    per-batch work proportional to the BATCH's deltas (times join
+    fan-out), never to the view.
+
+    Three state tables under ``root``, published in ONE
+    :meth:`AtomicStateDir.publish_tables` pointer swap (they must move
+    together — ``d(A ⋈ B)`` is computed against the states BEFORE the
+    batch, so a crash stranding ``a``/``b`` a batch ahead of ``view``
+    would corrupt every replayed delta):
+
+    - ``a`` / ``b`` — the two base relations' current states (set
+      semantics: the feed's deletes carry the exact current row image,
+      the CDC before/after contract, so multiplicities fold to 0/1).
+    - ``view`` — the maintained per-group aggregate of the join
+      (``group_cols``, ``n``, one ``sum_<c>`` per measure), updated by a
+      |changed-groups|-sized union+sum fold of the batch's
+      ``join_delta`` output. Bootstrap needs no special case: against
+      empty states the rule degenerates to ``dA ⋈ dB``, which IS the
+      initial materialization.
+
+    Delta merging is not idempotent → a redelivered batch (same id as
+    the live publication) is skipped whole, the
+    :class:`IncrementalAggMaintainer` guard."""
+
+    def __init__(
+        self,
+        root: str,
+        on: Sequence[str],
+        group_cols: Sequence[str],
+        measure_cols: Sequence[str],
+        z: str = "__z",
+        keep_versions: int = 1,
+    ):
+        self.on = list(on)
+        self.group_cols = list(group_cols)
+        self.measure_cols = list(measure_cols)
+        self.z = z
+        self._state = AtomicStateDir(root, keep_versions=keep_versions)
+
+    def current_view(self, spark: SparkSession) -> DataFrame | None:
+        from pyspark.sql import functions as F
+
+        v = self._state.current_table(spark, "view")
+        if v is None:
+            return None
+        # groups net to zero only at read time; partials must keep them
+        return v.filter(F.col("n") > 0)
+
+    def _fold_side(self, state: DataFrame | None, delta: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        cols = [c for c in delta.columns if c != self.z]
+        live = (
+            delta.select(*cols, F.col(self.z).alias("__m"))
+            if state is None
+            else state.select(*cols, F.lit(1).cast("long").alias("__m")).unionByName(
+                delta.select(*cols, F.col(self.z).alias("__m"))
+            )
+        )
+        return (
+            live.groupBy(*cols)
+            .agg(F.sum("__m").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .drop("__m")
+        )
+
+    def process_batch(self, da: DataFrame, db: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.materialize import join_delta
+
+        if self._state.applied_batch() == batch_id:
+            return  # redelivery: deltas were already merged
+        spark = da.sparkSession
+        a_cols = [c for c in da.columns if c != self.z]
+        b_cols = [c for c in db.columns if c != self.z]
+        a = self._state.current_table(spark, "a")
+        b = self._state.current_table(spark, "b")
+        a_pre = a if a is not None else da.select(*a_cols).limit(0)
+        b_pre = b if b is not None else db.select(*b_cols).limit(0)
+
+        dv = join_delta(a_pre, b_pre, da, db, on=self.on, z=self.z)
+        zc = F.col(self.z)
+        dview = dv.groupBy(*self.group_cols).agg(
+            F.sum(zc).alias("n"),
+            *[
+                F.sum(zc * F.col(c)).alias(f"sum_{c}")
+                for c in self.measure_cols
+            ],
+        )
+        view_old = self._state.current_table(spark, "view")
+        merged = (
+            dview
+            if view_old is None
+            else view_old.unionByName(dview)
+            .groupBy(*self.group_cols)
+            .agg(
+                F.sum("n").alias("n"),
+                *[
+                    F.sum(f"sum_{c}").alias(f"sum_{c}")
+                    for c in self.measure_cols
+                ],
+            )
+        )
+        self._state.publish_tables(
+            {
+                "a": self._fold_side(a, da),
+                "b": self._fold_side(b, db),
+                "view": merged,
+            },
+            batch_id,
+        )

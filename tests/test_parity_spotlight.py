@@ -48,6 +48,7 @@ SPOTLIGHT = [
     "merge_rollback_lifecycle",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
+    "stream_ivm_join",
     "stream_stream_join",
     "stream_stream_left_outer",
     "stream_stream_full_outer",

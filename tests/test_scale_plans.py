@@ -752,6 +752,7 @@ _FIXTURE_CACHED = [
     "multimodal_serving_pipeline",
     "incremental_maintenance_report",
     "stream_auto_maintenance",
+    "stream_ivm_join",
     "merge_upsert_partitioned",
     "merge_upsert_composite",
     "merge_rollback_lifecycle",
