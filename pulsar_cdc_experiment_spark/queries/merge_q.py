@@ -601,3 +601,152 @@ def merge_time_travel_read(spark, sf_dir):
         ).alias("sum_cents"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def merge_txn_fixture(spark, sf_dir: str) -> str:
+    """Two partitioned tables under one transaction root. A FAILING
+    transaction runs first (valid orders leg + a changeset missing its
+    key column) and must leave zero trace; then a SUCCEEDING transaction
+    applies closed-form changesets to both tables."""
+
+    def build(root: str) -> None:
+        from ..plans.txn import merge_transaction
+
+        t1 = os.path.join(root, "orders")
+        t2 = os.path.join(root, "items")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        orders.repartition(4).write.partitionBy("o_orderpriority").parquet(t1)
+        # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        # (up to 5 dups) and MERGE requires unique changeset keys —
+        # pre-aggregate to a keyed items table deterministically
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.max("l_returnflag").alias("l_returnflag"),
+                F.sum("l_extendedprice").alias("l_extendedprice"),
+            )
+        )
+        li.repartition(4).write.partitionBy("l_returnflag").parquet(t2)
+
+        def t1_chg():
+            upd = orders.filter(F.col("o_orderkey") % 50 == 3)
+            return upd.withColumn(
+                "o_totalprice", F.col("o_totalprice") * 1.07
+            ).withColumn("is_delete", F.lit(False))
+
+        def t2_chg():
+            dele = (
+                li.filter(F.col("l_orderkey") % 40 == 1)
+                .withColumn("is_delete", F.lit(True))
+            )
+            upd = (
+                li.filter(F.col("l_orderkey") % 40 == 5)
+                .withColumn("l_extendedprice", F.col("l_extendedprice") * 2)
+                .withColumn("is_delete", F.lit(False))
+            )
+            return dele.unionByName(upd)
+
+        bogus = spark.createDataFrame(
+            [("R", False)], "l_returnflag string, is_delete boolean"
+        )
+        failed = None
+        try:
+            merge_transaction(
+                spark,
+                root,
+                [
+                    {
+                        "path": t1, "source": t1_chg(),
+                        "keys": ["o_orderkey"],
+                        "partition_col": "o_orderpriority",
+                    },
+                    {
+                        "path": t2, "source": bogus,
+                        "keys": ["l_orderkey", "l_linenumber"],
+                        "partition_col": "l_returnflag",
+                    },
+                ],
+            )
+        except Exception as e:  # the failing txn MUST raise
+            failed = repr(e)
+        assert failed is not None
+        out = merge_transaction(
+            spark,
+            root,
+            [
+                {
+                    "path": t1, "source": t1_chg(),
+                    "keys": ["o_orderkey"],
+                    "partition_col": "o_orderpriority",
+                },
+                {
+                    "path": t2, "source": t2_chg(),
+                    "keys": ["l_orderkey", "l_linenumber"],
+                    "partition_col": "l_returnflag",
+                },
+            ],
+        )
+        assert out["n_legs"] == 2
+        with open(os.path.join(root, "txn.json"), "w") as f:
+            json.dump({"failed_first": failed, "ok": out["n_legs"]}, f)
+
+    return session_fixture("merge_txn", sf_dir, "fail_then_ok_v1", build)
+
+
+@register(
+    "merge_txn_multi_table",
+    oracle="""
+    WITH o1 AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 50 = 3
+                  THEN floor(o_totalprice * 1.07 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents
+      FROM orders
+    ), items AS (
+      SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+             sum(l_extendedprice) AS l_extendedprice
+      FROM lineitem GROUP BY 1, 2
+    ), l1 AS (
+      SELECT l_returnflag,
+             CASE WHEN l_orderkey % 40 = 5
+                  THEN floor(l_extendedprice * 2 * 100 + 0.5)
+                  ELSE floor(l_extendedprice * 100 + 0.5) END AS cents
+      FROM items WHERE l_orderkey % 40 <> 1
+    )
+    SELECT 'orders' AS tbl, o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM o1 GROUP BY 2
+    UNION ALL
+    SELECT 'items', l_returnflag, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM l1 GROUP BY 2
+    """,
+)
+def merge_txn_multi_table(spark, sf_dir):
+    """Multi-table MERGE transaction (plans/txn.py): a FAILING
+    transaction (valid orders leg, then a changeset missing its key
+    columns) must compensate fully — then a succeeding transaction
+    applies an orders update and a lineitem update+delete atomically.
+    The oracle recomputes BOTH final tables from the originals assuming
+    exactly one applied transaction: any residue of the failed txn's
+    completed first leg (the 1.07 update applied twice) or a stranded
+    half-transaction shifts the aggregates. Composite merge keys on the
+    items leg (orderkey, linenumber). Reference analog: one upstream
+    Postgres transaction fanned out topic-per-table
+    (docs/setup-guide.md:33-35), applied all-or-nothing downstream."""
+    root = merge_txn_fixture(spark, sf_dir)
+    o = read_dir(spark, os.path.join(root, "orders"))
+    l = read_dir(spark, os.path.join(root, "items"))
+    cents_o = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents_l = F.floor(
+        F.col("l_extendedprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    a = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n"), F.sum(cents_o).alias("sum_cents")
+    ).select(F.lit("orders").alias("tbl"), "grp", "n", "sum_cents")
+    b = l.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n"), F.sum(cents_l).alias("sum_cents")
+    ).select(F.lit("items").alias("tbl"), "grp", "n", "sum_cents")
+    return a.unionByName(b)

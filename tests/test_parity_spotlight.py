@@ -107,6 +107,7 @@ BREADTH = [
     "local_supplier_revenue",
     "math_bitwise_trig",
     "merge_time_travel_read",
+    "merge_txn_multi_table",
     "merge_upsert_partitioned",
     "min_cost_supplier_region",
     "multimodal_resize",

@@ -1,0 +1,227 @@
+"""Multi-table MERGE transactions (plans/txn.py): all-or-nothing outcome
+across tables, journaled saga recovery at every crash point."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pulsar_cdc_experiment_spark.plans.merge import merge_history, merge_into
+from pulsar_cdc_experiment_spark.plans.txn import (
+    JOURNAL,
+    merge_transaction,
+    recover_merge_transaction,
+)
+
+
+def _mk(spark, root, name):
+    path = os.path.join(root, name)
+    rows = [(k, float(k), "a" if k % 2 == 0 else "b") for k in range(20)]
+    spark.createDataFrame(rows, "k bigint, v double, p string").coalesce(
+        1
+    ).write.partitionBy("p").parquet(path)
+    return path
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, v double, p string, is_delete boolean"
+    )
+
+
+def _state(spark, path):
+    return {
+        (r["k"], r["v"], r["p"]) for r in spark.read.parquet(path).collect()
+    }
+
+
+@pytest.fixture()
+def two_tables(spark):
+    root = tempfile.mkdtemp(prefix="txn_")
+    t1, t2 = _mk(spark, root, "t1"), _mk(spark, root, "t2")
+    yield root, t1, t2
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _op(path, src):
+    return {
+        "path": path,
+        "source": src,
+        "keys": ["k"],
+        "partition_col": "p",
+    }
+
+
+def test_txn_happy_path_applies_all_legs(spark, two_tables):
+    root, t1, t2 = two_tables
+    s1, s2 = _state(spark, t1), _state(spark, t2)
+    out = merge_transaction(
+        spark,
+        root,
+        [
+            _op(t1, _chg(spark, [(4, 400.0, "a", False)])),
+            _op(t2, _chg(spark, [(5, 0.0, "b", True), (100, 1.0, "a", False)])),
+        ],
+    )
+    assert out["n_legs"] == 2
+    assert not os.path.exists(os.path.join(root, JOURNAL))
+    assert _state(spark, t1) == (s1 - {(4, 4.0, "a")}) | {(4, 400.0, "a")}
+    assert _state(spark, t2) == (s2 - {(5, 5.0, "b")}) | {(100, 1.0, "a")}
+    # history retained per leg (rollback capability outlives the commit)
+    assert [m["version"] for m in merge_history(t1)] == [1]
+
+
+def test_txn_failed_leg_rolls_back_completed_legs(spark, two_tables):
+    root, t1, t2 = two_tables
+    s1, s2 = _state(spark, t1), _state(spark, t2)
+    bogus = spark.createDataFrame(
+        [(1, "a", False)], "wrong bigint, p string, is_delete boolean"
+    )
+    with pytest.raises(Exception):
+        merge_transaction(
+            spark,
+            root,
+            [
+                _op(t1, _chg(spark, [(4, 400.0, "a", False)])),
+                _op(t2, bogus),  # missing key column -> leg 2 raises
+            ],
+        )
+    assert not os.path.exists(os.path.join(root, JOURNAL))
+    assert _state(spark, t1) == s1, "leg 1 must be compensated"
+    assert _state(spark, t2) == s2
+    assert merge_history(t1) == []  # rollback consumed the history copy
+
+
+def test_recover_crash_after_leg1_before_leg2(spark, two_tables):
+    """Journal says leg1 completed, leg2 in flight but never landed."""
+    root, t1, t2 = two_tables
+    s1 = _state(spark, t1)
+    rep = merge_into(
+        spark, t1, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "ops": [t1, t2],
+                "completed": [{"path": t1, "version": rep["version"]}],
+                "in_flight": {"path": t2, "version": 1},
+                "committed": False,
+            },
+            f,
+        )
+    out = recover_merge_transaction(root)
+    assert out == {"rolled_back": [t1], "committed": False}
+    assert _state(spark, t1) == s1
+    assert recover_merge_transaction(root) is None  # idempotent
+
+
+def test_recover_crash_after_inflight_leg_landed(spark, two_tables):
+    """Both legs' merges landed but the second was never recorded as
+    completed (crash between merge and journal update): recovery must
+    roll back BOTH — the expected-version guard identifies the landed
+    in-flight leg."""
+    root, t1, t2 = two_tables
+    s1, s2 = _state(spark, t1), _state(spark, t2)
+    r1 = merge_into(
+        spark, t1, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    r2 = merge_into(
+        spark, t2, _chg(spark, [(5, 0.0, "b", True)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "ops": [t1, t2],
+                "completed": [{"path": t1, "version": r1["version"]}],
+                "in_flight": {"path": t2, "version": r2["version"]},
+                "committed": False,
+            },
+            f,
+        )
+    out = recover_merge_transaction(root)
+    assert sorted(out["rolled_back"]) == sorted([t1, t2])
+    assert _state(spark, t1) == s1 and _state(spark, t2) == s2
+
+
+def test_recover_committed_journal_is_cleanup_only(spark, two_tables):
+    root, t1, t2 = two_tables
+    rep = merge_into(
+        spark, t1, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    after = _state(spark, t1)
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "ops": [t1],
+                "completed": [{"path": t1, "version": rep["version"]}],
+                "in_flight": None,
+                "committed": True,
+            },
+            f,
+        )
+    out = recover_merge_transaction(root)
+    assert out == {"rolled_back": [], "committed": True}
+    assert _state(spark, t1) == after  # nothing undone
+
+
+def test_txn_recovers_stale_journal_before_running(spark, two_tables):
+    """A new transaction over a root holding a crashed predecessor's
+    journal compensates it first, then applies cleanly."""
+    root, t1, t2 = two_tables
+    s1 = _state(spark, t1)
+    rep = merge_into(
+        spark, t1, _chg(spark, [(6, 600.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "ops": [t1],
+                "completed": [{"path": t1, "version": rep["version"]}],
+                "in_flight": None,
+                "committed": False,
+            },
+            f,
+        )
+    merge_transaction(
+        spark, root, [_op(t2, _chg(spark, [(7, 700.0, "b", False)]))]
+    )
+    assert _state(spark, t1) == s1, "stale leg compensated"
+    assert (7, 700.0, "b") in _state(spark, t2)
+
+
+def test_recover_skips_foreign_merge_on_top(spark, two_tables):
+    """If a FOREIGN merge landed on a table after the crash, its history
+    version no longer matches the journal's record — recovery must NOT
+    roll back work it does not own."""
+    root, t1, t2 = two_tables
+    r1 = merge_into(
+        spark, t1, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    merge_into(
+        spark, t1, _chg(spark, [(8, 800.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    st = _state(spark, t1)
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "ops": [t1],
+                "completed": [{"path": t1, "version": r1["version"]}],
+                "in_flight": None,
+                "committed": False,
+            },
+            f,
+        )
+    out = recover_merge_transaction(root)
+    assert out["rolled_back"] == []
+    assert _state(spark, t1) == st
