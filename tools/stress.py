@@ -482,6 +482,98 @@ def main() -> None:
             flush=True,
         )
 
+    def ivm_join(n_rows):
+        """Round-12: JOIN-view maintenance, delta rule vs full recompute.
+        A = n parents, B = 3n children (parquet on disk, both modes scan
+        the same files); 0.1% of keys churn on BOTH sides in one batch.
+        Full recompute = patched A' join B' (an 4n-row shuffle join) then
+        the group agg; delta rule = join_delta(A,B,dA,dB) — every term is
+        delta-sized on one side, so AQE broadcasts the delta and the big
+        tables are scanned but never shuffled. The wall ratio is the
+        'per-batch work tracks the BATCH, not the view' evidence in
+        SCALE.md; at 100 TB key-range pruning on the base probes widens
+        it further (the scans here are the local floor)."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pulsar_cdc_experiment_spark.operators.materialize import join_delta
+
+        root = _tf.mkdtemp(prefix="stress_ivm_")
+        try:
+            nA = n_rows
+            spark.range(nA).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).alias("g"),
+                (F.col("id") % 1009).alias("av"),
+            ).write.parquet(root + "/a")
+            spark.range(3 * nA).select(
+                (F.col("id") % nA).alias("k"),
+                (F.col("id") % 31).alias("bv"),
+            ).write.parquet(root + "/b")
+            a = spark.read.parquet(root + "/a")
+            b = spark.read.parquet(root + "/b")
+            hot = F.col("k") % 1000 == 7
+            z1 = F.lit(1).cast("long")
+            da = (
+                a.filter(hot).withColumn("__z", -z1)
+                .unionByName(
+                    a.filter(hot)
+                    .withColumn("av", F.col("av") + 1)
+                    .withColumn("__z", z1)
+                )
+            )
+            db = (
+                b.filter(hot).withColumn("__z", -z1)
+                .unionByName(
+                    b.filter(hot)
+                    .withColumn("bv", F.col("bv") + 1)
+                    .withColumn("__z", z1)
+                )
+            )
+
+            def agg_full():
+                a1 = a.filter(~hot).unionByName(
+                    a.filter(hot).withColumn("av", F.col("av") + 1)
+                )
+                b1 = b.filter(~hot).unionByName(
+                    b.filter(hot).withColumn("bv", F.col("bv") + 1)
+                )
+                a1.join(b1, "k").groupBy("g").agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("av") * F.col("bv")).alias("s"),
+                ).collect()
+
+            def agg_delta():
+                join_delta(a, b, da, db, on=["k"]).groupBy("g").agg(
+                    F.sum("__z").alias("dn"),
+                    F.sum(F.col("__z") * F.col("av") * F.col("bv")).alias("ds"),
+                ).collect()
+
+            secs = {"full": [], "delta": []}
+            for rnd in range(3):  # interleaved, warm-up pair discarded
+                for mode, fn in (("full", agg_full), ("delta", agg_delta)):
+                    t0 = time.perf_counter()
+                    fn()
+                    if rnd > 0:
+                        secs[mode].append(time.perf_counter() - t0)
+            full_s, delta_s = min(secs["full"]), min(secs["delta"])
+            results["ivm_join_delta_vs_recompute"] = {
+                "rows_a": nA,
+                "rows_b": 3 * nA,
+                "full_sec": round(full_s, 2),
+                "delta_sec": round(delta_s, 2),
+                "ratio": round(full_s / delta_s, 2),
+            }
+            print(
+                json.dumps(
+                    {"op": "ivm_join_delta_vs_recompute",
+                     **results["ivm_join_delta_vs_recompute"]}
+                ),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
     if args.only is None or "merge_file_scoped_1of16" in args.only:
@@ -492,6 +584,8 @@ def main() -> None:
     # scoped/full split (round-9 review)
     if args.only is None or "merge_scoped_1of16" in args.only:
         merge_scoped(int(40e6 * s))
+    if args.only is None or "ivm_join_delta_vs_recompute" in args.only:
+        ivm_join(int(20e6 * s))
     run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
     run("chain_pointer_double_d64", int(2e6 * s), chain_pointer_double)
     run("interval_join_binned", int(20e6 * s), interval_join)
