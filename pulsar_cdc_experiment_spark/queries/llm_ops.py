@@ -1724,3 +1724,64 @@ def frequent_tokens_sketch(spark, sf_dir):
         .filter(F.col("freq") * 41 > F.col("__n"))
         .select("tok", "freq")
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             greatest(list_reduce(list_prepend(0.0,
+               [abs(CAST(embedding[i] AS DOUBLE)) FOR i IN range(1, len(embedding) + 1)]),
+               (x, y) -> greatest(x, y)), 1e-30) AS ma
+      FROM embeddings
+    ), codes AS (
+      SELECT vec_id, embedding,
+             [floor(CAST(embedding[i] AS DOUBLE) * 127.0 / ma + 0.5)
+              FOR i IN range(1, len(embedding) + 1)] AS code
+      FROM base
+    ), q AS (
+      SELECT code, embedding FROM codes WHERE vec_id = 0
+    ), scored AS (
+      SELECT a.vec_id,
+             list_reduce(list_prepend(0.0, [a.code[i] * q.code[i]
+               FOR i IN range(1, len(a.code) + 1)]), (x, y) -> x + y) AS qdot,
+             list_reduce(list_prepend(0.0, [a.code[i] * a.code[i]
+               FOR i IN range(1, len(a.code) + 1)]), (x, y) -> x + y) AS na2,
+             list_reduce(list_prepend(0.0, [q.code[i] * q.code[i]
+               FOR i IN range(1, len(q.code) + 1)]), (x, y) -> x + y) AS nq2,
+             {_COS_SQL} AS cos
+      FROM codes a CROSS JOIN q
+    )
+    SELECT vec_id,
+           floor(qdot / (sqrt(na2) * sqrt(nq2)) * 1000000 + 0.5) / 1000000 AS q_cos,
+           floor(cos * 1000000 + 0.5) / 1000000 AS cos_sim
+    FROM scored
+    ORDER BY qdot / (sqrt(na2) * sqrt(nq2)) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """C42+: int8 scalar quantization + quantized top-k with exact
+    rescoring — the memory/bandwidth half of vector search at corpus
+    scale (a float32 embedding store is 4x the bytes of its int8 codes;
+    the quantized scan ranks, the full-precision column rescores only
+    the short list). Codes use round-half-up symmetric quantization
+    (operators/similarity.int8_codes), so every score is exact integer
+    arithmetic in doubles and the oracle reproduces them bit-for-bit —
+    unlike float dots, whose partial-sum order varies across engines.
+    Sanctioned 1-row construction job: the query-vector fetch (same as
+    embed_topk_cosine). Reference analog: the reference ships raw bytes
+    end-to-end (enrichment function, processor.py) and has no vector
+    path; this is the scale-path extension SURVEY §2 C42 calls for."""
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    topk = S.quantized_topk(emb, qvec, k=10)
+    return topk.select(
+        "vec_id",
+        rn(F.col("q_cos"), 6).alias("q_cos"),
+        rn(F.col("cos_sim"), 6).alias("cos_sim"),
+    )

@@ -88,6 +88,7 @@ BREADTH = [
     "dominant_part_supplier",
     "dpp_partitioned_join",
     "dq_events_expectations",
+    "embed_quantize_int8",
     "frequent_tokens_sketch",
     "funnel_conversion",
     "graph_pagerank",

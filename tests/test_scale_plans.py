@@ -661,6 +661,7 @@ _BUILD_JOBS_SANCTIONED = {
     "embed_ivf_ann",  # kmeans: k×d centroid state per iteration
     "embed_ivf_portable",  # kmeans: k×d centroid state per iteration
     "embed_topk_cosine",  # 1-row query-vector fetch
+    "embed_quantize_int8",  # 1-row query-vector fetch
     "order_value_deciles",  # ntile boundaries: n-1 rows
     # layout maintenance: the clustering WRITE is the operator (the
     # OPTIMIZE-ZORDER shape) — build + probe run in one registered call

@@ -134,3 +134,42 @@ def test_ivf_nprobe_recall_curve_on_real_embeddings(spark, sf_dir):
     assert curve[4] >= 0.6, curve
     assert curve[1] <= curve[4] <= curve[16], curve
     assert curve[16] == 1.0, curve
+
+
+def test_int8_quantized_topk_recall_and_code_bounds(spark, sf_dir):
+    """int8 scalar quantization: codes bounded in [-127, 127], every
+    vector's max-magnitude coordinate maps to ±127 (symmetric scale is
+    per-vector), and quantized top-10 recalls ≥ 8/10 of the exact
+    top-10 (64-dim embeddings lose little ordering at 8 bits). The
+    rescoring column must equal brute-force cosine exactly — same fold,
+    same rows."""
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", S.int8_codes(F.col("embedding")).alias("code")
+    )
+    stats = codes.select(
+        F.max(F.array_max("code")).alias("mx"),
+        F.min(F.array_min("code")).alias("mn"),
+        F.min(
+            F.greatest(F.abs(F.array_max("code")), F.abs(F.array_min("code")))
+        ).alias("peak_min"),
+    ).first()
+    assert stats["mx"] <= 127 and stats["mn"] >= -127
+    assert stats["peak_min"] == 127  # per-vector scale: peak always saturates
+
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = {r["vec_id"] for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    qrows = S.quantized_topk(emb, qvec, k=10).collect()
+    got = {r["vec_id"] for r in qrows}
+    assert len(got & exact) >= 8, (sorted(got), sorted(exact))
+    # rescoring column is the true cosine for those rows
+    by_id = {
+        r["vec_id"]: r["cos_sim"]
+        for r in S.brute_force_topk(emb, qvec, k=500).collect()
+    }
+    for r in qrows:
+        assert abs(r["cos_sim"] - by_id[r["vec_id"]]) < 1e-12
