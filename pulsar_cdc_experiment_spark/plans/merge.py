@@ -940,3 +940,122 @@ def read_version(spark, root: str, as_of: int):
     for df in parts[1:]:
         out = out.unionByName(df, allowMissingColumns=True)
     return out
+
+
+def change_feed(
+    spark,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE FEED between two retained merge versions — the
+    Delta ``table_changes`` / Change Data Feed analog for the
+    copy-on-write merge layer. Returns one row per change with a
+    ``change_type`` column: ``insert``, ``delete``, or the
+    ``update_pre``/``update_post`` pair (the same pre/post-image
+    convention the reference's CDC envelope carries as before/after,
+    reference connectors/README.md:152-157 — this closes the loop:
+    changesets go IN via merge_into, and the same c/u/d shape comes
+    back OUT for downstream incremental consumers).
+
+    ``to_version=None`` means the live table. Keys and partition
+    columns come from the retained manifests; both sides are pruned to
+    the union of the spanned versions' TOUCHED partition values before
+    the diff, so feed cost is proportional to what the merges touched,
+    never table size (a table format derives the same feed from its
+    add/remove file actions; here the manifest's touched list is that
+    metadata). The diff itself is one key-shuffle FULL OUTER join of
+    two partition-pruned scans; row comparison is a single null-safe
+    struct equality, so schema evolution (columns present on one side
+    only) is handled by diffing the common columns.
+    """
+    versions = merge_history(root)
+    if not versions:
+        raise ValueError(f"no retained merge history under {root}")
+    latest = versions[-1]["version"]
+    hi = latest if to_version is None else to_version
+    if not 0 <= from_version < hi <= latest:
+        raise ValueError(
+            f"change_feed needs 0 <= from ({from_version}) < to ({hi}) "
+            f"<= latest retained version ({latest})"
+        )
+    mans = [m for m in versions if from_version < m["version"] <= hi]
+    keys = list(mans[-1]["keys"])
+    pcols = list(versions[0]["partition_col"])
+    touched = {
+        tuple(v) if isinstance(v, list) else (v,)
+        for m in mans
+        for v in m["touched"]
+    }
+
+    pre = read_version(spark, root, from_version)
+    post = read_version(spark, root, hi)
+
+    # OR-of-ANDs literal pruning over the manifests' touched values —
+    # same predicate shape merge_into itself prunes with; partition
+    # values compare in their dir-name spelling (strings)
+    prune = F.lit(False)
+    for tv in sorted(touched):
+        conj = F.lit(True)
+        for c, val in zip(pcols, tv):
+            conj = conj & (F.col(c).cast("string") == F.lit(val))
+        prune = prune | conj
+    pre, post = pre.filter(prune), post.filter(prune)
+
+    data_cols = [
+        c for c in pre.columns if c in post.columns and c not in keys
+    ]
+    a = pre.select(
+        *keys,
+        F.lit(True).alias("__in_pre"),
+        F.struct(*data_cols).alias("__pre"),
+    )
+    b = post.select(
+        *keys,
+        F.lit(True).alias("__in_post"),
+        F.struct(*data_cols).alias("__post"),
+    )
+    j = a.join(b, keys, "full_outer")
+    changed = (
+        F.col("__in_pre").isNotNull()
+        & F.col("__in_post").isNotNull()
+        & ~F.col("__pre").eqNullSafe(F.col("__post"))
+    )
+    events = F.array(
+        F.when(
+            F.col("__in_pre").isNull(),
+            F.struct(
+                F.lit("insert").alias("change_type"),
+                F.col("__post").alias("row"),
+            ),
+        ),
+        F.when(
+            F.col("__in_post").isNull(),
+            F.struct(
+                F.lit("delete").alias("change_type"),
+                F.col("__pre").alias("row"),
+            ),
+        ),
+        F.when(
+            changed,
+            F.struct(
+                F.lit("update_pre").alias("change_type"),
+                F.col("__pre").alias("row"),
+            ),
+        ),
+        F.when(
+            changed,
+            F.struct(
+                F.lit("update_post").alias("change_type"),
+                F.col("__post").alias("row"),
+            ),
+        ),
+    )
+    return j.select(
+        *keys,
+        F.explode(F.filter(events, lambda e: e.isNotNull())).alias("__e"),
+    ).select(
+        *keys,
+        F.col("__e.change_type").alias("change_type"),
+        *[F.col(f"__e.row.{c}").alias(c) for c in data_cols],
+    )

@@ -750,3 +750,68 @@ def merge_txn_multi_table(spark, sf_dir):
         F.count("*").alias("n"), F.sum(cents_l).alias("sum_cents")
     ).select(F.lit("items").alias("tbl"), "grp", "n", "sum_cents")
     return a.unionByName(b)
+
+
+@register(
+    "merge_change_feed",
+    oracle="""
+    SELECT o_orderkey, 'update_pre' AS change_type, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 50 = 3
+      AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    UNION ALL
+    SELECT o_orderkey, 'update_post', o_orderpriority,
+           CAST(floor(o_totalprice * 1.07 * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 3
+      AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    UNION ALL
+    SELECT o_orderkey, 'update_pre', o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    UNION ALL
+    SELECT o_orderkey, 'update_post', '1-URGENT',
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    UNION ALL
+    SELECT o_orderkey + 10000000, 'insert', '1-URGENT',
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    UNION ALL
+    SELECT o_orderkey, 'delete', o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 7
+      AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    """,
+)
+def merge_change_feed(spark, sf_dir):
+    """CHANGE FEED read (Delta ``table_changes`` analog): row-level
+    c/u/d events between retained merge version 0 and the live table on
+    the lifecycle fixture (post-v1 after v2's rollback — so the feed
+    must be EXACTLY merge v1's changes and nothing of v2's). The oracle
+    enumerates the closed-form changeset: update pre/post pairs (incl.
+    the partition-drift move whose post-image lands in 1-URGENT),
+    inserts at key+10M, deletes — no-op deletes of absent keys must NOT
+    appear. Both sides of the diff are pruned to the manifests' touched
+    partitions before the full-outer key join (plans/merge.change_feed),
+    so feed cost tracks what the merge touched, never table size.
+    Reference analog: the c/u/d envelope the reference EMITS downstream
+    (connectors/README.md:152-157) — here regenerated from retained
+    table versions instead of a live broker."""
+    from ..plans.merge import change_feed
+
+    root = merge_lifecycle_fixture(spark, sf_dir)
+    feed = change_feed(spark, os.path.join(root, "orders"), 0)
+    return feed.select(
+        "o_orderkey",
+        "change_type",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )

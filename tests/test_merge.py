@@ -585,3 +585,69 @@ def test_merge_composite_crash_recovery_nested_aside(spark):
     }
     assert (3, 33.0, "y", "2") in st
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_change_feed_version_to_version_and_errors(spark):
+    """plans/merge.change_feed: c/u/d classification per version span,
+    pre/post images for updates (incl. partition drift), no event for
+    untouched rows, and fail-loud on bad ranges / missing history."""
+    from pulsar_cdc_experiment_spark.plans.merge import change_feed
+
+    root = tempfile.mkdtemp(prefix="merge_cf_")
+    _mk_table(spark, root, _base_rows())
+    # v1: update k=0 (stays in 'a'), drift k=3 a->b, delete k=6,
+    # insert k=900 into 'c'
+    merge_into(
+        spark, root,
+        _chg(spark, [
+            (0, 100.0, "a", False),
+            (3, 103.0, "b", False),
+            (6, 0.0, "a", True),
+            (900, 900.0, "c", False),
+        ]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    # v2: delete the row v1 inserted, update k=0 again
+    merge_into(
+        spark, root,
+        _chg(spark, [(900, 0.0, "c", True), (0, 200.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+
+    def events(feed):
+        return {
+            (r["k"], r["change_type"], r["v"], r["p"])
+            for r in feed.collect()
+        }
+
+    f1 = events(change_feed(spark, root, 0, 1))
+    assert f1 == {
+        (0, "update_pre", 0.0, "a"), (0, "update_post", 100.0, "a"),
+        (3, "update_pre", 3.0, "a"), (3, "update_post", 103.0, "b"),
+        (6, "delete", 6.0, "a"),
+        (900, "insert", 900.0, "c"),
+    }
+    f2 = events(change_feed(spark, root, 1, 2))
+    assert f2 == {
+        (900, "delete", 900.0, "c"),
+        (0, "update_pre", 100.0, "a"), (0, "update_post", 200.0, "a"),
+    }
+    # spanning feed v0 -> live: k=900's insert+delete cancel out,
+    # k=0 shows one pre/post pair across both merges
+    f02 = events(change_feed(spark, root, 0))
+    assert (0, "update_pre", 0.0, "a") in f02
+    assert (0, "update_post", 200.0, "a") in f02
+    assert not any(k == 900 for (k, *_rest) in f02)
+    # untouched rows never emit
+    assert not any(k == 1 for (k, *_rest) in f02)
+
+    with pytest.raises(ValueError, match="change_feed needs"):
+        change_feed(spark, root, 2, 2)
+    with pytest.raises(ValueError, match="change_feed needs"):
+        change_feed(spark, root, 0, 9)
+    empty = tempfile.mkdtemp(prefix="merge_cf_nohist_")
+    _mk_table(spark, empty, _base_rows())
+    with pytest.raises(ValueError, match="no retained merge history"):
+        change_feed(spark, empty, 0)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(empty, ignore_errors=True)

@@ -107,6 +107,7 @@ BREADTH = [
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",
+    "merge_change_feed",
     "merge_time_travel_read",
     "merge_txn_multi_table",
     "merge_upsert_partitioned",

@@ -694,6 +694,7 @@ _BUILD_JOBS_SANCTIONED = {
     "merge_upsert_composite",
     "merge_rollback_lifecycle",
     "merge_time_travel_read",
+    "merge_change_feed",
     "merge_txn_multi_table",
     "cdc_merge_apply",
 }
@@ -759,6 +760,7 @@ _FIXTURE_CACHED = [
     "merge_upsert_composite",
     "merge_rollback_lifecycle",
     "merge_time_travel_read",
+    "merge_change_feed",
     "merge_txn_multi_table",
     "cdc_merge_apply",
 ]
