@@ -1785,3 +1785,62 @@ def embed_quantize_int8(spark, sf_dir):
         rn(F.col("q_cos"), 6).alias("q_cos"),
         rn(F.col("cos_sim"), 6).alias("cos_sim"),
     )
+
+
+@register(
+    "corpus_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, source, list_distinct({_SHINGLES_SQL}) AS shingles FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.15
+    ), edges AS (
+      SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+    ), comp AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    )
+    SELECT doc_id, component,
+           CASE WHEN {_hash32_sql("component")} % 10 < 8 THEN 'train'
+                WHEN {_hash32_sql("component")} % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    """,
+)
+def corpus_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document — a doc and its near-duplicates
+    always land on the same side, so evaluation never scores memorized
+    training text (the decontamination failure mode that per-doc random
+    splits bake in). Cluster = connected components over shingle-Jaccard
+    pairs (same fixpoint as dedup_clusters); assignment = portable
+    32-bit hash of the cluster id mod 10 → 8/1/1 train/val/test.
+    Deterministic end-to-end: re-running the pipeline on a grown corpus
+    keeps every existing cluster's side stable (hash of min doc id),
+    which is what makes the split auditable at 100 TB — no seed state,
+    no shuffle-order dependence. Sanctioned construction jobs: label
+    propagation's per-iteration convergence count (the dedup_clusters
+    carve-out)."""
+    from ..operators.components import dedup_survivors
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, threshold=0.15
+    ).select("id_a", "id_b")
+    comp = dedup_survivors(docs, pairs, "doc_id").select(
+        "doc_id", "component"
+    )
+    bucket = _hash32("component") % 10
+    return comp.withColumn(
+        "split",
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -812,3 +812,125 @@ def interval_overlap_windows(spark, sf_dir):
         F.count("*").alias("n_overlaps"),
         F.sum(overlap_us).alias("sum_overlap_micros"),
     )
+
+
+@register(
+    "entity_resolution_customers",
+    oracle="""
+    WITH RECURSIVE dirty AS (
+      SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nat,
+             c_acctbal AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000, replace(c_name, 'Customer#', 'Customer #'),
+             c_nationkey, c_acctbal
+      FROM customer WHERE c_custkey % 37 = 5
+      UNION ALL
+      SELECT c_custkey + 2000000, replace(c_name, 'Customer#', 'Custmer#'),
+             c_nationkey, c_acctbal * 0.5
+      FROM customer WHERE c_custkey % 53 = 11
+    ), blocked AS (
+      SELECT *, nat || '|' || substr(name, length(name) - 5, 6) AS blk
+      FROM dirty
+    ), pairs AS (
+      SELECT a.rec_id AS ia, b.rec_id AS ib
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs
+    ), reach AS (
+      SELECT rec_id AS id, rec_id AS r FROM dirty
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+    ), comp AS (
+      SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id
+    )
+    SELECT component, CAST(count(*) AS BIGINT) AS n_records,
+           min(name) AS canonical_name,
+           CAST(max(floor(bal * 100 + 0.5)) AS BIGINT) AS best_cents
+    FROM dirty JOIN comp ON dirty.rec_id = comp.id
+    GROUP BY component
+    HAVING count(*) >= 2
+    """,
+)
+def entity_resolution_customers(spark, sf_dir):
+    """Entity resolution / record linkage: blocking → pairwise edit
+    distance → connected components → survivorship — the classic ER
+    pipeline over a deterministically dirtied customer registry (two
+    perturbation families: an inserted space and a dropped letter, one
+    of them also halving the balance so survivorship has something to
+    decide). Blocking key = (nation, last-6 name chars): candidate
+    pairs are generated ONLY within blocks — the O(n²) all-pairs trap
+    never appears, and at 100 TB the block join is one shuffle whose
+    fan-in is bounded by block size (same discipline as the LSH band
+    join, operators/dedup.py). Clustering is iterative min-label
+    propagation (operators/components.py, sanctioned convergence
+    counts); the oracle recomputes the same fixpoint with a recursive
+    CTE. Output: multi-record clusters with canonical name (min) and
+    best balance (max) — the survivorship rule made explicit."""
+    from ..operators.components import dedup_survivors
+
+    cust = table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    dup1 = (
+        cust.filter(F.col("c_custkey") % 37 == 5)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("rec_id"),
+            F.regexp_replace("c_name", "Customer#", "Customer #").alias(
+                "name"
+            ),
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    dup2 = (
+        cust.filter(F.col("c_custkey") % 53 == 11)
+        .select(
+            (F.col("c_custkey") + 2000000).alias("rec_id"),
+            F.regexp_replace("c_name", "Customer#", "Custmer#").alias(
+                "name"
+            ),
+            F.col("c_nationkey").alias("nat"),
+            (F.col("c_acctbal") * 0.5).alias("bal"),
+        )
+    )
+    dirty = base.unionByName(dup1).unionByName(dup2)
+    blocked = dirty.withColumn(
+        "blk",
+        F.concat(
+            F.col("nat").cast("string"),
+            F.lit("|"),
+            F.substring(F.col("name"), -6, 6),
+        ),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 2)
+        .select(
+            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        )
+    )
+    comp = dedup_survivors(dirty, pairs, "rec_id")
+    return (
+        dirty.join(comp.select("rec_id", "component"), "rec_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("name").alias("canonical_name"),
+            F.max(
+                F.floor(F.col("bal") * 100 + F.lit(0.5)).cast("long")
+            ).alias("best_cents"),
+        )
+        .filter(F.col("n_records") >= 2)
+    )

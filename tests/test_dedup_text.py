@@ -554,3 +554,37 @@ def test_corpus_dedup_segments_properties(spark, sf_dir):
     )
     assert bad.count() == 0
     out.unpersist()
+
+
+def test_leakage_safe_split_keeps_near_dups_on_one_side(spark, sf_dir):
+    """The split's defining property, asserted directly: every
+    shingle-Jaccard near-dup pair lands in the SAME split (no train/val
+    leakage), the cluster id is the min doc id of the component, and
+    the three splits roughly follow the 8/1/1 hash allocation."""
+    from pulsar_cdc_experiment_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+    )
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    load_all_query_modules()
+    out = QUERIES["corpus_split_leakage_safe"](spark, sf_dir)
+    rows = {r["doc_id"]: (r["component"], r["split"]) for r in out.collect()}
+    docs = table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()  # every doc assigned exactly once
+
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", "source", n=3, threshold=0.15
+    ).collect()
+    assert pairs, "fixture produced no near-dup pairs; property untested"
+    for p in pairs:
+        ca, sa = rows[p["id_a"]]
+        cb, sb = rows[p["id_b"]]
+        assert sa == sb, (p, sa, sb)  # the leakage guarantee
+        assert ca == cb  # same component
+        assert ca <= min(p["id_a"], p["id_b"])  # min-label component id
+    by_split = {}
+    for _c, s in rows.values():
+        by_split[s] = by_split.get(s, 0) + 1
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+    assert by_split.get("train", 0) > by_split.get("test", 0)

@@ -80,6 +80,8 @@ BREADTH = [
     "corpus_chunk_tokens",
     "corpus_dedup_segments",
     "corpus_sample_token_budget",
+    "corpus_split_leakage_safe",
+    "entity_resolution_customers",
     "cube_orders",
     "customer_order_distribution",
     "date_functions2",

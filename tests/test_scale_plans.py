@@ -653,7 +653,10 @@ def test_no_broadcast_hint_on_data_proportional_input(spark, sf_dir):
 # both directions so an entry that stops running jobs must be removed.
 _BUILD_JOBS_SANCTIONED = {
     "corpus_pack_bins",  # per-bucket prefix-sum offsets (fixed bucket count)
+    # label propagation: per-iteration convergence count
+    "corpus_split_leakage_safe",
     "dedup_clusters",  # label propagation: per-iteration convergence count
+    "entity_resolution_customers",  # label propagation (same carve-out)
     # convergence-gated PageRank: one scalar residual per round (the
     # label-propagation carve-out, operators/graph.py)
     "graph_pagerank_converged",
