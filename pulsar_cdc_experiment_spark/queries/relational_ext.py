@@ -934,3 +934,80 @@ def entity_resolution_customers(spark, sf_dir):
         )
         .filter(F.col("n_records") >= 2)
     )
+
+
+@register(
+    "analyze_table_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(floor(min(l_quantity) * 100 + 0.5) AS BIGINT) AS min_cents,
+           CAST(floor(max(l_quantity) * 100 + 0.5) AS BIGINT) AS max_cents
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           CAST(floor(min(l_discount) * 100 + 0.5) AS BIGINT),
+           CAST(floor(max(l_discount) * 100 + 0.5) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(count(*) AS BIGINT),
+           CAST(count(l_tax) AS BIGINT),
+           CAST(count(DISTINCT l_tax) AS BIGINT),
+           CAST(floor(min(l_tax) * 100 + 0.5) AS BIGINT),
+           CAST(floor(max(l_tax) * 100 + 0.5) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(floor(min(l_extendedprice) * 100 + 0.5) AS BIGINT),
+           CAST(floor(max(l_extendedprice) * 100 + 0.5) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def analyze_table_stats(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the CBO
+    stats-collection verb, computed in ONE scan of the fact table for
+    all requested columns (per-column aggregates fan out map-side; a
+    per-column loop would re-scan the 100 TB table once per column).
+    Exact NDV via count(DISTINCT) is the correctness baseline the
+    oracle can check; the scale path swaps each to
+    approx_count_distinct (HLL, one pass, mergeable — see
+    approx_distinct / hll_partial_merge) without changing the plan
+    shape. Spark's multi-distinct rewrite (expand + two-level agg)
+    keeps this a single scan even with 4 distinct aggregates; output is
+    unpivoted to one row per column so downstream optimizers can join
+    stats by column name."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
+    stats = li.agg(
+        *[
+            a
+            for c in cols
+            for a in [
+                F.count("*").alias(f"__n_{c}"),
+                F.count(c).alias(f"__nn_{c}"),
+                F.countDistinct(c).alias(f"__ndv_{c}"),
+                F.floor(F.min(c) * 100 + F.lit(0.5))
+                .cast("long")
+                .alias(f"__mn_{c}"),
+                F.floor(F.max(c) * 100 + F.lit(0.5))
+                .cast("long")
+                .alias(f"__mx_{c}"),
+            ]
+        ]
+    )
+    # unpivot the single stats row to one row per column (stack keeps
+    # this driver-free: the 1×(5·k) aggregate row explodes JVM-side)
+    parts = ", ".join(
+        f"'{c}', __n_{c}, __nn_{c}, __ndv_{c}, __mn_{c}, __mx_{c}"
+        for c in cols
+    )
+    return stats.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(col, n_rows, n_nonnull, ndv, min_cents, max_cents)"
+    )

@@ -62,6 +62,7 @@ SPOTLIGHT = [
 # correctness rests on tools/parity.py alone any more.
 BREADTH = [
     "agg_bitwise",
+    "analyze_table_stats",
     "agg_collect",
     "agg_regression",
     "agg_statistics",
