@@ -929,8 +929,13 @@ def read_version(spark, root: str, as_of: int):
                          fst.st_mtime_ns, fst.st_size)
                     )
         reader = spark.read.option("basePath", base)
+        # cache key carries the LEAF SET: two reconstructions over the
+        # same base with different leaf selections (e.g. change_feed's
+        # pre and post sides both touching the live root) must not
+        # thrash one slot and re-infer per construction
         schema = _cached_schema(
-            f"{base}::as_of", tuple(state),
+            f"{base}::as_of::{'|'.join(os.path.relpath(p, base) for p in paths)}",
+            tuple(state),
             lambda r=reader, ps=paths: r.parquet(*ps).schema,
         )
         parts.append(reader.schema(schema).parquet(*paths))
