@@ -574,8 +574,95 @@ def main() -> None:
         finally:
             _sh.rmtree(root, ignore_errors=True)
 
+    def change_feed_scoped(n_rows):
+        """Round-12: CHANGE FEED cost tracks touched partitions, not
+        table size. A 64-partition table takes one merge touching ONE
+        partition (~1% of its rows updated, keep_history=True); the feed
+        is then read two ways: manifest-pruned (plans/merge.change_feed)
+        vs a naive full-table diff of the same two versions (identical
+        full-outer join, no pruning). The ratio is the evidence that at
+        100 TB the feed is metadata-bounded — the prune is free (literal
+        partition predicate), the naive diff pays a full double scan +
+        key shuffle of the whole table."""
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pulsar_cdc_experiment_spark.plans.merge import (
+            change_feed,
+            merge_into,
+            read_version,
+        )
+
+        root = _tf.mkdtemp(prefix="stress_cf_") + "/t"
+        try:
+            spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 64).cast("string").alias("p"),
+                (F.col("id") % 1009).cast("double").alias("v"),
+            ).repartition(64, "p").write.partitionBy("p").parquet(root)
+            chg = (
+                spark.read.parquet(root)
+                .filter(F.col("k") % 6400 == 7)  # ~1% of partition 7 only
+                .withColumn("v", F.col("v") + 1.0)
+                .withColumn("is_delete", F.lit(False))
+            )
+            merge_into(
+                spark, root, chg, keys=["k"], partition_col="p",
+                keep_history=True,
+            )
+
+            def pruned():
+                change_feed(spark, root, 0).count()
+
+            def naive():
+                pre = read_version(spark, root, 0)
+                post = read_version(spark, root, 1)
+                a = pre.select(
+                    "k", F.lit(True).alias("__ina"),
+                    F.struct("v", "p").alias("__a"),
+                )
+                b = post.select(
+                    "k", F.lit(True).alias("__inb"),
+                    F.struct("v", "p").alias("__b"),
+                )
+                (
+                    a.join(b, ["k"], "full_outer")
+                    .filter(
+                        F.col("__ina").isNull()
+                        | F.col("__inb").isNull()
+                        | ~F.col("__a").eqNullSafe(F.col("__b"))
+                    )
+                    .count()
+                )
+
+            secs = {"pruned": [], "naive": []}
+            for rnd in range(3):
+                for mode, fn in (("pruned", pruned), ("naive", naive)):
+                    t0 = time.perf_counter()
+                    fn()
+                    if rnd > 0:
+                        secs[mode].append(time.perf_counter() - t0)
+            p_s, n_s = min(secs["pruned"]), min(secs["naive"])
+            results["change_feed_1of64"] = {
+                "rows": n_rows,
+                "pruned_sec": round(p_s, 2),
+                "naive_sec": round(n_s, 2),
+                "ratio": round(n_s / p_s, 2),
+            }
+            print(
+                json.dumps(
+                    {"op": "change_feed_1of64",
+                     **results["change_feed_1of64"]}
+                ),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(os.path.dirname(root), ignore_errors=True)
+
     s = args.scale
     run("scan_agg", int(400e6 * s), scan_agg)
+    if args.only is None or "change_feed_1of64" in args.only:
+        change_feed_scoped(int(40e6 * s))
     if args.only is None or "merge_file_scoped_1of16" in args.only:
         merge_file_scoped(int(40e6 * s))
     # NOT through run(): its wall spans build + 2x scoped + 2x full
