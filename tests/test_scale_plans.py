@@ -696,7 +696,10 @@ _BUILD_JOBS_SANCTIONED = {
     "merge_upsert_partitioned",
     "merge_upsert_composite",
     "merge_rollback_lifecycle",
-    "merge_time_travel_read",
+    # NOT merge_time_travel_read: its read_version(0) schema keys are
+    # warmed by merge_change_feed (alphabetically earlier, same leaf
+    # sets) under the leaf-set-keyed schema cache — construction is
+    # job-free as long as that query exists
     "merge_change_feed",
     "merge_txn_multi_table",
     "cdc_merge_apply",
