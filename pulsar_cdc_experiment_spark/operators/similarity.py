@@ -448,7 +448,15 @@ def quantized_topk(
         )
         .select(
             F.col(id_col),
-            (qdot / (F.sqrt(na2) * F.sqrt(F.lit(nq2)))).alias("q_cos"),
+            # zero-vector corpus row: qdot=0 AND na2=0 → 0/0 = NaN, which
+            # Spark sorts ABOVE every double in DESC order, so unguarded
+            # zero vectors would rank FIRST. Mirror int8_codes' guard on
+            # the denominator: the score becomes exactly 0.0 (round-12
+            # advice).
+            (
+                qdot
+                / (F.greatest(F.sqrt(na2), F.lit(1e-30)) * F.sqrt(F.lit(nq2)))
+            ).alias("q_cos"),
             cosine(F.col(vec_col), qvecol).alias("cos_sim"),
         )
         .orderBy(F.col("q_cos").desc(), F.col(id_col).asc())

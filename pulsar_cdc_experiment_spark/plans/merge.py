@@ -166,6 +166,103 @@ def _file_key_ranges(
     return out
 
 
+#: cap on the bin count for the bucketed file-intersection probe. Bins
+#: bound the per-file explode (a file spanning the whole key domain
+#: emits at most this many bin rows), so stats-side expansion is
+#: ≤ files × _PROBE_MAX_BINS while the changeset side stays one row per
+#: key — versus |changeset| × |files| comparisons under the nested loop.
+_PROBE_MAX_BINS = 1024
+
+
+def _file_probe_plan(
+    spark: SparkSession,
+    src: DataFrame,
+    keys: Sequence[str],
+    rows: list[tuple],
+) -> DataFrame:
+    """Build the file-intersection probe as a DataFrame of distinct
+    ``__path`` values: which stats rows (files) can contain at least one
+    changeset key (AND over key columns — if any column's value falls
+    outside the file's range for that column, the file cannot hold that
+    key row).
+
+    Plan shape: when some key column has integer footer stats, the probe
+    is BUCKETED — the key domain [gmin, gmax] is cut into ≤
+    ``_PROBE_MAX_BINS`` bins, each file range explodes into the bins it
+    touches (``F.sequence``), each changeset key lands in exactly one
+    bin, and the join is an EQUI-join on the bin plus the exact range
+    post-filter (same shape as operators/intervals.interval_join_binned;
+    every true pair shares the key's bin, so nothing is lost and nothing
+    duplicates). A 10M-row changeset over 10k touched files costs one
+    hash shuffle on the bin key instead of the 10¹¹-comparison
+    BroadcastNestedLoop the AND-of-ranges condition forces (round-12
+    review). Keys outside [gmin, gmax] cannot intersect any file and are
+    pre-filtered. Falls back to the range join only when NO key column
+    has integer stats (string-keyed tables at file counts where the
+    BNLJ is still file-count-bounded)."""
+    from pyspark.sql import types as T
+
+    ktype = {f.name: f.dataType for f in src.schema.fields}
+    fields = [T.StructField("__path", T.StringType())]
+    for c in keys:
+        fields.append(T.StructField(f"__lo_{c}", ktype[c]))
+        fields.append(T.StructField(f"__hi_{c}", ktype[c]))
+    stats = spark.createDataFrame(rows, T.StructType(fields))
+    cond = F.lit(True)
+    for c in keys:
+        cond = (
+            cond
+            & (F.col(c) >= F.col(f"__lo_{c}"))
+            & (F.col(c) <= F.col(f"__hi_{c}"))
+        )
+
+    bin_col = None
+    for ci, c in enumerate(keys):
+        lo_i, hi_i = 1 + 2 * ci, 2 + 2 * ci
+        if all(
+            isinstance(r[lo_i], int)
+            and isinstance(r[hi_i], int)
+            and not isinstance(r[lo_i], bool)
+            and not isinstance(r[hi_i], bool)
+            for r in rows
+        ):
+            bin_col, blo_i, bhi_i = c, lo_i, hi_i
+            break
+
+    probe_src = src.select(*keys)
+    if bin_col is None:
+        return probe_src.join(stats, on=cond).select("__path").distinct()
+
+    gmin = min(r[blo_i] for r in rows)
+    gmax = max(r[bhi_i] for r in rows)
+    width = max(1, -(-(gmax - gmin + 1) // _PROBE_MAX_BINS))
+    stats_b = stats.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    (F.col(f"__lo_{bin_col}") - F.lit(gmin)) / F.lit(width)
+                ),
+                F.floor(
+                    (F.col(f"__hi_{bin_col}") - F.lit(gmin)) / F.lit(width)
+                ),
+            )
+        ),
+    )
+    probe_b = probe_src.filter(
+        (F.col(bin_col) >= F.lit(gmin)) & (F.col(bin_col) <= F.lit(gmax))
+    ).withColumn(
+        "__bin",
+        F.floor((F.col(bin_col) - F.lit(gmin)) / F.lit(width)).cast("long"),
+    )
+    return (
+        probe_b.join(stats_b, on="__bin")
+        .filter(cond)
+        .select("__path")
+        .distinct()
+    )
+
+
 def _intersecting_files(
     spark: SparkSession,
     src: DataFrame,
@@ -173,13 +270,9 @@ def _intersecting_files(
     entries: list[tuple],
     live: dict[tuple, str],
 ) -> tuple[list[str], dict[tuple, list[str]]]:
-    """Split the touched partitions' files into (rewrite set, kept set):
-    a file must be rewritten iff its per-column key range can contain at
-    least one changeset key (AND over key columns — if any column's
-    value falls outside the file's range for that column, the file
-    cannot hold that key row). The probe is a range join of the small
-    file-stats relation against the changeset's key projection; output
-    is bounded by file count (sanctioned bounded model state)."""
+    """Split the touched partitions' files into (rewrite set, kept set)
+    via the bucketed probe plan (``_file_probe_plan``); output is bounded
+    by file count (sanctioned bounded model state)."""
     hit: set[str] = set()
     rows = []
     for v, fname, ranges in entries:
@@ -189,28 +282,7 @@ def _intersecting_files(
         else:
             rows.append((rel, *[b for c in keys for b in ranges[c]]))
     if rows:
-        from pyspark.sql import types as T
-
-        ktype = {f.name: f.dataType for f in src.schema.fields}
-        fields = [T.StructField("__path", T.StringType())]
-        for c in keys:
-            fields.append(T.StructField(f"__lo_{c}", ktype[c]))
-            fields.append(T.StructField(f"__hi_{c}", ktype[c]))
-        stats = spark.createDataFrame(rows, T.StructType(fields))
-        cond = F.lit(True)
-        for c in keys:
-            cond = (
-                cond
-                & (F.col(c) >= F.col(f"__lo_{c}"))
-                & (F.col(c) <= F.col(f"__hi_{c}"))
-            )
-        probe = (
-            src.select(*keys)
-            .join(stats, on=cond)
-            .select("__path")
-            .distinct()
-            .collect()
-        )
+        probe = _file_probe_plan(spark, src, keys, rows).collect()
         hit |= {r["__path"] for r in probe}
     kept: dict[tuple, list[str]] = {}
     for v, fname, _r in entries:
@@ -888,6 +960,13 @@ def read_version(spark, root: str, as_of: int):
     pcols = versions[0]["partition_col"] if versions else None
     if pcols is None:
         raise ValueError(f"no retained merge history under {root}")
+    pcol_sets = {tuple(m["partition_col"]) for m in versions}
+    if len(pcol_sets) > 1:
+        raise ValueError(
+            "retained manifests disagree on partition_col "
+            f"({sorted(pcol_sets)}) — reconstruction across a "
+            "re-partitioned history is ill-defined"
+        )
 
     # leaf dir -> (base path for hive decoding, absolute leaf path);
     # None = leaf does not exist at as_of
@@ -964,15 +1043,28 @@ def change_feed(
     back OUT for downstream incremental consumers).
 
     ``to_version=None`` means the live table. Keys and partition
-    columns come from the retained manifests; both sides are pruned to
-    the union of the spanned versions' TOUCHED partition values before
-    the diff, so feed cost is proportional to what the merges touched,
-    never table size (a table format derives the same feed from its
+    columns come from the retained manifests — which must AGREE across
+    the spanned versions (two merges with different ``keys`` or
+    ``partition_col`` on the same root would make the diff silently use
+    the newest; guarded, fail-loud). Both sides are pruned to the union
+    of the spanned versions' TOUCHED partition values before the diff,
+    so feed cost is proportional to what the merges touched, never
+    table size (a table format derives the same feed from its
     add/remove file actions; here the manifest's touched list is that
     metadata). The diff itself is one key-shuffle FULL OUTER join of
     two partition-pruned scans; row comparison is a single null-safe
-    struct equality, so schema evolution (columns present on one side
-    only) is handled by diffing the common columns.
+    struct equality over the UNION of both sides' columns — a column
+    present on one side only (schema evolution mid-span) reads as NULL
+    on the other, so an update that changes only an evolved column
+    still emits its pre/post pair instead of silently vanishing.
+
+    SEMANTICS — net diff, not replay: a span covering multiple versions
+    returns the NET difference of the two reconstructed states (an
+    insert-then-delete within the span cancels; intermediate updates
+    collapse into one pre/post pair). That is exactly right for state
+    synchronization; an event-sourcing consumer that needs every
+    intermediate change replays per version:
+    ``for v in range(lo, hi): change_feed(root, v, v + 1)``.
     """
     versions = merge_history(root)
     if not versions:
@@ -985,6 +1077,15 @@ def change_feed(
             f"<= latest retained version ({latest})"
         )
     mans = [m for m in versions if from_version < m["version"] <= hi]
+    key_sets = {tuple(m["keys"]) for m in mans}
+    pcol_sets = {tuple(m["partition_col"]) for m in versions}
+    if len(key_sets) > 1 or len(pcol_sets) > 1:
+        raise ValueError(
+            "change_feed spans manifests that disagree on "
+            f"keys ({sorted(key_sets)}) or partition_col "
+            f"({sorted(pcol_sets)}) — a feed across re-keyed or "
+            "re-partitioned merges is ill-defined; replay per version"
+        )
     keys = list(mans[-1]["keys"])
     pcols = list(versions[0]["partition_col"])
     touched = {
@@ -996,30 +1097,54 @@ def change_feed(
     pre = read_version(spark, root, from_version)
     post = read_version(spark, root, hi)
 
-    # OR-of-ANDs literal pruning over the manifests' touched values —
-    # same predicate shape merge_into itself prunes with; partition
-    # values compare in their dir-name spelling (strings)
-    prune = F.lit(False)
-    for tv in sorted(touched):
-        conj = F.lit(True)
-        for c, val in zip(pcols, tv):
-            conj = conj & (F.col(c).cast("string") == F.lit(val))
-        prune = prune | conj
+    # literal pruning over the manifests' touched values; partition
+    # values compare in their dir-name spelling (strings). Single-level
+    # partitions use one flat `isin` (analysis cost constant in touched
+    # count); composite levels keep the OR-of-ANDs tuple shape merge_into
+    # itself prunes with (exact, and touched-count-sized)
+    if len(pcols) == 1:
+        prune = F.col(pcols[0]).cast("string").isin(
+            *[tv[0] for tv in sorted(touched)]
+        )
+    else:
+        prune = F.lit(False)
+        for tv in sorted(touched):
+            conj = F.lit(True)
+            for c, val in zip(pcols, tv):
+                conj = conj & (F.col(c).cast("string") == F.lit(val))
+            prune = prune | conj
     pre, post = pre.filter(prune), post.filter(prune)
 
+    # diff over the UNION of both sides' non-key columns: a one-sided
+    # (schema-evolved) column is padded with a typed NULL on the side
+    # that lacks it, so changes confined to it still surface (round-12
+    # advice — the common-columns diff silently missed them)
+    types = {f.name: f.dataType for f in post.schema.fields}
+    for f in pre.schema.fields:
+        types.setdefault(f.name, f.dataType)
+    seen = set()
     data_cols = [
-        c for c in pre.columns if c in post.columns and c not in keys
+        c
+        for c in list(pre.columns) + list(post.columns)
+        if c not in keys and not (c in seen or seen.add(c))
     ]
-    a = pre.select(
-        *keys,
-        F.lit(True).alias("__in_pre"),
-        F.struct(*data_cols).alias("__pre"),
-    )
-    b = post.select(
-        *keys,
-        F.lit(True).alias("__in_post"),
-        F.struct(*data_cols).alias("__post"),
-    )
+
+    def _side(df: DataFrame, flag: str, img: str) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *keys,
+            F.lit(True).alias(flag),
+            F.struct(
+                *[
+                    F.col(c) if c in have
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in data_cols
+                ]
+            ).alias(img),
+        )
+
+    a = _side(pre, "__in_pre", "__pre")
+    b = _side(post, "__in_post", "__post")
     j = a.join(b, keys, "full_outer")
     changed = (
         F.col("__in_pre").isNotNull()

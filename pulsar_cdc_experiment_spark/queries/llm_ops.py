@@ -1754,10 +1754,10 @@ def frequent_tokens_sketch(spark, sf_dir):
       FROM codes a CROSS JOIN q
     )
     SELECT vec_id,
-           floor(qdot / (sqrt(na2) * sqrt(nq2)) * 1000000 + 0.5) / 1000000 AS q_cos,
+           floor(qdot / (greatest(sqrt(na2), 1e-30) * sqrt(nq2)) * 1000000 + 0.5) / 1000000 AS q_cos,
            floor(cos * 1000000 + 0.5) / 1000000 AS cos_sim
     FROM scored
-    ORDER BY qdot / (sqrt(na2) * sqrt(nq2)) DESC, vec_id ASC
+    ORDER BY qdot / (greatest(sqrt(na2), 1e-30) * sqrt(nq2)) DESC, vec_id ASC
     LIMIT 10
     """,
 )

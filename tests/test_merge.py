@@ -651,3 +651,59 @@ def test_change_feed_version_to_version_and_errors(spark):
         change_feed(spark, empty, 0)
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(empty, ignore_errors=True)
+
+
+def test_change_feed_rejects_rekeyed_span(spark):
+    """Round-13 consistency guard: a feed spanning merges that disagree
+    on ``keys`` fails loud instead of silently diffing with the newest
+    manifest's keys (nothing prevents two merges with different keys on
+    the same root)."""
+    from pulsar_cdc_experiment_spark.plans.merge import change_feed
+
+    root = tempfile.mkdtemp(prefix="merge_cf_rekey_")
+    _mk_table(spark, root, _base_rows())
+    merge_into(
+        spark, root, _chg(spark, [(0, 100.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    merge_into(
+        spark, root, _chg(spark, [(1, 101.0, "b", False)]),
+        keys=["k", "p"], partition_col="p", keep_history=True,
+    )
+    with pytest.raises(ValueError, match="disagree on"):
+        change_feed(spark, root, 0, 2)
+    # a span within one keying regime still works
+    assert change_feed(spark, root, 0, 1).count() == 2  # update pair
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_change_feed_emits_evolved_column_only_update(spark):
+    """Round-13 (r12 advice): an update whose ONLY change is in a
+    schema-evolved column (absent from the pre side) must still emit its
+    update pre/post pair — the pre image reads the evolved column as a
+    typed NULL. Under the old common-columns diff this change was
+    silently invisible to the feed."""
+    from pulsar_cdc_experiment_spark.plans.merge import change_feed
+
+    root = tempfile.mkdtemp(prefix="merge_cf_evo_")
+    _mk_table(spark, root, _base_rows())
+    # v1: update k=0 keeping v IDENTICAL, adding evolved column tier
+    chg = spark.createDataFrame(
+        [(0, 0.0, "a", "gold", False)],
+        "k bigint, v double, p string, tier string, is_delete boolean",
+    )
+    merge_into(
+        spark, root, chg, keys=["k"], partition_col="p",
+        keep_history=True, evolve_schema=True,
+    )
+    feed = change_feed(spark, root, 0, 1)
+    assert "tier" in feed.columns
+    ev = {
+        (r["k"], r["change_type"], r["v"], r["tier"])
+        for r in feed.collect()
+    }
+    assert ev == {
+        (0, "update_pre", 0.0, None),
+        (0, "update_post", 0.0, "gold"),
+    }
+    shutil.rmtree(root, ignore_errors=True)

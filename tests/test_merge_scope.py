@@ -302,3 +302,67 @@ def test_read_version_rejects_future_and_vacuumed_gap(spark):
     with pytest.raises(ValueError, match="history gap|no retained"):
         read_version(spark, root, 0)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_file_probe_plan_bucketed_no_nested_loop(spark):
+    """_file_probe_plan (round-13): integer-keyed file stats take the
+    bin-bucketed EQUI-join path — no BroadcastNestedLoopJoin anywhere in
+    the probe plan (the round-12 review's 10M-keys × 10k-files
+    10^11-comparison trap) — and the hit set is exactly the naive
+    range-intersection answer. String-keyed stats keep the bounded
+    fallback range join."""
+    from pulsar_cdc_experiment_spark.plans.merge import _file_probe_plan
+
+    # 40 files with tight, partially overlapping int ranges
+    rows = [(f"p=a/f{i}", i * 10, i * 10 + 14) for i in range(40)]
+    src = spark.createDataFrame(
+        [(k,) for k in (5, 63, 199, 777, 2_000_000)], "k bigint"
+    )
+    plan_df = _file_probe_plan(spark, src, ["k"], rows)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan, plan
+    got = {r["__path"] for r in plan_df.collect()}
+    want = {
+        path for path, lo, hi in rows
+        if any(lo <= k <= hi for k in (5, 63, 199, 777, 2_000_000))
+    }
+    assert got == want
+
+    # degenerate domain (all files share one key value) — width floor
+    one = [(f"f{i}", 7, 7) for i in range(3)]
+    hit1 = {
+        r["__path"]
+        for r in _file_probe_plan(
+            spark, spark.createDataFrame([(7,), (8,)], "k bigint"),
+            ["k"], one,
+        ).collect()
+    }
+    assert hit1 == {"f0", "f1", "f2"}
+
+    # string key: falls back to the range join, same answer
+    srows = [("fa", "a", "f"), ("fb", "g", "m"), ("fc", "n", "z")]
+    ssrc = spark.createDataFrame([("c",), ("x",)], "k string")
+    sgot = {
+        r["__path"]
+        for r in _file_probe_plan(spark, ssrc, ["k"], srows).collect()
+    }
+    assert sgot == {"fa", "fc"}
+
+
+def test_file_probe_composite_key_bins_on_first_int_column(spark):
+    """Composite keys: the bin column is the FIRST key with integer
+    stats; the exact AND-of-ranges post-filter still applies to every
+    key column, so a file matching on k but not on k2 is NOT hit."""
+    from pulsar_cdc_experiment_spark.plans.merge import _file_probe_plan
+
+    rows = [
+        ("f0", 0, 9, 0, 4),      # k in [0,9], k2 in [0,4]
+        ("f1", 0, 9, 5, 9),      # k in [0,9], k2 in [5,9]
+        ("f2", 10, 19, 0, 9),
+    ]
+    src = spark.createDataFrame([(3, 7), (12, 2)], "k bigint, k2 bigint")
+    got = {
+        r["__path"]
+        for r in _file_probe_plan(spark, src, ["k", "k2"], rows).collect()
+    }
+    assert got == {"f1", "f2"}

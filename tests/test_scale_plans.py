@@ -732,6 +732,16 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     ran_jobs = set()
+    # merge_time_travel_read's absence from the allowlist DEPENDS on
+    # merge_change_feed running first in this sorted loop (same leaf
+    # sets warm the leaf-set-keyed read_version schema cache). Assert
+    # the coupling explicitly so a rename of either query fails HERE
+    # with the cause named, not in the exact-allowlist diff below.
+    names = sorted(QUERIES)
+    assert "merge_change_feed" in names and "merge_time_travel_read" in names
+    assert names.index("merge_change_feed") < names.index(
+        "merge_time_travel_read"
+    ), "schema-cache warming order broken: see _BUILD_JOBS_SANCTIONED note"
     for name, fn in sorted(QUERIES.items()):
         if name.startswith("stream_"):
             continue
@@ -1265,3 +1275,25 @@ def test_segment_dedup_shuffle_keyed_on_digest(spark, sf_dir):
     # exchange appears exactly once (no duplicate exchange for the
     # window's own (digest, seg) distribution requirement)
     assert sum(p.startswith("__d#") for p in parts) == 1, parts
+
+
+def test_analyze_table_stats_single_scan_single_expand(spark, sf_dir):
+    """Round-13 (r12 advice): pin the plan shape SCALE.md claims for
+    analyze_table_stats — ONE scan of lineitem and ONE Expand node (the
+    multi-countDistinct rewrite). A regression to per-column scans would
+    multiply the 100 TB read cost by the column count; this makes it a
+    test failure rather than a silent plan change."""
+    import re
+
+    from pulsar_cdc_experiment_spark.queries.relational_ext import (
+        analyze_table_stats,
+    )
+
+    df = analyze_table_stats(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scans = len(re.findall(r"\(\d+\) Scan parquet|\(\d+\) FileScan", plan))
+    expands = len(re.findall(r"\(\d+\) Expand", plan))
+    assert scans == 1, f"expected 1 scan, got {scans}:\n{plan}"
+    assert expands == 1, f"expected 1 Expand, got {expands}:\n{plan}"

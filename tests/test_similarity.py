@@ -173,3 +173,26 @@ def test_int8_quantized_topk_recall_and_code_bounds(spark, sf_dir):
     }
     for r in qrows:
         assert abs(r["cos_sim"] - by_id[r["vec_id"]]) < 1e-12
+
+
+def test_quantized_topk_zero_vector_ranks_last_not_first(spark):
+    """Round-13 (r12 advice): an all-zero corpus vector has qdot=0 AND
+    na2=0; unguarded, q_cos = 0/0 = NaN, which Spark sorts ABOVE every
+    double in DESC order — the zero vector would rank FIRST. The
+    denominator guard pins its score to exactly 0.0 so it sorts with
+    the other orthogonal vectors, never above a real match."""
+    import math
+
+    from pulsar_cdc_experiment_spark.operators import similarity as S
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # exact match to query
+        (1, [0.9, 0.1, 0.0]),   # near match
+        (2, [0.0, 0.0, 0.0]),   # zero vector
+        (3, [-1.0, 0.0, 0.0]),  # anti-match
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = S.quantized_topk(df, [1.0, 0.0, 0.0], k=4).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2, 3]
+    zrow = [r for r in got if r["vec_id"] == 2][0]
+    assert zrow["q_cos"] == 0.0 and not math.isnan(zrow["q_cos"])
