@@ -21,11 +21,16 @@ landed, and a leg that died mid-merge needs nothing (``merge_into``'s own
 recovery discards its staging). Before the commit mark the protocol is
 presumed-abort: every crash point converges to "no table changed".
 
-What this deliberately does NOT give locally: snapshot-isolated READS
-across tables mid-transaction — a reader between leg publishes sees leg 1
-applied and leg 2 not. At 100 TB that isolation comes from a table
-format's commit coordinator (one metastore swap covering all tables);
-the all-or-nothing OUTCOME proven here is the part the engine owns.
+Snapshot-isolated READS (round 13): a plain reader between leg publishes
+still sees leg 1 applied and leg 2 not — but
+:func:`read_transaction_snapshot` composes the journal, the committed-txn
+log, and ``merge_into``'s version retention (``plans/merge.read_version``)
+into a CONSISTENT cross-table view: every leg table AS OF the same
+transaction boundary (all-pre or all-post), never a mix. At 100 TB the
+same isolation comes from a table format's commit coordinator (one
+metastore swap covering all tables); here the committed log plus
+time-travel reads supply the read view while the saga supplies the
+all-or-nothing write outcome.
 """
 
 from __future__ import annotations
@@ -36,6 +41,12 @@ import os
 from .merge import merge_history, merge_into, rollback_last_merge
 
 JOURNAL = ".merge_txn.json"
+
+#: committed-transaction log (append-only JSON list, atomic os.replace):
+#: the durable record of each committed txn's (path, version) legs that
+#: read_transaction_snapshot pins its consistent view to — the journal
+#: alone cannot serve reads because it is removed on commit
+TXN_LOG = ".merge_txn_log.json"
 
 
 def _journal_path(txn_root: str) -> str:
@@ -66,6 +77,35 @@ def _next_version(path: str) -> int:
     return max(prior, default=0) + 1
 
 
+def committed_transactions(txn_root: str) -> list[dict]:
+    """The committed-txn log, oldest → newest: one entry per committed
+    transaction, ``{"txn_seq": n, "legs": [{"path", "version"}, ...]}``."""
+    p = os.path.join(txn_root, TXN_LOG)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _append_committed(txn_root: str, state: dict) -> None:
+    """Append a committed journal state to the log — idempotent on
+    ``txn_seq``, so the commit path AND a recovery sweep that finds a
+    committed journal (crash between commit mark and journal removal)
+    can both call it without duplicating the entry."""
+    log = committed_transactions(txn_root)
+    seq = state.get("txn_seq")
+    if seq is None:  # pre-log-era journal: assign the next sequence
+        seq = (log[-1]["txn_seq"] + 1) if log else 1
+    if any(t["txn_seq"] == seq for t in log):
+        return
+    log.append({"txn_seq": seq, "legs": list(state["completed"])})
+    p = os.path.join(txn_root, TXN_LOG)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f)
+    os.replace(tmp, p)
+
+
 def recover_merge_transaction(txn_root: str) -> dict | None:
     """Recovery sweep: if an incomplete transaction journal exists under
     ``txn_root``, compensate it — roll back every completed leg (newest
@@ -81,6 +121,9 @@ def recover_merge_transaction(txn_root: str) -> dict | None:
     with open(jp) as f:
         state = json.load(f)
     if state.get("committed"):
+        # crash landed between the commit mark and journal removal:
+        # finish the commit — log first (idempotent), then clean up
+        _append_committed(txn_root, state)
         os.remove(jp)
         return {"rolled_back": [], "committed": True}
     rolled = []
@@ -110,7 +153,9 @@ def merge_transaction(spark, txn_root: str, ops: list[dict]) -> dict:
     already-applied legs. A pre-existing incomplete journal from a
     crashed transaction is recovered first."""
     recover_merge_transaction(txn_root)
+    prior = committed_transactions(txn_root)
     state: dict = {
+        "txn_seq": (prior[-1]["txn_seq"] + 1) if prior else 1,
         "ops": [op["path"] for op in ops],
         "completed": [],
         "in_flight": None,
@@ -141,5 +186,90 @@ def merge_transaction(spark, txn_root: str, ops: list[dict]) -> dict:
         raise
     state["committed"] = True
     _write_journal(txn_root, state)
+    _append_committed(txn_root, state)
     os.remove(_journal_path(txn_root))
-    return {"reports": reports, "n_legs": len(reports)}
+    return {
+        "reports": reports,
+        "n_legs": len(reports),
+        "txn_seq": state["txn_seq"],
+    }
+
+
+def read_transaction_snapshot(
+    spark, txn_root: str, txn_seq: int | None = None, at: str = "post"
+) -> dict:
+    """Consistent multi-table READ over the transaction log — every leg
+    table AS OF the same transaction boundary, closing the module's
+    documented isolation gap locally (a reader between saga legs no
+    longer has to see leg 1 applied and leg 2 not).
+
+    Returns ``{table_path: DataFrame}``. ``at="post"`` reads each leg
+    table as of the version that transaction committed for it;
+    ``at="pre"`` reads each as of the version just before — both are
+    time-travel reads (``plans/merge.read_version``), so the view is
+    stable even after LATER merges land on the tables. ``txn_seq=None``
+    picks the newest committed transaction; if an INCOMPLETE journal is
+    present (a transaction in flight or crashed mid-saga), the default
+    view instead serves every journaled table at its PRE-txn state —
+    the only boundary that is consistent before the commit mark, and
+    exactly what a table format's snapshot isolation would show.
+    Requires the spanned versions still retained (un-vacuumed), same
+    contract as read_version.
+
+    At 100 TB this is pure manifest work per table plus partition-pruned
+    scans — no data copies; the log is one small JSON per txn root.
+    """
+    from .merge import read_version
+
+    if at not in ("pre", "post"):
+        raise ValueError(f"at must be 'pre' or 'post', got {at!r}")
+    jp = _journal_path(txn_root)
+    if txn_seq is None and os.path.exists(jp):
+        with open(jp) as f:
+            state = json.load(f)
+        if not state.get("committed"):
+            # in-flight / crashed saga: the consistent boundary is the
+            # pre-state of every journaled leg. A completed leg rewinds
+            # one version; the in-flight leg rewinds only if its
+            # expected version actually landed; untouched legs read as
+            # of their latest retained version (their pre == current).
+            out = {}
+            done = {
+                leg["path"]: leg["version"]
+                for leg in state.get("completed", [])
+            }
+            inflight = state.get("in_flight")
+            if inflight is not None:
+                hist = merge_history(inflight["path"])
+                if hist and hist[-1]["version"] == inflight["version"]:
+                    done[inflight["path"]] = inflight["version"]
+            for path in state["ops"]:
+                if path in done:
+                    out[path] = read_version(spark, path, done[path] - 1)
+                else:
+                    hist = merge_history(path)
+                    if hist:
+                        out[path] = read_version(
+                            spark, path, hist[-1]["version"]
+                        )
+                    else:
+                        out[path] = spark.read.parquet(path)
+            return out
+    log = committed_transactions(txn_root)
+    if not log:
+        raise ValueError(f"no committed transactions under {txn_root}")
+    if txn_seq is None:
+        txn = log[-1]
+    else:
+        match = [t for t in log if t["txn_seq"] == txn_seq]
+        if not match:
+            raise ValueError(
+                f"txn_seq {txn_seq} not in committed log "
+                f"({[t['txn_seq'] for t in log]})"
+            )
+        txn = match[0]
+    delta = 0 if at == "post" else 1
+    return {
+        leg["path"]: read_version(spark, leg["path"], leg["version"] - delta)
+        for leg in txn["legs"]
+    }

@@ -815,3 +815,100 @@ def merge_change_feed(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     )
+
+
+@register(
+    "merge_txn_snapshot_read",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+             sum(l_extendedprice) AS l_extendedprice
+      FROM lineitem GROUP BY 1, 2
+    ), o_post AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_orderkey % 50 = 3
+                  THEN floor(o_totalprice * 1.07 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents
+      FROM orders
+    ), l_post AS (
+      SELECT l_returnflag AS grp,
+             CASE WHEN l_orderkey % 40 = 5
+                  THEN floor(l_extendedprice * 2 * 100 + 0.5)
+                  ELSE floor(l_extendedprice * 100 + 0.5) END AS cents
+      FROM items WHERE l_orderkey % 40 <> 1
+    )
+    SELECT 'pre' AS boundary, 'orders' AS tbl, o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 3
+    UNION ALL
+    SELECT 'pre', 'items', l_returnflag, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM items GROUP BY 3
+    UNION ALL
+    SELECT 'post', 'orders', grp, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM o_post GROUP BY 3
+    UNION ALL
+    SELECT 'post', 'items', grp, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM l_post GROUP BY 3
+    """,
+)
+def merge_txn_snapshot_read(spark, sf_dir):
+    """Consistent multi-table SNAPSHOT READ over the committed-txn log
+    (plans/txn.read_transaction_snapshot) — both tables of the committed
+    transaction served AS OF the same boundary, pre AND post, from
+    retained merge versions. The oracle recomputes the pre boundary from
+    the raw originals and the post boundary from the closed-form txn
+    changesets: a snapshot that mixed boundaries across tables (the
+    isolation gap plans/txn.py used to document as out of scope), leaked
+    the fixture's FAILED first transaction, or drifted with later merges
+    would shift an aggregate. Reference analog: one upstream Postgres
+    transaction reads consistently across the tables it spans
+    (docs/setup-guide.md:33-35 fans exactly such transactions out
+    topic-per-table)."""
+    from ..plans.txn import (
+        committed_transactions,
+        read_transaction_snapshot,
+    )
+
+    root = merge_txn_fixture(spark, sf_dir)
+    t1 = os.path.join(root, "orders")
+    t2 = os.path.join(root, "items")
+    seq = committed_transactions(root)[-1]["txn_seq"]
+    cents_o = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents_l = F.floor(
+        F.col("l_extendedprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    parts = []
+    for boundary in ("pre", "post"):
+        snap = read_transaction_snapshot(
+            spark, root, txn_seq=seq, at=boundary
+        )
+        parts.append(
+            snap[t1]
+            .groupBy(F.col("o_orderpriority").alias("grp"))
+            .agg(F.count("*").alias("n"), F.sum(cents_o).alias("sum_cents"))
+            .select(
+                F.lit(boundary).alias("boundary"),
+                F.lit("orders").alias("tbl"),
+                "grp", "n", "sum_cents",
+            )
+        )
+        parts.append(
+            snap[t2]
+            .groupBy(F.col("l_returnflag").alias("grp"))
+            .agg(F.count("*").alias("n"), F.sum(cents_l).alias("sum_cents"))
+            .select(
+                F.lit(boundary).alias("boundary"),
+                F.lit("items").alias("tbl"),
+                "grp", "n", "sum_cents",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -113,6 +113,7 @@ BREADTH = [
     "merge_change_feed",
     "merge_time_travel_read",
     "merge_txn_multi_table",
+    "merge_txn_snapshot_read",
     "merge_upsert_partitioned",
     "min_cost_supplier_region",
     "multimodal_resize",

@@ -702,6 +702,11 @@ _BUILD_JOBS_SANCTIONED = {
     # job-free as long as that query exists
     "merge_change_feed",
     "merge_txn_multi_table",
+    # snapshot read: read_version schema inference over its four
+    # time-travel leaf sets (pre/post × 2 tables — new cache keys,
+    # file-count-bounded footer reads), same carve-out class as the
+    # change-feed/time-travel pair above
+    "merge_txn_snapshot_read",
     "cdc_merge_apply",
 }
 

@@ -225,3 +225,144 @@ def test_recover_skips_foreign_merge_on_top(spark, two_tables):
     out = recover_merge_transaction(root)
     assert out["rolled_back"] == []
     assert _state(spark, t1) == st
+
+
+def test_snapshot_read_post_pre_and_stability_under_later_merges(
+    spark, two_tables
+):
+    """read_transaction_snapshot (round 13): post-snapshot shows every
+    leg as committed by the txn; pre-snapshot shows every leg's state
+    just before; and BOTH stay stable after a later foreign merge lands
+    on one of the tables (the view is pinned to retained versions, not
+    the live dirs)."""
+    from pulsar_cdc_experiment_spark.plans.txn import (
+        read_transaction_snapshot,
+    )
+
+    root, t1, t2 = two_tables
+    pre1, pre2 = _state(spark, t1), _state(spark, t2)
+    out = merge_transaction(
+        spark, root,
+        [
+            _op(t1, _chg(spark, [(4, 400.0, "a", False)])),
+            _op(t2, _chg(spark, [(5, 0.0, "b", True)])),
+        ],
+    )
+    post1, post2 = _state(spark, t1), _state(spark, t2)
+
+    def snap_state(df):
+        return {(r["k"], r["v"], r["p"]) for r in df.collect()}
+
+    snap = read_transaction_snapshot(spark, root)
+    assert snap_state(snap[t1]) == post1
+    assert snap_state(snap[t2]) == post2
+    snap_pre = read_transaction_snapshot(
+        spark, root, txn_seq=out["txn_seq"], at="pre"
+    )
+    assert snap_state(snap_pre[t1]) == pre1
+    assert snap_state(snap_pre[t2]) == pre2
+
+    # later foreign merge on t1 must not leak into either boundary
+    merge_into(
+        spark, t1, _chg(spark, [(6, 666.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    snap2 = read_transaction_snapshot(
+        spark, root, txn_seq=out["txn_seq"], at="post"
+    )
+    assert snap_state(snap2[t1]) == post1, "post view drifted"
+    assert (6, 666.0, "a") not in snap_state(snap2[t1])
+
+    with pytest.raises(ValueError, match="not in committed log"):
+        read_transaction_snapshot(spark, root, txn_seq=99)
+    with pytest.raises(ValueError, match="pre.*post|'pre' or 'post'"):
+        read_transaction_snapshot(spark, root, at="live")
+
+
+def test_snapshot_never_mixes_between_crashed_legs(spark, two_tables):
+    """The isolation gap the module used to document: leg 1 applied,
+    crash before leg 2. A plain reader sees the mix; the default
+    snapshot view serves BOTH tables at their pre-txn boundary — t1
+    rewound one version, t2 as it stands — never one of each."""
+    from pulsar_cdc_experiment_spark.plans.txn import (
+        read_transaction_snapshot,
+    )
+
+    root, t1, t2 = two_tables
+    s1, s2 = _state(spark, t1), _state(spark, t2)
+    rep = merge_into(
+        spark, t1, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    assert _state(spark, t1) != s1  # plain reader sees the mix
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "txn_seq": 1,
+                "ops": [t1, t2],
+                "completed": [{"path": t1, "version": rep["version"]}],
+                "in_flight": {"path": t2, "version": 1},
+                "committed": False,
+            },
+            f,
+        )
+
+    def snap_state(df):
+        return {(r["k"], r["v"], r["p"]) for r in df.collect()}
+
+    snap = read_transaction_snapshot(spark, root)
+    assert snap_state(snap[t1]) == s1, "t1 not rewound to pre-txn"
+    assert snap_state(snap[t2]) == s2
+
+
+def test_commit_crash_between_mark_and_removal_finishes_log(
+    spark, two_tables
+):
+    """Crash window between the journal's commit mark and its removal:
+    recovery must FINISH the commit — append the txn to the committed
+    log (idempotently) — so the snapshot read still finds it."""
+    from pulsar_cdc_experiment_spark.plans.txn import (
+        committed_transactions,
+        read_transaction_snapshot,
+    )
+
+    root, t1, t2 = two_tables
+    rep = merge_into(
+        spark, t1, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    after = _state(spark, t1)
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "txn_seq": 1,
+                "ops": [t1],
+                "completed": [{"path": t1, "version": rep["version"]}],
+                "in_flight": None,
+                "committed": True,
+            },
+            f,
+        )
+    out = recover_merge_transaction(root)
+    assert out == {"rolled_back": [], "committed": True}
+    log = committed_transactions(root)
+    assert [t["txn_seq"] for t in log] == [1]
+    snap = read_transaction_snapshot(spark, root)
+    assert {
+        (r["k"], r["v"], r["p"]) for r in snap[t1].collect()
+    } == after
+    # re-running recovery (or the same committed journal reappearing)
+    # must not duplicate the log entry
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "txn_seq": 1,
+                "ops": [t1],
+                "completed": [{"path": t1, "version": rep["version"]}],
+                "in_flight": None,
+                "committed": True,
+            },
+            f,
+        )
+    recover_merge_transaction(root)
+    assert [t["txn_seq"] for t in committed_transactions(root)] == [1]
