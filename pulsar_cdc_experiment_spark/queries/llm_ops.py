@@ -1844,3 +1844,96 @@ def corpus_split_leakage_safe(spark, sf_dir):
         .when(bucket == 8, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+@register(
+    "corpus_mixture_temperature",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_s,
+             CAST(floor(sqrt(CAST(sum(n_tok) AS BIGINT))) AS BIGINT) AS w_s
+      FROM t GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(w_s) AS BIGINT) AS big_w,
+             CAST(sum(t_s) AS BIGINT) AS big_t
+      FROM s
+    ), tgt AS (
+      SELECT s.source, s.t_s,
+             CAST((big_t * 3 // 10) * s.w_s // big_w AS BIGINT)
+               AS target_tokens
+      FROM s CROSS JOIN tot
+    ), c AS (
+      SELECT t.doc_id, t.source, t.n_tok, tgt.target_tokens,
+             sum(t.n_tok) OVER (PARTITION BY t.source
+                                ORDER BY {_DHASH}, t.doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum
+      FROM t JOIN tgt ON t.source = tgt.source
+    )
+    SELECT source,
+           CAST(min(target_tokens) AS BIGINT) AS target_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
+    FROM c WHERE cum <= target_tokens
+    GROUP BY source
+    """,
+)
+def corpus_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture sampling — the data-MIXING half of
+    pretraining corpus assembly (``corpus_sample_token_budget`` fills a
+    FIXED per-source budget; here the budgets themselves are derived
+    from corpus statistics). Per-source sampling weight w_s = ⌊√t_s⌋
+    (α = 0.5 sampling temperature: up-weights small sources relative to
+    proportional sampling, the standard multilingual/multi-domain
+    mixing rule), global budget = 30% of corpus tokens, per-source
+    target = budget·w_s ÷ Σw — ALL integer arithmetic (⌊√·⌋ of an
+    integer-valued double is IEEE-exact), so the oracle reproduces every
+    boundary bit-for-bit with no float-ulp flakes. Selection inside each
+    source is the deterministic portable-hash prefix whose cumulative
+    token count fits the target. Plan: one groupBy(source) for totals, a
+    1-row global aggregate (broadcastable), one source-keyed join +
+    window + aggregate sharing a single Exchange — per-stratum sort only,
+    never a global sort. The BIGINT products stay < 2^63 up to ~10^12
+    corpus tokens × 10^6 weight; past that, scale the budget fraction
+    down before the multiply. Reference analog: none — SURVEY §2 tier C
+    LLM-ops mandate (driver north star)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    s = t.groupBy("source").agg(F.sum("n_tok").alias("t_s")).withColumn(
+        "w_s", F.floor(F.sqrt(F.col("t_s"))).cast("long")
+    )
+    tot = s.agg(
+        F.sum("w_s").alias("big_w"), F.sum("t_s").alias("big_t")
+    )
+    tgt = (
+        s.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr("(big_t * 3 div 10) * w_s div big_w").cast("long"),
+        )
+        .select("source", "target_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(_hash32("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.join(tgt, "source").withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.filter(F.col("cum") <= F.col("target_tokens"))
+        .groupBy("source")
+        .agg(
+            F.min("target_tokens").alias("target_tokens"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sampled_tokens"),
+        )
+    )

@@ -912,3 +912,140 @@ def merge_txn_snapshot_read(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def merge_replay_fixture(spark, sf_dir: str) -> str:
+    """Two RETAINED merge versions (no rollback — unlike the lifecycle
+    fixture): v1 = the standard changeset, v2 = a second changeset that
+    DELETES the rows v1 inserted (key+10M) and re-updates the same
+    1.07-updated keys by another 1.10 — chosen so the NET feed v0→v2
+    cancels the inserts while the per-version REPLAY sees them."""
+
+    def build(root: str) -> None:
+        dst = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        orders.repartition(4).write.partitionBy("o_orderpriority").parquet(
+            dst
+        )
+        rep1 = merge_into(
+            spark, dst, _changeset(orders),
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+            keep_history=True,
+        )
+        assert rep1["version"] == 1
+        merged1 = read_dir(spark, dst)
+        chg2 = (
+            merged1.filter(F.col("o_orderkey") >= 10_000_000)
+            .withColumn("is_delete", F.lit(True))
+            .unionByName(
+                merged1.filter(
+                    (F.col("o_orderkey") % 50 == 3)
+                    & F.col("o_orderpriority").isin(*_TOUCHED)
+                )
+                .withColumn("o_totalprice", F.col("o_totalprice") * 1.10)
+                .withColumn("is_delete", F.lit(False))
+            )
+        )
+        rep2 = merge_into(
+            spark, dst, chg2,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+            keep_history=True,
+        )
+        assert rep2["version"] == 2
+
+    return session_fixture("merge_replay", sf_dir, "v1_v2_retained", build)
+
+
+@register(
+    "merge_change_feed_replay",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders
+      WHERE o_orderkey % 50 = 3
+        AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), mov AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    ), ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    ), del AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 50 = 7
+        AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    )
+    SELECT 1 AS version, 'update_pre' AS change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM (SELECT o_totalprice FROM upd
+          UNION ALL SELECT o_totalprice FROM mov) q
+    UNION ALL
+    SELECT 1, 'update_post', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(cents) AS BIGINT)) AS BIGINT)
+    FROM (SELECT o_totalprice * 1.07 * 100 + 0.5 AS cents FROM upd
+          UNION ALL SELECT o_totalprice * 100 + 0.5 FROM mov) q
+    UNION ALL
+    SELECT 1, 'insert', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM ins
+    UNION ALL
+    SELECT 1, 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM del
+    UNION ALL
+    SELECT 2, 'update_pre', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 1.07 * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM upd
+    UNION ALL
+    SELECT 2, 'update_post', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 1.07 * 1.10 * 100 + 0.5)
+                AS BIGINT)) AS BIGINT)
+    FROM upd
+    UNION ALL
+    SELECT 2, 'delete', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM ins
+    """,
+)
+def merge_change_feed_replay(spark, sf_dir):
+    """Per-version CHANGE FEED REPLAY — the event-sourcing consumption
+    mode the net-diff feed deliberately collapses: iterate
+    ``change_feed(root, v, v+1)`` over every retained version and stamp
+    each batch with its version (Delta ``table_changes`` with
+    ``_commit_version``). On this fixture v2 deletes exactly the rows v1
+    inserted and re-updates v1's updated keys — so the net v0→live feed
+    would cancel the inserts and collapse the updates, while the replay
+    must show v1's inserts, v2's deletes of them, and BOTH update pairs
+    with chained prices. The oracle enumerates every (version,
+    change_type) stratum closed-form, including the chained v2 price
+    (p·1.07)·1.10 in the same association order — any replay that
+    net-diffed, skipped a version, or read images from the wrong
+    boundary shifts a stratum. Per-version feeds are manifest-pruned on
+    both sides, so replay cost is versions × touched partitions, never
+    versions × table size."""
+    from ..plans.merge import change_feed, merge_history
+
+    root = merge_replay_fixture(spark, sf_dir)
+    dst = os.path.join(root, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    parts = []
+    for man in merge_history(dst):
+        v = man["version"]
+        f = change_feed(spark, dst, v - 1, v)
+        parts.append(
+            f.groupBy("change_type").agg(
+                F.count("*").alias("n"), F.sum(cents).alias("sum_cents")
+            ).select(
+                F.lit(v).alias("version"), "change_type", "n", "sum_cents"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -707,3 +707,48 @@ def test_change_feed_emits_evolved_column_only_update(spark):
         (0, "update_post", 0.0, "gold"),
     }
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_touched_prune_predicate_exact_and_overflow_safe(spark):
+    """touched_prune_predicate (round-13): selects EXACTLY the touched
+    tuples (not the per-level cartesian product), survives a tuple count
+    that stack-overflows the OR-of-ANDs shape, and falls back safely
+    when a value carries the separator byte."""
+    from pulsar_cdc_experiment_spark.plans.merge import (
+        touched_prune_predicate,
+    )
+
+    df = spark.createDataFrame(
+        [(str(a), str(b), a * 10 + b) for a in range(5) for b in range(5)],
+        "p1 string, p2 string, v int",
+    )
+    # ('0','0') and ('1','1') touched: the cartesian product would also
+    # include ('0','1') and ('1','0') — exactness means those are OUT
+    pred = touched_prune_predicate(
+        [F.col("p1"), F.col("p2")], [("0", "0"), ("1", "1")]
+    )
+    got = {(r["p1"], r["p2"]) for r in df.filter(pred).collect()}
+    assert got == {("0", "0"), ("1", "1")}
+
+    # single level: plain isin
+    pred1 = touched_prune_predicate([F.col("p1")], [("2",), ("4",)])
+    assert {r["p1"] for r in df.filter(pred1).collect()} == {"2", "4"}
+
+    # 2000 tuples: the OR-of-ANDs shape overflows the column-tree
+    # converter here; the flat shape must both BUILD and ANALYZE
+    big = [(str(i % 5), str(i % 97)) for i in range(2000)]
+    predb = touched_prune_predicate([F.col("p1"), F.col("p2")], big)
+    df.filter(predb)._jdf.queryExecution().optimizedPlan()  # no overflow
+    want = {t for t in big if int(t[0]) < 5 and int(t[1]) < 5}
+    gotb = {(r["p1"], r["p2"]) for r in df.filter(predb).collect()}
+    assert gotb == want
+
+    # separator in a value: falls back to OR-of-ANDs, still exact
+    sep_df = spark.createDataFrame(
+        [("a\x1fb", "c", 1), ("a", "b\x1fc", 2), ("a", "c", 3)],
+        "p1 string, p2 string, v int",
+    )
+    predw = touched_prune_predicate(
+        [F.col("p1"), F.col("p2")], [("a\x1fb", "c")]
+    )
+    assert [r["v"] for r in sep_df.filter(predw).collect()] == [1]

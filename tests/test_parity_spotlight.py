@@ -110,7 +110,9 @@ BREADTH = [
     "json_typed_parse",
     "local_supplier_revenue",
     "math_bitwise_trig",
+    "corpus_mixture_temperature",
     "merge_change_feed",
+    "merge_change_feed_replay",
     "merge_time_travel_read",
     "merge_txn_multi_table",
     "merge_txn_snapshot_read",

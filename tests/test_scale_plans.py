@@ -701,6 +701,9 @@ _BUILD_JOBS_SANCTIONED = {
     # sets) under the leaf-set-keyed schema cache — construction is
     # job-free as long as that query exists
     "merge_change_feed",
+    # replay: its own 2-version fixture write + per-version read_version
+    # schema inference (file-count-bounded footer reads)
+    "merge_change_feed_replay",
     "merge_txn_multi_table",
     # snapshot read: read_version schema inference over its four
     # time-travel leaf sets (pre/post × 2 tables — new cache keys,

@@ -659,7 +659,146 @@ def main() -> None:
         finally:
             _sh.rmtree(os.path.dirname(root), ignore_errors=True)
 
+    def probe_bucketed(n_keys):
+        """Round-13: the merge file-intersection probe at adversarial
+        changeset × file counts. The stats side is synthetic (what
+        _file_key_ranges would emit for 10k touched files with tight
+        overlapping ranges); the changeset is n_keys integer keys. The
+        BUCKETED probe (_file_probe_plan) pays one hash shuffle on the
+        bin key; the pre-round-13 AND-of-ranges join is replayed inline
+        at a SMALLER size (it is the 10^11-comparison nested loop — at
+        the bucketed leg's full size it would not finish) and both are
+        normalized to keys/s so the asymptote gap is readable."""
+        from pulsar_cdc_experiment_spark.plans.merge import _file_probe_plan
+
+        n_files = 10_000
+        span = n_keys  # key domain = changeset domain
+        fw = max(1, span // n_files)
+        rows = [
+            (f"p/f{i}", i * fw, min(span, i * fw + 2 * fw))
+            for i in range(n_files)
+        ]
+        src = spark.range(n_keys).select((F.col("id") * 7 % span).alias("k"))
+        t0 = time.perf_counter()
+        nb = _file_probe_plan(spark, src, ["k"], rows).count()
+        bucketed_sec = time.perf_counter() - t0
+        assert nb > n_files * 0.9, nb  # every file range holds some key
+
+        # naive replay at 1/20 the keys and 1/5 the files (BNLJ cost is
+        # the product; full size is ~10^11 comparisons)
+        from pyspark.sql import types as T
+
+        small_files = rows[:: 5]
+        small_keys = spark.range(n_keys // 20).select(
+            (F.col("id") * 7 % span).alias("k")
+        )
+        stats = spark.createDataFrame(
+            small_files,
+            T.StructType([
+                T.StructField("__path", T.StringType()),
+                T.StructField("__lo_k", T.LongType()),
+                T.StructField("__hi_k", T.LongType()),
+            ]),
+        )
+        t0 = time.perf_counter()
+        small_keys.join(
+            stats,
+            (F.col("k") >= F.col("__lo_k")) & (F.col("k") <= F.col("__hi_k")),
+        ).select("__path").distinct().count()
+        naive_sec = time.perf_counter() - t0
+        results["probe_bucketed_vs_bnlj"] = {
+            "keys": n_keys,
+            "files": n_files,
+            "bucketed_sec": round(bucketed_sec, 2),
+            "bucketed_keys_per_sec": int(n_keys / bucketed_sec),
+            "naive_keys": n_keys // 20,
+            "naive_files": len(small_files),
+            "naive_sec": round(naive_sec, 2),
+            "naive_keys_per_sec": int((n_keys // 20) / naive_sec),
+            "throughput_ratio": round(
+                (n_keys / bucketed_sec) / ((n_keys // 20) / naive_sec), 1
+            ),
+        }
+        print(
+            json.dumps(
+                {"op": "probe_bucketed_vs_bnlj",
+                 **results["probe_bucketed_vs_bnlj"]}
+            ),
+            flush=True,
+        )
+
+    def touched_pruning_wide(n_leaves):
+        """Round-13 (r12 verdict #4 data point): Catalyst ANALYSIS cost
+        of the touched-partition predicate at high touched cardinality.
+        Modes: the pre-round-13 OR-of-ANDs (grows one tree level per
+        tuple — quadratic analysis, and a hard JVM StackOverflow in the
+        column-tree converter past ~300 tuples, recorded as
+        "stack_overflow"), the flat touched_prune_predicate now used by
+        merge_into/change_feed, and a literal-relation semi-join
+        baseline. Measures plan-build wall (optimizedPlan forced, no
+        execution)."""
+        from pulsar_cdc_experiment_spark.plans.merge import (
+            touched_prune_predicate,
+        )
+
+        df = spark.range(1000).select(
+            (F.col("id") % 100).cast("string").alias("p1"),
+            (F.col("id") % 10).cast("string").alias("p2"),
+            F.col("id").alias("v"),
+        )
+        tuples = [(str(i % 997), str(i % 89)) for i in range(n_leaves)]
+
+        def or_of_ands():
+            pred = F.lit(False)
+            for a, b in tuples:
+                pred = pred | (
+                    (F.col("p1") == F.lit(a)) & (F.col("p2") == F.lit(b))
+                )
+            df.filter(pred)._jdf.queryExecution().optimizedPlan()
+
+        def flat_predicate():
+            df.filter(
+                touched_prune_predicate(
+                    [F.col("p1"), F.col("p2")], tuples
+                )
+            )._jdf.queryExecution().optimizedPlan()
+
+        def literal_join():
+            lit = spark.createDataFrame(tuples, "p1 string, p2 string")
+            df.join(
+                F.broadcast(lit), ["p1", "p2"], "left_semi"
+            )._jdf.queryExecution().optimizedPlan()
+
+        out = {"leaves": n_leaves}
+        for mode, fn in (
+            ("or_of_ands", or_of_ands),
+            ("flat_predicate", flat_predicate),
+            ("literal_join", literal_join),
+        ):
+            t0 = time.perf_counter()
+            try:
+                fn()
+                out[f"{mode}_sec"] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                out[f"{mode}_sec"] = (
+                    "stack_overflow"
+                    if "StackOverflow" in (repr(e) + str(e))
+                    else f"error: {type(e).__name__}"
+                )
+        results[f"touched_pruning_{n_leaves}"] = out
+        print(
+            json.dumps({"op": f"touched_pruning_{n_leaves}", **out}),
+            flush=True,
+        )
+
     s = args.scale
+    if args.only is not None and "probe_bucketed_vs_bnlj" in args.only:
+        probe_bucketed(int(10e6 * s))
+    if args.only is not None and any(
+        o.startswith("touched_pruning") for o in args.only
+    ):
+        for n in (100, 1000, 10000):
+            touched_pruning_wide(n)
     run("scan_agg", int(400e6 * s), scan_agg)
     if args.only is None or "change_feed_1of64" in args.only:
         change_feed_scoped(int(40e6 * s))
