@@ -243,3 +243,44 @@ def hierarchy_root_depth(spark, sf_dir):
         F.col("anc").alias("root_key"),
         F.col("dist").alias("depth"),
     )
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE climb AS (
+      SELECT p_partkey, p_partkey AS cur, CAST(0 AS BIGINT) AS depth
+      FROM part
+      UNION ALL
+      SELECT p_partkey, cur // 10, depth + 1 FROM climb WHERE cur >= 10
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(cur AS BIGINT) AS root_key, depth
+    FROM climb WHERE cur < 10
+    """,
+)
+def recursive_cte_hierarchy(spark, sf_dir):
+    """Native ``WITH RECURSIVE`` (Spark 4) over the same parent-pointer
+    hierarchy as ``hierarchy_root_depth`` — the declarative SQL surface
+    for iterative traversal, verified against DuckDB's recursive CTE
+    running the IDENTICAL text. Execution trade (SCALE.md "Clustering
+    depth decision rule"): the engine unions one join per LEVEL, i.e.
+    depth d costs d rounds — fine for shallow org/BOM charts (d≈5 here),
+    while ``hierarchy_root_depth``'s pointer doubling covers depth 2^k
+    in k rounds and stays the scale path for deep chains. Having both
+    registered pins that the two formulations agree row-for-row.
+    Reference analog: none — SURVEY §2 tier C relational mandate."""
+    part = table(spark, sf_dir, "part")
+    part.select("p_partkey").createOrReplaceTempView("__rc_part")
+    return spark.sql(
+        """
+        WITH RECURSIVE climb AS (
+          SELECT p_partkey, p_partkey AS cur, CAST(0 AS BIGINT) AS depth
+          FROM __rc_part
+          UNION ALL
+          SELECT p_partkey, cur div 10, depth + 1 FROM climb WHERE cur >= 10
+        )
+        SELECT p_partkey, CAST(cur AS BIGINT) AS root_key, depth
+        FROM climb WHERE cur < 10
+        """
+    )

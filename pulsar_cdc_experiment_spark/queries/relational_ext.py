@@ -1011,3 +1011,48 @@ def analyze_table_stats(spark, sf_dir):
         f"stack({len(cols)}, {parts}) AS "
         "(col, n_rows, n_nonnull, ndv, min_cents, max_cents)"
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.cents
+    FROM nation n, LATERAL (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC
+      LIMIT 2
+    ) t
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (Spark 3.2+ SQL surface): top-2
+    customers by balance PER NATION via a correlated ordered-limit —
+    DuckDB runs the identical LATERAL text as the oracle. Catalyst
+    decorrelates this into the same window/top-k shape a hand-written
+    ``row_number() <= 2`` produces (no per-row re-execution — the
+    lateral is a rewrite target, not a nested loop), so the declarative
+    form costs one partitioned sort like ``order_value_deciles``.
+    Registered alongside the window formulation family to pin that the
+    decorrelation agrees row-for-row at the dense-tie boundary
+    (deterministic c_custkey tiebreak). Reference analog: none —
+    SURVEY §2 tier C (C6/C12 composition)."""
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    nation.createOrReplaceTempView("__lat_nation")
+    customer.createOrReplaceTempView("__lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.cents
+        FROM __lat_nation n, LATERAL (
+          SELECT c_custkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM __lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC
+          LIMIT 2
+        ) t
+        """
+    )

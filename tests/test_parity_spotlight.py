@@ -107,7 +107,9 @@ BREADTH = [
     "interval_overlap_windows",
     "interval_shipping_pressure",
     "ivm_join_delta",
+    "join_lateral_topn",
     "json_typed_parse",
+    "recursive_cte_hierarchy",
     "local_supplier_revenue",
     "math_bitwise_trig",
     "corpus_mixture_temperature",
