@@ -305,3 +305,82 @@ def join_delta(
         .drop(za, zb)
     )
     return t1.unionByName(t2).unionByName(t3)
+
+
+def minmax_delta_maintain(
+    view: DataFrame,
+    base_new: DataFrame,
+    delta: DataFrame,
+    on: Sequence[str],
+    val: str,
+    z: str = "__z",
+) -> DataFrame:
+    """Incremental maintenance of ``GROUP BY on: count, sum, MIN, MAX``
+    under a z-weighted delta batch — the NON-INVERTIBLE aggregate case
+    that ``delta_fold_group_agg`` cannot cover.
+
+    count/sum fold invertibly from the deltas alone. MIN/MAX fold only
+    on INSERTS (``least``/``greatest`` against the old extremum); a
+    DELETE that reaches a group's current extremum invalidates it — the
+    next-best value is not in the view — so exactly those groups
+    ("risky": some deleted value ≤ old min or ≥ old max) recompute from
+    the post-batch base, pruned to the risky keys by a semi-join. Groups
+    new in this batch (no view row) fold purely from their inserts.
+
+    Inputs: ``view`` is the OLD view (one row per group: ``n_rows``,
+    ``sum_v``, ``min_v``, ``max_v``), ``base_new`` the post-batch base
+    relation (only risky groups are read from it), ``delta`` the
+    z-weighted rows (+1 insert / −1 delete; an update is a −1/+1 pair).
+    ``val`` must be exact arithmetic (bigint cents) — the sum leg
+    telescopes. Returns the NEW view rows for every group the batch
+    touched (groups netting to zero rows drop out); publishing the merge
+    into the stored view is the caller's pointer-swap
+    (streaming.materialize discipline).
+
+    Scale story: per-batch work = one delta-sized aggregate + a base
+    scan restricted to risky groups — and "risky" requires deleting a
+    group's exact extremum, so in steady state the recompute leg touches
+    few groups; a group-partitioned base turns the semi-join into
+    partition pruning. The alternative the view CANNOT take at 100 TB is
+    recomputing every touched group's min/max over history each batch.
+    """
+    on = list(on)
+    pos = F.col(z) > 0
+    d = delta.groupBy(*on).agg(
+        F.sum(z).cast("long").alias("__dn"),
+        F.sum(F.col(z) * F.col(val)).cast("long").alias("__ds"),
+        F.min(F.when(pos, F.col(val))).alias("__ins_mn"),
+        F.max(F.when(pos, F.col(val))).alias("__ins_mx"),
+        F.min(F.when(~pos, F.col(val))).alias("__del_mn"),
+        F.max(F.when(~pos, F.col(val))).alias("__del_mx"),
+    )
+    j = view.join(d, on, "full_outer")
+    had_view = F.col("n_rows").isNotNull()
+    risky = had_view & (
+        (F.col("__del_mn") <= F.col("min_v"))
+        | (F.col("__del_mx") >= F.col("max_v"))
+    )
+    folded = j.filter(~F.coalesce(risky, F.lit(False))).select(
+        *on,
+        (F.coalesce(F.col("n_rows"), F.lit(0))
+         + F.coalesce(F.col("__dn"), F.lit(0))).alias("n_rows"),
+        (F.coalesce(F.col("sum_v"), F.lit(0))
+         + F.coalesce(F.col("__ds"), F.lit(0))).alias("sum_v"),
+        F.least(F.col("min_v"), F.col("__ins_mn")).alias("min_v"),
+        F.greatest(F.col("max_v"), F.col("__ins_mx")).alias("max_v"),
+    ).filter(F.col("n_rows") > 0)
+    risky_keys = j.filter(risky).select(*on)
+    recomputed = (
+        base_new.join(risky_keys, on, "left_semi")
+        .groupBy(*on)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(val).cast("long").alias("sum_v"),
+            F.min(val).alias("min_v"),
+            F.max(val).alias("max_v"),
+        )
+    )
+    # only batch-touched groups are returned: folded untouched-view rows
+    # (no delta columns) are identity rows — filter them out
+    touched = d.select(*on)
+    return folded.join(touched, on, "left_semi").unionByName(recomputed)

@@ -955,3 +955,100 @@ def ivm_join_delta(spark, sf_dir):
             (F.col("d_n") != 0) | (F.col("d_lcents") != 0) | (F.col("d_ocents") != 0)
         )
     )
+
+
+@register(
+    "ivm_minmax_delta",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS g, o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), mx AS (
+      SELECT g, max(cents) AS gmx FROM o GROUP BY g
+    ), notmax AS (
+      SELECT o.g, o.k, o.cents FROM o JOIN mx USING (g)
+      WHERE o.cents <> mx.gmx
+    ), base_new AS (
+      SELECT g, k,
+             CASE WHEN k % 50 = 3 THEN cents + 7 ELSE cents END AS cents
+      FROM notmax
+      UNION ALL
+      SELECT g, k + 10000000, cents * 3 FROM notmax WHERE k % 50 = 11
+    )
+    SELECT g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_v,
+           CAST(min(cents) AS BIGINT) AS min_v,
+           CAST(max(cents) AS BIGINT) AS max_v
+    FROM base_new GROUP BY g
+    """,
+)
+def ivm_minmax_delta(spark, sf_dir):
+    """Incremental maintenance of MIN/MAX — the NON-INVERTIBLE aggregate
+    case (operators/materialize.minmax_delta_maintain). count/sum fold
+    from the deltas alone; MIN/MAX folds only on inserts, and a delete
+    that reaches a group's current extremum forces THAT group's
+    recompute from the post-batch base (semi-join-pruned). The
+    changeset is adversarial by construction: every group's exact
+    maximum rows are DELETED (the risky branch fires for all 5 groups —
+    a fold-only implementation would serve the stale max), alongside
+    ordinary updates (+7 cents on keys %50==3) and inserts (tripled
+    clones under keys+10M). The oracle recomputes the whole view from
+    the patched base; cents are exact longs. At 100 TB the recompute
+    leg reads only risky groups — deleting a group's exact extremum is
+    the rare event, and a group-partitioned base turns the semi-join
+    into partition pruning. Reference analog: B5's materialized state
+    extended to the dashboard aggregates its consumers actually serve."""
+    from ..operators.materialize import minmax_delta_maintain
+
+    orders = table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = o.groupBy("g").agg(F.max("cents").alias("gmx"))
+    withmx = o.join(mx, "g")
+    maxrows = withmx.filter(F.col("cents") == F.col("gmx")).select(
+        "g", "k", "cents"
+    )
+    notmax = withmx.filter(F.col("cents") != F.col("gmx")).select(
+        "g", "k", "cents"
+    )
+    upd = notmax.filter(F.col("k") % 50 == 3)
+    ins = notmax.filter(F.col("k") % 50 == 11).select(
+        "g",
+        (F.col("k") + 10_000_000).alias("k"),
+        (F.col("cents") * 3).alias("cents"),
+    )
+    z1 = F.lit(1).cast("long")
+    delta = (
+        maxrows.withColumn("__z", -z1)
+        .unionByName(upd.withColumn("__z", -z1))
+        .unionByName(
+            upd.withColumn("cents", F.col("cents") + 7).withColumn(
+                "__z", z1
+            )
+        )
+        .unionByName(ins.withColumn("__z", z1))
+    )
+    base_new = notmax.withColumn(
+        "cents",
+        F.when(F.col("k") % 50 == 3, F.col("cents") + 7).otherwise(
+            F.col("cents")
+        ),
+    ).unionByName(ins)
+    view = o.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_v"),
+        F.min("cents").alias("min_v"),
+        F.max("cents").alias("max_v"),
+    )
+    out = minmax_delta_maintain(view, base_new, delta, ["g"], "cents")
+    return out.select(
+        F.col("g").alias("o_orderpriority"),
+        "n_rows", "sum_v", "min_v", "max_v",
+    )

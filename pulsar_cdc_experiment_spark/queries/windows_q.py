@@ -345,3 +345,67 @@ def funnel_conversion(spark, sf_dir):
         .unionByName(step(2, "view", v))
         .unionByName(step(3, "purchase", p))
     )
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase'
+                  THEN INTERVAL '60 minutes'
+                  ELSE INTERVAL '15 minutes' END AS gap
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, value, gap,
+             CASE WHEN ts > max(ts + gap) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts + gap) AS s_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session_dynamic_gap(spark, sf_dir):
+    """C31 extension: session windows whose gap is a PER-ROW expression
+    (``F.session_window(ts, gap_col)``) — a purchase keeps its session
+    alive 60 minutes, anything else 15: the checkout-vs-browse
+    sessionization rule real clickstream pipelines use, which a fixed
+    gap cannot express. Merge semantics under dynamic gaps: each event
+    contributes the window [ts, ts+gap); an event merges into the
+    running session iff its ts does not EXCEED the max end of all prior
+    windows — the oracle reproduces exactly that with a running
+    max(ts + gap) island flag, and the session end is max(ts + gap),
+    not last-event + constant. Same one-shuffle shape as the static
+    session window (partition by user, per-stratum sort)."""
+    ev = table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    agg = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), gap), F.col("user_id")
+        ).agg(
+            F.count("*").alias("n_events"),
+            rn(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").alias("s_start"),
+        F.col("session_window.end").alias("s_end"),
+        "n_events",
+        "sum_value",
+    )

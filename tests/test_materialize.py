@@ -503,3 +503,111 @@ def test_incremental_join_maintainer_multi_batch_and_redelivery(spark, tmp_path)
     before = sorted(map(tuple, m.current_view(spark).collect()))
     m.process_batch(da(batches[-1][0]), db(batches[-1][1]), len(batches) - 1)
     assert sorted(map(tuple, m.current_view(spark).collect())) == before
+
+
+def test_minmax_delta_maintain_randomized_vs_recompute(spark):
+    """minmax_delta_maintain (round-13): randomized churn — inserts,
+    plain deletes, extremum deletes (the risky branch), updates, a group
+    emptied, and a brand-new group — must equal a full recompute of the
+    patched base, group for group. Seeded; 3 trials."""
+    import random
+
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        minmax_delta_maintain,
+    )
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        base = [
+            (g, i, rng.randrange(-500, 500))
+            for g in range(6)
+            for i in range(rng.randrange(3, 25))
+        ]
+        # unique synthetic row ids so deletes are unambiguous
+        base = [
+            (f"g{g}", g * 1000 + i, v) for (g, i, v) in base
+        ]
+        by_g: dict = {}
+        for g, k, v in base:
+            by_g.setdefault(g, {})[k] = v
+
+        dels, ins, upd = [], [], []
+        for g, rows in by_g.items():
+            ks = sorted(rows)
+            # delete the exact max of even groups (risky branch)
+            if int(g[1:]) % 2 == 0:
+                kmax = max(ks, key=lambda k: (rows[k], k))
+                dels.append((g, kmax, rows[kmax]))
+            # one random non-max delete
+            others = [k for k in ks if (g, k, rows[k]) not in dels]
+            if others:
+                kd = rng.choice(others)
+                dels.append((g, kd, rows[kd]))
+            # one update (delete+insert pair on same key)
+            left = [
+                k for k in ks if all(k != dk for (_g, dk, _v) in dels)
+            ]
+            if left:
+                ku = rng.choice(left)
+                upd.append((g, ku, rows[ku], rng.randrange(-500, 500)))
+            # one insert
+            ins.append((g, max(ks) + 7, rng.randrange(-500, 500)))
+        # empty group g5 entirely
+        dels = [d for d in dels if d[0] != "g5"]
+        upd = [u for u in upd if u[0] != "g5"]
+        ins = [i2 for i2 in ins if i2[0] != "g5"]
+        dels += [("g5", k, v) for k, v in by_g["g5"].items()]
+        # brand-new group
+        ins += [("g9", 9000 + j, rng.randrange(-500, 500)) for j in range(4)]
+
+        def df(rows, extra=None):
+            data = [
+                r + ((extra,) if extra is not None else ())
+                for r in rows
+            ]
+            schema = "g string, k long, v long" + (
+                ", __z long" if extra is not None else ""
+            )
+            return spark.createDataFrame(data, schema)
+
+        delta = (
+            df(dels, extra=-1)
+            .unionByName(df([(g, k, v0) for g, k, v0, _v1 in upd], extra=-1))
+            .unionByName(df([(g, k, v1) for g, k, _v0, v1 in upd], extra=1))
+            .unionByName(df(ins, extra=1))
+        )
+        new_rows = {}
+        for g, k, v in base:
+            new_rows[(g, k)] = v
+        for g, k, v in dels:
+            del new_rows[(g, k)]
+        for g, k, _v0, v1 in upd:
+            new_rows[(g, k)] = v1
+        for g, k, v in ins:
+            new_rows[(g, k)] = v
+        base_new = df([(g, k, v) for (g, k), v in new_rows.items()])
+        view = df(base).groupBy("g").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        got = {
+            r["g"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in minmax_delta_maintain(
+                view, base_new, delta, ["g"], "v"
+            ).collect()
+        }
+        want = {}
+        for (g, _k), v in new_rows.items():
+            n, s, mn, mx = want.get(g, (0, 0, None, None))
+            want[g] = (
+                n + 1,
+                s + v,
+                v if mn is None else min(mn, v),
+                v if mx is None else max(mx, v),
+            )
+        # every group was touched by the batch, so got must equal want
+        # exactly — including g5 ABSENT (emptied) and g9 present (new)
+        assert got == want, (seed, got, want)
+        assert "g5" not in got and "g9" in got

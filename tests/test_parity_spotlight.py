@@ -107,6 +107,7 @@ BREADTH = [
     "interval_overlap_windows",
     "interval_shipping_pressure",
     "ivm_join_delta",
+    "ivm_minmax_delta",
     "join_lateral_topn",
     "json_typed_parse",
     "recursive_cte_hierarchy",
@@ -153,6 +154,7 @@ BREADTH = [
     "window_percent_dist",
     "window_range_frame",
     "window_rank",
+    "window_session_dynamic_gap",
     "window_running_frame",
     "zorder_events_slabs",
 ]
