@@ -112,6 +112,12 @@ HEADLINE = [
     # round-12 addition
     "merge_upsert_composite",       # two-level-partitioned MERGE: tuple
                                     # touched discovery + leaf-level swap
+    # round-13 additions: new capability classes, benched from birth
+    "ivm_minmax_delta",             # non-invertible-aggregate IVM: fold +
+                                    # risky-group semi-join recompute
+    "recursive_cte_hierarchy",      # native WITH RECURSIVE traversal
+    "window_session_dynamic_gap",   # per-row-gap session windows
+    "corpus_mixture_temperature",   # temperature-scaled mixture sampling
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
