@@ -1961,3 +1961,121 @@ def stream_ivm_join(spark, sf_dir):
     return view.select(
         "o_orderpriority", "l_returnflag", "n", "sum_lcents", "sum_ocents"
     )
+
+
+@register(
+    "stream_ivm_minmax",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS g, o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), mx AS (
+      SELECT g, max(cents) AS gmx FROM o GROUP BY g
+    ), notmax AS (
+      SELECT o.g, o.k, o.cents FROM o JOIN mx USING (g)
+      WHERE o.cents <> mx.gmx
+    ), base_new AS (
+      SELECT g, k,
+             CASE WHEN k % 50 = 3 THEN cents + 7 ELSE cents END AS cents
+      FROM notmax
+      UNION ALL
+      SELECT g, k + 10000000, cents * 3 FROM notmax WHERE k % 50 = 11
+    )
+    SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_v,
+           CAST(min(cents) AS BIGINT) AS min_v,
+           CAST(max(cents) AS BIGINT) AS max_v
+    FROM base_new GROUP BY g
+    """,
+)
+def stream_ivm_minmax(spark, sf_dir):
+    """STREAMING maintenance of a MIN/MAX group view
+    (streaming/materialize.IncrementalMinMaxMaintainer): batch 0 inserts
+    the base (bootstrap — every group is new, pure fold), batch 1 is the
+    adversarial changeset of ``ivm_minmax_delta``: every group's exact
+    maximum rows DELETED (the risky recompute leg fires against the
+    post-batch base state), plus updates and inserts. base+view publish
+    under ONE pointer swap per batch; a redelivered batch id is skipped.
+    The served view must equal a from-scratch GROUP BY over the final
+    patched base, which the oracle recomputes — a fold-only maintainer
+    would serve every group's STALE maximum. Reference analog: the
+    dashboard extremum (latest/peak price) a CDC consumer maintains from
+    the feed's before/after images (connectors/README.md:152-157)."""
+    import os
+
+    from ..streaming.materialize import IncrementalMinMaxMaintainer
+    from .fixture_cache import session_fixture
+
+    feed_schema = "g string, k bigint, cents bigint, __z bigint"
+
+    def build(root: str) -> None:
+        feed_root = os.path.join(root, "feed")
+        orders = table(spark, sf_dir, "orders")
+        o = orders.select(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_orderkey").alias("k"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        z1 = F.lit(1).cast("long")
+        batch0 = o.withColumn("__z", z1)
+        mx = o.groupBy("g").agg(F.max("cents").alias("gmx"))
+        withmx = o.join(mx, "g")
+        maxrows = withmx.filter(F.col("cents") == F.col("gmx")).select(
+            "g", "k", "cents"
+        )
+        notmax = withmx.filter(F.col("cents") != F.col("gmx")).select(
+            "g", "k", "cents"
+        )
+        upd = notmax.filter(F.col("k") % 50 == 3)
+        ins = notmax.filter(F.col("k") % 50 == 11).select(
+            "g",
+            (F.col("k") + 10_000_000).alias("k"),
+            (F.col("cents") * 3).alias("cents"),
+        )
+        batch1 = (
+            maxrows.withColumn("__z", -z1)
+            .unionByName(upd.withColumn("__z", -z1))
+            .unionByName(
+                upd.withColumn("cents", F.col("cents") + 7).withColumn(
+                    "__z", z1
+                )
+            )
+            .unionByName(ins.withColumn("__z", z1))
+        )
+        base = 1_700_000_000
+        for i, part in enumerate((batch0, batch1)):
+            p = os.path.join(feed_root, f"{i:03d}")
+            part.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+
+        maintainer = IncrementalMinMaxMaintainer(
+            os.path.join(root, "state"), on=["g"], val="cents"
+        )
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: maintainer.process_batch(bdf, bid)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_ivm_minmax")
+
+    root = session_fixture(
+        "stream_ivm_minmax", sf_dir, "zset_2batch_v1", build
+    )
+    maintainer = IncrementalMinMaxMaintainer(
+        os.path.join(root, "state"), on=["g"], val="cents"
+    )
+    view = maintainer.current_view(spark)
+    return view.select("g", "n_rows", "sum_v", "min_v", "max_v")

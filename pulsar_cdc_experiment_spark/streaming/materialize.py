@@ -578,3 +578,105 @@ class IncrementalJoinMaintainer:
             },
             batch_id,
         )
+
+
+class IncrementalMinMaxMaintainer:
+    """Streaming incremental maintenance of a MIN/MAX (+count/sum) group
+    view — the NON-INVERTIBLE aggregate case, driven from a z-weighted
+    change feed via ``operators.materialize.minmax_delta_maintain``.
+
+    Two state tables under ``root``, published in ONE
+    :meth:`AtomicStateDir.publish_tables` pointer swap (they must move
+    together: the maintain rule reads the OLD view but the NEW base —
+    a crash stranding one a batch ahead would recompute risky groups
+    against the wrong base):
+
+    - ``base`` — the current base relation (set semantics, folded like
+      the join maintainer's sides: deletes carry the exact row image).
+      MIN/MAX maintenance is what makes keeping the base mandatory —
+      when a group's extremum is deleted, the next-best value exists
+      nowhere in the view; the rule's recompute leg reads it from here,
+      semi-join-pruned to the risky groups only.
+    - ``view`` — one row per group: ``n_rows``, ``sum_v``, ``min_v``,
+      ``max_v``.
+
+    Per-batch work: delta-sized fold + risky-group-pruned base scan.
+    Redelivered batch ids are skipped whole (merge is not idempotent),
+    the IncrementalAggMaintainer guard."""
+
+    def __init__(
+        self,
+        root: str,
+        on: Sequence[str],
+        val: str,
+        z: str = "__z",
+        keep_versions: int = 1,
+    ):
+        self.on = list(on)
+        self.val = val
+        self.z = z
+        self._state = AtomicStateDir(root, keep_versions=keep_versions)
+
+    def current_view(self, spark: SparkSession) -> DataFrame | None:
+        return self._state.current_table(spark, "view")
+
+    def _fold_base(
+        self, state: DataFrame | None, delta: DataFrame
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        cols = [c for c in delta.columns if c != self.z]
+        live = (
+            delta.select(*cols, F.col(self.z).alias("__m"))
+            if state is None
+            else state.select(
+                *cols, F.lit(1).cast("long").alias("__m")
+            ).unionByName(delta.select(*cols, F.col(self.z).alias("__m")))
+        )
+        return (
+            live.groupBy(*cols)
+            .agg(F.sum("__m").alias("__m"))
+            .filter(F.col("__m") > 0)
+            .drop("__m")
+        )
+
+    def process_batch(self, delta: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..operators.materialize import minmax_delta_maintain
+
+        if self._state.applied_batch() == batch_id:
+            return  # redelivery: already merged
+        spark = delta.sparkSession
+        delta = delta.persist()
+        try:
+            base_old = self._state.current_table(spark, "base")
+            base_new = self._fold_base(base_old, delta).persist()
+            view_old = self._state.current_table(spark, "view")
+            if view_old is None:
+                view_old = spark.createDataFrame(
+                    [],
+                    base_new.select(
+                        *self.on,
+                        F.lit(0).cast("long").alias("n_rows"),
+                        F.lit(0).cast("long").alias("sum_v"),
+                        F.col(self.val).alias("min_v"),
+                        F.col(self.val).alias("max_v"),
+                    ).schema,
+                )
+            touched = minmax_delta_maintain(
+                view_old, base_new, delta, self.on, self.val, z=self.z
+            )
+            untouched = view_old.join(
+                delta.select(*self.on).distinct(), self.on, "left_anti"
+            )
+            self._state.publish_tables(
+                {"base": base_new, "view": untouched.unionByName(touched)},
+                batch_id,
+            )
+        finally:
+            delta.unpersist()
+            try:
+                base_new.unpersist()
+            except Exception:
+                pass

@@ -49,6 +49,7 @@ SPOTLIGHT = [
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",
+    "stream_ivm_minmax",
     "stream_stream_join",
     "stream_stream_left_outer",
     "stream_stream_full_outer",

@@ -1472,3 +1472,45 @@ def test_live_socket_bus_ingress_end_to_end(spark):
     assert ops == ["c", "c", "c", "d", "r", "r", "u", "u", "x"]
     assert {r["id"] for r in good} == {1, 2, 3, 4, 5, 6}
     assert all(r["_topic"] == "dbserver1.public.customers" for r in rows)
+
+
+def test_minmax_maintainer_risky_recompute_and_redelivery(spark):
+    """IncrementalMinMaxMaintainer (round-13): batch 0 bootstraps, batch
+    1 deletes a group's exact maximum (risky recompute must surface the
+    NEXT-best value from the folded base state, which no fold of the
+    view alone could know), and a redelivered batch id is skipped whole
+    (the merge is not idempotent)."""
+    import tempfile
+
+    from pulsar_cdc_experiment_spark.streaming.materialize import (
+        IncrementalMinMaxMaintainer,
+    )
+
+    root = tempfile.mkdtemp(prefix="mm_maint_")
+    m = IncrementalMinMaxMaintainer(root, on=["g"], val="v")
+
+    def d(rows):
+        return spark.createDataFrame(rows, "g string, k long, v long, __z long")
+
+    m.process_batch(
+        d([("a", 1, 10, 1), ("a", 2, 50, 1), ("a", 3, 30, 1),
+           ("b", 4, 7, 1)]),
+        0,
+    )
+    v0 = {r["g"]: (r["n_rows"], r["min_v"], r["max_v"])
+          for r in m.current_view(spark).collect()}
+    assert v0 == {"a": (3, 10, 50), "b": (1, 7, 7)}
+
+    # delete a's max (50) and insert a smaller value: max must fall to 30
+    batch1 = d([("a", 2, 50, -1), ("a", 9, 20, 1)])
+    m.process_batch(batch1, 1)
+    v1 = {r["g"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+          for r in m.current_view(spark).collect()}
+    assert v1["a"] == (3, 60, 10, 30)
+    assert v1["b"] == (1, 7, 7, 7)
+
+    # redelivery of batch 1: state unchanged
+    m.process_batch(batch1, 1)
+    v2 = {r["g"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+          for r in m.current_view(spark).collect()}
+    assert v2 == v1
