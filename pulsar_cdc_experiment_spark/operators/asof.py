@@ -29,12 +29,20 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward/forward as-of join on ``key`` by time.
 
     Output: all left columns plus the right side's non-key/non-ts columns
     (null when no right row is at-or-before / at-or-after). Ties on equal
     timestamps match (<= / >=), mirroring DuckDB ASOF JOIN.
+
+    ``tolerance`` (optional, a SQL interval body such as ``"7 DAYS"``)
+    bounds the match the way pandas ``merge_asof(tolerance=...)`` does:
+    the as-of candidate is still the single nearest at-or-before (/after)
+    row, and if THAT row lies further than the tolerance the left row
+    matches nothing — an earlier row is never substituted. Same plan
+    shape: the bound is one post-carry conditional, no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -46,7 +54,9 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+        F.struct(
+            *[F.col(c) for c in rcols], F.col(right_ts).alias("__rt")
+        ).alias("__r"),
     )
     tagged_l = left.select(
         F.col(key).alias("__k"),
@@ -73,6 +83,18 @@ def asof_join(
     carried = unioned.withColumn(
         "__r_asof", F.last("__r", ignorenulls=True).over(w)
     ).filter(F.col("__is_left") == 1)
+
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        rt = F.col("__r_asof").getField("__rt")
+        within = (
+            (F.col("__t") <= rt + tol)
+            if direction == "backward"
+            else (rt <= F.col("__t") + tol)
+        )
+        carried = carried.withColumn(
+            "__r_asof", F.when(within, F.col("__r_asof"))
+        )
 
     return carried.select(
         *[F.col("__l").getField(c).alias(c) for c in lcols],

@@ -1052,3 +1052,47 @@ def ivm_minmax_delta(spark, sf_dir):
         F.col("g").alias("o_orderpriority"),
         "n_rows", "sum_v", "min_v", "max_v",
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts AS signup_ts, event_id AS signup_event
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN p.ts <= s.signup_ts + INTERVAL 7 DAYS
+                THEN s.signup_event END AS signup_event
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=)``
+    semantics over the union+window operator): each purchase matches the
+    user's latest signup at-or-before it ONLY if that signup is within 7
+    days — a stale state row is a non-match, never substituted by an
+    older one. Oracle: DuckDB's native ASOF JOIN with the tolerance
+    applied as a post-join CASE (the same single-candidate rule). Plan
+    unchanged from asof_join — one key shuffle + in-partition sort; the
+    bound is a post-carry conditional."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event"),
+    )
+    return asof_join(
+        purchases, signups, "user_id", "ts", "signup_ts",
+        tolerance="7 DAYS",
+    )

@@ -327,3 +327,69 @@ def udf_map_in_arrow(spark, sf_dir):
     return media.mapInArrow(
         stats, "media_id bigint, n_bytes bigint, prefix8 string"
     )
+
+
+@register(
+    "udtf_table_arg_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def udtf_table_arg_gaps(spark, sf_dir):
+    """Python UDTF with a TABLE argument (Spark 4 polymorphic table
+    function): ``gap_stats(TABLE(events) PARTITION BY user_id ORDER BY
+    ts)`` — the engine hands each user's rows, time-ordered, to one UDTF
+    instance, which streams them with O(1) state (previous timestamp,
+    running max) and emits one summary row at partition end via
+    ``terminate``. This is the sessionization/sequence-analysis
+    extension point where per-row SQL windows get awkward; the gap math
+    here is deliberately window-expressible so DuckDB can oracle it
+    exactly (integer epoch-microsecond diffs). Partitioning contract,
+    not a toy: the PARTITION BY is a real hash exchange and the per-user
+    order is engine-enforced, so the same class runs unchanged at 100 TB
+    (state is per-user O(1), never per-partition-buffered)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.functions import udtf
+
+    _EPOCH = datetime(1970, 1, 1)
+    _US = timedelta(microseconds=1)
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self.uid = None
+            self.n = 0
+            self.prev = None
+            self.mx = None
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            self.n += 1
+            us = (row["ts"] - _EPOCH) // _US
+            if self.prev is not None:
+                g = us - self.prev
+                if self.mx is None or g > self.mx:
+                    self.mx = g
+            self.prev = us
+
+        def terminate(self):
+            yield self.uid, self.n, self.mx
+
+    spark.udtf.register("gap_stats", GapStats)
+    table(spark, sf_dir, "events").createOrReplaceTempView("__ta_events")
+    return spark.sql(
+        """
+        SELECT * FROM gap_stats(
+          TABLE(__ta_events) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        """
+    )

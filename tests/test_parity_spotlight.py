@@ -69,6 +69,7 @@ BREADTH = [
     "agg_statistics",
     "agg_string_concat",
     "array_hof_functions",
+    "asof_join_tolerance",
     "bloom_point_lookup",
     "bucketed_join_revenue",
     "cdc_dlq_routing",
@@ -147,6 +148,7 @@ BREADTH = [
     "time_grain_rollup",
     "top_k",
     "top_revenue_supplier",
+    "udtf_table_arg_gaps",
     "unpivot_metrics",
     "url_functions",
     "volume_shipping",
