@@ -836,6 +836,19 @@ def _merge_into_unlocked(
                 "deleted": sorted(hist["deleted"]),
                 "partition_col": pcols,
                 "keys": keys,
+                # operation metrics (Delta DESCRIBE HISTORY's
+                # operationMetrics analog) — lets the history view
+                # answer "what did version N do" without reconstructing
+                # either side of it
+                "metrics": {
+                    k: report[k]
+                    for k in (
+                        "n_updated",
+                        "n_deleted",
+                        "n_inserted",
+                        "n_noop_deletes",
+                    )
+                },
             }
             tmp = os.path.join(vdir, "manifest.json.tmp")
             with open(tmp, "w") as f:

@@ -1049,3 +1049,66 @@ def merge_change_feed_replay(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "merge_describe_history",
+    oracle="""
+    SELECT 1 AS version,
+           2 AS n_touched,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey % 50 = 3
+                   AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+              + (SELECT count(*) FROM orders
+                 WHERE o_orderkey % 50 = 19
+                   AND o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_updated,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey % 50 = 7
+                   AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+                AS BIGINT) AS n_deleted,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW')
+                AS BIGINT) AS n_inserted
+    UNION ALL
+    SELECT 2, 2,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey % 50 = 3
+                   AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW')
+                AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
+)
+def merge_describe_history(spark, sf_dir):
+    """DESCRIBE HISTORY over the merge retention — Delta's history verb:
+    one row per retained version with its touched-partition count and
+    operation metrics, served straight from the manifests (driver-side
+    metadata, no data scan; round-13 manifests persist the merge
+    report's counters). On the replay fixture the oracle recomputes
+    every counter closed-form from the raw table: v1 = the standard
+    changeset (updates incl. the drift move, deletes, inserts), v2
+    deletes exactly v1's inserts and re-updates v1's updated keys — so
+    v2's n_deleted MUST equal v1's n_inserted, a cross-version identity
+    no stale or misattributed manifest satisfies. Reference analog: the
+    audit trail a CDC apply pipeline owes its operators (the reference's
+    only history is broker retention, docs/architecture.md)."""
+    from ..plans.merge import merge_history
+
+    root = merge_replay_fixture(spark, sf_dir)
+    rows = [
+        (
+            m["version"],
+            len(m["touched"]),
+            m["metrics"]["n_updated"],
+            m["metrics"]["n_deleted"],
+            m["metrics"]["n_inserted"],
+        )
+        for m in merge_history(os.path.join(root, "orders"))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, n_touched int, n_updated bigint, "
+        "n_deleted bigint, n_inserted bigint",
+    )

@@ -118,6 +118,7 @@ BREADTH = [
     "corpus_mixture_temperature",
     "merge_change_feed",
     "merge_change_feed_replay",
+    "merge_describe_history",
     "merge_time_travel_read",
     "merge_txn_multi_table",
     "merge_txn_snapshot_read",
