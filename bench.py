@@ -237,7 +237,11 @@ def _compact_line(compact: dict, limit: int = 1900) -> str:
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > limit:
         compact["queries"] = {
-            n: [round(v[0], 1), round(v[1], 1)]
+            n: (
+                [round(v[0], 1), round(v[1], 1)]
+                if isinstance(v, list)
+                else round(v, 1)
+            )
             for n, v in compact["queries"].items()
         }
         line = json.dumps(compact, separators=(",", ":"))
@@ -457,6 +461,12 @@ def main() -> None:
     print(json.dumps(full))
     # compact artifact line LAST (module docstring: the driver's tail
     # window keeps the END of stdout, so this is the line that survives)
+    # round-13: fmt "min3" — single min-of-3 values. The r7-r12 pair
+    # format ([min3, steady] per query) outgrew the 2000-char tail at 48
+    # headline entries; the per-query steady series now lives only in
+    # the FULL line above (local logs), while the tail keeps the primary
+    # min3 series, the aggregate steady_value, skew legs and calib —
+    # the fields every cross-round comparison actually reads.
     compact = {
         "metric": "headline_total",
         "value": full["value"],
@@ -464,13 +474,10 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "calib_sec": calib,
-        "fmt": "min3_steady_pairs",
+        "fmt": "min3",
         "key_aliases": aliases,
         "skew_join": skew,
-        "queries": {
-            n: [round(timings[n], 2), round(steady.get(n, timings[n]), 2)]
-            for n in timings
-        },
+        "queries": {n: round(timings[n], 2) for n in timings},
     }
     if errors:
         compact["errors"] = sorted(errors)

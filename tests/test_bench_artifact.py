@@ -36,6 +36,9 @@ def test_compact_line_fits_tail_window_with_headroom():
     regression worth a red test anyway."""
     bench = _load("bench.py", "bench_mod")
     names = list(bench.HEADLINE) + ["cdc_enrich_plane"]
+    # round-13: the compact line carries fmt "min3" SINGLE values — the
+    # pair format outgrew the tail at 48 headline entries; per-query
+    # steady lives in the full (local-log) line only
     compact = {
         "metric": "headline_total",
         "value": 999.999,
@@ -43,11 +46,11 @@ def test_compact_line_fits_tail_window_with_headroom():
         "unit": "sec",
         "sf": 0.1,
         "calib_sec": 9.999,
-        "fmt": "min3_steady_pairs",
+        "fmt": "min3",
         "key_aliases": {"dedup_minhash_lsh_fast": "dedup_minhash_lsh"},
         "skew_join": {"plain": 99.99, "salted": 99.99,
                       "plain_aqe": 99.99, "plain_aqe_tuned": 99.99},
-        "queries": {n: [99.99, 99.99] for n in names},
+        "queries": {n: 99.99 for n in names},
     }
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) <= 1900, (
