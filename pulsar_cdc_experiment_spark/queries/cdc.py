@@ -998,8 +998,13 @@ def ivm_minmax_delta(spark, sf_dir):
     the patched base; cents are exact longs. At 100 TB the recompute
     leg reads only risky groups — deleting a group's exact extremum is
     the rare event, and a group-partitioned base turns the semi-join
-    into partition pruning. Reference analog: B5's materialized state
-    extended to the dashboard aggregates its consumers actually serve."""
+    into partition pruning. Plan note: THIS demo derives view, base and
+    delta inline from the raw table (closed-form oracle requirement), so
+    the physical plan re-scans orders per derivation; the maintained
+    deployment shape — stored view + stored base + arriving delta, each
+    read once — is what ``stream_ivm_minmax`` exercises. Reference
+    analog: B5's materialized state extended to the dashboard aggregates
+    its consumers actually serve."""
     from ..operators.materialize import minmax_delta_maintain
 
     orders = table(spark, sf_dir, "orders")
