@@ -1236,3 +1236,124 @@ def change_feed(
         F.col("__e.change_type").alias("change_type"),
         *[F.col(f"__e.row.{c}").alias(c) for c in data_cols],
     )
+
+
+# ---------------------------------------------------------------------------
+# key erasure (GDPR "right to be forgotten"): purge keys from the live
+# table AND every retained history version, so neither time travel nor
+# a change feed can resurrect them
+
+_PURGE_OLD = ".purge_old_"
+_PURGE_STAGE = ".purge_stage_"
+
+
+def _purge_recover(vdir: str) -> None:
+    """Converge a crashed purge inside one version dir: a staged dir is
+    always discardable (its target was never touched or already swapped);
+    an old-copy dir whose target leaf is MISSING is renamed back (crash
+    between the two renames), otherwise it is leftover trash."""
+    for d in sorted(os.listdir(vdir)):
+        p = os.path.join(vdir, d)
+        if d.startswith(_PURGE_STAGE):
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith(_PURGE_OLD):
+            ldir = urllib.parse.unquote(d[len(_PURGE_OLD):])
+            target = os.path.join(vdir, ldir)
+            if os.path.exists(target):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                os.rename(p, target)
+
+
+def purge_keys(
+    spark: SparkSession,
+    root: str,
+    key_rows: DataFrame,
+    *,
+    keys: Sequence[str],
+    partition_col: str | Sequence[str],
+) -> dict:
+    """Erase every row matching ``key_rows`` (distinct key tuples) from
+    the LIVE table and from EVERY retained merge version — the erasure
+    verb a lakehouse owes its compliance story: after a plain MERGE
+    delete the key is gone from the serving state but still readable via
+    ``read_version`` / ``change_feed`` and still on disk in
+    ``.merge_history``; this removes it everywhere.
+
+    Phases (idempotent end-to-end — re-run after any crash):
+
+    1. LIVE delete: the matching target rows become a delete changeset
+       applied through :func:`merge_into` with ``keep_history=False`` —
+       a history-retaining delete would itself archive the purged rows.
+    2. HISTORY scrub, under the maintenance lock: for each retained
+       version's saved pre-state leaf, anti-join out the purged keys and
+       swap the scrubbed copy in (stage → rename-old → rename-new →
+       drop-old; :func:`_purge_recover` converges every crash window).
+       Leaves with no matching key are left byte-untouched — and since
+       file scoping HARDLINKS kept files between live and history, the
+       rewrite here is also what breaks the link so the purged bytes
+       are not reachable through the other path.
+
+    Bounded driver work: one count per (version, leaf) pair to skip
+    clean leaves — version-count × leaf-count jobs, a maintenance verb
+    like OPTIMIZE (the table format analog is REORG TABLE ... APPLY
+    (PURGE) + VACUUM). Returns ``{"live_deleted", "history_rows_purged",
+    "versions_scrubbed"}``. Manifests store partition VALUES and
+    counters, never key values — nothing to scrub there."""
+    pcols = (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    keys = list(keys)
+    key_rows = key_rows.select(*keys).distinct()
+
+    # phase 1 — live delete (merge_into takes the lock itself)
+    target = spark.read.parquet(root)
+    chg = (
+        target.join(key_rows, keys, "left_semi")
+        .withColumn("is_delete", F.lit(True))
+    )
+    live_deleted = 0
+    if chg.limit(1).count() > 0:
+        rep = merge_into(
+            spark, root, chg, keys=keys, partition_col=partition_col,
+            keep_history=False,
+        )
+        live_deleted = rep["n_deleted"]
+
+    # phase 2 — history scrub
+    purged_rows = 0
+    scrubbed: list[int] = []
+    with maintenance_lock(root):
+        for man in merge_history(root):
+            vdir = os.path.join(root, HISTORY, f"v{man['version']:06d}")
+            _purge_recover(vdir)
+            touched_version = False
+            for ldir in man["replaced"] + man["deleted"]:
+                saved = os.path.join(vdir, ldir)
+                if not os.path.exists(saved):
+                    continue
+                df = spark.read.option("basePath", vdir).parquet(saved)
+                hit = df.join(key_rows, keys, "left_semi").count()
+                if hit == 0:
+                    continue
+                keep = df.join(key_rows, keys, "left_anti").drop(*pcols)
+                flat = urllib.parse.quote(ldir, safe="")
+                staged = os.path.join(vdir, _PURGE_STAGE + flat)
+                shutil.rmtree(staged, ignore_errors=True)
+                keep.coalesce(1).write.mode("overwrite").parquet(staged)
+                old = os.path.join(vdir, _PURGE_OLD + flat)
+                os.rename(saved, old)
+                os.rename(staged, saved)
+                shutil.rmtree(old, ignore_errors=True)
+                purged_rows += hit
+                touched_version = True
+            if touched_version:
+                scrubbed.append(man["version"])
+    return {
+        "live_deleted": live_deleted,
+        "history_rows_purged": purged_rows,
+        "versions_scrubbed": scrubbed,
+    }

@@ -1112,3 +1112,116 @@ def merge_describe_history(spark, sf_dir):
         "version int, n_touched int, n_updated bigint, "
         "n_deleted bigint, n_inserted bigint",
     )
+
+
+def merge_purge_fixture(spark, sf_dir: str) -> str:
+    """Base → merge v1 (standard changeset, history retained) → PURGE
+    keys ``o_orderkey % 50 == 23`` — rows untouched by v1's changeset
+    but present in its saved pre-states, so erasure must reach both the
+    live table and the scrubbed history."""
+
+    def build(root: str) -> None:
+        from ..plans.merge import purge_keys
+
+        dst = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        orders.repartition(4).write.partitionBy("o_orderpriority").parquet(
+            dst
+        )
+        merge_into(
+            spark, dst, _changeset(orders),
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+            keep_history=True,
+        )
+        key_rows = orders.filter(F.col("o_orderkey") % 50 == 23).select(
+            "o_orderkey"
+        )
+        rep = purge_keys(
+            spark, dst, key_rows,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        assert rep["live_deleted"] > 0 and rep["versions_scrubbed"] == [1]
+        with open(os.path.join(root, "purge.json"), "w") as f:
+            json.dump(rep, f)
+
+    return session_fixture("merge_purge", sf_dir, "purge23_v1", build)
+
+
+@register(
+    "merge_purge_erasure",
+    oracle="""
+    WITH chg_upd AS (
+      SELECT o_orderkey, floor(o_totalprice * 1.07 * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 3 AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), chg_mov AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    ), chg_ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    ), chg_keys AS (
+      SELECT o_orderkey FROM chg_upd
+      UNION ALL SELECT o_orderkey FROM chg_mov
+      UNION ALL SELECT o_orderkey FROM chg_ins
+      UNION ALL SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 50 = 7
+          AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), final AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg_keys)
+      UNION ALL SELECT * FROM chg_upd
+      UNION ALL SELECT * FROM chg_mov
+      UNION ALL SELECT * FROM chg_ins
+    )
+    SELECT 'live' AS boundary, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM final WHERE o_orderkey % 50 <> 23 GROUP BY 2
+    UNION ALL
+    SELECT 'v0', o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM orders WHERE o_orderkey % 50 <> 23 GROUP BY 2
+    """,
+)
+def merge_purge_erasure(spark, sf_dir):
+    """Key ERASURE across retention (plans/merge.purge_keys — the GDPR
+    right-to-be-forgotten verb): purge keys %50==23 from a table with
+    one retained merge version, then serve BOTH the live state and the
+    time-travel v0 reconstruction. The oracle recomputes each boundary
+    closed-form with the purged keys excluded globally: a purge that
+    missed the history copies would leak them back through v0 (the
+    saved pre-states of v1's touched partitions), and one that
+    over-deleted shifts every aggregate. History scrub also BREAKS the
+    hardlinks file scoping shares between live and history, so the
+    purged bytes are unreachable through either path (crash windows and
+    idempotent re-run pinned in tests/test_merge_scope.py). Reference
+    analog: compliance deletion downstream of a CDC feed — the
+    reference's delete events remove serving rows but its broker
+    retention keeps them (docs/architecture.md); this closes that gap
+    for the table layer."""
+    from ..plans.merge import read_version
+
+    root = merge_purge_fixture(spark, sf_dir)
+    dst = os.path.join(root, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def agg(df, boundary):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("sum_cents")
+        ).select(
+            F.lit(boundary).alias("boundary"),
+            "o_orderpriority", "n", "sum_cents",
+        )
+
+    live = read_dir(spark, dst)
+    v0 = read_version(spark, dst, 0)
+    return agg(live, "live").unionByName(agg(v0, "v0"))

@@ -366,3 +366,106 @@ def test_file_probe_composite_key_bins_on_first_int_column(spark):
         for r in _file_probe_plan(spark, src, ["k", "k2"], rows).collect()
     }
     assert got == {"f1", "f2"}
+
+
+def test_purge_keys_erases_live_history_and_feed(spark):
+    """purge_keys (round-13 erasure verb): after purging, the key is
+    gone from the LIVE table, from EVERY read_version reconstruction,
+    and from the change feed — while every other row survives everywhere
+    and untouched history leaves stay byte-identical."""
+    from pulsar_cdc_experiment_spark.plans.merge import (
+        change_feed,
+        purge_keys,
+        read_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="purge_t1_")
+    rows = [(k, float(k), "a" if k % 2 == 0 else "b") for k in range(20)]
+    spark.createDataFrame(rows, "k bigint, v double, p string").coalesce(
+        1
+    ).write.mode("overwrite").partitionBy("p").parquet(root)
+    # v1 updates k=4 (partition a) so history retains a's pre-state
+    chg = spark.createDataFrame(
+        [(4, 400.0, "a", False)],
+        "k bigint, v double, p string, is_delete boolean",
+    )
+    merge_into(
+        spark, root, chg, keys=["k"], partition_col="p",
+        keep_history=True,
+    )
+    key_rows = spark.createDataFrame([(4,), (7,)], "k bigint")
+    rep = purge_keys(
+        spark, root, key_rows, keys=["k"], partition_col="p"
+    )
+    assert rep["live_deleted"] == 2
+    assert rep["history_rows_purged"] >= 1  # k=4's pre-image in v1
+    assert rep["versions_scrubbed"] == [1]
+
+    live = {r["k"] for r in spark.read.parquet(root).collect()}
+    assert 4 not in live and 7 not in live and 0 in live and 5 in live
+
+    for as_of in (0, 1):
+        snap = {
+            r["k"] for r in read_version(spark, root, as_of).collect()
+        }
+        assert 4 not in snap and 7 not in snap, (as_of, sorted(snap))
+        assert 0 in snap and 5 in snap
+
+    feed = change_feed(spark, root, 0, 1)
+    assert feed.filter("k IN (4, 7)").count() == 0
+
+    # idempotent re-run: nothing left to do
+    rep2 = purge_keys(
+        spark, root, key_rows, keys=["k"], partition_col="p"
+    )
+    assert rep2 == {
+        "live_deleted": 0,
+        "history_rows_purged": 0,
+        "versions_scrubbed": [],
+    }
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_purge_recover_converges_both_crash_windows(spark):
+    """_purge_recover: a staged dir is discarded; an old-copy whose
+    target leaf is missing is restored (crash between the two renames);
+    an old-copy whose target exists is trash."""
+    from pulsar_cdc_experiment_spark.plans.merge import (
+        _PURGE_OLD,
+        _PURGE_STAGE,
+        _purge_recover,
+        read_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="purge_t2_")
+    rows = [(k, float(k), "a") for k in range(10)]
+    spark.createDataFrame(rows, "k bigint, v double, p string").coalesce(
+        1
+    ).write.mode("overwrite").partitionBy("p").parquet(root)
+    merge_into(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 100.0, "a", False)],
+            "k bigint, v double, p string, is_delete boolean",
+        ),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    import urllib.parse
+
+    vdir = os.path.join(root, ".merge_history", "v000001")
+    flat = urllib.parse.quote("p=a", safe="")
+
+    # window 1: crash after rename(saved -> old): leaf missing
+    os.rename(os.path.join(vdir, "p=a"), os.path.join(vdir, _PURGE_OLD + flat))
+    _purge_recover(vdir)
+    assert os.path.isdir(os.path.join(vdir, "p=a"))
+    assert read_version(spark, root, 0).count() == 10
+
+    # window 2: leftover stage + leftover old with target present
+    os.makedirs(os.path.join(vdir, _PURGE_STAGE + flat))
+    os.makedirs(os.path.join(vdir, _PURGE_OLD + flat))
+    _purge_recover(vdir)
+    assert not os.path.exists(os.path.join(vdir, _PURGE_STAGE + flat))
+    assert not os.path.exists(os.path.join(vdir, _PURGE_OLD + flat))
+    assert read_version(spark, root, 0).count() == 10
+    shutil.rmtree(root, ignore_errors=True)

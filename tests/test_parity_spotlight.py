@@ -120,6 +120,7 @@ BREADTH = [
     "merge_change_feed_replay",
     "merge_describe_history",
     "merge_time_travel_read",
+    "merge_purge_erasure",
     "merge_txn_multi_table",
     "merge_txn_snapshot_read",
     "merge_upsert_partitioned",

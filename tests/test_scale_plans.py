@@ -705,6 +705,9 @@ _BUILD_JOBS_SANCTIONED = {
     # schema inference (file-count-bounded footer reads)
     "merge_change_feed_replay",
     "merge_txn_multi_table",
+    # purge: base build + merge + the erasure verb itself (live delete
+    # + per-leaf history scrub counts — the maintenance-verb carve-out)
+    "merge_purge_erasure",
     # snapshot read: read_version schema inference over its four
     # time-travel leaf sets (pre/post × 2 tables — new cache keys,
     # file-count-bounded footer reads), same carve-out class as the
