@@ -290,9 +290,15 @@ def touched_prune_predicate(cols, tuples: list[tuple]):
     correctness requires exactness, not a superset). A value carrying
     the separator would make the joined spelling ambiguous, so that
     (pathological) case falls back to the OR-of-ANDs shape, bounded by
-    its own rarity."""
+    its own rarity.
+
+    Tuple values are coerced with ``str()`` (matching the
+    ``cast("string")`` join column below) — both in-repo call sites pass
+    hive dir-name spellings already, but the helper reads as
+    general-purpose and a non-string partition value must not TypeError
+    on the separator scan (round-13 advice)."""
     cols = list(cols)
-    tuples = sorted(tuples)
+    tuples = sorted(tuple(str(v) for v in t) for t in tuples)
     if len(cols) == 1:
         return cols[0].isin(*[t[0] for t in tuples])
     if any(_TUPLE_SEP in v for t in tuples for v in t):
@@ -920,6 +926,10 @@ def rollback_last_merge(root: str) -> dict:
             raise ValueError(f"no retained merge history under {root}")
         man = versions[-1]
         vdir = os.path.join(root, HISTORY, f"v{man['version']:06d}")
+        # converge any crashed purge first: rollback restores saved
+        # leaves by existence, and a mid-purge-rename missing leaf would
+        # read as "already restored" (lock already held here)
+        _purge_recover(vdir)
 
         def _discard_live(ldir: str) -> None:
             live_p = os.path.join(root, ldir)
@@ -1033,6 +1043,10 @@ def read_version(spark, root: str, as_of: int):
     }
     for man in reversed(newer):
         vdir = os.path.join(root, HISTORY, f"v{man['version']:06d}")
+        # a purge crash window must converge BEFORE the existence checks
+        # below, or a mid-rename missing leaf silently rewinds to the
+        # wrong source (no-op unless purge sentinels are present)
+        _ensure_purge_converged(root, vdir)
         for ldir in man["replaced"] + man["deleted"]:
             saved = os.path.join(vdir, ldir)
             if os.path.exists(saved):
@@ -1266,6 +1280,26 @@ def _purge_recover(vdir: str) -> None:
                 os.rename(p, target)
 
 
+def _ensure_purge_converged(root: str, vdir: str) -> None:
+    """Converge a crashed purge BEFORE a reader consults a version dir's
+    saved leaves (round-13 advice, medium): a crash between purge's two
+    renames leaves the leaf MISSING with a ``.purge_old_`` sibling —
+    a lock-free ``read_version`` would silently skip it and fall back to
+    a newer copy or the live dir, serving wrong historical rows until
+    the next ``purge_keys`` ran. Readers call this per version dir; it
+    is a no-op (one listdir) unless purge sentinels are present, in
+    which case it takes the table's maintenance lock (fail-loud if a
+    live purge holds it — better than reading through its rename window)
+    and runs the idempotent :func:`_purge_recover`."""
+    try:
+        entries = os.listdir(vdir)
+    except FileNotFoundError:
+        return
+    if any(d.startswith((_PURGE_OLD, _PURGE_STAGE)) for d in entries):
+        with maintenance_lock(root):
+            _purge_recover(vdir)
+
+
 def purge_keys(
     spark: SparkSession,
     root: str,
@@ -1295,12 +1329,17 @@ def purge_keys(
        rewrite here is also what breaks the link so the purged bytes
        are not reachable through the other path.
 
-    Bounded driver work: one count per (version, leaf) pair to skip
-    clean leaves — version-count × leaf-count jobs, a maintenance verb
-    like OPTIMIZE (the table format analog is REORG TABLE ... APPLY
-    (PURGE) + VACUUM). Returns ``{"live_deleted", "history_rows_purged",
-    "versions_scrubbed"}``. Manifests store partition VALUES and
-    counters, never key values — nothing to scrub there."""
+    Bounded driver work: hit detection is ONE job per version (a
+    column-pruned union of the version's saved leaves, each tagged with
+    a literal leaf id, semi-joined once against the purge keys — the
+    round-13 per-(version, leaf) ``count()`` loop made driver work
+    version×leaf jobs and its serial dispatch dominated at many
+    retained versions); only the REWRITES then loop, and only over hit
+    leaves. A maintenance verb like OPTIMIZE (the table format analog
+    is REORG TABLE ... APPLY (PURGE) + VACUUM). Returns
+    ``{"live_deleted", "history_rows_purged", "versions_scrubbed"}``.
+    Manifests store partition VALUES and counters, never key values —
+    nothing to scrub there."""
     pcols = (
         [partition_col]
         if isinstance(partition_col, str)
@@ -1330,15 +1369,68 @@ def purge_keys(
         for man in merge_history(root):
             vdir = os.path.join(root, HISTORY, f"v{man['version']:06d}")
             _purge_recover(vdir)
+            saved_leaves = [
+                ldir
+                for ldir in man["replaced"] + man["deleted"]
+                if os.path.exists(os.path.join(vdir, ldir))
+            ]
+            if not saved_leaves:
+                continue
+            # ONE hit-detection read+job for the whole version (per-leaf
+            # reads each pay their own schema-inference job — measured
+            # 51 jobs for 3 versions × 6 leaves): a single basePath scan
+            # of every saved leaf, key-pruned, semi-joined once, grouped
+            # by the hive-decoded partition values. Inference off so the
+            # decoded values are strings matching _part_dirs' unquoted
+            # spellings; hits map back to leaf dirs through the decoded
+            # value tuple, never by re-escaping. Output bounded by leaf
+            # count.
+            tuple_to_ldir = {}
+            for ldir in saved_leaves:
+                vals = tuple(
+                    urllib.parse.unquote(seg.split("=", 1)[1])
+                    for seg in ldir.split("/")
+                )
+                tuple_to_ldir[vals] = ldir
+            inf_conf = (
+                "spark.sql.sources.partitionColumnTypeInference.enabled"
+            )
+            prev_inf = spark.conf.get(inf_conf, "true")
+            spark.conf.set(inf_conf, "false")
+            try:
+                whole = (
+                    spark.read.option("mergeSchema", "true")
+                    .option("basePath", vdir)
+                    .parquet(
+                        *[os.path.join(vdir, l) for l in saved_leaves]
+                    )
+                )
+            finally:
+                spark.conf.set(inf_conf, prev_inf)
+            hits = {
+                tuple(r[c] for c in pcols): r["n"]
+                for r in (
+                    whole.select(
+                        *dict.fromkeys(list(keys) + pcols)
+                    )
+                    .join(key_rows, keys, "left_semi")
+                    .groupBy(*pcols)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                )
+            }
+            hits = {
+                tuple_to_ldir[vals]: n
+                for vals, n in hits.items()
+                if vals in tuple_to_ldir
+            }
             touched_version = False
-            for ldir in man["replaced"] + man["deleted"]:
-                saved = os.path.join(vdir, ldir)
-                if not os.path.exists(saved):
-                    continue
-                df = spark.read.option("basePath", vdir).parquet(saved)
-                hit = df.join(key_rows, keys, "left_semi").count()
+            for ldir in saved_leaves:
+                hit = hits.get(ldir, 0)
                 if hit == 0:
                     continue
+                saved = os.path.join(vdir, ldir)
+                df = spark.read.option("basePath", vdir).parquet(saved)
                 keep = df.join(key_rows, keys, "left_anti").drop(*pcols)
                 flat = urllib.parse.quote(ldir, safe="")
                 staged = os.path.join(vdir, _PURGE_STAGE + flat)

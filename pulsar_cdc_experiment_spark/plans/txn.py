@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 
+from .layout import maintenance_lock
 from .merge import merge_history, merge_into, rollback_last_merge
 
 JOURNAL = ".merge_txn.json"
@@ -114,7 +115,19 @@ def recover_merge_transaction(txn_root: str) -> dict | None:
     nothing to recover. Idempotent: each ``rollback_last_merge`` is
     guarded by the journal's recorded version, so a crash DURING recovery
     re-converges on the next call (a leg already rolled back no longer
-    matches its recorded version and is skipped)."""
+    matches its recorded version and is skipped).
+
+    Runs under the txn root's maintenance lock — the journal and the
+    committed-txn log are read-modify-write state, so two writers on one
+    ``txn_root`` fail LOUD instead of losing a committed entry or
+    duplicating a ``txn_seq`` (round-13 advice: ``_append_committed``
+    was an unlocked RMW)."""
+    os.makedirs(txn_root, exist_ok=True)
+    with maintenance_lock(txn_root):
+        return _recover_unlocked(txn_root)
+
+
+def _recover_unlocked(txn_root: str) -> dict | None:
     jp = _journal_path(txn_root)
     if not os.path.exists(jp):
         return None
@@ -151,8 +164,24 @@ def merge_transaction(spark, txn_root: str, ops: list[dict]) -> dict:
     the transaction mechanism; vacuum the history separately per
     retention policy). Raises the first leg's error after compensating
     already-applied legs. A pre-existing incomplete journal from a
-    crashed transaction is recovered first."""
-    recover_merge_transaction(txn_root)
+    crashed transaction is recovered first.
+
+    The whole saga holds the txn root's maintenance lock (single writer
+    per ``txn_root``, fail-loud): the journal and the committed-txn log
+    are read-modify-write files, and two concurrent sagas would clobber
+    each other's journal and could lose/duplicate log entries that
+    ``read_transaction_snapshot`` later pins to. Per-TABLE locks are
+    taken by each leg's ``merge_into`` as before (different lock files —
+    no self-deadlock). Snapshot READS stay lock-free: every journal/log
+    update is an atomic ``os.replace``, so a reader sees either the old
+    or the new file, never a torn one."""
+    os.makedirs(txn_root, exist_ok=True)
+    with maintenance_lock(txn_root):
+        return _merge_transaction_locked(spark, txn_root, ops)
+
+
+def _merge_transaction_locked(spark, txn_root: str, ops: list[dict]) -> dict:
+    _recover_unlocked(txn_root)
     prior = committed_transactions(txn_root)
     state: dict = {
         "txn_seq": (prior[-1]["txn_seq"] + 1) if prior else 1,
@@ -182,7 +211,9 @@ def merge_transaction(spark, txn_root: str, ops: list[dict]) -> dict:
             _write_journal(txn_root, state)
             reports.append(rep)
     except BaseException:
-        recover_merge_transaction(txn_root)
+        # already holding the txn-root lock — recover directly (the
+        # public wrapper would self-conflict on the flock)
+        _recover_unlocked(txn_root)
         raise
     state["committed"] = True
     _write_journal(txn_root, state)

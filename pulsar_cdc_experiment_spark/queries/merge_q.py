@@ -1097,13 +1097,17 @@ def merge_describe_history(spark, sf_dir):
     from ..plans.merge import merge_history
 
     root = merge_replay_fixture(spark, sf_dir)
+    # metrics via .get: manifests written before round 13 (any retained
+    # pre-metrics history) lack the key — DESCRIBE HISTORY degrades to
+    # NULL counters on legacy versions instead of raising (round-13
+    # advice)
     rows = [
         (
             m["version"],
             len(m["touched"]),
-            m["metrics"]["n_updated"],
-            m["metrics"]["n_deleted"],
-            m["metrics"]["n_inserted"],
+            m.get("metrics", {}).get("n_updated"),
+            m.get("metrics", {}).get("n_deleted"),
+            m.get("metrics", {}).get("n_inserted"),
         )
         for m in merge_history(os.path.join(root, "orders"))
     ]

@@ -388,7 +388,11 @@ def window_session_dynamic_gap(spark, sf_dir):
     running session iff its ts does not EXCEED the max end of all prior
     windows — the oracle reproduces exactly that with a running
     max(ts + gap) island flag, and the session end is max(ts + gap),
-    not last-event + constant. Same one-shuffle shape as the static
+    not last-event + constant. The boundary case (ts EXACTLY at the
+    running end → MERGE, ts <= end not strict overlap) is pinned by
+    tests/test_properties.py::
+    test_session_window_boundary_merges_at_exact_end, so a Spark
+    semantics change fails a unit test before it flakes parity. Same one-shuffle shape as the static
     session window (partition by user, per-stratum sort)."""
     ev = table(spark, sf_dir, "events")
     gap = F.when(

@@ -426,6 +426,95 @@ def test_purge_keys_erases_live_history_and_feed(spark):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_read_version_converges_crashed_purge(spark):
+    """Round-13 advice (medium): a crash between purge's two renames
+    leaves a version leaf MISSING with a ``.purge_old_`` sibling. A
+    plain ``read_version`` — no purge re-run, no explicit recover — must
+    converge the window and serve the correct historical rows instead of
+    silently skipping the leaf and falling back to a newer copy."""
+    from pulsar_cdc_experiment_spark.plans.merge import (
+        _PURGE_OLD,
+        read_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="purge_read_")
+    rows = [(k, float(k), "a") for k in range(10)]
+    spark.createDataFrame(rows, "k bigint, v double, p string").coalesce(
+        1
+    ).write.mode("overwrite").partitionBy("p").parquet(root)
+    merge_into(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 100.0, "a", False)],
+            "k bigint, v double, p string, is_delete boolean",
+        ),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    import urllib.parse
+
+    vdir = os.path.join(root, ".merge_history", "v000001")
+    flat = urllib.parse.quote("p=a", safe="")
+    # crash window: saved leaf renamed away, swap never completed
+    os.rename(
+        os.path.join(vdir, "p=a"), os.path.join(vdir, _PURGE_OLD + flat)
+    )
+    # read_version alone must restore the leaf and serve v0's rows —
+    # in particular k=1 at its PRE-merge value, which the live fallback
+    # would get wrong
+    got = {(r["k"], r["v"]) for r in read_version(spark, root, 0).collect()}
+    assert (1, 1.0) in got and len(got) == 10
+    assert os.path.isdir(os.path.join(vdir, "p=a"))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _purge_jobs(spark, n_leaves: int, tag: str) -> int:
+    """Zero-hit purge job count over a 2-version, ``n_leaves``-leaf
+    table (helper for the O(versions)-not-O(versions×leaves) test)."""
+    from pulsar_cdc_experiment_spark.plans.merge import purge_keys
+
+    root = tempfile.mkdtemp(prefix=f"purgejobs_{tag}_")
+    leaves = [f"l{i:02d}" for i in range(n_leaves)]
+    rows = [(k, float(k), leaves[k % n_leaves]) for k in range(10 * n_leaves)]
+    spark.createDataFrame(
+        rows, "k bigint, v double, p string"
+    ).coalesce(1).write.mode("overwrite").partitionBy("p").parquet(root)
+    for v in range(2):
+        chg = spark.createDataFrame(
+            [(k, 1000.0 + v, leaves[k % n_leaves], False)
+             for k in range(n_leaves)],
+            "k bigint, v double, p string, is_delete boolean",
+        )
+        merge_into(
+            spark, root, chg, keys=["k"], partition_col="p",
+            keep_history=True,
+        )
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup(f"purge_jobs_{tag}", "audit")
+    rep = purge_keys(
+        spark, root,
+        spark.createDataFrame([(999_999,)], "k bigint"),
+        keys=["k"], partition_col="p",
+    )
+    spark.sparkContext.setJobGroup(f"purge_jobs_{tag}_done", "")
+    assert rep["versions_scrubbed"] == []
+    n = len(tracker.getJobIdsForGroup(f"purge_jobs_{tag}"))
+    shutil.rmtree(root, ignore_errors=True)
+    return n
+
+
+def test_purge_hit_detection_jobs_scale_with_versions_not_leaves(spark):
+    """Round-13 verdict #2: hit detection is ONE job per version — the
+    per-(version, leaf) count() loop it replaced paid ~leaf-count extra
+    jobs per version (measured 51 vs 21 at 3 versions × 6 leaves).
+    Doubling the leaf count at fixed version count must not add jobs
+    beyond scheduler noise."""
+    jobs_small = _purge_jobs(spark, 4, "small")
+    jobs_big = _purge_jobs(spark, 8, "big")
+    # old behavior: +2 versions × +4 leaves ≈ +8 jobs; new: identical
+    # modulo at most a stage-retry flake
+    assert jobs_big <= jobs_small + 2, (jobs_small, jobs_big)
+
+
 def test_purge_recover_converges_both_crash_windows(spark):
     """_purge_recover: a staged dir is discarded; an old-copy whose
     target leaf is missing is restored (crash between the two renames);

@@ -354,3 +354,51 @@ def test_interval_overlap_binned_matches_naive(spark_global, lefts, rights, max_
     want = sorted((r["a_id"], r["b_id"]) for r in naive.collect())
     assert got == want
     assert len(set(got)) == len(got)  # exactly-once, no multi-bin dup
+
+
+def test_session_window_boundary_merges_at_exact_end(spark):
+    """Pin Spark's session-window boundary semantics (round-13 advice
+    flagged the dynamic-gap oracle as a potential flake): an event whose
+    ts lands EXACTLY at the running session end (prior ts + gap) MERGES
+    into the session — Spark's merge test is ts <= end, not strict
+    overlap. The window_session_dynamic_gap oracle encodes exactly this
+    (new_session only when ts > max(ts+gap)); if a Spark upgrade ever
+    flips to half-open [start, end), this test fails before the parity
+    artifact does. Checked for both the static and the dynamic-gap
+    (per-row expression) forms."""
+    rows = [
+        ("u1", datetime.datetime(2024, 1, 1, 0, 0, 0), "view"),
+        # exactly at prior end (15 min gap): must MERGE, extending the
+        # session end to 00:30
+        ("u1", datetime.datetime(2024, 1, 1, 0, 15, 0), "view"),
+        # one second past the new end: must SPLIT
+        ("u1", datetime.datetime(2024, 1, 1, 0, 30, 1), "view"),
+        # dynamic gap: purchase keeps the session alive 60 min; the
+        # next event at exactly +60 min must merge
+        ("u2", datetime.datetime(2024, 1, 1, 0, 0, 0), "purchase"),
+        ("u2", datetime.datetime(2024, 1, 1, 1, 0, 0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+
+    static = (
+        df.filter("user_id = 'u1'")
+        .groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .count()
+        .orderBy("session_window.start")
+        .collect()
+    )
+    assert [r["count"] for r in static] == [2, 1]
+    assert static[0]["session_window"]["end"] == datetime.datetime(
+        2024, 1, 1, 0, 30, 0
+    )
+
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    dyn = (
+        df.filter("user_id = 'u2'")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .count()
+        .collect()
+    )
+    assert len(dyn) == 1 and dyn[0]["count"] == 2

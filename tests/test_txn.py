@@ -366,3 +366,45 @@ def test_commit_crash_between_mark_and_removal_finishes_log(
         )
     recover_merge_transaction(root)
     assert [t["txn_seq"] for t in committed_transactions(root)] == [1]
+
+
+def test_merge_transaction_single_writer_per_txn_root(spark, two_tables):
+    """Round-13 advice: the journal and committed-txn log are
+    read-modify-write files — a second saga on the same txn_root while
+    one is in flight must fail LOUD (maintenance-lock pattern), not
+    lose a committed entry or duplicate a txn_seq."""
+    from pulsar_cdc_experiment_spark.plans.layout import maintenance_lock
+    from pulsar_cdc_experiment_spark.plans.txn import committed_transactions
+
+    root, t1, _t2 = two_tables
+    with maintenance_lock(root):
+        with pytest.raises(RuntimeError, match="maintenance lock"):
+            merge_transaction(
+                spark,
+                root,
+                [
+                    {
+                        "path": t1,
+                        "source": _chg(spark, [(4, 400.0, "a", False)]),
+                        "keys": ["k"],
+                        "partition_col": "p",
+                    }
+                ],
+            )
+    # lock released: the same saga now commits, with no duplicate or
+    # lost sequence
+    out = merge_transaction(
+        spark,
+        root,
+        [
+            {
+                "path": t1,
+                "source": _chg(spark, [(4, 400.0, "a", False)]),
+                "keys": ["k"],
+                "partition_col": "p",
+            }
+        ],
+    )
+    assert out["n_legs"] == 1
+    seqs = [t["txn_seq"] for t in committed_transactions(root)]
+    assert seqs == sorted(set(seqs))
