@@ -34,10 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_registry().QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 — the
+    VALUE-CHECKED surface only.
+
+    Round-14 policy (round-13 verdict #1): the driver's correctness
+    sample is the repo's only hard external signal, so it should never
+    contain a non-bug ``err`` row. The handful of by-design rows-only
+    queries (ANN recall, approximate aggregates, watermark-dependent
+    streaming — engine-specific results no ANSI-SQL oracle can
+    reproduce) are therefore NOT exposed here; they remain registered
+    first-class queries, exercised by ``tools/parity.py`` (full
+    registry, recorded per-round in PARITY_r{N}.json) and by dedicated
+    pytest assertions, and every non-streaming one has an oracle-backed
+    ``_portable`` sibling that IS exposed. See
+    ``registry.rows_only_queries()`` for the list and per-name
+    rationale."""
+    reg = _registry()
+    return {n: fn for n, fn in reg.QUERIES.items() if n in reg.ORACLES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted → rows-only check)."""
+    """DuckDB-runnable oracle SQL per query — covers every key that
+    ``queries()`` exposes (the rows-only tier is parity/pytest-only)."""
     return dict(_registry().ORACLES)

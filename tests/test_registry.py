@@ -48,3 +48,25 @@ def test_hll_partial_merge_identity_and_accuracy(spark, sf_dir, duck):
     assert row["est"] == row["direct_est"]
     exact = duck.sql("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
     assert abs(row["est"] - exact) <= max(1, 0.05 * exact)
+
+
+def test_rows_only_tier_matches_registry_and_is_hidden_from_driver():
+    """Round-14 policy (r13 verdict #1): the declared rows-only tier is
+    exactly the set of oracle-less registered queries, every entry has a
+    written rationale, and NONE of them leaks into the driver surface —
+    __spark_entry__.queries() must expose only value-checked names so
+    CORRECTNESS_r{N} can never carry a non-bug err row."""
+    import __spark_entry__ as entry_mod
+
+    load_all_query_modules()
+    oracle_less = {n for n in registry.QUERIES if n not in registry.ORACLES}
+    declared = registry.rows_only_queries()
+    assert set(declared) == oracle_less
+    assert all(len(v) > 20 for v in declared.values())
+
+    exposed = entry_mod.queries()
+    assert set(exposed).isdisjoint(oracle_less)
+    # and the driver surface is exactly the oracle-backed registry
+    assert set(exposed) == set(registry.ORACLES)
+    # oracle map covers every exposed query (driver value-checks all)
+    assert set(entry_mod.oracle_sql()) == set(exposed)

@@ -82,7 +82,7 @@ def main():
 
     import duckdb
 
-    import __spark_entry__ as entry_mod
+    from pulsar_cdc_experiment_spark import registry
     from pulsar_cdc_experiment_spark.session import get_spark
 
     spark = get_spark(app_name="parity")
@@ -90,8 +90,12 @@ def main():
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    # the FULL registry, not __spark_entry__.queries(): the driver
+    # surface excludes the by-design rows-only tier (round-14 policy),
+    # but parity remains the artifact that exercises ALL of it
+    registry.load_all_query_modules()
+    queries = dict(registry.QUERIES)
+    oracles = dict(registry.ORACLES)
     names = args.queries or list(queries)
 
     failed = []
