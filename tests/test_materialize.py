@@ -87,6 +87,69 @@ def test_asof_join_semantics(spark):
     assert fwd == {"p0": "sA", "p1": "sB", "p2": None, "q1": "sC", "r1": None}
 
 
+def test_asof_join_rejoin_mode_matches_carry_and_keeps_sort_thin(spark):
+    """payload_mode='rejoin' (round-13 verdict #4): identical semantics
+    to the default carry mode for backward/forward/tolerance, while the
+    window's sort buffer carries only (row id, right ts) — the right
+    payload never enters a struct in the union/window subtree, it
+    re-joins after the carry. Matters for wide right sides (the
+    reference's enrichment envelope shape)."""
+    from pulsar_cdc_experiment_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 25, "p2"), (1, 5, "p0"), (2, 50, "q1"), (3, 7, "r1")],
+        ["k", "t", "ev"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 5, "sA", "wide_payload_A" * 3),
+            (1, 20, "sB", "wide_payload_B" * 3),
+            (2, 50, "sC", "wide_payload_C" * 3),
+        ],
+        ["k", "rt", "state", "blob"],
+    )
+    for kwargs in ({}, {"direction": "forward"}):
+        carry = asof_join(left, right, "k", "t", "rt", **kwargs)
+        rejoin = asof_join(
+            left, right, "k", "t", "rt", payload_mode="rejoin", **kwargs
+        )
+        assert carry.columns == rejoin.columns, kwargs
+        assert sorted(map(tuple, carry.collect())) == sorted(
+            map(tuple, rejoin.collect())
+        ), kwargs
+
+    # tolerance path (timestamps — INTERVAL bounds are ts-typed)
+    lts = left.withColumn("t", F.timestamp_seconds("t"))
+    rts = right.withColumn("rt", F.timestamp_seconds("rt"))
+    carry = asof_join(lts, rts, "k", "t", "rt", tolerance="6 SECONDS")
+    rejoin = asof_join(
+        lts, rts, "k", "t", "rt", tolerance="6 SECONDS",
+        payload_mode="rejoin",
+    )
+    assert sorted(map(tuple, carry.collect())) == sorted(
+        map(tuple, rejoin.collect())
+    )
+
+    # plan evidence: every struct built in the rejoin plan is payload-free
+    # (the carry plan's struct holds the payload columns by design)
+    rejoin = asof_join(left, right, "k", "t", "rt", payload_mode="rejoin")
+    plan = rejoin._jdf.queryExecution().optimizedPlan().toString()
+    structs = [l for l in plan.splitlines() if "struct(" in l]
+    assert structs, "expected a carried struct in the plan"
+    # the right-side carried struct holds only (__rid, __rt); payload
+    # columns appear only in the post-carry join's projection
+    assert all(
+        "blob" not in l for l in structs if "__rt" in l or "__rid" in l
+    ), structs
+    carry_plan = (
+        asof_join(left, right, "k", "t", "rt")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert any(
+        "blob" in l for l in carry_plan.splitlines() if "struct(" in l
+    )
+
+
 def test_multi_table_materialization(spark):
     """B5 multi-table: one fold materializes every table in a mixed feed
     (schemaless envelopes), routable to per-table views afterwards."""
