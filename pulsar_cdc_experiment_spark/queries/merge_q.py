@@ -1229,3 +1229,193 @@ def merge_purge_erasure(spark, sf_dir):
     live = read_dir(spark, dst)
     v0 = read_version(spark, dst, 0)
     return agg(live, "live").unionByName(agg(v0, "v0"))
+
+
+def merge_txn_inflight_fixture(spark, sf_dir: str) -> str:
+    """Txn root where txn 1 committed on both tables and a SECOND saga
+    crashed mid-flight: its orders leg completed (retained version 2),
+    its items leg never ran — the journal on disk records exactly that.
+    The consistent default read boundary is the PRE-state of saga 2 =
+    the post-state of txn 1 (round-13 verdict #7: the registered
+    snapshot query only exercised the committed path; the crashed-saga
+    branch of read_transaction_snapshot was pytest-only)."""
+
+    def build(root: str) -> None:
+        from ..plans.txn import JOURNAL, merge_transaction
+
+        t1 = os.path.join(root, "orders")
+        t2 = os.path.join(root, "items")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        orders.repartition(4).write.partitionBy("o_orderpriority").parquet(t1)
+        li = (
+            table(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(
+                F.max("l_returnflag").alias("l_returnflag"),
+                F.sum("l_extendedprice").alias("l_extendedprice"),
+            )
+        )
+        li.repartition(4).write.partitionBy("l_returnflag").parquet(t2)
+
+        t1_chg = (
+            orders.filter(F.col("o_orderkey") % 50 == 3)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.07)
+            .withColumn("is_delete", F.lit(False))
+        )
+        t2_chg = (
+            li.filter(F.col("l_orderkey") % 40 == 1)
+            .withColumn("is_delete", F.lit(True))
+            .unionByName(
+                li.filter(F.col("l_orderkey") % 40 == 5)
+                .withColumn(
+                    "l_extendedprice", F.col("l_extendedprice") * 2
+                )
+                .withColumn("is_delete", F.lit(False))
+            )
+        )
+        out = merge_transaction(
+            spark,
+            root,
+            [
+                {
+                    "path": t1, "source": t1_chg,
+                    "keys": ["o_orderkey"],
+                    "partition_col": "o_orderpriority",
+                },
+                {
+                    "path": t2, "source": t2_chg,
+                    "keys": ["l_orderkey", "l_linenumber"],
+                    "partition_col": "l_returnflag",
+                },
+            ],
+        )
+        assert out["n_legs"] == 2 and out["txn_seq"] == 1
+
+        # saga 2, leg 1 applied for real (orders %50==19 price * 1.25,
+        # keys untouched by txn 1 so the closed-form oracle stays exact)
+        saga_chg = (
+            read_dir(spark, t1)
+            .filter(F.col("o_orderkey") % 50 == 19)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.25)
+            .withColumn("is_delete", F.lit(False))
+        )
+        rep = merge_into(
+            spark, t1, saga_chg,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+            keep_history=True,
+        )
+        # crash BEFORE leg 2: journal records leg 1 completed, leg 2 in
+        # flight with a version that never landed (the exact state
+        # merge_transaction persists before running a leg)
+        with open(os.path.join(root, JOURNAL), "w") as f:
+            json.dump(
+                {
+                    "txn_seq": 2,
+                    "ops": [t1, t2],
+                    "completed": [
+                        {"path": t1, "version": rep["version"]}
+                    ],
+                    "in_flight": {"path": t2, "version": 99},
+                    "committed": False,
+                },
+                f,
+            )
+
+    return session_fixture(
+        "merge_txn_inflight", sf_dir, "saga2_crashed_v1", build
+    )
+
+
+@register(
+    "merge_txn_snapshot_inflight",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey, l_linenumber, max(l_returnflag) AS l_returnflag,
+             sum(l_extendedprice) AS l_extendedprice
+      FROM lineitem GROUP BY 1, 2
+    ), o_txn1 AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_orderkey % 50 = 3
+                  THEN floor(o_totalprice * 1.07 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents
+      FROM orders
+    ), o_live AS (
+      SELECT o_orderpriority AS grp,
+             CASE WHEN o_orderkey % 50 = 3
+                  THEN floor(o_totalprice * 1.07 * 100 + 0.5)
+                  WHEN o_orderkey % 50 = 19
+                  THEN floor(o_totalprice * 1.25 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents
+      FROM orders
+    ), l_txn1 AS (
+      SELECT l_returnflag AS grp,
+             CASE WHEN l_orderkey % 40 = 5
+                  THEN floor(l_extendedprice * 2 * 100 + 0.5)
+                  ELSE floor(l_extendedprice * 100 + 0.5) END AS cents
+      FROM items WHERE l_orderkey % 40 <> 1
+    )
+    SELECT 'snap' AS view, 'orders' AS tbl, grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM o_txn1 GROUP BY 3
+    UNION ALL
+    SELECT 'snap', 'items', grp, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM l_txn1 GROUP BY 3
+    UNION ALL
+    SELECT 'live', 'orders', grp, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM o_live GROUP BY 3
+    UNION ALL
+    SELECT 'live', 'items', grp, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM l_txn1 GROUP BY 3
+    """,
+)
+def merge_txn_snapshot_inflight(spark, sf_dir):
+    """Snapshot READ while a saga is IN FLIGHT/CRASHED
+    (plans/txn.read_transaction_snapshot default view, crashed branch):
+    saga 2's orders leg has landed on disk but its items leg never ran —
+    the default view must serve EVERY journaled table at the pre-saga-2
+    boundary (= post-txn-1), never a mix. The 'snap' rows are that view;
+    the 'live' rows read the raw tables and therefore DO carry the
+    half-applied 1.25 update — the oracle computing them differently is
+    the proof the snapshot isn't just reading live state. A snapshot
+    that leaked the in-flight leg, rewound too far (losing txn 1's 1.07
+    update), or mixed legs shifts an aggregate. Reference analog: a
+    consumer must not observe half of one upstream Postgres transaction
+    across its fanned-out tables (docs/setup-guide.md:33-35)."""
+    from ..plans.txn import read_transaction_snapshot
+
+    root = merge_txn_inflight_fixture(spark, sf_dir)
+    t1 = os.path.join(root, "orders")
+    t2 = os.path.join(root, "items")
+    snap = read_transaction_snapshot(spark, root)
+    cents_o = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cents_l = F.floor(
+        F.col("l_extendedprice") * 100 + F.lit(0.5)
+    ).cast("long")
+
+    def agg_o(df, view):
+        return (
+            df.groupBy(F.col("o_orderpriority").alias("grp"))
+            .agg(F.count("*").alias("n"), F.sum(cents_o).alias("sum_cents"))
+            .select(
+                F.lit(view).alias("view"), F.lit("orders").alias("tbl"),
+                "grp", "n", "sum_cents",
+            )
+        )
+
+    def agg_l(df, view):
+        return (
+            df.groupBy(F.col("l_returnflag").alias("grp"))
+            .agg(F.count("*").alias("n"), F.sum(cents_l).alias("sum_cents"))
+            .select(
+                F.lit(view).alias("view"), F.lit("items").alias("tbl"),
+                "grp", "n", "sum_cents",
+            )
+        )
+
+    out = agg_o(snap[t1], "snap").unionByName(agg_l(snap[t2], "snap"))
+    out = out.unionByName(agg_o(read_dir(spark, t1), "live"))
+    return out.unionByName(agg_l(read_dir(spark, t2), "live"))

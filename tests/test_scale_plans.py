@@ -713,6 +713,10 @@ _BUILD_JOBS_SANCTIONED = {
     # file-count-bounded footer reads), same carve-out class as the
     # change-feed/time-travel pair above
     "merge_txn_snapshot_read",
+    # in-flight-saga snapshot: its own txn fixture (2 tables + txn 1 +
+    # the crashed saga's completed leg) plus read_version inference over
+    # the crashed-boundary leaf sets — same carve-out class
+    "merge_txn_snapshot_inflight",
     "cdc_merge_apply",
 }
 
