@@ -1,0 +1,655 @@
+"""Merge-on-read (deletion-vector) tables: O(changeset) MERGE writes.
+
+The copy-on-write merge (``plans/merge.py``) rewrites every data file a
+changeset key can touch — correct, but a 100-row changeset against a
+256 MB file pays the whole file. This module implements the standard
+lakehouse alternative (the public Iceberg equality-delete / Delta
+deletion-vector design): a MERGE writes only
+
+1. a **delete sidecar** — the changeset's key tuples (MERGE semantics
+   are "remove any existing row with this key, then insert the new
+   image", so recording EVERY changeset key is correct without ever
+   probing the target: deleting an absent key is a read-time no-op), and
+2. a **delta append** — the changeset's non-delete row images, written
+   as a hive-partitioned directory,
+
+plus one atomic manifest replace. Write cost is proportional to the
+CHANGESET, never to touched-file bytes (tools/stress.py leg
+``mor_vs_cow_small_changeset`` measures the gap).
+
+Read rule (``read_mor``): every data row carries the sequence it was
+born at (base = 0, delta ``s-N`` = N); a row is dead iff some delete
+sidecar at seq > born covers its key. One aggregation of the delete
+sidecars to (key → max seq) and one LEFT join apply it — the delete set
+is changeset-sized, so at scale AQE broadcasts it and the 100 TB base
+scan is never shuffled. ``as_of`` serves any retained sequence
+(time travel); ``change_feed_mor`` diffs two sequences with BOTH sides
+pruned to the span's sidecar keys, so feed cost tracks what the merges
+touched; ``compact_mor`` (the OPTIMIZE verb) folds base+sidecars into a
+new base generation behind one atomic manifest pointer swap;
+``purge_keys_mor`` (GDPR erasure) rewrites the purged keys' bytes out of
+the base, every delta, AND the delete sidecars themselves (the key
+values are the PII), converging crash windows on the next maintenance
+entry.
+
+Reference analog: the reference's CDC feed is exactly the changeset
+stream this ingests (c/u/d row images, connectors/README.md:152-157);
+at-least-once upstream delivery (functions/README.md:20-24) makes cheap
+idempotent-ish re-application valuable — re-merging a changeset at a
+new seq converges to the same state.
+
+Single-writer per table root (``maintenance_lock``), same contract as
+the copy-on-write family. Readers are lock-free: the manifest is the
+single publish point and every update is an atomic ``os.replace``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import urllib.parse
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .layout import maintenance_lock
+
+MOR = ".mor"
+_BASE_FMT = "base-{:06d}"
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MOR, "manifest.json")
+
+
+def _read_manifest(root: str) -> dict:
+    p = _manifest_path(root)
+    if not os.path.exists(p):
+        raise ValueError(
+            f"{root} is not a merge-on-read table (no {MOR}/manifest.json; "
+            "create one with init_mor)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(root: str, man: dict) -> None:
+    tmp = _manifest_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, _manifest_path(root))
+
+
+def _delete_file(root: str, seq: int) -> str:
+    return os.path.join(root, MOR, "delete", f"d-{seq:06d}.parquet")
+
+
+def _delta_dir(root: str, seq: int) -> str:
+    return os.path.join(root, MOR, "delta", f"s-{seq:06d}")
+
+
+def _write_single_parquet(df: DataFrame, dst_file: str) -> None:
+    """Write ``df`` as ONE parquet FILE (not a directory) with an atomic
+    final rename — sidecars are files so purge/compact can swap them
+    with ``os.replace``. At 100 TB a delete sidecar would shard into a
+    few files via the table format's metadata; locally one file per seq
+    is the honest shape (a 10M-key changeset ≈ 100 MB)."""
+    tmp = dst_file + ".tmpdir"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    if len(part) != 1:
+        raise RuntimeError(f"expected one part file under {tmp}")
+    os.replace(part[0], dst_file)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _sweep_orphans(root: str, man: dict) -> None:
+    """Remove sidecar files/dirs from seqs the manifest never published
+    (crashed writer) and leftover single-file tmp dirs — safe under the
+    maintenance lock because the manifest is the only publish point."""
+    published = {s["seq"] for s in man["seqs"]}
+    ddir = os.path.join(root, MOR, "delete")
+    if os.path.isdir(ddir):
+        for f in os.listdir(ddir):
+            if f.endswith(".tmpdir") or f.endswith(".tmp"):
+                p = os.path.join(ddir, f)
+                shutil.rmtree(p, ignore_errors=True)
+                if os.path.isfile(p):
+                    os.remove(p)
+            elif f.startswith("d-") and f.endswith(".parquet"):
+                if int(f[2:8]) not in published:
+                    os.remove(os.path.join(ddir, f))
+    sdir = os.path.join(root, MOR, "delta")
+    if os.path.isdir(sdir):
+        for d in os.listdir(sdir):
+            if d.startswith("s-") and int(d[2:8]) not in published:
+                shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+    # any base generation other than the manifest's pointer is orphaned:
+    # newer = a crashed compaction's never-published staging, older = a
+    # published compaction that crashed before cleanup
+    cur = man["base"]
+    for d in os.listdir(root):
+        if d.startswith("base-") and d != cur:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # converge any crashed purge leaf swap (shared sentinel discipline
+    # with the copy-on-write history scrub)
+    from .merge import _purge_recover
+
+    for d in [os.path.join(root, cur)] + [
+        _delta_dir(root, s["seq"]) for s in man["seqs"] if s["n_appended"]
+    ]:
+        if os.path.isdir(d):
+            _purge_recover(d)
+
+
+def _read_cached(
+    spark: SparkSession, path: str, base_path: str | None = None
+) -> DataFrame:
+    """Schema-cached parquet read keyed on (path, file state) — the
+    ``read_version`` discipline: re-constructing the same sequence plans
+    ZERO jobs (the registry's construction-is-job-free gate), and any
+    file change invalidates the slot."""
+    from ..sources.tables import _cached_schema
+
+    state: list[tuple] = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        state.append((path, st.st_mtime_ns, st.st_size))
+    else:
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames[:] = sorted(
+                d for d in dirnames if not d.startswith((".", "_"))
+            )
+            for fn in sorted(filenames):
+                if fn.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(dirpath, fn))
+                state.append(
+                    (os.path.relpath(dirpath, path), fn,
+                     st.st_mtime_ns, st.st_size)
+                )
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    schema = _cached_schema(
+        f"mor::{path}",
+        tuple(state),
+        lambda r=reader, p=path: r.parquet(p).schema,
+    )
+    return reader.schema(schema).parquet(path)
+
+
+def init_mor(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    partition_col: str | Sequence[str],
+) -> dict:
+    """Create a merge-on-read table at ``root`` from ``df`` (base
+    generation 0 + manifest). Data columns and key/partition spelling
+    are pinned in the manifest so merges never need a target scan."""
+    pcols = (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    keys = list(keys)
+    if os.path.exists(_manifest_path(root)):
+        raise ValueError(f"{root} is already a merge-on-read table")
+    missing = [c for c in keys + pcols if c not in df.columns]
+    if missing:
+        raise ValueError(f"init_mor source lacks column(s) {missing}")
+    base = _BASE_FMT.format(0)
+    df.write.mode("errorifexists").partitionBy(*pcols).parquet(
+        os.path.join(root, base)
+    )
+    os.makedirs(os.path.join(root, MOR), exist_ok=True)
+    man = {
+        "keys": keys,
+        "partition_col": pcols,
+        "columns": [c for c in df.columns],
+        "base": base,
+        "seqs": [],
+    }
+    _write_manifest(root, man)
+    return man
+
+
+def merge_into_mor(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    *,
+    delete_col: str = "is_delete",
+) -> dict:
+    """Apply a changeset to a merge-on-read table: write the delete
+    sidecar + delta append + one manifest replace — NO target read, no
+    data-file rewrite. Returns ``{"seq", "n_delete_keys", "n_appended"}``.
+
+    ``source`` must carry every manifest data column plus boolean
+    ``delete_col`` (same contract as the copy-on-write ``merge_into``;
+    schema evolution is a compact-time concern here and extra columns
+    fail loud). Changeset keys must be unique and non-null — the one
+    validation aggregation over the CHANGESET is the only job this runs.
+    """
+    with maintenance_lock(root):
+        man = _read_manifest(root)
+        _sweep_orphans(root, man)
+        keys, pcols = man["keys"], man["partition_col"]
+        cols = man["columns"]
+        missing = [c for c in cols + [delete_col] if c not in source.columns]
+        if missing:
+            raise ValueError(f"merge source lacks column(s) {missing}")
+        extra = [c for c in source.columns if c not in cols + [delete_col]]
+        if extra:
+            raise ValueError(
+                f"merge source carries column(s) {extra} the table lacks; "
+                "merge-on-read defers schema evolution to compaction — "
+                "widen via compact_mor first"
+            )
+        src = source.select(*cols, F.col(delete_col).cast("boolean"))
+
+        null_key = F.lit(False)
+        for k in keys:
+            null_key = null_key | F.col(k).isNull()
+        null_part = F.lit(False)
+        for c in pcols:
+            null_part = null_part | F.col(c).isNull() | (
+                F.col(c).cast("string") == ""
+            )
+        stats = (
+            src.groupBy(*keys)
+            .agg(
+                F.count("*").alias("__c"),
+                F.max(null_key.cast("int")).alias("__nk"),
+                F.max((~F.col(delete_col) & null_part).cast("int")).alias(
+                    "__np"
+                ),
+                F.sum((~F.col(delete_col)).cast("long")).alias("__ups"),
+            )
+            .agg(
+                F.max("__c").alias("max_dup"),
+                F.sum("__nk").alias("null_keys"),
+                F.sum("__np").alias("null_parts"),
+                F.count("*").alias("n_keys"),
+                F.sum("__ups").alias("n_appended"),
+            )
+            .collect()[0]
+        )
+        if stats["n_keys"] == 0:
+            return {"seq": None, "n_delete_keys": 0, "n_appended": 0}
+        if stats["max_dup"] and stats["max_dup"] > 1:
+            raise ValueError(
+                "merge source has multiple rows for at least one key "
+                f"(max {stats['max_dup']}); fold it first (latest_by_key)"
+            )
+        if stats["null_keys"]:
+            raise ValueError(
+                f"merge source has {stats['null_keys']} NULL key(s); "
+                "equality deletes need non-null keys"
+            )
+        if stats["null_parts"]:
+            raise ValueError(
+                f"merge source has {stats['null_parts']} upsert(s) with a "
+                f"NULL or empty {', '.join(pcols)}"
+            )
+
+        seq = (man["seqs"][-1]["seq"] + 1) if man["seqs"] else 1
+        os.makedirs(os.path.join(root, MOR, "delete"), exist_ok=True)
+        _write_single_parquet(
+            src.select(*keys).distinct(), _delete_file(root, seq)
+        )
+        n_appended = int(stats["n_appended"] or 0)
+        if n_appended:
+            src.filter(~F.col(delete_col)).select(*cols).write.mode(
+                "errorifexists"
+            ).partitionBy(*pcols).parquet(_delta_dir(root, seq))
+        man["seqs"].append(
+            {
+                "seq": seq,
+                "n_delete_keys": int(stats["n_keys"]),
+                "n_appended": n_appended,
+            }
+        )
+        # publish point: everything before this is invisible to readers
+        # and swept as an orphan if we crash before here
+        _write_manifest(root, man)
+        return {
+            "seq": seq,
+            "n_delete_keys": int(stats["n_keys"]),
+            "n_appended": n_appended,
+        }
+
+
+def read_mor(
+    spark: SparkSession, root: str, as_of: int | None = None
+) -> DataFrame:
+    """Current (or ``as_of`` sequence) state of a merge-on-read table.
+
+    Plan shape: base scan ∪ delta scans (each tagged with its born seq),
+    LEFT-joined against the delete sidecars folded to (key → max delete
+    seq); a row survives iff it was never deleted after its birth. The
+    fold and the join build side are changeset-key-sized — at 100 TB AQE
+    broadcasts them and the base scan stays shuffle-free (no F.broadcast
+    hint: the optimizer sees the actual size). ``as_of=0`` is the base
+    generation (post last compaction); sequences below the last
+    compaction are unreachable, exactly like a vacuumed table format."""
+    man = _read_manifest(root)
+    keys, pcols = man["keys"], man["partition_col"]
+    latest = man["seqs"][-1]["seq"] if man["seqs"] else 0
+    hi = latest if as_of is None else as_of
+    if not 0 <= hi <= latest:
+        raise ValueError(
+            f"as_of={as_of} outside retained sequences [0, {latest}] "
+            f"under {root}"
+        )
+    seqs = [s for s in man["seqs"] if s["seq"] <= hi]
+
+    base_dir = os.path.join(root, man["base"])
+    data = _read_cached(spark, base_dir, base_path=base_dir)
+    data = data.select(*man["columns"]).withColumn("__born", F.lit(0))
+    for s in seqs:
+        if s["n_appended"]:
+            d = _delta_dir(root, s["seq"])
+            part = _read_cached(spark, d, base_path=d)
+            data = data.unionByName(
+                part.select(*man["columns"]).withColumn(
+                    "__born", F.lit(s["seq"])
+                )
+            )
+    if not seqs:
+        return data.drop("__born")
+
+    dels = None
+    for s in seqs:
+        d = _read_cached(spark, _delete_file(root, s["seq"])).withColumn(
+            "__dseq", F.lit(s["seq"])
+        )
+        dels = d if dels is None else dels.unionByName(d)
+    dmax = dels.groupBy(*keys).agg(F.max("__dseq").alias("__dmax"))
+    return (
+        data.join(dmax, keys, "left")
+        .filter(F.col("__dmax").isNull() | (F.col("__dmax") <= F.col("__born")))
+        .drop("__born", "__dmax")
+    )
+
+
+def mor_history(root: str) -> list[dict]:
+    """Published sequence entries, oldest → newest (DESCRIBE HISTORY for
+    the merge-on-read table — pure manifest metadata)."""
+    return [dict(s) for s in _read_manifest(root)["seqs"]]
+
+
+def compact_mor(spark: SparkSession, root: str) -> dict:
+    """OPTIMIZE for the merge-on-read table: fold base + sidecars into a
+    NEW base generation and publish it with one atomic manifest replace
+    — readers see either the old overlay or the new base, never a
+    half-compacted mix. Old generation + sidecars are removed after the
+    publish (a crash leaves them as swept-on-next-entry orphans; a crash
+    BEFORE the publish leaves the new generation dir as the orphan).
+    Applying the delete sidecars once here is what bounds read-side
+    overlay depth — the same role OPTIMIZE plays for Delta DVs."""
+    with maintenance_lock(root):
+        man = _read_manifest(root)
+        _sweep_orphans(root, man)
+        if not man["seqs"]:
+            return {"compacted_seqs": 0, "base": man["base"]}
+        old_base = man["base"]
+        gen = int(old_base.split("-")[1]) + 1
+        new_base = _BASE_FMT.format(gen)
+        snap = read_mor(spark, root)
+        snap.write.mode("errorifexists").partitionBy(
+            *man["partition_col"]
+        ).parquet(os.path.join(root, new_base))
+        n = len(man["seqs"])
+        old_seqs = [s["seq"] for s in man["seqs"]]
+        man["base"] = new_base
+        man["seqs"] = []
+        _write_manifest(root, man)  # publish point
+        shutil.rmtree(os.path.join(root, old_base), ignore_errors=True)
+        for seq in old_seqs:
+            shutil.rmtree(_delta_dir(root, seq), ignore_errors=True)
+            try:
+                os.remove(_delete_file(root, seq))
+            except FileNotFoundError:
+                pass
+        return {"compacted_seqs": n, "base": new_base}
+
+
+def change_feed_mor(
+    spark: SparkSession,
+    root: str,
+    from_seq: int,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """Row-level NET change feed between two sequences — same output
+    contract as the copy-on-write ``change_feed`` (``change_type`` ∈
+    insert/delete/update_pre/update_post). Both reconstructions are
+    pruned to the keys the spanned DELETE SIDECARS carry before the
+    full-outer diff — the sidecars are exactly the touched-key metadata,
+    so feed cost tracks the span's changesets, never table size."""
+    man = _read_manifest(root)
+    keys = man["keys"]
+    latest = man["seqs"][-1]["seq"] if man["seqs"] else 0
+    hi = latest if to_seq is None else to_seq
+    if not 0 <= from_seq < hi <= latest:
+        raise ValueError(
+            f"change_feed_mor needs 0 <= from ({from_seq}) < to ({hi}) "
+            f"<= latest sequence ({latest})"
+        )
+    span = [s for s in man["seqs"] if from_seq < s["seq"] <= hi]
+    touched = None
+    for s in span:
+        d = _read_cached(spark, _delete_file(root, s["seq"]))
+        touched = d if touched is None else touched.unionByName(d)
+    touched = touched.distinct()
+
+    pre = read_mor(spark, root, from_seq).join(touched, keys, "left_semi")
+    post = read_mor(spark, root, hi).join(touched, keys, "left_semi")
+
+    data_cols = [c for c in man["columns"] if c not in keys]
+
+    def _side(df: DataFrame, flag: str, img: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.lit(True).alias(flag),
+            F.struct(*[F.col(c) for c in data_cols]).alias(img),
+        )
+
+    j = _side(pre, "__in_pre", "__pre").join(
+        _side(post, "__in_post", "__post"), keys, "full_outer"
+    )
+    changed = (
+        F.col("__in_pre").isNotNull()
+        & F.col("__in_post").isNotNull()
+        & ~F.col("__pre").eqNullSafe(F.col("__post"))
+    )
+    events = F.array(
+        F.when(
+            F.col("__in_pre").isNull(),
+            F.struct(
+                F.lit("insert").alias("change_type"),
+                F.col("__post").alias("row"),
+            ),
+        ),
+        F.when(
+            F.col("__in_post").isNull(),
+            F.struct(
+                F.lit("delete").alias("change_type"),
+                F.col("__pre").alias("row"),
+            ),
+        ),
+        F.when(
+            changed,
+            F.struct(
+                F.lit("update_pre").alias("change_type"),
+                F.col("__pre").alias("row"),
+            ),
+        ),
+        F.when(
+            changed,
+            F.struct(
+                F.lit("update_post").alias("change_type"),
+                F.col("__post").alias("row"),
+            ),
+        ),
+    )
+    return j.select(
+        *keys,
+        F.explode(F.filter(events, lambda e: e.isNotNull())).alias("__e"),
+    ).select(
+        *keys,
+        F.col("__e.change_type").alias("change_type"),
+        *[F.col(f"__e.row.{c}").alias(c) for c in data_cols],
+    )
+
+
+def purge_keys_mor(
+    spark: SparkSession, root: str, key_rows: DataFrame
+) -> dict:
+    """GDPR erasure for the merge-on-read table: remove every byte of
+    the purged keys from the base generation, every delta append, AND
+    the delete sidecars (the sidecar rows carry the key values — the PII
+    itself). After the purge the keys are unreachable at EVERY retained
+    sequence; removing a sidecar entry cannot resurrect an older image
+    because every image of the key is rewritten away in the same pass.
+
+    Hit detection is ONE job across base + all deltas (component-tagged
+    union, semi-join, group by component + partition values) plus one
+    over the sidecars; only hit leaf dirs rewrite (stage → swap, crash
+    windows converge at the next maintenance entry via the same orphan
+    sweep), and sidecar files swap atomically with ``os.replace``.
+    Returns ``{"data_rows_purged", "sidecar_keys_purged",
+    "components_rewritten"}``."""
+    with maintenance_lock(root):
+        man = _read_manifest(root)
+        _sweep_orphans(root, man)
+        keys, pcols = man["keys"], man["partition_col"]
+        key_rows = key_rows.select(*keys).distinct()
+
+        comps: dict[str, str] = {"base": os.path.join(root, man["base"])}
+        for s in man["seqs"]:
+            if s["n_appended"]:
+                comps[f"s{s['seq']}"] = _delta_dir(root, s["seq"])
+
+        # inference off: decoded partition values must be strings in
+        # their dir-name spelling so hits map back to leaf dirs exactly
+        inf_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev_inf = spark.conf.get(inf_conf, "true")
+        spark.conf.set(inf_conf, "false")
+        try:
+            tagged = None
+            for cid, cdir in comps.items():
+                part = (
+                    spark.read.option("basePath", cdir)
+                    .parquet(cdir)
+                    .select(*dict.fromkeys(list(keys) + pcols))
+                    .withColumn("__comp", F.lit(cid))
+                )
+                tagged = part if tagged is None else tagged.unionByName(part)
+        finally:
+            spark.conf.set(inf_conf, prev_inf)
+        hits = (
+            tagged.join(key_rows, keys, "left_semi")
+            .groupBy("__comp", *pcols)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+        purged = 0
+        rewritten: set[str] = set()
+        for r in hits:
+            cid = r["__comp"]
+            cdir = comps[cid]
+            leaf = "/".join(
+                f"{c}={urllib.parse.quote(str(r[c]), safe='')}"
+                for c in pcols
+            )
+            leaf_dir = os.path.join(cdir, leaf)
+            if not os.path.isdir(leaf_dir):
+                # dir-name spelling drift (quote table differences) —
+                # fall back to a directory scan matched by decoded value
+                cand = [
+                    d
+                    for d, vals in _leaf_values(cdir, pcols).items()
+                    if vals == tuple(str(r[c]) for c in pcols)
+                ]
+                if not cand:
+                    raise RuntimeError(
+                        f"purge hit in {cid} names leaf {leaf} but no "
+                        f"matching dir exists under {cdir}"
+                    )
+                leaf_dir = os.path.join(cdir, cand[0])
+            keep = (
+                spark.read.option("basePath", cdir)
+                .parquet(leaf_dir)
+                .join(key_rows, keys, "left_anti")
+                .drop(*pcols)
+            )
+            # the copy-on-write purge's sentinel discipline verbatim:
+            # flat quoted names under the COMPONENT root (dot-prefixed,
+            # invisible to hive discovery); _purge_recover converges
+            # every crash window at the next maintenance entry
+            from .merge import _PURGE_OLD, _PURGE_STAGE
+
+            rel = os.path.relpath(leaf_dir, cdir)
+            flat = urllib.parse.quote(rel, safe="")
+            staged = os.path.join(cdir, _PURGE_STAGE + flat)
+            shutil.rmtree(staged, ignore_errors=True)
+            keep.coalesce(1).write.mode("overwrite").parquet(staged)
+            old = os.path.join(cdir, _PURGE_OLD + flat)
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(leaf_dir, old)
+            os.rename(staged, leaf_dir)
+            shutil.rmtree(old, ignore_errors=True)
+            purged += r["n"]
+            rewritten.add(cid)
+
+        sidecar_purged = 0
+        for s in man["seqs"]:
+            f = _delete_file(root, s["seq"])
+            d = spark.read.parquet(f)
+            hit = d.join(key_rows, keys, "left_semi").count()
+            if not hit:
+                continue
+            _write_single_parquet(
+                d.join(key_rows, keys, "left_anti"), f
+            )
+            sidecar_purged += hit
+            s["n_delete_keys"] = s["n_delete_keys"] - hit
+        if sidecar_purged:
+            _write_manifest(root, man)
+        return {
+            "data_rows_purged": purged,
+            "sidecar_keys_purged": sidecar_purged,
+            "components_rewritten": sorted(rewritten),
+        }
+
+
+def _leaf_values(cdir: str, pcols: list[str]) -> dict[str, tuple]:
+    """leaf dir (relative) → decoded partition value tuple, mirroring
+    merge._part_dirs for an arbitrary component dir."""
+    out: dict[str, tuple] = {}
+
+    def walk(d: str, level: int, vals: tuple, rel: str) -> None:
+        prefix = f"{pcols[level]}="
+        for entry in sorted(os.listdir(d)):
+            if entry.startswith(".") or not entry.startswith(prefix):
+                continue
+            if not os.path.isdir(os.path.join(d, entry)):
+                continue
+            v = urllib.parse.unquote(entry[len(prefix):])
+            nrel = os.path.join(rel, entry) if rel else entry
+            if level + 1 == len(pcols):
+                out[nrel] = (*vals, v)
+            else:
+                walk(os.path.join(d, entry), level + 1, (*vals, v), nrel)
+
+    walk(cdir, 0, (), "")
+    return out

@@ -1,0 +1,418 @@
+"""Merge-on-read (deletion-vector) driver queries — the O(changeset)
+MERGE write path (plans/mor.py) value-checked end-to-end.
+
+Same oracle discipline as the copy-on-write family (queries/merge_q.py):
+every query's DuckDB oracle recomputes the expected state from the
+ORIGINAL table and the changesets' closed-form definitions, so a wrong
+delete-sidecar application, a leaked pre-image, or a sequence mix-up
+shifts an aggregate. The shared fixture applies the SAME standard
+changeset as merge_upsert_partitioned — the two merge strategies are
+value-checked against the same closed form, proving they implement one
+MERGE semantics with different physical cost models.
+
+Reference analog: the reference's CDC stream IS the changeset feed
+(c/u/d row images, connectors/README.md:152-157); merge-on-read is how
+a high-frequency CDC apply keeps write amplification at O(feed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ..plans.mor import (
+    change_feed_mor,
+    compact_mor,
+    init_mor,
+    merge_into_mor,
+    mor_history,
+    purge_keys_mor,
+    read_mor,
+)
+from ..registry import register
+from ..sources.tables import table
+from .fixture_cache import session_fixture
+from .merge_q import _ORDER_COLS, _TOUCHED, _changeset
+
+
+def mor_orders_fixture(spark, sf_dir: str) -> str:
+    """orders as a MoR table → seq 1 = the STANDARD changeset (same as
+    the copy-on-write fixture) → seq 2 = delete seq 1's inserts and
+    re-update the 1.07 keys by 1.10 (the replay-fixture shape). The
+    build asserts the base generation stays byte-identical through both
+    merges — the O(changeset) write-cost claim, checked where the
+    oracle cannot see it."""
+
+    def build(root: str) -> None:
+        from ..plans.merge import partition_file_listing
+
+        dst = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        init_mor(
+            spark, dst, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        base = os.path.join(dst, "base-000000")
+        before = partition_file_listing(base, "o_orderpriority")
+        rep1 = merge_into_mor(spark, dst, _changeset(orders))
+        assert rep1["seq"] == 1 and rep1["n_appended"] > 0
+        merged1 = read_mor(spark, dst, 1)
+        chg2 = (
+            merged1.filter(F.col("o_orderkey") >= 10_000_000)
+            .withColumn("is_delete", F.lit(True))
+            .unionByName(
+                merged1.filter(
+                    (F.col("o_orderkey") % 50 == 3)
+                    & F.col("o_orderpriority").isin(*_TOUCHED)
+                )
+                .withColumn("o_totalprice", F.col("o_totalprice") * 1.10)
+                .withColumn("is_delete", F.lit(False))
+            )
+        )
+        rep2 = merge_into_mor(spark, dst, chg2)
+        assert rep2["seq"] == 2
+        assert partition_file_listing(base, "o_orderpriority") == before, (
+            "MoR merge rewrote base files — the write path must be "
+            "O(changeset)"
+        )
+        with open(os.path.join(root, "reports.json"), "w") as f:
+            json.dump({"r1": rep1, "r2": rep2}, f)
+
+    return session_fixture("mor_orders", sf_dir, "cs50_s1_s2", build)
+
+
+_CENTS = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+
+def _pri_agg(df, extra_cols=()):
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_CENTS).alias("sum_cents"),
+            F.sum((F.col("o_orderkey") >= 10_000_000).cast("long")).alias(
+                "n_ins"
+            ),
+        )
+        .select(*extra_cols, "o_orderpriority", "n", "sum_cents", "n_ins")
+    )
+
+
+@register(
+    "merge_upsert_dv",
+    oracle="""
+    WITH chg_upd AS (
+      SELECT o_orderkey, floor(o_totalprice * 1.07 * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 3 AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), chg_mov AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    ), chg_ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    ), chg_keys AS (
+      SELECT o_orderkey FROM chg_upd
+      UNION ALL SELECT o_orderkey FROM chg_mov
+      UNION ALL SELECT o_orderkey FROM chg_ins
+      UNION ALL SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 50 = 7
+          AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), final AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg_keys)
+      UNION ALL SELECT * FROM chg_upd
+      UNION ALL SELECT * FROM chg_mov
+      UNION ALL SELECT * FROM chg_ins
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN o_orderkey >= 10000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ins
+    FROM final GROUP BY 1
+    """,
+)
+def merge_upsert_dv(spark, sf_dir):
+    """MERGE INTO via deletion vectors (merge-on-read, plans/mor.py):
+    the SAME standard changeset as merge_upsert_partitioned — updates,
+    a partition-drift move (free here: the equality delete kills the
+    old image wherever it lives), inserts, deletes, and no-op deletes —
+    applied as one delete sidecar + one delta append, with the base
+    generation asserted byte-identical in the fixture. Read applies the
+    sidecars as a changeset-sized LEFT join (broadcastable at scale;
+    the base scan never shuffles). The oracle is the copy-on-write
+    query's closed form — both strategies must produce one MERGE
+    semantics. Public design analog: Iceberg equality deletes / Delta
+    deletion vectors."""
+    root = mor_orders_fixture(spark, sf_dir)
+    return _pri_agg(read_mor(spark, os.path.join(root, "orders"), 1))
+
+
+@register(
+    "merge_dv_time_travel",
+    oracle="""
+    WITH s1 AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CASE WHEN o_orderkey % 50 = 3
+                    AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+                  THEN floor(o_totalprice * 1.07 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents
+      FROM orders
+      WHERE NOT (o_orderkey % 50 = 7
+                 AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+        AND NOT (o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM')
+      UNION ALL
+      SELECT o_orderkey, '1-URGENT', o_totalprice,
+             floor(o_totalprice * 100 + 0.5)
+      FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+      UNION ALL
+      SELECT o_orderkey + 10000000, '1-URGENT', o_totalprice,
+             floor(o_totalprice * 100 + 0.5)
+      FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    )
+    SELECT 0 AS seq, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 1, o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM s1 GROUP BY 2
+    UNION ALL
+    SELECT 2, o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(CASE WHEN o_orderkey % 50 = 3
+                     AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+                     AND o_orderkey < 10000000
+                THEN floor(o_totalprice * 1.07 * 1.10 * 100 + 0.5)
+                ELSE cents END AS BIGINT)) AS BIGINT)
+    FROM s1 WHERE o_orderkey < 10000000 GROUP BY 2
+    """,
+)
+def merge_dv_time_travel(spark, sf_dir):
+    """Sequence time travel over the MoR table: seq 0 (base), seq 1
+    (post standard changeset), seq 2 (inserts deleted, 1.07 keys
+    re-updated ×1.10) — each reconstructed by overlaying only the
+    sidecars at-or-below the sequence, never a data rewrite. The oracle
+    derives all three states closed-form; a delete applied to the wrong
+    side of a row's birth sequence (the off-by-one every overlay
+    scheme risks) shifts seq 1 vs seq 2. CoW relative: read_version
+    (merge_time_travel_read)."""
+    root = mor_orders_fixture(spark, sf_dir)
+    dst = os.path.join(root, "orders")
+    parts = []
+    for seq in (0, 1, 2):
+        parts.append(
+            read_mor(spark, dst, seq)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum(_CENTS).alias("sum_cents"))
+            .select(
+                F.lit(seq).alias("seq"), "o_orderpriority", "n", "sum_cents"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "merge_dv_change_feed",
+    oracle="""
+    SELECT o_orderkey, 'update_pre' AS change_type, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey % 50 = 3
+      AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    UNION ALL
+    SELECT o_orderkey, 'update_post', o_orderpriority,
+           CAST(floor(o_totalprice * 1.07 * 1.10 * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 3
+      AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    UNION ALL
+    SELECT o_orderkey, 'update_pre', o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    UNION ALL
+    SELECT o_orderkey, 'update_post', '1-URGENT',
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    UNION ALL
+    SELECT o_orderkey, 'delete', o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+    FROM orders
+    WHERE o_orderkey % 50 = 7
+      AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    """,
+)
+def merge_dv_change_feed(spark, sf_dir):
+    """NET change feed seq 0 → seq 2 over the MoR table: the seq-1
+    inserts are deleted at seq 2 and must CANCEL; the 1.07×1.10 double
+    update collapses to one pre/post pair; the drift move surfaces as
+    an update pair with the new partition value. Both reconstructions
+    are pruned to the spanned DELETE SIDECARS' keys before the
+    full-outer diff — the sidecars are the feed's touched-key metadata,
+    so cost tracks the changesets, never table size. CoW relative:
+    merge_change_feed (same output contract, same closed-form oracle
+    family)."""
+    root = mor_orders_fixture(spark, sf_dir)
+    feed = change_feed_mor(spark, os.path.join(root, "orders"), 0)
+    return feed.select(
+        "o_orderkey", "change_type", "o_orderpriority",
+        _CENTS.alias("cents"),
+    )
+
+
+@register(
+    "merge_dv_describe_history",
+    oracle="""
+    WITH counts AS (
+      SELECT
+        (SELECT count(*) FROM orders WHERE o_orderkey % 50 = 3
+           AND o_orderpriority IN ('1-URGENT','3-MEDIUM')) AS n_upd,
+        (SELECT count(*) FROM orders WHERE o_orderkey % 50 = 19
+           AND o_orderpriority = '3-MEDIUM') AS n_mov,
+        (SELECT count(*) FROM orders WHERE o_orderkey % 50 = 11
+           AND o_orderpriority = '5-LOW') AS n_ins,
+        (SELECT count(*) FROM orders WHERE o_orderkey % 50 = 7
+           AND o_orderpriority IN ('1-URGENT','3-MEDIUM')) AS n_del,
+        (SELECT count(*) FROM orders WHERE o_orderkey % 50 = 13
+           AND o_orderpriority = '4-NOT SPECIFIED') AS n_noop
+    )
+    SELECT 1 AS seq,
+           CAST(n_upd + n_mov + n_ins + n_del + n_noop AS BIGINT)
+             AS n_delete_keys,
+           CAST(n_upd + n_mov + n_ins AS BIGINT) AS n_appended
+    FROM counts
+    UNION ALL
+    SELECT 2, CAST(n_ins + n_upd AS BIGINT), CAST(n_upd AS BIGINT)
+    FROM counts
+    """,
+)
+def merge_dv_describe_history(spark, sf_dir):
+    """DESCRIBE HISTORY for the MoR table — pure manifest metadata, no
+    data scan: per sequence, how many delete keys were recorded and how
+    many rows appended. The oracle recomputes both counters closed-form
+    from the changeset definitions (seq 2's delete-key count = seq 1's
+    insert count + the re-updated keys — a cross-sequence identity a
+    stale manifest cannot satisfy). CoW relative:
+    merge_describe_history."""
+    root = mor_orders_fixture(spark, sf_dir)
+    rows = [
+        (s["seq"], s["n_delete_keys"], s["n_appended"])
+        for s in mor_history(os.path.join(root, "orders"))
+    ]
+    return spark.createDataFrame(
+        rows, "seq int, n_delete_keys bigint, n_appended bigint"
+    )
+
+
+def mor_purge_fixture(spark, sf_dir: str) -> str:
+    """MoR table → seq 1 standard changeset → PURGE keys
+    ``o_orderkey % 50 == 23`` (untouched by the changeset, so their
+    images sit in base files — erasure must rewrite the base even when
+    no sidecar mentions the key) → COMPACT. The build asserts
+    unreachability at every sequence BEFORE compaction and that
+    compaction leaves zero sidecars."""
+
+    def build(root: str) -> None:
+        import glob as _glob
+
+        dst = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        init_mor(
+            spark, dst, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        merge_into_mor(spark, dst, _changeset(orders))
+        key_rows = orders.filter(F.col("o_orderkey") % 50 == 23).select(
+            "o_orderkey"
+        )
+        prep = purge_keys_mor(spark, dst, key_rows)
+        assert prep["data_rows_purged"] > 0
+        for seq in (0, 1):
+            leak = (
+                read_mor(spark, dst, seq)
+                .filter(F.col("o_orderkey") % 50 == 23)
+                .count()
+            )
+            assert leak == 0, (seq, leak)
+        crep = compact_mor(spark, dst)
+        assert crep["compacted_seqs"] == 1
+        assert not _glob.glob(os.path.join(dst, ".mor", "delete", "*"))
+        with open(os.path.join(root, "purge.json"), "w") as f:
+            json.dump({"purge": prep, "compact": crep}, f)
+
+    return session_fixture("mor_purge", sf_dir, "purge23_compact", build)
+
+
+@register(
+    "merge_dv_purge_compact",
+    oracle="""
+    WITH chg_upd AS (
+      SELECT o_orderkey, floor(o_totalprice * 1.07 * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 3 AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), chg_mov AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    ), chg_ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    ), chg_keys AS (
+      SELECT o_orderkey FROM chg_upd
+      UNION ALL SELECT o_orderkey FROM chg_mov
+      UNION ALL SELECT o_orderkey FROM chg_ins
+      UNION ALL SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 50 = 7
+          AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), final AS (
+      SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg_keys)
+      UNION ALL SELECT * FROM chg_upd
+      UNION ALL SELECT * FROM chg_mov
+      UNION ALL SELECT * FROM chg_ins
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM final WHERE o_orderkey % 50 <> 23
+    GROUP BY 1
+    """,
+)
+def merge_dv_purge_compact(spark, sf_dir):
+    """GDPR erasure + OPTIMIZE on the MoR table: purge keys
+    ``% 50 == 23`` (rewriting their bytes out of base, deltas, AND the
+    delete sidecars — the key values are the PII), then compact to a
+    fresh base generation. The fixture asserts unreachability at every
+    pre-compaction sequence and that zero sidecars survive; the oracle
+    is the merged closed form MINUS the purged keys — a purge that
+    missed a component, or a compaction that resurrected one, shifts an
+    aggregate. CoW relative: purge_keys (merge_purge_erasure)."""
+    root = mor_purge_fixture(spark, sf_dir)
+    return (
+        read_mor(spark, os.path.join(root, "orders"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(_CENTS).alias("sum_cents"))
+    )

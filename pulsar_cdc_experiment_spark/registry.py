@@ -127,6 +127,7 @@ def load_all_query_modules() -> None:
         layout_q,
         llm_ops,
         merge_q,
+        mor_q,
         relational,
         relational_ext,
         scalar_fns,

@@ -1,0 +1,282 @@
+"""plans/mor.py — merge-on-read (deletion-vector) tables: the guarantees
+the driver oracle cannot see. Write-path O(changeset) (base files stay
+byte-identical through merges), sequence/time-travel semantics incl. the
+born==delete-seq boundary, crash-window convergence (orphan sidecars,
+crashed compaction staging, crashed purge leaf swap), erasure reaching
+the sidecar key values, and fail-loud preconditions."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_cdc_experiment_spark.plans.mor import (
+    MOR,
+    change_feed_mor,
+    compact_mor,
+    init_mor,
+    merge_into_mor,
+    mor_history,
+    purge_keys_mor,
+    read_mor,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v double, p string")
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, v double, p string, is_delete boolean"
+    )
+
+
+def _base_rows():
+    return [(k, float(k), "a" if k % 2 == 0 else "b") for k in range(20)]
+
+
+def _state(spark, root, as_of=None):
+    return {
+        (r["k"], r["v"], r["p"])
+        for r in read_mor(spark, root, as_of).collect()
+    }
+
+
+def _file_listing(path):
+    out = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            st = os.stat(os.path.join(dirpath, fn))
+            out.append((os.path.relpath(dirpath, path), fn, st.st_size,
+                        st.st_mtime_ns))
+    return out
+
+
+@pytest.fixture()
+def mor_table(spark):
+    root = tempfile.mkdtemp(prefix="mor_t_") + "/t"
+    init_mor(spark, root, _mk(spark, _base_rows()), keys=["k"],
+             partition_col="p")
+    yield root
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def test_merge_semantics_and_base_byte_identity(spark, mor_table):
+    """A MoR merge applies update/delete/insert semantics while the base
+    generation's data files stay BYTE-IDENTICAL — the whole point: write
+    cost is the changeset, never touched-file bytes."""
+    root = mor_table
+    base_dir = os.path.join(root, "base-000000")
+    before = _file_listing(base_dir)
+    rep = merge_into_mor(
+        spark, root,
+        _chg(spark, [(4, 400.0, "a", False), (7, 7.0, "b", True),
+                     (100, 1.0, "b", False)]),
+    )
+    assert rep == {"seq": 1, "n_delete_keys": 3, "n_appended": 2}
+    assert _file_listing(base_dir) == before
+    want = {
+        t for t in ((k, float(k), "a" if k % 2 == 0 else "b")
+                    for k in range(20))
+        if t[0] not in (4, 7)
+    } | {(4, 400.0, "a"), (100, 1.0, "b")}
+    assert _state(spark, root) == want
+    # absent-key delete is a no-op, not an error, and costs no rewrite
+    rep2 = merge_into_mor(
+        spark, root, _chg(spark, [(999, 0.0, "a", True)])
+    )
+    assert rep2["n_appended"] == 0
+    assert _state(spark, root) == want
+    assert _file_listing(base_dir) == before
+
+
+def test_sequence_time_travel_and_own_seq_boundary(spark, mor_table):
+    """A row born at seq N survives seq N's own delete entry (MERGE
+    upsert = delete old images + insert the new one in ONE sequence);
+    as_of serves every retained sequence."""
+    root = mor_table
+    merge_into_mor(spark, root, _chg(spark, [(4, 400.0, "a", False)]))
+    merge_into_mor(spark, root, _chg(spark, [(4, 444.0, "a", False)]))
+    assert (4, 400.0, "a") in _state(spark, root, 1)
+    assert (4, 444.0, "a") in _state(spark, root, 2)
+    assert (4, 4.0, "a") in _state(spark, root, 0)
+    assert {t for t in _state(spark, root) if t[0] == 4} == {(4, 444.0, "a")}
+    with pytest.raises(ValueError, match="outside retained"):
+        read_mor(spark, root, 3)
+
+
+def test_compaction_preserves_state_and_clears_sidecars(spark, mor_table):
+    root = mor_table
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(4, 400.0, "a", False), (7, 7.0, "b", True)]),
+    )
+    want = _state(spark, root)
+    rep = compact_mor(spark, root)
+    assert rep["compacted_seqs"] == 1 and rep["base"] == "base-000001"
+    assert _state(spark, root) == want
+    assert mor_history(root) == []
+    assert not glob.glob(os.path.join(root, MOR, "delete", "*"))
+    assert not glob.glob(os.path.join(root, MOR, "delta", "*"))
+    assert not os.path.exists(os.path.join(root, "base-000000"))
+    # a plain hive read of the new base equals the MoR view
+    plain = {
+        (r["k"], r["v"], r["p"])
+        for r in spark.read.parquet(
+            os.path.join(root, "base-000001")
+        ).collect()
+    }
+    assert plain == want
+    # merges keep working on the new generation
+    merge_into_mor(spark, root, _chg(spark, [(1, 111.0, "b", False)]))
+    assert (1, 111.0, "b") in _state(spark, root)
+
+
+def test_crash_windows_converge_on_next_maintenance(spark, mor_table):
+    """Unpublished sidecars (crashed writer), a staged base generation
+    (crashed compaction), and a half-swapped purge leaf all converge at
+    the next maintenance entry; readers never see them."""
+    root = mor_table
+    merge_into_mor(spark, root, _chg(spark, [(4, 400.0, "a", False)]))
+    want = _state(spark, root)
+
+    # crashed writer: seq-2 sidecars on disk, manifest never published
+    shutil.copy(
+        os.path.join(root, MOR, "delete", "d-000001.parquet"),
+        os.path.join(root, MOR, "delete", "d-000002.parquet"),
+    )
+    os.makedirs(os.path.join(root, MOR, "delta", "s-000002", "p=a"))
+    # crashed compaction: staged generation, pointer never swapped
+    os.makedirs(os.path.join(root, "base-000001", "p=a"))
+    assert _state(spark, root) == want  # readers consult the manifest only
+    merge_into_mor(spark, root, _chg(spark, [(5, 500.0, "b", False)]))
+    assert not os.path.exists(
+        os.path.join(root, MOR, "delta", "s-000002")
+    ) or mor_history(root)[-1]["seq"] == 2
+    assert not os.path.exists(os.path.join(root, "base-000001"))
+    # the new merge's sidecar took seq 2; the orphan copy was swept first
+    assert mor_history(root)[-1]["seq"] == 2
+    assert (5, 500.0, "b") in _state(spark, root)
+
+    # crashed purge: leaf renamed away, stage never swapped in
+    from pulsar_cdc_experiment_spark.plans.merge import _PURGE_OLD
+    import urllib.parse
+
+    base_dir = os.path.join(root, "base-000000")
+    flat = urllib.parse.quote("p=a", safe="")
+    os.rename(
+        os.path.join(base_dir, "p=a"),
+        os.path.join(base_dir, _PURGE_OLD + flat),
+    )
+    compact_mor(spark, root)  # maintenance entry converges, then compacts
+    got = _state(spark, root)
+    assert (4, 400.0, "a") in got and (0, 0.0, "a") in got
+
+
+def test_purge_erases_keys_everywhere_including_sidecars(spark, mor_table):
+    root = mor_table
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(4, 400.0, "a", False), (7, 7.0, "b", True)]),
+    )
+    merge_into_mor(spark, root, _chg(spark, [(4, 444.0, "a", False)]))
+    rep = purge_keys_mor(
+        spark, root, spark.createDataFrame([(2,), (4,)], "k bigint")
+    )
+    # k=2: base only; k=4: base + two deltas = 4 data rows
+    assert rep["data_rows_purged"] == 4
+    # k=4 sat in both sidecars; k=2 in neither
+    assert rep["sidecar_keys_purged"] == 2
+    assert set(rep["components_rewritten"]) == {"base", "s1", "s2"}
+    for as_of in (0, 1, 2):
+        assert not any(
+            t[0] in (2, 4) for t in _state(spark, root, as_of)
+        ), as_of
+    for f in glob.glob(os.path.join(root, MOR, "delete", "*.parquet")):
+        ks = {r["k"] for r in spark.read.parquet(f).collect()}
+        assert not ks & {2, 4}, (f, ks)
+    # untouched rows survive everywhere; manifest counters updated
+    assert (6, 6.0, "a") in _state(spark, root, 0)
+    assert sum(s["n_delete_keys"] for s in mor_history(root)) == 1
+    # idempotent
+    rep2 = purge_keys_mor(
+        spark, root, spark.createDataFrame([(2,), (4,)], "k bigint")
+    )
+    assert rep2["data_rows_purged"] == 0
+    assert rep2["sidecar_keys_purged"] == 0
+
+
+def test_change_feed_net_and_per_seq(spark, mor_table):
+    root = mor_table
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(4, 400.0, "a", False), (7, 7.0, "b", True),
+                     (100, 1.0, "b", False)]),
+    )
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(4, 444.0, "a", False), (100, 1.0, "b", True)]),
+    )
+    net = {
+        (r["k"], r["change_type"], r["v"])
+        for r in change_feed_mor(spark, root, 0).collect()
+    }
+    # the insert-then-delete of k=100 cancels in the net feed
+    assert net == {
+        (4, "update_pre", 4.0), (4, "update_post", 444.0),
+        (7, "delete", 7.0),
+    }
+    leg2 = {
+        (r["k"], r["change_type"], r["v"])
+        for r in change_feed_mor(spark, root, 1, 2).collect()
+    }
+    assert leg2 == {
+        (4, "update_pre", 400.0), (4, "update_post", 444.0),
+        (100, "delete", 1.0),
+    }
+
+
+def test_fail_loud_preconditions(spark, mor_table):
+    root = mor_table
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_into_mor(
+            spark, root,
+            _chg(spark, [(4, 1.0, "a", False), (4, 2.0, "a", False)]),
+        )
+    with pytest.raises(ValueError, match="NULL key"):
+        merge_into_mor(
+            spark, root, _chg(spark, [(None, 1.0, "a", False)])
+        )
+    with pytest.raises(ValueError, match="NULL or empty"):
+        merge_into_mor(spark, root, _chg(spark, [(4, 1.0, None, False)]))
+    with pytest.raises(ValueError, match="lacks column"):
+        merge_into_mor(
+            spark, root,
+            spark.createDataFrame(
+                [(4, False)], "k bigint, is_delete boolean"
+            ),
+        )
+    with pytest.raises(ValueError, match="table lacks"):
+        merge_into_mor(
+            spark, root,
+            spark.createDataFrame(
+                [(4, 1.0, "a", "x", False)],
+                "k bigint, v double, p string, extra string, "
+                "is_delete boolean",
+            ),
+        )
+    with pytest.raises(ValueError, match="not a merge-on-read table"):
+        read_mor(spark, os.path.dirname(root))
+    with pytest.raises(ValueError, match="already a merge-on-read"):
+        init_mor(spark, root, _mk(spark, _base_rows()), keys=["k"],
+                 partition_col="p")
+    # a changeset with zero rows is a no-op, not a sequence
+    assert merge_into_mor(spark, root, _chg(spark, []))["seq"] is None

@@ -718,6 +718,12 @@ _BUILD_JOBS_SANCTIONED = {
     # the crashed-boundary leaf sets — same carve-out class
     "merge_txn_snapshot_inflight",
     "cdc_merge_apply",
+    # merge-on-read family: the alphabetically-first query per fixture
+    # builds it (init + sidecar merges / + purge + compact); the other
+    # MoR queries construct job-free off read_mor's file-state-keyed
+    # schema cache — NOT sanctioned, deliberately
+    "merge_dv_change_feed",
+    "merge_dv_purge_compact",
 }
 
 
@@ -794,6 +800,8 @@ _FIXTURE_CACHED = [
     "merge_change_feed",
     "merge_txn_multi_table",
     "cdc_merge_apply",
+    "merge_upsert_dv",
+    "merge_dv_purge_compact",
 ]
 
 

@@ -791,6 +791,83 @@ def main() -> None:
             flush=True,
         )
 
+    def mor_vs_cow(n):
+        """Round-14 (verdict #5): the deletion-vector write-path claim —
+        a SMALL changeset against a big table costs O(changeset) under
+        merge-on-read vs O(touched-file bytes) under copy-on-write. The
+        base is written key-SCATTERED (every file's key range spans the
+        domain) so CoW file scoping cannot skip anything: the CoW merge
+        pays the full rewrite, the MoR merge writes one sidecar + one
+        tiny delta. Also measures the read-side tax MoR pays for that
+        (the sidecar join over the base scan) — the trade OPTIMIZE
+        (compact_mor) exists to reset."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.merge import merge_into
+        from pulsar_cdc_experiment_spark.plans.mor import (
+            init_mor,
+            merge_into_mor,
+            read_mor,
+        )
+
+        root = tempfile.mkdtemp(prefix="stress_morcow_")
+        cow = os.path.join(root, "cow")
+        mor = os.path.join(root, "mor")
+        df = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            (F.col("id") % 4).cast("string").alias("p"),
+        )
+        try:
+            df.repartition(64).write.partitionBy("p").parquet(cow)
+            init_mor(
+                spark, mor, spark.read.parquet(cow),
+                keys=["k"], partition_col="p",
+            )
+            step = max(1, n // 200)
+            chg = spark.range(200).select(
+                (F.col("id") * step).alias("k"),
+                F.lit(-1.0).alias("v"),
+                ((F.col("id") * step) % 4).cast("string").alias("p"),
+                F.lit(False).alias("is_delete"),
+            )
+            t0 = time.perf_counter()
+            merge_into(spark, cow, chg, keys=["k"], partition_col="p")
+            cow_sec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            merge_into_mor(spark, mor, chg)
+            mor_sec = time.perf_counter() - t0
+            # read-side tax: identical aggregate over both tables
+            t0 = time.perf_counter()
+            cow_sum = (
+                spark.read.parquet(cow).agg(F.sum("v"), F.count("*"))
+            ).collect()[0]
+            cow_read = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            mor_sum = read_mor(spark, mor).agg(
+                F.sum("v"), F.count("*")
+            ).collect()[0]
+            mor_read = time.perf_counter() - t0
+            assert tuple(cow_sum) == tuple(mor_sum), (cow_sum, mor_sum)
+            out = {
+                "rows": n,
+                "changeset": 200,
+                "cow_merge_sec": round(cow_sec, 2),
+                "mor_merge_sec": round(mor_sec, 2),
+                "write_speedup": round(cow_sec / mor_sec, 1),
+                "cow_read_sec": round(cow_read, 2),
+                "mor_read_sec": round(mor_read, 2),
+                "read_tax": round(mor_read / max(cow_read, 1e-9), 2),
+            }
+            results["mor_vs_cow_small_changeset"] = out
+            print(
+                json.dumps({"op": "mor_vs_cow_small_changeset", **out}),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(root, ignore_errors=True)
+
     s = args.scale
     if args.only is not None and "probe_bucketed_vs_bnlj" in args.only:
         probe_bucketed(int(10e6 * s))
@@ -810,6 +887,8 @@ def main() -> None:
     # scoped/full split (round-9 review)
     if args.only is None or "merge_scoped_1of16" in args.only:
         merge_scoped(int(40e6 * s))
+    if args.only is None or "mor_vs_cow_small_changeset" in args.only:
+        mor_vs_cow(int(40e6 * s))
     if args.only is None or "ivm_join_delta_vs_recompute" in args.only:
         ivm_join(int(20e6 * s))
     run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
