@@ -83,7 +83,10 @@ def mor_orders_fixture(spark, sf_dir: str) -> str:
     return session_fixture("mor_orders", sf_dir, "cs50_s1_s2", build)
 
 
-_CENTS = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+def _cents():
+    # lazy: building a Column requires an active SparkContext, and this
+    # module must import session-free (registry enumeration, tooling)
+    return F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
 
 
 def _pri_agg(df, extra_cols=()):
@@ -91,7 +94,7 @@ def _pri_agg(df, extra_cols=()):
         df.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_CENTS).alias("sum_cents"),
+            F.sum(_cents()).alias("sum_cents"),
             F.sum((F.col("o_orderkey") >= 10_000_000).cast("long")).alias(
                 "n_ins"
             ),
@@ -216,7 +219,7 @@ def merge_dv_time_travel(spark, sf_dir):
         parts.append(
             read_mor(spark, dst, seq)
             .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("n"), F.sum(_CENTS).alias("sum_cents"))
+            .agg(F.count("*").alias("n"), F.sum(_cents()).alias("sum_cents"))
             .select(
                 F.lit(seq).alias("seq"), "o_orderpriority", "n", "sum_cents"
             )
@@ -273,7 +276,7 @@ def merge_dv_change_feed(spark, sf_dir):
     feed = change_feed_mor(spark, os.path.join(root, "orders"), 0)
     return feed.select(
         "o_orderkey", "change_type", "o_orderpriority",
-        _CENTS.alias("cents"),
+        _cents().alias("cents"),
     )
 
 
@@ -414,5 +417,5 @@ def merge_dv_purge_compact(spark, sf_dir):
     return (
         read_mor(spark, os.path.join(root, "orders"))
         .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n"), F.sum(_CENTS).alias("sum_cents"))
+        .agg(F.count("*").alias("n"), F.sum(_cents()).alias("sum_cents"))
     )

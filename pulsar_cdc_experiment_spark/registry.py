@@ -35,7 +35,12 @@ ORACLES: dict[str, str] = {}
 #: per round (simulated against the committed CORRECTNESS_r*.json union)
 #: so each round's prefix-50 lands ≥10 first-time names. Deterministic
 #: within a round — correctness artifacts stay reproducible.
-_ROTATION_SALT = 0
+#: round 14: salt 6 → 26 never-sampled names in the oracle-backed
+#: prefix-50 (simulated against CORRECTNESS_r01..r13), including 6 of
+#: this round's new queries (merge_upsert_dv, merge_dv_time_travel,
+#: merge_dv_change_feed, merge_dv_describe_history, asof_join_rejoin,
+#: merge_txn_snapshot_inflight)
+_ROTATION_SALT = 6
 
 
 def register(name: str, oracle: str | None = None):
