@@ -118,6 +118,8 @@ HEADLINE = [
     "recursive_cte_hierarchy",      # native WITH RECURSIVE traversal
     "window_session_dynamic_gap",   # per-row-gap session windows
     "corpus_mixture_temperature",   # temperature-scaled mixture sampling
+    # round-14 addition: merge-on-read — O(changeset) MERGE writes
+    "merge_upsert_dv",              # DV sidecar + delta append + overlay read
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
@@ -348,6 +350,9 @@ def main() -> None:
         "merge_upsert_partitioned",
         "merge_upsert_composite",
         "cdc_merge_apply",
+        # MoR cycle likewise: init + sidecar merges + overlay read,
+        # re-paid every run
+        "merge_upsert_dv",
         # NOT stream_stream_left_outer: its staged feed is plain source
         # staging (the operator is the stateful join, re-run in full
         # every invocation regardless)

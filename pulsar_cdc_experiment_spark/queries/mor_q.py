@@ -419,3 +419,113 @@ def merge_dv_purge_compact(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), F.sum(_cents()).alias("sum_cents"))
     )
+
+
+@register(
+    "stream_mor_apply",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value, event_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(max(event_id) AS BIGINT) AS max_event
+    FROM latest WHERE event_type <> 'error' GROUP BY 1
+    """,
+)
+def stream_mor_apply(spark, sf_dir):
+    """STREAMING upsert sink via MERGE-ON-READ (foreachBatch +
+    merge_into_mor): the same time-ordered two-batch CDC feed and the
+    same global-latest-per-key oracle as stream_merge_apply, applied
+    through the deletion-vector path instead of copy-on-write — batch 0
+    bootstraps the MoR table (init_mor), every later batch lands as one
+    delete sidecar + one delta append, O(batch) write amplification
+    regardless of serving-table size. This is the shape a
+    high-frequency CDC apply wants at 100 TB: per-micro-batch cost
+    tracks the FEED, and compaction amortizes on its own schedule
+    (stream_auto_maintenance is the CoW relative of that half).
+    Identical oracle to the CoW query = the two physical strategies
+    value-checked as one MERGE semantics, end-to-end from a stream.
+    Reference analog: the reference's enriched topic feeding a serving
+    table (docs/architecture.md:9-73) with at-least-once delivery —
+    re-merging a replayed batch at a new sequence converges to the
+    same state."""
+    from ..operators.materialize import latest_by_key
+    from ..streaming.pipeline import EVENTS_RAW
+    from .streaming_q import drain_or_raise
+
+    def build(root: str) -> None:
+        feed_root = os.path.join(root, "feed")
+        state_root = os.path.join(root, "state")
+        ev = spark.read.schema(EVENTS_RAW).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        t0 = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+        base = 1_700_000_000
+        for i, part in enumerate(
+            (ev.filter(F.col("ts") < t0), ev.filter(F.col("ts") >= t0))
+        ):
+            p = os.path.join(feed_root, f"{i:03d}")
+            part.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+
+        stream = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+
+        def apply_batch(batch_df, batch_id):
+            chg = latest_by_key(
+                batch_df, ["user_id"], ["ts", "event_id"]
+            ).select(
+                "user_id",
+                "value",
+                "event_id",
+                "event_type",
+                (F.col("event_type") == "error").alias("is_delete"),
+            )
+            if not os.path.exists(
+                os.path.join(state_root, ".mor", "manifest.json")
+            ):
+                # the manifest is init_mor's LAST write, so its absence
+                # with a state dir present = a crashed bootstrap — a
+                # micro-batch-0 retry must re-bootstrap from scratch,
+                # not merge into partial state (the stream_merge_apply
+                # _SUCCESS lesson, round-10)
+                import shutil
+
+                shutil.rmtree(state_root, ignore_errors=True)
+                init_mor(
+                    spark, state_root,
+                    chg.filter(~F.col("is_delete")).drop("is_delete"),
+                    keys=["user_id"], partition_col="event_type",
+                )
+            else:
+                merge_into_mor(spark, state_root, chg)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_mor_apply")
+        assert [s["seq"] for s in mor_history(state_root)] == [1]
+
+    root = session_fixture("stream_mor", sf_dir, "t0jan15_v1", build)
+    served = read_mor(spark, os.path.join(root, "state"))
+    return served.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("sum_cents"),
+        F.max("event_id").alias("max_event"),
+    )
