@@ -215,6 +215,7 @@ def init_mor(
         "partition_col": pcols,
         "columns": [c for c in df.columns],
         "base": base,
+        "base_seq": 0,
         "seqs": [],
     }
     _write_manifest(root, man)
@@ -227,16 +228,22 @@ def merge_into_mor(
     source: DataFrame,
     *,
     delete_col: str = "is_delete",
+    evolve_schema: bool = False,
 ) -> dict:
     """Apply a changeset to a merge-on-read table: write the delete
     sidecar + delta append + one manifest replace — NO target read, no
     data-file rewrite. Returns ``{"seq", "n_delete_keys", "n_appended"}``.
 
     ``source`` must carry every manifest data column plus boolean
-    ``delete_col`` (same contract as the copy-on-write ``merge_into``;
-    schema evolution is a compact-time concern here and extra columns
-    fail loud). Changeset keys must be unique and non-null — the one
-    validation aggregation over the CHANGESET is the only job this runs.
+    ``delete_col`` (same contract as the copy-on-write ``merge_into``).
+    Source columns the table lacks are an ERROR unless
+    ``evolve_schema=True``, which widens the manifest schema: the delta
+    lands with the new columns, earlier-born rows read as typed NULL in
+    them (the read path union-by-names components), and the next
+    compaction materializes the wide schema — the same union-by-name
+    convention the copy-on-write merge uses. Changeset keys must be
+    unique and non-null — the one validation aggregation over the
+    CHANGESET is the only job this runs.
     """
     with maintenance_lock(root):
         man = _read_manifest(root)
@@ -247,13 +254,13 @@ def merge_into_mor(
         if missing:
             raise ValueError(f"merge source lacks column(s) {missing}")
         extra = [c for c in source.columns if c not in cols + [delete_col]]
-        if extra:
+        if extra and not evolve_schema:
             raise ValueError(
                 f"merge source carries column(s) {extra} the table lacks; "
-                "merge-on-read defers schema evolution to compaction — "
-                "widen via compact_mor first"
+                "pass evolve_schema=True to widen the table (or drop them)"
             )
-        src = source.select(*cols, F.col(delete_col).cast("boolean"))
+        out_cols = cols + extra
+        src = source.select(*out_cols, F.col(delete_col).cast("boolean"))
 
         null_key = F.lit(False)
         for k in keys:
@@ -307,16 +314,19 @@ def merge_into_mor(
         )
         n_appended = int(stats["n_appended"] or 0)
         if n_appended:
-            src.filter(~F.col(delete_col)).select(*cols).write.mode(
+            src.filter(~F.col(delete_col)).select(*out_cols).write.mode(
                 "errorifexists"
             ).partitionBy(*pcols).parquet(_delta_dir(root, seq))
-        man["seqs"].append(
-            {
-                "seq": seq,
-                "n_delete_keys": int(stats["n_keys"]),
-                "n_appended": n_appended,
-            }
-        )
+        if extra:
+            man["columns"] = out_cols
+        entry = {
+            "seq": seq,
+            "n_delete_keys": int(stats["n_keys"]),
+            "n_appended": n_appended,
+        }
+        if extra:
+            entry["schema_evolved"] = extra
+        man["seqs"].append(entry)
         # publish point: everything before this is invisible to readers
         # and swept as an orphan if we crash before here
         _write_manifest(root, man)
@@ -337,34 +347,44 @@ def read_mor(
     seq); a row survives iff it was never deleted after its birth. The
     fold and the join build side are changeset-key-sized — at 100 TB AQE
     broadcasts them and the base scan stays shuffle-free (no F.broadcast
-    hint: the optimizer sees the actual size). ``as_of=0`` is the base
-    generation (post last compaction); sequences below the last
-    compaction are unreachable, exactly like a vacuumed table format."""
+    hint: the optimizer sees the actual size). ``as_of=base_seq`` is the
+    base generation (the state the last compaction folded to);
+    sequences below it are unreachable, exactly like a vacuumed table
+    format. Components union BY NAME: after a schema-evolving merge,
+    earlier-born rows read as typed NULL in the new columns, and a
+    sequence read serves the schema AS OF that sequence (columns no
+    component carries yet are absent — versioned schema, the table
+    format convention)."""
     man = _read_manifest(root)
     keys, pcols = man["keys"], man["partition_col"]
-    latest = man["seqs"][-1]["seq"] if man["seqs"] else 0
+    base_seq = man.get("base_seq", 0)
+    latest = man["seqs"][-1]["seq"] if man["seqs"] else base_seq
     hi = latest if as_of is None else as_of
-    if not 0 <= hi <= latest:
+    if not base_seq <= hi <= latest:
         raise ValueError(
-            f"as_of={as_of} outside retained sequences [0, {latest}] "
-            f"under {root}"
+            f"as_of={as_of} outside retained sequences "
+            f"[{base_seq}, {latest}] under {root} (compacted-away "
+            "sequences are unreachable, like a vacuumed table format)"
         )
     seqs = [s for s in man["seqs"] if s["seq"] <= hi]
 
     base_dir = os.path.join(root, man["base"])
-    data = _read_cached(spark, base_dir, base_path=base_dir)
-    data = data.select(*man["columns"]).withColumn("__born", F.lit(0))
+    data = _read_cached(spark, base_dir, base_path=base_dir).withColumn(
+        "__born", F.lit(base_seq)
+    )
     for s in seqs:
         if s["n_appended"]:
             d = _delta_dir(root, s["seq"])
             part = _read_cached(spark, d, base_path=d)
             data = data.unionByName(
-                part.select(*man["columns"]).withColumn(
-                    "__born", F.lit(s["seq"])
-                )
+                part.withColumn("__born", F.lit(s["seq"])),
+                allowMissingColumns=True,
             )
+    # schema as of `hi`: the manifest column order, restricted to what
+    # some component at-or-below `hi` actually carries
+    out_cols = [c for c in man["columns"] if c in data.columns]
     if not seqs:
-        return data.drop("__born")
+        return data.select(*out_cols)
 
     dels = None
     for s in seqs:
@@ -376,7 +396,7 @@ def read_mor(
     return (
         data.join(dmax, keys, "left")
         .filter(F.col("__dmax").isNull() | (F.col("__dmax") <= F.col("__born")))
-        .drop("__born", "__dmax")
+        .select(*out_cols)
     )
 
 
@@ -386,40 +406,62 @@ def mor_history(root: str) -> list[dict]:
     return [dict(s) for s in _read_manifest(root)["seqs"]]
 
 
-def compact_mor(spark: SparkSession, root: str) -> dict:
+def compact_mor(
+    spark: SparkSession, root: str, upto: int | None = None
+) -> dict:
     """OPTIMIZE for the merge-on-read table: fold base + sidecars into a
     NEW base generation and publish it with one atomic manifest replace
     — readers see either the old overlay or the new base, never a
-    half-compacted mix. Old generation + sidecars are removed after the
-    publish (a crash leaves them as swept-on-next-entry orphans; a crash
-    BEFORE the publish leaves the new generation dir as the orphan).
-    Applying the delete sidecars once here is what bounds read-side
-    overlay depth — the same role OPTIMIZE plays for Delta DVs."""
+    half-compacted mix. Old generation + folded sidecars are removed
+    after the publish (a crash leaves them as swept-on-next-entry
+    orphans; a crash BEFORE the publish leaves the new generation dir as
+    the orphan). Applying the delete sidecars once here is what bounds
+    read-side overlay depth — the same role OPTIMIZE plays for Delta
+    DVs.
+
+    ``upto`` (default: everything) is the RETENTION knob: fold only
+    sequences ≤ upto, keep the newer sidecars time-travelable — the
+    keep-last-N vacuum. Correctness rests on the read rule alone: rows
+    folded into the new base are re-born at ``base_seq = upto``, and
+    every retained delete has seq > upto, so it still applies to them —
+    no sidecar rewrite needed."""
     with maintenance_lock(root):
         man = _read_manifest(root)
         _sweep_orphans(root, man)
         if not man["seqs"]:
             return {"compacted_seqs": 0, "base": man["base"]}
+        latest = man["seqs"][-1]["seq"]
+        base_seq = man.get("base_seq", 0)
+        hi = latest if upto is None else upto
+        if not base_seq < hi <= latest:
+            raise ValueError(
+                f"upto={upto} must lie in ({base_seq}, {latest}] — below "
+                "is already folded, above doesn't exist"
+            )
+        folded = [s["seq"] for s in man["seqs"] if s["seq"] <= hi]
         old_base = man["base"]
         gen = int(old_base.split("-")[1]) + 1
         new_base = _BASE_FMT.format(gen)
-        snap = read_mor(spark, root)
+        snap = read_mor(spark, root, hi)
         snap.write.mode("errorifexists").partitionBy(
             *man["partition_col"]
         ).parquet(os.path.join(root, new_base))
-        n = len(man["seqs"])
-        old_seqs = [s["seq"] for s in man["seqs"]]
         man["base"] = new_base
-        man["seqs"] = []
+        man["base_seq"] = hi
+        man["seqs"] = [s for s in man["seqs"] if s["seq"] > hi]
         _write_manifest(root, man)  # publish point
         shutil.rmtree(os.path.join(root, old_base), ignore_errors=True)
-        for seq in old_seqs:
+        for seq in folded:
             shutil.rmtree(_delta_dir(root, seq), ignore_errors=True)
             try:
                 os.remove(_delete_file(root, seq))
             except FileNotFoundError:
                 pass
-        return {"compacted_seqs": n, "base": new_base}
+        return {
+            "compacted_seqs": len(folded),
+            "base": new_base,
+            "base_seq": hi,
+        }
 
 
 def change_feed_mor(
@@ -433,15 +475,20 @@ def change_feed_mor(
     insert/delete/update_pre/update_post). Both reconstructions are
     pruned to the keys the spanned DELETE SIDECARS carry before the
     full-outer diff — the sidecars are exactly the touched-key metadata,
-    so feed cost tracks the span's changesets, never table size."""
+    so feed cost tracks the span's changesets, never table size. A
+    schema-evolved span pads the pre side's missing columns with typed
+    NULLs, so an update confined to an evolved column still emits its
+    pre/post pair (the copy-on-write change_feed convention)."""
     man = _read_manifest(root)
     keys = man["keys"]
-    latest = man["seqs"][-1]["seq"] if man["seqs"] else 0
+    base_seq = man.get("base_seq", 0)
+    latest = man["seqs"][-1]["seq"] if man["seqs"] else base_seq
     hi = latest if to_seq is None else to_seq
-    if not 0 <= from_seq < hi <= latest:
+    if not base_seq <= from_seq < hi <= latest:
         raise ValueError(
-            f"change_feed_mor needs 0 <= from ({from_seq}) < to ({hi}) "
-            f"<= latest sequence ({latest})"
+            f"change_feed_mor needs {base_seq} <= from ({from_seq}) < "
+            f"to ({hi}) <= latest sequence ({latest}) — compacted-away "
+            "sequences are unreachable"
         )
     span = [s for s in man["seqs"] if from_seq < s["seq"] <= hi]
     touched = None
@@ -453,13 +500,25 @@ def change_feed_mor(
     pre = read_mor(spark, root, from_seq).join(touched, keys, "left_semi")
     post = read_mor(spark, root, hi).join(touched, keys, "left_semi")
 
-    data_cols = [c for c in man["columns"] if c not in keys]
+    types = {f.name: f.dataType for f in post.schema.fields}
+    for f in pre.schema.fields:
+        types.setdefault(f.name, f.dataType)
+    data_cols = [
+        c for c in man["columns"] if c not in keys and c in types
+    ]
 
     def _side(df: DataFrame, flag: str, img: str) -> DataFrame:
+        have = set(df.columns)
         return df.select(
             *keys,
             F.lit(True).alias(flag),
-            F.struct(*[F.col(c) for c in data_cols]).alias(img),
+            F.struct(
+                *[
+                    F.col(c) if c in have
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in data_cols
+                ]
+            ).alias(img),
         )
 
     j = _side(pre, "__in_pre", "__pre").join(

@@ -244,6 +244,73 @@ def test_change_feed_net_and_per_seq(spark, mor_table):
     }
 
 
+def test_schema_evolution_widens_and_pads(spark, mor_table):
+    """evolve_schema=True: the delta lands wide, earlier-born rows read
+    as typed NULL in the new column, a sequence read serves the schema
+    AS OF that sequence, the change feed emits updates confined to the
+    evolved column, and compaction materializes the wide schema."""
+    root = mor_table
+    merge_into_mor(spark, root, _chg(spark, [(4, 400.0, "a", False)]))
+    wide = spark.createDataFrame(
+        [(4, 400.0, "a", "gold", False), (5, 5.0, "b", "silver", False)],
+        "k bigint, v double, p string, tier string, is_delete boolean",
+    )
+    rep = merge_into_mor(spark, root, wide, evolve_schema=True)
+    assert rep["n_appended"] == 2
+    cur = read_mor(spark, root)
+    assert cur.columns == ["k", "v", "p", "tier"]
+    got = {(r["k"], r["v"], r["tier"]) for r in cur.collect()}
+    assert (4, 400.0, "gold") in got and (5, 5.0, "silver") in got
+    assert (0, 0.0, None) in got  # earlier-born row NULL-padded
+    # sequence read below the evolution serves the narrow schema
+    assert read_mor(spark, root, 1).columns == ["k", "v", "p"]
+    # feed across the evolution: k=4's update changed ONLY (v same)
+    # tier NULL -> 'gold', and it must surface as a pre/post pair
+    feed = {
+        (r["k"], r["change_type"], r["tier"])
+        for r in change_feed_mor(spark, root, 1, 2).collect()
+    }
+    assert (4, "update_pre", None) in feed
+    assert (4, "update_post", "gold") in feed
+    # compaction materializes the wide schema into the new base
+    compact_mor(spark, root)
+    plain = spark.read.parquet(os.path.join(root, "base-000001"))
+    assert set(plain.columns) == {"k", "v", "p", "tier"}
+    assert {(r["k"], r["v"], r["tier"]) for r in read_mor(spark, root).collect()} == got
+
+
+def test_partial_compaction_keeps_recent_sequences(spark, mor_table):
+    """compact_mor(upto=K): sequences ≤ K fold into the new base
+    (re-born at base_seq=K), sequences > K stay time-travelable and
+    their deletes still apply to the folded rows — the keep-last-N
+    retention verb."""
+    root = mor_table
+    merge_into_mor(spark, root, _chg(spark, [(4, 400.0, "a", False)]))
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(4, 444.0, "a", False), (7, 7.0, "b", True)]),
+    )
+    merge_into_mor(spark, root, _chg(spark, [(8, 888.0, "a", False)]))
+    want2 = _state(spark, root, 2)
+    want3 = _state(spark, root, 3)
+    rep = compact_mor(spark, root, upto=2)
+    assert rep == {"compacted_seqs": 2, "base": "base-000001", "base_seq": 2}
+    # seq 2 is now the base state; seq 3 still reconstructs; seq 1 gone
+    assert _state(spark, root, 2) == want2
+    assert _state(spark, root, 3) == want3
+    assert _state(spark, root) == want3
+    with pytest.raises(ValueError, match="unreachable"):
+        read_mor(spark, root, 1)
+    assert [s["seq"] for s in mor_history(root)] == [3]
+    # a post-fold delete of a FOLDED row still applies (born = base_seq)
+    merge_into_mor(spark, root, _chg(spark, [(4, 0.0, "a", True)]))
+    assert not any(t[0] == 4 for t in _state(spark, root))
+    # and full compaction from a partial base keeps converging
+    rep2 = compact_mor(spark, root)
+    assert rep2["base"] == "base-000002" and rep2["base_seq"] == 4
+    assert not any(t[0] == 4 for t in _state(spark, root))
+
+
 def test_fail_loud_preconditions(spark, mor_table):
     root = mor_table
     with pytest.raises(ValueError, match="multiple rows"):
@@ -264,7 +331,7 @@ def test_fail_loud_preconditions(spark, mor_table):
                 [(4, False)], "k bigint, is_delete boolean"
             ),
         )
-    with pytest.raises(ValueError, match="table lacks"):
+    with pytest.raises(ValueError, match="evolve_schema"):
         merge_into_mor(
             spark, root,
             spark.createDataFrame(
