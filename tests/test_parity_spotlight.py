@@ -46,6 +46,14 @@ SPOTLIGHT = [
     "llm_prep_pipeline",
     "merge_upsert_composite",
     "merge_rollback_lifecycle",
+    # round-14: the merge-on-read family and the saga/as-of additions,
+    # independently re-verified from birth
+    "merge_upsert_dv",
+    "merge_dv_time_travel",
+    "merge_dv_purge_compact",
+    "merge_txn_snapshot_inflight",
+    "asof_join_rejoin",
+    "stream_mor_apply",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",
@@ -71,6 +79,8 @@ BREADTH = [
     "array_hof_functions",
     "asof_join_tolerance",
     "bloom_point_lookup",
+    "merge_dv_change_feed",
+    "merge_dv_describe_history",
     "bucketed_join_revenue",
     "cdc_dlq_routing",
     "cdc_incremental_agg",
