@@ -441,6 +441,12 @@ def _merge_into_unlocked(
     keys = list(keys)
     single = isinstance(partition_col, str)
     pcols = [partition_col] if single else list(partition_col)
+    if os.path.exists(os.path.join(root, ".mor", "manifest.json")):
+        raise ValueError(
+            f"{root} is a merge-on-read table (plans/mor.py); the "
+            "copy-on-write merge_into would bypass its sidecars and "
+            "corrupt the overlay — use merge_into_mor"
+        )
     recover_partition_swaps(root)
     live = _part_dirs(root, pcols)
     if any(HIVE_DEFAULT_PARTITION in t for t in live):

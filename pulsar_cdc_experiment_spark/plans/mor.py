@@ -202,6 +202,11 @@ def init_mor(
     keys = list(keys)
     if os.path.exists(_manifest_path(root)):
         raise ValueError(f"{root} is already a merge-on-read table")
+    if os.path.isdir(os.path.join(root, ".merge_history")):
+        raise ValueError(
+            f"{root} carries copy-on-write merge history; one root "
+            "cannot serve both strategies — compact/vacuum it first"
+        )
     missing = [c for c in keys + pcols if c not in df.columns]
     if missing:
         raise ValueError(f"init_mor source lacks column(s) {missing}")

@@ -347,3 +347,43 @@ def test_fail_loud_preconditions(spark, mor_table):
                  partition_col="p")
     # a changeset with zero rows is a no-op, not a sequence
     assert merge_into_mor(spark, root, _chg(spark, []))["seq"] is None
+
+
+def test_strategy_mixing_fails_loud(spark, mor_table):
+    """A copy-on-write merge_into pointed at a MoR root would bypass the
+    sidecars and corrupt the overlay — fail loud both ways."""
+    from pulsar_cdc_experiment_spark.plans.merge import merge_into
+
+    with pytest.raises(ValueError, match="merge-on-read"):
+        merge_into(
+            spark, mor_table,
+            _chg(spark, [(4, 400.0, "a", False)]),
+            keys=["k"], partition_col="p",
+        )
+    cow = tempfile.mkdtemp(prefix="cow_t_") + "/t"
+    _mk(spark, _base_rows()).write.partitionBy("p").parquet(cow)
+    merge_into(
+        spark, cow, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    with pytest.raises(ValueError, match="copy-on-write merge history"):
+        init_mor(
+            spark, cow, _mk(spark, _base_rows()), keys=["k"],
+            partition_col="p",
+        )
+    shutil.rmtree(os.path.dirname(cow), ignore_errors=True)
+
+
+def test_read_mor_sidecar_join_broadcasts(spark, mor_table):
+    """Scale evidence for the read rule: with a changeset-sized delete
+    set, the executed (AQE-final) plan applies the sidecars as a
+    BROADCAST hash join — the base scan is never shuffled. No
+    F.broadcast hint exists in the operator (the registry-wide hint ban
+    applies); the optimizer chooses it from the actual size."""
+    root = mor_table
+    merge_into_mor(spark, root, _chg(spark, [(4, 400.0, "a", False)]))
+    df = read_mor(spark, root)
+    df.collect()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
