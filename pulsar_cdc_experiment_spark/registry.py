@@ -133,6 +133,7 @@ def load_all_query_modules() -> None:
         llm_ops,
         merge_q,
         mor_q,
+        mv_q,
         relational,
         relational_ext,
         scalar_fns,

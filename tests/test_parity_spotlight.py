@@ -81,6 +81,7 @@ BREADTH = [
     "bloom_point_lookup",
     "merge_dv_change_feed",
     "merge_dv_describe_history",
+    "mv_rollup_rewrite",
     "bucketed_join_revenue",
     "cdc_dlq_routing",
     "cdc_incremental_agg",

@@ -724,6 +724,10 @@ _BUILD_JOBS_SANCTIONED = {
     # schema cache — NOT sanctioned, deliberately
     "merge_dv_change_feed",
     "merge_dv_purge_compact",
+    # materialized-view fixture: the summary build IS the operator
+    # (plans/mv.py create_mv + fingerprint); re-planning reads the MV
+    # through the file-state-keyed schema cache
+    "mv_rollup_rewrite",
 }
 
 
@@ -802,6 +806,7 @@ _FIXTURE_CACHED = [
     "cdc_merge_apply",
     "merge_upsert_dv",
     "merge_dv_purge_compact",
+    "mv_rollup_rewrite",
 ]
 
 
