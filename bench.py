@@ -118,8 +118,9 @@ HEADLINE = [
     "recursive_cte_hierarchy",      # native WITH RECURSIVE traversal
     "window_session_dynamic_gap",   # per-row-gap session windows
     "corpus_mixture_temperature",   # temperature-scaled mixture sampling
-    # round-14 addition: merge-on-read — O(changeset) MERGE writes
+    # round-14 additions: merge-on-read + aggregate navigation
     "merge_upsert_dv",              # DV sidecar + delta append + overlay read
+    "mv_rollup_rewrite",            # MV build + rollup rewrite + base fallback
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
@@ -353,6 +354,8 @@ def main() -> None:
         # MoR cycle likewise: init + sidecar merges + overlay read,
         # re-paid every run
         "merge_upsert_dv",
+        # MV cycle: summary build + fingerprint + rollup serve
+        "mv_rollup_rewrite",
         # NOT stream_stream_left_outer: its staged feed is plain source
         # staging (the operator is the stateful join, re-run in full
         # every invocation regardless)

@@ -868,6 +868,65 @@ def main() -> None:
         finally:
             _sh.rmtree(root, ignore_errors=True)
 
+    def mv_rewrite(n):
+        """Round-14: aggregate navigation at asymptote — the same
+        grouped aggregate answered from the fact scan vs from the
+        registered MV's partials. The MV read is O(groups), so the gap
+        IS the fact-scan cost the rewrite avoids; at 100 TB this is a
+        dashboard query's difference between a summary read and a
+        full-table pass."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            answer_aggregate,
+            create_mv,
+        )
+
+        base = tempfile.mkdtemp(prefix="stress_mv_")
+        src_path = os.path.join(base, "fact")
+        try:
+            spark.range(n).select(
+                (F.col("id") % 23).cast("string").alias("g1"),
+                (F.col("id") % 7).cast("string").alias("g2"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            ).write.parquet(src_path)
+            src = spark.read.parquet(src_path)
+            mv_root = os.path.join(base, "mvs")
+            create_mv(
+                spark, mv_root, name="m", source_path=src_path,
+                source=src, group_cols=["g1", "g2"],
+                measures={"sv": ("sum", "v"), "n": ("count", None)},
+            )
+            aggs = {"sv": ("sum", "v"), "n": ("count", None)}
+
+            def timed(gcols, use_mv):
+                root = mv_root if use_mv else os.path.join(base, "none")
+                t0 = time.perf_counter()
+                df, used = answer_aggregate(
+                    spark, root, src, src_path,
+                    group_cols=gcols, aggs=aggs,
+                )
+                rows = df.collect()
+                return time.perf_counter() - t0, used, rows
+
+            direct_sec, u0, r0 = timed(["g1"], use_mv=False)
+            mv_sec, u1, r1 = timed(["g1"], use_mv=True)
+            assert u0 is None and u1 == "m"
+            assert sorted(map(tuple, r0)) == sorted(map(tuple, r1))
+            out = {
+                "rows": n,
+                "direct_sec": round(direct_sec, 3),
+                "mv_sec": round(mv_sec, 3),
+                "speedup": round(direct_sec / max(mv_sec, 1e-9), 1),
+            }
+            results["mv_rewrite_speedup"] = out
+            print(
+                json.dumps({"op": "mv_rewrite_speedup", **out}), flush=True
+            )
+        finally:
+            _sh.rmtree(base, ignore_errors=True)
+
     s = args.scale
     if args.only is not None and "probe_bucketed_vs_bnlj" in args.only:
         probe_bucketed(int(10e6 * s))
@@ -889,6 +948,8 @@ def main() -> None:
         merge_scoped(int(40e6 * s))
     if args.only is None or "mor_vs_cow_small_changeset" in args.only:
         mor_vs_cow(int(40e6 * s))
+    if args.only is None or "mv_rewrite_speedup" in args.only:
+        mv_rewrite(int(200e6 * s))
     if args.only is None or "ivm_join_delta_vs_recompute" in args.only:
         ivm_join(int(20e6 * s))
     run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
