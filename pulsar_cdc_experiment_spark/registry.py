@@ -35,12 +35,13 @@ ORACLES: dict[str, str] = {}
 #: per round (simulated against the committed CORRECTNESS_r*.json union)
 #: so each round's prefix-50 lands ≥10 first-time names. Deterministic
 #: within a round — correctness artifacts stay reproducible.
-#: round 14: salt 6 → 26 never-sampled names in the oracle-backed
-#: prefix-50 (simulated against CORRECTNESS_r01..r13), including 6 of
-#: this round's new queries (merge_upsert_dv, merge_dv_time_travel,
-#: merge_dv_change_feed, merge_dv_describe_history, asof_join_rejoin,
-#: merge_txn_snapshot_inflight)
-_ROTATION_SALT = 6
+#: round 14: salt 4 at the final 221-query registry → 25 never-sampled
+#: names in the oracle-backed prefix-50 (simulated against
+#: CORRECTNESS_r01..r13), including 7 of this round's 9 new queries
+#: (merge_upsert_dv, merge_dv_describe_history, merge_dv_purge_compact,
+#: merge_txn_snapshot_inflight, asof_join_rejoin, stream_mor_apply,
+#: mv_rollup_rewrite)
+_ROTATION_SALT = 4
 
 
 def register(name: str, oracle: str | None = None):
