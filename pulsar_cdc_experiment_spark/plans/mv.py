@@ -174,6 +174,99 @@ def refresh_mv(
         return man
 
 
+def maintain_mv(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    changes: DataFrame,
+    *,
+    base_new: DataFrame,
+) -> dict:
+    """INCREMENTAL maintenance of an MV from a z-weighted changeset —
+    the CDC-to-summary loop closed: a MERGE lands on the fact, the same
+    changeset (insert = +1 row, delete = −1 row with the BEFORE image,
+    update = the −1/+1 pair) folds into the MV's partials, and the
+    rewrite keeps serving fresh numbers without ever recomputing the
+    summary from the 100 TB fact.
+
+    Delegates the aggregate math to
+    ``operators/materialize.minmax_delta_maintain`` (round-13's
+    non-invertible IVM): count/sum fold invertibly from the delta alone;
+    MIN/MAX fold on inserts and recompute ONLY the groups whose stored
+    extremum a delete reached, semi-join-pruned from ``base_new`` (the
+    post-changeset fact projection — the only time the fact is touched,
+    and only for risky groups). V1 contract: the MV's measures must
+    reference ONE value column (fail loud otherwise). ``changes``
+    carries the group columns + the value column + ``__z`` (+1/−1).
+
+    Publishes via the same atomic data-dir swap as ``refresh_mv`` and
+    RE-FINGERPRINTS against the source's CURRENT state — so the
+    staleness guard accepts the maintained MV exactly when the caller
+    maintained it against the state the fact actually reached. Work is
+    O(changeset + groups + risky-group base scan) vs refresh_mv's full
+    fact pass."""
+    from ..operators.materialize import minmax_delta_maintain
+
+    with maintenance_lock(mv_root):
+        d = _mv_dir(mv_root, name)
+        with open(os.path.join(d, "mv.json")) as f:
+            man = json.load(f)
+        vals = {m["col"] for m in man["measures"].values() if m["col"]}
+        if len(vals) != 1:
+            raise ValueError(
+                "maintain_mv v1 needs measures over exactly one value "
+                f"column, this MV has {sorted(vals)}"
+            )
+        val = vals.pop()
+        group_cols = man["group_cols"]
+        from .mor import _read_cached
+
+        data = _read_cached(spark, os.path.join(d, "data"))
+        have_min = f"__min_{val}" in data.columns
+        have_max = f"__max_{val}" in data.columns
+        view = data.select(
+            *group_cols,
+            F.col("__cnt").alias("n_rows"),
+            (F.col(f"__sum_{val}") if f"__sum_{val}" in data.columns
+             else F.lit(0).cast("long")).alias("sum_v"),
+            (F.col(f"__min_{val}") if have_min
+             else F.lit(None).cast("long")).alias("min_v"),
+            (F.col(f"__max_{val}") if have_max
+             else F.lit(None).cast("long")).alias("max_v"),
+        )
+        new_rows = minmax_delta_maintain(
+            view, base_new, changes.select(*group_cols, val, "__z"),
+            group_cols, val,
+        )
+        touched = changes.select(*group_cols).distinct()
+        untouched = view.join(touched, group_cols, "left_anti")
+        merged = untouched.unionByName(new_rows)
+        out = merged.select(
+            *group_cols,
+            F.col("n_rows").alias("__cnt"),
+            *(
+                [F.col("sum_v").alias(f"__sum_{val}")]
+                if f"__sum_{val}" in data.columns else []
+            ),
+            *([F.col("min_v").alias(f"__min_{val}")] if have_min else []),
+            *([F.col("max_v").alias(f"__max_{val}")] if have_max else []),
+        )
+        staged = os.path.join(d, ".data_staged")
+        shutil.rmtree(staged, ignore_errors=True)
+        out.write.mode("overwrite").parquet(staged)
+        old = os.path.join(d, ".data_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(os.path.join(d, "data"), old)
+        os.rename(staged, os.path.join(d, "data"))
+        shutil.rmtree(old, ignore_errors=True)
+        man["fingerprint"] = _fingerprint(man["source_path"])
+        tmp = os.path.join(d, "mv.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, os.path.join(d, "mv.json"))
+        return man
+
+
 def _list_mvs(mv_root: str) -> list[dict]:
     out = []
     if not os.path.isdir(mv_root):

@@ -117,3 +117,164 @@ def mv_rollup_rewrite(spark, sf_dir):
             "n", "sum_cents", "min_cents", "max_cents",
         )
     )
+
+
+def mv_serving_fixture(spark, sf_dir: str) -> str:
+    """The CDC-to-summary loop: orders lands partitioned; an MV
+    summarizes it per priority; the STANDARD changeset MERGEs into the
+    fact (copy-on-write); the SAME changeset — as z-weighted rows with
+    before images — folds into the MV via maintain_mv. The build
+    asserts the staleness guard both ways: after the merge but before
+    maintenance the MV is invisible (stale), after maintenance the
+    rewrite serves again."""
+
+    def build(root: str) -> None:
+        from ..plans.merge import merge_into
+        from ..plans.mv import maintain_mv
+        from ..sources.tables import read_dir
+        from .merge_q import _ORDER_COLS, _TOUCHED, _changeset
+
+        fact = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+        orders.repartition(4).write.partitionBy("o_orderpriority").parquet(
+            fact
+        )
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+        src = read_dir(spark, fact).select("o_orderpriority", cents)
+        create_mv(
+            spark, root, name="orders_by_pri", source_path=fact,
+            source=src, group_cols=["o_orderpriority"],
+            measures={
+                "sum_cents": ("sum", "cents"), "n": ("count", None),
+                "min_cents": ("min", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+        merge_into(
+            spark, fact, _changeset(orders),
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None)}
+        src_new = read_dir(spark, fact).select("o_orderpriority", cents)
+        _, used_stale = answer_aggregate(
+            spark, root, src_new, fact,
+            group_cols=["o_orderpriority"], aggs=aggs,
+        )
+        assert used_stale is None, "stale MV must be invisible"
+
+        # the changeset's z-weighted row-change encoding, closed-form
+        # from the raw table (delete = -1 with the BEFORE image)
+        key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+        old_c = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long")
+        new_c = F.floor(
+            F.col("o_totalprice") * 1.07 * 100 + F.lit(0.5)
+        ).cast("long")
+        upd = orders.filter((key % 50 == 3) & pri.isin(*_TOUCHED))
+        mov = orders.filter((key % 50 == 19) & (pri == "3-MEDIUM"))
+        dele = orders.filter((key % 50 == 7) & pri.isin(*_TOUCHED))
+        ins = orders.filter((key % 50 == 11) & (pri == "5-LOW"))
+        z = lambda df, p, c, zz: df.select(
+            p.alias("o_orderpriority"), c.alias("cents"),
+            F.lit(zz).alias("__z"),
+        )
+        changes = (
+            z(upd, pri, old_c, -1).unionByName(z(upd, pri, new_c, 1))
+            .unionByName(z(mov, pri, old_c, -1))
+            .unionByName(z(mov, F.lit("1-URGENT"), old_c, 1))
+            .unionByName(z(dele, pri, old_c, -1))
+            .unionByName(z(ins, F.lit("1-URGENT"), old_c, 1))
+        )
+        maintain_mv(
+            spark, root, "orders_by_pri", changes, base_new=src_new
+        )
+        _, used_fresh = answer_aggregate(
+            spark, root, src_new, fact,
+            group_cols=["o_orderpriority"], aggs=aggs,
+        )
+        assert used_fresh == "orders_by_pri", "maintained MV must serve"
+
+    return session_fixture("mv_serving", sf_dir, "cs50_maintained", build)
+
+
+@register(
+    "mv_incremental_serving",
+    oracle="""
+    WITH chg_upd AS (
+      SELECT floor(o_totalprice * 1.07 * 100 + 0.5) AS cents,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 3 AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), chg_mov AS (
+      SELECT floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    ), chg_ins AS (
+      SELECT floor(o_totalprice * 100 + 0.5) AS cents,
+             '1-URGENT' AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 50 = 11 AND o_orderpriority = '5-LOW'
+    ), final AS (
+      SELECT floor(o_totalprice * 100 + 0.5) AS cents, o_orderpriority
+      FROM orders
+      WHERE NOT (o_orderkey % 50 = 3
+                 AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+        AND NOT (o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM')
+        AND NOT (o_orderkey % 50 = 7
+                 AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+      UNION ALL SELECT * FROM chg_upd
+      UNION ALL SELECT * FROM chg_mov
+      UNION ALL SELECT * FROM chg_ins
+    )
+    SELECT 'mv' AS served_from, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY 2
+    """,
+)
+def mv_incremental_serving(spark, sf_dir):
+    """The CDC-to-summary capstone: the standard changeset MERGEs into
+    the partitioned fact (copy-on-write), the SAME changes fold into
+    the registered MV incrementally (plans/mv.maintain_mv →
+    operators/materialize.minmax_delta_maintain: count/sum telescope
+    from the delta, MIN/MAX recompute only the groups whose stored
+    extremum a delete reached, semi-join-pruned from the post-merge
+    fact), and the aggregate-navigation rewrite serves the summary —
+    fingerprint-fresh, never re-scanning the fact. The oracle
+    recomputes the post-merge per-priority aggregates (incl. MIN/MAX —
+    wrong risky-group handling shifts them) closed-form from the raw
+    table, and the hardcoded served_from='mv' fails the hash if the
+    maintained MV did not actually serve. The build additionally
+    asserts the STALE window: between the merge and the maintenance
+    the MV is invisible. At 100 TB: per-batch summary freshness costs
+    O(changeset + risky groups), not a fact recompute."""
+    from ..plans.mv import answer_aggregate as _answer
+
+    root = mv_serving_fixture(spark, sf_dir)
+    fact = os.path.join(root, "orders")
+    from ..sources.tables import read_dir
+
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    src = read_dir(spark, fact).select("o_orderpriority", cents)
+    df, used = _answer(
+        spark, root, src, fact,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"), "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit("mv" if used == "orders_by_pri" else "base").alias(
+            "served_from"
+        ),
+        "o_orderpriority", "n", "sum_cents", "min_cents", "max_cents",
+    )

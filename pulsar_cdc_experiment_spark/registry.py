@@ -35,12 +35,9 @@ ORACLES: dict[str, str] = {}
 #: per round (simulated against the committed CORRECTNESS_r*.json union)
 #: so each round's prefix-50 lands ≥10 first-time names. Deterministic
 #: within a round — correctness artifacts stay reproducible.
-#: round 14: salt 4 at the final 221-query registry → 25 never-sampled
+#: round 14: salt 4 at the final 222-query registry → 25 never-sampled
 #: names in the oracle-backed prefix-50 (simulated against
-#: CORRECTNESS_r01..r13), including 7 of this round's 9 new queries
-#: (merge_upsert_dv, merge_dv_describe_history, merge_dv_purge_compact,
-#: merge_txn_snapshot_inflight, asof_join_rejoin, stream_mor_apply,
-#: mv_rollup_rewrite)
+#: CORRECTNESS_r01..r13), including 8 of this round's 10 new queries
 _ROTATION_SALT = 4
 
 

@@ -82,6 +82,7 @@ BREADTH = [
     "merge_dv_change_feed",
     "merge_dv_describe_history",
     "mv_rollup_rewrite",
+    "mv_incremental_serving",
     "bucketed_join_revenue",
     "cdc_dlq_routing",
     "cdc_incremental_agg",

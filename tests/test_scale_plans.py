@@ -724,10 +724,12 @@ _BUILD_JOBS_SANCTIONED = {
     # schema cache — NOT sanctioned, deliberately
     "merge_dv_change_feed",
     "merge_dv_purge_compact",
-    # materialized-view fixture: the summary build IS the operator
-    # (plans/mv.py create_mv + fingerprint); re-planning reads the MV
-    # through the file-state-keyed schema cache
+    # materialized-view fixtures: the summary build / merge + incremental
+    # maintenance cycle IS the operator (plans/mv.py create_mv /
+    # maintain_mv + fingerprint); re-planning reads the MV through the
+    # file-state-keyed schema cache
     "mv_rollup_rewrite",
+    "mv_incremental_serving",
 }
 
 
@@ -807,6 +809,7 @@ _FIXTURE_CACHED = [
     "merge_upsert_dv",
     "merge_dv_purge_compact",
     "mv_rollup_rewrite",
+    "mv_incremental_serving",
 ]
 
 
