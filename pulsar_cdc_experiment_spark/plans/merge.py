@@ -1425,11 +1425,19 @@ def purge_keys(
                     .collect()
                 )
             }
-            hits = {
-                tuple_to_ldir[vals]: n
-                for vals, n in hits.items()
-                if vals in tuple_to_ldir
-            }
+            # a hit tuple with no saved leaf means dir-name decode or
+            # spelling drift — silently dropping it would leave PII
+            # unpurged with no error (the MoR purge raises for the same
+            # case); fail loud so the drift gets fixed, never skipped
+            unmapped = [v for v in hits if v not in tuple_to_ldir]
+            if unmapped:
+                raise RuntimeError(
+                    f"purge hit(s) in version {man['version']} decode to "
+                    f"partition tuple(s) {unmapped[:5]} but no saved leaf "
+                    f"under {vdir} matches — dir-name spelling drift; "
+                    "refusing to skip a PII hit"
+                )
+            hits = {tuple_to_ldir[vals]: n for vals, n in hits.items()}
             touched_version = False
             for ldir in saved_leaves:
                 hit = hits.get(ldir, 0)

@@ -312,7 +312,15 @@ def merge_into_mor(
                 f"NULL or empty {', '.join(pcols)}"
             )
 
-        seq = (man["seqs"][-1]["seq"] + 1) if man["seqs"] else 1
+        # first merge after a full compaction must continue ABOVE the
+        # compacted base_seq — restarting at 1 would either collide with
+        # the rebirth seq (duplicate images survive read_mor's
+        # dmax<=born rule) or fall below base_seq (table unreadable)
+        seq = (
+            (man["seqs"][-1]["seq"] + 1)
+            if man["seqs"]
+            else man.get("base_seq", 0) + 1
+        )
         os.makedirs(os.path.join(root, MOR, "delete"), exist_ok=True)
         _write_single_parquet(
             src.select(*keys).distinct(), _delete_file(root, seq)
@@ -417,12 +425,14 @@ def compact_mor(
     """OPTIMIZE for the merge-on-read table: fold base + sidecars into a
     NEW base generation and publish it with one atomic manifest replace
     — readers see either the old overlay or the new base, never a
-    half-compacted mix. Old generation + folded sidecars are removed
-    after the publish (a crash leaves them as swept-on-next-entry
-    orphans; a crash BEFORE the publish leaves the new generation dir as
-    the orphan). Applying the delete sidecars once here is what bounds
-    read-side overlay depth — the same role OPTIMIZE plays for Delta
-    DVs.
+    half-compacted mix. The old generation + folded sidecars are NOT
+    removed here: they stay on disk as a retention grace window so a
+    lock-free reader holding a lazy plan built from the pre-compaction
+    manifest can still execute it, and the NEXT maintenance entry's
+    orphan sweep removes them (a crash BEFORE the publish leaves the
+    new generation dir as the swept orphan instead). Applying the
+    delete sidecars once here is what bounds read-side overlay depth —
+    the same role OPTIMIZE plays for Delta DVs.
 
     ``upto`` (default: everything) is the RETENTION knob: fold only
     sequences ≤ upto, keep the newer sidecars time-travelable — the
@@ -455,13 +465,9 @@ def compact_mor(
         man["base_seq"] = hi
         man["seqs"] = [s for s in man["seqs"] if s["seq"] > hi]
         _write_manifest(root, man)  # publish point
-        shutil.rmtree(os.path.join(root, old_base), ignore_errors=True)
-        for seq in folded:
-            shutil.rmtree(_delta_dir(root, seq), ignore_errors=True)
-            try:
-                os.remove(_delete_file(root, seq))
-            except FileNotFoundError:
-                pass
+        # retention grace: old_base + folded sidecars stay on disk for
+        # in-flight lazy readers; the next maintenance entry's
+        # _sweep_orphans removes them (they are no longer published)
         return {
             "compacted_seqs": len(folded),
             "base": new_base,
@@ -602,29 +608,54 @@ def purge_keys_mor(
             if s["n_appended"]:
                 comps[f"s{s['seq']}"] = _delta_dir(root, s["seq"])
 
-        # inference off: decoded partition values must be strings in
-        # their dir-name spelling so hits map back to leaf dirs exactly
-        inf_conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev_inf = spark.conf.get(inf_conf, "true")
-        spark.conf.set(inf_conf, "false")
-        try:
-            tagged = None
-            for cid, cdir in comps.items():
-                part = (
-                    spark.read.option("basePath", cdir)
-                    .parquet(cdir)
-                    .select(*dict.fromkeys(list(keys) + pcols))
-                    .withColumn("__comp", F.lit(cid))
-                )
-                tagged = part if tagged is None else tagged.unionByName(part)
-        finally:
-            spark.conf.set(inf_conf, prev_inf)
-        hits = (
-            tagged.join(key_rows, keys, "left_semi")
-            .groupBy("__comp", *pcols)
-            .agg(F.count("*").alias("n"))
-            .collect()
+        # probe schema: key fields typed from the base footer (ONE
+        # cached inference, constant per purge) + partition columns as
+        # strings in their decoded dir-name spelling so hits map back
+        # to leaf dirs exactly. Explicit schemas keep the probe phase
+        # at O(1) inference jobs regardless of retained-sequence count.
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        base_dir = os.path.join(root, man["base"])
+        base_schema = _read_cached(
+            spark, base_dir, base_path=base_dir
+        ).schema
+        key_schema = StructType([f for f in base_schema if f.name in keys])
+        probe_schema = StructType(
+            list(key_schema)
+            + [
+                StructField(c, StringType())
+                for c in pcols
+                if c not in keys
+            ]
         )
+        tagged = None
+        for cid, cdir in comps.items():
+            part = (
+                spark.read.option("basePath", cdir)
+                .schema(probe_schema)
+                .parquet(cdir)
+                .select(*dict.fromkeys(list(keys) + pcols))
+                .withColumn("__comp", F.lit(cid))
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        # AQE off for the two probe collects: AQE materializes every
+        # union leg as its own query-stage job, re-introducing
+        # O(components) scheduling the batching exists to avoid; the
+        # probe is a fixed scan→semi-join→tiny-agg pipeline where the
+        # static planner already picks the broadcast (key_rows is a
+        # sized local relation)
+        aqe_conf = "spark.sql.adaptive.enabled"
+        prev_aqe = spark.conf.get(aqe_conf, "true")
+        spark.conf.set(aqe_conf, "false")
+        try:
+            hits = (
+                tagged.join(key_rows, keys, "left_semi")
+                .groupBy("__comp", *pcols)
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+        finally:
+            spark.conf.set(aqe_conf, prev_aqe)
 
         purged = 0
         rewritten: set[str] = set()
@@ -675,15 +706,45 @@ def purge_keys_mor(
             purged += r["n"]
             rewritten.add(cid)
 
+        # sidecar hit detection: ONE multi-file read (explicit key
+        # schema, no per-file inference) + semi-join grouped by file —
+        # O(1) jobs in retained-sequence count; only HIT sidecars
+        # rewrite below
         sidecar_purged = 0
+        seq_by_name = {
+            os.path.basename(_delete_file(root, s["seq"])): s["seq"]
+            for s in man["seqs"]
+        }
+        seq_hits: dict[int, int] = {}
+        if seq_by_name:
+            probe = (
+                spark.read.schema(key_schema)
+                .parquet(*[
+                    _delete_file(root, s["seq"]) for s in man["seqs"]
+                ])
+                .withColumn(
+                    "__f",
+                    F.element_at(F.split(F.input_file_name(), "/"), -1),
+                )
+            )
+            spark.conf.set(aqe_conf, "false")
+            try:
+                seq_hits = {
+                    seq_by_name[urllib.parse.unquote(r["__f"])]: r["n"]
+                    for r in probe.join(key_rows, keys, "left_semi")
+                    .groupBy("__f")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            finally:
+                spark.conf.set(aqe_conf, prev_aqe)
         for s in man["seqs"]:
-            f = _delete_file(root, s["seq"])
-            d = spark.read.parquet(f)
-            hit = d.join(key_rows, keys, "left_semi").count()
+            hit = seq_hits.get(s["seq"], 0)
             if not hit:
                 continue
+            f = _delete_file(root, s["seq"])
             _write_single_parquet(
-                d.join(key_rows, keys, "left_anti"), f
+                spark.read.parquet(f).join(key_rows, keys, "left_anti"), f
             )
             sidecar_purged += hit
             s["n_delete_keys"] = s["n_delete_keys"] - hit

@@ -356,6 +356,12 @@ def mor_purge_fixture(spark, sf_dir: str) -> str:
             assert leak == 0, (seq, leak)
         crep = compact_mor(spark, dst)
         assert crep["compacted_seqs"] == 1
+        # compaction unpublishes every sidecar immediately; the FILES
+        # persist as a retention grace window for in-flight readers
+        # (already scrubbed of purged keys above — no PII lingers) and
+        # the next maintenance entry sweeps them
+        assert mor_history(dst) == []
+        compact_mor(spark, dst)  # no-op maintenance entry → sweep
         assert not _glob.glob(os.path.join(dst, ".mor", "delete", "*"))
         with open(os.path.join(root, "purge.json"), "w") as f:
             json.dump({"purge": prep, "compact": crep}, f)

@@ -124,9 +124,10 @@ def test_compaction_preserves_state_and_clears_sidecars(spark, mor_table):
     assert rep["compacted_seqs"] == 1 and rep["base"] == "base-000001"
     assert _state(spark, root) == want
     assert mor_history(root) == []
-    assert not glob.glob(os.path.join(root, MOR, "delete", "*"))
-    assert not glob.glob(os.path.join(root, MOR, "delta", "*"))
-    assert not os.path.exists(os.path.join(root, "base-000000"))
+    # retention grace: the old generation + folded sidecars stay on
+    # disk for in-flight lazy readers until the NEXT maintenance entry
+    assert glob.glob(os.path.join(root, MOR, "delete", "*"))
+    assert os.path.exists(os.path.join(root, "base-000000"))
     # a plain hive read of the new base equals the MoR view
     plain = {
         (r["k"], r["v"], r["p"])
@@ -135,9 +136,36 @@ def test_compaction_preserves_state_and_clears_sidecars(spark, mor_table):
         ).collect()
     }
     assert plain == want
-    # merges keep working on the new generation
+    # the first post-compaction merge continues ABOVE base_seq (a seq
+    # restart at 1 would collide with the rebirth seq and resurrect the
+    # old image) — assert EXACT state, not just membership of the new row
     merge_into_mor(spark, root, _chg(spark, [(1, 111.0, "b", False)]))
-    assert (1, 111.0, "b") in _state(spark, root)
+    assert mor_history(root)[-1]["seq"] == 2
+    assert _state(spark, root) == (want - {(1, 1.0, "b")}) | {(1, 111.0, "b")}
+    # ... and that maintenance entry swept the grace-window orphans
+    assert not os.path.exists(os.path.join(root, "base-000000"))
+    assert not glob.glob(os.path.join(root, MOR, "delete", "d-000001*"))
+    assert not glob.glob(os.path.join(root, MOR, "delta", "s-000001*"))
+
+
+def test_repeated_compact_merge_cycles_stay_readable(spark, mor_table):
+    """compact → merge → compact → merge: each post-compaction merge's
+    seq continues above base_seq, every cycle stays readable, and the
+    final state is exactly the net of all merges (regression for the
+    seq-restart-at-1 collision that made base_seq>=2 tables unreadable)."""
+    root = mor_table
+    want = _state(spark, root)
+    for i, (k, v) in enumerate([(3, 333.0), (5, 555.0), (3, 999.0)], 1):
+        merge_into_mor(spark, root, _chg(spark, [(k, v, "b", False)]))
+        want = {t for t in want if t[0] != k} | {(k, v, "b")}
+        rep = compact_mor(spark, root)
+        assert rep["base_seq"] == i
+        assert _state(spark, root) == want
+    merge_into_mor(spark, root, _chg(spark, [(5, 5.5, "b", False)]))
+    assert mor_history(root)[-1]["seq"] == 4
+    want = {t for t in want if t[0] != 5} | {(5, 5.5, "b")}
+    assert _state(spark, root) == want
+    assert _state(spark, root, 3) != want  # time travel to base_seq works
 
 
 def test_crash_windows_converge_on_next_maintenance(spark, mor_table):
@@ -372,6 +400,39 @@ def test_strategy_mixing_fails_loud(spark, mor_table):
             partition_col="p",
         )
     shutil.rmtree(os.path.dirname(cow), ignore_errors=True)
+
+
+def _mor_purge_jobs(spark, n_seqs, tag):
+    """Zero-hit MoR purge job count over a table with ``n_seqs``
+    retained sequences (helper for the O(1)-probe test)."""
+    root = tempfile.mkdtemp(prefix=f"morpurge_{tag}_") + "/t"
+    init_mor(spark, root, _mk(spark, _base_rows()), keys=["k"],
+             partition_col="p")
+    for i in range(n_seqs):
+        merge_into_mor(
+            spark, root, _chg(spark, [(i, 1000.0 + i, "a", False)])
+        )
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup(f"mor_purge_{tag}", "audit")
+    rep = purge_keys_mor(
+        spark, root, spark.createDataFrame([(999_999,)], "k bigint")
+    )
+    spark.sparkContext.setJobGroup(f"mor_purge_{tag}_done", "")
+    assert rep["data_rows_purged"] == 0
+    assert rep["sidecar_keys_purged"] == 0
+    n = len(tracker.getJobIdsForGroup(f"mor_purge_{tag}"))
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+    return n
+
+
+def test_mor_purge_probe_jobs_constant_in_sequence_count(spark):
+    """Round-14 verdict #3: the sidecar hit probe is ONE seq-tagged
+    union + semi-join job, not one count() per retained sequence —
+    doubling the sequence count must not add probe jobs beyond
+    scheduler noise (rewrites still loop, but only over HIT sidecars)."""
+    jobs_small = _mor_purge_jobs(spark, 3, "small")
+    jobs_big = _mor_purge_jobs(spark, 6, "big")
+    assert jobs_big <= jobs_small + 2, (jobs_small, jobs_big)
 
 
 def test_read_mor_sidecar_join_broadcasts(spark, mor_table):
