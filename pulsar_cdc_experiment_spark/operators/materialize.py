@@ -384,3 +384,132 @@ def minmax_delta_maintain(
     # (no delta columns) are identity rows — filter them out
     touched = d.select(*on)
     return folded.join(touched, on, "left_semi").unionByName(recomputed)
+
+
+def mv_partial_delta_maintain(
+    data: DataFrame,
+    base_new: DataFrame,
+    delta: DataFrame,
+    on: Sequence[str],
+    spec: dict,
+    z: str = "__z",
+) -> DataFrame:
+    """Incremental maintenance of a materialized view's PARTIAL-aggregate
+    rows under a z-weighted delta batch — the multi-measure-column
+    generalization of ``minmax_delta_maintain``, operating directly on
+    partial-named columns so one pass maintains every measure at once.
+
+    ``data``: the stored MV rows — ``on`` + the all-rows ``__cnt`` + per
+    measure column ``c`` whatever ``spec[c]`` lists of ``__sum_{c}`` /
+    ``__cnt_{c}`` (non-null count) / ``__min_{c}`` / ``__max_{c}``.
+    ``spec``: ``{col: subset of {"sum","cnt","min","max"}}``. ``delta``:
+    ``on`` + every spec column + ``z`` (+1 insert / −1 delete; an update
+    is the pair). ``base_new``: the post-batch base projection carrying
+    ``on`` + every spec column — read ONLY for risky groups.
+
+    Fold rules: ``__cnt``/``__sum_*``/``__cnt_*`` telescope invertibly
+    from the delta alone (the non-null count folds by summing z over
+    non-null values — a deleted NULL never moves it); ``__min_*``/
+    ``__max_*`` fold on inserts via least/greatest. A group is RISKY iff
+    some deleted value reaches the stored extremum of ANY spec column —
+    exactly those groups recompute every partial from ``base_new``,
+    semi-join-pruned. Returns new partial rows for every batch-touched
+    group (groups netting to zero rows drop out); merging into the
+    stored view is the caller's pointer-swap.
+
+    Scale: per-batch work = one delta-sized aggregate + a base scan
+    restricted to risky groups, independent of how many measure columns
+    the MV stores (they ride the same shuffle)."""
+    on = list(on)
+    pos = F.col(z) > 0
+    d_aggs = [F.sum(z).cast("long").alias("__d_cnt")]
+    for c, kinds in spec.items():
+        if "sum" in kinds:
+            d_aggs.append(
+                F.sum(F.col(z) * F.col(c)).cast("long").alias(f"__d_sum_{c}")
+            )
+        if "cnt" in kinds:
+            d_aggs.append(
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col(z)).otherwise(0)
+                ).cast("long").alias(f"__d_cnt_{c}")
+            )
+        if "min" in kinds or "max" in kinds:
+            d_aggs += [
+                F.min(F.when(pos, F.col(c))).alias(f"__ins_mn_{c}"),
+                F.max(F.when(pos, F.col(c))).alias(f"__ins_mx_{c}"),
+                F.min(F.when(~pos, F.col(c))).alias(f"__del_mn_{c}"),
+                F.max(F.when(~pos, F.col(c))).alias(f"__del_mx_{c}"),
+            ]
+    d = delta.groupBy(*on).agg(*d_aggs)
+    j = data.join(d, on, "full_outer")
+    had_view = F.col("__cnt").isNotNull()
+    risky_any = F.lit(False)
+    for c, kinds in spec.items():
+        if "min" in kinds:
+            risky_any = risky_any | (
+                F.col(f"__del_mn_{c}") <= F.col(f"__min_{c}")
+            )
+        if "max" in kinds:
+            risky_any = risky_any | (
+                F.col(f"__del_mx_{c}") >= F.col(f"__max_{c}")
+            )
+    risky = had_view & risky_any
+
+    fold_exprs = [
+        (
+            F.coalesce(F.col("__cnt"), F.lit(0))
+            + F.coalesce(F.col("__d_cnt"), F.lit(0))
+        ).cast("long").alias("__cnt")
+    ]
+    for c, kinds in spec.items():
+        if "sum" in kinds:
+            fold_exprs.append(
+                (
+                    F.coalesce(F.col(f"__sum_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d_sum_{c}"), F.lit(0))
+                ).cast("long").alias(f"__sum_{c}")
+            )
+        if "cnt" in kinds:
+            fold_exprs.append(
+                (
+                    F.coalesce(F.col(f"__cnt_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d_cnt_{c}"), F.lit(0))
+                ).cast("long").alias(f"__cnt_{c}")
+            )
+        if "min" in kinds:
+            fold_exprs.append(
+                F.least(
+                    F.col(f"__min_{c}"), F.col(f"__ins_mn_{c}")
+                ).alias(f"__min_{c}")
+            )
+        if "max" in kinds:
+            fold_exprs.append(
+                F.greatest(
+                    F.col(f"__max_{c}"), F.col(f"__ins_mx_{c}")
+                ).alias(f"__max_{c}")
+            )
+    folded = (
+        j.filter(~F.coalesce(risky, F.lit(False)))
+        .select(*on, *fold_exprs)
+        .filter(F.col("__cnt") > 0)
+    )
+
+    risky_keys = j.filter(risky).select(*on)
+    r_aggs = [F.count("*").cast("long").alias("__cnt")]
+    for c, kinds in spec.items():
+        if "sum" in kinds:
+            r_aggs.append(F.sum(c).cast("long").alias(f"__sum_{c}"))
+        if "cnt" in kinds:
+            r_aggs.append(F.count(c).cast("long").alias(f"__cnt_{c}"))
+        if "min" in kinds:
+            r_aggs.append(F.min(c).alias(f"__min_{c}"))
+        if "max" in kinds:
+            r_aggs.append(F.max(c).alias(f"__max_{c}"))
+    recomputed = (
+        base_new.join(risky_keys, on, "left_semi")
+        .groupBy(*on)
+        .agg(*r_aggs)
+    )
+    touched = d.select(*on)
+    return folded.join(touched, on, "left_semi").unionByName(recomputed)

@@ -475,6 +475,48 @@ def compact_mor(
         }
 
 
+def auto_compact_mor(
+    spark: SparkSession,
+    root: str,
+    *,
+    max_overlay_depth: int | None = None,
+    max_sidecar_keys: int | None = None,
+) -> dict:
+    """Policy-triggered OPTIMIZE for the merge-on-read table — the MoR
+    analog of the copy-on-write family's fragmentation-triggered
+    maintenance (``stream_auto_maintenance``): compact when the overlay
+    grows past policy. Two thresholds, either sufficient:
+
+    - ``max_overlay_depth``: retained sequence count — each retained
+      sequence is one more scan leg + one more sidecar in the read
+      overlay (the measured 1.7-2.1× read tax grows with it), and
+    - ``max_sidecar_keys``: total delete-sidecar key count — the size
+      of the read rule's anti-join build side.
+
+    The DECISION is pure manifest metadata (zero Spark jobs, O(1) —
+    the manifest already carries per-sequence ``n_delete_keys``), so a
+    streaming apply can afford the check every micro-batch; only a
+    triggered compaction pays data work. Returns the observed counters,
+    the decision, and the ``compact_mor`` report when triggered."""
+    man = _read_manifest(root)
+    depth = len(man["seqs"])
+    sidecar_keys = sum(s["n_delete_keys"] for s in man["seqs"])
+    reasons = []
+    if max_overlay_depth is not None and depth > max_overlay_depth:
+        reasons.append("overlay_depth")
+    if max_sidecar_keys is not None and sidecar_keys > max_sidecar_keys:
+        reasons.append("sidecar_keys")
+    rep = {
+        "overlay_depth": depth,
+        "sidecar_keys": sidecar_keys,
+        "triggered": bool(reasons),
+        "reasons": reasons,
+    }
+    if reasons:
+        rep["compact"] = compact_mor(spark, root)
+    return rep
+
+
 def change_feed_mor(
     spark: SparkSession,
     root: str,

@@ -79,8 +79,12 @@ def _mv_dir(mv_root: str, name: str) -> str:
 
 def _partials(measures: dict) -> tuple[list, dict]:
     """(aggregate exprs for the MV build, partial-column metadata).
-    Each measure (fn, col) stores the partials its rollup needs; count
-    and avg share the __cnt partial, avg additionally needs the sum."""
+    Each measure (fn, col) stores the partials its rollup needs.
+    ``count(*)`` (col=None) uses the shared all-rows ``__cnt``;
+    ``count(col)`` and ``avg(col)`` store the per-column NON-NULL count
+    ``__cnt_{col}`` — ANSI AVG/COUNT(col) skip NULLs, so dividing the
+    null-skipping sum by the all-rows count would be silently wrong on
+    any nullable measure column."""
     exprs: dict[str, object] = {"__cnt": F.count("*")}
     meta: dict[str, dict] = {}
     for out, (fn, col) in measures.items():
@@ -88,8 +92,15 @@ def _partials(measures: dict) -> tuple[list, dict]:
             raise ValueError(
                 f"measure {out}: fn must be one of {_DERIVABLE}, got {fn}"
             )
-        if fn == "count":
+        if fn == "count" and col is None:
             meta[out] = {"fn": "count", "col": None}
+            continue
+        if fn in ("count", "avg"):
+            exprs[f"__cnt_{col}"] = F.count(col)
+        if fn == "count":
+            meta[out] = {
+                "fn": "count", "col": col, "partial": f"__cnt_{col}"
+            }
             continue
         part = f"__{fn if fn != 'avg' else 'sum'}_{col}"
         if fn in ("sum", "avg"):
@@ -190,14 +201,18 @@ def maintain_mv(
     summary from the 100 TB fact.
 
     Delegates the aggregate math to
-    ``operators/materialize.minmax_delta_maintain`` (round-13's
-    non-invertible IVM): count/sum fold invertibly from the delta alone;
-    MIN/MAX fold on inserts and recompute ONLY the groups whose stored
-    extremum a delete reached, semi-join-pruned from ``base_new`` (the
-    post-changeset fact projection — the only time the fact is touched,
-    and only for risky groups). V1 contract: the MV's measures must
-    reference ONE value column (fail loud otherwise). ``changes``
-    carries the group columns + the value column + ``__z`` (+1/−1).
+    ``operators/materialize.mv_partial_delta_maintain`` (the
+    multi-measure-column generalization of round-13's non-invertible
+    IVM): count / sum / per-column NON-NULL count fold invertibly from
+    the delta alone; MIN/MAX fold on inserts and recompute ONLY the
+    groups whose stored extremum (of ANY measure column) a delete
+    reached, semi-join-pruned from ``base_new`` (the post-changeset
+    fact projection — the only time the fact is touched, and only for
+    risky groups). ``changes`` carries the group columns + every
+    measure column + ``__z`` (+1/−1). Sum-bearing measure columns must
+    be integral (bigint cents — the telescoping-sum contract): a
+    non-integral stored sum partial fails loud instead of silently
+    truncating through the fold's long arithmetic.
 
     Publishes via the same atomic data-dir swap as ``refresh_mv`` and
     RE-FINGERPRINTS against the source's CURRENT state — so the
@@ -205,52 +220,56 @@ def maintain_mv(
     maintained it against the state the fact actually reached. Work is
     O(changeset + groups + risky-group base scan) vs refresh_mv's full
     fact pass."""
-    from ..operators.materialize import minmax_delta_maintain
+    from ..operators.materialize import mv_partial_delta_maintain
 
     with maintenance_lock(mv_root):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
-        vals = {m["col"] for m in man["measures"].values() if m["col"]}
-        if len(vals) != 1:
-            raise ValueError(
-                "maintain_mv v1 needs measures over exactly one value "
-                f"column, this MV has {sorted(vals)}"
-            )
-        val = vals.pop()
         group_cols = man["group_cols"]
+        # per-column partial spec from the measure lineage
+        _KIND = {"sum": "sum", "avg": "sum", "count": "cnt",
+                 "min": "min", "max": "max"}
+        spec: dict[str, set] = {}
+        for m in man["measures"].values():
+            if m["col"] is None:
+                continue  # count(*) rides the shared __cnt
+            spec.setdefault(m["col"], set()).add(_KIND[m["fn"]])
+            if m["fn"] in ("avg", "count"):
+                spec[m["col"]].add("cnt")
+        missing = [
+            c for c in list(group_cols) + sorted(spec) + ["__z"]
+            if c not in changes.columns
+        ]
+        if missing:
+            raise ValueError(f"changes lacks column(s) {missing}")
+        missing = [
+            c for c in list(group_cols) + sorted(spec)
+            if c not in base_new.columns
+        ]
+        if missing:
+            raise ValueError(f"base_new lacks column(s) {missing}")
         from .mor import _read_cached
 
         data = _read_cached(spark, os.path.join(d, "data"))
-        have_min = f"__min_{val}" in data.columns
-        have_max = f"__max_{val}" in data.columns
-        view = data.select(
-            *group_cols,
-            F.col("__cnt").alias("n_rows"),
-            (F.col(f"__sum_{val}") if f"__sum_{val}" in data.columns
-             else F.lit(0).cast("long")).alias("sum_v"),
-            (F.col(f"__min_{val}") if have_min
-             else F.lit(None).cast("long")).alias("min_v"),
-            (F.col(f"__max_{val}") if have_max
-             else F.lit(None).cast("long")).alias("max_v"),
-        )
-        new_rows = minmax_delta_maintain(
-            view, base_new, changes.select(*group_cols, val, "__z"),
-            group_cols, val,
+        _INTEGRAL = ("bigint", "int", "smallint", "tinyint")
+        dtypes = dict(data.dtypes)
+        for c, kinds in spec.items():
+            if "sum" in kinds and dtypes.get(f"__sum_{c}") not in _INTEGRAL:
+                raise ValueError(
+                    f"maintain_mv needs an integral sum partial (the "
+                    f"telescoping-sum contract); __sum_{c} is "
+                    f"{dtypes.get(f'__sum_{c}')} — refresh_mv this MV "
+                    "instead, or store the measure as integer cents"
+                )
+        new_rows = mv_partial_delta_maintain(
+            data, base_new,
+            changes.select(*group_cols, *sorted(spec), "__z"),
+            group_cols, spec,
         )
         touched = changes.select(*group_cols).distinct()
-        untouched = view.join(touched, group_cols, "left_anti")
-        merged = untouched.unionByName(new_rows)
-        out = merged.select(
-            *group_cols,
-            F.col("n_rows").alias("__cnt"),
-            *(
-                [F.col("sum_v").alias(f"__sum_{val}")]
-                if f"__sum_{val}" in data.columns else []
-            ),
-            *([F.col("min_v").alias(f"__min_{val}")] if have_min else []),
-            *([F.col("max_v").alias(f"__max_{val}")] if have_max else []),
-        )
+        untouched = data.join(touched, group_cols, "left_anti")
+        out = untouched.unionByName(new_rows.select(*data.columns))
         staged = os.path.join(d, ".data_staged")
         shutil.rmtree(staged, ignore_errors=True)
         out.write.mode("overwrite").parquet(staged)
@@ -267,6 +286,24 @@ def maintain_mv(
         return man
 
 
+def changes_from_feed(feed: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Adapt a CHANGE-FEED output (``change_type`` ∈ insert / delete /
+    update_pre / update_post plus row-image columns — the contract both
+    ``plans.merge.change_feed`` and ``plans.mor.change_feed_mor`` emit)
+    into the z-weighted changeset ``maintain_mv`` folds: the post-change
+    images (insert, update_post) weigh +1, the removed images (delete,
+    update_pre) weigh −1. ``cols`` is the projection the MV needs (group
+    columns + measure columns). This closes the CDC→table→summary loop
+    with no hand-built delta: a MERGE lands, its feed maintains every
+    downstream MV."""
+    return feed.select(
+        *cols,
+        F.when(
+            F.col("change_type").isin("insert", "update_post"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("__z"),
+    )
+
+
 def _list_mvs(mv_root: str) -> list[dict]:
     out = []
     if not os.path.isdir(mv_root):
@@ -279,6 +316,29 @@ def _list_mvs(mv_root: str) -> list[dict]:
     return out
 
 
+#: simple-predicate operators the rewriter understands
+_PRED_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
+
+
+def _pred_expr(col: str, op: str, value):
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(value)
+    if op == "!=":
+        return c != F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "in":
+        return c.isin(*value)
+    raise ValueError(f"predicate op must be one of {_PRED_OPS}, got {op}")
+
+
 def answer_aggregate(
     spark: SparkSession,
     mv_root: str,
@@ -287,21 +347,38 @@ def answer_aggregate(
     *,
     group_cols: Sequence[str],
     aggs: dict,
+    where: Sequence[tuple] | None = None,
 ) -> tuple[DataFrame, str | None]:
-    """Plan ``source.groupBy(group_cols).agg(aggs)`` (``aggs``:
-    ``{out: (fn, col)}``), served from the best subsuming FRESH
-    materialized view when one exists, else from the base. Returns
-    ``(df, mv_name | None)`` so callers can assert the routing.
+    """Plan ``source.filter(where).groupBy(group_cols).agg(aggs)``
+    (``aggs``: ``{out: (fn, col)}``; ``where``: optional conjunction of
+    ``(col, op, literal)`` triples, op ∈ ``=,!=,<,<=,>,>=,in``), served
+    from the best subsuming FRESH materialized view when one exists,
+    else from the base. Returns ``(df, mv_name | None)`` so callers can
+    assert the routing.
 
-    Subsumption: ``mv.group_cols ⊇ group_cols`` AND every requested
-    measure matches a registered measure's (fn, col) lineage (avg
-    additionally needs the sum+count partials, which every MV stores).
+    Subsumption: ``mv.group_cols ⊇ group_cols``, every PREDICATE column
+    is an MV group column (a predicate on a grouping dimension filters
+    the partials exactly — the filtered-rollup shape BI dashboards hit
+    constantly; a predicate on any other column forces the base), and
+    every requested measure is derivable from the registered lineage:
+    ``count(*)`` from the always-stored ``__cnt``, ``count(col)`` /
+    ``avg(col)`` from the per-column NON-NULL count partial (stored by
+    count(col)/avg(col) measures), ``sum`` from a sum or avg measure's
+    sum partial, min/max from exact lineage. avg derives as sum ÷
+    non-null count — never an average of averages, never count(*).
     Freshness: the MV's fingerprint must equal the source's CURRENT
     file state — otherwise the MV is invisible to the planner (stale
     answers are wrong answers, not fast ones)."""
     group_cols = list(group_cols)
     aggs = dict(aggs)
+    where = [tuple(p) for p in (where or [])]
+    for col, op, _ in where:
+        if op not in _PRED_OPS:
+            raise ValueError(
+                f"predicate op must be one of {_PRED_OPS}, got {op}"
+            )
     want = set(group_cols)
+    pred_cols = {col for col, _, _ in where}
     current = None  # lazily computed fingerprint
 
     candidates = []
@@ -310,22 +387,26 @@ def answer_aggregate(
             continue
         if not want <= set(man["group_cols"]):
             continue
+        if not pred_cols <= set(man["group_cols"]):
+            continue
         lineage = {
             (m["fn"], m["col"]): m for m in man["measures"].values()
         }
-        ok = True
-        for out, (fn, col) in aggs.items():
+
+        def _servable(fn, col, lineage=lineage):
+            if fn == "count" and col is None:
+                return True  # __cnt always stored
             if fn == "count":
-                continue  # __cnt always stored
-            key = (fn, col)
-            if key not in lineage and not (
-                fn == "avg" and ("sum", col) in lineage
-            ) and not (
-                fn == "sum" and ("avg", col) in lineage
-            ):
-                ok = False
-                break
-        if not ok:
+                return ("count", col) in lineage or ("avg", col) in lineage
+            if fn == "sum":
+                return ("sum", col) in lineage or ("avg", col) in lineage
+            if fn == "avg":
+                return ("avg", col) in lineage or (
+                    ("sum", col) in lineage and ("count", col) in lineage
+                )
+            return (fn, col) in lineage
+
+        if not all(_servable(fn, col) for fn, col in aggs.values()):
             continue
         if current is None:
             current = _fingerprint(source_path)
@@ -334,17 +415,20 @@ def answer_aggregate(
         candidates.append(man)
 
     if not candidates:
+        base = source
+        for col, op, value in where:
+            base = base.filter(_pred_expr(col, op, value))
         exprs = []
         for out, (fn, col) in aggs.items():
-            if fn == "count":
+            if fn == "count" and col is None:
                 exprs.append(F.count("*").alias(out))
+            elif fn == "count":
+                exprs.append(F.count(col).alias(out))
             elif fn == "avg":
-                exprs.append(
-                    (F.sum(col) / F.count("*")).alias(out)
-                )
+                exprs.append(F.avg(col).alias(out))
             else:
                 exprs.append(getattr(F, fn)(col).alias(out))
-        return source.groupBy(*group_cols).agg(*exprs), None
+        return base.groupBy(*group_cols).agg(*exprs), None
 
     # coarsest subsuming MV = fewest group columns = smallest rollup read
     man = min(candidates, key=lambda m: len(m["group_cols"]))
@@ -355,14 +439,19 @@ def answer_aggregate(
     mv = _read_cached(
         spark, os.path.join(_mv_dir(mv_root, man["name"]), "data")
     )
+    for col, op, value in where:
+        mv = mv.filter(_pred_expr(col, op, value))
     by_lineage = {
         (m["fn"], m["col"]): m.get("partial")
         for m in man["measures"].values()
     }
     exprs = []
     for out, (fn, col) in aggs.items():
-        if fn == "count":
+        if fn == "count" and col is None:
             exprs.append(F.sum("__cnt").alias(out))
+            continue
+        if fn == "count":
+            exprs.append(F.sum(f"__cnt_{col}").alias(out))
             continue
         part = by_lineage.get((fn, col)) or by_lineage.get(
             ("avg", col) if fn == "sum" else ("sum", col)
@@ -375,8 +464,8 @@ def answer_aggregate(
             exprs.append(F.min(part).alias(out))
         elif fn == "max":
             exprs.append(F.max(part).alias(out))
-        else:  # avg: derived sum over derived count — never avg-of-avgs
+        else:  # avg: derived sum over derived NON-NULL count
             exprs.append(
-                (F.sum(part) / F.sum("__cnt")).alias(out)
+                (F.sum(part) / F.sum(f"__cnt_{col}")).alias(out)
             )
     return mv.groupBy(*group_cols).agg(*exprs), man["name"]

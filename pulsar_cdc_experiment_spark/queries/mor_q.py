@@ -535,3 +535,147 @@ def stream_mor_apply(spark, sf_dir):
         ).alias("sum_cents"),
         F.max("event_id").alias("max_event"),
     )
+
+
+def mor_auto_fixture(spark, sf_dir: str) -> str:
+    """Three successive CDC applies on a MoR orders table with a
+    policy check between: after two merges the overlay (depth 2) is
+    within the depth-2 policy and auto_compact_mor must DECLINE; the
+    third merge crosses it and the same call must compact. Both
+    decisions and the observed counters land in report.json — the
+    query value-checks the decision itself, not just the data."""
+
+    def build(root: str) -> None:
+        from ..plans.mor import auto_compact_mor
+
+        dst = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        init_mor(
+            spark, dst, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+        m1 = (
+            orders.filter((key % 50 == 3) & pri.isin(*_TOUCHED))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.07)
+            .withColumn("is_delete", F.lit(False))
+        )
+        m2 = (
+            orders.filter((key % 50 == 19) & (pri == "3-MEDIUM"))
+            .withColumn("o_orderpriority", F.lit("1-URGENT"))
+            .withColumn("is_delete", F.lit(False))
+        )
+        m3 = orders.filter(
+            (key % 50 == 7) & pri.isin(*_TOUCHED)
+        ).withColumn("is_delete", F.lit(True))
+        merge_into_mor(spark, dst, m1)
+        merge_into_mor(spark, dst, m2)
+        policy = {"max_overlay_depth": 2, "max_sidecar_keys": 10**9}
+        check1 = auto_compact_mor(spark, dst, **policy)
+        assert not check1["triggered"], check1
+        assert [s["seq"] for s in mor_history(dst)] == [1, 2]
+        merge_into_mor(spark, dst, m3)
+        check2 = auto_compact_mor(spark, dst, **policy)
+        assert check2["triggered"], check2
+        assert check2["compact"]["base_seq"] == 3
+        assert mor_history(dst) == []
+        with open(os.path.join(root, "report.json"), "w") as f:
+            json.dump({"check1": check1, "check2": check2}, f)
+
+    return session_fixture("mor_auto", sf_dir, "depth2_policy", build)
+
+
+@register(
+    "merge_dv_auto_compact",
+    oracle="""
+    WITH k1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+      WHERE o_orderkey % 50 = 3
+        AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), k2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+      WHERE o_orderkey % 50 = 19 AND o_orderpriority = '3-MEDIUM'
+    ), k3 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+      WHERE o_orderkey % 50 = 7
+        AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+    ), final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 3
+                       AND o_orderpriority IN ('1-URGENT','3-MEDIUM')
+                  THEN floor(o_totalprice * 1.07 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             CASE WHEN o_orderkey % 50 = 19
+                       AND o_orderpriority = '3-MEDIUM'
+                  THEN '1-URGENT' ELSE o_orderpriority END
+               AS o_orderpriority
+      FROM orders
+      WHERE NOT (o_orderkey % 50 = 7
+                 AND o_orderpriority IN ('1-URGENT','3-MEDIUM'))
+    )
+    SELECT 'decision' AS metric, 'check1_depth' AS grp,
+           CAST(2 AS BIGINT) AS n, CAST(0 AS BIGINT) AS v
+    UNION ALL
+    SELECT 'decision', 'check1_keys', k1.n + k2.n, 0 FROM k1, k2
+    UNION ALL
+    SELECT 'decision', 'check2_depth', 3, 1
+    UNION ALL
+    SELECT 'decision', 'check2_keys', k1.n + k2.n + k3.n, 1
+    FROM k1, k2, k3
+    UNION ALL
+    SELECT 'state', o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM final GROUP BY 2
+    """,
+)
+def merge_dv_auto_compact(spark, sf_dir):
+    """POLICY-TRIGGERED compaction for the merge-on-read table — the
+    MoR analog of the CoW family's stream_auto_maintenance: the read
+    overlay grows one scan leg + one sidecar per merge, and
+    ``auto_compact_mor`` compacts when depth (or total sidecar keys)
+    crosses policy, deciding from MANIFEST METADATA ALONE (zero jobs —
+    cheap enough for every micro-batch). The oracle predicts BOTH
+    decisions: after two merges depth 2 is within the depth-2 policy
+    (must decline, overlay intact), the third crosses it (must compact
+    to base_seq 3, zero retained sequences) — and the observed sidecar
+    key counts equal the changesets' closed-form key counts. The state
+    rows value-check that the triggered compaction preserved the merged
+    state exactly. At 100 TB this bounds the measured 1.7-2.1× overlay
+    read tax under continuous CDC apply without a human in the loop.
+    CoW relative: stream_auto_maintenance (fragmentation-triggered
+    scoped OPTIMIZE)."""
+    root = mor_auto_fixture(spark, sf_dir)
+    with open(os.path.join(root, "report.json")) as f:
+        rep = json.load(f)
+    decisions = spark.createDataFrame(
+        [
+            ("decision", "check1_depth",
+             rep["check1"]["overlay_depth"],
+             int(rep["check1"]["triggered"])),
+            ("decision", "check1_keys",
+             rep["check1"]["sidecar_keys"],
+             int(rep["check1"]["triggered"])),
+            ("decision", "check2_depth",
+             rep["check2"]["overlay_depth"],
+             int(rep["check2"]["triggered"])),
+            ("decision", "check2_keys",
+             rep["check2"]["sidecar_keys"],
+             int(rep["check2"]["triggered"])),
+        ],
+        "metric string, grp string, n bigint, v bigint",
+    )
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long")
+    state = (
+        read_mor(spark, os.path.join(root, "orders"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("v"))
+        .select(
+            F.lit("state").alias("metric"),
+            F.col("o_orderpriority").alias("grp"), "n", "v",
+        )
+    )
+    return decisions.unionByName(state)

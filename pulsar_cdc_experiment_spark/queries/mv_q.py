@@ -119,6 +119,175 @@ def mv_rollup_rewrite(spark, sf_dir):
     )
 
 
+@register(
+    "mv_predicate_rewrite",
+    oracle="""
+    SELECT 'mv' AS served_from, l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+             AS min_cents,
+           CAST(max(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+             AS max_cents
+    FROM lineitem WHERE l_linestatus = 'F' GROUP BY 2
+    UNION ALL
+    SELECT 'base', l_returnflag, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT),
+           CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT),
+           CAST(max(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+    FROM lineitem WHERE l_linenumber < 4 GROUP BY 2
+    """,
+)
+def mv_predicate_rewrite(spark, sf_dir):
+    """PREDICATE-BEARING aggregate navigation — the everyday BI shape
+    the group-superset-only v1 rewrite missed: leg 1 filters on
+    l_linestatus (an MV GROUP column) and rolls up to l_returnflag, so
+    the planner serves it by FILTERING THE MV'S PARTIALS (never touching
+    the fact); leg 2 filters on l_linenumber — not an MV group column,
+    so the partials cannot express the predicate and the planner must
+    fall back to the base WITH the filter applied. ``served_from``
+    carries the actual routing; the oracle hardcodes the required one
+    and recomputes both filtered aggregates from the raw table. At
+    100 TB leg 1 is the dashboard's `WHERE region = X GROUP BY month`
+    reading a KB summary slice instead of the fact."""
+    root = mv_lineitem_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", _cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    aggs = {
+        "n": ("count", None),
+        "sum_cents": ("sum", "cents"),
+        "min_cents": ("min", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    leg1, used1 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag"], aggs=aggs,
+        where=[("l_linestatus", "=", "F")],
+    )
+    leg2, used2 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag"], aggs=aggs,
+        where=[("l_linenumber", "<", 4)],
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "li_flag_status" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").alias("grp"),
+        "n", "sum_cents", "min_cents", "max_cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("l_returnflag").alias("grp"),
+            "n", "sum_cents", "min_cents", "max_cents",
+        )
+    )
+
+
+def _nullable_cents():
+    """Deterministically NULLABLE measure: cents where l_quantity > 10,
+    NULL otherwise (the testdata has no natural NULL measure columns)."""
+    return F.when(
+        F.col("l_quantity") > 10,
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+    ).alias("nc")
+
+
+def mv_nullable_fixture(spark, sf_dir: str) -> str:
+    """An MV whose avg/count measures sit on a NULLABLE column — pins
+    the per-column non-null count partial (ANSI AVG/COUNT(col) skip
+    NULLs; dividing by count(*) would be silently wrong here)."""
+
+    def build(root: str) -> None:
+        src = table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", _nullable_cents()
+        )
+        create_mv(
+            spark, root,
+            name="li_nullable",
+            source_path=os.path.join(sf_dir, "lineitem.parquet"),
+            source=src,
+            group_cols=["l_returnflag", "l_linestatus"],
+            measures={
+                "avg_nc": ("avg", "nc"),
+                "cnt_nc": ("count", "nc"),
+                "n": ("count", None),
+            },
+        )
+
+    return session_fixture("mv_nullable", sf_dir, "li_nullable_v1", build)
+
+
+@register(
+    "mv_nullable_avg_serving",
+    oracle="""
+    WITH nc AS (
+      SELECT l_returnflag, l_linenumber,
+             CASE WHEN l_quantity > 10
+                  THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             END AS nc
+      FROM lineitem
+    )
+    SELECT 'mv' AS served_from, CAST(l_returnflag AS VARCHAR) AS grp,
+           CAST(count(nc) AS BIGINT) AS cnt_nc,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(nc) AS DOUBLE) / count(nc) AS avg_nc
+    FROM nc GROUP BY 2
+    UNION ALL
+    SELECT 'base', CAST(l_linenumber AS VARCHAR),
+           CAST(count(nc) AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(sum(nc) AS DOUBLE) / count(nc)
+    FROM nc GROUP BY 2
+    """,
+)
+def mv_nullable_avg_serving(spark, sf_dir):
+    """AVG/COUNT over a NULLABLE measure column, on BOTH routes: leg 1
+    rolls the registered (l_returnflag, l_linestatus) MV up to
+    l_returnflag — avg derives as the SUM partial over the per-column
+    NON-NULL count partial (the round-14 latent bug divided by count(*),
+    which every group here would expose: cnt_nc < n in all of them);
+    leg 2 groups by l_linenumber, no MV subsumes it, and the base
+    fallback's F.avg/F.count(col) must skip NULLs identically. The
+    oracle computes ANSI avg (exact BIGINT sum ÷ non-null count) — both
+    engines divide the same exact integers, so the doubles match
+    bit-for-bit."""
+    root = mv_nullable_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", _nullable_cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    aggs = {
+        "cnt_nc": ("count", "nc"),
+        "n": ("count", None),
+        "avg_nc": ("avg", "nc"),
+    }
+    leg1, used1 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag"], aggs=aggs,
+    )
+    leg2, used2 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_linenumber"], aggs=aggs,
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "li_nullable" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").cast("string").alias("grp"),
+        "cnt_nc", "n", "avg_nc",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("l_linenumber").cast("string").alias("grp"),
+            "cnt_nc", "n", "avg_nc",
+        )
+    )
+
+
 def mv_serving_fixture(spark, sf_dir: str) -> str:
     """The CDC-to-summary loop: orders lands partitioned; an MV
     summarizes it per priority; the STANDARD changeset MERGEs into the
@@ -277,4 +446,179 @@ def mv_incremental_serving(spark, sf_dir):
             "served_from"
         ),
         "o_orderpriority", "n", "sum_cents", "min_cents", "max_cents",
+    )
+
+
+def mv_mor_fixture(spark, sf_dir: str) -> str:
+    """The FULLY-AUTOMATED CDC→table→summary loop: a merge-on-read fact
+    (orders), an MV over its read view, one MERGE (risky max-delete in
+    1-URGENT + folding updates/inserts elsewhere), and — the new half —
+    the MV maintained from the table's OWN change feed
+    (``change_feed_mor`` → ``changes_from_feed`` → ``maintain_mv``),
+    no hand-built delta. The MV fingerprints the MoR MANIFEST file (the
+    snapshot pointer — the data dirs under ``.mor`` are dot-hidden), so
+    every published sequence flips staleness. The build asserts the
+    stale window both ways."""
+
+    def build(root: str) -> None:
+        from pyspark.sql import Window
+
+        from ..plans.mor import change_feed_mor, init_mor, merge_into_mor, read_mor
+        from ..plans.mv import changes_from_feed, maintain_mv
+
+        fact = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        init_mor(
+            spark, fact, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        manifest = os.path.join(fact, ".mor", "manifest.json")
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+        src = read_mor(spark, fact).select("o_orderpriority", cents)
+        create_mv(
+            spark, root, name="mor_by_pri", source_path=manifest,
+            source=src, group_cols=["o_orderpriority"],
+            measures={
+                "sum_cents": ("sum", "cents"), "n": ("count", None),
+                "min_cents": ("min", "cents"),
+                "max_cents": ("max", "cents"),
+                "avg_cents": ("avg", "cents"),
+            },
+        )
+        aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+        _, used0 = answer_aggregate(
+            spark, root, src, manifest,
+            group_cols=["o_orderpriority"], aggs=aggs,
+        )
+        assert used0 == "mor_by_pri", "fresh MV must serve pre-merge"
+
+        # changeset: delete 1-URGENT's max row (cents ties broken by
+        # key — RISKY for the stored max partial), update %100==13
+        # in place, insert %100==37 clones into 2-HIGH
+        key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = orders.withColumn("rn", F.row_number().over(w))
+        dele = (
+            ranked.filter((F.col("rn") == 1) & (pri == "1-URGENT"))
+            .drop("rn").withColumn("is_delete", F.lit(True))
+        )
+        upd = (
+            ranked.filter(
+                ~((F.col("rn") == 1) & (pri == "1-URGENT"))
+                & (key % 100 == 13)
+            )
+            .drop("rn")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+            .withColumn("is_delete", F.lit(False))
+        )
+        ins = (
+            orders.filter(key % 100 == 37)
+            .withColumn("o_orderkey", key + 20_000_000)
+            .withColumn("o_orderpriority", F.lit("2-HIGH"))
+            .withColumn("is_delete", F.lit(False))
+        )
+        merge_into_mor(
+            spark, fact, dele.unionByName(upd).unionByName(ins)
+        )
+
+        src_new = read_mor(spark, fact).select("o_orderpriority", cents)
+        _, used_stale = answer_aggregate(
+            spark, root, src_new, manifest,
+            group_cols=["o_orderpriority"], aggs=aggs,
+        )
+        assert used_stale is None, "post-merge MV must be stale"
+
+        feed = change_feed_mor(spark, fact, 0)
+        changes = changes_from_feed(
+            feed.select("change_type", "o_orderpriority", cents),
+            ["o_orderpriority", "cents"],
+        )
+        maintain_mv(
+            spark, root, "mor_by_pri", changes, base_new=src_new
+        )
+        _, used_fresh = answer_aggregate(
+            spark, root, src_new, manifest,
+            group_cols=["o_orderpriority"], aggs=aggs,
+        )
+        assert used_fresh == "mor_by_pri", "maintained MV must serve"
+
+    return session_fixture("mv_mor", sf_dir, "feed_maintained_v1", build)
+
+
+@register(
+    "mv_mor_feed_capstone",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 13
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '2-HIGH'
+      FROM orders WHERE o_orderkey % 100 = 37
+    )
+    SELECT 'mv' AS served_from, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(CAST(cents AS BIGINT)) AS DOUBLE) / count(cents)
+             AS avg_cents
+    FROM final GROUP BY 2
+    """,
+)
+def mv_mor_feed_capstone(spark, sf_dir):
+    """The closed CDC loop, end to end with NO hand-built delta: a MERGE
+    lands on the merge-on-read fact (O(changeset) write), the table's
+    own change feed (``change_feed_mor``) converts to a z-weighted
+    changeset (``changes_from_feed``: insert/update_post → +1,
+    delete/update_pre → −1), ``maintain_mv`` folds it into the summary
+    (the deleted 1-URGENT maximum makes exactly that group risky —
+    recomputed from the post-merge read view; every other group
+    telescopes), and the aggregate-navigation rewrite serves the result
+    — fingerprint-fresh against the MoR MANIFEST (the snapshot
+    pointer). The oracle recomputes the post-merge per-priority
+    aggregates closed-form (incl. the MAX that only a correct
+    risky-group recompute gets right, and avg over the exact integer
+    sum) and hardcodes served_from='mv'. At 100 TB this chain is CDC
+    apply cost O(feed), summary freshness cost O(changeset + risky
+    groups), dashboard cost O(groups) — the fact is scanned by nobody."""
+    from ..plans.mor import read_mor
+
+    root = mv_mor_fixture(spark, sf_dir)
+    fact = os.path.join(root, "orders")
+    manifest = os.path.join(fact, ".mor", "manifest.json")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    src = read_mor(spark, fact).select("o_orderpriority", cents)
+    df, used = answer_aggregate(
+        spark, root, src, manifest,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"), "max_cents": ("max", "cents"),
+            "avg_cents": ("avg", "cents"),
+        },
+    )
+    return df.select(
+        F.lit("mv" if used == "mor_by_pri" else "base").alias(
+            "served_from"
+        ),
+        "o_orderpriority", "n", "sum_cents", "min_cents", "max_cents",
+        "avg_cents",
     )

@@ -402,6 +402,46 @@ def test_strategy_mixing_fails_loud(spark, mor_table):
     shutil.rmtree(os.path.dirname(cow), ignore_errors=True)
 
 
+def test_auto_compact_policy_boundaries(spark, mor_table):
+    """auto_compact_mor: AT-threshold declines (strict >), either knob
+    triggers alone, and the decision is manifest-metadata-only (zero
+    Spark jobs when it declines)."""
+    from pulsar_cdc_experiment_spark.plans.mor import auto_compact_mor
+
+    root = mor_table
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(1, 10.0, "b", False), (2, 20.0, "a", False)]),
+    )
+    merge_into_mor(spark, root, _chg(spark, [(3, 30.0, "b", False)]))
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("auto_decline", "audit")
+    rep = auto_compact_mor(
+        spark, root, max_overlay_depth=2, max_sidecar_keys=3
+    )
+    spark.sparkContext.setJobGroup("auto_decline_done", "")
+    assert rep == {
+        "overlay_depth": 2, "sidecar_keys": 3,
+        "triggered": False, "reasons": [],
+    }
+    assert not tracker.getJobIdsForGroup("auto_decline")
+    # sidecar-keys knob triggers alone
+    rep2 = auto_compact_mor(
+        spark, root, max_overlay_depth=10, max_sidecar_keys=2
+    )
+    assert rep2["triggered"] and rep2["reasons"] == ["sidecar_keys"]
+    assert rep2["compact"]["base_seq"] == 2
+    assert mor_history(root) == []
+    # post-compaction: counters reset, nothing to trigger
+    rep3 = auto_compact_mor(
+        spark, root, max_overlay_depth=0, max_sidecar_keys=0
+    )
+    assert rep3 == {
+        "overlay_depth": 0, "sidecar_keys": 0,
+        "triggered": False, "reasons": [],
+    }
+
+
 def _mor_purge_jobs(spark, n_seqs, tag):
     """Zero-hit MoR purge job count over a table with ``n_seqs``
     retained sequences (helper for the O(1)-probe test)."""

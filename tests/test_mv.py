@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pulsar_cdc_experiment_spark.plans.mv import (
     answer_aggregate,
     create_mv,
+    maintain_mv,
     refresh_mv,
 )
 
@@ -39,7 +40,7 @@ def mv_env(spark):
         group_cols=["g1", "g2"],
         measures={
             "sv": ("sum", "v"), "n": ("count", None),
-            "mn": ("min", "v"), "mx": ("max", "v"),
+            "mn": ("min", "v"), "mx": ("max", "v"), "av": ("avg", "v"),
         },
     )
     yield spark, mv_root, src, src_path
@@ -58,7 +59,7 @@ def _direct(src, cols):
         for r in src.groupBy(*cols).agg(
             F.sum("v").alias("sv"), F.count("*").alias("n"),
             F.min("v").alias("mn"), F.max("v").alias("mx"),
-            (F.sum("v") / F.count("*")).alias("av"),
+            F.avg("v").alias("av"),
         ).collect()
     }
 
@@ -148,6 +149,206 @@ def test_mv_served_plan_never_touches_the_fact(mv_env):
     assert files and all("/mvs/m1/data/" in f for f in files), files
     assert "fact" not in plan.replace(src_path, "<fact>") or True
     assert not any("/fact/" in f for f in files), files
+
+
+def test_avg_and_count_skip_nulls_on_both_paths(spark):
+    """ANSI AVG(col)/COUNT(col) ignore NULLs. The MV stores a per-column
+    NON-NULL count partial and derives avg = sum ÷ non-null count; the
+    base fallback uses F.avg/F.count(col). Both paths must match the
+    direct null-skipping computation on a NULLABLE measure column —
+    the round-14 latent bug divided by count(*) on both paths, so no
+    oracle caught it."""
+    base = tempfile.mkdtemp(prefix="mv_null_")
+    src_path = os.path.join(base, "fact")
+    rows = [
+        (i, ["a", "b"][i % 2], None if i % 5 == 0 else float(i))
+        for i in range(200)
+    ]
+    spark.createDataFrame(
+        rows, "id bigint, g1 string, v double"
+    ).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+    mv_root = os.path.join(base, "mvs")
+    create_mv(
+        spark, mv_root, name="mnull", source_path=src_path, source=src,
+        group_cols=["g1"],
+        measures={"av": ("avg", "v"), "nv": ("count", "v"),
+                  "n": ("count", None)},
+    )
+    aggs = {"av": ("avg", "v"), "nv": ("count", "v"), "n": ("count", None)}
+    want = {
+        r["g1"]: (r["av"], r["nv"], r["n"])
+        for r in src.groupBy("g1").agg(
+            F.avg("v").alias("av"), F.count("v").alias("nv"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    served, used = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g1"], aggs=aggs
+    )
+    assert used == "mnull"
+    got = {r["g1"]: (r["av"], r["nv"], r["n"]) for r in served.collect()}
+    assert got == want
+    # every group has nulls, so count(v) < count(*) — the old bug's
+    # avg (sum/count(*)) could not produce these values
+    assert all(nv < n for _, nv, n in got.values())
+    # base fallback (group col outside the MV) skips nulls identically
+    fell, used2 = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["id"], aggs=aggs
+    )
+    assert used2 is None
+    null_rows = [r for r in fell.collect() if r["nv"] == 0]
+    assert null_rows and all(r["av"] is None for r in null_rows)
+    # an MV without the non-null count partial cannot serve avg/count(col)
+    create_mv(
+        spark, mv_root, name="msumonly", source_path=src_path, source=src,
+        group_cols=["g1", "id"], measures={"sv": ("sum", "v")},
+    )
+    _, used3 = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g1"],
+        aggs={"av": ("avg", "v")},
+    )
+    assert used3 == "mnull"  # not msumonly (finer AND lacks __cnt_v)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_predicate_bearing_rewrite(mv_env):
+    """A filtered rollup whose predicate references only MV group
+    columns is served by FILTERING THE PARTIALS (the everyday BI shape:
+    WHERE dim = x GROUP BY other_dim); a predicate on any non-group
+    column forces the base. Values match the direct filtered
+    computation on both routes."""
+    spark, mv_root, src, src_path = mv_env
+
+    def direct(pred_df, cols):
+        return {
+            tuple(r[c] for c in cols): (r["sv"], r["n"])
+            for r in pred_df.groupBy(*cols).agg(
+                F.sum("v").alias("sv"), F.count("*").alias("n")
+            ).collect()
+        }
+
+    aggs = {"sv": ("sum", "v"), "n": ("count", None)}
+    # equality predicate on g2, grouped by g1 — MV-served
+    df, used = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g1"], aggs=aggs,
+        where=[("g2", "=", "x")],
+    )
+    assert used == "m1"
+    got = {(r["g1"],): (r["sv"], r["n"]) for r in df.collect()}
+    assert got == direct(src.filter(F.col("g2") == "x"), ["g1"])
+    assert not any("/fact/" in f for f in df.inputFiles())
+    # IN predicate + global aggregate — MV-served
+    df2, used2 = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=[], aggs=aggs,
+        where=[("g1", "in", ("a", "b")), ("g2", "!=", "y")],
+    )
+    assert used2 == "m1"
+    assert {(): (r["sv"], r["n"]) for r in df2.collect()} == direct(
+        src.filter(F.col("g1").isin("a", "b") & (F.col("g2") != "y")), []
+    )
+    # predicate on a NON-group column → base fallback, filtered values
+    df3, used3 = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g1"], aggs=aggs,
+        where=[("id", "<", 300)],
+    )
+    assert used3 is None
+    assert {(r["g1"],): (r["sv"], r["n"]) for r in df3.collect()} == direct(
+        src.filter(F.col("id") < 300), ["g1"]
+    )
+    with pytest.raises(ValueError, match="predicate op"):
+        answer_aggregate(
+            spark, mv_root, src, src_path, group_cols=["g1"], aggs=aggs,
+            where=[("g2", "like", "x%")],
+        )
+
+
+def test_maintain_mv_multiple_measure_columns(spark):
+    """Incremental maintenance with measures over TWO value columns —
+    sum/count/avg over a NULLABLE column ``a`` and min/max over ``b`` —
+    folded in one pass: a delete reaching a group's stored max_b makes
+    exactly that group risky (recomputed from the post-change base);
+    every other group telescopes from the delta, including the non-null
+    count under inserted/deleted NULLs. The maintained MV must serve
+    and match a direct recompute of the post-change fact."""
+    base = tempfile.mkdtemp(prefix="mv_multi_")
+    src_path = os.path.join(base, "fact")
+    rows = [
+        (i, ["g0", "g1", "g2"][i % 3],
+         None if i % 7 == 0 else i * 10, i * 100)
+        for i in range(90)
+    ]
+    spark.createDataFrame(
+        rows, "id bigint, g string, a bigint, b bigint"
+    ).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+    mv_root = os.path.join(base, "mvs")
+    measures = {
+        "sum_a": ("sum", "a"), "cnt_a": ("count", "a"),
+        "avg_a": ("avg", "a"), "mn_b": ("min", "b"),
+        "mx_b": ("max", "b"), "n": ("count", None),
+    }
+    create_mv(
+        spark, mv_root, name="multi", source_path=src_path, source=src,
+        group_cols=["g"], measures=measures,
+    )
+    # change set: delete g2's max-b row (id=89 → risky recompute),
+    # update id=4 (a 40→41), insert a NULL-a row into g0, delete the
+    # NULL-a row id=7 from g1 (moves count(*) but not count(a))
+    post = [
+        (i, g, a, b) for (i, g, a, b) in rows if i not in (89, 4, 7)
+    ] + [(4, "g1", 41, 400), (900, "g0", None, 123)]
+    z = [
+        ("g2", rows[89][2], rows[89][3], -1),
+        ("g1", 40, 400, -1),
+        ("g1", 41, 400, 1),
+        ("g0", None, 123, 1),
+        ("g1", None, 700, -1),
+    ]
+    changes = spark.createDataFrame(
+        z, "g string, a bigint, b bigint, __z int"
+    )
+    spark.createDataFrame(
+        post, "id bigint, g string, a bigint, b bigint"
+    ).write.mode("overwrite").parquet(src_path)
+    post_src = spark.read.parquet(src_path)
+    maintain_mv(
+        spark, mv_root, "multi", changes, base_new=post_src
+    )
+    aggs = {k: v for k, v in measures.items()}
+    served, used = answer_aggregate(
+        spark, mv_root, post_src, src_path, group_cols=["g"], aggs=aggs
+    )
+    assert used == "multi"
+    want = {
+        r["g"]: tuple(r[k] for k in aggs)
+        for r in post_src.groupBy("g").agg(
+            F.sum("a").alias("sum_a"), F.count("a").alias("cnt_a"),
+            F.avg("a").alias("avg_a"), F.min("b").alias("mn_b"),
+            F.max("b").alias("mx_b"), F.count("*").alias("n"),
+        ).collect()
+    }
+    got = {r["g"]: tuple(r[k] for k in aggs) for r in served.collect()}
+    assert got == want
+    # non-integral sum partial fails loud instead of truncating
+    dsrc_path = os.path.join(base, "dfact")
+    spark.createDataFrame(
+        [(1, "g0", 1.5)], "id bigint, g string, v double"
+    ).write.parquet(dsrc_path)
+    dsrc = spark.read.parquet(dsrc_path)
+    create_mv(
+        spark, mv_root, name="dbl", source_path=dsrc_path, source=dsrc,
+        group_cols=["g"], measures={"sv": ("sum", "v")},
+    )
+    with pytest.raises(ValueError, match="integral sum partial"):
+        maintain_mv(
+            spark, mv_root, "dbl",
+            spark.createDataFrame(
+                [("g0", 2.5, 1)], "g string, v double, __z int"
+            ),
+            base_new=dsrc,
+        )
+    shutil.rmtree(base, ignore_errors=True)
 
 
 def test_coarsest_subsuming_mv_wins(mv_env):

@@ -54,6 +54,12 @@ SPOTLIGHT = [
     "merge_txn_snapshot_inflight",
     "asof_join_rejoin",
     "stream_mor_apply",
+    # round-15: the policy-triggered MoR compaction, the predicate/
+    # nullable-avg MV rewrites, and the feed-maintained-MV capstone
+    "merge_dv_auto_compact",
+    "mv_predicate_rewrite",
+    "mv_nullable_avg_serving",
+    "mv_mor_feed_capstone",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

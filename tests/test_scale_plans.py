@@ -724,12 +724,21 @@ _BUILD_JOBS_SANCTIONED = {
     # schema cache — NOT sanctioned, deliberately
     "merge_dv_change_feed",
     "merge_dv_purge_compact",
+    # policy-triggered MoR compaction: its own 3-merge fixture + the
+    # triggered compact_mor — the maintenance-verb carve-out
+    "merge_dv_auto_compact",
     # materialized-view fixtures: the summary build / merge + incremental
     # maintenance cycle IS the operator (plans/mv.py create_mv /
     # maintain_mv + fingerprint); re-planning reads the MV through the
-    # file-state-keyed schema cache
-    "mv_rollup_rewrite",
+    # file-state-keyed schema cache. mv_predicate_rewrite (not
+    # mv_rollup_rewrite) is alphabetically first on the shared lineitem
+    # MV fixture and therefore the sanctioned builder.
+    "mv_predicate_rewrite",
     "mv_incremental_serving",
+    "mv_nullable_avg_serving",
+    # feed-maintained MV over a MoR fact: init + merge + change feed +
+    # maintain_mv in one fixture
+    "mv_mor_feed_capstone",
 }
 
 
