@@ -401,6 +401,51 @@ def approx_distinct(spark, sf_dir):
 
 
 @register(
+    "approx_distinct_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS parts_within_band,
+           true AS orders_within_band
+    FROM lineitem GROUP BY 1
+    """,
+)
+def approx_distinct_bounds(spark, sf_dir):
+    """C10 on the driver's HARD signal: the HLL++ sketch value is
+    engine-specific, but its ACCURACY CONTRACT is not — this query
+    computes approx and exact count-distinct side by side and emits
+    `|approx − exact| / exact ≤ 0.05` as boolean columns the DuckDB
+    oracle hardcodes ``true`` (rsd=0.02, so the 5% band is > 2 standard
+    deviations). A broken sketch, a wrong merge, or a band violation
+    flips a boolean and fails the value hash; the exact counts anchor
+    the rest of the row. Companion to the rows-only ``approx_distinct``
+    (which shows the sketch itself); at 100 TB the sketch replaces the
+    distinct-key shuffle wherever ~2% error is acceptable."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def band(approx, exact):
+        return (
+            F.abs(approx.cast("double") - F.col(exact))
+            / F.col(exact) <= 0.05
+        )
+
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        band(F.col("__ap"), "exact_parts").alias("parts_within_band"),
+        band(F.col("__ao"), "exact_orders").alias("orders_within_band"),
+    )
+
+
+@register(
     "rollup_revenue",
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

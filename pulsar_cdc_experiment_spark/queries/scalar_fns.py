@@ -294,6 +294,48 @@ def approx_quantiles(spark, sf_dir):
 
 
 @register(
+    "approx_quantiles_bounds",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           true AS ok_p50, true AS ok_p90, true AS ok_p99
+    FROM lineitem GROUP BY 1
+    """,
+)
+def approx_quantiles_bounds(spark, sf_dir):
+    """C10-adjacent on the driver's HARD signal: the Greenwald-Khanna
+    sketch's guarantee is a RANK bound — ``percentile_approx(p,
+    accuracy)`` returns a value whose rank is within n/accuracy of p·n.
+    This query checks that contract in-query: each approximate quantile
+    must lie between the EXACT quantiles at p ± 0.01 (accuracy 10000 →
+    rank error ≤ 1e-4, two orders inside the band), emitted as booleans
+    the oracle hardcodes ``true``. The exact p ± 0.01 bounds stay
+    internal — only integers and booleans cross the oracle compare, so
+    no float-interpolation mismatch can flake. Companion to the
+    rows-only ``approx_quantiles`` (the sketch values themselves); at
+    100 TB the sketch replaces the exact-percentile global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = [0.5, 0.9, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx(
+            "l_extendedprice", ps, 10000
+        ).alias("__apx"),
+        F.percentile(
+            "l_extendedprice",
+            F.array(*[F.lit(b) for p in ps for b in (p - 0.01, p + 0.01)]),
+        ).alias("__ex"),
+    )
+    ok = [
+        (
+            (F.col("__apx")[i] >= F.col("__ex")[2 * i])
+            & (F.col("__apx")[i] <= F.col("__ex")[2 * i + 1])
+        ).alias(f"ok_p{int(p * 100)}")
+        for i, p in enumerate(ps)
+    ]
+    return agg.select("l_returnflag", "n", *ok)
+
+
+@register(
     "json_variant_probe",
     oracle="""
     SELECT event_id,

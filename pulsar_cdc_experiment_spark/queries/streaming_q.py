@@ -1043,6 +1043,103 @@ def stream_late_data_drop(spark, sf_dir):
     )
 
 
+@register(
+    "stream_late_drop_counts",
+    oracle="""
+    WITH r AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ), k AS (
+      SELECT epoch_us(e.ts) AS us FROM events e, r
+      WHERE epoch_us(e.ts) >= r.lo + (r.hi - r.lo) // 2
+    )
+    SELECT CAST(us // 3600000000 * 3600 AS BIGINT) AS w_start_epoch,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM k GROUP BY 1
+    """,
+)
+def stream_late_drop_counts(spark, sf_dir):
+    """C32 on the driver's HARD signal: watermark late-drop with a FULL
+    closed-form oracle. The sibling ``stream_late_data_drop`` is
+    rows-only because which windows have FINALIZED when the feed ends
+    depends on where the watermark stopped; this query removes that
+    dependence with a SENTINEL batch — one synthetic far-future row
+    (4 hours past the data, arriving last) that drives the final
+    watermark beyond every real window's end, so append mode emits ALL
+    non-late windows and the sentinel's own window never finalizes
+    (self-excluding). The late batch (the oldest half of the time
+    range, arriving after the watermark reached hi − 30 min) sits ~15
+    days behind the watermark and must be dropped entirely. The oracle
+    is exact: hourly counts over rows at-or-after the midpoint — a
+    single leaked late row inflates the boundary window (or surfaces a
+    pre-midpoint window) and fails the hash. Integer-only epoch math on
+    both sides (functions/time.py ↔ DuckDB epoch_us). At 100 TB this
+    is the state-bounding mechanism on an unbounded feed, now
+    value-checked end to end."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.time import epoch_micros, ntz_from_micros
+    from ..streaming.pipeline import EVENTS_RAW
+
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(epoch_micros("ts")).alias("lo"),
+        F.max(epoch_micros("ts")).alias("hi"),
+    ).first()
+    lo_us, hi_us = rng["lo"], rng["hi"]
+    mid_us = lo_us + (hi_us - lo_us) // 2
+    t1_us = lo_us + 2 * (hi_us - lo_us) // 3
+    # sentinel: 4 hours past hi's hour + 1 minute — far enough that the
+    # final watermark (sentinel − 30 min) clears every real window end,
+    # while the sentinel's own window end stays beyond it
+    sent_us = (hi_us // 3_600_000_000 + 4) * 3_600_000_000 + 60_000_000
+    us = epoch_micros("ts")
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        ntz_from_micros(F.lit(sent_us)).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    batches = [
+        ev.filter((us >= F.lit(mid_us)) & (us < F.lit(t1_us))),  # on-time
+        ev.filter(us >= F.lit(t1_us)),  # watermark → hi − 30 min
+        ev.filter(us < F.lit(mid_us)),  # LATE: ~15 days behind — dropped
+        sentinel,  # watermark → past every real window end
+    ]
+    d = tempfile.mkdtemp(prefix="late_counts_")
+    base = 1_700_000_000
+    for i, b in enumerate(batches):
+        stage = os.path.join(d, f"_stage{i}")
+        b.select(*[f.name for f in EVENTS_RAW.fields]).coalesce(
+            1
+        ).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        final = os.path.join(d, f"{i:03d}.parquet")
+        os.replace(part, final)
+        os.utime(final, (base + i * 60, base + i * 60))
+        shutil.rmtree(stage)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    wm = with_event_time(stream, "ts")
+    agg = (
+        wm.withWatermark("__wm_ts", "30 minutes")
+        .groupBy(F.window("__wm_ts", "60 minutes"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, "stream_late_drop_counts", output_mode="append")
+    return out.select(
+        F.col("window.start").cast("long").alias("w_start_epoch"),
+        F.col("n_events"),
+    )
+
+
 def run_incremental_agg(spark, stream_df, root: str):
     """Attach an IncrementalAggMaintainer (streaming IVM: per-group
     count/sum maintained by delta folding, O(groups)+O(keys) state) to a

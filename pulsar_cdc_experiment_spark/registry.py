@@ -88,9 +88,13 @@ def register(name: str, oracle: str | None = None):
 #: this tier surfacing).
 ROWS_ONLY_RATIONALE: dict[str, str] = {
     "approx_distinct": "approx_count_distinct is engine-specific HLL; "
-    "accuracy asserted vs exact counts in tests/test_sketch.py",
+    "the 5%-band accuracy contract is oracle-checked by the driver "
+    "sibling approx_distinct_bounds (in-query |approx-exact|/exact "
+    "booleans the oracle hardcodes true)",
     "approx_quantiles": "percentile_approx sketch values are "
-    "engine-specific; bounds asserted vs exact quantiles in pytest",
+    "engine-specific; the rank-error contract is oracle-checked by the "
+    "driver sibling approx_quantiles_bounds (approx between exact "
+    "p±0.01 quantiles, in-query booleans)",
     "hll_partial_merge": "Datasketches HLL binary sketches; the "
     "merge-identity + 5% accuracy claims are pinned in "
     "tests/test_registry.py",
@@ -101,8 +105,10 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     "embed_topk_cosine is the exact value-checked baseline",
     "embed_ivf_ann": "IVF probe recall is centroid-seed-dependent; "
     "embed_ivf_portable value-checks the same index path end-to-end",
-    "stream_late_data_drop": "watermark drop timing is micro-batch-"
-    "boundary-dependent; semantics pinned in tests/test_streaming.py",
+    "stream_late_data_drop": "which windows FINALIZE when the feed ends "
+    "is micro-batch-boundary-dependent; the driver sibling "
+    "stream_late_drop_counts removes that dependence with a sentinel "
+    "watermark batch and carries a full closed-form oracle",
 }
 
 

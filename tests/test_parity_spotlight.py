@@ -60,6 +60,10 @@ SPOTLIGHT = [
     "mv_predicate_rewrite",
     "mv_nullable_avg_serving",
     "mv_mor_feed_capstone",
+    # round-15: C10/C32 accuracy-band siblings back on the hard signal
+    "approx_distinct_bounds",
+    "approx_quantiles_bounds",
+    "stream_late_drop_counts",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

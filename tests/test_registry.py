@@ -35,6 +35,30 @@ def test_every_oracle_key_is_a_registered_query():
     assert missing == []
 
 
+def test_rows_only_rationales_point_at_real_coverage():
+    """Round-14 verdict #1 (the rationale-rot guard): every rows-only
+    rationale must cite coverage that EXISTS — a tests/ file that is on
+    disk, or an oracle-backed sibling query that is registered. The r14
+    text cited tests/test_sketch.py assertions that were never written;
+    this pins the pointers."""
+    import os
+    import re
+
+    load_all_query_modules()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, txt in registry.ROWS_ONLY_RATIONALE.items():
+        files = re.findall(r"tests/\w+\.py", txt)
+        for f in files:
+            assert os.path.exists(os.path.join(root, f)), (name, f)
+        words = set(re.findall(r"[a-z][a-z0-9_]+", txt))
+        oracle_sibs = (words - {name}) & set(registry.ORACLES)
+        assert files or oracle_sibs, (
+            name,
+            "rationale cites neither an existing tests/ file nor an "
+            "oracle-backed sibling query",
+        )
+
+
 def test_hll_partial_merge_identity_and_accuracy(spark, sf_dir, duck):
     """The rows-only hll_partial_merge query's correctness claims: the
     daily-sketch union estimates EXACTLY what the direct whole-table
