@@ -121,6 +121,10 @@ HEADLINE = [
     # round-14 additions: merge-on-read + aggregate navigation
     "merge_upsert_dv",              # DV sidecar + delta append + overlay read
     "mv_rollup_rewrite",            # MV build + rollup rewrite + base fallback
+    # round-15 additions: the closed CDC->MoR->MV loop and the
+    # policy-triggered MoR compaction, benched from birth
+    "mv_mor_feed_capstone",         # merge -> change feed -> maintain_mv -> serve
+    "merge_dv_auto_compact",        # 3 merges + metadata decision + compaction
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
@@ -356,6 +360,11 @@ def main() -> None:
         "merge_upsert_dv",
         # MV cycle: summary build + fingerprint + rollup serve
         "mv_rollup_rewrite",
+        # the closed loop (init + MV build + merge + feed + maintain +
+        # serve) and the policy cycle (3 merges + decision + compaction)
+        # ARE the operators — re-paid every run
+        "mv_mor_feed_capstone",
+        "merge_dv_auto_compact",
         # NOT stream_stream_left_outer: its staged feed is plain source
         # staging (the operator is the stateful join, re-run in full
         # every invocation regardless)

@@ -393,6 +393,7 @@ def mv_partial_delta_maintain(
     on: Sequence[str],
     spec: dict,
     z: str = "__z",
+    precheck_risky: bool = False,
 ) -> DataFrame:
     """Incremental maintenance of a materialized view's PARTIAL-aggregate
     rows under a z-weighted delta batch — the multi-measure-column
@@ -419,7 +420,15 @@ def mv_partial_delta_maintain(
 
     Scale: per-batch work = one delta-sized aggregate + a base scan
     restricted to risky groups, independent of how many measure columns
-    the MV stores (they ride the same shuffle)."""
+    the MV stores (they ride the same shuffle). The recompute leg is
+    OMITTED statically when no column stores min/max (count/sum-only
+    MVs never touch the fact), and — with ``precheck_risky=True``, for
+    callers that are maintenance VERBS and may run jobs — omitted
+    dynamically after one O(groups + changeset) probe finds zero risky
+    groups: otherwise the lazily-planned semi-join still pays the full
+    base scan in the (common) batch where no delete reached an
+    extremum, which is exactly the refresh cost this operator exists
+    to avoid."""
     on = list(on)
     pos = F.col(z) > 0
     d_aggs = [F.sum(z).cast("long").alias("__d_cnt")]
@@ -494,6 +503,16 @@ def mv_partial_delta_maintain(
         .select(*on, *fold_exprs)
         .filter(F.col("__cnt") > 0)
     )
+    touched = d.select(*on)
+
+    has_minmax = any(
+        "min" in kinds or "max" in kinds for kinds in spec.values()
+    )
+    if not has_minmax:
+        # no extremum partials → nothing is ever risky: pure fold
+        return folded.join(touched, on, "left_semi")
+    if precheck_risky and j.filter(risky).limit(1).count() == 0:
+        return folded.join(touched, on, "left_semi")
 
     risky_keys = j.filter(risky).select(*on)
     r_aggs = [F.count("*").cast("long").alias("__cnt")]
@@ -511,5 +530,4 @@ def mv_partial_delta_maintain(
         .groupBy(*on)
         .agg(*r_aggs)
     )
-    touched = d.select(*on)
     return folded.join(touched, on, "left_semi").unionByName(recomputed)

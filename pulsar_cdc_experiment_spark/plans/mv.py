@@ -266,6 +266,10 @@ def maintain_mv(
             data, base_new,
             changes.select(*group_cols, *sorted(spec), "__z"),
             group_cols, spec,
+            # this is a maintenance VERB (jobs allowed): one O(groups +
+            # changeset) probe skips the risky-recompute leg — and with
+            # it the base scan — in the common no-extremum-hit batch
+            precheck_risky=True,
         )
         touched = changes.select(*group_cols).distinct()
         untouched = data.join(touched, group_cols, "left_anti")

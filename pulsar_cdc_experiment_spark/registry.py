@@ -35,10 +35,15 @@ ORACLES: dict[str, str] = {}
 #: per round (simulated against the committed CORRECTNESS_r*.json union)
 #: so each round's prefix-50 lands ≥10 first-time names. Deterministic
 #: within a round — correctness artifacts stay reproducible.
-#: round 14: salt 4 at the final 222-query registry → 25 never-sampled
-#: names in the oracle-backed prefix-50 (simulated against
-#: CORRECTNESS_r01..r13), including 8 of this round's 10 new queries
-_ROTATION_SALT = 4
+#: round 14: salt 4 at the 222-query registry → 25 never-sampled names
+#: in the oracle-backed prefix-50 (simulated against
+#: CORRECTNESS_r01..r13), including 8 of that round's 10 new queries
+#: round 15: salt 0 at the 229-query registry → 14 never-sampled names
+#: in the oracle-backed prefix-50 (simulated against
+#: CORRECTNESS_r01..r14), including 6 of this round's 7 new queries
+#: (salt 6 gave 17 fresh but only 3 of the new capabilities — driver
+#: eyes on the riskiest new code wins the tie)
+_ROTATION_SALT = 0
 
 
 def register(name: str, oracle: str | None = None):

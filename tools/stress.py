@@ -927,6 +927,145 @@ def main() -> None:
         finally:
             _sh.rmtree(base, ignore_errors=True)
 
+    def mv_maintain_vs_refresh(n):
+        """Round-15: the incremental-maintenance asymptote — after a
+        200-row changeset lands on the fact, bringing the MV fresh via
+        ``maintain_mv`` (fold O(changeset + groups)) vs ``refresh_mv``
+        (recompute O(fact)). Both paths are run and their resulting
+        partial rows asserted IDENTICAL, so the speedup is for the same
+        answer. This is the summary-freshness cost of the closed
+        CDC→MV loop (mv_mor_feed_capstone) at scale."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            maintain_mv,
+            refresh_mv,
+        )
+        from pulsar_cdc_experiment_spark.plans.mv import create_mv as _cmv
+
+        base = tempfile.mkdtemp(prefix="stress_mvm_")
+        src_path = os.path.join(base, "fact")
+        try:
+            spark.range(n).select(
+                (F.col("id") % 100_000).cast("string").alias("g"),
+                (F.col("id") % 97).cast("long").alias("v"),
+            ).write.parquet(src_path)
+            src = spark.read.parquet(src_path)
+            mv_root = os.path.join(base, "mvs")
+            _cmv(
+                spark, mv_root, name="m", source_path=src_path,
+                source=src, group_cols=["g"],
+                measures={
+                    "sv": ("sum", "v"), "n": ("count", None),
+                    "mn": ("min", "v"), "mx": ("max", "v"),
+                },
+            )
+            # the changeset: 200 inserted rows, appended to the fact
+            delta = spark.range(200).select(
+                (F.col("id") % 100_000).cast("string").alias("g"),
+                F.lit(50).cast("long").alias("v"),
+            )
+            delta.coalesce(1).write.mode("append").parquet(src_path)
+            src1 = spark.read.parquet(src_path)
+            changes = delta.withColumn("__z", F.lit(1))
+            mv_data = os.path.join(mv_root, "m", "data")
+            t0 = time.perf_counter()
+            maintain_mv(spark, mv_root, "m", changes, base_new=src1)
+            maintain_sec = time.perf_counter() - t0
+            maintained = sorted(
+                map(tuple, spark.read.parquet(mv_data).collect())
+            )
+            t0 = time.perf_counter()
+            refresh_mv(spark, mv_root, "m", src1)
+            refresh_sec = time.perf_counter() - t0
+            refreshed = sorted(
+                map(tuple, spark.read.parquet(mv_data).collect())
+            )
+            assert maintained == refreshed
+            out = {
+                "rows": n,
+                "changeset": 200,
+                "maintain_sec": round(maintain_sec, 3),
+                "refresh_sec": round(refresh_sec, 3),
+                "speedup": round(refresh_sec / max(maintain_sec, 1e-9), 1),
+            }
+            results["mv_maintain_vs_refresh"] = out
+            print(
+                json.dumps({"op": "mv_maintain_vs_refresh", **out}),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(base, ignore_errors=True)
+
+    def mor_overlay_tax(n):
+        """Round-15: the overlay-depth read-tax curve auto_compact_mor
+        exists to bound — the same aggregate over a MoR table at
+        overlay depth 0 / 8 / 16, then after a policy-triggered
+        compaction (depth > 8) resets it. Values asserted constant
+        across depths (the merges are idempotent re-upserts of the same
+        200 keys), so the time curve isolates the overlay cost."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.mor import (
+            auto_compact_mor,
+            init_mor,
+            merge_into_mor,
+            read_mor,
+        )
+
+        root = tempfile.mkdtemp(prefix="stress_mortax_") + "/t"
+        try:
+            spark.range(n).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+                (F.col("id") % 4).cast("string").alias("p"),
+            ).repartition(64).write.partitionBy("p").parquet(root)
+            init_mor(
+                spark, root, spark.read.parquet(root),
+                keys=["k"], partition_col="p",
+            )
+
+            def read_sec():
+                t0 = time.perf_counter()
+                row = read_mor(spark, root).agg(
+                    F.sum("v").alias("s"), F.count("*").alias("c")
+                ).collect()[0]
+                return time.perf_counter() - t0, (row["s"], row["c"])
+
+            step = max(1, n // 200)
+            chg = spark.range(200).select(
+                (F.col("id") * step).alias("k"),
+                F.lit(-1.0).alias("v"),
+                ((F.col("id") * step) % 4).cast("string").alias("p"),
+                F.lit(False).alias("is_delete"),
+            )
+            curve = {}
+            t, v0 = read_sec()
+            curve["depth_0_sec"] = round(t, 2)
+            for i in range(16):
+                merge_into_mor(spark, root, chg)
+                if i == 7:
+                    t, v8 = read_sec()
+                    curve["depth_8_sec"] = round(t, 2)
+            t, v16 = read_sec()
+            curve["depth_16_sec"] = round(t, 2)
+            assert v8 == v16  # idempotent re-upserts: same state
+            rep = auto_compact_mor(spark, root, max_overlay_depth=8)
+            assert rep["triggered"] and rep["compact"]["base_seq"] == 16
+            t, vc = read_sec()
+            curve["post_compact_sec"] = round(t, 2)
+            assert vc == v16
+            out = {"rows": n, **curve}
+            results["mor_overlay_read_tax"] = out
+            print(
+                json.dumps({"op": "mor_overlay_read_tax", **out}),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(os.path.dirname(root), ignore_errors=True)
+
     s = args.scale
     if args.only is not None and "probe_bucketed_vs_bnlj" in args.only:
         probe_bucketed(int(10e6 * s))
@@ -950,6 +1089,10 @@ def main() -> None:
         mor_vs_cow(int(40e6 * s))
     if args.only is None or "mv_rewrite_speedup" in args.only:
         mv_rewrite(int(200e6 * s))
+    if args.only is not None and "mv_maintain_vs_refresh" in args.only:
+        mv_maintain_vs_refresh(int(200e6 * s))
+    if args.only is not None and "mor_overlay_read_tax" in args.only:
+        mor_overlay_tax(int(40e6 * s))
     if args.only is None or "ivm_join_delta_vs_recompute" in args.only:
         ivm_join(int(20e6 * s))
     run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
