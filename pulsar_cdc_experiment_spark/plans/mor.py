@@ -475,6 +475,42 @@ def compact_mor(
         }
 
 
+def rollback_last_mor(root: str) -> dict:
+    """Undo the NEWEST published sequence of a merge-on-read table — the
+    compensation primitive the heterogeneous multi-table transaction
+    saga (plans/txn.py) needs, mirroring the copy-on-write
+    ``rollback_last_merge``. Pure manifest metadata: one atomic
+    manifest replace unpublishes the sequence (readers instantly see
+    the prior state), the sequence's sidecar + delta become orphans
+    removed here and — after any crash — by the next maintenance
+    entry's sweep. A schema-evolving sequence's columns are shrunk back
+    out of the manifest (no earlier component carries them). Only the
+    LAST sequence can roll back (earlier ones have dependents); callers
+    guard idempotency by checking ``mor_history(root)[-1]["seq"]``
+    before calling, exactly like the CoW version guard."""
+    with maintenance_lock(root):
+        man = _read_manifest(root)
+        _sweep_orphans(root, man)
+        if not man["seqs"]:
+            raise ValueError(
+                f"nothing to roll back under {root} (no retained "
+                "sequences above the base generation)"
+            )
+        last = man["seqs"].pop()
+        if last.get("schema_evolved"):
+            man["columns"] = [
+                c for c in man["columns"]
+                if c not in last["schema_evolved"]
+            ]
+        _write_manifest(root, man)  # publish point: seq unreachable now
+        shutil.rmtree(_delta_dir(root, last["seq"]), ignore_errors=True)
+        try:
+            os.remove(_delete_file(root, last["seq"]))
+        except FileNotFoundError:
+            pass
+        return {"rolled_back_seq": last["seq"]}
+
+
 def auto_compact_mor(
     spark: SparkSession,
     root: str,

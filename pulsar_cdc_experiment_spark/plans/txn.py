@@ -7,6 +7,16 @@ topic-per-table, docs/setup-guide.md:33-35); applying them independently
 lets a crash strand table A updated and table B not — the cross-table
 inconsistency this module closes.
 
+Legs are HETEROGENEOUS (round 15): each table keeps its own physical
+strategy — copy-on-write (``plans/merge``) or merge-on-read
+(``plans/mor``) — detected per path, with each strategy supplying its
+own apply (``merge_into`` / ``merge_into_mor``), compensation
+(``rollback_last_merge`` / ``rollback_last_mor``), history
+(``merge_history`` / ``mor_history``), and snapshot read
+(``read_version`` / ``read_mor``). A hot high-churn table can run MoR
+while its dimension stays CoW, and one upstream transaction still lands
+all-or-nothing across both.
+
 Design: a journaled SAGA over the battle-tested single-table primitives,
 NOT a re-implementation of publish. Each leg runs
 ``merge_into(keep_history=True)`` (its own crash-window discipline and
@@ -41,6 +51,37 @@ import os
 from .layout import maintenance_lock
 from .merge import merge_history, merge_into, rollback_last_merge
 
+
+def _is_mor(path: str) -> bool:
+    """A leg table's physical strategy — merge-on-read tables carry a
+    ``.mor/manifest.json``; the saga routes each leg to its strategy's
+    primitives (merge_into_mor / rollback_last_mor / read_mor) so ONE
+    transaction can span copy-on-write and MoR tables heterogeneously."""
+    from .mor import _manifest_path
+
+    return os.path.exists(_manifest_path(path))
+
+
+def _leg_history_version(path: str) -> int | None:
+    """Newest published version/sequence of a leg table (None if no
+    history): the idempotency guard recovery checks before compensating."""
+    if _is_mor(path):
+        from .mor import mor_history
+
+        hist = mor_history(path)
+        return hist[-1]["seq"] if hist else None
+    hist = merge_history(path)
+    return hist[-1]["version"] if hist else None
+
+
+def _leg_rollback(path: str) -> None:
+    if _is_mor(path):
+        from .mor import rollback_last_mor
+
+        rollback_last_mor(path)
+    else:
+        rollback_last_merge(path)
+
 JOURNAL = ".merge_txn.json"
 
 #: committed-transaction log (append-only JSON list, atomic os.replace):
@@ -63,10 +104,20 @@ def _write_journal(txn_root: str, state: dict) -> None:
 
 
 def _next_version(path: str) -> int:
-    """The version the NEXT ``merge_into(keep_history=True)`` on ``path``
-    will create — must mirror merge_into's own assignment (max over ALL
-    version dirs, manifest-complete or not: a crash-orphaned dir still
-    claims its number), not merge_history's complete-only view."""
+    """The version the NEXT merge on ``path`` will create, mirroring
+    each strategy's own assignment. Copy-on-write: max over ALL version
+    dirs, manifest-complete or not (a crash-orphaned dir still claims
+    its number) — not merge_history's complete-only view. Merge-on-read:
+    the manifest is the only source of sequence numbers (a crashed
+    writer's unpublished files never claim one — the sweep removes
+    them), continuing above base_seq after a full compaction."""
+    if _is_mor(path):
+        from .mor import _read_manifest
+
+        man = _read_manifest(path)
+        if man["seqs"]:
+            return man["seqs"][-1]["seq"] + 1
+        return man.get("base_seq", 0) + 1
     hist_root = os.path.join(path, ".merge_history")
     if not os.path.isdir(hist_root):
         return 1
@@ -145,11 +196,10 @@ def _recover_unlocked(txn_root: str) -> dict | None:
     if inflight is not None:
         legs.append(inflight)
     for leg in reversed(legs):
-        hist = merge_history(leg["path"])
-        if hist and hist[-1]["version"] == leg["version"]:
-            rollback_last_merge(leg["path"])
+        if _leg_history_version(leg["path"]) == leg["version"]:
+            _leg_rollback(leg["path"])
             rolled.append(leg["path"])
-        # else: the leg never completed (merge_into's own staging
+        # else: the leg never completed (each strategy's own staging
         # recovery applies) or was already rolled back — nothing to undo
     os.remove(jp)
     return {"rolled_back": rolled, "committed": False}
@@ -195,18 +245,38 @@ def _merge_transaction_locked(spark, txn_root: str, ops: list[dict]) -> dict:
     try:
         for op in ops:
             op = dict(op)
-            op["keep_history"] = True
             path = op.pop("path")
             source = op.pop("source")
+            mor = _is_mor(path)
+            if mor:
+                bad = [k for k in ("keys", "partition_col") if k in op]
+                if bad:
+                    raise ValueError(
+                        f"leg {path} is a merge-on-read table: {bad} are "
+                        "pinned in its manifest — remove them from the op"
+                    )
+            else:
+                op["keep_history"] = True
             state["in_flight"] = {
                 "path": path,
                 "version": _next_version(path),
             }
             _write_journal(txn_root, state)
-            rep = merge_into(spark, path, source, **op)
-            state["completed"].append(
-                {"path": path, "version": rep["version"]}
-            )
+            if mor:
+                from .mor import merge_into_mor
+
+                rep = merge_into_mor(spark, path, source, **op)
+                version = rep["seq"]
+            else:
+                rep = merge_into(spark, path, source, **op)
+                version = rep["version"]
+            # an empty changeset publishes nothing (MoR seq=None):
+            # no leg to compensate, and the snapshot reader treats the
+            # table as untouched by this transaction
+            if version is not None:
+                state["completed"].append(
+                    {"path": path, "version": version}
+                )
             state["in_flight"] = None
             _write_journal(txn_root, state)
             reports.append(rep)
@@ -252,6 +322,13 @@ def read_transaction_snapshot(
     """
     from .merge import read_version
 
+    def leg_read(path: str, version: int):
+        if _is_mor(path):
+            from .mor import read_mor
+
+            return read_mor(spark, path, version)
+        return read_version(spark, path, version)
+
     if at not in ("pre", "post"):
         raise ValueError(f"at must be 'pre' or 'post', got {at!r}")
     jp = _journal_path(txn_root)
@@ -271,12 +348,16 @@ def read_transaction_snapshot(
             }
             inflight = state.get("in_flight")
             if inflight is not None:
-                hist = merge_history(inflight["path"])
-                if hist and hist[-1]["version"] == inflight["version"]:
+                landed = _leg_history_version(inflight["path"])
+                if landed is not None and landed == inflight["version"]:
                     done[inflight["path"]] = inflight["version"]
             for path in state["ops"]:
                 if path in done:
-                    out[path] = read_version(spark, path, done[path] - 1)
+                    out[path] = leg_read(path, done[path] - 1)
+                elif _is_mor(path):
+                    from .mor import read_mor
+
+                    out[path] = read_mor(spark, path)
                 else:
                     hist = merge_history(path)
                     if hist:
@@ -301,6 +382,6 @@ def read_transaction_snapshot(
         txn = match[0]
     delta = 0 if at == "post" else 1
     return {
-        leg["path"]: read_version(spark, leg["path"], leg["version"] - delta)
+        leg["path"]: leg_read(leg["path"], leg["version"] - delta)
         for leg in txn["legs"]
     }

@@ -679,3 +679,176 @@ def merge_dv_auto_compact(spark, sf_dir):
         )
     )
     return decisions.unionByName(state)
+
+
+def txn_mixed_fixture(spark, sf_dir: str) -> str:
+    """One transaction spanning BOTH physical strategies: orders lands
+    copy-on-write, events lands merge-on-read, and a saga applies one
+    changeset to each. A FAILING transaction runs first (valid MoR leg,
+    then a CoW changeset missing its key columns): its compensation
+    must unpublish the MoR sequence — the build asserts zero retained
+    sequences and byte-equal state before the succeeding transaction
+    runs."""
+
+    def build(root: str) -> None:
+        from ..plans.txn import merge_transaction
+
+        cow = os.path.join(root, "orders")
+        mor_t = os.path.join(root, "events")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        orders.repartition(4).write.partitionBy("o_orderpriority").parquet(
+            cow
+        )
+        ev = table(spark, sf_dir, "events")
+        init_mor(
+            spark, mor_t, ev, keys=["event_id"],
+            partition_col="event_type",
+        )
+
+        def ev_chg():
+            eid = F.col("event_id")
+            upd = (
+                ev.filter(eid % 30 == 2)
+                .withColumn("value", F.col("value") * 1.2)
+                .withColumn("is_delete", F.lit(False))
+            )
+            dele = ev.filter(eid % 30 == 7).withColumn(
+                "is_delete", F.lit(True)
+            )
+            return upd.unionByName(dele)
+
+        def o_chg():
+            key = F.col("o_orderkey")
+            upd = (
+                orders.filter(key % 50 == 3)
+                .withColumn("o_totalprice", F.col("o_totalprice") * 1.07)
+                .withColumn("is_delete", F.lit(False))
+            )
+            dele = orders.filter(key % 50 == 7).withColumn(
+                "is_delete", F.lit(True)
+            )
+            return upd.unionByName(dele)
+
+        bogus = spark.createDataFrame(
+            [(1.0, "1-URGENT", False)],
+            "o_totalprice double, o_orderpriority string, "
+            "is_delete boolean",
+        )
+        failed = None
+        try:
+            merge_transaction(
+                spark, root,
+                [
+                    {"path": mor_t, "source": ev_chg()},
+                    {"path": cow, "source": bogus,
+                     "keys": ["o_orderkey"],
+                     "partition_col": "o_orderpriority"},
+                ],
+            )
+        except Exception as e:
+            failed = repr(e)
+        assert failed is not None, "bogus CoW leg must fail the txn"
+        assert mor_history(mor_t) == [], (
+            "compensation must unpublish the MoR sequence"
+        )
+        out = merge_transaction(
+            spark, root,
+            [
+                {"path": mor_t, "source": ev_chg()},
+                {"path": cow, "source": o_chg(),
+                 "keys": ["o_orderkey"],
+                 "partition_col": "o_orderpriority"},
+            ],
+        )
+        assert out["n_legs"] == 2
+        with open(os.path.join(root, "txn.json"), "w") as f:
+            json.dump(
+                {"failed_first": failed, "txn_seq": out["txn_seq"]}, f
+            )
+
+    return session_fixture("txn_mixed", sf_dir, "fail_then_ok_v1", build)
+
+
+@register(
+    "merge_txn_mixed_strategies",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CASE WHEN event_id % 30 = 2
+                  THEN floor(value * 1.2 * 100 + 0.5)
+                  ELSE floor(value * 100 + 0.5) END AS cents
+      FROM events WHERE event_id % 30 <> 7
+    ), o AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 50 = 3
+                  THEN floor(o_totalprice * 1.07 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents
+      FROM orders WHERE o_orderkey % 50 <> 7
+    )
+    SELECT 'events_mor' AS tbl, event_type AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM ev GROUP BY 2
+    UNION ALL
+    SELECT 'orders_cow', o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT)
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'orders_cow_post', o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT)
+    FROM o GROUP BY 2
+    UNION ALL
+    SELECT 'events_mor_pre', event_type, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM events GROUP BY 2
+    """,
+)
+def merge_txn_mixed_strategies(spark, sf_dir):
+    """HETEROGENEOUS multi-table transaction (plans/txn.py, round 15):
+    one saga spans a copy-on-write leg (orders) and a merge-on-read leg
+    (events) — each applied, compensated, and snapshot-read through its
+    own strategy's primitives. The fixture runs a FAILING transaction
+    first (its landed MoR sequence must be unpublished by
+    ``rollback_last_mor`` — any residue applies the 1.2 update twice
+    and shifts events_mor), then the succeeding one. Output legs:
+    post-txn state of both tables (events via ``read_mor``, orders via
+    the live read) plus the PRE-transaction boundary of both via
+    ``read_transaction_snapshot(at='pre')`` (events rewound to the base
+    sequence, orders time-traveled to version 0) — the oracle
+    recomputes all four closed-form, so a mixed-strategy snapshot that
+    mixes boundaries fails the hash. At 100 TB: the hot high-churn
+    table runs MoR (O(feed) applies), its dimensions stay CoW, and one
+    upstream transaction still lands all-or-nothing across both."""
+    from ..plans.txn import read_transaction_snapshot
+    from ..sources.tables import read_dir
+
+    root = txn_mixed_fixture(spark, sf_dir)
+    cow = os.path.join(root, "orders")
+    mor_t = os.path.join(root, "events")
+    with open(os.path.join(root, "txn.json")) as f:
+        seq = json.load(f)["txn_seq"]
+    ev_cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    o_cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long")
+
+    def agg(df, tbl, grp, cents):
+        return df.groupBy(F.col(grp).alias("grp")).agg(
+            F.count("*").alias("n"), F.sum(cents).alias("sum_cents")
+        ).select(F.lit(tbl).alias("tbl"), "grp", "n", "sum_cents")
+
+    post_ev = agg(
+        read_mor(spark, mor_t), "events_mor", "event_type", ev_cents
+    )
+    post_o = agg(
+        read_dir(spark, cow), "orders_cow_post", "o_orderpriority", o_cents
+    )
+    pre = read_transaction_snapshot(spark, root, seq, at="pre")
+    pre_ev = agg(pre[mor_t], "events_mor_pre", "event_type", ev_cents)
+    pre_o = agg(pre[cow], "orders_cow", "o_orderpriority", o_cents)
+    return post_ev.unionByName(post_o).unionByName(pre_ev).unionByName(
+        pre_o
+    )

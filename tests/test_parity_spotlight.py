@@ -64,6 +64,8 @@ SPOTLIGHT = [
     "approx_distinct_bounds",
     "approx_quantiles_bounds",
     "stream_late_drop_counts",
+    # round-15: heterogeneous (CoW + MoR) multi-table transaction
+    "merge_txn_mixed_strategies",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

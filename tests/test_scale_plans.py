@@ -727,6 +727,9 @@ _BUILD_JOBS_SANCTIONED = {
     # policy-triggered MoR compaction: its own 3-merge fixture + the
     # triggered compact_mor — the maintenance-verb carve-out
     "merge_dv_auto_compact",
+    # heterogeneous saga: CoW + MoR fixture builds + the failing txn's
+    # compensation + the succeeding txn — the transaction IS the op
+    "merge_txn_mixed_strategies",
     # materialized-view fixtures: the summary build / merge + incremental
     # maintenance cycle IS the operator (plans/mv.py create_mv /
     # maintain_mv + fingerprint); re-planning reads the MV through the

@@ -408,3 +408,209 @@ def test_merge_transaction_single_writer_per_txn_root(spark, two_tables):
     assert out["n_legs"] == 1
     seqs = [t["txn_seq"] for t in committed_transactions(root)]
     assert seqs == sorted(set(seqs))
+
+
+# --- heterogeneous sagas (round 15): CoW + MoR legs in ONE transaction ---
+
+
+@pytest.fixture()
+def mixed_tables(spark):
+    from pulsar_cdc_experiment_spark.plans.mor import init_mor
+
+    root = tempfile.mkdtemp(prefix="txn_mixed_")
+    cow = _mk(spark, root, "cow")
+    mor = os.path.join(root, "mor")
+    rows = [(k, float(k), "a" if k % 2 == 0 else "b") for k in range(20)]
+    init_mor(
+        spark, mor,
+        spark.createDataFrame(rows, "k bigint, v double, p string"),
+        keys=["k"], partition_col="p",
+    )
+    yield root, cow, mor
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _mor_state(spark, path, as_of=None):
+    from pulsar_cdc_experiment_spark.plans.mor import read_mor
+
+    return {
+        (r["k"], r["v"], r["p"])
+        for r in read_mor(spark, path, as_of).collect()
+    }
+
+
+def test_mixed_txn_happy_path(spark, mixed_tables):
+    """One saga spanning a copy-on-write leg and a merge-on-read leg:
+    both apply, each through its own strategy's primitives — the CoW
+    leg gets a history version, the MoR leg a published sequence."""
+    from pulsar_cdc_experiment_spark.plans.mor import mor_history
+    from pulsar_cdc_experiment_spark.plans.txn import committed_transactions
+
+    root, cow, mor = mixed_tables
+    s_cow, s_mor = _state(spark, cow), _mor_state(spark, mor)
+    out = merge_transaction(
+        spark, root,
+        [
+            _op(cow, _chg(spark, [(4, 400.0, "a", False)])),
+            # MoR op: keys/partition pinned in the manifest — path+source only
+            {"path": mor, "source": _chg(spark, [(5, 0.0, "b", True),
+                                                 (100, 1.0, "a", False)])},
+        ],
+    )
+    assert out["n_legs"] == 2
+    assert not os.path.exists(os.path.join(root, JOURNAL))
+    assert _state(spark, cow) == (s_cow - {(4, 4.0, "a")}) | {(4, 400.0, "a")}
+    assert _mor_state(spark, mor) == (
+        s_mor - {(5, 5.0, "b")}
+    ) | {(100, 1.0, "a")}
+    assert [m["version"] for m in merge_history(cow)] == [1]
+    assert [s["seq"] for s in mor_history(mor)] == [1]
+    legs = committed_transactions(root)[-1]["legs"]
+    assert {(l["path"], l["version"]) for l in legs} == {(cow, 1), (mor, 1)}
+
+
+def test_mixed_txn_rejects_cow_kwargs_on_mor_leg(spark, mixed_tables):
+    root, cow, mor = mixed_tables
+    with pytest.raises(ValueError, match="pinned in its manifest"):
+        merge_transaction(
+            spark, root,
+            [_op(mor, _chg(spark, [(4, 400.0, "a", False)]))],
+        )
+
+
+def test_mixed_txn_failed_cow_leg_compensates_mor_leg(spark, mixed_tables):
+    """MoR leg 1 lands (sidecar + delta + manifest publish), CoW leg 2
+    raises: compensation must unpublish the MoR sequence — state byte
+    identical, sequence gone, files swept."""
+    from pulsar_cdc_experiment_spark.plans.mor import mor_history
+
+    root, cow, mor = mixed_tables
+    s_cow, s_mor = _state(spark, cow), _mor_state(spark, mor)
+    bogus = spark.createDataFrame(
+        [(1, "a", False)], "wrong bigint, p string, is_delete boolean"
+    )
+    with pytest.raises(Exception):
+        merge_transaction(
+            spark, root,
+            [
+                {"path": mor,
+                 "source": _chg(spark, [(4, 400.0, "a", False)])},
+                _op(cow, bogus),
+            ],
+        )
+    assert not os.path.exists(os.path.join(root, JOURNAL))
+    assert _mor_state(spark, mor) == s_mor
+    assert mor_history(mor) == []
+    assert _state(spark, cow) == s_cow
+    # and the table keeps working: a later merge re-claims seq 1
+    merge_transaction(
+        spark, root,
+        [{"path": mor, "source": _chg(spark, [(6, 600.0, "a", False)])}],
+    )
+    assert (6, 600.0, "a") in _mor_state(spark, mor)
+    assert [s["seq"] for s in mor_history(mor)] == [1]
+
+
+def test_mixed_recovery_inflight_mor_leg_landed(spark, mixed_tables):
+    """Crash between the MoR merge landing and the journal recording it
+    completed: the expected-sequence guard identifies the landed leg
+    and rolls it back alongside the completed CoW leg."""
+    from pulsar_cdc_experiment_spark.plans.mor import merge_into_mor
+
+    root, cow, mor = mixed_tables
+    s_cow, s_mor = _state(spark, cow), _mor_state(spark, mor)
+    r1 = merge_into(
+        spark, cow, _chg(spark, [(4, 400.0, "a", False)]),
+        keys=["k"], partition_col="p", keep_history=True,
+    )
+    r2 = merge_into_mor(spark, mor, _chg(spark, [(5, 0.0, "b", True)]))
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "ops": [cow, mor],
+                "completed": [{"path": cow, "version": r1["version"]}],
+                "in_flight": {"path": mor, "version": r2["seq"]},
+                "committed": False,
+            },
+            f,
+        )
+    out = recover_merge_transaction(root)
+    assert sorted(out["rolled_back"]) == sorted([cow, mor])
+    assert _state(spark, cow) == s_cow
+    assert _mor_state(spark, mor) == s_mor
+
+
+def test_mixed_snapshot_read_pre_post_and_inflight(spark, mixed_tables):
+    """Snapshot reads across a mixed txn: post serves both strategies at
+    the committed boundary, pre at the boundary before, both STABLE
+    under later merges; an in-flight journal serves every leg pre."""
+    from pulsar_cdc_experiment_spark.plans.mor import merge_into_mor
+    from pulsar_cdc_experiment_spark.plans.txn import (
+        read_transaction_snapshot,
+    )
+
+    root, cow, mor = mixed_tables
+    s_cow0, s_mor0 = _state(spark, cow), _mor_state(spark, mor)
+    out = merge_transaction(
+        spark, root,
+        [
+            _op(cow, _chg(spark, [(4, 400.0, "a", False)])),
+            {"path": mor, "source": _chg(spark, [(5, 500.0, "b", False)])},
+        ],
+    )
+    seq = out["txn_seq"]
+    s_cow1, s_mor1 = _state(spark, cow), _mor_state(spark, mor)
+    # later out-of-band merge on the MoR table must not move the snapshot
+    merge_into_mor(spark, mor, _chg(spark, [(7, 0.0, "b", True)]))
+    snap = read_transaction_snapshot(spark, root, seq, at="post")
+    assert {
+        (r["k"], r["v"], r["p"]) for r in snap[mor].collect()
+    } == s_mor1
+    assert {
+        (r["k"], r["v"], r["p"]) for r in snap[cow].collect()
+    } == s_cow1
+    pre = read_transaction_snapshot(spark, root, seq, at="pre")
+    assert {(r["k"], r["v"], r["p"]) for r in pre[mor].collect()} == s_mor0
+    assert {(r["k"], r["v"], r["p"]) for r in pre[cow].collect()} == s_cow0
+    # in-flight journal: every journaled leg serves PRE
+    with open(os.path.join(root, JOURNAL), "w") as f:
+        json.dump(
+            {
+                "ops": [cow, mor],
+                "completed": [],
+                "in_flight": None,
+                "committed": False,
+            },
+            f,
+        )
+    try:
+        live = read_transaction_snapshot(spark, root)
+        got = {(r["k"], r["v"], r["p"]) for r in live[mor].collect()}
+        # untouched-in-this-journal legs read latest (incl. the 7-delete)
+        assert (7, 7.0, "b") not in got
+    finally:
+        os.remove(os.path.join(root, JOURNAL))
+
+
+def test_rollback_last_mor_guards_and_schema_shrink(spark, mixed_tables):
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        merge_into_mor,
+        mor_history,
+        read_mor,
+        rollback_last_mor,
+    )
+
+    root, cow, mor = mixed_tables
+    with pytest.raises(ValueError, match="nothing to roll back"):
+        rollback_last_mor(mor)
+    wide = spark.createDataFrame(
+        [(4, 400.0, "a", "gold", False)],
+        "k bigint, v double, p string, tier string, is_delete boolean",
+    )
+    merge_into_mor(spark, mor, wide, evolve_schema=True)
+    assert read_mor(spark, mor).columns == ["k", "v", "p", "tier"]
+    rep = rollback_last_mor(mor)
+    assert rep == {"rolled_back_seq": 1}
+    assert read_mor(spark, mor).columns == ["k", "v", "p"]
+    assert mor_history(mor) == []
+    assert (4, 4.0, "a") in _mor_state(spark, mor)
