@@ -852,3 +852,149 @@ def merge_txn_mixed_strategies(spark, sf_dir):
     return post_ev.unionByName(post_o).unionByName(pre_ev).unionByName(
         pre_o
     )
+
+
+@register(
+    "stream_mor_auto_maintain",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id
+          ORDER BY event_id % 6 DESC, ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT 'decision' AS metric, 'b1' AS grp,
+           CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS v
+    UNION ALL SELECT 'decision', 'b2', 2, 0
+    UNION ALL SELECT 'decision', 'b3', 3, 1
+    UNION ALL SELECT 'decision', 'b4', 1, 0
+    UNION ALL SELECT 'decision', 'b5', 2, 0
+    UNION ALL
+    SELECT 'state', event_type, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM latest WHERE event_type <> 'error' GROUP BY 2
+    """,
+)
+def stream_mor_auto_maintain(spark, sf_dir):
+    """CONTINUOUS CDC apply with the overlay bounded BY POLICY, end to
+    end from a stream: six time-ordered micro-batches (event_id % 6
+    slices) land on a merge-on-read serving table via foreachBatch —
+    batch 0 bootstraps, every later batch is one O(batch) MERGE — and
+    after each merge the SAME foreachBatch calls ``auto_compact_mor``
+    (depth-2 policy, manifest-metadata decision, zero jobs when it
+    declines). The oracle predicts the WHOLE decision sequence: depths
+    1, 2 decline; depth 3 triggers the compaction (resetting the
+    overlay); depths 1, 2 of the regrown overlay decline again — plus
+    the final served state closed-form (per-user winner = max (batch,
+    ts, event_id); 'error' deletes the key). A missed compaction, a
+    spurious one, or a compaction that corrupted the overlay shifts a
+    hardcoded decision row or a state aggregate. This is the unattended
+    100 TB shape: apply cost O(feed) forever, read tax bounded by
+    policy, no human in the maintenance loop. CoW relative:
+    stream_auto_maintenance (fragmentation-triggered scoped OPTIMIZE)."""
+    from ..operators.materialize import latest_by_key
+    from ..plans.mor import auto_compact_mor
+    from ..streaming.pipeline import EVENTS_RAW
+    from .streaming_q import drain_or_raise
+
+    def build(root: str) -> None:
+        feed_root = os.path.join(root, "feed")
+        state_root = os.path.join(root, "state")
+        dec_path = os.path.join(root, "decisions.json")
+        ev = spark.read.schema(EVENTS_RAW).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        base = 1_700_000_000
+        for i in range(6):
+            p = os.path.join(feed_root, f"{i:03d}")
+            ev.filter(F.col("event_id") % 6 == i).coalesce(1).write.parquet(
+                p
+            )
+            for fn in os.listdir(p):
+                os.utime(os.path.join(p, fn), (base + i * 60, base + i * 60))
+
+        stream = (
+            spark.readStream.schema(EVENTS_RAW)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+
+        def apply_batch(batch_df, batch_id):
+            chg = latest_by_key(
+                batch_df, ["user_id"], ["ts", "event_id"]
+            ).select(
+                "user_id",
+                "value",
+                "event_id",
+                "event_type",
+                (F.col("event_type") == "error").alias("is_delete"),
+            )
+            if not os.path.exists(
+                os.path.join(state_root, ".mor", "manifest.json")
+            ):
+                import shutil
+
+                shutil.rmtree(state_root, ignore_errors=True)
+                init_mor(
+                    spark, state_root,
+                    chg.filter(~F.col("is_delete")).drop("is_delete"),
+                    keys=["user_id"], partition_col="event_type",
+                )
+                return
+            merge_into_mor(spark, state_root, chg)
+            rep = auto_compact_mor(
+                spark, state_root, max_overlay_depth=2
+            )
+            # retry-idempotent decision log: keyed by batch id, atomic
+            # rewrite (a retried batch overwrites its own entry)
+            decisions = {}
+            if os.path.exists(dec_path):
+                with open(dec_path) as f:
+                    decisions = json.load(f)
+            decisions[f"b{batch_id}"] = {
+                "overlay_depth": rep["overlay_depth"],
+                "triggered": rep["triggered"],
+            }
+            tmp = dec_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(decisions, f)
+            os.replace(tmp, dec_path)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_mor_auto_maintain")
+        with open(dec_path) as f:
+            decisions = json.load(f)
+        assert [decisions[f"b{i}"]["triggered"] for i in range(1, 6)] == [
+            False, False, True, False, False
+        ], decisions
+        assert [s["seq"] for s in mor_history(state_root)] == [4, 5]
+
+    root = session_fixture("stream_mor_auto", sf_dir, "slice6_depth2", build)
+    with open(os.path.join(root, "decisions.json")) as f:
+        decisions = json.load(f)
+    dec_rows = spark.createDataFrame(
+        [
+            ("decision", k, d["overlay_depth"], int(d["triggered"]))
+            for k, d in sorted(decisions.items())
+        ],
+        "metric string, grp string, n bigint, v bigint",
+    )
+    served = read_mor(spark, os.path.join(root, "state"))
+    state = served.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v"),
+    ).select(
+        F.lit("state").alias("metric"),
+        F.col("event_type").alias("grp"), "n", "v",
+    )
+    return dec_rows.unionByName(state)

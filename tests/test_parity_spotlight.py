@@ -64,8 +64,10 @@ SPOTLIGHT = [
     "approx_distinct_bounds",
     "approx_quantiles_bounds",
     "stream_late_drop_counts",
-    # round-15: heterogeneous (CoW + MoR) multi-table transaction
+    # round-15: heterogeneous (CoW + MoR) multi-table transaction, and
+    # the streaming apply with policy-bounded overlay
     "merge_txn_mixed_strategies",
+    "stream_mor_auto_maintain",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",
