@@ -45,10 +45,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reproduce) are therefore NOT exposed here; they remain registered
     first-class queries, exercised by ``tools/parity.py`` (full
     registry, recorded per-round in PARITY_r{N}.json) and by dedicated
-    pytest assertions, and every non-streaming one has an oracle-backed
-    ``_portable`` sibling that IS exposed. See
-    ``registry.rows_only_queries()`` for the list and per-name
-    rationale."""
+    pytest assertions, and every one has an oracle-backed sibling that
+    IS exposed: ``_portable`` twins for the hash-dependent similarity
+    queries, and (round 15) in-query accuracy-band / invariant twins
+    for the approximate aggregates and the watermark late-drop
+    (``approx_distinct_bounds``, ``approx_quantiles_bounds``,
+    ``stream_late_drop_counts``) — so every SURVEY §2 operator is on
+    this hard signal. See ``registry.rows_only_queries()`` for the
+    list and per-name rationale."""
     reg = _registry()
     return {n: fn for n, fn in reg.QUERIES.items() if n in reg.ORACLES}
 

@@ -674,3 +674,143 @@ def test_minmax_delta_maintain_randomized_vs_recompute(spark):
         # exactly — including g5 ABSENT (emptied) and g9 present (new)
         assert got == want, (seed, got, want)
         assert "g5" not in got and "g9" in got
+
+
+def test_mv_partial_delta_maintain_randomized_vs_recompute(spark):
+    """mv_partial_delta_maintain (round-15): the multi-measure-column
+    generalization under randomized churn — two value columns (one
+    NULLABLE, exercising the non-null count partial; one with min/max,
+    exercising the risky branch), inserts / plain deletes / extremum
+    deletes / updates / an emptied group / a brand-new group — must
+    equal a full recompute of the patched base, partial for partial.
+    Seeded; 3 trials. Also pins that a batch with NO extremum delete
+    returns the fold-only plan (precheck short-circuit) with the same
+    values."""
+    import random
+
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        mv_partial_delta_maintain,
+    )
+
+    spec = {"a": {"sum", "cnt"}, "b": {"min", "max"}}
+
+    def df(rows, z=None):
+        data = [r + ((z,) if z is not None else ()) for r in rows]
+        schema = "g string, k long, a long, b long" + (
+            ", __z long" if z is not None else ""
+        )
+        return spark.createDataFrame(data, schema)
+
+    def recompute(rows):
+        return {
+            r["g"]: tuple(r)[1:]
+            for r in df(rows).groupBy("g").agg(
+                F.count("*").cast("long").alias("__cnt"),
+                F.sum("a").cast("long").alias("__sum_a"),
+                F.count("a").cast("long").alias("__cnt_a"),
+                F.min("b").alias("__min_b"),
+                F.max("b").alias("__max_b"),
+            ).collect()
+        }
+
+    for seed in (3, 77, 2024):
+        rng = random.Random(seed)
+
+        def val_a(r=rng):
+            return None if r.random() < 0.3 else r.randrange(-500, 500)
+
+        base = [
+            (f"g{g}", g * 1000 + i, val_a(), rng.randrange(-500, 500))
+            for g in range(6)
+            for i in range(rng.randrange(3, 25))
+        ]
+        rows_by_key = {(g, k): (a, b) for g, k, a, b in base}
+        by_g: dict = {}
+        for g, k, a, b in base:
+            by_g.setdefault(g, []).append(k)
+
+        dels, ins, upd = [], [], []
+        for g, ks in by_g.items():
+            if int(g[1:]) % 2 == 0:
+                # delete the exact max-b row: the risky branch
+                kmax = max(ks, key=lambda k: (rows_by_key[(g, k)][1], k))
+                dels.append((g, kmax))
+            others = [k for k in ks if (g, k) not in dels]
+            if others:
+                dels.append((g, rng.choice(others)))
+            left = [k for k in ks if (g, k) not in dels]
+            if left:
+                upd.append((g, rng.choice(left), val_a(),
+                            rng.randrange(-500, 500)))
+            ins.append((g, max(ks) + 7, val_a(), rng.randrange(-500, 500)))
+        dels = [d for d in dels if d[0] != "g5"]
+        upd = [u for u in upd if u[0] != "g5"]
+        ins = [i2 for i2 in ins if i2[0] != "g5"]
+        dels += [("g5", k) for k in by_g["g5"]]
+        ins += [("g9", 9000 + j, val_a(), rng.randrange(-500, 500))
+                for j in range(4)]
+
+        del_rows = [(g, k, *rows_by_key[(g, k)]) for g, k in dels]
+        upd_pre = [(g, k, *rows_by_key[(g, k)]) for g, k, _a, _b in upd]
+        upd_post = [(g, k, a, b) for g, k, a, b in upd]
+        delta = (
+            df(del_rows, z=-1)
+            .unionByName(df(upd_pre, z=-1))
+            .unionByName(df(upd_post, z=1))
+            .unionByName(df(ins, z=1))
+        )
+        new_rows = dict(rows_by_key)
+        for g, k in dels:
+            del new_rows[(g, k)]
+        for g, k, a, b in upd:
+            new_rows[(g, k)] = (a, b)
+        for g, k, a, b in ins:
+            new_rows[(g, k)] = (a, b)
+        patched = [(g, k, a, b) for (g, k), (a, b) in new_rows.items()]
+        base_new = df(patched)
+        data = df(base).groupBy("g").agg(
+            F.count("*").cast("long").alias("__cnt"),
+            F.sum("a").cast("long").alias("__sum_a"),
+            F.count("a").cast("long").alias("__cnt_a"),
+            F.min("b").alias("__min_b"),
+            F.max("b").alias("__max_b"),
+        )
+        got = {
+            r["g"]: (r["__cnt"], r["__sum_a"], r["__cnt_a"],
+                     r["__min_b"], r["__max_b"])
+            for r in mv_partial_delta_maintain(
+                data, base_new,
+                delta.select("g", "a", "b", "__z"),
+                ["g"], spec, precheck_risky=True,
+            ).collect()
+        }
+        want_full = recompute(patched)
+        touched = {g for g, *_ in del_rows + upd_pre + upd_post + ins}
+        want = {g: v for g, v in want_full.items() if g in touched}
+        assert got == want, (seed, got, want)
+        assert "g5" not in got and "g9" in got
+
+    # fold-only short-circuit: inserts only → zero risky groups → the
+    # returned plan must not reference base_new's scan at all
+    base = [("g0", 1, 10, 100), ("g0", 2, None, 50)]
+    data = df(base).groupBy("g").agg(
+        F.count("*").cast("long").alias("__cnt"),
+        F.sum("a").cast("long").alias("__sum_a"),
+        F.count("a").cast("long").alias("__cnt_a"),
+        F.min("b").alias("__min_b"),
+        F.max("b").alias("__max_b"),
+    )
+    delta = df([("g0", 3, 7, 200)], z=1).select("g", "a", "b", "__z")
+    marker = spark.createDataFrame(
+        [("gX", 0, 0, 0)], "g string, k long, a long, b long"
+    ).alias("__base_marker__")
+    out = mv_partial_delta_maintain(
+        data, marker, delta, ["g"], spec, precheck_risky=True
+    )
+    got = {r["g"]: tuple(r)[1:] for r in out.collect()}
+    assert got == {"g0": (3, 17, 2, 50, 200)}
+    # the fold-only plan omits the recompute leg entirely: no Union
+    # (fold ∪ recomputed) and no scan of the base relation
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan, plan
+    assert "__base_marker__" not in plan, plan
