@@ -826,7 +826,14 @@ def purge_keys_mor(
             )
             sidecar_purged += hit
             s["n_delete_keys"] = s["n_delete_keys"] - hit
-        if sidecar_purged:
+        if purged or sidecar_purged:
+            # ANY purge change republishes the manifest with a bumped
+            # mutation counter: the manifest is the table's snapshot
+            # pointer (MV staleness fingerprints hang off it), and a
+            # data rewrite that left it byte-identical would let a
+            # summary keep serving the purged keys' contributions as
+            # falsely fresh
+            man["mutations"] = man.get("mutations", 0) + 1
             _write_manifest(root, man)
         return {
             "data_rows_purged": purged,

@@ -290,6 +290,59 @@ def maintain_mv(
         return man
 
 
+def scrub_mv_groups(
+    spark: SparkSession, mv_root: str, name: str, group_rows: DataFrame
+) -> dict:
+    """GDPR erasure reaching the SUMMARY layer: remove every MV row
+    whose group-column values match a row of ``group_rows`` (columns
+    must be a non-empty subset of the MV's group columns — when an MV
+    is keyed on a user/customer identifier, the GROUP VALUES are the
+    PII that erasure must reach, even though the measures are
+    aggregates). One anti-join over the O(groups) summary, atomic data
+    swap, and a re-fingerprint against the source's CURRENT state.
+
+    Correctness contract: call AFTER the fact-side purge. A purged key
+    contributes zero rows to the post-purge fact, so dropping its group
+    rows makes the MV EQUAL a full recompute — which is exactly why the
+    re-fingerprint is sound. (Without the scrub the MV is merely stale:
+    the fact purge bumps the source fingerprint — for merge-on-read
+    sources the manifest's mutation counter — so the planner refuses to
+    serve the purged contributions either way; the scrub is what
+    restores summary serving WITHOUT a fact-scan refresh.) Returns
+    ``{"groups_scrubbed": n}``."""
+    with maintenance_lock(mv_root):
+        d = _mv_dir(mv_root, name)
+        with open(os.path.join(d, "mv.json")) as f:
+            man = json.load(f)
+        cols = list(group_rows.columns)
+        bad = [c for c in cols if c not in man["group_cols"]]
+        if bad or not cols:
+            raise ValueError(
+                f"scrub columns must be a non-empty subset of the MV's "
+                f"group columns {man['group_cols']}; got {cols}"
+            )
+        from .mor import _read_cached
+
+        data = _read_cached(spark, os.path.join(d, "data"))
+        keys = group_rows.distinct()
+        n = data.join(keys, cols, "left_semi").count()
+        out = data.join(keys, cols, "left_anti")
+        staged = os.path.join(d, ".data_staged")
+        shutil.rmtree(staged, ignore_errors=True)
+        out.write.mode("overwrite").parquet(staged)
+        old = os.path.join(d, ".data_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(os.path.join(d, "data"), old)
+        os.rename(staged, os.path.join(d, "data"))
+        shutil.rmtree(old, ignore_errors=True)
+        man["fingerprint"] = _fingerprint(man["source_path"])
+        tmp = os.path.join(d, "mv.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, os.path.join(d, "mv.json"))
+        return {"groups_scrubbed": n}
+
+
 def changes_from_feed(feed: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Adapt a CHANGE-FEED output (``change_type`` ∈ insert / delete /
     update_pre / update_post plus row-image columns — the contract both

@@ -622,3 +622,119 @@ def mv_mor_feed_capstone(spark, sf_dir):
         "o_orderpriority", "n", "sum_cents", "min_cents", "max_cents",
         "avg_cents",
     )
+
+
+def mv_scrub_fixture(spark, sf_dir: str) -> str:
+    """GDPR erasure reaching the SUMMARY layer: a per-customer spend MV
+    over a merge-on-read orders fact; the erased customers' orders are
+    purged from the fact (purge_keys_mor — which must BUMP the manifest
+    mutation counter, making the manifest-fingerprinted MV stale even
+    though no sequence was published), then scrub_mv_groups removes
+    their group rows from the summary and re-fingerprints. The build
+    asserts all three routing states: fresh before the purge, STALE
+    between purge and scrub (a falsely-fresh MV here would keep serving
+    the purged customers' aggregates), fresh again after."""
+
+    def build(root: str) -> None:
+        from ..plans.mor import init_mor, purge_keys_mor
+
+        fact = os.path.join(root, "orders")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        init_mor(
+            spark, fact, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        manifest = os.path.join(fact, ".mor", "manifest.json")
+        from ..plans.mor import read_mor
+        from ..plans.mv import scrub_mv_groups
+
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+        src = read_mor(spark, fact).select("o_custkey", cents)
+        create_mv(
+            spark, root, name="spend_by_cust", source_path=manifest,
+            source=src, group_cols=["o_custkey"],
+            measures={"n": ("count", None), "sum_cents": ("sum", "cents")},
+        )
+        aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+        _, used0 = answer_aggregate(
+            spark, root, src, manifest, group_cols=["o_custkey"],
+            aggs=aggs,
+        )
+        assert used0 == "spend_by_cust"
+
+        erased = F.col("o_custkey") % 100 == 31
+        prep = purge_keys_mor(
+            spark, fact, orders.filter(erased).select("o_orderkey")
+        )
+        assert prep["data_rows_purged"] > 0
+        src1 = read_mor(spark, fact).select("o_custkey", cents)
+        _, used_stale = answer_aggregate(
+            spark, root, src1, manifest, group_cols=["o_custkey"],
+            aggs=aggs,
+        )
+        assert used_stale is None, (
+            "purge must bump the manifest fingerprint — a fresh-looking "
+            "MV here still serves the purged customers"
+        )
+        rep = scrub_mv_groups(
+            spark, root, "spend_by_cust",
+            orders.filter(erased).select("o_custkey"),
+        )
+        assert rep["groups_scrubbed"] > 0
+        _, used_fresh = answer_aggregate(
+            spark, root, src1, manifest, group_cols=["o_custkey"],
+            aggs=aggs,
+        )
+        assert used_fresh == "spend_by_cust"
+
+    return session_fixture("mv_scrub", sf_dir, "cust31_scrub_v1", build)
+
+
+@register(
+    "mv_gdpr_scrub",
+    oracle="""
+    SELECT 'mv' AS served_from, o_custkey,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_custkey % 100 <> 31 GROUP BY 2
+    """,
+)
+def mv_gdpr_scrub(spark, sf_dir):
+    """GDPR erasure reaching EVERY storage layer, summary included: the
+    fact-side purge (``purge_keys_mor``) removes the erased customers'
+    bytes from base/deltas/sidecars AND bumps the manifest mutation
+    counter so the manifest-fingerprinted per-customer MV goes STALE
+    (fixture-asserted — without the bump the summary would keep serving
+    the purged contributions as falsely fresh); ``scrub_mv_groups``
+    then drops exactly their group rows from the O(groups) summary —
+    equal to a full recompute because a purged key contributes zero
+    post-purge fact rows — and re-fingerprints, restoring MV serving
+    WITHOUT a fact scan. The oracle recomputes per-customer spend over
+    the surviving customers and hardcodes served_from='mv': a leaked
+    group row, a lost innocent row, or a stale serve all fail the
+    hash. Completes the erasure chain: CoW history scrub (r13), MoR
+    sidecar-key scrub (r14), summary-layer scrub (r15)."""
+    from ..plans.mor import read_mor
+
+    root = mv_scrub_fixture(spark, sf_dir)
+    fact = os.path.join(root, "orders")
+    manifest = os.path.join(fact, ".mor", "manifest.json")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    src = read_mor(spark, fact).select("o_custkey", cents)
+    df, used = answer_aggregate(
+        spark, root, src, manifest, group_cols=["o_custkey"],
+        aggs={"n": ("count", None), "sum_cents": ("sum", "cents")},
+    )
+    return df.select(
+        F.lit("mv" if used == "spend_by_cust" else "base").alias(
+            "served_from"
+        ),
+        "o_custkey", "n", "sum_cents",
+    )

@@ -38,10 +38,10 @@ ORACLES: dict[str, str] = {}
 #: round 14: salt 4 at the 222-query registry → 25 never-sampled names
 #: in the oracle-backed prefix-50 (simulated against
 #: CORRECTNESS_r01..r13), including 8 of that round's 10 new queries
-#: round 15: salt 0 at the final 231-query registry → 14 never-sampled
+#: round 15: salt 0 at the final 232-query registry → 15 never-sampled
 #: names in the oracle-backed prefix-50 (simulated against
-#: CORRECTNESS_r01..r14), including 6 of this round's 9 new queries
-#: (salt 4 gave 18 fresh but only 2 of the new capabilities — driver
+#: CORRECTNESS_r01..r14), including 5 of this round's 10 new queries
+#: (salt 3 gave 18 fresh but only 2 of the new capabilities — driver
 #: eyes on the riskiest new code wins the tie)
 _ROTATION_SALT = 0
 

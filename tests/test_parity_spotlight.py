@@ -68,6 +68,8 @@ SPOTLIGHT = [
     # the streaming apply with policy-bounded overlay
     "merge_txn_mixed_strategies",
     "stream_mor_auto_maintain",
+    # round-15: GDPR erasure reaching the summary layer
+    "mv_gdpr_scrub",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -730,6 +730,8 @@ _BUILD_JOBS_SANCTIONED = {
     # heterogeneous saga: CoW + MoR fixture builds + the failing txn's
     # compensation + the succeeding txn — the transaction IS the op
     "merge_txn_mixed_strategies",
+    # GDPR-to-summary capstone: MoR init + fact purge + MV scrub cycle
+    "mv_gdpr_scrub",
     # materialized-view fixtures: the summary build / merge + incremental
     # maintenance cycle IS the operator (plans/mv.py create_mv /
     # maintain_mv + fingerprint); re-planning reads the MV through the
