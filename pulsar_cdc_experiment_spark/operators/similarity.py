@@ -274,6 +274,28 @@ def write_ivf_index(
     ).parquet(dst)
 
 
+def append_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a :func:`write_ivf_index` layout: assign
+    ONLY the new vectors against the FROZEN centroid model and append
+    them to their lists' partition directories — O(new vectors), never
+    a corpus re-index. This is the streaming-embedding-ingest shape at
+    100 TB: the coarse quantizer is small model state, and freezing it
+    keeps every existing assignment valid (probe correctness needs only
+    that query-time list selection and stored assignments use the SAME
+    centroids), at the cost of list-balance drift if the distribution
+    moves — the standard IVF trade; retrain + ``write_ivf_index`` on a
+    maintenance schedule, like compaction. Probes stay partition-pruned
+    scans over old and appended files alike."""
+    ivf_bucketize(df, centroids, vec_col).write.partitionBy("__ivf").mode(
+        "append"
+    ).parquet(path)
+
+
 def probe_ivf_index(
     spark,
     path: str,

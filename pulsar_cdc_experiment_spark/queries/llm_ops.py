@@ -1206,11 +1206,20 @@ def embed_ann_portable(spark, sf_dir):
     return out.select("vec_id", rn(F.col("cos_sim"), 6).alias("cos_sim"))
 
 
-def _ivf_portable_oracle(k: int = 8, iters: int = 2, nprobe: int = 2, topk: int = 10) -> str:
+def _ivf_portable_oracle(
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 10,
+    train: str = "",
+) -> str:
     """DuckDB mirror of embed_ivf_portable: k-MEDIANS coarse quantizer
     (medians are exact order statistics, so centroids match Spark's
     bit-for-bit — a mean's summation order would not), expression-argmin
-    assignment, top-``nprobe`` list probing, cosine top-k."""
+    assignment, top-``nprobe`` list probing, cosine top-k. ``train``
+    optionally restricts the vectors the quantizer is TRAINED on (the
+    incremental-append variant trains on the pre-append corpus and
+    assigns everything — ``afin`` always spans all vectors)."""
 
     def dist(vec: str, cv: str) -> str:
         return (
@@ -1219,10 +1228,11 @@ def _ivf_portable_oracle(k: int = 8, iters: int = 2, nprobe: int = 2, topk: int 
             " (x, y) -> x + y)"
         )
 
+    tw = f" WHERE {train}" if train else ""
     steps = [f"""c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM embeddings ORDER BY vec_id LIMIT {k}
+      FROM embeddings{tw} ORDER BY vec_id LIMIT {k}
     )"""]
     for t in range(iters):
         steps.append(f"""a{t} AS (
@@ -1230,7 +1240,7 @@ def _ivf_portable_oracle(k: int = 8, iters: int = 2, nprobe: int = 2, topk: int 
         SELECT e.vec_id, e.embedding, cc.c,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {dist('e.embedding', 'cc.cv')}, cc.c) AS rn
-        FROM embeddings e, c{t} cc
+        FROM (SELECT * FROM embeddings{tw}) e, c{t} cc
       ) WHERE rn = 1
     )""")
         steps.append(f"""n{t} AS (
@@ -1318,6 +1328,83 @@ def embed_ivf_portable(spark, sf_dir):
     q = F.array(*[F.lit(float(v)) for v in qvec])
     out = (
         bucketed.filter(F.col("__ivf").isin(*probes))
+        .select("vec_id", S.cosine(F.col("embedding"), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return out.select("vec_id", rn(F.col("cos_sim"), 6).alias("cos_sim"))
+
+
+@register(
+    "embed_ivf_append_portable",
+    oracle=_ivf_portable_oracle(train="vec_id % 3 <> 0"),
+)
+def embed_ivf_append_portable(spark, sf_dir):
+    """C42 + incremental index maintenance: the IVF coarse quantizer is
+    trained on the PRE-APPEND corpus only (vec_id % 3 != 0, k-medians —
+    bit-exact across engines), the base vectors land as a persisted
+    ``__ivf``-partitioned index, and the remaining third — including
+    the eventual QUERY vector — arrives later via
+    ``operators/similarity.append_ivf_index``: assignment against the
+    FROZEN centroids, appended into the existing list partitions,
+    O(new vectors) with no corpus re-index. The probe then runs over
+    the persisted old+appended layout (partition-pruned to nprobe=2
+    lists) and the oracle recomputes the whole pipeline closed-form —
+    subset-trained centroids, full-corpus assignment, cosine top-10 —
+    so a wrong frozen-centroid assignment, a lost appended vector, or a
+    probe that misses appended files all fail the hash. At 100 TB this
+    is streaming embedding ingest: per-batch cost tracks the batch, and
+    the quantizer retrains on a maintenance schedule (like compaction),
+    not per arrival."""
+    import json as _json
+    import os as _os
+
+    from .fixture_cache import session_fixture
+
+    emb = table(spark, sf_dir, "embeddings")
+
+    def build(root: str) -> None:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        cents = S.kmedians_centroids(base, k=8, iters=2)
+        dst = _os.path.join(root, "ivf")
+        S.write_ivf_index(base, dst, cents)
+        S.append_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == 0), dst, cents
+        )
+        with open(_os.path.join(root, "cents.json"), "w") as f:
+            _json.dump(cents, f)
+
+    root = session_fixture("ivf_append", sf_dir, "mod3_k8_v1", build)
+    with open(_os.path.join(root, "cents.json")) as f:
+        cents = _json.load(f)
+    dst = _os.path.join(root, "ivf")
+    idx = spark.read.parquet(dst)
+    # probe selection IN-PLAN (the embed_ivf_portable discipline): the
+    # same fold expressions DuckDB runs, so the probe list is exact
+    qrow = idx.filter(F.col("vec_id") == 0)
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    ranked = qrow.select(F.array_sort(scored).alias("__s")).first()["__s"]
+    probes = [int(x["idx"]) for x in ranked[:2]]
+    qvec = qrow.first()["embedding"]
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    out = (
+        idx.filter(F.col("__ivf").isin(*probes))
         .select("vec_id", S.cosine(F.col("embedding"), q).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)

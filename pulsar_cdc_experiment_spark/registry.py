@@ -38,12 +38,12 @@ ORACLES: dict[str, str] = {}
 #: round 14: salt 4 at the 222-query registry → 25 never-sampled names
 #: in the oracle-backed prefix-50 (simulated against
 #: CORRECTNESS_r01..r13), including 8 of that round's 10 new queries
-#: round 15: salt 0 at the final 232-query registry → 15 never-sampled
+#: round 15: salt 7 at the final 233-query registry → 14 never-sampled
 #: names in the oracle-backed prefix-50 (simulated against
-#: CORRECTNESS_r01..r14), including 5 of this round's 10 new queries
-#: (salt 3 gave 18 fresh but only 2 of the new capabilities — driver
+#: CORRECTNESS_r01..r14), including 5 of this round's 11 new queries
+#: (salt 2 gave 18 fresh but only 3 of the new capabilities — driver
 #: eyes on the riskiest new code wins the tie)
-_ROTATION_SALT = 0
+_ROTATION_SALT = 7
 
 
 def register(name: str, oracle: str | None = None):

@@ -68,8 +68,10 @@ SPOTLIGHT = [
     # the streaming apply with policy-bounded overlay
     "merge_txn_mixed_strategies",
     "stream_mor_auto_maintain",
-    # round-15: GDPR erasure reaching the summary layer
+    # round-15: GDPR erasure reaching the summary layer; incremental
+    # IVF index append (frozen-quantizer assignment, O(new vectors))
     "mv_gdpr_scrub",
+    "embed_ivf_append_portable",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

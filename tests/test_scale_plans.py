@@ -663,6 +663,9 @@ _BUILD_JOBS_SANCTIONED = {
     "embed_ann_lsh",  # 1-row query-vector fetch
     "embed_ivf_ann",  # kmeans: k×d centroid state per iteration
     "embed_ivf_portable",  # kmeans: k×d centroid state per iteration
+    # incremental-append sibling: its own index fixture (train + write +
+    # append) plus the same bounded probe-selection model state
+    "embed_ivf_append_portable",
     "embed_topk_cosine",  # 1-row query-vector fetch
     "embed_quantize_int8",  # 1-row query-vector fetch
     "order_value_deciles",  # ntile boundaries: n-1 rows

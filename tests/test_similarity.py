@@ -196,3 +196,60 @@ def test_quantized_topk_zero_vector_ranks_last_not_first(spark):
     assert [r["vec_id"] for r in got] == [0, 1, 2, 3]
     zrow = [r for r in got if r["vec_id"] == 2][0]
     assert zrow["q_cos"] == 0.0 and not math.isnan(zrow["q_cos"])
+
+
+def test_append_ivf_index_equals_bulk_with_frozen_centroids(spark, sf_dir):
+    """append_ivf_index (round-15): an index built on two-thirds of the
+    corpus and appended with the rest must be ROW-IDENTICAL (id, list
+    assignment) to a bulk write of the full corpus under the SAME
+    frozen centroids — and a partition-pruned probe over the appended
+    layout must return exactly the bulk layout's results, including
+    appended vectors. Also pins that the probe scan stays
+    partition-pruned (PartitionFilters on __ivf) over the mixed
+    old+appended files."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_cdc_experiment_spark.operators import similarity as S
+    from pulsar_cdc_experiment_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ivf_append_t_")
+    try:
+        base = emb.filter(F.col("vec_id") % 3 != 0)
+        cents = S.kmedians_centroids(base, k=8, iters=2)
+        inc = os.path.join(root, "inc")
+        bulk = os.path.join(root, "bulk")
+        S.write_ivf_index(base, inc, cents)
+        S.append_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == 0), inc, cents
+        )
+        S.write_ivf_index(emb, bulk, cents)
+        rows_inc = {
+            (r["vec_id"], r["__ivf"])
+            for r in spark.read.parquet(inc).select("vec_id", "__ivf").collect()
+        }
+        rows_bulk = {
+            (r["vec_id"], r["__ivf"])
+            for r in spark.read.parquet(bulk).select("vec_id", "__ivf").collect()
+        }
+        assert rows_inc == rows_bulk
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        got_inc = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in S.probe_ivf_index(spark, inc, q, cents, k=10, nprobe=2).collect()
+        ]
+        got_bulk = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in S.probe_ivf_index(spark, bulk, q, cents, k=10, nprobe=2).collect()
+        ]
+        assert got_inc == got_bulk
+        assert got_inc[0][0] == 0  # the APPENDED query vector is found
+        df = S.probe_ivf_index(spark, inc, q, cents, k=10, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "__ivf" in plan, plan
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
