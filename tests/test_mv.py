@@ -369,3 +369,85 @@ def test_coarsest_subsuming_mv_wins(mv_env):
         for r in src.groupBy("g1").agg(F.sum("v").alias("sv")).collect()
     }
     assert {r["g1"]: r["sv"] for r in df.collect()} == want
+
+
+def test_scrub_mv_groups_subset_and_guards(spark):
+    """scrub_mv_groups: scrubbing by a SUBSET of the group columns drops
+    every matching row (one identifier column is the common GDPR
+    shape), innocent rows survive byte-for-byte, the scrub
+    re-fingerprints so the MV serves again, and non-group scrub columns
+    fail loud."""
+    from pulsar_cdc_experiment_spark.plans.mv import scrub_mv_groups
+
+    base = tempfile.mkdtemp(prefix="mv_scrub_t_")
+    src_path = os.path.join(base, "fact")
+    rows = [
+        (u, d, float(u * 10 + di))
+        for u in range(6) for di, d in enumerate(("x", "y"))
+    ]
+    spark.createDataFrame(
+        rows, "user bigint, dim string, v double"
+    ).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+    mv_root = os.path.join(base, "mvs")
+    create_mv(
+        spark, mv_root, name="m", source_path=src_path, source=src,
+        group_cols=["user", "dim"],
+        measures={"sv": ("sum", "v"), "n": ("count", None)},
+    )
+    with pytest.raises(ValueError, match="subset of the MV's"):
+        scrub_mv_groups(
+            spark, mv_root, "m",
+            spark.createDataFrame([(1.0,)], "v double"),
+        )
+    # fact-side erasure of users 2 and 4, then the summary scrub
+    post = [r for r in rows if r[0] not in (2, 4)]
+    spark.createDataFrame(
+        post, "user bigint, dim string, v double"
+    ).write.mode("overwrite").parquet(src_path)
+    rep = scrub_mv_groups(
+        spark, mv_root, "m",
+        spark.createDataFrame([(2,), (4,)], "user bigint"),
+    )
+    assert rep == {"groups_scrubbed": 4}  # 2 users x 2 dims
+    src1 = spark.read.parquet(src_path)
+    served, used = answer_aggregate(
+        spark, mv_root, src1, src_path,
+        group_cols=["user", "dim"],
+        aggs={"sv": ("sum", "v"), "n": ("count", None)},
+    )
+    assert used == "m"
+    got = {
+        (r["user"], r["dim"]): (r["sv"], r["n"])
+        for r in served.collect()
+    }
+    want = {
+        (u, d): (float(u * 10 + di), 1)
+        for u in range(6) if u not in (2, 4)
+        for di, d in enumerate(("x", "y"))
+    }
+    assert got == want
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_changes_from_feed_z_weights(spark):
+    """changes_from_feed: insert/update_post → +1, delete/update_pre →
+    −1, projection limited to the requested columns — folding the
+    resulting changeset reproduces a post-change recompute."""
+    from pulsar_cdc_experiment_spark.plans.mv import changes_from_feed
+
+    feed = spark.createDataFrame(
+        [
+            ("insert", "g0", 10),
+            ("delete", "g0", 3),
+            ("update_pre", "g1", 5),
+            ("update_post", "g1", 7),
+        ],
+        "change_type string, g string, v bigint",
+    )
+    out = changes_from_feed(feed, ["g", "v"])
+    assert out.columns == ["g", "v", "__z"]
+    got = {(r["g"], r["v"]): r["__z"] for r in out.collect()}
+    assert got == {
+        ("g0", 10): 1, ("g0", 3): -1, ("g1", 5): -1, ("g1", 7): 1,
+    }
