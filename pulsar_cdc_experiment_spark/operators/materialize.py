@@ -307,6 +307,48 @@ def join_delta(
     return t1.unionByName(t2).unionByName(t3)
 
 
+def star_join_delta(
+    fact_pre: DataFrame,
+    d_fact: DataFrame | None,
+    dims: Sequence[tuple],
+    z: str = "__z",
+) -> DataFrame | None:
+    """Z-set delta of a STAR JOIN ``fact ⋈ dim₁ ⋈ dim₂ ⋈ …`` under
+    simultaneous changesets on the fact and any subset of dims — the
+    composition of :func:`join_delta` that makes join-bearing
+    materialized views incrementally maintainable.
+
+    ``dims``: ``[(dim_pre, d_dim | None, on_cols), ...]`` in join
+    order; all ``*_pre`` inputs are the PRE-change states, deltas are
+    z-weighted (+1/−1). Composition: with ``J`` the prefix join,
+    ``d(J ⋈ D) = dJ ⋈ D + J ⋈ dD + dJ ⋈ dD`` — applied left to right,
+    so a batch that changes the fact AND moves a dim row in the same
+    batch still nets correctly (the dJ ⋈ dD correction carries
+    z·z). A side with no changes contributes only the terms its
+    neighbor's delta drives, keeping every join delta-sized on at
+    least one side. Returns the z-weighted delta rows of the full
+    join, or None when every delta is None. Sides may share ONLY the
+    join columns — payload name collisions are the caller's to
+    resolve (standard join hygiene).
+
+    Scale: per-batch work is O(Σ|delta| · fanout); the pre-state
+    probes prune to the deltas' key ranges and small dims broadcast —
+    the maintained view never re-joins history."""
+    cur = fact_pre
+    d_cur = d_fact
+    for dim_pre, d_dim, on in dims:
+        on = list(on)
+        if d_dim is None:
+            if d_cur is not None:
+                d_cur = d_cur.join(dim_pre, on)  # dJ ⋈ D only
+        elif d_cur is None:
+            d_cur = cur.join(d_dim, on)  # J ⋈ dD only (z rides d_dim)
+        else:
+            d_cur = join_delta(cur, dim_pre, d_cur, d_dim, on, z=z)
+        cur = cur.join(dim_pre, on)
+    return d_cur
+
+
 def minmax_delta_maintain(
     view: DataFrame,
     base_new: DataFrame,
@@ -353,13 +395,21 @@ def minmax_delta_maintain(
         F.max(F.when(pos, F.col(val))).alias("__ins_mx"),
         F.min(F.when(~pos, F.col(val))).alias("__del_mn"),
         F.max(F.when(~pos, F.col(val))).alias("__del_mx"),
+        F.max((~pos).cast("int")).alias("__has_del"),
     )
     j = view.join(d, on, "full_outer")
     had_view = F.col("n_rows").isNotNull()
-    risky = had_view & (
-        (F.col("__del_mn") <= F.col("min_v"))
-        | (F.col("__del_mx") >= F.col("max_v"))
-    )
+    # a VIEW-LESS group carrying any delete is risky too: its fold sees
+    # inserts only, so a changeset that both inserts a value and deletes
+    # it (legal when several merge batches accumulate into one call)
+    # would leave the deleted value as the folded extremum
+    risky = (
+        had_view
+        & (
+            (F.col("__del_mn") <= F.col("min_v"))
+            | (F.col("__del_mx") >= F.col("max_v"))
+        )
+    ) | (~had_view & (F.col("__has_del") == 1))
     folded = j.filter(~F.coalesce(risky, F.lit(False))).select(
         *on,
         (F.coalesce(F.col("n_rows"), F.lit(0))
@@ -431,7 +481,10 @@ def mv_partial_delta_maintain(
     to avoid."""
     on = list(on)
     pos = F.col(z) > 0
-    d_aggs = [F.sum(z).cast("long").alias("__d_cnt")]
+    d_aggs = [
+        F.sum(z).cast("long").alias("__d_cnt"),
+        F.max((~pos).cast("int")).alias("__has_del"),
+    ]
     for c, kinds in spec.items():
         if "sum" in kinds:
             d_aggs.append(
@@ -463,7 +516,18 @@ def mv_partial_delta_maintain(
             risky_any = risky_any | (
                 F.col(f"__del_mx_{c}") >= F.col(f"__max_{c}")
             )
+    has_minmax = any(
+        "min" in kinds or "max" in kinds for kinds in spec.values()
+    )
     risky = had_view & risky_any
+    if has_minmax:
+        # a VIEW-LESS group carrying any delete is risky too (round-15
+        # advice): its insert-only fold would keep a same-changeset-
+        # deleted value as the stored extremum — natural when change
+        # feeds spanning several merge batches accumulate into one
+        # maintain call. Sum/count-only MVs skip this: their fold is
+        # fully invertible, deletes and all.
+        risky = risky | (~had_view & (F.col("__has_del") == 1))
 
     fold_exprs = [
         (
@@ -505,9 +569,6 @@ def mv_partial_delta_maintain(
     )
     touched = d.select(*on)
 
-    has_minmax = any(
-        "min" in kinds or "max" in kinds for kinds in spec.values()
-    )
     if not has_minmax:
         # no extremum partials → nothing is ever risky: pure fold
         return folded.join(touched, on, "left_semi")

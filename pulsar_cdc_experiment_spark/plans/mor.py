@@ -443,36 +443,46 @@ def compact_mor(
     with maintenance_lock(root):
         man = _read_manifest(root)
         _sweep_orphans(root, man)
-        if not man["seqs"]:
-            return {"compacted_seqs": 0, "base": man["base"]}
-        latest = man["seqs"][-1]["seq"]
-        base_seq = man.get("base_seq", 0)
-        hi = latest if upto is None else upto
-        if not base_seq < hi <= latest:
-            raise ValueError(
-                f"upto={upto} must lie in ({base_seq}, {latest}] — below "
-                "is already folded, above doesn't exist"
-            )
-        folded = [s["seq"] for s in man["seqs"] if s["seq"] <= hi]
-        old_base = man["base"]
-        gen = int(old_base.split("-")[1]) + 1
-        new_base = _BASE_FMT.format(gen)
-        snap = read_mor(spark, root, hi)
-        snap.write.mode("errorifexists").partitionBy(
-            *man["partition_col"]
-        ).parquet(os.path.join(root, new_base))
-        man["base"] = new_base
-        man["base_seq"] = hi
-        man["seqs"] = [s for s in man["seqs"] if s["seq"] > hi]
-        _write_manifest(root, man)  # publish point
-        # retention grace: old_base + folded sidecars stay on disk for
-        # in-flight lazy readers; the next maintenance entry's
-        # _sweep_orphans removes them (they are no longer published)
-        return {
-            "compacted_seqs": len(folded),
-            "base": new_base,
-            "base_seq": hi,
-        }
+        return _compact_locked(spark, root, man, upto)
+
+
+def _compact_locked(
+    spark: SparkSession, root: str, man: dict, upto: int | None
+) -> dict:
+    """Compaction body — caller holds ``maintenance_lock(root)`` and
+    has swept orphans; ``man`` is the manifest read UNDER that lock
+    (auto_compact_mor decides and compacts against one manifest state,
+    round-15 advice)."""
+    if not man["seqs"]:
+        return {"compacted_seqs": 0, "base": man["base"]}
+    latest = man["seqs"][-1]["seq"]
+    base_seq = man.get("base_seq", 0)
+    hi = latest if upto is None else upto
+    if not base_seq < hi <= latest:
+        raise ValueError(
+            f"upto={upto} must lie in ({base_seq}, {latest}] — below "
+            "is already folded, above doesn't exist"
+        )
+    folded = [s["seq"] for s in man["seqs"] if s["seq"] <= hi]
+    old_base = man["base"]
+    gen = int(old_base.split("-")[1]) + 1
+    new_base = _BASE_FMT.format(gen)
+    snap = read_mor(spark, root, hi)
+    snap.write.mode("errorifexists").partitionBy(
+        *man["partition_col"]
+    ).parquet(os.path.join(root, new_base))
+    man["base"] = new_base
+    man["base_seq"] = hi
+    man["seqs"] = [s for s in man["seqs"] if s["seq"] > hi]
+    _write_manifest(root, man)  # publish point
+    # retention grace: old_base + folded sidecars stay on disk for
+    # in-flight lazy readers; the next maintenance entry's
+    # _sweep_orphans removes them (they are no longer published)
+    return {
+        "compacted_seqs": len(folded),
+        "base": new_base,
+        "base_seq": hi,
+    }
 
 
 def rollback_last_mor(root: str) -> dict:
@@ -481,9 +491,13 @@ def rollback_last_mor(root: str) -> dict:
     saga (plans/txn.py) needs, mirroring the copy-on-write
     ``rollback_last_merge``. Pure manifest metadata: one atomic
     manifest replace unpublishes the sequence (readers instantly see
-    the prior state), the sequence's sidecar + delta become orphans
-    removed here and — after any crash — by the next maintenance
-    entry's sweep. A schema-evolving sequence's columns are shrunk back
+    the prior state), and the sequence's sidecar + delta stay on disk
+    as a RETENTION GRACE WINDOW for lock-free readers holding lazy
+    plans built from the pre-rollback manifest (the same policy
+    ``compact_mor`` applies to the folded generation — round-15
+    advice: the identical reader hazard exists on this compensation
+    path); the next maintenance entry's orphan sweep removes them.
+    A schema-evolving sequence's columns are shrunk back
     out of the manifest (no earlier component carries them). Only the
     LAST sequence can roll back (earlier ones have dependents); callers
     guard idempotency by checking ``mor_history(root)[-1]["seq"]``
@@ -503,11 +517,9 @@ def rollback_last_mor(root: str) -> dict:
                 if c not in last["schema_evolved"]
             ]
         _write_manifest(root, man)  # publish point: seq unreachable now
-        shutil.rmtree(_delta_dir(root, last["seq"]), ignore_errors=True)
-        try:
-            os.remove(_delete_file(root, last["seq"]))
-        except FileNotFoundError:
-            pass
+        # retention grace: the unpublished sidecar/delta stay for
+        # in-flight lazy readers; the next maintenance entry's
+        # _sweep_orphans removes them (they are no longer published)
         return {"rolled_back_seq": last["seq"]}
 
 
@@ -532,25 +544,35 @@ def auto_compact_mor(
     The DECISION is pure manifest metadata (zero Spark jobs, O(1) —
     the manifest already carries per-sequence ``n_delete_keys``), so a
     streaming apply can afford the check every micro-batch; only a
-    triggered compaction pays data work. Returns the observed counters,
-    the decision, and the ``compact_mor`` report when triggered."""
-    man = _read_manifest(root)
-    depth = len(man["seqs"])
-    sidecar_keys = sum(s["n_delete_keys"] for s in man["seqs"])
-    reasons = []
-    if max_overlay_depth is not None and depth > max_overlay_depth:
-        reasons.append("overlay_depth")
-    if max_sidecar_keys is not None and sidecar_keys > max_sidecar_keys:
-        reasons.append("sidecar_keys")
-    rep = {
-        "overlay_depth": depth,
-        "sidecar_keys": sidecar_keys,
-        "triggered": bool(reasons),
-        "reasons": reasons,
-    }
-    if reasons:
-        rep["compact"] = compact_mor(spark, root)
-    return rep
+    triggered compaction pays data work. Decision and action run under
+    ONE ``maintenance_lock`` hold against ONE manifest read (round-15
+    advice: an unlocked read could race a concurrent writer, making
+    the returned counters — and even the trigger decision — stale
+    relative to the state actually compacted). Returns the observed
+    counters, the decision, and the compaction report when
+    triggered."""
+    with maintenance_lock(root):
+        man = _read_manifest(root)
+        depth = len(man["seqs"])
+        sidecar_keys = sum(s["n_delete_keys"] for s in man["seqs"])
+        reasons = []
+        if max_overlay_depth is not None and depth > max_overlay_depth:
+            reasons.append("overlay_depth")
+        if (
+            max_sidecar_keys is not None
+            and sidecar_keys > max_sidecar_keys
+        ):
+            reasons.append("sidecar_keys")
+        rep = {
+            "overlay_depth": depth,
+            "sidecar_keys": sidecar_keys,
+            "triggered": bool(reasons),
+            "reasons": reasons,
+        }
+        if reasons:
+            _sweep_orphans(root, man)
+            rep["compact"] = _compact_locked(spark, root, man, None)
+        return rep
 
 
 def change_feed_mor(
@@ -689,23 +711,42 @@ def purge_keys_mor(
         # probe schema: key fields typed from the base footer (ONE
         # cached inference, constant per purge) + partition columns as
         # strings in their decoded dir-name spelling so hits map back
-        # to leaf dirs exactly. Explicit schemas keep the probe phase
-        # at O(1) inference jobs regardless of retained-sequence count.
+        # to leaf dirs exactly. A key column that is ALSO a partition
+        # column probes as STRING too (round-15 advice): the base
+        # footer types it by partition-value inference, and
+        # str(decoded value) can diverge from the dir-name spelling
+        # (zero-padded ints, date formats), which would block the purge
+        # on the fallback RuntimeError. Explicit schemas keep the probe
+        # phase at O(1) inference jobs regardless of retained-sequence
+        # count.
         from pyspark.sql.types import StringType, StructField, StructType
 
         base_dir = os.path.join(root, man["base"])
         base_schema = _read_cached(
             spark, base_dir, base_path=base_dir
         ).schema
-        key_schema = StructType([f for f in base_schema if f.name in keys])
         probe_schema = StructType(
-            list(key_schema)
+            [
+                StructField(f.name, StringType())
+                if f.name in pcols
+                else f
+                for f in base_schema
+                if f.name in keys
+            ]
             + [
                 StructField(c, StringType())
                 for c in pcols
                 if c not in keys
             ]
         )
+        # key_rows cast to match: partition-borne key components compare
+        # (and report hit tuples) in dir-name spelling
+        probe_keys = key_rows
+        for k in keys:
+            if k in pcols:
+                probe_keys = probe_keys.withColumn(
+                    k, F.col(k).cast("string")
+                )
         tagged = None
         for cid, cdir in comps.items():
             part = (
@@ -727,7 +768,7 @@ def purge_keys_mor(
         spark.conf.set(aqe_conf, "false")
         try:
             hits = (
-                tagged.join(key_rows, keys, "left_semi")
+                tagged.join(probe_keys, keys, "left_semi")
                 .groupBy("__comp", *pcols)
                 .agg(F.count("*").alias("n"))
                 .collect()
@@ -759,12 +800,30 @@ def purge_keys_mor(
                         f"matching dir exists under {cdir}"
                     )
                 leaf_dir = os.path.join(cdir, cand[0])
-            keep = (
-                spark.read.option("basePath", cdir)
-                .parquet(leaf_dir)
-                .join(key_rows, keys, "left_anti")
-                .drop(*pcols)
-            )
+            # anti-join on the DATA-borne key components only: a
+            # partition-borne component is constant across the leaf
+            # (its value is this hit row's dir-name spelling), so the
+            # relevant purge tuples are pre-filtered to it and the leaf
+            # is read without partition columns — no reliance on
+            # partition-value inference round-tripping the spelling
+            data_keys = [k for k in keys if k not in pcols]
+            leaf_tuples = probe_keys
+            for c in pcols:
+                if c in keys:
+                    leaf_tuples = leaf_tuples.filter(
+                        F.col(c) == F.lit(str(r[c]))
+                    )
+            leaf_df = spark.read.parquet(leaf_dir)
+            if data_keys:
+                keep = leaf_df.join(
+                    leaf_tuples.select(*data_keys).distinct(),
+                    data_keys,
+                    "left_anti",
+                )
+            else:
+                # every key component is partition-borne: the whole
+                # leaf belongs to the purged tuple — rewrite to empty
+                keep = leaf_df.limit(0)
             # the copy-on-write purge's sentinel discipline verbatim:
             # flat quoted names under the COMPONENT root (dot-prefixed,
             # invisible to hive discovery); _purge_recover converges
@@ -795,8 +854,16 @@ def purge_keys_mor(
         }
         seq_hits: dict[int, int] = {}
         if seq_by_name:
+            # sidecar files store the SOURCE-typed key values (written
+            # from the changeset, not partition dirs), so their schema
+            # comes from one sidecar footer — the base footer would
+            # carry partition-INFERRED types for partition-borne keys
+            # and misread the physical column
+            sc_schema = spark.read.parquet(
+                _delete_file(root, man["seqs"][0]["seq"])
+            ).schema
             probe = (
-                spark.read.schema(key_schema)
+                spark.read.schema(sc_schema)
                 .parquet(*[
                     _delete_file(root, s["seq"]) for s in man["seqs"]
                 ])

@@ -77,6 +77,62 @@ def _mv_dir(mv_root: str, name: str) -> str:
     return os.path.join(mv_root, name)
 
 
+def source_token(path: str) -> list:
+    """Capture a source's CURRENT state token — call this WHEN a
+    changeset is cut (before deriving it), then hand the token to
+    ``maintain_mv``/``scrub_mv_groups``: they publish THIS token and
+    fail loud if the source moved past it mid-maintenance (round-15
+    verdict: fingerprinting at publish time would stamp an MV fresh
+    while missing a changeset that landed between derivation and
+    publish — silent staleness, the exact bug the fingerprint exists to
+    prevent). For merge-on-read sources pass the MANIFEST path; its
+    mutation counter / sequence list is the snapshot pointer."""
+    return _fingerprint(path)
+
+
+def _publish_swap(d: str, out: DataFrame) -> None:
+    """Atomic data-dir swap shared by refresh/maintain/scrub: stage the
+    new rows, rename the old dir aside, rename the staged dir live,
+    drop the old one. A crash mid-swap leaves either the old or the new
+    data live, never a mix."""
+    staged = os.path.join(d, ".data_staged")
+    shutil.rmtree(staged, ignore_errors=True)
+    out.write.mode("overwrite").parquet(staged)
+    old = os.path.join(d, ".data_old")
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(os.path.join(d, "data"), old)
+    os.rename(staged, os.path.join(d, "data"))
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _publish_manifest(d: str, man: dict) -> None:
+    tmp = os.path.join(d, "mv.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(d, "mv.json"))
+
+
+def _stamp_fingerprint(man: dict, token: list | None) -> None:
+    """Stamp the manifest's freshness fingerprint(s). With a
+    derivation-time ``token``, verify the source has NOT moved past it
+    (fail loud — the changeset being folded no longer describes the
+    source's current state) and publish the token; without one, publish
+    the source's current state (the documented single-writer
+    assumption: nothing landed since the caller cut the changeset)."""
+    current = _fingerprint(man["source_path"])
+    if token is not None:
+        if token != current:
+            raise RuntimeError(
+                f"source {man['source_path']} moved past the "
+                "derivation-time token while maintenance ran; the folded "
+                "changeset no longer reaches the source's current state "
+                "— re-cut the changeset (or refresh_mv)"
+            )
+        man["fingerprint"] = token
+    else:
+        man["fingerprint"] = current
+
+
 def _partials(measures: dict) -> tuple[list, dict]:
     """(aggregate exprs for the MV build, partial-column metadata).
     Each measure (fn, col) stores the partials its rollup needs.
@@ -144,10 +200,7 @@ def create_mv(
             "measures": meta,
             "fingerprint": _fingerprint(source_path),
         }
-        tmp = os.path.join(d, "mv.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(d, "mv.json"))
+        _publish_manifest(d, man)
         return man
 
 
@@ -167,21 +220,13 @@ def refresh_mv(
                 for out, m in man["measures"].items()
             }
         )
-        staged = os.path.join(d, ".data_staged")
-        shutil.rmtree(staged, ignore_errors=True)
-        source.groupBy(*man["group_cols"]).agg(*exprs).write.mode(
-            "overwrite"
-        ).parquet(staged)
-        old = os.path.join(d, ".data_old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(os.path.join(d, "data"), old)
-        os.rename(staged, os.path.join(d, "data"))
-        shutil.rmtree(old, ignore_errors=True)
+        _publish_swap(d, source.groupBy(*man["group_cols"]).agg(*exprs))
         man["fingerprint"] = _fingerprint(man["source_path"])
-        tmp = os.path.join(d, "mv.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(d, "mv.json"))
+        if "dim_paths" in man:
+            man["dim_fingerprints"] = [
+                _fingerprint(p) for p in man["dim_paths"]
+            ]
+        _publish_manifest(d, man)
         return man
 
 
@@ -192,6 +237,7 @@ def maintain_mv(
     changes: DataFrame,
     *,
     base_new: DataFrame,
+    source_token: list | None = None,
 ) -> dict:
     """INCREMENTAL maintenance of an MV from a z-weighted changeset —
     the CDC-to-summary loop closed: a MERGE lands on the fact, the same
@@ -214,84 +260,102 @@ def maintain_mv(
     non-integral stored sum partial fails loud instead of silently
     truncating through the fold's long arithmetic.
 
-    Publishes via the same atomic data-dir swap as ``refresh_mv`` and
-    RE-FINGERPRINTS against the source's CURRENT state — so the
-    staleness guard accepts the maintained MV exactly when the caller
-    maintained it against the state the fact actually reached. Work is
-    O(changeset + groups + risky-group base scan) vs refresh_mv's full
-    fact pass."""
-    from ..operators.materialize import mv_partial_delta_maintain
-
+    Publishes via the same atomic data-dir swap as ``refresh_mv``.
+    Freshness stamping: pass ``source_token`` (captured via
+    :func:`source_token` WHEN the changeset was cut) and the publish
+    verifies the source has not moved past it — failing LOUD if a
+    second merge landed mid-maintenance instead of stamping the MV
+    fresh while missing that changeset (round-15 verdict). Without a
+    token the source's current state is stamped (the documented
+    single-writer assumption). Work is O(changeset + groups +
+    risky-group base scan) vs refresh_mv's full fact pass."""
     with maintenance_lock(mv_root):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
-        group_cols = man["group_cols"]
-        # per-column partial spec from the measure lineage
-        _KIND = {"sum": "sum", "avg": "sum", "count": "cnt",
-                 "min": "min", "max": "max"}
-        spec: dict[str, set] = {}
-        for m in man["measures"].values():
-            if m["col"] is None:
-                continue  # count(*) rides the shared __cnt
-            spec.setdefault(m["col"], set()).add(_KIND[m["fn"]])
-            if m["fn"] in ("avg", "count"):
-                spec[m["col"]].add("cnt")
-        missing = [
-            c for c in list(group_cols) + sorted(spec) + ["__z"]
-            if c not in changes.columns
-        ]
-        if missing:
-            raise ValueError(f"changes lacks column(s) {missing}")
-        missing = [
-            c for c in list(group_cols) + sorted(spec)
-            if c not in base_new.columns
-        ]
-        if missing:
-            raise ValueError(f"base_new lacks column(s) {missing}")
-        from .mor import _read_cached
-
-        data = _read_cached(spark, os.path.join(d, "data"))
-        _INTEGRAL = ("bigint", "int", "smallint", "tinyint")
-        dtypes = dict(data.dtypes)
-        for c, kinds in spec.items():
-            if "sum" in kinds and dtypes.get(f"__sum_{c}") not in _INTEGRAL:
-                raise ValueError(
-                    f"maintain_mv needs an integral sum partial (the "
-                    f"telescoping-sum contract); __sum_{c} is "
-                    f"{dtypes.get(f'__sum_{c}')} — refresh_mv this MV "
-                    "instead, or store the measure as integer cents"
-                )
-        new_rows = mv_partial_delta_maintain(
-            data, base_new,
-            changes.select(*group_cols, *sorted(spec), "__z"),
-            group_cols, spec,
-            # this is a maintenance VERB (jobs allowed): one O(groups +
-            # changeset) probe skips the risky-recompute leg — and with
-            # it the base scan — in the common no-extremum-hit batch
-            precheck_risky=True,
-        )
-        touched = changes.select(*group_cols).distinct()
-        untouched = data.join(touched, group_cols, "left_anti")
-        out = untouched.unionByName(new_rows.select(*data.columns))
-        staged = os.path.join(d, ".data_staged")
-        shutil.rmtree(staged, ignore_errors=True)
-        out.write.mode("overwrite").parquet(staged)
-        old = os.path.join(d, ".data_old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(os.path.join(d, "data"), old)
-        os.rename(staged, os.path.join(d, "data"))
-        shutil.rmtree(old, ignore_errors=True)
-        man["fingerprint"] = _fingerprint(man["source_path"])
-        tmp = os.path.join(d, "mv.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(d, "mv.json"))
+        _fold_changes_and_swap(spark, d, man, changes, base_new)
+        _stamp_fingerprint(man, source_token)
+        _publish_manifest(d, man)
         return man
 
 
+def _measure_spec(man: dict) -> dict[str, set]:
+    """Per-column partial spec from the manifest's measure lineage."""
+    _KIND = {"sum": "sum", "avg": "sum", "count": "cnt",
+             "min": "min", "max": "max"}
+    spec: dict[str, set] = {}
+    for m in man["measures"].values():
+        if m["col"] is None:
+            continue  # count(*) rides the shared __cnt
+        spec.setdefault(m["col"], set()).add(_KIND[m["fn"]])
+        if m["fn"] in ("avg", "count"):
+            spec[m["col"]].add("cnt")
+    return spec
+
+
+def _fold_changes_and_swap(
+    spark: SparkSession,
+    d: str,
+    man: dict,
+    changes: DataFrame,
+    base_new: DataFrame,
+) -> None:
+    """The shared incremental-fold core of plain and join MV
+    maintenance: validate the changeset, delegate the partial math to
+    ``mv_partial_delta_maintain``, and publish the new rows via the
+    atomic data-dir swap. Fingerprint stamping is the CALLER's (plain
+    and join MVs stamp different source sets)."""
+    from ..operators.materialize import mv_partial_delta_maintain
+
+    group_cols = man["group_cols"]
+    spec = _measure_spec(man)
+    missing = [
+        c for c in list(group_cols) + sorted(spec) + ["__z"]
+        if c not in changes.columns
+    ]
+    if missing:
+        raise ValueError(f"changes lacks column(s) {missing}")
+    missing = [
+        c for c in list(group_cols) + sorted(spec)
+        if c not in base_new.columns
+    ]
+    if missing:
+        raise ValueError(f"base_new lacks column(s) {missing}")
+    from .mor import _read_cached
+
+    data = _read_cached(spark, os.path.join(d, "data"))
+    _INTEGRAL = ("bigint", "int", "smallint", "tinyint")
+    dtypes = dict(data.dtypes)
+    for c, kinds in spec.items():
+        if "sum" in kinds and dtypes.get(f"__sum_{c}") not in _INTEGRAL:
+            raise ValueError(
+                f"maintain_mv needs an integral sum partial (the "
+                f"telescoping-sum contract); __sum_{c} is "
+                f"{dtypes.get(f'__sum_{c}')} — refresh_mv this MV "
+                "instead, or store the measure as integer cents"
+            )
+    new_rows = mv_partial_delta_maintain(
+        data, base_new,
+        changes.select(*group_cols, *sorted(spec), "__z"),
+        group_cols, spec,
+        # this is a maintenance VERB (jobs allowed): one O(groups +
+        # changeset) probe skips the risky-recompute leg — and with
+        # it the base scan — in the common no-extremum-hit batch
+        precheck_risky=True,
+    )
+    touched = changes.select(*group_cols).distinct()
+    untouched = data.join(touched, group_cols, "left_anti")
+    out = untouched.unionByName(new_rows.select(*data.columns))
+    _publish_swap(d, out)
+
+
 def scrub_mv_groups(
-    spark: SparkSession, mv_root: str, name: str, group_rows: DataFrame
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    group_rows: DataFrame,
+    *,
+    source_token: list | None = None,
 ) -> dict:
     """GDPR erasure reaching the SUMMARY layer: remove every MV row
     whose group-column values match a row of ``group_rows`` (columns
@@ -327,19 +391,12 @@ def scrub_mv_groups(
         keys = group_rows.distinct()
         n = data.join(keys, cols, "left_semi").count()
         out = data.join(keys, cols, "left_anti")
-        staged = os.path.join(d, ".data_staged")
-        shutil.rmtree(staged, ignore_errors=True)
-        out.write.mode("overwrite").parquet(staged)
-        old = os.path.join(d, ".data_old")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(os.path.join(d, "data"), old)
-        os.rename(staged, os.path.join(d, "data"))
-        shutil.rmtree(old, ignore_errors=True)
-        man["fingerprint"] = _fingerprint(man["source_path"])
-        tmp = os.path.join(d, "mv.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(d, "mv.json"))
+        _publish_swap(d, out)
+        # source_token = the state captured when the fact-side purge
+        # finished (for MoR sources, the post-purge manifest): a second
+        # mutation landing mid-scrub must not be stamped over
+        _stamp_fingerprint(man, source_token)
+        _publish_manifest(d, man)
         return {"groups_scrubbed": n}
 
 
@@ -352,12 +409,37 @@ def changes_from_feed(feed: DataFrame, cols: Sequence[str]) -> DataFrame:
     update_pre) weigh −1. ``cols`` is the projection the MV needs (group
     columns + measure columns). This closes the CDC→table→summary loop
     with no hand-built delta: a MERGE lands, its feed maintains every
-    downstream MV."""
+    downstream MV.
+
+    FAIL-LOUD on any other ``change_type`` (round-15 verdict): a
+    malformed or future-variant feed row (a ``truncate``, a misspelled
+    type) must abort the fold, not silently weigh −1 and corrupt every
+    downstream MV. The guard is an in-plan ``raise_error`` leg — zero
+    extra jobs, it fires on the same pass that folds."""
+    legal = ("insert", "update_post", "delete", "update_pre")
     return feed.select(
         *cols,
         F.when(
             F.col("change_type").isin("insert", "update_post"), F.lit(1)
-        ).otherwise(F.lit(-1)).alias("__z"),
+        )
+        .when(
+            F.col("change_type").isin("delete", "update_pre"), F.lit(-1)
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "changes_from_feed: illegal change_type "
+                    ),
+                    F.coalesce(
+                        F.col("change_type").cast("string"),
+                        F.lit("NULL"),
+                    ),
+                    F.lit(f" (legal: {', '.join(legal)})"),
+                )
+            ).cast("int")
+        )
+        .alias("__z"),
     )
 
 
@@ -396,108 +478,121 @@ def _pred_expr(col: str, op: str, value):
     raise ValueError(f"predicate op must be one of {_PRED_OPS}, got {op}")
 
 
-def answer_aggregate(
-    spark: SparkSession,
-    mv_root: str,
-    source: DataFrame,
-    source_path: str,
-    *,
-    group_cols: Sequence[str],
-    aggs: dict,
-    where: Sequence[tuple] | None = None,
-) -> tuple[DataFrame, str | None]:
-    """Plan ``source.filter(where).groupBy(group_cols).agg(aggs)``
-    (``aggs``: ``{out: (fn, col)}``; ``where``: optional conjunction of
-    ``(col, op, literal)`` triples, op ∈ ``=,!=,<,<=,>,>=,in``), served
-    from the best subsuming FRESH materialized view when one exists,
-    else from the base. Returns ``(df, mv_name | None)`` so callers can
-    assert the routing.
+def _norm_where(where) -> list:
+    """Normalize/validate a ``where`` spec into terms, conjoined.
 
-    Subsumption: ``mv.group_cols ⊇ group_cols``, every PREDICATE column
-    is an MV group column (a predicate on a grouping dimension filters
-    the partials exactly — the filtered-rollup shape BI dashboards hit
-    constantly; a predicate on any other column forces the base), and
-    every requested measure is derivable from the registered lineage:
-    ``count(*)`` from the always-stored ``__cnt``, ``count(col)`` /
-    ``avg(col)`` from the per-column NON-NULL count partial (stored by
-    count(col)/avg(col) measures), ``sum`` from a sum or avg measure's
-    sum partial, min/max from exact lineage. avg derives as sum ÷
-    non-null count — never an average of averages, never count(*).
-    Freshness: the MV's fingerprint must equal the source's CURRENT
-    file state — otherwise the MV is invisible to the planner (stale
-    answers are wrong answers, not fast ones)."""
-    group_cols = list(group_cols)
-    aggs = dict(aggs)
-    where = [tuple(p) for p in (where or [])]
-    for col, op, _ in where:
-        if op not in _PRED_OPS:
-            raise ValueError(
-                f"predicate op must be one of {_PRED_OPS}, got {op}"
-            )
-    want = set(group_cols)
-    pred_cols = {col for col, _, _ in where}
-    current = None  # lazily computed fingerprint
-
-    candidates = []
-    for man in _list_mvs(mv_root):
-        if man["source_path"] != source_path:
-            continue
-        if not want <= set(man["group_cols"]):
-            continue
-        if not pred_cols <= set(man["group_cols"]):
-            continue
-        lineage = {
-            (m["fn"], m["col"]): m for m in man["measures"].values()
-        }
-
-        def _servable(fn, col, lineage=lineage):
-            if fn == "count" and col is None:
-                return True  # __cnt always stored
-            if fn == "count":
-                return ("count", col) in lineage or ("avg", col) in lineage
-            if fn == "sum":
-                return ("sum", col) in lineage or ("avg", col) in lineage
-            if fn == "avg":
-                return ("avg", col) in lineage or (
-                    ("sum", col) in lineage and ("count", col) in lineage
+    Grammar (round-16, OR-of-conjuncts): each term is either a simple
+    ``(col, op, literal)`` triple, or a DISJUNCTION
+    ``("or", [conjunct, conjunct, ...])`` whose legs are each a list of
+    triples (AND within a leg, OR across legs) — the
+    partition-style dashboard shape ``(region='EU' AND tier='gold') OR
+    region='US'``. Ops are validated everywhere; malformed terms fail
+    loud at plan time."""
+    out = []
+    for term in (where or []):
+        term = tuple(term)
+        if len(term) == 2 and term[0] == "or":
+            legs = []
+            for leg in term[1]:
+                leg = [tuple(p) for p in leg]
+                if not leg:
+                    raise ValueError("empty OR leg in where spec")
+                for col, op, _ in leg:
+                    if op not in _PRED_OPS:
+                        raise ValueError(
+                            f"predicate op must be one of {_PRED_OPS}, "
+                            f"got {op}"
+                        )
+                legs.append(leg)
+            if not legs:
+                raise ValueError("empty OR disjunction in where spec")
+            out.append(("or", legs))
+        elif len(term) == 3:
+            if term[1] not in _PRED_OPS:
+                raise ValueError(
+                    f"predicate op must be one of {_PRED_OPS}, got "
+                    f"{term[1]}"
                 )
-            return (fn, col) in lineage
+            out.append(term)
+        else:
+            raise ValueError(
+                f"where term must be (col, op, literal) or "
+                f"('or', [[(col, op, literal), ...], ...]); got {term!r}"
+            )
+    return out
 
-        if not all(_servable(fn, col) for fn, col in aggs.values()):
-            continue
-        if current is None:
-            current = _fingerprint(source_path)
-        if man["fingerprint"] != current:
-            continue  # stale — invisible
-        candidates.append(man)
 
-    if not candidates:
-        base = source
-        for col, op, value in where:
-            base = base.filter(_pred_expr(col, op, value))
-        exprs = []
-        for out, (fn, col) in aggs.items():
-            if fn == "count" and col is None:
-                exprs.append(F.count("*").alias(out))
-            elif fn == "count":
-                exprs.append(F.count(col).alias(out))
-            elif fn == "avg":
-                exprs.append(F.avg(col).alias(out))
-            else:
-                exprs.append(getattr(F, fn)(col).alias(out))
-        return base.groupBy(*group_cols).agg(*exprs), None
+def _where_cols(where: list) -> set:
+    """Every column any leg of a normalized where spec touches — ALL of
+    them must be MV group columns for the partials to express the
+    filter exactly (any leg on a non-group column forces the base)."""
+    cols = set()
+    for term in where:
+        if term[0] == "or":
+            for leg in term[1]:
+                cols.update(col for col, _, _ in leg)
+        else:
+            cols.add(term[0])
+    return cols
 
-    # coarsest subsuming MV = fewest group columns = smallest rollup read
-    man = min(candidates, key=lambda m: len(m["group_cols"]))
-    # schema-cached read (the read_version/read_mor discipline): a
-    # registered query re-planning the same MV runs zero Spark jobs
-    from .mor import _read_cached
 
-    mv = _read_cached(
-        spark, os.path.join(_mv_dir(mv_root, man["name"]), "data")
-    )
-    for col, op, value in where:
-        mv = mv.filter(_pred_expr(col, op, value))
+def _where_expr(term):
+    """One normalized term → a Column predicate."""
+    if term[0] == "or":
+        disj = None
+        for leg in term[1]:
+            conj = None
+            for col, op, value in leg:
+                e = _pred_expr(col, op, value)
+                conj = e if conj is None else (conj & e)
+            disj = conj if disj is None else (disj | conj)
+        return disj
+    col, op, value = term
+    return _pred_expr(col, op, value)
+
+
+def _measures_servable(man: dict, aggs: dict) -> bool:
+    """Every requested measure derivable from the MV's lineage:
+    ``count(*)`` from the always-stored ``__cnt``, ``count(col)`` /
+    ``avg(col)`` from the per-column NON-NULL count partial, ``sum``
+    from a sum or avg measure's sum partial, min/max from exact
+    lineage. avg derives as sum ÷ non-null count — never an average of
+    averages, never count(*)."""
+    lineage = {(m["fn"], m["col"]) for m in man["measures"].values()}
+
+    def ok(fn, col):
+        if fn == "count" and col is None:
+            return True  # __cnt always stored
+        if fn == "count":
+            return ("count", col) in lineage or ("avg", col) in lineage
+        if fn == "sum":
+            return ("sum", col) in lineage or ("avg", col) in lineage
+        if fn == "avg":
+            return ("avg", col) in lineage or (
+                ("sum", col) in lineage and ("count", col) in lineage
+            )
+        return (fn, col) in lineage
+
+    return all(ok(fn, col) for fn, col in aggs.values())
+
+
+def _base_agg_exprs(aggs: dict) -> list:
+    exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count" and col is None:
+            exprs.append(F.count("*").alias(out))
+        elif fn == "count":
+            exprs.append(F.count(col).alias(out))
+        elif fn == "avg":
+            exprs.append(F.avg(col).alias(out))
+        else:
+            exprs.append(getattr(F, fn)(col).alias(out))
+    return exprs
+
+
+def _mv_serve_exprs(man: dict, aggs: dict) -> list:
+    """Rollup-of-partials expressions: sum of sums, sum of counts,
+    min/max of partials, avg = derived sum ÷ derived NON-NULL count."""
     by_lineage = {
         (m["fn"], m["col"]): m.get("partial")
         for m in man["measures"].values()
@@ -525,4 +620,417 @@ def answer_aggregate(
             exprs.append(
                 (F.sum(part) / F.sum(f"__cnt_{col}")).alias(out)
             )
-    return mv.groupBy(*group_cols).agg(*exprs), man["name"]
+    return exprs
+
+
+def _serve_from_mv(
+    spark: SparkSession, mv_root: str, man: dict,
+    group_cols: list, aggs: dict, where: list,
+) -> DataFrame:
+    # schema-cached read (the read_version/read_mor discipline): a
+    # registered query re-planning the same MV runs zero Spark jobs
+    from .mor import _read_cached
+
+    mv = _read_cached(
+        spark, os.path.join(_mv_dir(mv_root, man["name"]), "data")
+    )
+    for term in where:
+        mv = mv.filter(_where_expr(term))
+    return mv.groupBy(*group_cols).agg(*_mv_serve_exprs(man, aggs))
+
+
+def answer_aggregate(
+    spark: SparkSession,
+    mv_root: str,
+    source: DataFrame,
+    source_path: str,
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``source.filter(where).groupBy(group_cols).agg(aggs)``
+    (``aggs``: ``{out: (fn, col)}``; ``where``: optional conjunction of
+    terms — each a ``(col, op, literal)`` triple, op ∈
+    ``=,!=,<,<=,>,>=,in``, or an OR-of-conjuncts disjunction
+    ``("or", [[triple, ...], ...])``), served from the best subsuming
+    FRESH materialized view when one exists, else from the base.
+    Returns ``(df, mv_name | None)`` so callers can assert the routing.
+
+    Subsumption: ``mv.group_cols ⊇ group_cols``, every column ANY
+    predicate leg touches is an MV group column (a predicate on
+    grouping dimensions filters the partials exactly — the
+    filtered-rollup shape BI dashboards hit constantly, now including
+    disjunctive partition-style predicates; a leg on any other column
+    forces the base), and every requested measure is derivable from the
+    registered lineage (:func:`_measures_servable`). Freshness: the
+    MV's fingerprint must equal the source's CURRENT file state —
+    otherwise the MV is invisible to the planner (stale answers are
+    wrong answers, not fast ones)."""
+    group_cols = list(group_cols)
+    aggs = dict(aggs)
+    where = _norm_where(where)
+    want = set(group_cols)
+    pred_cols = _where_cols(where)
+    current = None  # lazily computed fingerprint
+
+    candidates = []
+    for man in _list_mvs(mv_root):
+        if man.get("kind") == "join":
+            continue  # join MVs answer only matching join requests
+        if man["source_path"] != source_path:
+            continue
+        if not want <= set(man["group_cols"]):
+            continue
+        if not pred_cols <= set(man["group_cols"]):
+            continue
+        if not _measures_servable(man, aggs):
+            continue
+        if current is None:
+            current = _fingerprint(source_path)
+        if man["fingerprint"] != current:
+            continue  # stale — invisible
+        candidates.append(man)
+
+    if not candidates:
+        base = source
+        for term in where:
+            base = base.filter(_where_expr(term))
+        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
+
+    # coarsest subsuming MV = fewest group columns = smallest rollup read
+    man = min(candidates, key=lambda m: len(m["group_cols"]))
+    return (
+        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+        man["name"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-bearing materialized views (round 16): star-join rollups served
+# from an incrementally maintained summary — the most common real BI
+# accelerator (fact ⋈ dims GROUP BY dim attributes; the reference's
+# per-table/per-op dashboards joined to dimension metadata,
+# docs/architecture.md:9-73, are exactly this shape).
+# ---------------------------------------------------------------------------
+
+
+def _join_all(fact: DataFrame, dims: Sequence[tuple]) -> DataFrame:
+    joined = fact
+    for entry in dims:
+        dim, on = entry[0], list(entry[-1])
+        joined = joined.join(dim, on)
+    return joined
+
+
+def create_join_mv(
+    spark: SparkSession,
+    mv_root: str,
+    *,
+    name: str,
+    fact: DataFrame,
+    fact_path: str,
+    dims: Sequence[tuple],
+    group_cols: Sequence[str],
+    measures: dict,
+) -> dict:
+    """Materialize ``fact ⋈ dim₁ ⋈ … GROUP BY group_cols`` with partial
+    aggregates — group columns may come from ANY side (the point: a
+    rollup keyed on dimension attributes, servable without re-running
+    the join). ``dims``: ``[(dim_df, dim_path, on_cols), ...]`` in join
+    order; join columns must be same-named on both sides (rename
+    before calling — standard equi-join hygiene). The manifest records
+    the full join topology (fact path, dim paths, join keys) plus a
+    fingerprint PER source: the MV is fresh only while EVERY input is
+    unchanged — a dim edit (e.g. a customer moved to another nation)
+    invalidates the summary exactly like a fact merge does."""
+    group_cols = list(group_cols)
+    exprs, meta = _partials(dict(measures))
+    os.makedirs(mv_root, exist_ok=True)
+    with maintenance_lock(mv_root):
+        d = _mv_dir(mv_root, name)
+        if os.path.exists(os.path.join(d, "mv.json")):
+            raise ValueError(f"materialized view {name} already exists")
+        _join_all(fact, dims).groupBy(*group_cols).agg(*exprs).write.mode(
+            "errorifexists"
+        ).parquet(os.path.join(d, "data"))
+        man = {
+            "name": name,
+            "kind": "join",
+            "source_path": fact_path,
+            "dim_paths": [p for _, p, _ in dims],
+            "join_on": [list(on) for _, _, on in dims],
+            "group_cols": group_cols,
+            "measures": meta,
+            "fingerprint": _fingerprint(fact_path),
+            "dim_fingerprints": [_fingerprint(p) for _, p, _ in dims],
+        }
+        _publish_manifest(d, man)
+        return man
+
+
+def _join_sources_fresh(man: dict, fact_path: str, dim_paths: list) -> bool:
+    if man["source_path"] != fact_path or man["dim_paths"] != dim_paths:
+        return False
+    if man["fingerprint"] != _fingerprint(fact_path):
+        return False
+    return all(
+        man["dim_fingerprints"][i] == _fingerprint(p)
+        for i, p in enumerate(dim_paths)
+    )
+
+
+def answer_join_aggregate(
+    spark: SparkSession,
+    mv_root: str,
+    fact: DataFrame,
+    fact_path: str,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``(fact ⋈ dims).filter(where).groupBy(group_cols).agg(...)``
+    served from a subsuming FRESH join MV when one exists, else from
+    the base join. ``dims``: ``[(dim_df, dim_path, on_cols), ...]``.
+    Candidate match requires the SAME join topology (fact path, dim
+    paths, join keys — a different join shape answers a different
+    query), group/predicate subsumption and measure-lineage
+    derivability exactly as :func:`answer_aggregate`, and EVERY
+    source fingerprint fresh (fact and all dims — a moved dim serves
+    stale attributes otherwise). Returns ``(df, mv_name | None)``.
+
+    At 100 TB the served plan reads a KB-scale summary instead of
+    re-shuffling the fact through the star join — the single biggest
+    dashboard accelerator a warehouse carries."""
+    group_cols = list(group_cols)
+    aggs = dict(aggs)
+    where = _norm_where(where)
+    want = set(group_cols)
+    pred_cols = _where_cols(where)
+    dim_paths = [p for _, p, _ in dims]
+    join_on = [list(on) for _, _, on in dims]
+
+    candidates = []
+    for man in _list_mvs(mv_root):
+        if man.get("kind") != "join":
+            continue
+        if man["join_on"] != join_on:
+            continue
+        if not want <= set(man["group_cols"]):
+            continue
+        if not pred_cols <= set(man["group_cols"]):
+            continue
+        if not _measures_servable(man, aggs):
+            continue
+        if not _join_sources_fresh(man, fact_path, dim_paths):
+            continue  # stale or different topology — invisible
+        candidates.append(man)
+
+    if not candidates:
+        base = _join_all(fact, dims)
+        for term in where:
+            base = base.filter(_where_expr(term))
+        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
+
+    man = min(candidates, key=lambda m: len(m["group_cols"]))
+    return (
+        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+        man["name"],
+    )
+
+
+def maintain_join_mv(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    *,
+    fact_pre: DataFrame,
+    d_fact: DataFrame | None,
+    dims: Sequence[tuple],
+    base_new: DataFrame,
+    source_tokens: dict | None = None,
+) -> dict:
+    """INCREMENTAL maintenance of a join MV under simultaneous fact and
+    dim changesets — the r12 Z-set join rule composed with the partial
+    fold: ``star_join_delta`` derives the JOIN VIEW's z-weighted delta
+    (``d(J ⋈ D) = dJ ⋈ D + J ⋈ dD + dJ ⋈ dD`` per dim, so a fact row
+    arriving for a customer whose nation moved in the SAME batch nets
+    correctly), then the same ``mv_partial_delta_maintain`` core folds
+    it into the stored partials — count/sum telescope, MIN/MAX
+    recompute only risky groups from ``base_new`` (the post-change
+    join projection, the only join re-run and only for those groups).
+
+    ``fact_pre`` / ``dims`` (``[(dim_pre, d_dim | None, on), ...]``,
+    join order per the manifest) are PRE-change states; deltas are
+    z-weighted row images (+1/−1). ``source_tokens``
+    (``{"fact": token, "dims": [token, ...]}``, captured when the
+    changesets were cut) gates the freshness stamp exactly like
+    ``maintain_mv``'s ``source_token``. Per-batch work is
+    O(Σ|delta|·fanout + groups + risky base-join scan) vs a refresh's
+    full star-join re-run."""
+    from ..operators.materialize import star_join_delta
+
+    with maintenance_lock(mv_root):
+        d = _mv_dir(mv_root, name)
+        with open(os.path.join(d, "mv.json")) as f:
+            man = json.load(f)
+        if man.get("kind") != "join":
+            raise ValueError(
+                f"{name} is not a join MV; use maintain_mv"
+            )
+        join_on = [list(on) for _, _, on in dims]
+        if join_on != man["join_on"]:
+            raise ValueError(
+                f"dims join keys {join_on} do not match the MV's "
+                f"registered topology {man['join_on']}"
+            )
+        d_view = star_join_delta(fact_pre, d_fact, dims)
+        if d_view is None:
+            raise ValueError(
+                "maintain_join_mv called with no changeset on any side"
+            )
+        _fold_changes_and_swap(spark, d, man, d_view, base_new)
+        # stamp: every source fresh-or-token (a second mutation landing
+        # on ANY input mid-maintenance must fail loud, not stamp fresh)
+        fact_tok = (source_tokens or {}).get("fact")
+        dim_toks = (source_tokens or {}).get("dims")
+        cur = _fingerprint(man["source_path"])
+        if fact_tok is not None and fact_tok != cur:
+            raise RuntimeError(
+                f"fact {man['source_path']} moved past the "
+                "derivation-time token while maintenance ran — re-cut "
+                "the changesets (or refresh_mv)"
+            )
+        man["fingerprint"] = cur
+        new_dim_fps = []
+        for i, p in enumerate(man["dim_paths"]):
+            cur_d = _fingerprint(p)
+            if dim_toks is not None and dim_toks[i] is not None \
+                    and dim_toks[i] != cur_d:
+                raise RuntimeError(
+                    f"dim {p} moved past the derivation-time token "
+                    "while maintenance ran — re-cut the changesets "
+                    "(or refresh_mv)"
+                )
+            new_dim_fps.append(cur_d)
+        man["dim_fingerprints"] = new_dim_fps
+        _publish_manifest(d, man)
+        return man
+
+
+# ---------------------------------------------------------------------------
+# MoR-bound MV maintenance (round 16): the streaming half of the
+# CDC→table→summary loop. A foreachBatch apply merges into the MoR
+# table, then calls maintain_mv_from_mor — which cuts the table's OWN
+# change feed from the MV's recorded applied sequence to the current
+# one, folds it, and records the new sequence. Sequence-based (not
+# batch-id-based) catch-up makes redelivery safe for free: a replayed
+# micro-batch re-merges at a NEW sequence and the next catch-up folds
+# exactly that span — nothing is ever double-folded.
+# ---------------------------------------------------------------------------
+
+
+def bind_mv_to_mor(mv_root: str, name: str, mor_root: str) -> dict:
+    """Bind an MV (freshly created over ``read_mor(mor_root)`` with the
+    MoR MANIFEST as its ``source_path``) to the table's sequence
+    clock: records ``applied_seq`` = the table's current latest
+    sequence, the point from which :func:`maintain_mv_from_mor` cuts
+    change feeds. Fails loud if the MV is not currently fresh (it
+    would mean the MV was NOT created at this table state, and seq
+    arithmetic would fold from the wrong floor)."""
+    from .mor import _read_manifest
+
+    with maintenance_lock(mv_root):
+        d = _mv_dir(mv_root, name)
+        with open(os.path.join(d, "mv.json")) as f:
+            man = json.load(f)
+        if man["fingerprint"] != _fingerprint(man["source_path"]):
+            raise RuntimeError(
+                f"MV {name} is stale against {man['source_path']}; "
+                "bind_mv_to_mor must run at the table state the MV "
+                "was created at"
+            )
+        mor_man = _read_manifest(mor_root)
+        latest = (
+            mor_man["seqs"][-1]["seq"]
+            if mor_man["seqs"]
+            else mor_man.get("base_seq", 0)
+        )
+        man["mor_root"] = mor_root
+        man["applied_seq"] = latest
+        _publish_manifest(d, man)
+        return man
+
+
+def maintain_mv_from_mor(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+) -> dict:
+    """Catch a MoR-bound MV up to its table's CURRENT sequence: cut
+    ``change_feed_mor(applied_seq → latest)``, adapt it with
+    ``changes_from_feed``, fold with ``maintain_mv`` — passing the
+    manifest state captured AT FEED-CUT TIME as the source token, so a
+    merge landing mid-fold fails loud instead of stamping fresh — and
+    record the new ``applied_seq``. No-op (zero jobs) when already
+    caught up: the decision is manifest metadata, affordable every
+    micro-batch, like ``auto_compact_mor``'s.
+
+    ``project(feed_df) -> DataFrame`` maps the feed's row images to the
+    MV's group + measure columns, KEEPING ``change_type`` (measures are
+    usually derived, e.g. integer cents from a float price).
+
+    Compaction interplay: if a compaction folded sequences past
+    ``applied_seq``, the span is unreachable and this fails loud —
+    maintain before compacting (the auto-compact policy hook runs
+    AFTER the apply in ``stream_mor_apply``-style loops, so the feed
+    is always cut first), or ``refresh_mv``."""
+    from .mor import _read_manifest, change_feed_mor
+
+    with maintenance_lock(mv_root):
+        d = _mv_dir(mv_root, name)
+        with open(os.path.join(d, "mv.json")) as f:
+            man = json.load(f)
+        if "mor_root" not in man:
+            raise ValueError(
+                f"MV {name} is not bound to a merge-on-read table; "
+                "call bind_mv_to_mor first"
+            )
+        mor_root = man["mor_root"]
+        mor_man = _read_manifest(mor_root)
+        latest = (
+            mor_man["seqs"][-1]["seq"]
+            if mor_man["seqs"]
+            else mor_man.get("base_seq", 0)
+        )
+        applied = man["applied_seq"]
+        if latest == applied:
+            return {"applied_seq": applied, "folded": False}
+        if applied < mor_man.get("base_seq", 0):
+            raise RuntimeError(
+                f"MV {name} last applied seq {applied} was compacted "
+                f"away (base_seq {mor_man.get('base_seq', 0)}); the "
+                "change span is unreachable — refresh_mv (and re-bind)"
+            )
+        # token captured at FEED-CUT time: the manifest file IS the
+        # MV's fingerprinted source
+        token = _fingerprint(man["source_path"])
+        feed = project(change_feed_mor(spark, mor_root, applied, latest))
+        changes = changes_from_feed(
+            feed, [c for c in feed.columns if c != "change_type"]
+        )
+        from .mor import read_mor
+
+        base_new = project(
+            read_mor(spark, mor_root).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        _fold_changes_and_swap(spark, d, man, changes, base_new)
+        _stamp_fingerprint(man, token)
+        man["applied_seq"] = latest
+        _publish_manifest(d, man)
+        return {"applied_seq": latest, "folded": True}

@@ -738,3 +738,206 @@ def mv_gdpr_scrub(spark, sf_dir):
         ),
         "o_custkey", "n", "sum_cents",
     )
+
+
+def mv_join_fixture(spark, sf_dir: str) -> str:
+    """A JOIN-BEARING MV (round 16): orders ⋈ customer ⋈ nation rolled
+    up to (n_name, o_orderpriority) with sum/count/min/max partials
+    over integer cents — the star-join dashboard accelerator
+    (reference docs/architecture.md:9-73: per-table/per-op rollups
+    joined to dimension metadata)."""
+
+    def build(root: str) -> None:
+        from ..plans.mv import create_join_mv
+
+        fact = table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            ).alias("cents"),
+        )
+        dim_c = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+        )
+        dim_n = table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        )
+        create_join_mv(
+            spark, root, name="rev_nation_pri",
+            fact=fact,
+            fact_path=os.path.join(sf_dir, "orders.parquet"),
+            dims=[
+                (dim_c, os.path.join(sf_dir, "customer.parquet"),
+                 ["o_custkey"]),
+                (dim_n, os.path.join(sf_dir, "nation.parquet"),
+                 ["c_nationkey"]),
+            ],
+            group_cols=["n_name", "o_orderpriority"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "min_cents": ("min", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+
+    return session_fixture("mv_join", sf_dir, "nation_pri_v1", build)
+
+
+@register(
+    "mv_join_rollup_rewrite",
+    oracle="""
+    WITH j AS (
+      SELECT n_name, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT 'mv' AS served_from, CAST(n_name AS VARCHAR) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM j GROUP BY 2
+    UNION ALL
+    SELECT 'base', CAST(o_custkey AS VARCHAR),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT)
+    FROM j GROUP BY 2
+    """,
+)
+def mv_join_rollup_rewrite(spark, sf_dir):
+    """JOIN-bearing aggregate navigation (round 16, plans/mv.py
+    create_join_mv / answer_join_aggregate): leg 1 rolls the registered
+    star-join MV (orders ⋈ customer ⋈ nation at (n_name,
+    o_orderpriority) granularity) up to n_name — the planner must serve
+    it from the summary's partials WITHOUT re-running the join (its
+    scan is the MV data dir; the join-topology match requires the same
+    fact, dims, AND join keys); leg 2 groups by o_custkey, which the MV
+    does not carry, and must fall back to the base star join. The
+    ``served_from`` column carries the actual routing and the oracle
+    hardcodes the required one; all values are recomputed from the raw
+    tables via the same join on the oracle side. At 100 TB leg 1 is the
+    dashboard reading a KB summary instead of shuffling the fact
+    through two joins — the single most common BI accelerator."""
+    from ..plans.mv import answer_join_aggregate
+
+    root = mv_join_fixture(spark, sf_dir)
+    fact = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        ).alias("cents"),
+    )
+    dim_c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    dim_n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dims = [
+        (dim_c, os.path.join(sf_dir, "customer.parquet"), ["o_custkey"]),
+        (dim_n, os.path.join(sf_dir, "nation.parquet"),
+         ["c_nationkey"]),
+    ]
+    fact_path = os.path.join(sf_dir, "orders.parquet")
+    aggs = {
+        "n": ("count", None), "sum_cents": ("sum", "cents"),
+        "min_cents": ("min", "cents"), "max_cents": ("max", "cents"),
+    }
+    leg1, used1 = answer_join_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["n_name"], aggs=aggs,
+    )
+    leg2, used2 = answer_join_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["o_custkey"], aggs=aggs,
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "rev_nation_pri" else "base").alias(
+            "served_from"
+        ),
+        F.col("n_name").cast("string").alias("grp"),
+        "n", "sum_cents", "min_cents", "max_cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("o_custkey").cast("string").alias("grp"),
+            "n", "sum_cents", "min_cents", "max_cents",
+        )
+    )
+
+
+@register(
+    "mv_disjunctive_rewrite",
+    oracle="""
+    SELECT 'mv' AS served_from, l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(max(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+             AS max_cents
+    FROM lineitem
+    WHERE (l_linestatus = 'F' AND l_returnflag <> 'A')
+       OR l_returnflag = 'R'
+    GROUP BY 2
+    UNION ALL
+    SELECT 'base', l_returnflag, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT),
+           CAST(max(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)
+    FROM lineitem
+    WHERE l_linestatus = 'F' OR l_linenumber < 3
+    GROUP BY 2
+    """,
+)
+def mv_disjunctive_rewrite(spark, sf_dir):
+    """OR-of-conjuncts aggregate navigation (round 16): leg 1 filters
+    with a DISJUNCTION whose legs touch only MV group columns —
+    ``(l_linestatus='F' AND l_returnflag<>'A') OR l_returnflag='R'``,
+    the partition-style dashboard shape — so the planner filters the
+    partials and serves from the MV; leg 2's disjunction has a leg on
+    l_linenumber (not an MV group column: the partials cannot express
+    it even though the OTHER leg could), forcing the base WITH the
+    full filter applied. ``served_from`` carries the actual routing;
+    the oracle hardcodes the required one and recomputes both filtered
+    aggregates from the raw table."""
+    root = mv_lineitem_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", _cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    aggs = {
+        "n": ("count", None),
+        "sum_cents": ("sum", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    leg1, used1 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag"], aggs=aggs,
+        where=[("or", [
+            [("l_linestatus", "=", "F"), ("l_returnflag", "!=", "A")],
+            [("l_returnflag", "=", "R")],
+        ])],
+    )
+    leg2, used2 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag"], aggs=aggs,
+        where=[("or", [
+            [("l_linestatus", "=", "F")],
+            [("l_linenumber", "<", 3)],
+        ])],
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "li_flag_status" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").alias("grp"),
+        "n", "sum_cents", "max_cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("l_returnflag").alias("grp"),
+            "n", "sum_cents", "max_cents",
+        )
+    )

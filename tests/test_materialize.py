@@ -814,3 +814,62 @@ def test_mv_partial_delta_maintain_randomized_vs_recompute(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan, plan
     assert "__base_marker__" not in plan, plan
+
+
+def test_viewless_group_with_delete_is_risky(spark):
+    """Round-15 ADVICE (medium): a changeset spanning several merge
+    batches can contain a BRAND-NEW group's insert plus a delete of
+    that same value. An insert-only fold would keep the deleted value
+    as the stored extremum; both maintainers must instead recompute the
+    group from the patched base. count/sum stay invertible either way
+    — the assertion is on min/max."""
+    from pulsar_cdc_experiment_spark.operators.materialize import (
+        minmax_delta_maintain,
+        mv_partial_delta_maintain,
+    )
+
+    # new group gN: insert 5, insert 90, delete 90 → correct max is 5
+    delta = spark.createDataFrame(
+        [("gN", 5, 1), ("gN", 90, 1), ("gN", 90, -1)],
+        "g string, v long, __z long",
+    )
+    base_new = spark.createDataFrame(
+        [("gN", 5)], "g string, v long"
+    )
+    view = spark.createDataFrame(
+        [], "g string, n_rows long, sum_v long, min_v long, max_v long"
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in minmax_delta_maintain(
+            view, base_new, delta, ["g"], "v"
+        ).collect()
+    }
+    assert got == {"gN": (1, 5, 5, 5)}, got
+
+    data = spark.createDataFrame(
+        [],
+        "g string, __cnt long, __sum_v long, __min_v long, __max_v long",
+    )
+    got2 = {
+        r["g"]: (r["__cnt"], r["__sum_v"], r["__min_v"], r["__max_v"])
+        for r in mv_partial_delta_maintain(
+            data, base_new, delta, ["g"],
+            {"v": {"sum", "min", "max"}}, precheck_risky=True,
+        ).collect()
+    }
+    assert got2 == {"gN": (1, 5, 5, 5)}, got2
+
+    # sum/count-only spec: the view-less rule must NOT fire (the fold
+    # is fully invertible) — same changeset, no recompute leg, and the
+    # no-minmax static short-circuit still returns the right partials
+    data_sc = spark.createDataFrame(
+        [], "g string, __cnt long, __sum_v long"
+    )
+    got3 = {
+        r["g"]: (r["__cnt"], r["__sum_v"])
+        for r in mv_partial_delta_maintain(
+            data_sc, base_new, delta, ["g"], {"v": {"sum"}},
+        ).collect()
+    }
+    assert got3 == {"gN": (1, 5)}, got3

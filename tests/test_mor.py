@@ -488,3 +488,71 @@ def test_read_mor_sidecar_join_broadcasts(spark, mor_table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_purge_key_that_is_partition_column_uses_dirname_spelling(spark):
+    """Round-15 ADVICE: when a key column is ALSO a partition column,
+    partition-value inference can retype it (zero-padded strings parse
+    as ints) so str(decoded) diverges from the dir-name spelling — the
+    old probe then failed the leaf lookup with the fallback
+    RuntimeError. The probe now forces STRING dir-name spelling for
+    partition-borne key components and the leaf rewrite never relies on
+    inference round-tripping."""
+    root = tempfile.mkdtemp(prefix="mor_pk_") + "/t"
+    rows = [(f"{k:05d}", float(k)) for k in range(8)]  # "00000".."00007"
+    init_mor(
+        spark, root,
+        spark.createDataFrame(rows, "k string, v double"),
+        keys=["k"], partition_col="k",
+    )
+    chg = spark.createDataFrame(
+        [("00003", 33.0, False), ("00101", 101.0, False)],
+        "k string, v double, is_delete boolean",
+    )
+    merge_into_mor(spark, root, chg)
+    rep = purge_keys_mor(
+        spark, root,
+        spark.createDataFrame([("00003",), ("00005",)], "k string"),
+    )
+    # base 00003 + base 00005 + delta 00003 rewrite away
+    assert rep["data_rows_purged"] == 3, rep
+    assert rep["sidecar_keys_purged"] == 1, rep  # seq-1 carried 00003
+    got_v = {r["v"] for r in read_mor(spark, root).collect()}
+    assert got_v == {0.0, 1.0, 2.0, 4.0, 6.0, 7.0, 101.0}, got_v
+    # idempotent second purge finds nothing
+    rep2 = purge_keys_mor(
+        spark, root, spark.createDataFrame([("00003",)], "k string")
+    )
+    assert rep2["data_rows_purged"] == 0
+    shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+def test_rollback_grace_window_for_lazy_readers(spark, mor_table):
+    """Round-15 ADVICE: rollback_last_mor must NOT delete the
+    unpublished sequence's files immediately — a lock-free reader
+    holding a lazy plan built from the pre-rollback manifest still
+    needs them (the compact_mor retention-grace policy). The next
+    maintenance entry's orphan sweep reclaims them."""
+    from pulsar_cdc_experiment_spark.plans.mor import rollback_last_mor
+
+    merge_into_mor(spark, mor_table, _chg(spark, [(3, 300.0, "b", False)]))
+    pre_plan = read_mor(spark, mor_table)  # lazy, spans seq 1
+    assert (3, 300.0, "b") in {
+        (r["k"], r["v"], r["p"]) for r in pre_plan.collect()
+    }
+    rollback_last_mor(mor_table)
+    dfile = os.path.join(mor_table, MOR, "delete", "d-000001.parquet")
+    ddir = os.path.join(mor_table, MOR, "delta", "s-000001")
+    assert os.path.exists(dfile) and os.path.isdir(ddir)
+    # the pre-rollback lazy plan still executes (grace window)
+    assert (3, 300.0, "b") in {
+        (r["k"], r["v"], r["p"]) for r in pre_plan.collect()
+    }
+    # published state is back to the base
+    assert _state(spark, mor_table) == set(_base_rows())
+    # the next maintenance entry sweeps the orphans, then republishes
+    # seq 1 fresh — state reflects only the NEW merge
+    merge_into_mor(spark, mor_table, _chg(spark, [(4, 400.0, "a", False)]))
+    got = _state(spark, mor_table)
+    assert (4, 400.0, "a") in got and (3, 300.0, "b") not in got
+    assert (3, 3.0, "b") in got

@@ -451,3 +451,156 @@ def test_changes_from_feed_z_weights(spark):
     assert got == {
         ("g0", 10): 1, ("g0", 3): -1, ("g1", 5): -1, ("g1", 7): 1,
     }
+
+
+def test_changes_from_feed_fails_loud_on_unknown_type(spark):
+    """Round-15 verdict #1: an illegal change_type must abort the fold,
+    not silently weigh −1 and corrupt every downstream MV."""
+    from pulsar_cdc_experiment_spark.plans.mv import changes_from_feed
+
+    ok = spark.createDataFrame(
+        [("insert", "a", 1), ("update_pre", "a", 2),
+         ("update_post", "a", 3), ("delete", "a", 4)],
+        "change_type string, g string, v long",
+    )
+    got = {
+        (r["g"], r["v"]): r["__z"]
+        for r in changes_from_feed(ok, ["g", "v"]).collect()
+    }
+    assert got == {("a", 1): 1, ("a", 2): -1, ("a", 3): 1, ("a", 4): -1}
+
+    bad = spark.createDataFrame(
+        [("insert", "a", 1), ("truncate", "a", 2)],
+        "change_type string, g string, v long",
+    )
+    with pytest.raises(Exception, match="illegal change_type"):
+        changes_from_feed(bad, ["g", "v"]).collect()
+
+
+@pytest.fixture()
+def mv_cents_env(spark):
+    """Integral-measure MV (maintainable: the telescoping-sum
+    contract) over a tiny parquet fact."""
+    base = tempfile.mkdtemp(prefix="mv_tok_")
+    src_path = os.path.join(base, "fact")
+    rows = [(i, ["a", "b"][i % 2], (i * 7) % 100) for i in range(100)]
+    spark.createDataFrame(
+        rows, "id bigint, g string, cents bigint"
+    ).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+    mv_root = os.path.join(base, "mvs")
+    create_mv(
+        spark, mv_root, name="mt", source_path=src_path, source=src,
+        group_cols=["g"],
+        measures={"sc": ("sum", "cents"), "n": ("count", None)},
+    )
+    yield spark, mv_root, src_path, base
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_source_token_guards_mid_maintenance_merge(mv_cents_env):
+    """Round-15 verdict #2: maintain_mv stamps the DERIVATION-TIME
+    token. If the source moves between cutting the changeset and
+    publishing, the publish fails loud and the MV stays invisible —
+    never stamped fresh while missing a changeset."""
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        maintain_mv,
+        source_token,
+    )
+
+    spark, mv_root, src_path, base = mv_cents_env
+
+    # changeset cut at the CURRENT state; capture the token first
+    spark.createDataFrame(
+        [(1000, "a", 50)], "id bigint, g string, cents bigint"
+    ).write.mode("append").parquet(src_path)
+    tok = source_token(src_path)
+    changes = spark.createDataFrame(
+        [("a", 50, 1)], "g string, cents bigint, __z long"
+    )
+    base_new = spark.read.parquet(src_path).select("g", "cents")
+
+    # a SECOND merge lands after the token was captured
+    spark.createDataFrame(
+        [(2000, "b", 60)], "id bigint, g string, cents bigint"
+    ).write.mode("append").parquet(src_path)
+    with pytest.raises(RuntimeError, match="moved past"):
+        maintain_mv(
+            spark, mv_root, "mt", changes, base_new=base_new,
+            source_token=tok,
+        )
+    # the failed publish left the MV stale → invisible, never wrong
+    src_now = spark.read.parquet(src_path)
+    _, used = answer_aggregate(
+        spark, mv_root, src_now, src_path, group_cols=["g"],
+        aggs={"sc": ("sum", "cents")},
+    )
+    assert used is None
+
+    # with a token matching the (now current) state the fold publishes
+    tok2 = source_token(src_path)
+    changes2 = spark.createDataFrame(
+        [("a", 50, 1), ("b", 60, 1)], "g string, cents bigint, __z long"
+    )
+    base_new2 = spark.read.parquet(src_path).select("g", "cents")
+    maintain_mv(
+        spark, mv_root, "mt", changes2, base_new=base_new2,
+        source_token=tok2,
+    )
+    df, used2 = answer_aggregate(
+        spark, mv_root, src_now, src_path, group_cols=["g"],
+        aggs={"sc": ("sum", "cents"), "n": ("count", None)},
+    )
+    assert used2 == "mt"
+    want = {
+        r["g"]: (r["sc"], r["n"])
+        for r in src_now.groupBy("g").agg(
+            F.sum("cents").alias("sc"), F.count("*").alias("n")
+        ).collect()
+    }
+    assert {r["g"]: (r["sc"], r["n"]) for r in df.collect()} == want
+
+
+def test_disjunctive_predicate_routing(mv_env):
+    """OR-of-conjuncts rewrite (round-16): a disjunction whose legs all
+    touch MV group columns filters the partials exactly and serves from
+    the MV; any leg on a non-group column forces the base. Values match
+    the direct computation on both routes."""
+    spark, mv_root, src, src_path = mv_env
+    where = [("or", [
+        [("g1", "=", "a"), ("g2", "=", "x")],
+        [("g1", "=", "c")],
+    ])]
+    df, used = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g1"], aggs=AGGS,
+        where=where,
+    )
+    assert used == "m1"
+    direct = src.filter(
+        ((F.col("g1") == "a") & (F.col("g2") == "x"))
+        | (F.col("g1") == "c")
+    )
+    assert {
+        (r["g1"],): (r["sv"], r["n"], r["mn"], r["mx"], r["av"])
+        for r in df.collect()
+    } == _direct(direct, ["g1"])
+
+    # one leg touches a non-group column → base, with the filter applied
+    where2 = [("or", [[("g1", "=", "a")], [("id", "<", 10)]])]
+    df2, used2 = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g1"], aggs=AGGS,
+        where=where2,
+    )
+    assert used2 is None
+    direct2 = src.filter((F.col("g1") == "a") | (F.col("id") < 10))
+    assert {
+        (r["g1"],): (r["sv"], r["n"], r["mn"], r["mx"], r["av"])
+        for r in df2.collect()
+    } == _direct(direct2, ["g1"])
+
+    # malformed term fails loud at plan time
+    with pytest.raises(ValueError, match="where term"):
+        answer_aggregate(
+            spark, mv_root, src, src_path, group_cols=["g1"], aggs=AGGS,
+            where=[("g1", "=")],
+        )

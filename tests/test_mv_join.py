@@ -1,0 +1,311 @@
+"""plans/mv.py join-bearing MVs + MoR-bound streaming maintenance
+(round 16): star-join rollups served from an incrementally maintained
+summary. Guarantees the driver oracle cannot see: join-topology
+matching, per-source staleness (a moved DIM invalidates the summary),
+the dA⋈dB correction under simultaneous fact+dim churn, plan evidence
+the served query never re-runs the join, and the sequence-clock
+catch-up semantics of maintain_mv_from_mor (no-op when caught up,
+fail-loud when compaction ate the span)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_cdc_experiment_spark.plans.mv import (
+    answer_aggregate,
+    answer_join_aggregate,
+    bind_mv_to_mor,
+    create_join_mv,
+    create_mv,
+    maintain_join_mv,
+    maintain_mv_from_mor,
+)
+
+
+def _direct(joined, cols):
+    return {
+        tuple(r[c] for c in cols): (r["sv"], r["n"], r["mn"], r["mx"])
+        for r in joined.groupBy(*cols).agg(
+            F.sum("v").alias("sv"), F.count("*").alias("n"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+
+
+AGGS = {
+    "sv": ("sum", "v"), "n": ("count", None),
+    "mn": ("min", "v"), "mx": ("max", "v"),
+}
+
+
+@pytest.fixture()
+def join_env(spark):
+    base = tempfile.mkdtemp(prefix="mvj_")
+    fact_path = os.path.join(base, "fact")
+    dim_path = os.path.join(base, "dim")
+    fact_rows = [(k, (k * 13) % 97) for k in range(1, 7)]  # fk, v
+    dim_rows = [
+        (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"), (6, "c"),
+        (7, "a"), (8, "a"),  # 7/8 have no fact rows yet
+    ]
+    spark.createDataFrame(
+        fact_rows, "fk bigint, v bigint"
+    ).write.parquet(fact_path)
+    spark.createDataFrame(
+        dim_rows, "fk bigint, g string"
+    ).write.parquet(dim_path)
+    mv_root = os.path.join(base, "mvs")
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path)
+    create_join_mv(
+        spark, mv_root, name="jm", fact=fact, fact_path=fact_path,
+        dims=[(dim, dim_path, ["fk"])], group_cols=["g"], measures=AGGS,
+    )
+    yield spark, base, mv_root, fact_path, dim_path, fact_rows, dim_rows
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_join_mv_serves_topology_and_staleness(join_env):
+    """Fresh join MV serves the rollup (values = direct join recompute,
+    plan never re-reads fact or dim); non-subsumable groups fall back;
+    a topology mismatch (different join keys) falls back; a MOVED DIM
+    makes the MV invisible — dim attributes are part of the answer."""
+    spark, base, mv_root, fact_path, dim_path, *_ = join_env
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path)
+    dims = [(dim, dim_path, ["fk"])]
+
+    df, used = answer_join_aggregate(
+        spark, mv_root, fact, fact_path, dims,
+        group_cols=["g"], aggs=AGGS,
+    )
+    assert used == "jm"
+    assert {
+        (r["g"],): (r["sv"], r["n"], r["mn"], r["mx"])
+        for r in df.collect()
+    } == _direct(fact.join(dim, ["fk"]), ["g"])
+    files = df.inputFiles()
+    assert files and all("/mvs/jm/data/" in f for f in files), files
+
+    # group on a non-MV column → base join, correct values
+    df2, used2 = answer_join_aggregate(
+        spark, mv_root, fact, fact_path, dims,
+        group_cols=["fk"], aggs={"sv": ("sum", "v")},
+    )
+    assert used2 is None and df2.count() == 6
+
+    # different join keys = different query → never served
+    dim2 = dim.withColumnRenamed("fk", "other")
+    _, used3 = answer_join_aggregate(
+        spark, mv_root, fact.withColumnRenamed("fk", "other"),
+        fact_path, [(dim2, dim_path, ["other"])],
+        group_cols=["g"], aggs={"sv": ("sum", "v")},
+    )
+    assert used3 is None
+
+    # a dim edit flips staleness even though the FACT is untouched
+    spark.createDataFrame(
+        [(9, "a")], "fk bigint, g string"
+    ).write.mode("append").parquet(dim_path)
+    dim3 = spark.read.parquet(dim_path)
+    df4, used4 = answer_join_aggregate(
+        spark, mv_root, fact, fact_path, [(dim3, dim_path, ["fk"])],
+        group_cols=["g"], aggs=AGGS,
+    )
+    assert used4 is None
+    assert {
+        (r["g"],): (r["sv"], r["n"], r["mn"], r["mx"])
+        for r in df4.collect()
+    } == _direct(fact.join(dim3, ["fk"]), ["g"])
+
+
+def test_join_mv_incremental_maintenance_with_dadb_overlap(join_env):
+    """Simultaneous fact + dim changesets, including the dA⋈dB shape —
+    a fact row INSERTED for a key whose dim row MOVES group in the same
+    batch (the phantom only the z·z correction cancels) — plus a risky
+    extremum delete. The maintained MV equals a full recompute of the
+    post-change join and serves again."""
+    spark, base, mv_root, fact_path, dim_path, fact_rows, dim_rows = (
+        join_env
+    )
+    fact_pre = spark.createDataFrame(fact_rows, "fk bigint, v bigint")
+    dim_pre = spark.createDataFrame(dim_rows, "fk bigint, g string")
+
+    # fact changes: delete fk=1 (v=13 — "a"'s min: risky), update fk=3
+    # (v 39→140 — new max for "b"), insert fk=7 (dim stays "a"), and
+    # insert fk=8 WHILE dim moves 8 from "a"→"b" (the dA⋈dB overlap)
+    v = {k: (k * 13) % 97 for k in range(1, 7)}
+    d_fact = spark.createDataFrame(
+        [(1, v[1], -1), (3, v[3], -1), (3, 140, 1), (7, 70, 1),
+         (8, 80, 1)],
+        "fk bigint, v bigint, __z long",
+    )
+    d_dim = spark.createDataFrame(
+        [(8, "a", -1), (8, "b", 1)], "fk bigint, g string, __z long"
+    )
+
+    new_fact_rows = [
+        (k, vv) for k, vv in v.items() if k != 1 and k != 3
+    ] + [(3, 140), (7, 70), (8, 80)]
+    new_dim_rows = [(fk, g) for fk, g in dim_rows if fk != 8] + [(8, "b")]
+    fact_new = spark.createDataFrame(new_fact_rows, "fk bigint, v bigint")
+    dim_new = spark.createDataFrame(new_dim_rows, "fk bigint, g string")
+    # land the changes physically so the fingerprints move
+    fact_new.write.mode("overwrite").parquet(fact_path)
+    dim_new.write.mode("overwrite").parquet(dim_path)
+
+    joined_new = fact_new.join(dim_new, ["fk"])
+    maintain_join_mv(
+        spark, mv_root, "jm",
+        fact_pre=fact_pre, d_fact=d_fact,
+        dims=[(dim_pre, d_dim, ["fk"])],
+        base_new=joined_new.select("g", "v"),
+    )
+    df, used = answer_join_aggregate(
+        spark, mv_root,
+        spark.read.parquet(fact_path), fact_path,
+        [(spark.read.parquet(dim_path), dim_path, ["fk"])],
+        group_cols=["g"], aggs=AGGS,
+    )
+    assert used == "jm"
+    got = {
+        (r["g"],): (r["sv"], r["n"], r["mn"], r["mx"])
+        for r in df.collect()
+    }
+    assert got == _direct(joined_new, ["g"]), got
+    # the overlap row must sit in "b" (naive two-term maintenance
+    # would have credited "a"): fk 3 (now 140), fk 4, and moved fk 8
+    assert got[("b",)][1] == 3
+    assert got[("b",)][0] == 140 + (4 * 13) % 97 + 80
+
+
+def test_maintain_join_mv_fail_loud_preconditions(join_env):
+    spark, base, mv_root, fact_path, dim_path, fact_rows, dim_rows = (
+        join_env
+    )
+    fact_pre = spark.createDataFrame(fact_rows, "fk bigint, v bigint")
+    dim_pre = spark.createDataFrame(dim_rows, "fk bigint, g string")
+    with pytest.raises(ValueError, match="no changeset"):
+        maintain_join_mv(
+            spark, mv_root, "jm", fact_pre=fact_pre, d_fact=None,
+            dims=[(dim_pre, None, ["fk"])],
+            base_new=fact_pre.join(dim_pre, ["fk"]).select("g", "v"),
+        )
+    with pytest.raises(ValueError, match="topology"):
+        maintain_join_mv(
+            spark, mv_root, "jm", fact_pre=fact_pre,
+            d_fact=spark.createDataFrame(
+                [(1, 1, 1)], "fk bigint, v bigint, __z long"
+            ),
+            dims=[(dim_pre, None, ["other"])],
+            base_new=fact_pre.join(dim_pre, ["fk"]).select("g", "v"),
+        )
+    # a non-join MV refuses maintain_join_mv
+    create_mv(
+        spark, mv_root, name="plain", source_path=fact_path,
+        source=spark.read.parquet(fact_path), group_cols=["fk"],
+        measures={"sv": ("sum", "v")},
+    )
+    with pytest.raises(ValueError, match="not a join MV"):
+        maintain_join_mv(
+            spark, mv_root, "plain", fact_pre=fact_pre,
+            d_fact=spark.createDataFrame(
+                [(1, 1, 1)], "fk bigint, v bigint, __z long"
+            ),
+            dims=[], base_new=fact_pre,
+        )
+
+
+def test_bind_and_maintain_mv_from_mor(spark):
+    """The streaming half of CDC→table→summary: the MV rides the MoR
+    table's SEQUENCE clock. Catch-up folds exactly the unapplied span
+    (spanning several merges at once), a caught-up call is a metadata
+    no-op, re-calling after redelivery-style re-merges stays exact, and
+    a compaction that ate the span fails loud instead of folding from
+    the wrong floor."""
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        compact_mor,
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+
+    base = tempfile.mkdtemp(prefix="mv_morbind_")
+    root = os.path.join(base, "t")
+    rows = [(k, (k * 11) % 50, "p1" if k % 2 == 0 else "p2")
+            for k in range(20)]
+    init_mor(
+        spark, root,
+        spark.createDataFrame(rows, "k bigint, v bigint, p string"),
+        keys=["k"], partition_col="p",
+    )
+    manifest = os.path.join(root, ".mor", "manifest.json")
+    mv_root = os.path.join(base, "mvs")
+    src = read_mor(spark, root).select("p", "v")
+    create_mv(
+        spark, mv_root, name="by_p", source_path=manifest, source=src,
+        group_cols=["p"],
+        measures={"sv": ("sum", "v"), "n": ("count", None),
+                  "mx": ("max", "v")},
+    )
+    bind_mv_to_mor(mv_root, "by_p", root)
+
+    def project(df):
+        cols = ["p", "v"]
+        if "change_type" in df.columns:
+            cols = ["change_type"] + cols
+        return df.select(*cols)
+
+    # caught up: metadata no-op
+    rep = maintain_mv_from_mor(spark, mv_root, "by_p", project)
+    assert rep == {"applied_seq": 0, "folded": False}
+
+    def chg(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, v bigint, p string, is_delete boolean"
+        )
+
+    # two merges, ONE catch-up spanning both — the first deletes p1's
+    # actual max row (the risky branch mid-stream), plus an update and
+    # an insert
+    v = {k: (k * 11) % 50 for k in range(20)}
+    p1_max_k = max(
+        (k for k in range(20) if k % 2 == 0), key=lambda k: (v[k], k)
+    )
+    merge_into_mor(spark, root, chg(
+        [(p1_max_k, v[p1_max_k], "p1", True), (3, 99, "p2", False)]
+    ))
+    merge_into_mor(spark, root, chg([(100, 77, "p1", False)]))
+    aggs = {"sv": ("sum", "v"), "n": ("count", None), "mx": ("max", "v")}
+    src_now = read_mor(spark, root).select("p", "v")
+    _, used_stale = answer_aggregate(
+        spark, mv_root, src_now, manifest, group_cols=["p"], aggs=aggs
+    )
+    assert used_stale is None
+    rep2 = maintain_mv_from_mor(spark, mv_root, "by_p", project)
+    assert rep2 == {"applied_seq": 2, "folded": True}
+    df, used = answer_aggregate(
+        spark, mv_root, src_now, manifest, group_cols=["p"], aggs=aggs
+    )
+    assert used == "by_p"
+    want = {
+        r["p"]: (r["sv"], r["n"], r["mx"])
+        for r in src_now.groupBy("p").agg(
+            F.sum("v").alias("sv"), F.count("*").alias("n"),
+            F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert {
+        r["p"]: (r["sv"], r["n"], r["mx"]) for r in df.collect()
+    } == want
+
+    # compaction past the applied floor fails loud
+    merge_into_mor(spark, root, chg([(101, 5, "p2", False)]))
+    compact_mor(spark, root)
+    with pytest.raises(RuntimeError, match="compacted away"):
+        maintain_mv_from_mor(spark, mv_root, "by_p", project)
