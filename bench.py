@@ -125,6 +125,10 @@ HEADLINE = [
     # policy-triggered MoR compaction, benched from birth
     "mv_mor_feed_capstone",         # merge -> change feed -> maintain_mv -> serve
     "merge_dv_auto_compact",        # 3 merges + metadata decision + compaction
+    # round-16 additions: join-bearing MVs and streaming MV maintenance,
+    # benched from birth
+    "mv_join_maintain",             # star-join MV: dJ+dD+dJdD fold + serve
+    "stream_mv_maintain",           # foreachBatch MoR apply + per-batch MV catch-up
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}

@@ -90,14 +90,29 @@ def source_token(path: str) -> list:
     return _fingerprint(path)
 
 
-def _publish_swap(d: str, out: DataFrame) -> None:
+def _publish_swap(d: str, out: DataFrame, pre_swap=None) -> None:
     """Atomic data-dir swap shared by refresh/maintain/scrub: stage the
     new rows, rename the old dir aside, rename the staged dir live,
     drop the old one. A crash mid-swap leaves either the old or the new
-    data live, never a mix."""
+    data live, never a mix.
+
+    ``pre_swap`` (maintenance's derivation-token check) runs AFTER the
+    expensive staging write but BEFORE the first rename: if it raises,
+    the live data dir is byte-untouched — an aborted maintenance leaves
+    the MV genuinely stale (old data + old fingerprint), so a retried
+    fold with a re-cut changeset folds ONCE onto the original partials.
+    (The round-16 regression this exists for: swapping first and
+    checking after left half-applied data behind the old fingerprint —
+    serving stayed safe, but the retry double-folded the overlap.)"""
     staged = os.path.join(d, ".data_staged")
     shutil.rmtree(staged, ignore_errors=True)
     out.write.mode("overwrite").parquet(staged)
+    if pre_swap is not None:
+        try:
+            pre_swap()
+        except BaseException:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
     old = os.path.join(d, ".data_old")
     shutil.rmtree(old, ignore_errors=True)
     os.rename(os.path.join(d, "data"), old)
@@ -273,8 +288,10 @@ def maintain_mv(
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
-        _fold_changes_and_swap(spark, d, man, changes, base_new)
-        _stamp_fingerprint(man, source_token)
+        _fold_changes_and_swap(
+            spark, d, man, changes, base_new,
+            pre_swap=lambda: _stamp_fingerprint(man, source_token),
+        )
         _publish_manifest(d, man)
         return man
 
@@ -299,12 +316,15 @@ def _fold_changes_and_swap(
     man: dict,
     changes: DataFrame,
     base_new: DataFrame,
+    pre_swap=None,
 ) -> None:
     """The shared incremental-fold core of plain and join MV
     maintenance: validate the changeset, delegate the partial math to
     ``mv_partial_delta_maintain``, and publish the new rows via the
     atomic data-dir swap. Fingerprint stamping is the CALLER's (plain
-    and join MVs stamp different source sets)."""
+    and join MVs stamp different source sets) — passed as ``pre_swap``
+    so a derivation-token mismatch aborts BEFORE the swap, leaving the
+    stored partials byte-untouched for a re-cut retry."""
     from ..operators.materialize import mv_partial_delta_maintain
 
     group_cols = man["group_cols"]
@@ -346,7 +366,7 @@ def _fold_changes_and_swap(
     touched = changes.select(*group_cols).distinct()
     untouched = data.join(touched, group_cols, "left_anti")
     out = untouched.unionByName(new_rows.select(*data.columns))
-    _publish_swap(d, out)
+    _publish_swap(d, out, pre_swap=pre_swap)
 
 
 def scrub_mv_groups(
@@ -391,11 +411,13 @@ def scrub_mv_groups(
         keys = group_rows.distinct()
         n = data.join(keys, cols, "left_semi").count()
         out = data.join(keys, cols, "left_anti")
-        _publish_swap(d, out)
         # source_token = the state captured when the fact-side purge
         # finished (for MoR sources, the post-purge manifest): a second
-        # mutation landing mid-scrub must not be stamped over
-        _stamp_fingerprint(man, source_token)
+        # mutation landing mid-scrub must not be stamped over — checked
+        # as pre_swap so the abort leaves the summary byte-untouched
+        _publish_swap(
+            d, out, pre_swap=lambda: _stamp_fingerprint(man, source_token)
+        )
         _publish_manifest(d, man)
         return {"groups_scrubbed": n}
 
@@ -891,31 +913,38 @@ def maintain_join_mv(
             raise ValueError(
                 "maintain_join_mv called with no changeset on any side"
             )
-        _fold_changes_and_swap(spark, d, man, d_view, base_new)
-        # stamp: every source fresh-or-token (a second mutation landing
-        # on ANY input mid-maintenance must fail loud, not stamp fresh)
-        fact_tok = (source_tokens or {}).get("fact")
-        dim_toks = (source_tokens or {}).get("dims")
-        cur = _fingerprint(man["source_path"])
-        if fact_tok is not None and fact_tok != cur:
-            raise RuntimeError(
-                f"fact {man['source_path']} moved past the "
-                "derivation-time token while maintenance ran — re-cut "
-                "the changesets (or refresh_mv)"
-            )
-        man["fingerprint"] = cur
-        new_dim_fps = []
-        for i, p in enumerate(man["dim_paths"]):
-            cur_d = _fingerprint(p)
-            if dim_toks is not None and dim_toks[i] is not None \
-                    and dim_toks[i] != cur_d:
+
+        def stamp_all_sources() -> None:
+            # every source fresh-or-token (a second mutation landing on
+            # ANY input mid-maintenance must fail loud, not stamp
+            # fresh) — runs as pre_swap so an abort leaves the stored
+            # partials byte-untouched for a re-cut retry
+            fact_tok = (source_tokens or {}).get("fact")
+            dim_toks = (source_tokens or {}).get("dims")
+            cur = _fingerprint(man["source_path"])
+            if fact_tok is not None and fact_tok != cur:
                 raise RuntimeError(
-                    f"dim {p} moved past the derivation-time token "
-                    "while maintenance ran — re-cut the changesets "
-                    "(or refresh_mv)"
+                    f"fact {man['source_path']} moved past the "
+                    "derivation-time token while maintenance ran — "
+                    "re-cut the changesets (or refresh_mv)"
                 )
-            new_dim_fps.append(cur_d)
-        man["dim_fingerprints"] = new_dim_fps
+            man["fingerprint"] = cur
+            new_dim_fps = []
+            for i, p in enumerate(man["dim_paths"]):
+                cur_d = _fingerprint(p)
+                if dim_toks is not None and dim_toks[i] is not None \
+                        and dim_toks[i] != cur_d:
+                    raise RuntimeError(
+                        f"dim {p} moved past the derivation-time token "
+                        "while maintenance ran — re-cut the changesets "
+                        "(or refresh_mv)"
+                    )
+                new_dim_fps.append(cur_d)
+            man["dim_fingerprints"] = new_dim_fps
+
+        _fold_changes_and_swap(
+            spark, d, man, d_view, base_new, pre_swap=stamp_all_sources
+        )
         _publish_manifest(d, man)
         return man
 
@@ -1029,8 +1058,10 @@ def maintain_mv_from_mor(
                 "change_type", F.lit("insert")
             )
         ).drop("change_type")
-        _fold_changes_and_swap(spark, d, man, changes, base_new)
-        _stamp_fingerprint(man, token)
+        _fold_changes_and_swap(
+            spark, d, man, changes, base_new,
+            pre_swap=lambda: _stamp_fingerprint(man, token),
+        )
         man["applied_seq"] = latest
         _publish_manifest(d, man)
         return {"applied_seq": latest, "folded": True}

@@ -868,6 +868,481 @@ def mv_join_rollup_rewrite(spark, sf_dir):
     )
 
 
+def mv_join_maintain_fixture(spark, sf_dir: str) -> str:
+    """INCREMENTAL join-MV maintenance under simultaneous fact AND dim
+    churn: the star-join MV (orders ⋈ customer at (c_mktsegment,
+    o_orderpriority)) absorbs one batch carrying all three Z-set terms —
+    fact-only changes against unmoved dims (dJ⋈D: a risky max delete in
+    BUILDING, folding updates, clone inserts), existing orders of MOVED
+    customers switching group (J⋈dD: every %100==7 customer relocates
+    to MACHINERY), and fact rows INSERTED for those same moved customers
+    in the same batch (dJ⋈dD — the phantom only the z·z correction
+    cancels). The build asserts the stale window: after the sources move
+    but before maintain_join_mv the MV is invisible; after, it serves."""
+
+    def build(root: str) -> None:
+        from pyspark.sql import Window
+
+        from ..plans.mv import (
+            answer_join_aggregate,
+            create_join_mv,
+            maintain_join_mv,
+            source_token,
+        )
+
+        fact_path = os.path.join(root, "orders_fact")
+        dim_path = os.path.join(root, "cust_dim")
+        mv_root = os.path.join(root, "mvs")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        orders.write.parquet(fact_path)
+        cust.write.parquet(dim_path)
+
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long")
+        cents_u = F.floor(
+            F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)
+        ).cast("long")
+        fact_proj = orders.select(
+            "o_orderkey", "o_custkey", "o_orderpriority",
+            cents.alias("cents"), cents_u.alias("cents_u"),
+        )
+        dim_proj = cust.select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        create_join_mv(
+            spark, mv_root, name="seg_pri",
+            fact=fact_proj.select(
+                "o_custkey", "o_orderpriority", "cents"
+            ),
+            fact_path=fact_path,
+            dims=[(dim_proj, dim_path, ["o_custkey"])],
+            group_cols=["c_mktsegment", "o_orderpriority"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "min_cents": ("min", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+
+        # the changeset, closed-form from the raw tables (never from the
+        # fixture dirs — they get overwritten below and Spark plans are
+        # lazy): delete BUILDING's max-cents row (ties by key — RISKY for
+        # the stored max), update %100==13 elsewhere, clone every order
+        # of a MOVED customer, and move %100==7 customers to MACHINERY
+        joined = fact_proj.join(dim_proj, "o_custkey")
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("cents").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = joined.withColumn("rn", F.row_number().over(w))
+        dele = ranked.filter(
+            (F.col("rn") == 1) & (F.col("c_mktsegment") == "BUILDING")
+        )
+        d_key = dele.select("o_orderkey")
+        zrow = lambda df, c, zz: df.select(
+            "o_custkey", "o_orderpriority", c.alias("cents"),
+            F.lit(zz).cast("long").alias("__z"),
+        )
+        upd = fact_proj.filter(F.col("o_orderkey") % 100 == 13).join(
+            d_key, "o_orderkey", "left_anti"
+        )
+        clones = fact_proj.filter(F.col("o_custkey") % 100 == 7)
+        d_fact = (
+            zrow(dele, F.col("cents"), -1)
+            .unionByName(zrow(upd, F.col("cents"), -1))
+            .unionByName(zrow(upd, F.col("cents_u"), 1))
+            .unionByName(zrow(clones, F.col("cents"), 1))
+        )
+        moved = dim_proj.filter(F.col("o_custkey") % 100 == 7)
+        d_dim = moved.withColumn(
+            "__z", F.lit(-1).cast("long")
+        ).unionByName(
+            moved.select(
+                "o_custkey", F.lit("MACHINERY").alias("c_mktsegment"),
+                F.lit(1).cast("long").alias("__z"),
+            )
+        )
+
+        # land the post-change states physically so the fingerprints move
+        fact_new = (
+            orders.join(d_key, "o_orderkey", "left_anti")
+            .withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderkey") % 100 == 13,
+                    F.col("o_totalprice") * 1.1,
+                ).otherwise(F.col("o_totalprice")),
+            )
+            .unionByName(
+                orders.filter(F.col("o_custkey") % 100 == 7).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 30_000_000
+                )
+            )
+        )
+        dim_new = cust.withColumn(
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 100 == 7, F.lit("MACHINERY")
+            ).otherwise(F.col("c_mktsegment")),
+        )
+        fact_new.write.mode("overwrite").parquet(fact_path)
+        dim_new.write.mode("overwrite").parquet(dim_path)
+        tokens = {
+            "fact": source_token(fact_path),
+            "dims": [source_token(dim_path)],
+        }
+
+        def read_projs():
+            f = spark.read.parquet(fact_path).select(
+                "o_custkey", "o_orderpriority",
+                cents.alias("cents"),
+            )
+            d = spark.read.parquet(dim_path).select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            )
+            return f, [(d, dim_path, ["o_custkey"])]
+
+        aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+        f_now, dims_now = read_projs()
+        _, used_stale = answer_join_aggregate(
+            spark, mv_root, f_now, fact_path, dims_now,
+            group_cols=["c_mktsegment"], aggs=aggs,
+        )
+        assert used_stale is None, "moved sources must stale the join MV"
+
+        maintain_join_mv(
+            spark, mv_root, "seg_pri",
+            fact_pre=fact_proj.select(
+                "o_custkey", "o_orderpriority", "cents"
+            ),
+            d_fact=d_fact,
+            dims=[(dim_proj, d_dim, ["o_custkey"])],
+            base_new=f_now.join(dims_now[0][0], "o_custkey").select(
+                "c_mktsegment", "o_orderpriority", "cents"
+            ),
+            source_tokens=tokens,
+        )
+        _, used_fresh = answer_join_aggregate(
+            spark, mv_root, f_now, fact_path, dims_now,
+            group_cols=["c_mktsegment"], aggs=aggs,
+        )
+        assert used_fresh == "seg_pri", "maintained join MV must serve"
+
+    return session_fixture(
+        "mv_join_maintain", sf_dir, "seg_pri_dadb_v1", build
+    )
+
+
+@register(
+    "mv_join_maintain",
+    oracle="""
+    WITH cents0 AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+               AS cents_u
+      FROM orders
+    ), ranked AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg0,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.cents DESC, o.o_orderkey DESC) AS rn
+      FROM cents0 o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), dkey AS (
+      SELECT o_orderkey FROM ranked
+      WHERE rn = 1 AND seg0 = 'BUILDING'
+    ), fact_new AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 100 = 13 THEN cents_u
+                  ELSE cents END AS cents
+      FROM cents0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dkey)
+      UNION ALL
+      SELECT o_custkey, cents FROM cents0 WHERE o_custkey % 100 = 7
+    ), cust_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 100 = 7 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT 'mv' AS served_from, CAST(seg AS VARCHAR) AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact_new JOIN cust_new ON o_custkey = c_custkey
+    GROUP BY 2
+    """,
+)
+def mv_join_maintain(spark, sf_dir):
+    """Join-MV INCREMENTAL maintenance, end to end (round 16,
+    plans/mv.maintain_join_mv ∘ operators/materialize.star_join_delta):
+    one batch changes the fact (risky max delete in BUILDING + folding
+    updates + inserts) AND the dim (every %100==7 customer moves to
+    MACHINERY) simultaneously — including fact rows inserted for moved
+    customers, the dJ⋈dD phantom only the z·z correction term cancels.
+    The maintainer derives the join view's z-weighted delta (dJ⋈D +
+    J⋈dD + dJ⋈dD per dim), telescopes count/sum, recomputes only risky
+    min/max groups from the post-change join, and re-stamps every
+    source fingerprint gated on derivation-time tokens. The registered
+    query then ROLLS the maintained MV up to c_mktsegment; the oracle
+    recomputes the post-change star join closed-form from the raw
+    tables and hardcodes served_from='mv' — a missed Z-set term, a
+    wrong risky recompute, or a stale serve all shift the hash. At
+    100 TB: summary freshness under fact+dim churn costs
+    O(Σ|delta|·fanout + risky groups), never a star-join re-run."""
+    from ..plans.mv import answer_join_aggregate
+
+    root = mv_join_maintain_fixture(spark, sf_dir)
+    fact_path = os.path.join(root, "orders_fact")
+    dim_path = os.path.join(root, "cust_dim")
+    mv_root = os.path.join(root, "mvs")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    fact = spark.read.parquet(fact_path).select(
+        "o_custkey", "o_orderpriority", cents.alias("cents")
+    )
+    dim = spark.read.parquet(dim_path).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    df, used = answer_join_aggregate(
+        spark, mv_root, fact, fact_path,
+        [(dim, dim_path, ["o_custkey"])],
+        group_cols=["c_mktsegment"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit("mv" if used == "seg_pri" else "base").alias("served_from"),
+        F.col("c_mktsegment").cast("string"),
+        "n", "sum_cents", "min_cents", "max_cents",
+    )
+
+
+def stream_mv_fixture(spark, sf_dir: str) -> str:
+    """STREAMING MV maintenance — the streaming half of the
+    CDC→table→summary loop (round 16): a foreachBatch apply MERGEs each
+    micro-batch into a merge-on-read orders table, then calls
+    maintain_mv_from_mor so the bound summary catches up to the table's
+    new sequence inside the same batch. Three time-ordered file batches:
+    bootstrap (init_mor + create_mv + bind_mv_to_mor), a RISKY
+    mid-stream batch deleting 1-URGENT's max-price row (the stored max
+    partial must recompute, not fold), and a folding batch of updates +
+    inserts. The build asserts the MV ends FRESH at applied_seq == 2 —
+    sequence-clock catch-up, so a redelivered batch re-merges at a new
+    sequence and is folded exactly once."""
+
+    def build(root: str) -> None:
+        import shutil
+
+        from pyspark.sql import Window
+
+        from ..plans.mor import init_mor, merge_into_mor, mor_history, read_mor
+        from ..plans.mv import (
+            answer_aggregate as _answer,
+            bind_mv_to_mor,
+            maintain_mv_from_mor,
+        )
+        from .streaming_q import drain_or_raise
+
+        feed_root = os.path.join(root, "feed")
+        state_root = os.path.join(root, "state")
+        mv_root = os.path.join(root, "mvs")
+        manifest = os.path.join(state_root, ".mor", "manifest.json")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = orders.withColumn("rn", F.row_number().over(w))
+        batch0 = orders.withColumn("is_delete", F.lit(False))
+        # mid-stream RISKY batch: delete 1-URGENT's max
+        batch1 = (
+            ranked.filter((F.col("rn") == 1) & (pri == "1-URGENT"))
+            .drop("rn").withColumn("is_delete", F.lit(True))
+        )
+        # folding batch: updates (excluding the deleted row) + inserts
+        upd = (
+            ranked.filter(
+                ~((F.col("rn") == 1) & (pri == "1-URGENT"))
+                & (key % 100 == 13)
+            )
+            .drop("rn")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+            .withColumn("is_delete", F.lit(False))
+        )
+        ins = (
+            orders.filter(key % 100 == 37)
+            .withColumn("o_orderkey", key + 20_000_000)
+            .withColumn("o_orderpriority", F.lit("2-HIGH"))
+            .withColumn("is_delete", F.lit(False))
+        )
+        base = 1_700_000_000
+        for i, part in enumerate((batch0, batch1, upd.unionByName(ins))):
+            p = os.path.join(feed_root, f"{i:03d}")
+            part.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+
+        def project(df):
+            cols = [F.col("o_orderpriority"), cents]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        def apply_batch(batch_df, batch_id):
+            if not os.path.exists(manifest):
+                # manifest is the bootstrap's LAST write: its absence
+                # with partial state = a crashed batch-0 retry — rebuild
+                # table AND summary from scratch (stream_mor_apply's
+                # _SUCCESS lesson, extended to the MV layer)
+                shutil.rmtree(state_root, ignore_errors=True)
+                shutil.rmtree(mv_root, ignore_errors=True)
+                init_mor(
+                    spark, state_root,
+                    batch_df.filter(~F.col("is_delete")).drop("is_delete"),
+                    keys=["o_orderkey"], partition_col="o_orderpriority",
+                )
+                src = read_mor(spark, state_root).select(
+                    "o_orderpriority", cents
+                )
+                create_mv(
+                    spark, mv_root, name="stream_by_pri",
+                    source_path=manifest, source=src,
+                    group_cols=["o_orderpriority"],
+                    measures={
+                        "n": ("count", None),
+                        "sum_cents": ("sum", "cents"),
+                        "min_cents": ("min", "cents"),
+                        "max_cents": ("max", "cents"),
+                    },
+                )
+                bind_mv_to_mor(mv_root, "stream_by_pri", state_root)
+            else:
+                merge_into_mor(spark, state_root, batch_df)
+                maintain_mv_from_mor(
+                    spark, mv_root, "stream_by_pri", project
+                )
+
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_totalprice double, "
+                "o_orderpriority string, is_delete boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_mv_maintain")
+        assert [s["seq"] for s in mor_history(state_root)] == [1, 2]
+        src_now = read_mor(spark, state_root).select(
+            "o_orderpriority", cents
+        )
+        _, used = _answer(
+            spark, mv_root, src_now, manifest,
+            group_cols=["o_orderpriority"],
+            aggs={"n": ("count", None), "sum_cents": ("sum", "cents")},
+        )
+        assert used == "stream_by_pri", (
+            "the streamed MV must end FRESH — per-batch maintenance "
+            "missed a sequence"
+        )
+
+    return session_fixture("stream_mv", sf_dir, "risky_mid_v1", build)
+
+
+@register(
+    "stream_mv_maintain",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 13
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '2-HIGH'
+      FROM orders WHERE o_orderkey % 100 = 37
+    )
+    SELECT 'mv' AS served_from, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY 2
+    """,
+)
+def stream_mv_maintain(spark, sf_dir):
+    """STREAMING MV maintenance end to end (round 16): a Structured
+    Streaming foreachBatch loop MERGEs each micro-batch into a
+    merge-on-read table and — in the same batch — catches the bound
+    summary up via maintain_mv_from_mor (cut the table's own change
+    feed from the MV's recorded sequence, fold it, stamp the
+    feed-cut-time token). The mid-stream batch deletes 1-URGENT's
+    max-price row, so the stored max partial for exactly that group must
+    RECOMPUTE (a fold-only maintainer serves the dead maximum); the
+    final batch telescopes updates + inserts. The registered query
+    serves the post-stream summary through the aggregate-navigation
+    rewrite; the oracle recomputes the post-stream per-priority state
+    closed-form from the raw table and hardcodes served_from='mv' — a
+    double-folded redelivery, a missed sequence, or a stale serve all
+    shift the hash. The streaming analog of mv_mor_feed_capstone and
+    the MV sibling of stream_ivm_join: at 100 TB, summary freshness
+    rides the micro-batch at O(changeset + risky groups) per batch,
+    with the fact scanned by nobody."""
+    from ..plans.mor import read_mor
+
+    root = stream_mv_fixture(spark, sf_dir)
+    state_root = os.path.join(root, "state")
+    mv_root = os.path.join(root, "mvs")
+    manifest = os.path.join(state_root, ".mor", "manifest.json")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    src = read_mor(spark, state_root).select("o_orderpriority", cents)
+    df, used = answer_aggregate(
+        spark, mv_root, src, manifest,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit("mv" if used == "stream_by_pri" else "base").alias(
+            "served_from"
+        ),
+        "o_orderpriority", "n", "sum_cents", "min_cents", "max_cents",
+    )
+
+
 @register(
     "mv_disjunctive_rewrite",
     oracle="""
