@@ -129,6 +129,7 @@ HEADLINE = [
     # benched from birth
     "mv_join_maintain",             # star-join MV: dJ+dD+dJdD fold + serve
     "stream_mv_maintain",           # foreachBatch MoR apply + per-batch MV catch-up
+    "mv_join_mor_feed",             # join MV riding the MoR sequence clock
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}

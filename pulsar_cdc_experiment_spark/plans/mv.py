@@ -965,10 +965,13 @@ def bind_mv_to_mor(mv_root: str, name: str, mor_root: str) -> dict:
     """Bind an MV (freshly created over ``read_mor(mor_root)`` with the
     MoR MANIFEST as its ``source_path``) to the table's sequence
     clock: records ``applied_seq`` = the table's current latest
-    sequence, the point from which :func:`maintain_mv_from_mor` cuts
-    change feeds. Fails loud if the MV is not currently fresh (it
-    would mean the MV was NOT created at this table state, and seq
-    arithmetic would fold from the wrong floor)."""
+    sequence, the point from which :func:`maintain_mv_from_mor` /
+    :func:`maintain_join_mv_from_mor` cut change feeds. Works for
+    plain AND join MVs (a join MV's FACT side is the MoR table; its
+    dims are fingerprinted separately). Fails loud if the MV is not
+    currently fresh on EVERY source (it would mean the MV was NOT
+    created at this table state, and seq arithmetic would fold from
+    the wrong floor)."""
     from .mor import _read_manifest
 
     with maintenance_lock(mv_root):
@@ -981,6 +984,13 @@ def bind_mv_to_mor(mv_root: str, name: str, mor_root: str) -> dict:
                 "bind_mv_to_mor must run at the table state the MV "
                 "was created at"
             )
+        for i, p in enumerate(man.get("dim_paths", [])):
+            if man["dim_fingerprints"][i] != _fingerprint(p):
+                raise RuntimeError(
+                    f"join MV {name} is stale against dim {p}; "
+                    "bind_mv_to_mor must run at the state the MV "
+                    "was created at"
+                )
         mor_man = _read_manifest(mor_root)
         latest = (
             mor_man["seqs"][-1]["seq"]
@@ -1061,6 +1071,131 @@ def maintain_mv_from_mor(
         _fold_changes_and_swap(
             spark, d, man, changes, base_new,
             pre_swap=lambda: _stamp_fingerprint(man, token),
+        )
+        man["applied_seq"] = latest
+        _publish_manifest(d, man)
+        return {"applied_seq": latest, "folded": True}
+
+
+def maintain_join_mv_from_mor(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    fact_project,
+    dims: Sequence[tuple],
+) -> dict:
+    """Catch a MoR-bound JOIN MV up to its fact table's CURRENT
+    sequence with NO hand-built delta — the fully-automated loop for
+    star-join summaries: cut ``change_feed_mor(applied_seq → latest)``,
+    adapt it with ``changes_from_feed``, derive the JOIN VIEW's delta
+    by joining it through the (static) dims via ``star_join_delta``,
+    fold, and record the new sequence. The pre-state probe the Z-set
+    rule needs is the MoR table's OWN time travel
+    (``read_mor(root, applied_seq)``) — no caller-side state.
+
+    ``dims``: ``[(dim_df, on_cols), ...]`` in the registered topology's
+    join order — STATIC dims only (the common warehouse shape: a
+    high-churn fact riding the sequence clock against slowly-changing
+    dims). Every dim fingerprint must equal the manifest's recorded
+    one; a dim that moved without a changeset fails LOUD — folding a
+    fact delta through a silently-changed dim would credit the wrong
+    groups. Dim churn goes through :func:`maintain_join_mv` (which
+    takes explicit z-weighted dim deltas and handles the dJ⋈dD
+    correction).
+
+    ``fact_project(df) -> DataFrame`` maps fact row images to the
+    fact-side columns the MV needs (join keys + fact group columns +
+    measure columns), KEEPING ``change_type`` when present.
+
+    No-op (zero jobs) when already caught up; fails loud when a
+    compaction folded sequences past ``applied_seq`` (maintain before
+    compacting — the auto-compact policy hook runs after the apply in
+    streaming loops, so the feed is always cut first). Per-batch work:
+    O(|feed| · fanout + groups + risky base-join scan) — the fact's
+    history is re-joined by nobody."""
+    from ..operators.materialize import star_join_delta
+    from .mor import _read_manifest, change_feed_mor, read_mor
+
+    with maintenance_lock(mv_root):
+        d = _mv_dir(mv_root, name)
+        with open(os.path.join(d, "mv.json")) as f:
+            man = json.load(f)
+        if man.get("kind") != "join":
+            raise ValueError(
+                f"MV {name} is not a join MV; use maintain_mv_from_mor"
+            )
+        if "mor_root" not in man:
+            raise ValueError(
+                f"join MV {name} is not bound to a merge-on-read "
+                "table; call bind_mv_to_mor first"
+            )
+        join_on = [list(on) for _, on in dims]
+        if join_on != man["join_on"]:
+            raise ValueError(
+                f"dims join keys {join_on} do not match the MV's "
+                f"registered topology {man['join_on']}"
+            )
+        for i, p in enumerate(man["dim_paths"]):
+            if man["dim_fingerprints"][i] != _fingerprint(p):
+                raise RuntimeError(
+                    f"dim {p} moved since the join MV last stamped it; "
+                    "maintain_join_mv_from_mor requires STATIC dims — "
+                    "fold the dim changeset via maintain_join_mv"
+                )
+        mor_root = man["mor_root"]
+        mor_man = _read_manifest(mor_root)
+        latest = (
+            mor_man["seqs"][-1]["seq"]
+            if mor_man["seqs"]
+            else mor_man.get("base_seq", 0)
+        )
+        applied = man["applied_seq"]
+        if latest == applied:
+            return {"applied_seq": applied, "folded": False}
+        if applied < mor_man.get("base_seq", 0):
+            raise RuntimeError(
+                f"join MV {name} last applied seq {applied} was "
+                f"compacted away (base_seq {mor_man.get('base_seq', 0)});"
+                " the change span is unreachable — refresh_mv (and "
+                "re-bind)"
+            )
+        token = _fingerprint(man["source_path"])
+        feed = fact_project(
+            change_feed_mor(spark, mor_root, applied, latest)
+        )
+        d_fact = changes_from_feed(
+            feed, [c for c in feed.columns if c != "change_type"]
+        )
+        fact_pre = fact_project(
+            read_mor(spark, mor_root, applied).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        fact_post = fact_project(
+            read_mor(spark, mor_root).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        d_view = star_join_delta(
+            fact_pre, d_fact, [(dim, None, on) for dim, on in dims]
+        )
+        base_new = _join_all(fact_post, [(dim, on) for dim, on in dims])
+
+        def stamp() -> None:
+            _stamp_fingerprint(man, token)
+            # dims were validated static at entry — re-validate at
+            # publish (a dim moving MID-fold means the delta was joined
+            # through a state that no longer exists), keep the
+            # recorded fingerprints on success
+            for i, p in enumerate(man["dim_paths"]):
+                if man["dim_fingerprints"][i] != _fingerprint(p):
+                    raise RuntimeError(
+                        f"dim {p} moved while maintenance ran — re-cut "
+                        "via maintain_join_mv (or refresh_mv)"
+                    )
+
+        _fold_changes_and_swap(
+            spark, d, man, d_view, base_new, pre_swap=stamp
         )
         man["applied_seq"] = latest
         _publish_manifest(d, man)

@@ -1126,6 +1126,223 @@ def mv_join_maintain(spark, sf_dir):
     )
 
 
+def mv_join_mor_fixture(spark, sf_dir: str) -> str:
+    """The fully-automated star-join-summary loop: a join MV whose FACT
+    is a merge-on-read orders table and whose dim (customer segments)
+    is static, maintained from the table's OWN change feed — no
+    hand-built delta. Two merges land (a risky BUILDING-max delete +
+    updates, then inserts); ONE maintain_join_mv_from_mor call spans
+    both sequences, time-traveling the MoR table for the Z-set
+    pre-state probe. Stale→fresh asserted around the catch-up."""
+
+    def build(root: str) -> None:
+        from pyspark.sql import Window
+
+        from ..plans.mor import init_mor, merge_into_mor, read_mor
+        from ..plans.mv import (
+            answer_join_aggregate,
+            bind_mv_to_mor,
+            create_join_mv,
+            maintain_join_mv_from_mor,
+        )
+
+        fact_root = os.path.join(root, "orders")
+        dim_path = os.path.join(root, "cust_dim")
+        mv_root = os.path.join(root, "mvs")
+        manifest = os.path.join(fact_root, ".mor", "manifest.json")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        init_mor(
+            spark, fact_root, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        cust.write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+        fact_src = read_mor(spark, fact_root).select(
+            "o_custkey", "o_orderpriority", cents
+        )
+        create_join_mv(
+            spark, mv_root, name="mor_seg_pri",
+            fact=fact_src, fact_path=manifest,
+            dims=[(dim, dim_path, ["o_custkey"])],
+            group_cols=["c_mktsegment", "o_orderpriority"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "min_cents": ("min", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+        bind_mv_to_mor(mv_root, "mor_seg_pri", fact_root)
+
+        # merge 1: delete BUILDING's max-cents row (cents ties broken
+        # by key — RISKY for that segment's stored max) + update
+        # %100==13 elsewhere; merge 2: clone %100==37-custkey orders
+        key = F.col("o_orderkey")
+        joined = orders.withColumn(
+            "cents",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).join(dim, "o_custkey")
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("cents").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = joined.withColumn("rn", F.row_number().over(w))
+        dele = (
+            ranked.filter(
+                (F.col("rn") == 1)
+                & (F.col("c_mktsegment") == "BUILDING")
+            )
+            .select(*orders.columns)
+            .withColumn("is_delete", F.lit(True))
+        )
+        upd = (
+            ranked.filter(
+                ~(
+                    (F.col("rn") == 1)
+                    & (F.col("c_mktsegment") == "BUILDING")
+                )
+                & (key % 100 == 13)
+            )
+            .select(*orders.columns)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+            .withColumn("is_delete", F.lit(False))
+        )
+        ins = (
+            orders.filter(F.col("o_custkey") % 100 == 37)
+            .withColumn("o_orderkey", key + 30_000_000)
+            .withColumn("is_delete", F.lit(False))
+        )
+        merge_into_mor(spark, fact_root, dele.unionByName(upd))
+        merge_into_mor(spark, fact_root, ins)
+
+        def project(df):
+            cols = [
+                F.col("o_custkey"), F.col("o_orderpriority"), cents
+            ]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+        src_now = read_mor(spark, fact_root).select(
+            "o_custkey", "o_orderpriority", cents
+        )
+        _, used_stale = answer_join_aggregate(
+            spark, mv_root, src_now, manifest,
+            [(dim, dim_path, ["o_custkey"])],
+            group_cols=["c_mktsegment"], aggs=aggs,
+        )
+        assert used_stale is None, "post-merge join MV must be stale"
+        rep = maintain_join_mv_from_mor(
+            spark, mv_root, "mor_seg_pri", project,
+            [(dim, ["o_custkey"])],
+        )
+        assert rep == {"applied_seq": 2, "folded": True}, rep
+        _, used_fresh = answer_join_aggregate(
+            spark, mv_root, src_now, manifest,
+            [(dim, dim_path, ["o_custkey"])],
+            group_cols=["c_mktsegment"], aggs=aggs,
+        )
+        assert used_fresh == "mor_seg_pri", "caught-up MV must serve"
+
+    return session_fixture("mv_join_mor", sf_dir, "seg_feed_v1", build)
+
+
+@register(
+    "mv_join_mor_feed",
+    oracle="""
+    WITH cents0 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+               AS cents_u
+      FROM orders
+    ), ranked AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg0,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.cents DESC, o.o_orderkey DESC) AS rn
+      FROM cents0 o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), dkey AS (
+      SELECT o_orderkey FROM ranked
+      WHERE rn = 1 AND seg0 = 'BUILDING'
+    ), fact_new AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 100 = 13 THEN cents_u
+                  ELSE cents END AS cents
+      FROM cents0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dkey)
+      UNION ALL
+      SELECT o_custkey, cents FROM cents0 WHERE o_custkey % 100 = 37
+    )
+    SELECT 'mv' AS served_from, CAST(c_mktsegment AS VARCHAR)
+             AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact_new JOIN customer ON o_custkey = c_custkey
+    GROUP BY 2
+    """,
+)
+def mv_join_mor_feed(spark, sf_dir):
+    """Star-join summary riding a merge-on-read fact's sequence clock
+    (round 16, plans/mv.maintain_join_mv_from_mor): MERGEs land on the
+    MoR orders table (a risky BUILDING-max delete + folding updates,
+    then inserts — two sequences), and ONE catch-up cuts the table's
+    own change feed across the span, z-weights it (changes_from_feed),
+    joins it through the STATIC customer dim (star_join_delta — the
+    pre-state probe is the table's own time travel at the MV's applied
+    sequence), folds count/sum and recomputes only the risky segment's
+    max, then stamps the feed-cut-time token. The registered query
+    rolls the summary up to c_mktsegment; the oracle recomputes the
+    post-merge star join closed-form and hardcodes served_from='mv'.
+    The join-MV analog of mv_mor_feed_capstone: at 100 TB the whole
+    chain is O(feed·fanout + risky groups) per catch-up — nobody
+    re-joins the fact's history, and the dashboard reads KBs."""
+    from ..plans.mor import read_mor
+    from ..plans.mv import answer_join_aggregate
+
+    root = mv_join_mor_fixture(spark, sf_dir)
+    fact_root = os.path.join(root, "orders")
+    dim_path = os.path.join(root, "cust_dim")
+    mv_root = os.path.join(root, "mvs")
+    manifest = os.path.join(fact_root, ".mor", "manifest.json")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    fact = read_mor(spark, fact_root).select(
+        "o_custkey", "o_orderpriority", cents
+    )
+    dim = spark.read.parquet(dim_path)
+    df, used = answer_join_aggregate(
+        spark, mv_root, fact, manifest,
+        [(dim, dim_path, ["o_custkey"])],
+        group_cols=["c_mktsegment"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit("mv" if used == "mor_seg_pri" else "base").alias(
+            "served_from"
+        ),
+        F.col("c_mktsegment").cast("string"),
+        "n", "sum_cents", "min_cents", "max_cents",
+    )
+
+
 def stream_mv_fixture(spark, sf_dir: str) -> str:
     """STREAMING MV maintenance — the streaming half of the
     CDC→table→summary loop (round 16): a foreachBatch apply MERGEs each

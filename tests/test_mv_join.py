@@ -221,6 +221,120 @@ def test_maintain_join_mv_fail_loud_preconditions(join_env):
         )
 
 
+def test_maintain_join_mv_from_mor(spark):
+    """The fully-automated star-join-summary loop: a join MV whose FACT
+    is a merge-on-read table rides its sequence clock — catch-up cuts
+    the table's own change feed, joins it through the STATIC dims
+    (pre-state probe = MoR time travel), folds, and records the
+    sequence. Pins: no-op when caught up, a span covering two merges
+    (incl. a risky group-max delete) folded once and equal to a direct
+    recompute, fail-loud when a dim moved without a changeset, and
+    fail-loud when compaction ate the span."""
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        compact_mor,
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        maintain_join_mv_from_mor,
+    )
+
+    base = tempfile.mkdtemp(prefix="mvj_mor_")
+    root = os.path.join(base, "t")
+    dim_path = os.path.join(base, "dim")
+    rows = [(k, (k * 11) % 50, f"p{k % 4}") for k in range(24)]
+    init_mor(
+        spark, root,
+        spark.createDataFrame(rows, "k bigint, v bigint, p string"),
+        keys=["k"], partition_col="p",
+    )
+    manifest = os.path.join(root, ".mor", "manifest.json")
+    # static dim: partition -> group (p0/p1 -> ga, p2/p3 -> gb)
+    spark.createDataFrame(
+        [("p0", "ga"), ("p1", "ga"), ("p2", "gb"), ("p3", "gb")],
+        "p string, g string",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    mv_root = os.path.join(base, "mvs")
+    fact_src = read_mor(spark, root).select("p", "v")
+    create_join_mv(
+        spark, mv_root, name="jmor", fact=fact_src, fact_path=manifest,
+        dims=[(dim, dim_path, ["p"])], group_cols=["g"], measures=AGGS,
+    )
+    bind_mv_to_mor(mv_root, "jmor", root)
+
+    def project(df):
+        cols = ["p", "v"]
+        if "change_type" in df.columns:
+            cols = ["change_type"] + cols
+        return df.select(*cols)
+
+    dims = [(dim, ["p"])]
+    rep = maintain_join_mv_from_mor(spark, mv_root, "jmor", project, dims)
+    assert rep == {"applied_seq": 0, "folded": False}
+
+    def chg(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, v bigint, p string, is_delete boolean"
+        )
+
+    # merge 1 deletes ga's actual max row (risky) + an update;
+    # merge 2 inserts; ONE catch-up spans both
+    v = {k: (k * 11) % 50 for k in range(24)}
+    ga_max_k = max(
+        (k for k in range(24) if k % 4 in (0, 1)),
+        key=lambda k: (v[k], k),
+    )
+    merge_into_mor(spark, root, chg(
+        [(ga_max_k, v[ga_max_k], f"p{ga_max_k % 4}", True),
+         (2, 99, "p2", False)]
+    ))
+    merge_into_mor(spark, root, chg([(100, 77, "p1", False)]))
+    src_now = read_mor(spark, root).select("p", "v")
+    _, used_stale = answer_join_aggregate(
+        spark, mv_root, src_now, manifest, [(dim, dim_path, ["p"])],
+        group_cols=["g"], aggs=AGGS,
+    )
+    assert used_stale is None
+    rep2 = maintain_join_mv_from_mor(
+        spark, mv_root, "jmor", project, dims
+    )
+    assert rep2 == {"applied_seq": 2, "folded": True}
+    df, used = answer_join_aggregate(
+        spark, mv_root, src_now, manifest, [(dim, dim_path, ["p"])],
+        group_cols=["g"], aggs=AGGS,
+    )
+    assert used == "jmor"
+    assert {
+        (r["g"],): (r["sv"], r["n"], r["mn"], r["mx"])
+        for r in df.collect()
+    } == _direct(src_now.join(dim, ["p"]), ["g"])
+
+    # compaction past the applied floor fails loud
+    merge_into_mor(spark, root, chg([(101, 5, "p3", False)]))
+    compact_mor(spark, root)
+    with pytest.raises(RuntimeError, match="compacted away"):
+        maintain_join_mv_from_mor(spark, mv_root, "jmor", project, dims)
+
+    # a dim that moved without a changeset fails loud (checked FIRST —
+    # folding a fact delta through a silently-changed dim credits the
+    # wrong groups)
+    spark.createDataFrame(
+        [("p9", "gz")], "p string, g string"
+    ).write.mode("append").parquet(dim_path)
+    with pytest.raises(RuntimeError, match="STATIC dims"):
+        maintain_join_mv_from_mor(spark, mv_root, "jmor", project, dims)
+    # ...and every refused publish left the MV stale, not wrong
+    _, used3 = answer_join_aggregate(
+        spark, mv_root, read_mor(spark, root).select("p", "v"),
+        manifest, [(spark.read.parquet(dim_path), dim_path, ["p"])],
+        group_cols=["g"], aggs=AGGS,
+    )
+    assert used3 is None
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def test_bind_and_maintain_mv_from_mor(spark):
     """The streaming half of CDC→table→summary: the MV rides the MoR
     table's SEQUENCE clock. Catch-up folds exactly the unapplied span
