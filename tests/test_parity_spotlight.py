@@ -72,6 +72,15 @@ SPOTLIGHT = [
     # IVF index append (frozen-quantizer assignment, O(new vectors))
     "mv_gdpr_scrub",
     "embed_ivf_append_portable",
+    # round-16: the join-bearing MV family (rollup rewrite, OR-of-
+    # conjuncts routing, fact+dim simultaneous maintenance, the MoR
+    # sequence-clock catch-up) and the streaming MV maintainer —
+    # independently re-verified from birth
+    "mv_join_rollup_rewrite",
+    "mv_disjunctive_rewrite",
+    "mv_join_maintain",
+    "mv_join_mor_feed",
+    "stream_mv_maintain",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

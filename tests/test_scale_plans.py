@@ -738,15 +738,21 @@ _BUILD_JOBS_SANCTIONED = {
     # materialized-view fixtures: the summary build / merge + incremental
     # maintenance cycle IS the operator (plans/mv.py create_mv /
     # maintain_mv + fingerprint); re-planning reads the MV through the
-    # file-state-keyed schema cache. mv_predicate_rewrite (not
-    # mv_rollup_rewrite) is alphabetically first on the shared lineitem
-    # MV fixture and therefore the sanctioned builder.
-    "mv_predicate_rewrite",
+    # file-state-keyed schema cache. mv_disjunctive_rewrite (round 16;
+    # was mv_predicate_rewrite) is alphabetically first on the shared
+    # lineitem MV fixture and therefore the sanctioned builder.
+    "mv_disjunctive_rewrite",
     "mv_incremental_serving",
     "mv_nullable_avg_serving",
     # feed-maintained MV over a MoR fact: init + merge + change feed +
     # maintain_mv in one fixture
     "mv_mor_feed_capstone",
+    # join-bearing MV fixtures (round 16): each builds its own star-join
+    # summary — create_join_mv + (for the maintain variants) the
+    # physical source mutation + Z-set fold cycle
+    "mv_join_rollup_rewrite",
+    "mv_join_maintain",
+    "mv_join_mor_feed",
 }
 
 

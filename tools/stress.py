@@ -1077,6 +1077,122 @@ def main() -> None:
     run("scan_agg", int(400e6 * s), scan_agg)
     if args.only is None or "change_feed_1of64" in args.only:
         change_feed_scoped(int(40e6 * s))
+    def join_mv_maintain_vs_refresh(n):
+        """Round-16: the star-join-summary asymptote. A join MV
+        (n-row fact ⋈ 100k-row dim, 1000 groups) absorbs (1) a
+        200-row insert-only fact changeset — pure fold, the no-risky
+        precheck skips the fact statically — then (2) a changeset
+        deleting one instance of a group's stored MAX (physically: the
+        one-row parquet file appended for this purpose is removed), so
+        exactly that group recomputes from the post-change join,
+        semi-join-pruned. Both maintains chain onto the same MV and the
+        final state is asserted IDENTICAL to a full refresh_mv (which
+        re-runs the whole star join) — the timings compare three costs
+        of the same answer: fold O(changeset), risky O(pruned fact
+        pass, one group aggregated), refresh O(fact ⋈ dim + full
+        re-agg)."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            create_join_mv as _cjmv,
+            maintain_join_mv,
+            refresh_mv,
+        )
+
+        base = tempfile.mkdtemp(prefix="stress_jmv_")
+        fact_path = os.path.join(base, "fact")
+        dim_path = os.path.join(base, "dim")
+        try:
+            spark.range(n).select(
+                (F.col("id") % 100_000).alias("fk"),
+                (F.col("id") % 97).cast("long").alias("v"),
+            ).write.parquet(fact_path)
+            # the future risky delete's row: one (fk=5, v=96) instance
+            # in its own file, removable without a rewrite
+            before = set(os.listdir(fact_path))
+            spark.createDataFrame(
+                [(5, 96)], "fk bigint, v bigint"
+            ).coalesce(1).write.mode("append").parquet(fact_path)
+            risky_files = [
+                f for f in set(os.listdir(fact_path)) - before
+                if f.endswith(".parquet")
+            ]
+            assert len(risky_files) == 1, risky_files
+            spark.range(100_000).select(
+                F.col("id").alias("fk"),
+                (F.col("id") % 1000).cast("string").alias("g"),
+            ).write.parquet(dim_path)
+            fact = spark.read.parquet(fact_path)
+            dim = spark.read.parquet(dim_path)
+            mv_root = os.path.join(base, "mvs")
+            _cjmv(
+                spark, mv_root, name="jm", fact=fact,
+                fact_path=fact_path, dims=[(dim, dim_path, ["fk"])],
+                group_cols=["g"],
+                measures={
+                    "sv": ("sum", "v"), "n": ("count", None),
+                    "mn": ("min", "v"), "mx": ("max", "v"),
+                },
+            )
+            # leg 1: insert-only fold (no risky groups, fact untouched)
+            delta = spark.range(200).select(
+                (F.col("id") % 100_000).alias("fk"),
+                F.lit(50).cast("long").alias("v"),
+            )
+            delta.coalesce(1).write.mode("append").parquet(fact_path)
+            d_fact1 = delta.withColumn("__z", F.lit(1).cast("long"))
+            src1 = spark.read.parquet(fact_path)
+            t0 = time.perf_counter()
+            maintain_join_mv(
+                spark, mv_root, "jm", fact_pre=fact, d_fact=d_fact1,
+                dims=[(dim, None, ["fk"])],
+                base_new=src1.join(dim, ["fk"]).select("g", "v"),
+            )
+            fold_sec = time.perf_counter() - t0
+            # leg 2: delete the (5,96) instance — group (5%1000)'s
+            # stored max is hit, that ONE group recomputes
+            os.remove(os.path.join(fact_path, risky_files[0]))
+            d_fact2 = spark.createDataFrame(
+                [(5, 96, -1)], "fk bigint, v bigint, __z long"
+            )
+            src2 = spark.read.parquet(fact_path)
+            t0 = time.perf_counter()
+            maintain_join_mv(
+                spark, mv_root, "jm", fact_pre=src1, d_fact=d_fact2,
+                dims=[(dim, None, ["fk"])],
+                base_new=src2.join(dim, ["fk"]).select("g", "v"),
+            )
+            risky_sec = time.perf_counter() - t0
+            mv_data = os.path.join(mv_root, "jm", "data")
+            maintained = sorted(
+                map(tuple, spark.read.parquet(mv_data).collect())
+            )
+            t0 = time.perf_counter()
+            refresh_mv(spark, mv_root, "jm", src2.join(dim, ["fk"]))
+            refresh_sec = time.perf_counter() - t0
+            refreshed = sorted(
+                map(tuple, spark.read.parquet(mv_data).collect())
+            )
+            assert maintained == refreshed
+            out = {
+                "rows": n,
+                "changeset": 200,
+                "fold_sec": round(fold_sec, 3),
+                "risky_sec": round(risky_sec, 3),
+                "refresh_sec": round(refresh_sec, 3),
+                "fold_speedup": round(refresh_sec / max(fold_sec, 1e-9), 1),
+            }
+            results["join_mv_maintain_vs_refresh"] = out
+            print(
+                json.dumps(
+                    {"op": "join_mv_maintain_vs_refresh", **out}
+                ),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(base, ignore_errors=True)
+
     if args.only is None or "merge_file_scoped_1of16" in args.only:
         merge_file_scoped(int(40e6 * s))
     # NOT through run(): its wall spans build + 2x scoped + 2x full
@@ -1091,6 +1207,8 @@ def main() -> None:
         mv_rewrite(int(200e6 * s))
     if args.only is not None and "mv_maintain_vs_refresh" in args.only:
         mv_maintain_vs_refresh(int(200e6 * s))
+    if args.only is not None and "join_mv_maintain_vs_refresh" in args.only:
+        join_mv_maintain_vs_refresh(int(200e6 * s))
     if args.only is not None and "mor_overlay_read_tax" in args.only:
         mor_overlay_tax(int(40e6 * s))
     if args.only is None or "ivm_join_delta_vs_recompute" in args.only:
