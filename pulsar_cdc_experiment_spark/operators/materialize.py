@@ -456,7 +456,16 @@ def mv_partial_delta_maintain(
     ``spec``: ``{col: subset of {"sum","cnt","min","max"}}``. ``delta``:
     ``on`` + every spec column + ``z`` (+1 insert / −1 delete; an update
     is the pair). ``base_new``: the post-batch base projection carrying
-    ``on`` + every spec column — read ONLY for risky groups.
+    ``on`` + every spec column — read ONLY for risky groups. It may be
+    a CALLABLE ``risky_keys_df -> DataFrame`` instead of a DataFrame:
+    the recompute leg invokes it with the distinct risky group tuples
+    so the caller can push the pruning INTO the base construction —
+    for a join-MV base, semi-joining each star-join side before the
+    join collapses the recompute from a full star join to a
+    filtered-scan + small join (a group-column semi-join on the
+    joined result cannot be pushed through the join by the optimizer
+    alone). The exactness semi-join on the full group tuple is still
+    applied to whatever the callable returns.
 
     Fold rules: ``__cnt``/``__sum_*``/``__cnt_*`` telescope invertibly
     from the delta alone (the non-null count folds by summing z over
@@ -576,6 +585,8 @@ def mv_partial_delta_maintain(
         return folded.join(touched, on, "left_semi")
 
     risky_keys = j.filter(risky).select(*on)
+    if callable(base_new):
+        base_new = base_new(risky_keys)
     r_aggs = [F.count("*").cast("long").alias("__cnt")]
     for c, kinds in spec.items():
         if "sum" in kinds:

@@ -335,12 +335,13 @@ def _fold_changes_and_swap(
     ]
     if missing:
         raise ValueError(f"changes lacks column(s) {missing}")
-    missing = [
-        c for c in list(group_cols) + sorted(spec)
-        if c not in base_new.columns
-    ]
-    if missing:
-        raise ValueError(f"base_new lacks column(s) {missing}")
+    if not callable(base_new):
+        missing = [
+            c for c in list(group_cols) + sorted(spec)
+            if c not in base_new.columns
+        ]
+        if missing:
+            raise ValueError(f"base_new lacks column(s) {missing}")
     from .mor import _read_cached
 
     data = _read_cached(spark, os.path.join(d, "data"))
@@ -728,6 +729,68 @@ def answer_aggregate(
     )
 
 
+def answer_rollup_aggregate(
+    spark: SparkSession,
+    mv_root: str,
+    source: DataFrame,
+    source_path: str,
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``source.rollup(group_cols).agg(aggs)`` — the hierarchy of
+    grouping sets ``(c₁..cₙ), (c₁..cₙ₋₁), …, ()`` with NULL markers in
+    the rolled-away columns, Spark/ANSI ROLLUP semantics — served
+    ENTIRELY from a materialized view when one subsumes the FINEST set
+    (subsuming the finest set subsumes every coarser one by
+    construction, so the decision is all-or-nothing: one candidate
+    check, n+1 KB-scale serves unioned). Falls back to the base's
+    native ``rollup`` otherwise. Returns ``(df, mv_name | None)``.
+
+    The grand-total row and every intermediate level derive from the
+    SAME stored partials (sum of sums, min of mins, non-null-count
+    folds for avg), so a wrong partial shifts every level consistently
+    — and the whole cube costs n+1 reads of a KB summary instead of
+    one pass over the 100 TB fact with n+1-way row replication (what a
+    native ROLLUP execution does). NULL markers assume non-null group
+    values (the ANSI ROLLUP ambiguity; Spark's GROUPING__ID exists for
+    data-borne NULLs — MV group columns are dimension keys in
+    practice)."""
+    group_cols = list(group_cols)
+    sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
+
+    # the finest set decides: route it, then serve every set the same way
+    finest, used = answer_aggregate(
+        spark, mv_root, source, source_path,
+        group_cols=group_cols, aggs=aggs, where=where,
+    )
+    if used is None:
+        base = source
+        for term in _norm_where(where):
+            base = base.filter(_where_expr(term))
+        return (
+            base.rollup(*group_cols).agg(*_base_agg_exprs(aggs)),
+            None,
+        )
+
+    types = dict(finest.dtypes)
+    out = None
+    for gset in sets:
+        df, _ = answer_aggregate(
+            spark, mv_root, source, source_path,
+            group_cols=gset, aggs=aggs, where=where,
+        )
+        rolled = [
+            F.lit(None).cast(types[c]).alias(c)
+            for c in group_cols
+            if c not in gset
+        ]
+        df = df.select(*gset, *rolled, *aggs)
+        out = df if out is None else out.unionByName(df)
+    return out, used
+
+
 # ---------------------------------------------------------------------------
 # Join-bearing materialized views (round 16): star-join rollups served
 # from an incrementally maintained summary — the most common real BI
@@ -743,6 +806,54 @@ def _join_all(fact: DataFrame, dims: Sequence[tuple]) -> DataFrame:
         dim, on = entry[0], list(entry[-1])
         joined = joined.join(dim, on)
     return joined
+
+
+def pruned_star_base(
+    fact: DataFrame, dims: Sequence[tuple], group_cols: Sequence[str]
+):
+    """A lazily-pruned ``base_new`` for join-MV maintenance: returns a
+    callable the recompute leg invokes with the distinct RISKY group
+    tuples, pushing the pruning through the star join — a semi-join on
+    the joined result's group columns cannot be pushed through the join
+    by the optimizer, so without this the risky recompute re-pays the
+    FULL star join even for one risky group.
+
+    Per side, sound superset filters: each dim is semi-joined on
+    whatever subset of the group columns it carries (a dim row whose
+    group components match no risky tuple can contribute no risky
+    joined row); the fact is semi-joined on its own group-column subset
+    and then on each pruned dim's join keys (an inner-join fact row
+    whose dim partner was pruned cannot survive). The exactness
+    semi-join on the FULL group tuple still runs downstream in
+    ``mv_partial_delta_maintain``. Net: the recompute collapses to a
+    filtered scan + joins against risky-sized dim slices — at 100 TB
+    the difference between "one group recomputes" and "the star join
+    re-runs". ``dims``: ``[(dim_df, on_cols), ...]`` in join order."""
+    group_cols = list(group_cols)
+
+    def build(risky_keys: DataFrame) -> DataFrame:
+        f = fact
+        gf = [c for c in group_cols if c in fact.columns]
+        if gf:
+            f = f.join(
+                risky_keys.select(*gf).distinct(), gf, "left_semi"
+            )
+        pruned = []
+        for dim, on in dims:
+            on = list(on)
+            gd = [c for c in group_cols if c in dim.columns]
+            d2 = (
+                dim.join(
+                    risky_keys.select(*gd).distinct(), gd, "left_semi"
+                )
+                if gd
+                else dim
+            )
+            f = f.join(d2.select(*on).distinct(), on, "left_semi")
+            pruned.append((d2, on))
+        return _join_all(f, pruned)
+
+    return build
 
 
 def create_join_mv(
@@ -886,7 +997,11 @@ def maintain_join_mv(
 
     ``fact_pre`` / ``dims`` (``[(dim_pre, d_dim | None, on), ...]``,
     join order per the manifest) are PRE-change states; deltas are
-    z-weighted row images (+1/−1). ``source_tokens``
+    z-weighted row images (+1/−1). ``base_new`` may be a DataFrame (the
+    post-change join projection) or a callable built with
+    :func:`pruned_star_base`, which the risky-recompute leg invokes
+    with the risky group tuples so the pruning pushes through the star
+    join instead of re-running it whole. ``source_tokens``
     (``{"fact": token, "dims": [token, ...]}``, captured when the
     changesets were cut) gates the freshness stamp exactly like
     ``maintain_mv``'s ``source_token``. Per-batch work is
@@ -1179,7 +1294,13 @@ def maintain_join_mv_from_mor(
         d_view = star_join_delta(
             fact_pre, d_fact, [(dim, None, on) for dim, on in dims]
         )
-        base_new = _join_all(fact_post, [(dim, on) for dim, on in dims])
+        # lazily pruned: the risky recompute sees a star join whose
+        # every side is pre-filtered to the risky groups, not a full
+        # fact ⋈ dims re-run
+        base_new = pruned_star_base(
+            fact_post, [(dim, on) for dim, on in dims],
+            man["group_cols"],
+        )
 
         def stamp() -> None:
             _stamp_fingerprint(man, token)

@@ -45,10 +45,13 @@ def mv_lineitem_fixture(spark, sf_dir: str) -> str:
                 "n": ("count", None),
                 "min_cents": ("min", "cents"),
                 "max_cents": ("max", "cents"),
+                # non-null count partial: makes avg(cents) derivable
+                # (sum ÷ non-null count) for the rollup-hierarchy serve
+                "cnt_cents": ("count", "cents"),
             },
         )
 
-    return session_fixture("mv_lineitem", sf_dir, "flag_status_v1", build)
+    return session_fixture("mv_lineitem", sf_dir, "flag_status_v2", build)
 
 
 @register(
@@ -868,6 +871,85 @@ def mv_join_rollup_rewrite(spark, sf_dir):
     )
 
 
+@register(
+    "mv_rollup_hierarchy_rewrite",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT 'mv' AS served_from,
+           CAST(l_returnflag AS VARCHAR) AS grp1,
+           CAST(l_linestatus AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents
+    FROM c GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'base', CAST(l_linenumber AS VARCHAR), '--',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT),
+           CAST(sum(cents) AS DOUBLE) / count(cents)
+    FROM c GROUP BY ROLLUP (l_linenumber)
+    """,
+)
+def mv_rollup_hierarchy_rewrite(spark, sf_dir):
+    """ROLLUP served from MV partials (round 16,
+    plans/mv.answer_rollup_aggregate): leg 1 asks for
+    ``ROLLUP(l_returnflag, l_linestatus)`` — every grouping set
+    (fine, mid, grand total) is a rollup of the registered
+    (l_returnflag, l_linestatus) MV, so the planner answers the WHOLE
+    hierarchy from the stored partials (n+1 reads of a KB summary; a
+    native ROLLUP execution replicates every fact row n+1 ways through
+    one big shuffle). Leg 2 rolls up l_linenumber, which no MV
+    subsumes, and must fall back to the base's native rollup. The avg
+    level derives as sum-partial over non-null-count partial at EVERY
+    level — an avg-of-avgs bug shifts the intermediate rows. The
+    oracle recomputes both hierarchies with ANSI GROUP BY ROLLUP and
+    hardcodes the routing."""
+    from ..plans.mv import answer_rollup_aggregate
+
+    root = mv_lineitem_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", _cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    aggs = {
+        "n": ("count", None),
+        "sum_cents": ("sum", "cents"),
+        "min_cents": ("min", "cents"),
+        "max_cents": ("max", "cents"),
+        "avg_cents": ("avg", "cents"),
+    }
+    leg1, used1 = answer_rollup_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag", "l_linestatus"], aggs=aggs,
+    )
+    leg2, used2 = answer_rollup_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_linenumber"], aggs=aggs,
+    )
+    measures = ["n", "sum_cents", "min_cents", "max_cents", "avg_cents"]
+    return leg1.select(
+        F.lit("mv" if used1 == "li_flag_status" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").cast("string").alias("grp1"),
+        F.col("l_linestatus").cast("string").alias("grp2"),
+        *measures,
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("l_linenumber").cast("string").alias("grp1"),
+            F.lit("--").alias("grp2"),
+            *measures,
+        )
+    )
+
+
 def mv_join_maintain_fixture(spark, sf_dir: str) -> str:
     """INCREMENTAL join-MV maintenance under simultaneous fact AND dim
     churn: the star-join MV (orders ⋈ customer at (c_mktsegment,
@@ -887,6 +969,7 @@ def mv_join_maintain_fixture(spark, sf_dir: str) -> str:
             answer_join_aggregate,
             create_join_mv,
             maintain_join_mv,
+            pruned_star_base,
             source_token,
         )
 
@@ -1022,8 +1105,12 @@ def mv_join_maintain_fixture(spark, sf_dir: str) -> str:
             ),
             d_fact=d_fact,
             dims=[(dim_proj, d_dim, ["o_custkey"])],
-            base_new=f_now.join(dims_now[0][0], "o_custkey").select(
-                "c_mktsegment", "o_orderpriority", "cents"
+            # pruned: the risky recompute (BUILDING's deleted max)
+            # pre-filters both star sides to the risky groups — this
+            # path is value-checked by the driver oracle
+            base_new=pruned_star_base(
+                f_now, [(dims_now[0][0], ["o_custkey"])],
+                ["c_mktsegment", "o_orderpriority"],
             ),
             source_tokens=tokens,
         )
@@ -1336,6 +1423,247 @@ def mv_join_mor_feed(spark, sf_dir):
     )
     return df.select(
         F.lit("mv" if used == "mor_seg_pri" else "base").alias(
+            "served_from"
+        ),
+        F.col("c_mktsegment").cast("string"),
+        "n", "sum_cents", "min_cents", "max_cents",
+    )
+
+
+def stream_join_mv_fixture(spark, sf_dir: str) -> str:
+    """STREAMING star-join-summary maintenance: the foreachBatch apply
+    MERGEs each micro-batch into the MoR orders fact and — in the same
+    batch — catches the JOIN MV (orders ⋈ customer at (c_mktsegment,
+    o_orderpriority)) up via maintain_join_mv_from_mor, joining the
+    table's own change feed through the static dim. Mid-stream batch =
+    the MACHINERY-segment max delete (risky); final batch = folding
+    updates + clone inserts. Asserts the MV ends FRESH at
+    applied_seq == 2."""
+
+    def build(root: str) -> None:
+        import shutil
+
+        from pyspark.sql import Window
+
+        from ..plans.mor import init_mor, merge_into_mor, mor_history, read_mor
+        from ..plans.mv import (
+            answer_join_aggregate,
+            bind_mv_to_mor,
+            create_join_mv,
+            maintain_join_mv_from_mor,
+        )
+        from .streaming_q import drain_or_raise
+
+        feed_root = os.path.join(root, "feed")
+        state_root = os.path.join(root, "state")
+        dim_path = os.path.join(root, "cust_dim")
+        mv_root = os.path.join(root, "mvs")
+        manifest = os.path.join(state_root, ".mor", "manifest.json")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        cust.write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+
+        key = F.col("o_orderkey")
+        cents_raw = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long")
+        joined = orders.withColumn("cents", cents_raw).join(
+            dim, "o_custkey"
+        )
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("cents").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = joined.withColumn("rn", F.row_number().over(w))
+        is_d = (F.col("rn") == 1) & (
+            F.col("c_mktsegment") == "MACHINERY"
+        )
+        batch0 = orders.withColumn("is_delete", F.lit(False))
+        batch1 = (
+            ranked.filter(is_d).select(*orders.columns)
+            .withColumn("is_delete", F.lit(True))
+        )
+        upd = (
+            ranked.filter(~is_d & (key % 100 == 29))
+            .select(*orders.columns)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+            .withColumn("is_delete", F.lit(False))
+        )
+        ins = (
+            orders.filter(F.col("o_custkey") % 100 == 53)
+            .withColumn("o_orderkey", key + 40_000_000)
+            .withColumn("is_delete", F.lit(False))
+        )
+        base = 1_700_000_000
+        for i, part in enumerate((batch0, batch1, upd.unionByName(ins))):
+            p = os.path.join(feed_root, f"{i:03d}")
+            part.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+
+        cents = cents_raw.alias("cents")
+
+        def project(df):
+            cols = [
+                F.col("o_custkey"), F.col("o_orderpriority"), cents
+            ]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        def apply_batch(batch_df, batch_id):
+            if not os.path.exists(manifest):
+                shutil.rmtree(state_root, ignore_errors=True)
+                shutil.rmtree(mv_root, ignore_errors=True)
+                init_mor(
+                    spark, state_root,
+                    batch_df.filter(~F.col("is_delete")).drop("is_delete"),
+                    keys=["o_orderkey"], partition_col="o_orderpriority",
+                )
+                src = read_mor(spark, state_root).select(
+                    "o_custkey", "o_orderpriority", cents
+                )
+                create_join_mv(
+                    spark, mv_root, name="stream_seg_pri",
+                    fact=src, fact_path=manifest,
+                    dims=[(dim, dim_path, ["o_custkey"])],
+                    group_cols=["c_mktsegment", "o_orderpriority"],
+                    measures={
+                        "n": ("count", None),
+                        "sum_cents": ("sum", "cents"),
+                        "min_cents": ("min", "cents"),
+                        "max_cents": ("max", "cents"),
+                    },
+                )
+                bind_mv_to_mor(mv_root, "stream_seg_pri", state_root)
+            else:
+                merge_into_mor(spark, state_root, batch_df)
+                maintain_join_mv_from_mor(
+                    spark, mv_root, "stream_seg_pri", project,
+                    [(dim, ["o_custkey"])],
+                )
+
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_custkey bigint, "
+                "o_totalprice double, o_orderpriority string, "
+                "is_delete boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_join_mv_maintain")
+        assert [s["seq"] for s in mor_history(state_root)] == [1, 2]
+        src_now = read_mor(spark, state_root).select(
+            "o_custkey", "o_orderpriority", cents
+        )
+        _, used = answer_join_aggregate(
+            spark, mv_root, src_now, manifest,
+            [(dim, dim_path, ["o_custkey"])],
+            group_cols=["c_mktsegment"],
+            aggs={"n": ("count", None), "sum_cents": ("sum", "cents")},
+        )
+        assert used == "stream_seg_pri", (
+            "the streamed join MV must end FRESH — per-batch catch-up "
+            "missed a sequence"
+        )
+
+    return session_fixture(
+        "stream_join_mv", sf_dir, "machinery_risky_v1", build
+    )
+
+
+@register(
+    "stream_join_mv_maintain",
+    oracle="""
+    WITH cents0 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+               AS cents_u
+      FROM orders
+    ), ranked AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg0,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.cents DESC, o.o_orderkey DESC) AS rn
+      FROM cents0 o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), dkey AS (
+      SELECT o_orderkey FROM ranked
+      WHERE rn = 1 AND seg0 = 'MACHINERY'
+    ), fact_new AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 100 = 29 THEN cents_u
+                  ELSE cents END AS cents
+      FROM cents0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dkey)
+      UNION ALL
+      SELECT o_custkey, cents FROM cents0 WHERE o_custkey % 100 = 53
+    )
+    SELECT 'mv' AS served_from, CAST(c_mktsegment AS VARCHAR)
+             AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact_new JOIN customer ON o_custkey = c_custkey
+    GROUP BY 2
+    """,
+)
+def stream_join_mv_maintain(spark, sf_dir):
+    """STREAMING star-join-summary maintenance (round 16) — the last
+    cell of the {plain, join} × {batch, streaming} MV-maintenance
+    matrix: a Structured Streaming foreachBatch loop MERGEs each
+    micro-batch into the merge-on-read fact and catches the JOIN MV up
+    in the same batch (maintain_join_mv_from_mor: the table's own
+    change feed, z-weighted and joined through the static customer
+    dim, pre-state probe = MoR time travel). The mid-stream batch
+    deletes the MACHINERY segment's max-cents row, so exactly that
+    group's stored max must recompute from the post-merge join; the
+    final batch telescopes updates + clone inserts. The registered
+    query rolls the post-stream summary up to c_mktsegment; the oracle
+    recomputes the final star join closed-form and hardcodes
+    served_from='mv'. At 100 TB: dashboard-fresh star-join rollups at
+    O(feed·fanout + risky groups) per micro-batch — the fact's
+    history is re-joined by nobody."""
+    from ..plans.mor import read_mor
+    from ..plans.mv import answer_join_aggregate
+
+    root = stream_join_mv_fixture(spark, sf_dir)
+    state_root = os.path.join(root, "state")
+    dim_path = os.path.join(root, "cust_dim")
+    mv_root = os.path.join(root, "mvs")
+    manifest = os.path.join(state_root, ".mor", "manifest.json")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    fact = read_mor(spark, state_root).select(
+        "o_custkey", "o_orderpriority", cents
+    )
+    dim = spark.read.parquet(dim_path)
+    df, used = answer_join_aggregate(
+        spark, mv_root, fact, manifest,
+        [(dim, dim_path, ["o_custkey"])],
+        group_cols=["c_mktsegment"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit("mv" if used == "stream_seg_pri" else "base").alias(
             "served_from"
         ),
         F.col("c_mktsegment").cast("string"),

@@ -184,6 +184,60 @@ def test_join_mv_incremental_maintenance_with_dadb_overlap(join_env):
     assert got[("b",)][0] == 140 + (4 * 13) % 97 + 80
 
 
+def test_pruned_star_base_equals_plain(join_env):
+    """pruned_star_base is a pure optimization: maintaining with the
+    lazily-pruned base (each star side semi-filtered to the risky
+    groups before the join) yields byte-identical partials to the
+    plain post-change-join base — on a changeset whose delete DOES hit
+    a stored extremum, so the recompute leg actually runs through the
+    pruned build. Covers fact-borne AND dim-borne group columns
+    (pruning on g pushes to the dim; the fact prunes via the pruned
+    dim's keys)."""
+    from pulsar_cdc_experiment_spark.plans.mv import pruned_star_base
+
+    spark, base, mv_root, fact_path, dim_path, fact_rows, dim_rows = (
+        join_env
+    )
+    fact_pre = spark.createDataFrame(fact_rows, "fk bigint, v bigint")
+    dim_pre = spark.createDataFrame(dim_rows, "fk bigint, g string")
+    v = {k: (k * 13) % 97 for k in range(1, 7)}
+    # delete "b"'s max (fk=4 has v=52, fk=3 has v=39 → max is fk 4)
+    b_max_k = max((3, 4), key=lambda k: v[k])
+    d_fact = spark.createDataFrame(
+        [(b_max_k, v[b_max_k], -1), (9, 9, 1)],
+        "fk bigint, v bigint, __z long",
+    )
+    new_fact_rows = [
+        (k, vv) for k, vv in v.items() if k != b_max_k
+    ] + [(9, 9)]
+    new_dim_rows = dim_rows + [(9, "c")]
+    fact_new = spark.createDataFrame(new_fact_rows, "fk bigint, v bigint")
+    dim_new = spark.createDataFrame(new_dim_rows, "fk bigint, g string")
+    fact_new.write.mode("overwrite").parquet(fact_path)
+    dim_new.write.mode("overwrite").parquet(dim_path)
+
+    d_dim = spark.createDataFrame(
+        [(9, "c", 1)], "fk bigint, g string, __z long"
+    )
+    maintain_join_mv(
+        spark, mv_root, "jm",
+        fact_pre=fact_pre, d_fact=d_fact,
+        dims=[(dim_pre, d_dim, ["fk"])],
+        base_new=pruned_star_base(fact_new, [(dim_new, ["fk"])], ["g"]),
+    )
+    got = sorted(map(tuple, spark.read.parquet(
+        os.path.join(mv_root, "jm", "data")
+    ).collect()))
+    # plain reference: full post-change join, same fold
+    from pulsar_cdc_experiment_spark.plans.mv import refresh_mv
+
+    refresh_mv(spark, mv_root, "jm", fact_new.join(dim_new, ["fk"]))
+    want = sorted(map(tuple, spark.read.parquet(
+        os.path.join(mv_root, "jm", "data")
+    ).collect()))
+    assert got == want
+
+
 def test_maintain_join_mv_fail_loud_preconditions(join_env):
     spark, base, mv_root, fact_path, dim_path, fact_rows, dim_rows = (
         join_env

@@ -81,6 +81,8 @@ SPOTLIGHT = [
     "mv_join_maintain",
     "mv_join_mor_feed",
     "stream_mv_maintain",
+    "stream_join_mv_maintain",
+    "mv_rollup_hierarchy_rewrite",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -1097,6 +1097,7 @@ def main() -> None:
         from pulsar_cdc_experiment_spark.plans.mv import (
             create_join_mv as _cjmv,
             maintain_join_mv,
+            pruned_star_base,
             refresh_mv,
         )
 
@@ -1147,27 +1148,49 @@ def main() -> None:
             maintain_join_mv(
                 spark, mv_root, "jm", fact_pre=fact, d_fact=d_fact1,
                 dims=[(dim, None, ["fk"])],
-                base_new=src1.join(dim, ["fk"]).select("g", "v"),
+                base_new=pruned_star_base(src1, [(dim, ["fk"])], ["g"]),
             )
             fold_sec = time.perf_counter() - t0
             # leg 2: delete the (5,96) instance — group (5%1000)'s
-            # stored max is hit, that ONE group recomputes
+            # stored max is hit, that ONE group recomputes. Measured
+            # BOTH ways on the same transition (MV dir snapshotted and
+            # restored between): plain base (the recompute re-runs the
+            # full star join) vs pruned_star_base (each side
+            # semi-filtered to the risky groups before the join) —
+            # identical resulting partials asserted.
             os.remove(os.path.join(fact_path, risky_files[0]))
             d_fact2 = spark.createDataFrame(
                 [(5, 96, -1)], "fk bigint, v bigint, __z long"
             )
             src2 = spark.read.parquet(fact_path)
+            jm_dir = os.path.join(mv_root, "jm")
+            bak = os.path.join(mv_root, ".jm_bak")
+            _sh.copytree(jm_dir, bak)
+            mv_data = os.path.join(jm_dir, "data")
             t0 = time.perf_counter()
             maintain_join_mv(
                 spark, mv_root, "jm", fact_pre=src1, d_fact=d_fact2,
                 dims=[(dim, None, ["fk"])],
                 base_new=src2.join(dim, ["fk"]).select("g", "v"),
             )
-            risky_sec = time.perf_counter() - t0
-            mv_data = os.path.join(mv_root, "jm", "data")
-            maintained = sorted(
+            plain_risky_sec = time.perf_counter() - t0
+            plain_rows = sorted(
                 map(tuple, spark.read.parquet(mv_data).collect())
             )
+            _sh.rmtree(jm_dir)
+            os.rename(bak, jm_dir)
+            t0 = time.perf_counter()
+            maintain_join_mv(
+                spark, mv_root, "jm", fact_pre=src1, d_fact=d_fact2,
+                dims=[(dim, None, ["fk"])],
+                base_new=pruned_star_base(src2, [(dim, ["fk"])], ["g"]),
+            )
+            risky_sec = time.perf_counter() - t0
+            pruned_rows = sorted(
+                map(tuple, spark.read.parquet(mv_data).collect())
+            )
+            assert plain_rows == pruned_rows
+            maintained = pruned_rows
             t0 = time.perf_counter()
             refresh_mv(spark, mv_root, "jm", src2.join(dim, ["fk"]))
             refresh_sec = time.perf_counter() - t0
@@ -1180,10 +1203,11 @@ def main() -> None:
                 "changeset": 200,
                 "fold_sec": round(fold_sec, 3),
                 "risky_sec": round(risky_sec, 3),
+                "plain_risky_sec": round(plain_risky_sec, 3),
                 "refresh_sec": round(refresh_sec, 3),
                 "fold_speedup": round(refresh_sec / max(fold_sec, 1e-9), 1),
             }
-            results["join_mv_maintain_vs_refresh"] = out
+            results[f"join_mv_maintain_vs_refresh_{n}"] = out
             print(
                 json.dumps(
                     {"op": "join_mv_maintain_vs_refresh", **out}
@@ -1208,7 +1232,10 @@ def main() -> None:
     if args.only is not None and "mv_maintain_vs_refresh" in args.only:
         mv_maintain_vs_refresh(int(200e6 * s))
     if args.only is not None and "join_mv_maintain_vs_refresh" in args.only:
+        # two fact sizes: the asymptote is the point (fold flat, risky
+        # scan-bound without the join, refresh fully linear)
         join_mv_maintain_vs_refresh(int(200e6 * s))
+        join_mv_maintain_vs_refresh(int(800e6 * s))
     if args.only is not None and "mor_overlay_read_tax" in args.only:
         mor_overlay_tax(int(40e6 * s))
     if args.only is None or "ivm_join_delta_vs_recompute" in args.only:
