@@ -370,6 +370,14 @@ def main() -> None:
         # ARE the operators — re-paid every run
         "mv_mor_feed_capstone",
         "merge_dv_auto_compact",
+        # round 16: the join-MV cycles (build + source churn + Z-set
+        # fold + serve; the MoR-bound variant inits the table and spans
+        # two merges per catch-up) and the streaming MV loop (3-batch
+        # stream + per-batch merge + catch-up) — re-paid every run,
+        # same policy as their plain-MV relatives above
+        "mv_join_maintain",
+        "mv_join_mor_feed",
+        "stream_mv_maintain",
         # NOT stream_stream_left_outer: its staged feed is plain source
         # staging (the operator is the stateful join, re-run in full
         # every invocation regardless)

@@ -777,10 +777,13 @@ def answer_rollup_aggregate(
     types = dict(finest.dtypes)
     out = None
     for gset in sets:
-        df, _ = answer_aggregate(
-            spark, mv_root, source, source_path,
-            group_cols=gset, aggs=aggs, where=where,
-        )
+        if gset == group_cols:
+            df = finest  # already planned by the routing probe
+        else:
+            df, _ = answer_aggregate(
+                spark, mv_root, source, source_path,
+                group_cols=gset, aggs=aggs, where=where,
+            )
         rolled = [
             F.lit(None).cast(types[c]).alias(c)
             for c in group_cols
