@@ -759,8 +759,62 @@ def answer_rollup_aggregate(
     practice)."""
     group_cols = list(group_cols)
     sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
+    return _answer_sets(
+        spark, mv_root, source, source_path,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="rollup",
+    )
 
-    # the finest set decides: route it, then serve every set the same way
+
+def answer_cube_aggregate(
+    spark: SparkSession,
+    mv_root: str,
+    source: DataFrame,
+    source_path: str,
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``source.cube(group_cols).agg(aggs)`` — ALL 2ⁿ grouping
+    sets — served entirely from a materialized view when one subsumes
+    the full column set (every subset is then subsumed by
+    construction). Same mechanics and caveats as
+    :func:`answer_rollup_aggregate`; the native fallback is the base's
+    ``cube``. A 2ⁿ-way union of KB-scale summary reads replaces a fact
+    pass with 2ⁿ-way Expand row replication — the cube's exponential
+    blow-up lands on the SMALL relation."""
+    group_cols = list(group_cols)
+    sets = [
+        [c for i, c in enumerate(group_cols) if not (mask >> i) & 1]
+        for mask in range(2 ** len(group_cols))
+    ]
+    # deterministic order: finest first (the routing probe), then by
+    # decreasing arity
+    sets = sorted(sets, key=lambda s: (-len(s), s))
+    return _answer_sets(
+        spark, mv_root, source, source_path,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="cube",
+    )
+
+
+def _answer_sets(
+    spark: SparkSession,
+    mv_root: str,
+    source: DataFrame,
+    source_path: str,
+    *,
+    group_cols: list,
+    sets: list,
+    aggs: dict,
+    where,
+    native: str,
+) -> tuple[DataFrame, str | None]:
+    """Shared rollup/cube server: route the FINEST set once; if an MV
+    subsumes it, union one MV-served aggregate per grouping set with
+    typed-NULL markers in the rolled-away columns; else fall back to
+    the base's native rollup/cube (one pass, Expand replication)."""
     finest, used = answer_aggregate(
         spark, mv_root, source, source_path,
         group_cols=group_cols, aggs=aggs, where=where,
@@ -770,7 +824,9 @@ def answer_rollup_aggregate(
         for term in _norm_where(where):
             base = base.filter(_where_expr(term))
         return (
-            base.rollup(*group_cols).agg(*_base_agg_exprs(aggs)),
+            getattr(base, native)(*group_cols).agg(
+                *_base_agg_exprs(aggs)
+            ),
             None,
         )
 

@@ -950,6 +950,80 @@ def mv_rollup_hierarchy_rewrite(spark, sf_dir):
     )
 
 
+@register(
+    "mv_grouping_cube_rewrite",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT 'mv' AS served_from,
+           CAST(l_returnflag AS VARCHAR) AS grp1,
+           CAST(l_linestatus AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM c WHERE l_returnflag <> 'N'
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'base', CAST(l_linenumber AS VARCHAR),
+           CAST(l_linestatus AS VARCHAR),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(max(cents) AS BIGINT)
+    FROM c GROUP BY CUBE (l_linenumber, l_linestatus)
+    """,
+)
+def mv_grouping_cube_rewrite(spark, sf_dir):
+    """CUBE served from MV partials (round 16,
+    plans/mv.answer_cube_aggregate): leg 1 asks for
+    ``CUBE(l_returnflag, l_linestatus)`` UNDER A PREDICATE on an MV
+    group column — all 2ⁿ grouping sets are subsumed by the registered
+    MV, so the planner answers the whole cube from the stored partials
+    with the filter applied to each serve (2ⁿ KB-scale reads; a native
+    CUBE replicates every fact row 2ⁿ ways through one Expand). Leg 2
+    cubes over l_linenumber, which no MV subsumes, and must fall back
+    to the base's native cube. The oracle recomputes both cubes with
+    ANSI GROUP BY CUBE and hardcodes the routing."""
+    from ..plans.mv import answer_cube_aggregate
+
+    root = mv_lineitem_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", _cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    aggs = {
+        "n": ("count", None),
+        "sum_cents": ("sum", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    leg1, used1 = answer_cube_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag", "l_linestatus"], aggs=aggs,
+        where=[("l_returnflag", "!=", "N")],
+    )
+    leg2, used2 = answer_cube_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_linenumber", "l_linestatus"], aggs=aggs,
+    )
+    measures = ["n", "sum_cents", "max_cents"]
+    return leg1.select(
+        F.lit("mv" if used1 == "li_flag_status" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").cast("string").alias("grp1"),
+        F.col("l_linestatus").cast("string").alias("grp2"),
+        *measures,
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("l_linenumber").cast("string").alias("grp1"),
+            F.col("l_linestatus").cast("string").alias("grp2"),
+            *measures,
+        )
+    )
+
+
 def mv_join_maintain_fixture(spark, sf_dir: str) -> str:
     """INCREMENTAL join-MV maintenance under simultaneous fact AND dim
     churn: the star-join MV (orders ⋈ customer at (c_mktsegment,
