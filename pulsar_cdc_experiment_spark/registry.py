@@ -43,14 +43,15 @@ ORACLES: dict[str, str] = {}
 #: CORRECTNESS_r01..r14), including 5 of this round's 11 new queries
 #: (salt 2 gave 18 fresh but only 3 of the new capabilities — driver
 #: eyes on the riskiest new code wins the tie)
-#: round 16: salt 14 at the final 240-query registry → 12 never-sampled
+#: round 16: salt 34 at the final 241-query registry → 16 never-sampled
 #: names in the oracle-backed prefix-50 (simulated against
-#: CORRECTNESS_r01..r15), covering two of the r15 tail the verdict
-#: flagged (approx_distinct_bounds, stream_late_drop_counts) AND the
-#: three riskiest round-16 queries (mv_join_maintain,
-#: mv_rollup_hierarchy_rewrite, mv_join_mor_feed); salts 36/37 gave
-#: 14-15 fresh but none of the new join-MV maintenance code
-_ROTATION_SALT = 14
+#: CORRECTNESS_r01..r15), covering all four riskiest round-16 queries
+#: (mv_join_maintain, mv_join_mor_feed, stream_mv_maintain,
+#: stream_join_mv_maintain) plus the r15 tail's
+#: embed_ivf_append_portable; salt 35 gave one more r15-tail name but
+#: missed mv_join_maintain — driver eyes on the riskiest new code
+#: wins the tie, as in r15
+_ROTATION_SALT = 34
 
 
 def register(name: str, oracle: str | None = None):
