@@ -59,6 +59,88 @@ from .layout import maintenance_lock
 
 MOR = ".mor"
 _BASE_FMT = "base-{:06d}"
+_LEASES = "leases"
+
+
+def read_lease(root: str, ttl_sec: float = 300.0):
+    """Pin the table's CURRENT physical files for a lock-free reader —
+    upgrades the documented retention grace window (compaction /
+    rollback defer file deletion to the NEXT maintenance entry) into
+    an ENFORCED one across processes: while any unexpired lease file
+    exists under ``.mor/leases/``, maintenance skips the grace-window
+    deletions (old base generations, unpublished sequence files), so a
+    lazy plan built from a pre-compaction manifest stays materializable
+    no matter how many maintenance entries land meanwhile.
+
+    Context manager: create the lease before building the lazy plan,
+    hold it across the plan's actions, release on exit (crash-safe:
+    an orphaned lease expires after ``ttl_sec`` and is swept by the
+    next maintenance entry — pick a TTL longer than the longest
+    expected read). Taking a lease is one tiny atomic file write; it
+    never blocks writers — merges, compactions, and purges proceed,
+    only the deferred CLEANUP waits.
+
+    At 100 TB this is the table-format snapshot-retention contract
+    (Iceberg/Delta's `retain last N snapshots for M hours`) reduced to
+    its essential mechanism: readers advertise liveness, maintenance
+    respects it, nothing blocks."""
+    import time as _time
+    import uuid
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lease():
+        d = os.path.join(root, MOR, _LEASES)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(
+            d, f"lease-{os.getpid()}-{uuid.uuid4().hex[:8]}.json"
+        )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"expires": _time.time() + ttl_sec, "pid": os.getpid()},
+                f,
+            )
+        os.replace(tmp, path)
+        try:
+            yield path
+        finally:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+    return _lease()
+
+
+def _has_active_lease(root: str) -> bool:
+    """True while any unexpired reader lease pins the table's files;
+    expired lease files (crashed readers) are removed on the way."""
+    import time as _time
+
+    d = os.path.join(root, MOR, _LEASES)
+    if not os.path.isdir(d):
+        return False
+    now = _time.time()
+    active = False
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if f.endswith(".tmp"):
+            os.remove(p)
+            continue
+        try:
+            with open(p) as fh:
+                exp = json.load(fh).get("expires", 0)
+        except (OSError, ValueError):
+            exp = 0
+        if exp > now:
+            active = True
+        else:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+    return active
 
 
 def _manifest_path(root: str) -> str:
@@ -110,8 +192,17 @@ def _write_single_parquet(df: DataFrame, dst_file: str) -> None:
 def _sweep_orphans(root: str, man: dict) -> None:
     """Remove sidecar files/dirs from seqs the manifest never published
     (crashed writer) and leftover single-file tmp dirs — safe under the
-    maintenance lock because the manifest is the only publish point."""
+    maintenance lock because the manifest is the only publish point.
+
+    GRACE-WINDOW deletions (formerly-published state a lock-free
+    reader's lazy plan may still reference: old base generations,
+    rolled-back/compacted-away sequence files) are DEFERRED while any
+    unexpired reader lease exists (:func:`read_lease`) — the next
+    maintenance entry after the last lease expires sweeps them.
+    Never-published writer debris (``.tmp``/``.tmpdir`` staging) was
+    never readable and is removed unconditionally."""
     published = {s["seq"] for s in man["seqs"]}
+    graced = _has_active_lease(root)
     ddir = os.path.join(root, MOR, "delete")
     if os.path.isdir(ddir):
         for f in os.listdir(ddir):
@@ -121,20 +212,29 @@ def _sweep_orphans(root: str, man: dict) -> None:
                 if os.path.isfile(p):
                     os.remove(p)
             elif f.startswith("d-") and f.endswith(".parquet"):
-                if int(f[2:8]) not in published:
+                if int(f[2:8]) not in published and not graced:
                     os.remove(os.path.join(ddir, f))
     sdir = os.path.join(root, MOR, "delta")
     if os.path.isdir(sdir):
         for d in os.listdir(sdir):
-            if d.startswith("s-") and int(d[2:8]) not in published:
+            if (
+                d.startswith("s-")
+                and int(d[2:8]) not in published
+                and not graced
+            ):
                 shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
     # any base generation other than the manifest's pointer is orphaned:
     # newer = a crashed compaction's never-published staging, older = a
-    # published compaction that crashed before cleanup
+    # published compaction that crashed before cleanup — both held back
+    # while a reader lease is live (the old-published case is exactly
+    # the grace window; the crashed-staging case is indistinguishable
+    # from it without provenance, and holding garbage one lease longer
+    # is harmless)
     cur = man["base"]
-    for d in os.listdir(root):
-        if d.startswith("base-") and d != cur:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    if not graced:
+        for d in os.listdir(root):
+            if d.startswith("base-") and d != cur:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     # converge any crashed purge leaf swap (shared sentinel discipline
     # with the copy-on-write history scrub)
     from .merge import _purge_recover

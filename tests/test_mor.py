@@ -556,3 +556,61 @@ def test_rollback_grace_window_for_lazy_readers(spark, mor_table):
     got = _state(spark, mor_table)
     assert (4, 400.0, "a") in got and (3, 300.0, "b") not in got
     assert (3, 3.0, "b") in got
+
+
+def test_reader_lease_enforces_grace_window(spark, mor_table):
+    """read_lease upgrades the documented retention grace window into
+    an enforced one: while an unexpired lease exists, maintenance
+    entries skip the grace-window deletions, so a lazy plan built from
+    a PRE-compaction manifest stays materializable across a compaction
+    AND subsequent maintenance; after release, the next entry sweeps;
+    an expired (crashed-reader) lease never wedges cleanup and its
+    file is removed; never-published writer debris is swept even
+    under a live lease."""
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        _has_active_lease,
+        read_lease,
+    )
+
+    root = mor_table
+    merge_into_mor(spark, root, _chg(
+        spark, [(1, 100.0, "b", False), (2, 2.0, "a", True)]
+    ))
+    want = _state(spark, root)
+
+    def old_bases():
+        cur = json.load(open(os.path.join(root, MOR, "manifest.json")))
+        return [
+            d for d in os.listdir(root)
+            if d.startswith("base-") and d != cur["base"]
+        ]
+
+    with read_lease(root, ttl_sec=600):
+        pre_plan = read_mor(spark, root)  # lazy, pre-compaction files
+        compact_mor(spark, root)
+        # two maintenance entries land while the lease is live
+        merge_into_mor(spark, root, _chg(spark, [(3, 33.0, "b", False)]))
+        merge_into_mor(spark, root, _chg(spark, [(4, 44.0, "a", False)]))
+        assert old_bases(), "grace window must survive maintenance"
+        # writer debris is NOT leased: a fake crashed tmp dir goes away
+        debris = os.path.join(root, MOR, "delete", "junk.tmpdir")
+        os.makedirs(debris)
+        merge_into_mor(spark, root, _chg(spark, [(5, 55.0, "b", False)]))
+        assert not os.path.exists(debris)
+        assert old_bases()
+        # the pre-compaction plan still materializes, correctly
+        got = {(r["k"], r["v"], r["p"]) for r in pre_plan.collect()}
+        assert got == want
+
+    # lease released: the next maintenance entry sweeps the old base
+    merge_into_mor(spark, root, _chg(spark, [(6, 66.0, "a", False)]))
+    assert not old_bases()
+
+    # a crashed reader's EXPIRED lease neither wedges cleanup nor
+    # survives the check
+    d = os.path.join(root, MOR, "leases")
+    stale = os.path.join(d, "lease-0-dead.json")
+    with open(stale, "w") as f:
+        json.dump({"expires": 0, "pid": 0}, f)
+    assert not _has_active_lease(root)
+    assert not os.path.exists(stale)
