@@ -127,6 +127,15 @@ def _publish_manifest(d: str, man: dict) -> None:
     os.replace(tmp, os.path.join(d, "mv.json"))
 
 
+def _count_groups(spark: SparkSession, d: str) -> int:
+    """Stored group-row count, refreshed at every publish — the
+    cost-based MV-choice statistic (parquet count(*) is row-group
+    metadata, one cheap O(files) job over a KB-scale summary)."""
+    from .mor import _read_cached
+
+    return _read_cached(spark, os.path.join(d, "data")).count()
+
+
 def _stamp_fingerprint(man: dict, token: list | None) -> None:
     """Stamp the manifest's freshness fingerprint(s). With a
     derivation-time ``token``, verify the source has NOT moved past it
@@ -214,6 +223,7 @@ def create_mv(
             "group_cols": group_cols,
             "measures": meta,
             "fingerprint": _fingerprint(source_path),
+            "n_groups": _count_groups(spark, d),
         }
         _publish_manifest(d, man)
         return man
@@ -236,6 +246,7 @@ def refresh_mv(
             }
         )
         _publish_swap(d, source.groupBy(*man["group_cols"]).agg(*exprs))
+        man["n_groups"] = _count_groups(spark, d)
         man["fingerprint"] = _fingerprint(man["source_path"])
         if "dim_paths" in man:
             man["dim_fingerprints"] = [
@@ -368,6 +379,7 @@ def _fold_changes_and_swap(
     untouched = data.join(touched, group_cols, "left_anti")
     out = untouched.unionByName(new_rows.select(*data.columns))
     _publish_swap(d, out, pre_swap=pre_swap)
+    man["n_groups"] = _count_groups(spark, d)
 
 
 def scrub_mv_groups(
@@ -419,6 +431,7 @@ def scrub_mv_groups(
         _publish_swap(
             d, out, pre_swap=lambda: _stamp_fingerprint(man, source_token)
         )
+        man["n_groups"] = _count_groups(spark, d)
         _publish_manifest(d, man)
         return {"groups_scrubbed": n}
 
@@ -721,8 +734,17 @@ def answer_aggregate(
             base = base.filter(_where_expr(term))
         return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
 
-    # coarsest subsuming MV = fewest group columns = smallest rollup read
-    man = min(candidates, key=lambda m: len(m["group_cols"]))
+    # cost-based choice: smallest STORED group-row count wins (the
+    # fewest-group-columns proxy mispicks when a 2-column MV over tiny
+    # dimensions is smaller than a 1-column MV over a high-cardinality
+    # key); every publish refreshes n_groups, len(group_cols) breaks
+    # ties deterministically
+    man = min(
+        candidates,
+        key=lambda m: (
+            m.get("n_groups", float("inf")), len(m["group_cols"])
+        ),
+    )
     return (
         _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
         man["name"],
@@ -956,6 +978,7 @@ def create_join_mv(
             "measures": meta,
             "fingerprint": _fingerprint(fact_path),
             "dim_fingerprints": [_fingerprint(p) for _, p, _ in dims],
+            "n_groups": _count_groups(spark, d),
         }
         _publish_manifest(d, man)
         return man
@@ -1026,7 +1049,12 @@ def answer_join_aggregate(
             base = base.filter(_where_expr(term))
         return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
 
-    man = min(candidates, key=lambda m: len(m["group_cols"]))
+    man = min(
+        candidates,
+        key=lambda m: (
+            m.get("n_groups", float("inf")), len(m["group_cols"])
+        ),
+    )
     return (
         _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
         man["name"],

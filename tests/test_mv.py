@@ -604,3 +604,77 @@ def test_disjunctive_predicate_routing(mv_env):
             spark, mv_root, src, src_path, group_cols=["g1"], aggs=AGGS,
             where=[("g1", "=")],
         )
+
+
+def test_cost_based_mv_choice_prefers_smaller_summary(spark):
+    """Cost-based MV choice (round 16): among multiple fresh subsuming
+    candidates the planner picks the one with the SMALLEST stored
+    group-row count (refreshed at every publish), not the fewest group
+    columns — a two-column MV over tiny dimensions (4 rows) must beat
+    a one-column MV over a high-cardinality key (1000 rows) for a
+    query both subsume. Maintenance keeps the statistic fresh: after
+    an insert creating a brand-new group, the chosen MV's n_groups
+    reflects it."""
+    import json as _json
+
+    from pulsar_cdc_experiment_spark.plans.mv import maintain_mv
+
+    base = tempfile.mkdtemp(prefix="mv_cost_")
+    src_path = os.path.join(base, "fact")
+    rows = [
+        (i, ["x", "y"][i % 2], ["p", "q"][(i // 2) % 2], i % 1000,
+         (i * 7) % 100)
+        for i in range(4000)
+    ]
+    spark.createDataFrame(
+        rows, "id bigint, g string, h string, k bigint, cents bigint"
+    ).write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+    mv_root = os.path.join(base, "mvs")
+    create_mv(
+        spark, mv_root, name="tiny_two_col", source_path=src_path,
+        source=src, group_cols=["g", "h"],
+        measures={"sc": ("sum", "cents"), "n": ("count", None)},
+    )
+    create_mv(
+        spark, mv_root, name="wide_one_col", source_path=src_path,
+        source=src, group_cols=["g", "k"],
+        measures={"sc": ("sum", "cents"), "n": ("count", None)},
+    )
+    with open(os.path.join(mv_root, "tiny_two_col", "mv.json")) as f:
+        assert _json.load(f)["n_groups"] == 4
+    with open(os.path.join(mv_root, "wide_one_col", "mv.json")) as f:
+        # g is determined by k (both ride i's parity), so (g, k) has
+        # exactly the 1000 k values — still 250x the tiny MV
+        assert _json.load(f)["n_groups"] == 1000
+
+    # both subsume GROUP BY g; the column-count proxy ties (2 vs 2) and
+    # the row statistic must decide
+    df, used = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g"],
+        aggs={"sc": ("sum", "cents"), "n": ("count", None)},
+    )
+    assert used == "tiny_two_col"
+    want = {
+        r["g"]: (r["sc"], r["n"])
+        for r in src.groupBy("g").agg(
+            F.sum("cents").alias("sc"), F.count("*").alias("n")
+        ).collect()
+    }
+    assert {r["g"]: (r["sc"], r["n"]) for r in df.collect()} == want
+
+    # maintenance refreshes the statistic: a new (g, h) group appears
+    spark.createDataFrame(
+        [(9999, "z", "p", 5, 50)],
+        "id bigint, g string, h string, k bigint, cents bigint",
+    ).write.mode("append").parquet(src_path)
+    changes = spark.createDataFrame(
+        [("z", "p", 50, 1)], "g string, h string, cents bigint, __z long"
+    )
+    maintain_mv(
+        spark, mv_root, "tiny_two_col", changes,
+        base_new=spark.read.parquet(src_path).select("g", "h", "cents"),
+    )
+    with open(os.path.join(mv_root, "tiny_two_col", "mv.json")) as f:
+        assert _json.load(f)["n_groups"] == 5
+    shutil.rmtree(base, ignore_errors=True)
