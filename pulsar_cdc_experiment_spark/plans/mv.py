@@ -807,6 +807,14 @@ def answer_cube_aggregate(
     pass with 2ⁿ-way Expand row replication — the cube's exponential
     blow-up lands on the SMALL relation."""
     group_cols = list(group_cols)
+    if len(group_cols) > 6:
+        # 2ⁿ union branches explode PLANNING cost past ~64 sets; a
+        # cube this wide is better served by the native Expand even
+        # when an MV subsumes it
+        base = source
+        for term in _norm_where(where):
+            base = base.filter(_where_expr(term))
+        return base.cube(*group_cols).agg(*_base_agg_exprs(aggs)), None
     sets = [
         [c for i, c in enumerate(group_cols) if not (mask >> i) & 1]
         for mask in range(2 ** len(group_cols))
