@@ -829,6 +829,43 @@ def answer_cube_aggregate(
     )
 
 
+def answer_grouping_sets(
+    spark: SparkSession,
+    mv_root: str,
+    source: DataFrame,
+    source_path: str,
+    *,
+    group_cols: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``GROUP BY GROUPING SETS (sets)`` — arbitrary requested
+    sets over ``group_cols``, ANSI NULL markers in each set's
+    rolled-away columns — served from a materialized view when one
+    subsumes the UNION of all set columns (then every individual set
+    is subsumed). The third sibling of
+    :func:`answer_rollup_aggregate` / :func:`answer_cube_aggregate`:
+    rollup and cube are the prefix-chain and power-set special cases.
+    Falls back to the base's native ``groupingSets`` (one pass,
+    |sets|-way Expand replication). Every set must be a subset of
+    ``group_cols``; sets are served in the given order."""
+    group_cols = list(group_cols)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"grouping set {s} has column(s) {bad} outside "
+                f"group_cols {group_cols}"
+            )
+    return _answer_sets(
+        spark, mv_root, source, source_path,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="groupingSets",
+    )
+
+
 def _answer_sets(
     spark: SparkSession,
     mv_root: str,
@@ -841,10 +878,12 @@ def _answer_sets(
     where,
     native: str,
 ) -> tuple[DataFrame, str | None]:
-    """Shared rollup/cube server: route the FINEST set once; if an MV
-    subsumes it, union one MV-served aggregate per grouping set with
+    """Shared rollup/cube/grouping-sets server: route the FINEST
+    possible set (all of ``group_cols``) once; if an MV subsumes it,
+    union one MV-served aggregate per requested grouping set with
     typed-NULL markers in the rolled-away columns; else fall back to
-    the base's native rollup/cube (one pass, Expand replication)."""
+    the base's native rollup/cube/groupingSets (one pass, Expand
+    replication)."""
     finest, used = answer_aggregate(
         spark, mv_root, source, source_path,
         group_cols=group_cols, aggs=aggs, where=where,
@@ -853,6 +892,13 @@ def _answer_sets(
         base = source
         for term in _norm_where(where):
             base = base.filter(_where_expr(term))
+        if native == "groupingSets":
+            return (
+                base.groupingSets(sets, *group_cols).agg(
+                    *_base_agg_exprs(aggs)
+                ),
+                None,
+            )
         return (
             getattr(base, native)(*group_cols).agg(
                 *_base_agg_exprs(aggs)

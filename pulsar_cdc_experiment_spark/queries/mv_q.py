@@ -1024,6 +1024,76 @@ def mv_grouping_cube_rewrite(spark, sf_dir):
     )
 
 
+@register(
+    "mv_grouping_sets_rewrite",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT 'mv' AS served_from,
+           CAST(l_returnflag AS VARCHAR) AS grp1,
+           CAST(l_linestatus AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    UNION ALL
+    SELECT 'base', CAST(l_linenumber AS VARCHAR),
+           CAST(l_linestatus AS VARCHAR),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM c GROUP BY GROUPING SETS ((l_linenumber), (l_linestatus))
+    """,
+)
+def mv_grouping_sets_rewrite(spark, sf_dir):
+    """Arbitrary GROUPING SETS served from MV partials (round 16,
+    plans/mv.answer_grouping_sets — the third sibling: rollup and cube
+    are its prefix-chain and power-set special cases): leg 1 asks for
+    ``GROUPING SETS ((l_returnflag), (l_linestatus))`` — the
+    two-independent-breakdowns report shape — and both sets are
+    subsumed by the registered MV, so each is served from the stored
+    partials and unioned with ANSI NULL markers (two KB-scale reads;
+    native execution Expands every fact row once per set). Leg 2's
+    sets include l_linenumber, which no MV subsumes, and must fall
+    back to the base's native groupingSets. The oracle recomputes both
+    with ANSI GROUP BY GROUPING SETS and hardcodes the routing."""
+    from ..plans.mv import answer_grouping_sets
+
+    root = mv_lineitem_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", _cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+    leg1, used1 = answer_grouping_sets(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag", "l_linestatus"],
+        sets=[["l_returnflag"], ["l_linestatus"]],
+        aggs=aggs,
+    )
+    leg2, used2 = answer_grouping_sets(
+        spark, root, src, src_path,
+        group_cols=["l_linenumber", "l_linestatus"],
+        sets=[["l_linenumber"], ["l_linestatus"]],
+        aggs=aggs,
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "li_flag_status" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").cast("string").alias("grp1"),
+        F.col("l_linestatus").cast("string").alias("grp2"),
+        "n", "sum_cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("l_linenumber").cast("string").alias("grp1"),
+            F.col("l_linestatus").cast("string").alias("grp2"),
+            "n", "sum_cents",
+        )
+    )
+
+
 def mv_join_maintain_fixture(spark, sf_dir: str) -> str:
     """INCREMENTAL join-MV maintenance under simultaneous fact AND dim
     churn: the star-join MV (orders ⋈ customer at (c_mktsegment,

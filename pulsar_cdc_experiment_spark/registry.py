@@ -43,15 +43,17 @@ ORACLES: dict[str, str] = {}
 #: CORRECTNESS_r01..r14), including 5 of this round's 11 new queries
 #: (salt 2 gave 18 fresh but only 3 of the new capabilities — driver
 #: eyes on the riskiest new code wins the tie)
-#: round 16: salt 34 at the final 241-query registry → 16 never-sampled
+#: round 16: salt 35 at the final 242-query registry → 14 never-sampled
 #: names in the oracle-backed prefix-50 (simulated against
-#: CORRECTNESS_r01..r15), covering all four riskiest round-16 queries
-#: (mv_join_maintain, mv_join_mor_feed, stream_mv_maintain,
-#: stream_join_mv_maintain) plus the r15 tail's
-#: embed_ivf_append_portable; salt 35 gave one more r15-tail name but
-#: missed mv_join_maintain — driver eyes on the riskiest new code
-#: wins the tie, as in r15
-_ROTATION_SALT = 34
+#: CORRECTNESS_r01..r15), covering mv_join_maintain (the Z-set
+#: star-join maintenance core), all three grouping-set-family serves
+#: (mv_rollup_hierarchy_rewrite, mv_grouping_cube_rewrite,
+#: mv_grouping_sets_rewrite), and the r15 tail's
+#: stream_late_drop_counts; no single salt co-lands more than one of
+#: the four maintenance-family queries (family rotation keeps them
+#: adjacent) — the core fold machinery wins the tie, the streaming
+#: variants stay parity/spotlight/pytest-covered
+_ROTATION_SALT = 35
 
 
 def register(name: str, oracle: str | None = None):

@@ -84,6 +84,7 @@ SPOTLIGHT = [
     "stream_join_mv_maintain",
     "mv_rollup_hierarchy_rewrite",
     "mv_grouping_cube_rewrite",
+    "mv_grouping_sets_rewrite",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",
