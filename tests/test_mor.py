@@ -614,3 +614,53 @@ def test_reader_lease_enforces_grace_window(spark, mor_table):
         json.dump({"expires": 0, "pid": 0}, f)
     assert not _has_active_lease(root)
     assert not os.path.exists(stale)
+
+
+def test_reader_lease_cross_process(spark, mor_table):
+    """The lease is CROSS-PROCESS: a second OS process takes the lease
+    (pure file ops, no Spark), and maintenance entries in THIS process
+    defer the grace-window sweep until that process releases it."""
+    import subprocess
+    import sys
+
+    from pulsar_cdc_experiment_spark.plans.mor import compact_mor
+
+    root = mor_table
+    merge_into_mor(spark, root, _chg(spark, [(1, 100.0, "b", False)]))
+    compact_mor(spark, root)
+
+    def old_bases():
+        cur = json.load(open(os.path.join(root, MOR, "manifest.json")))
+        return [
+            d for d in os.listdir(root)
+            if d.startswith("base-") and d != cur["base"]
+        ]
+
+    assert old_bases(), "compaction must leave the grace-window base"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import sys\n"
+            f"sys.path.insert(0, {repo!r})\n"
+            "from pulsar_cdc_experiment_spark.plans.mor import read_lease\n"
+            f"with read_lease({root!r}, ttl_sec=600):\n"
+            "    print('held', flush=True)\n"
+            "    sys.stdin.readline()\n"
+        )],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "held"
+        # a maintenance entry lands while the OTHER process holds the
+        # lease: the old base generation must survive
+        merge_into_mor(spark, root, _chg(spark, [(2, 22.0, "a", False)]))
+        assert old_bases(), "cross-process lease must defer the sweep"
+        # clean release in the other process, then the next entry sweeps
+        proc.stdin.write("\n")
+        proc.stdin.close()
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    merge_into_mor(spark, root, _chg(spark, [(3, 33.0, "b", False)]))
+    assert not old_bases()
