@@ -62,6 +62,98 @@ _BASE_FMT = "base-{:06d}"
 _LEASES = "leases"
 
 
+#: a lease .tmp younger than this is assumed to be a reader's in-flight
+#: write→replace pair and is left alone (sweeping it between the write
+#: and the replace would crash the reader's acquisition — round-16
+#: advice); older ones are a crashed reader's debris
+_LEASE_TMP_GRACE_SEC = 10.0
+
+
+def lease_scope(lease_dir: str, ttl_sec: float = 300.0):
+    """Generic cross-process reader lease over ``lease_dir`` — the
+    shared mechanism behind :func:`read_lease` (MoR tables) and
+    ``plans.mv.read_mv_lease`` (materialized views). One tiny atomic
+    file write to acquire, removal to release; maintenance calls
+    :func:`any_active_lease` and defers grace-window deletions while
+    any unexpired lease exists."""
+    import time as _time
+    import uuid
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _lease():
+        os.makedirs(lease_dir, exist_ok=True)
+        path = os.path.join(
+            lease_dir, f"lease-{os.getpid()}-{uuid.uuid4().hex[:8]}.json"
+        )
+        tmp = path + ".tmp"
+        for _attempt in (0, 1):
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"expires": _time.time() + ttl_sec,
+                     "pid": os.getpid()},
+                    f,
+                )
+            try:
+                os.replace(tmp, path)
+                break
+            except FileNotFoundError:
+                # a concurrent sweep raced the write→replace pair and
+                # removed the tmp (the age threshold makes this
+                # near-impossible, but a clock-skewed sweeper could) —
+                # rewrite once; a second loss is a real environment
+                # problem worth failing loud on
+                if _attempt:
+                    raise
+        try:
+            yield path
+        finally:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+    return _lease()
+
+
+def any_active_lease(lease_dir: str) -> bool:
+    """True while any unexpired reader lease file exists under
+    ``lease_dir``; expired lease files (crashed readers) are removed on
+    the way. Lease ``.tmp`` files are another process's in-flight
+    write→replace pair: left alone while young (removing one mid-pair
+    crashes that reader's acquisition), swept only past the age
+    threshold, and every removal tolerates the file vanishing first
+    (the reader's ``os.replace`` may beat us to it)."""
+    import time as _time
+
+    if not os.path.isdir(lease_dir):
+        return False
+    now = _time.time()
+    active = False
+    for f in os.listdir(lease_dir):
+        p = os.path.join(lease_dir, f)
+        if f.endswith(".tmp"):
+            try:
+                if now - os.stat(p).st_mtime > _LEASE_TMP_GRACE_SEC:
+                    os.remove(p)
+            except FileNotFoundError:
+                pass
+            continue
+        try:
+            with open(p) as fh:
+                exp = json.load(fh).get("expires", 0)
+        except (OSError, ValueError):
+            exp = 0
+        if exp > now:
+            active = True
+        else:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+    return active
+
+
 def read_lease(root: str, ttl_sec: float = 300.0):
     """Pin the table's CURRENT physical files for a lock-free reader —
     upgrades the documented retention grace window (compaction /
@@ -84,63 +176,12 @@ def read_lease(root: str, ttl_sec: float = 300.0):
     (Iceberg/Delta's `retain last N snapshots for M hours`) reduced to
     its essential mechanism: readers advertise liveness, maintenance
     respects it, nothing blocks."""
-    import time as _time
-    import uuid
-    from contextlib import contextmanager
-
-    @contextmanager
-    def _lease():
-        d = os.path.join(root, MOR, _LEASES)
-        os.makedirs(d, exist_ok=True)
-        path = os.path.join(
-            d, f"lease-{os.getpid()}-{uuid.uuid4().hex[:8]}.json"
-        )
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"expires": _time.time() + ttl_sec, "pid": os.getpid()},
-                f,
-            )
-        os.replace(tmp, path)
-        try:
-            yield path
-        finally:
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
-
-    return _lease()
+    return lease_scope(os.path.join(root, MOR, _LEASES), ttl_sec)
 
 
 def _has_active_lease(root: str) -> bool:
-    """True while any unexpired reader lease pins the table's files;
-    expired lease files (crashed readers) are removed on the way."""
-    import time as _time
-
-    d = os.path.join(root, MOR, _LEASES)
-    if not os.path.isdir(d):
-        return False
-    now = _time.time()
-    active = False
-    for f in os.listdir(d):
-        p = os.path.join(d, f)
-        if f.endswith(".tmp"):
-            os.remove(p)
-            continue
-        try:
-            with open(p) as fh:
-                exp = json.load(fh).get("expires", 0)
-        except (OSError, ValueError):
-            exp = 0
-        if exp > now:
-            active = True
-        else:
-            try:
-                os.remove(p)
-            except FileNotFoundError:
-                pass
-    return active
+    """True while any unexpired reader lease pins the table's files."""
+    return any_active_lease(os.path.join(root, MOR, _LEASES))
 
 
 def _manifest_path(root: str) -> str:
@@ -199,10 +240,21 @@ def _sweep_orphans(root: str, man: dict) -> None:
     rolled-back/compacted-away sequence files) are DEFERRED while any
     unexpired reader lease exists (:func:`read_lease`) — the next
     maintenance entry after the last lease expires sweeps them.
-    Never-published writer debris (``.tmp``/``.tmpdir`` staging) was
-    never readable and is removed unconditionally."""
+    Never-published writer debris (``.tmp``/``.tmpdir``/dotted
+    compaction staging) was never readable and is removed
+    unconditionally. The lease check re-runs immediately before EACH
+    grace deletion (round-16 advice: one check at sweep start left a
+    TOCTOU window — a reader acquiring its lease mid-sweep could lose
+    files later deletions in the same sweep covered; per-deletion
+    re-checks shrink the race to a single unlink)."""
     published = {s["seq"] for s in man["seqs"]}
-    graced = _has_active_lease(root)
+
+    def _grace_ok() -> bool:
+        # re-evaluated per deletion, O(lease-dir listing) — cheap on
+        # the maintenance path, and only ever called when something is
+        # actually about to be deleted
+        return not _has_active_lease(root)
+
     ddir = os.path.join(root, MOR, "delete")
     if os.path.isdir(ddir):
         for f in os.listdir(ddir):
@@ -212,7 +264,7 @@ def _sweep_orphans(root: str, man: dict) -> None:
                 if os.path.isfile(p):
                     os.remove(p)
             elif f.startswith("d-") and f.endswith(".parquet"):
-                if int(f[2:8]) not in published and not graced:
+                if int(f[2:8]) not in published and _grace_ok():
                     os.remove(os.path.join(ddir, f))
     sdir = os.path.join(root, MOR, "delta")
     if os.path.isdir(sdir):
@@ -220,21 +272,28 @@ def _sweep_orphans(root: str, man: dict) -> None:
             if (
                 d.startswith("s-")
                 and int(d[2:8]) not in published
-                and not graced
+                and _grace_ok()
             ):
                 shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+    # compaction STAGING debris (dotted, never readable): removed
+    # unconditionally — a crashed compaction's half-written snapshot
+    # can never be referenced by any reader's plan
+    for d in os.listdir(root):
+        if d.startswith(".base-") and d.endswith(".staging"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     # any base generation other than the manifest's pointer is orphaned:
-    # newer = a crashed compaction's never-published staging, older = a
-    # published compaction that crashed before cleanup — both held back
-    # while a reader lease is live (the old-published case is exactly
-    # the grace window; the crashed-staging case is indistinguishable
-    # from it without provenance, and holding garbage one lease longer
-    # is harmless)
+    # newer = a compaction that crashed between its publish rename and
+    # the manifest write, older = a published compaction that crashed
+    # before cleanup — both held back while a reader lease is live
+    # (the old-published case is exactly the grace window; the crashed
+    # post-rename case is indistinguishable from it without provenance,
+    # and holding garbage one lease longer is harmless — compaction
+    # recovery is NOT blocked: _compact_locked picks the first FREE
+    # generation number, round-16 advice)
     cur = man["base"]
-    if not graced:
-        for d in os.listdir(root):
-            if d.startswith("base-") and d != cur:
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    for d in os.listdir(root):
+        if d.startswith("base-") and d != cur and _grace_ok():
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     # converge any crashed purge leaf swap (shared sentinel discipline
     # with the copy-on-write history scrub)
     from .merge import _purge_recover
@@ -565,12 +624,25 @@ def _compact_locked(
         )
     folded = [s["seq"] for s in man["seqs"] if s["seq"] <= hi]
     old_base = man["base"]
+    # first FREE generation number: a prior compaction that crashed
+    # after its publish rename (or whose debris a reader lease held
+    # back from the sweep) must not block recovery with an
+    # errorifexists collision (round-16 advice) — skip past it
     gen = int(old_base.split("-")[1]) + 1
+    while os.path.exists(os.path.join(root, _BASE_FMT.format(gen))):
+        gen += 1
     new_base = _BASE_FMT.format(gen)
+    # stage under a dotted name (never readable, swept unconditionally
+    # as writer debris) and rename into place at publish: a crash
+    # mid-write leaves only sweepable staging, never a half-written
+    # base-NNNN dir a later generation-number derivation could trip on
+    staging = os.path.join(root, f".{new_base}.staging")
+    shutil.rmtree(staging, ignore_errors=True)
     snap = read_mor(spark, root, hi)
     snap.write.mode("errorifexists").partitionBy(
         *man["partition_col"]
-    ).parquet(os.path.join(root, new_base))
+    ).parquet(staging)
+    os.rename(staging, os.path.join(root, new_base))
     man["base"] = new_base
     man["base_seq"] = hi
     man["seqs"] = [s for s in man["seqs"] if s["seq"] > hi]

@@ -664,3 +664,65 @@ def test_reader_lease_cross_process(spark, mor_table):
             proc.kill()
     merge_into_mor(spark, root, _chg(spark, [(3, 33.0, "b", False)]))
     assert not old_bases()
+
+
+def test_lease_tmp_race_and_staged_compaction_recovery(spark, mor_table):
+    """Round-16 advice hardening, three behaviors pinned:
+    (a) a YOUNG lease ``.tmp`` (another reader's in-flight
+    write→replace pair) survives the lease check — only an old one is
+    swept, and the sweep tolerates the file vanishing mid-removal;
+    (b) compaction stages under a dotted name: crash debris from a
+    half-written compaction is swept even under a live lease (it was
+    never readable) and never collides with a later generation;
+    (c) a crashed compaction's POST-rename base dir (unpublished,
+    lease-held) does not block the next compact_mor — the generation
+    derivation skips to the first free number."""
+    import time
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        _has_active_lease,
+        read_lease,
+    )
+
+    root = mor_table
+    merge_into_mor(spark, root, _chg(spark, [(1, 100.0, "b", False)]))
+
+    # (a) young tmp survives; old tmp is swept
+    ldir = os.path.join(root, MOR, "leases")
+    os.makedirs(ldir, exist_ok=True)
+    young = os.path.join(ldir, "lease-1-inflight.json.tmp")
+    with open(young, "w") as f:
+        json.dump({"expires": time.time() + 600, "pid": 1}, f)
+    assert not _has_active_lease(root)  # tmp is not an acquired lease
+    assert os.path.exists(young), "young .tmp must survive the sweep"
+    old = os.path.join(ldir, "lease-2-dead.json.tmp")
+    with open(old, "w") as f:
+        f.write("{}")
+    os.utime(old, (time.time() - 3600, time.time() - 3600))
+    assert not _has_active_lease(root)
+    assert not os.path.exists(old), "aged .tmp is crashed-reader debris"
+    os.remove(young)
+
+    # (b) dotted compaction staging sweeps even under a live lease
+    with read_lease(root, ttl_sec=600):
+        debris = os.path.join(root, ".base-000009.staging")
+        os.makedirs(debris)
+        merge_into_mor(spark, root, _chg(spark, [(2, 22.0, "a", False)]))
+        assert not os.path.exists(debris)
+
+        # (c) a crashed compaction's post-rename dir is lease-held;
+        # the next compaction must skip past it, not errorifexists-fail
+        man = json.load(open(os.path.join(root, MOR, "manifest.json")))
+        gen = int(man["base"].split("-")[1]) + 1
+        crashed = os.path.join(root, f"base-{gen:06d}")
+        os.makedirs(crashed)  # unpublished: manifest never moved
+        rep = compact_mor(spark, root)
+        assert rep["base"] != os.path.basename(crashed)
+        assert _state(spark, root) == _state(spark, root, rep["base_seq"])
+
+    # lease released: next maintenance sweeps both the crashed dir and
+    # the pre-compaction generation
+    merge_into_mor(spark, root, _chg(spark, [(3, 33.0, "b", False)]))
+    man = json.load(open(os.path.join(root, MOR, "manifest.json")))
+    bases = [d for d in os.listdir(root) if d.startswith("base-")]
+    assert bases == [man["base"]]
