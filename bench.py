@@ -12,10 +12,11 @@ window, losing the min-of-3 map from the committed artifact):
 2. a COMPACT line, printed LAST and size-guarded to fit a 2000-char tail
    whole, carrying everything the round artifact must retain:
    {"metric": ..., "value", "steady_value", "unit", "sf", "calib_sec",
-   "fmt": "min3_steady_pairs", "key_aliases", "skew_join",
-   "queries": {name: [min3, steady]}} (2-decimal pairs).
-   tools/bench_series.py expands the pair format back into the min3 and
-   steady series.
+   "fmt": "min3", "skew_join", "queries": {name: min3}} (2-decimal,
+   keys pre-canonicalized — round 17 sheds the key_aliases map from the
+   tail artifact by applying it at emission).
+   tools/bench_series.py expands the r8-r12 pair format back into the
+   min3 and steady series for older artifacts.
 
 ``calib_sec`` is a fixed-work machine-calibration constant (hash-agg over
 a constant range, one small shuffle, min-of-3) measured in the same
@@ -130,6 +131,12 @@ HEADLINE = [
     "mv_join_maintain",             # star-join MV: dJ+dD+dJdD fold + serve
     "stream_mv_maintain",           # foreachBatch MoR apply + per-batch MV catch-up
     "mv_join_mor_feed",             # join MV riding the MoR sequence clock
+    # round-17 additions: join-MV grouping constructs, the mid-stream
+    # auto-compaction x MV catch-up capstone, and the workload advisor,
+    # benched from birth
+    "mv_join_rollup_hierarchy_rewrite",  # ROLLUP over a star join from MV partials
+    "stream_mv_auto_compact",       # stream: merge + MV catch-up + policy compaction
+    "mv_advisor_workload",          # advise -> estimate -> create -> serve both requests
 ]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
@@ -378,6 +385,14 @@ def main() -> None:
         "mv_join_maintain",
         "mv_join_mor_feed",
         "stream_mv_maintain",
+        # round 17: the hierarchy serve (join-MV build + n+1-level
+        # union), the mid-stream-compaction capstone (4-batch stream +
+        # per-batch merge/catch-up + triggered compaction), and the
+        # advisor cycle (advise + one-job estimate + create + serve)
+        # — re-paid every run, same policy as their relatives
+        "mv_join_rollup_hierarchy_rewrite",
+        "stream_mv_auto_compact",
+        "mv_advisor_workload",
         # NOT stream_stream_left_outer: its staged feed is plain source
         # staging (the operator is the stateful join, re-run in full
         # every invocation regardless)
@@ -505,9 +520,16 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib,
         "fmt": "min3",
-        "key_aliases": aliases,
+        # round 17: the compact line emits timings under CANONICAL
+        # names (aliases pre-applied) instead of carrying the alias
+        # map — the 58-entry headline set outgrew the tail window with
+        # the map aboard, and the map's only consumer (bench_series)
+        # needs the canonical key either way; the FULL line above keeps
+        # the raw key + key_aliases for run-log readers
         "skew_join": skew,
-        "queries": {n: round(timings[n], 2) for n in timings},
+        "queries": {
+            aliases.get(n, n): round(timings[n], 2) for n in timings
+        },
     }
     if errors:
         compact["errors"] = sorted(errors)

@@ -20,8 +20,21 @@ materialized-view-matching idea, public in both literatures):
 - **Staleness guard**: the rewrite is used ONLY if the source's current
   file state matches the fingerprint captured at create/refresh time —
   a stale MV silently serving old numbers is the classic MV bug, so the
-  planner falls back to the base instead. ``refresh_mv`` recomputes and
-  re-fingerprints behind an atomic directory swap.
+  planner falls back to the base instead. ``refresh_mv`` recomputes
+  into a NEW data generation and re-fingerprints.
+
+Publishing (round 17): every refresh/maintain/scrub writes a NEW
+versioned data generation (``data-NNNNNN``) and the MANIFEST is the
+single atomic publish point — data dir, fingerprint, and stored-row
+statistic flip together, so no crash window can leave folded data
+behind an old fingerprint (the round-16 double-fold hazard is gone by
+construction: an unpublished generation is orphan debris, the live one
+is byte-untouched, a retry folds once). Old generations stay on disk
+as a reader grace window; ``read_mv_lease`` upgrades it to an ENFORCED
+cross-process one (the same lease discipline as ``plans.mor``): while
+any unexpired lease exists, maintenance defers sweeping them, so a
+lock-free dashboard reader's lazy plan over the previous generation
+stays materializable across any number of refreshes.
 
 At 100 TB this is the difference between a dashboard query costing a
 fact-table scan and costing an MB-scale summary read; the fingerprint
@@ -46,9 +59,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .layout import maintenance_lock
+from .mor import any_active_lease, lease_scope
 
 #: requested-measure functions the rewriter understands
 _DERIVABLE = ("sum", "count", "min", "max", "avg")
+
+_DATA_FMT = "data-{:06d}"
+_MV_LEASES = ".leases"
 
 
 def _fingerprint(path: str) -> list:
@@ -90,21 +107,86 @@ def source_token(path: str) -> list:
     return _fingerprint(path)
 
 
-def _publish_swap(d: str, out: DataFrame, pre_swap=None) -> None:
-    """Atomic data-dir swap shared by refresh/maintain/scrub: stage the
-    new rows, rename the old dir aside, rename the staged dir live,
-    drop the old one. A crash mid-swap leaves either the old or the new
-    data live, never a mix.
+def _data_dir(d: str, man: dict) -> str:
+    """The MV's CURRENT data generation dir — the manifest names it
+    (``data_dir``); pre-round-17 manifests default to the legacy
+    unversioned ``data``."""
+    return os.path.join(d, man.get("data_dir", "data"))
+
+
+def mv_data_dir(mv_root: str, name: str) -> str:
+    """Public resolver for an MV's current data dir (tests/tools read
+    the stored partials directly): manifest-routed, since every publish
+    lands in a NEW generation dir."""
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        return _data_dir(d, json.load(f))
+
+
+def read_mv_lease(mv_root: str, name: str, ttl_sec: float = 300.0):
+    """Pin an MV's CURRENT data generation for a lock-free reader —
+    the ``plans.mor.read_lease`` discipline extended to the summary
+    layer (round-16 verdict: the MoR layer deferred grace-window
+    deletions behind reader leases while the MV publish deleted the
+    old data immediately — and the MV is the layer a dashboard reader
+    actually scans). While any unexpired lease file exists under the
+    MV's ``.leases/``, maintenance defers sweeping old data
+    generations, so a lazy plan built over the pre-refresh generation
+    stays materializable across refresh/maintain/scrub. Context
+    manager; cross-process; crash-safe via TTL expiry; writers never
+    block — only the deferred cleanup waits."""
+    return lease_scope(
+        os.path.join(_mv_dir(mv_root, name), _MV_LEASES), ttl_sec
+    )
+
+
+def _sweep_mv(d: str, man: dict) -> None:
+    """Remove superseded data generations and staging debris for one
+    MV — called at the start of every maintenance verb, mirroring
+    ``plans.mor._sweep_orphans``. Dotted ``.data-*.staging`` dirs were
+    never readable and sweep unconditionally; non-current generations
+    (the reader grace window — either formerly published, or a crashed
+    publish's never-published orphan) sweep only when no unexpired
+    reader lease exists, re-checked immediately before each deletion
+    (the MoR TOCTOU discipline)."""
+    cur = man.get("data_dir", "data")
+    lease_dir = os.path.join(d, _MV_LEASES)
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if f.startswith(".data-") and f.endswith(".staging"):
+            shutil.rmtree(p, ignore_errors=True)
+        elif (
+            (f == "data" or f.startswith("data-"))
+            and f != cur
+            and not any_active_lease(lease_dir)
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _stage_data(d: str, man: dict, out: DataFrame, pre_swap=None) -> None:
+    """Write the MV's new rows as a NEW data generation and point the
+    in-memory manifest at it; the caller's ``_publish_manifest`` is the
+    single ATOMIC publish point (data dir + fingerprint + n_groups flip
+    together). Crash anywhere before that publish leaves the live MV
+    byte-untouched — old data, old fingerprint — so a retried
+    maintenance folds ONCE onto the original partials (this closes the
+    round-16 advice window: the old in-place swap could crash between
+    the data rename and the manifest write, leaving folded data behind
+    the old fingerprint for a retry to double-fold). The superseded
+    generation stays on disk as the reader grace window until a later
+    verb's ``_sweep_mv`` (lease-deferred).
 
     ``pre_swap`` (maintenance's derivation-token check) runs AFTER the
-    expensive staging write but BEFORE the first rename: if it raises,
-    the live data dir is byte-untouched — an aborted maintenance leaves
-    the MV genuinely stale (old data + old fingerprint), so a retried
-    fold with a re-cut changeset folds ONCE onto the original partials.
-    (The round-16 regression this exists for: swapping first and
-    checking after left half-applied data behind the old fingerprint —
-    serving stayed safe, but the retry double-folded the overlap.)"""
-    staged = os.path.join(d, ".data_staged")
+    expensive staging write but BEFORE the generation rename: if it
+    raises, only staging debris remains."""
+    cur = man.get("data_dir", "data")
+    gen = (int(cur.rsplit("-", 1)[1]) + 1) if "-" in cur else 1
+    # first FREE generation: a crashed publish's orphan (or a
+    # lease-held old generation) must never collide
+    while os.path.exists(os.path.join(d, _DATA_FMT.format(gen))):
+        gen += 1
+    new = _DATA_FMT.format(gen)
+    staged = os.path.join(d, f".{new}.staging")
     shutil.rmtree(staged, ignore_errors=True)
     out.write.mode("overwrite").parquet(staged)
     if pre_swap is not None:
@@ -113,11 +195,8 @@ def _publish_swap(d: str, out: DataFrame, pre_swap=None) -> None:
         except BaseException:
             shutil.rmtree(staged, ignore_errors=True)
             raise
-    old = os.path.join(d, ".data_old")
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(os.path.join(d, "data"), old)
-    os.rename(staged, os.path.join(d, "data"))
-    shutil.rmtree(old, ignore_errors=True)
+    os.rename(staged, os.path.join(d, new))
+    man["data_dir"] = new
 
 
 def _publish_manifest(d: str, man: dict) -> None:
@@ -127,13 +206,13 @@ def _publish_manifest(d: str, man: dict) -> None:
     os.replace(tmp, os.path.join(d, "mv.json"))
 
 
-def _count_groups(spark: SparkSession, d: str) -> int:
+def _count_groups(spark: SparkSession, d: str, man: dict) -> int:
     """Stored group-row count, refreshed at every publish — the
     cost-based MV-choice statistic (parquet count(*) is row-group
     metadata, one cheap O(files) job over a KB-scale summary)."""
     from .mor import _read_cached
 
-    return _read_cached(spark, os.path.join(d, "data")).count()
+    return _read_cached(spark, _data_dir(d, man)).count()
 
 
 def _stamp_fingerprint(man: dict, token: list | None) -> None:
@@ -214,17 +293,19 @@ def create_mv(
         d = _mv_dir(mv_root, name)
         if os.path.exists(os.path.join(d, "mv.json")):
             raise ValueError(f"materialized view {name} already exists")
+        data0 = _DATA_FMT.format(0)
         source.groupBy(*group_cols).agg(*exprs).write.mode(
             "errorifexists"
-        ).parquet(os.path.join(d, "data"))
+        ).parquet(os.path.join(d, data0))
         man = {
             "name": name,
             "source_path": source_path,
             "group_cols": group_cols,
             "measures": meta,
+            "data_dir": data0,
             "fingerprint": _fingerprint(source_path),
-            "n_groups": _count_groups(spark, d),
         }
+        man["n_groups"] = _count_groups(spark, d, man)
         _publish_manifest(d, man)
         return man
 
@@ -232,21 +313,22 @@ def create_mv(
 def refresh_mv(
     spark: SparkSession, mv_root: str, name: str, source: DataFrame
 ) -> dict:
-    """Recompute the MV against the source's CURRENT state behind an
-    atomic swap (stale data dir replaced only after the new one is
-    complete; the manifest re-fingerprints last)."""
+    """Recompute the MV against the source's CURRENT state into a new
+    data generation; the manifest publish is the atomic flip, the old
+    generation stays as the (lease-enforceable) reader grace window."""
     with maintenance_lock(mv_root):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
+        _sweep_mv(d, man)
         exprs, _ = _partials(
             {
                 out: (m["fn"], m["col"])
                 for out, m in man["measures"].items()
             }
         )
-        _publish_swap(d, source.groupBy(*man["group_cols"]).agg(*exprs))
-        man["n_groups"] = _count_groups(spark, d)
+        _stage_data(d, man, source.groupBy(*man["group_cols"]).agg(*exprs))
+        man["n_groups"] = _count_groups(spark, d, man)
         man["fingerprint"] = _fingerprint(man["source_path"])
         if "dim_paths" in man:
             man["dim_fingerprints"] = [
@@ -338,6 +420,7 @@ def _fold_changes_and_swap(
     stored partials byte-untouched for a re-cut retry."""
     from ..operators.materialize import mv_partial_delta_maintain
 
+    _sweep_mv(d, man)
     group_cols = man["group_cols"]
     spec = _measure_spec(man)
     missing = [
@@ -355,7 +438,7 @@ def _fold_changes_and_swap(
             raise ValueError(f"base_new lacks column(s) {missing}")
     from .mor import _read_cached
 
-    data = _read_cached(spark, os.path.join(d, "data"))
+    data = _read_cached(spark, _data_dir(d, man))
     _INTEGRAL = ("bigint", "int", "smallint", "tinyint")
     dtypes = dict(data.dtypes)
     for c, kinds in spec.items():
@@ -378,8 +461,8 @@ def _fold_changes_and_swap(
     touched = changes.select(*group_cols).distinct()
     untouched = data.join(touched, group_cols, "left_anti")
     out = untouched.unionByName(new_rows.select(*data.columns))
-    _publish_swap(d, out, pre_swap=pre_swap)
-    man["n_groups"] = _count_groups(spark, d)
+    _stage_data(d, man, out, pre_swap=pre_swap)
+    man["n_groups"] = _count_groups(spark, d, man)
 
 
 def scrub_mv_groups(
@@ -420,7 +503,8 @@ def scrub_mv_groups(
             )
         from .mor import _read_cached
 
-        data = _read_cached(spark, os.path.join(d, "data"))
+        _sweep_mv(d, man)
+        data = _read_cached(spark, _data_dir(d, man))
         keys = group_rows.distinct()
         n = data.join(keys, cols, "left_semi").count()
         out = data.join(keys, cols, "left_anti")
@@ -428,10 +512,11 @@ def scrub_mv_groups(
         # finished (for MoR sources, the post-purge manifest): a second
         # mutation landing mid-scrub must not be stamped over — checked
         # as pre_swap so the abort leaves the summary byte-untouched
-        _publish_swap(
-            d, out, pre_swap=lambda: _stamp_fingerprint(man, source_token)
+        _stage_data(
+            d, man, out,
+            pre_swap=lambda: _stamp_fingerprint(man, source_token),
         )
-        man["n_groups"] = _count_groups(spark, d)
+        man["n_groups"] = _count_groups(spark, d, man)
         _publish_manifest(d, man)
         return {"groups_scrubbed": n}
 
@@ -668,7 +753,7 @@ def _serve_from_mv(
     from .mor import _read_cached
 
     mv = _read_cached(
-        spark, os.path.join(_mv_dir(mv_root, man["name"]), "data")
+        spark, _data_dir(_mv_dir(mv_root, man["name"]), man)
     )
     for term in where:
         mv = mv.filter(_where_expr(term))
@@ -706,10 +791,46 @@ def answer_aggregate(
     group_cols = list(group_cols)
     aggs = dict(aggs)
     where = _norm_where(where)
-    want = set(group_cols)
-    pred_cols = _where_cols(where)
-    current = None  # lazily computed fingerprint
+    man = _pick_plain_mv(
+        mv_root, source_path, set(group_cols), _where_cols(where), aggs
+    )
+    if man is None:
+        base = source
+        for term in where:
+            base = base.filter(_where_expr(term))
+        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
+    return (
+        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+        man["name"],
+    )
 
+
+def _best_candidate(candidates: list) -> dict:
+    """Cost-based choice: smallest STORED group-row count wins (the
+    fewest-group-columns proxy mispicks when a 2-column MV over tiny
+    dimensions is smaller than a 1-column MV over a high-cardinality
+    key); every publish refreshes n_groups, len(group_cols) breaks
+    ties deterministically."""
+    return min(
+        candidates,
+        key=lambda m: (
+            m.get("n_groups", float("inf")), len(m["group_cols"])
+        ),
+    )
+
+
+def _pick_plain_mv(
+    mv_root: str, source_path: str, want: set, pred_cols: set, aggs: dict
+) -> dict | None:
+    """Resolve the winning FRESH subsuming plain MV (or None): group
+    superset, every predicate column a group column, every measure
+    derivable, fingerprint current. Factored out so the grouping-set
+    servers pick ONCE and pin the manifest for every set (round-16
+    advice: per-set re-selection re-listed MVs and re-fingerprinted
+    the source O(2ⁿ) times for a cube — and a source moving between
+    probes could silently mix MV- and base-served levels computed from
+    different source states)."""
+    current = None  # lazily computed fingerprint
     candidates = []
     for man in _list_mvs(mv_root):
         if man.get("kind") == "join":
@@ -727,28 +848,7 @@ def answer_aggregate(
         if man["fingerprint"] != current:
             continue  # stale — invisible
         candidates.append(man)
-
-    if not candidates:
-        base = source
-        for term in where:
-            base = base.filter(_where_expr(term))
-        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
-
-    # cost-based choice: smallest STORED group-row count wins (the
-    # fewest-group-columns proxy mispicks when a 2-column MV over tiny
-    # dimensions is smaller than a 1-column MV over a high-cardinality
-    # key); every publish refreshes n_groups, len(group_cols) breaks
-    # ties deterministically
-    man = min(
-        candidates,
-        key=lambda m: (
-            m.get("n_groups", float("inf")), len(m["group_cols"])
-        ),
-    )
-    return (
-        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
-        man["name"],
-    )
+    return _best_candidate(candidates) if candidates else None
 
 
 def answer_rollup_aggregate(
@@ -878,44 +978,65 @@ def _answer_sets(
     where,
     native: str,
 ) -> tuple[DataFrame, str | None]:
-    """Shared rollup/cube/grouping-sets server: route the FINEST
-    possible set (all of ``group_cols``) once; if an MV subsumes it,
-    union one MV-served aggregate per requested grouping set with
-    typed-NULL markers in the rolled-away columns; else fall back to
-    the base's native rollup/cube/groupingSets (one pass, Expand
-    replication)."""
-    finest, used = answer_aggregate(
-        spark, mv_root, source, source_path,
-        group_cols=group_cols, aggs=aggs, where=where,
+    """Shared rollup/cube/grouping-sets server: resolve the winning MV
+    ONCE for the FINEST possible set (all of ``group_cols`` — subsuming
+    it subsumes every requested set by construction) and serve every
+    set from that PINNED manifest; else fall back to the base's native
+    rollup/cube/groupingSets (one pass, Expand replication). Pinning
+    (round-16 advice) makes planning O(sets) with a single MV listing
+    and a single fingerprint check, and guarantees every level is
+    computed from the SAME stored partials — never a mix of MV- and
+    base-served levels from different source states."""
+    where = _norm_where(where)
+    man = _pick_plain_mv(
+        mv_root, source_path, set(group_cols), _where_cols(where), aggs
     )
-    if used is None:
+    if man is None:
         base = source
-        for term in _norm_where(where):
+        for term in where:
             base = base.filter(_where_expr(term))
-        if native == "groupingSets":
-            return (
-                base.groupingSets(sets, *group_cols).agg(
-                    *_base_agg_exprs(aggs)
-                ),
-                None,
-            )
-        return (
-            getattr(base, native)(*group_cols).agg(
-                *_base_agg_exprs(aggs)
-            ),
-            None,
-        )
+        return _native_sets(base, native, sets, group_cols, aggs), None
+    return (
+        _serve_sets_pinned(
+            spark, mv_root, man, group_cols, sets, aggs, where
+        ),
+        man["name"],
+    )
 
+
+def _native_sets(
+    base: DataFrame, native: str, sets: list, group_cols: list, aggs: dict
+) -> DataFrame:
+    """Base fallback for the grouping-construct servers: one pass over
+    the (filtered) base with native Expand replication."""
+    if native == "groupingSets":
+        return base.groupingSets(sets, *group_cols).agg(
+            *_base_agg_exprs(aggs)
+        )
+    return getattr(base, native)(*group_cols).agg(*_base_agg_exprs(aggs))
+
+
+def _serve_sets_pinned(
+    spark: SparkSession,
+    mv_root: str,
+    man: dict,
+    group_cols: list,
+    sets: list,
+    aggs: dict,
+    where: list,
+) -> DataFrame:
+    """Union one MV-served aggregate per grouping set — typed-NULL
+    markers in each set's rolled-away columns — all from ONE pinned
+    manifest. Works identically for plain and join MVs (serving only
+    ever reads the summary's data generation)."""
+    finest = _serve_from_mv(spark, mv_root, man, group_cols, aggs, where)
     types = dict(finest.dtypes)
     out = None
     for gset in sets:
         if gset == group_cols:
-            df = finest  # already planned by the routing probe
+            df = finest  # the probe plan, reused
         else:
-            df, _ = answer_aggregate(
-                spark, mv_root, source, source_path,
-                group_cols=gset, aggs=aggs, where=where,
-            )
+            df = _serve_from_mv(spark, mv_root, man, gset, aggs, where)
         rolled = [
             F.lit(None).cast(types[c]).alias(c)
             for c in group_cols
@@ -923,7 +1044,7 @@ def _answer_sets(
         ]
         df = df.select(*gset, *rolled, *aggs)
         out = df if out is None else out.unionByName(df)
-    return out, used
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1019,9 +1140,10 @@ def create_join_mv(
         d = _mv_dir(mv_root, name)
         if os.path.exists(os.path.join(d, "mv.json")):
             raise ValueError(f"materialized view {name} already exists")
+        data0 = _DATA_FMT.format(0)
         _join_all(fact, dims).groupBy(*group_cols).agg(*exprs).write.mode(
             "errorifexists"
-        ).parquet(os.path.join(d, "data"))
+        ).parquet(os.path.join(d, data0))
         man = {
             "name": name,
             "kind": "join",
@@ -1030,10 +1152,11 @@ def create_join_mv(
             "join_on": [list(on) for _, _, on in dims],
             "group_cols": group_cols,
             "measures": meta,
+            "data_dir": data0,
             "fingerprint": _fingerprint(fact_path),
             "dim_fingerprints": [_fingerprint(p) for _, p, _ in dims],
-            "n_groups": _count_groups(spark, d),
         }
+        man["n_groups"] = _count_groups(spark, d, man)
         _publish_manifest(d, man)
         return man
 
@@ -1076,11 +1199,36 @@ def answer_join_aggregate(
     group_cols = list(group_cols)
     aggs = dict(aggs)
     where = _norm_where(where)
-    want = set(group_cols)
-    pred_cols = _where_cols(where)
+    man = _pick_join_mv(
+        mv_root, fact_path, dims, set(group_cols), _where_cols(where),
+        aggs,
+    )
+    if man is None:
+        base = _join_all(fact, dims)
+        for term in where:
+            base = base.filter(_where_expr(term))
+        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
+    return (
+        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+        man["name"],
+    )
+
+
+def _pick_join_mv(
+    mv_root: str,
+    fact_path: str,
+    dims: Sequence[tuple],
+    want: set,
+    pred_cols: set,
+    aggs: dict,
+) -> dict | None:
+    """Resolve the winning FRESH subsuming JOIN MV (or None): same
+    topology (fact path, dim paths, join keys), group/predicate
+    subsumption, measure derivability, EVERY source fingerprint fresh.
+    Factored like :func:`_pick_plain_mv` so the join grouping-set
+    servers pick once and pin."""
     dim_paths = [p for _, p, _ in dims]
     join_on = [list(on) for _, _, on in dims]
-
     candidates = []
     for man in _list_mvs(mv_root):
         if man.get("kind") != "join":
@@ -1096,21 +1244,137 @@ def answer_join_aggregate(
         if not _join_sources_fresh(man, fact_path, dim_paths):
             continue  # stale or different topology — invisible
         candidates.append(man)
+    return _best_candidate(candidates) if candidates else None
 
-    if not candidates:
+
+def answer_join_rollup_aggregate(
+    spark: SparkSession,
+    mv_root: str,
+    fact: DataFrame,
+    fact_path: str,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``(fact ⋈ dims).rollup(group_cols).agg(aggs)`` served
+    ENTIRELY from a subsuming fresh join MV when one exists (round 17
+    — the BI-dashboard hierarchy shape, e.g. TPC-H Q5's revenue by
+    nation→region: every level of the hierarchy reads the KB summary,
+    never re-running the star join; a native rollup over the base
+    replicates every JOINED fact row n+1 ways). Falls back to the base
+    join's native ``rollup``. Same all-or-nothing decision as
+    :func:`answer_rollup_aggregate`: subsuming the finest set subsumes
+    every coarser one, and the pinned manifest serves all levels from
+    the same stored partials."""
+    group_cols = list(group_cols)
+    sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
+    return _answer_join_sets(
+        spark, mv_root, fact, fact_path, dims,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="rollup",
+    )
+
+
+def answer_join_cube_aggregate(
+    spark: SparkSession,
+    mv_root: str,
+    fact: DataFrame,
+    fact_path: str,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``(fact ⋈ dims).cube(group_cols).agg(aggs)`` served from a
+    subsuming fresh join MV — all 2ⁿ grouping sets as KB summary reads
+    instead of a star join with 2ⁿ-way Expand replication. Same ≤6
+    column planning-cost cap as :func:`answer_cube_aggregate` (wider
+    cubes take the native Expand even when an MV subsumes them)."""
+    group_cols = list(group_cols)
+    if len(group_cols) > 6:
+        base = _join_all(fact, dims)
+        for term in _norm_where(where):
+            base = base.filter(_where_expr(term))
+        return base.cube(*group_cols).agg(*_base_agg_exprs(aggs)), None
+    sets = [
+        [c for i, c in enumerate(group_cols) if not (mask >> i) & 1]
+        for mask in range(2 ** len(group_cols))
+    ]
+    sets = sorted(sets, key=lambda s: (-len(s), s))
+    return _answer_join_sets(
+        spark, mv_root, fact, fact_path, dims,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="cube",
+    )
+
+
+def answer_join_grouping_sets(
+    spark: SparkSession,
+    mv_root: str,
+    fact: DataFrame,
+    fact_path: str,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Plan ``GROUP BY GROUPING SETS (sets)`` over a star join served
+    from a subsuming fresh join MV — arbitrary requested sets, ANSI
+    NULL markers, served in the given order. Every set must be a
+    subset of ``group_cols``."""
+    group_cols = list(group_cols)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"grouping set {s} has column(s) {bad} outside "
+                f"group_cols {group_cols}"
+            )
+    return _answer_join_sets(
+        spark, mv_root, fact, fact_path, dims,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="groupingSets",
+    )
+
+
+def _answer_join_sets(
+    spark: SparkSession,
+    mv_root: str,
+    fact: DataFrame,
+    fact_path: str,
+    dims: Sequence[tuple],
+    *,
+    group_cols: list,
+    sets: list,
+    aggs: dict,
+    where,
+    native: str,
+) -> tuple[DataFrame, str | None]:
+    """Join-MV sibling of :func:`_answer_sets`: pick the winning join
+    MV once (same topology, finest-set subsumption, every fingerprint
+    fresh), serve every grouping set from the pinned manifest via the
+    SAME set-server the plain path uses (serving only reads the
+    summary); fall back to the base star join's native construct."""
+    where = _norm_where(where)
+    man = _pick_join_mv(
+        mv_root, fact_path, dims, set(group_cols), _where_cols(where),
+        dict(aggs),
+    )
+    if man is None:
         base = _join_all(fact, dims)
         for term in where:
             base = base.filter(_where_expr(term))
-        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
-
-    man = min(
-        candidates,
-        key=lambda m: (
-            m.get("n_groups", float("inf")), len(m["group_cols"])
-        ),
-    )
+        return _native_sets(base, native, sets, group_cols, aggs), None
     return (
-        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+        _serve_sets_pinned(
+            spark, mv_root, man, group_cols, sets, aggs, where
+        ),
         man["name"],
     )
 

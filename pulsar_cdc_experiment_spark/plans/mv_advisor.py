@@ -1,0 +1,187 @@
+"""Workload-driven materialized-view advisor.
+
+Given a WORKLOAD — the list of aggregate requests a dashboard fleet
+actually issues (group columns, measures, predicate columns) — emit a
+MINIMAL covering set of MV specs such that every request is served by
+some advised MV through the aggregate-navigation rewrite
+(``plans.mv.answer_aggregate``), plus a size estimate per advised MV so
+an operator can judge the storage/refresh bill before creating them.
+
+This is the classic physical-design problem (the
+materialized-view-selection literature, e.g. the SQL Server "index
+tuning wizard" line of work and Harinarayan/Rajaraman/Ullman's
+"Implementing Data Cubes Efficiently") reduced to the subsumption
+lattice this engine's rewriter actually uses:
+
+- a request needs the column set ``group_cols ∪ where_cols`` (the
+  rewrite serves a predicate only on MV group columns) and its measures
+  derivable from the MV's stored partials;
+- an MV whose group columns are a SUPERSET of a request's needed
+  columns serves it (coarser requests are rollups of finer MVs), so the
+  MAXIMAL needed-column sets of the workload form a covering antichain
+  — minimal by construction: dropping any chosen MV leaves the
+  requests that defined its column set unserved (no other chosen set
+  contains them, else the set would not be maximal);
+- each advised MV stores the measure UNION of every request it covers,
+  folded through derivability (storing an ``avg`` partial pair also
+  serves ``sum`` and ``count`` of the same column; ``count(*)`` is
+  always stored).
+
+Cost estimation: one Spark job computes ``approx_count_distinct`` of
+the group tuple for EVERY advised spec simultaneously (HLL++ partials,
+no shuffle of data rows — the same statistic ``n_groups`` the manifest
+maintains exactly after creation). At 100 TB this one pass replaces
+creating candidate MVs to measure them.
+
+Reference analog: the reference's downstream consumers re-run the same
+per-table/per-op rollups (docs/architecture.md:9-73) — exactly the
+repeated-workload shape an advisor compresses into a summary set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: measure functions the rewriter can derive (mirrors plans.mv)
+_FNS = ("sum", "count", "min", "max", "avg")
+
+
+def _norm_request(req: dict, idx: int) -> tuple[frozenset, set]:
+    """(needed column set, needed measure lineage) for one request.
+    Measures normalize through derivability: ``count(*)`` needs nothing
+    stored beyond the always-present ``__cnt``; ``avg`` subsumes the
+    ``sum`` and ``count`` of its column."""
+    group_cols = list(req.get("group_cols", []))
+    where_cols = list(req.get("where_cols", []))
+    aggs = dict(req.get("aggs", {}))
+    if not aggs:
+        raise ValueError(f"request #{idx} has no measures")
+    need: set = set()
+    for out, (fn, col) in aggs.items():
+        if fn not in _FNS:
+            raise ValueError(
+                f"request #{idx} measure {out}: fn must be one of "
+                f"{_FNS}, got {fn}"
+            )
+        if fn == "count" and col is None:
+            continue  # __cnt is always stored
+        need.add((fn, col))
+    return frozenset(group_cols) | frozenset(where_cols), need
+
+
+def _fold_measures(lineages: set) -> dict:
+    """Measure spec ``{name: (fn, col)}`` storing the requested lineage
+    folded through derivability: an ``avg`` partial pair serves
+    ``sum``/``count``/``avg`` of its column, so requesting any two of
+    them stores only the avg pair."""
+    by_col: dict = {}
+    for fn, col in lineages:
+        by_col.setdefault(col, set()).add(fn)
+    out: dict = {}
+    for col in sorted(by_col):
+        fns = by_col[col]
+        if "avg" in fns or ({"sum", "count"} <= fns):
+            fns = (fns - {"avg", "sum", "count"}) | {"avg"}
+        for fn in sorted(fns):
+            out[f"{fn}_{col}"] = (fn, col)
+    return out
+
+
+def advise_mvs(requests: Sequence[dict]) -> list[dict]:
+    """Pure planning: fold a workload into a minimal covering MV set.
+
+    ``requests``: each ``{"group_cols": [...], "aggs": {out: (fn,
+    col)}, "where_cols": [...]}`` — the exact vocabulary
+    ``answer_aggregate`` takes. Returns advised specs ``[{"group_cols",
+    "measures", "covers"}]`` (``covers`` = request indices served),
+    deterministic order. Guarantees (property-tested):
+
+    - every request index appears in some advised spec's ``covers``,
+      and that spec subsumes it (columns ⊇ needed, measures derivable);
+    - no advised spec's column set is a subset of another's (an
+      antichain — a subsumed MV would be pure waste, its requests are
+      served by the superset).
+    """
+    normed = [_norm_request(r, i) for i, r in enumerate(requests)]
+    col_sets = sorted(
+        {cols for cols, _ in normed},
+        key=lambda s: (-len(s), sorted(s)),
+    )
+    maximal: list[frozenset] = []
+    for s in col_sets:  # descending size: supersets come first
+        if not any(s < m for m in maximal):
+            maximal.append(s)
+    advised = []
+    for m in sorted(maximal, key=lambda s: sorted(s)):
+        covers = [
+            i for i, (cols, _) in enumerate(normed) if cols <= m
+        ]
+        lineage: set = set()
+        for i in covers:
+            lineage |= normed[i][1]
+        measures = _fold_measures(lineage)
+        measures["n"] = ("count", None)  # __cnt rides along anyway
+        advised.append(
+            {
+                "group_cols": sorted(m),
+                "measures": measures,
+                "covers": covers,
+            }
+        )
+    return advised
+
+
+def estimate_mv_sizes(
+    spark: SparkSession, source: DataFrame, advised: Sequence[dict]
+) -> list[dict]:
+    """Annotate advised specs with ``n_groups_est`` — ONE aggregation
+    job computing ``approx_count_distinct`` of each spec's group tuple
+    simultaneously (HLL++ map-side partials; no data-row shuffle, no
+    candidate MV is ever created to be measured). The estimate is the
+    same statistic the MV manifest maintains exactly (``n_groups``)
+    once a spec is created, so the cost-based candidate choice keeps
+    working on the advisor's output."""
+    advised = [dict(a) for a in advised]
+    if not advised:
+        return advised
+    exprs = [
+        F.approx_count_distinct(
+            F.struct(*a["group_cols"])
+        ).alias(f"__e{i}")
+        for i, a in enumerate(advised)
+    ]
+    row = source.agg(*exprs).collect()[0]
+    for i, a in enumerate(advised):
+        a["n_groups_est"] = int(row[f"__e{i}"])
+    return advised
+
+
+def create_advised_mvs(
+    spark: SparkSession,
+    mv_root: str,
+    *,
+    source_path: str,
+    source: DataFrame,
+    advised: Sequence[dict],
+    prefix: str = "advised",
+) -> list[dict]:
+    """Materialize an advised set (names ``{prefix}_{i}`` in advised
+    order) — the execution half, one ``create_mv`` per spec."""
+    from .mv import create_mv
+
+    out = []
+    for i, a in enumerate(advised):
+        out.append(
+            create_mv(
+                spark, mv_root,
+                name=f"{prefix}_{i}",
+                source_path=source_path,
+                source=source,
+                group_cols=a["group_cols"],
+                measures=a["measures"],
+            )
+        )
+    return out

@@ -374,6 +374,7 @@ def mv_serving_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "mv_incremental_serving",
+    family="mv_lifecycle",
     oracle="""
     WITH chg_upd AS (
       SELECT floor(o_totalprice * 1.07 * 100 + 0.5) AS cents,
@@ -556,6 +557,7 @@ def mv_mor_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "mv_mor_feed_capstone",
+    family="mv_lifecycle",
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority,
@@ -699,6 +701,7 @@ def mv_scrub_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "mv_gdpr_scrub",
+    family="mv_lifecycle",
     oracle="""
     SELECT 'mv' AS served_from, o_custkey,
            CAST(count(*) AS BIGINT) AS n,
@@ -1271,6 +1274,7 @@ def mv_join_maintain_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "mv_join_maintain",
+    family="mv_lifecycle",
     oracle="""
     WITH cents0 AS (
       SELECT o_orderkey, o_custkey, o_orderpriority,
@@ -1490,6 +1494,7 @@ def mv_join_mor_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "mv_join_mor_feed",
+    family="mv_lifecycle",
     oracle="""
     WITH cents0 AS (
       SELECT o_orderkey, o_custkey,
@@ -1730,6 +1735,7 @@ def stream_join_mv_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "stream_join_mv_maintain",
+    family="mv_lifecycle",
     oracle="""
     WITH cents0 AS (
       SELECT o_orderkey, o_custkey,
@@ -1961,6 +1967,7 @@ def stream_mv_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "stream_mv_maintain",
+    family="mv_lifecycle",
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority,
@@ -2103,5 +2110,563 @@ def mv_disjunctive_rewrite(spark, sf_dir):
             F.lit("base" if used2 is None else "mv").alias("served_from"),
             F.col("l_returnflag").alias("grp"),
             "n", "sum_cents", "max_cents",
+        )
+    )
+
+
+@register(
+    "mv_join_rollup_hierarchy_rewrite",
+    oracle="""
+    WITH j AS (
+      SELECT n_name, o_orderpriority, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT 'mv' AS served_from,
+           CAST(n_name AS VARCHAR) AS grp1,
+           CAST(o_orderpriority AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM j GROUP BY ROLLUP (n_name, o_orderpriority)
+    UNION ALL
+    SELECT 'base', CAST(o_custkey AS VARCHAR), '--',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT)
+    FROM j GROUP BY ROLLUP (o_custkey)
+    """,
+)
+def mv_join_rollup_hierarchy_rewrite(spark, sf_dir):
+    """ROLLUP over a STAR JOIN served from a join MV (round 17,
+    plans/mv.answer_join_rollup_aggregate — the composition the
+    round-16 verdict named top-next): leg 1 asks for
+    ``ROLLUP(n_name, o_orderpriority)`` over orders ⋈ customer ⋈
+    nation — the TPC-H-Q5-style BI hierarchy — and every level (fine,
+    per-nation, grand total) is a rollup of the registered star-join
+    MV, so the planner serves the WHOLE hierarchy from the stored
+    partials via ONE pinned manifest: n+1 KB-summary reads, the join
+    never re-runs, no mixed source states across levels. Leg 2 rolls
+    up o_custkey, which the MV does not carry, and must fall back to
+    the base join's native rollup. ``served_from`` carries the actual
+    routing; the oracle recomputes both hierarchies with ANSI GROUP BY
+    ROLLUP over the same join and hardcodes the required routing. At
+    100 TB leg 1 replaces a fact-shuffling star join with n+1-way
+    Expand replication by a few KB reads."""
+    from ..plans.mv import answer_join_rollup_aggregate
+
+    root = mv_join_fixture(spark, sf_dir)
+    fact = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        ).alias("cents"),
+    )
+    dim_c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    dim_n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dims = [
+        (dim_c, os.path.join(sf_dir, "customer.parquet"), ["o_custkey"]),
+        (dim_n, os.path.join(sf_dir, "nation.parquet"),
+         ["c_nationkey"]),
+    ]
+    fact_path = os.path.join(sf_dir, "orders.parquet")
+    aggs = {
+        "n": ("count", None), "sum_cents": ("sum", "cents"),
+        "min_cents": ("min", "cents"), "max_cents": ("max", "cents"),
+    }
+    leg1, used1 = answer_join_rollup_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["n_name", "o_orderpriority"], aggs=aggs,
+    )
+    leg2, used2 = answer_join_rollup_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["o_custkey"], aggs=aggs,
+    )
+    measures = ["n", "sum_cents", "min_cents", "max_cents"]
+    return leg1.select(
+        F.lit("mv" if used1 == "rev_nation_pri" else "base").alias(
+            "served_from"
+        ),
+        F.col("n_name").cast("string").alias("grp1"),
+        F.col("o_orderpriority").cast("string").alias("grp2"),
+        *measures,
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("o_custkey").cast("string").alias("grp1"),
+            F.lit("--").alias("grp2"),
+            *measures,
+        )
+    )
+
+
+@register(
+    "mv_join_cube_rewrite",
+    oracle="""
+    WITH j AS (
+      SELECT n_name, o_orderpriority, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT 'mv' AS served_from,
+           CAST(n_name AS VARCHAR) AS grp1,
+           CAST(o_orderpriority AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM j WHERE n_name <> 'FRANCE'
+    GROUP BY CUBE (n_name, o_orderpriority)
+    UNION ALL
+    SELECT 'base', CAST(o_custkey AS VARCHAR),
+           CAST(o_orderpriority AS VARCHAR),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(max(cents) AS BIGINT)
+    FROM j GROUP BY CUBE (o_custkey, o_orderpriority)
+    """,
+)
+def mv_join_cube_rewrite(spark, sf_dir):
+    """CUBE over a star join served from a join MV UNDER A PREDICATE
+    (round 17, plans/mv.answer_join_cube_aggregate): leg 1 cubes
+    (n_name, o_orderpriority) with a filter on an MV group column —
+    all 2ⁿ grouping sets are subsumed, so the whole cube is 2ⁿ
+    KB-summary reads from one pinned manifest with the filter applied
+    to the partials (a native cube Expands every JOINED fact row 2ⁿ
+    ways). Leg 2 cubes over o_custkey, not an MV group column — base
+    fallback through the full star join. Oracle: ANSI GROUP BY CUBE
+    over the same join, routing hardcoded."""
+    from ..plans.mv import answer_join_cube_aggregate
+
+    root = mv_join_fixture(spark, sf_dir)
+    fact = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        ).alias("cents"),
+    )
+    dim_c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    dim_n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dims = [
+        (dim_c, os.path.join(sf_dir, "customer.parquet"), ["o_custkey"]),
+        (dim_n, os.path.join(sf_dir, "nation.parquet"),
+         ["c_nationkey"]),
+    ]
+    fact_path = os.path.join(sf_dir, "orders.parquet")
+    aggs = {
+        "n": ("count", None), "sum_cents": ("sum", "cents"),
+        "max_cents": ("max", "cents"),
+    }
+    leg1, used1 = answer_join_cube_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["n_name", "o_orderpriority"], aggs=aggs,
+        where=[("n_name", "!=", "FRANCE")],
+    )
+    leg2, used2 = answer_join_cube_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["o_custkey", "o_orderpriority"], aggs=aggs,
+    )
+    measures = ["n", "sum_cents", "max_cents"]
+    return leg1.select(
+        F.lit("mv" if used1 == "rev_nation_pri" else "base").alias(
+            "served_from"
+        ),
+        F.col("n_name").cast("string").alias("grp1"),
+        F.col("o_orderpriority").cast("string").alias("grp2"),
+        *measures,
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("o_custkey").cast("string").alias("grp1"),
+            F.col("o_orderpriority").cast("string").alias("grp2"),
+            *measures,
+        )
+    )
+
+
+def stream_mv_compact_fixture(spark, sf_dir: str) -> str:
+    """STREAMING CAPSTONE (round 17): policy-triggered auto-compaction
+    firing MID-STREAM between MV catch-ups — the interplay
+    stream_mor_auto_maintain (compaction) and stream_mv_maintain
+    (summary catch-up) each proved alone. Per micro-batch, in order:
+    MERGE into the MoR table, catch the bound summary up
+    (maintain_mv_from_mor — the feed is cut BEFORE any compaction can
+    fold the span away), THEN the zero-job auto_compact_mor policy
+    check. The overlay-depth policy (max 1) triggers exactly once,
+    after batch 2 — folding sequences 1-2 into a new base generation
+    (base_seq 2) — and batch 3 then exercises the
+    sequence-continuation edge (its merge lands at seq 3, ABOVE the
+    compacted base; plans/mor.py merge seq derivation) plus a feed cut
+    whose floor is the compacted base_seq itself. The build asserts
+    the compaction fired exactly once mid-stream, the final history is
+    [3] over base_seq 2, and the MV ends FRESH."""
+
+    def build(root: str) -> None:
+        import json as _json
+        import shutil
+
+        from pyspark.sql import Window
+
+        from ..plans.mor import (
+            _read_manifest,
+            auto_compact_mor,
+            init_mor,
+            merge_into_mor,
+            mor_history,
+            read_mor,
+        )
+        from ..plans.mv import (
+            answer_aggregate as _answer,
+            bind_mv_to_mor,
+            maintain_mv_from_mor,
+        )
+        from .streaming_q import drain_or_raise
+
+        feed_root = os.path.join(root, "feed")
+        state_root = os.path.join(root, "state")
+        mv_root = os.path.join(root, "mvs")
+        marker = os.path.join(root, "compactions.json")
+        manifest = os.path.join(state_root, ".mor", "manifest.json")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = orders.withColumn("rn", F.row_number().over(w))
+        is_med_max = (F.col("rn") == 1) & (pri == "3-MEDIUM")
+        batch0 = orders.withColumn("is_delete", F.lit(False))
+        # batch 1 (risky): delete 3-MEDIUM's max-price row — the stored
+        # max partial for that group must recompute, not fold
+        batch1 = (
+            ranked.filter(is_med_max)
+            .drop("rn").withColumn("is_delete", F.lit(True))
+        )
+        # batch 2: price updates + clone inserts (disjoint key mods)
+        upd = (
+            ranked.filter(~is_med_max & (key % 100 == 21))
+            .drop("rn")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+            .withColumn("is_delete", F.lit(False))
+        )
+        ins = (
+            orders.filter(key % 100 == 55)
+            .withColumn("o_orderkey", key + 30_000_000)
+            .withColumn("o_orderpriority", F.lit("5-LOW"))
+            .withColumn("is_delete", F.lit(False))
+        )
+        # batch 3 (post-compaction): deletes — lands at seq 3 above the
+        # freshly-compacted base_seq 2
+        batch3 = (
+            ranked.filter(~is_med_max & (key % 100 == 77))
+            .drop("rn").withColumn("is_delete", F.lit(True))
+        )
+        base = 1_700_000_000
+        parts = (batch0, batch1, upd.unionByName(ins), batch3)
+        for i, part in enumerate(parts):
+            p = os.path.join(feed_root, f"{i:03d}")
+            part.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+
+        def project(df):
+            cols = [F.col("o_orderpriority"), cents]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        def apply_batch(batch_df, batch_id):
+            if not os.path.exists(manifest):
+                shutil.rmtree(state_root, ignore_errors=True)
+                shutil.rmtree(mv_root, ignore_errors=True)
+                init_mor(
+                    spark, state_root,
+                    batch_df.filter(~F.col("is_delete")).drop("is_delete"),
+                    keys=["o_orderkey"], partition_col="o_orderpriority",
+                )
+                src = read_mor(spark, state_root).select(
+                    "o_orderpriority", cents
+                )
+                create_mv(
+                    spark, mv_root, name="capstone_by_pri",
+                    source_path=manifest, source=src,
+                    group_cols=["o_orderpriority"],
+                    measures={
+                        "n": ("count", None),
+                        "sum_cents": ("sum", "cents"),
+                        "min_cents": ("min", "cents"),
+                        "max_cents": ("max", "cents"),
+                    },
+                )
+                bind_mv_to_mor(mv_root, "capstone_by_pri", state_root)
+                with open(marker, "w") as f:
+                    _json.dump({"triggered": 0}, f)
+                return
+            # ORDER MATTERS: maintain cuts the change feed BEFORE the
+            # policy check can compact the span away — the contract
+            # maintain_mv_from_mor's docstring promises
+            merge_into_mor(spark, state_root, batch_df)
+            maintain_mv_from_mor(
+                spark, mv_root, "capstone_by_pri", project
+            )
+            rep = auto_compact_mor(
+                spark, state_root, max_overlay_depth=1
+            )
+            if rep["triggered"]:
+                with open(marker) as f:
+                    m = _json.load(f)
+                m["triggered"] += 1
+                m["base_seq_after"] = rep["compact"]["base_seq"]
+                with open(marker, "w") as f:
+                    _json.dump(m, f)
+
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_totalprice double, "
+                "o_orderpriority string, is_delete boolean"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_mv_auto_compact")
+        with open(marker) as f:
+            m = _json.load(f)
+        assert m == {"triggered": 1, "base_seq_after": 2}, m
+        mor_man = _read_manifest(state_root)
+        assert mor_man["base_seq"] == 2
+        assert [s["seq"] for s in mor_history(state_root)] == [3]
+        src_now = read_mor(spark, state_root).select(
+            "o_orderpriority", cents
+        )
+        _, used = _answer(
+            spark, mv_root, src_now, manifest,
+            group_cols=["o_orderpriority"],
+            aggs={"n": ("count", None), "sum_cents": ("sum", "cents")},
+        )
+        assert used == "capstone_by_pri", (
+            "the MV must end FRESH across the mid-stream compaction"
+        )
+
+    return session_fixture(
+        "stream_mv_compact", sf_dir, "midstream_v1", build
+    )
+
+
+@register(
+    "stream_mv_auto_compact",
+    family="mv_lifecycle",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 21
+                  THEN floor(o_totalprice * 1.2 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '3-MEDIUM')
+        AND o_orderkey % 100 <> 77
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '5-LOW'
+      FROM orders WHERE o_orderkey % 100 = 55
+    )
+    SELECT 'mv' AS served_from, 1 AS compactions, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY 3
+    """,
+)
+def stream_mv_auto_compact(spark, sf_dir):
+    """STREAMING CAPSTONE (round 17): a live auto-compaction policy
+    fires MID-STREAM between MV catch-ups and the summary stays fresh
+    and value-correct. Per micro-batch the foreachBatch loop merges
+    into the MoR table, catches the bound MV up via its own change
+    feed, then runs the zero-job auto_compact_mor policy check; the
+    overlay-depth policy triggers exactly once (after batch 2),
+    folding the overlay into a new base generation, and batch 3 then
+    merges at a sequence ABOVE the compacted base (plans/mor.py's
+    post-compaction numbering edge) with the next feed cut floored at
+    base_seq itself. ``compactions`` pins the mid-stream trigger count
+    (from the fixture's marker, oracle-hardcoded 1) and
+    ``served_from`` pins freshness; the oracle recomputes the
+    post-stream per-priority state closed-form from the raw table —
+    maintain-after-compact ordering, a double fold across the
+    compaction boundary, or a stale serve all shift the hash. At
+    100 TB: overlay depth stays bounded by policy while summary
+    freshness rides the micro-batch, and neither path scans the
+    fact."""
+    import json as _json
+
+    from ..plans.mor import read_mor
+
+    root = stream_mv_compact_fixture(spark, sf_dir)
+    state_root = os.path.join(root, "state")
+    mv_root = os.path.join(root, "mvs")
+    manifest = os.path.join(state_root, ".mor", "manifest.json")
+    with open(os.path.join(root, "compactions.json")) as f:
+        n_compact = _json.load(f)["triggered"]
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    src = read_mor(spark, state_root).select("o_orderpriority", cents)
+    df, used = answer_aggregate(
+        spark, mv_root, src, manifest,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit("mv" if used == "capstone_by_pri" else "base").alias(
+            "served_from"
+        ),
+        F.lit(n_compact).cast("int").alias("compactions"),
+        "o_orderpriority", "n", "sum_cents", "min_cents", "max_cents",
+    )
+
+
+def mv_advisor_fixture(spark, sf_dir: str) -> str:
+    """Workload-driven advisor fixture (round 17,
+    plans/mv_advisor.py): a two-request dashboard workload over
+    lineitem — a per-returnflag volume rollup and a per-linestatus
+    average FILTERED by returnflag — folds to ONE advised MV at
+    (l_linestatus, l_returnflag) granularity (the maximal needed
+    column set; the avg partial pair subsumes the requested sum), ONE
+    estimation job prices it, and create_advised_mvs materializes it.
+    The build asserts the advisor's covering/shape claims before any
+    serving happens."""
+
+    def build(root: str) -> None:
+        from ..plans.mv_advisor import (
+            advise_mvs,
+            create_advised_mvs,
+            estimate_mv_sizes,
+        )
+
+        src = table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", _cents()
+        )
+        workload = [
+            {"group_cols": ["l_returnflag"],
+             "aggs": {"n": ("count", None),
+                      "sum_cents": ("sum", "cents")}},
+            {"group_cols": ["l_linestatus"],
+             "where_cols": ["l_returnflag"],
+             "aggs": {"avg_cents": ("avg", "cents")}},
+        ]
+        advised = advise_mvs(workload)
+        assert len(advised) == 1, advised
+        assert advised[0]["group_cols"] == [
+            "l_linestatus", "l_returnflag"
+        ]
+        assert advised[0]["covers"] == [0, 1]
+        advised = estimate_mv_sizes(spark, src, advised)
+        assert advised[0]["n_groups_est"] >= 1
+        create_advised_mvs(
+            spark, root,
+            source_path=os.path.join(sf_dir, "lineitem.parquet"),
+            source=src, advised=advised,
+        )
+
+    return session_fixture("mv_advisor", sf_dir, "workload_v1", build)
+
+
+@register(
+    "mv_advisor_workload",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT 'mv' AS served_from, l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(NULL AS DOUBLE) AS avg_cents
+    FROM c GROUP BY 2
+    UNION ALL
+    SELECT 'mv', l_linestatus, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(sum(cents) AS DOUBLE) / count(cents)
+    FROM c WHERE l_returnflag = 'R' GROUP BY 2
+    """,
+)
+def mv_advisor_workload(spark, sf_dir):
+    """MV ADVISOR end to end (round 17, plans/mv_advisor.py — the
+    physical-design loop closed): the fixture folds a two-request
+    workload into ONE advised summary (maximal-column-set antichain;
+    avg partials subsume the requested sum; ONE
+    approx_count_distinct job prices it) and materializes it; this
+    query then issues BOTH original requests through the
+    aggregate-navigation rewrite and each must route to the SAME
+    advised MV — leg 1 as a rollup of its partials, leg 2 with the
+    predicate applied to them. ``served_from`` pins the routing (the
+    oracle hardcodes 'mv' for both legs) and all values are
+    recomputed from the raw table. At 100 TB this is how a summary
+    layer gets DESIGNED, not just maintained: N dashboard queries
+    collapse into one stored rollup chosen before paying a single
+    fact scan."""
+    root = mv_advisor_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", _cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    leg1, used1 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag"],
+        aggs={"n": ("count", None), "sum_cents": ("sum", "cents")},
+    )
+    leg2, used2 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_linestatus"],
+        aggs={"avg_cents": ("avg", "cents")},
+        where=[("l_returnflag", "=", "R")],
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "advised_0" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").alias("grp"),
+        "n", "sum_cents",
+        F.lit(None).cast("double").alias("avg_cents"),
+    ).unionByName(
+        leg2.select(
+            F.lit("mv" if used2 == "advised_0" else "base").alias(
+                "served_from"
+            ),
+            F.col("l_linestatus").alias("grp"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("sum_cents"),
+            "avg_cents",
         )
     )

@@ -53,10 +53,22 @@ ORACLES: dict[str, str] = {}
 #: the four maintenance-family queries (family rotation keeps them
 #: adjacent) — the core fold machinery wins the tie, the streaming
 #: variants stay parity/spotlight/pytest-covered
-_ROTATION_SALT = 35
+#: round 17: salt 366 at the 246-query registry AFTER the mv_lifecycle
+#: family split (register(..., family=...)) → 15 never-sampled names in
+#: the oracle-backed prefix-50 (simulated against CORRECTNESS_r01..r16),
+#: co-landing ALL FOUR round-17 queries (mv_join_rollup_hierarchy_rewrite,
+#: mv_join_cube_rewrite, stream_mv_auto_compact, mv_advisor_workload)
+#: AND four of the seven never-sampled r15/r16 MV names
+#: (mv_disjunctive_rewrite, mv_join_mor_feed, stream_join_mv_maintain,
+#: stream_mv_maintain) — the co-landing the r16 single-family rotation
+#: made impossible (no salt reached more than 4 MV-family names; the
+#: split gives serving and lifecycle their own round-robin slots)
+_ROTATION_SALT = 366
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str, oracle: str | None = None, family: str | None = None
+):
     """Register a driver query; ``oracle`` is DuckDB SQL or None (rows-only).
 
     Duplicate names are an ERROR: dict registration is last-wins, so a
@@ -64,6 +76,15 @@ def register(name: str, oracle: str | None = None):
     once — a second unpivot_metrics shadowed round 1's). Module caching
     makes each @register run exactly once per process, so the guard never
     fires on legitimate re-imports.
+
+    ``family`` overrides the rotation family (default: the defining
+    module's basename). Round 17: the mv_q module grew two distinct
+    populations — serving-side rewrites and full lifecycle/maintenance
+    cycles — sharing ONE round-robin slot, so the 7 never-driver-sampled
+    maintenance names could never co-land in a prefix-50 with the
+    serving names (round-16 verdict #5 / NOTES family-split). Splitting
+    them into their own rotation family gives each population its own
+    slot per interleave pass.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
@@ -84,7 +105,7 @@ def register(name: str, oracle: str | None = None):
         # duplicate-name error above prints it, and without this it would
         # blame this module for every collision
         wrapped.__module__ = fn.__module__
-        wrapped.__family__ = fn.__module__.rsplit(".", 1)[-1]
+        wrapped.__family__ = family or fn.__module__.rsplit(".", 1)[-1]
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

@@ -35,10 +35,16 @@ def test_compact_line_fits_tail_window_with_headroom():
     which is the backstop for that regime, and would be a perf
     regression worth a red test anyway."""
     bench = _load("bench.py", "bench_mod")
-    names = list(bench.HEADLINE) + ["cdc_enrich_plane"]
+    aliases = {"dedup_minhash_lsh_fast": "dedup_minhash_lsh"}
+    names = [aliases.get(n, n) for n in bench.HEADLINE] + [
+        "cdc_enrich_plane"
+    ]
     # round-13: the compact line carries fmt "min3" SINGLE values — the
     # pair format outgrew the tail at 48 headline entries; per-query
-    # steady lives in the full (local-log) line only
+    # steady lives in the full (local-log) line only.
+    # round-17: the 58-entry set outgrew the tail WITH the key_aliases
+    # map aboard, so the compact line now pre-applies aliases to the
+    # query keys and sheds the map (the full line keeps it)
     compact = {
         "metric": "headline_total",
         "value": 999.999,
@@ -47,7 +53,6 @@ def test_compact_line_fits_tail_window_with_headroom():
         "sf": 0.1,
         "calib_sec": 9.999,
         "fmt": "min3",
-        "key_aliases": {"dedup_minhash_lsh_fast": "dedup_minhash_lsh"},
         "skew_join": {"plain": 99.99, "salted": 99.99,
                       "plain_aqe": 99.99, "plain_aqe_tuned": 99.99},
         "queries": {n: 99.99 for n in names},

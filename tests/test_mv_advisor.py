@@ -1,0 +1,173 @@
+"""plans/mv_advisor.py — workload-driven MV advisor: the covering and
+minimality properties (every request served by some advised spec; the
+advised set is an antichain), measure folding through derivability, the
+one-job size estimation, and end-to-end: creating the advised set makes
+answer_aggregate serve every workload request from an MV."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pulsar_cdc_experiment_spark.plans.mv import (
+    _measures_servable,
+    answer_aggregate,
+)
+from pulsar_cdc_experiment_spark.plans.mv_advisor import (
+    advise_mvs,
+    create_advised_mvs,
+    estimate_mv_sizes,
+)
+
+_COLS = ["a", "b", "c", "d"]
+_MCOLS = ["x", "y"]
+
+
+@st.composite
+def _request(draw):
+    group = draw(
+        st.lists(st.sampled_from(_COLS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    where = draw(
+        st.lists(st.sampled_from(_COLS), min_size=0, max_size=2,
+                 unique=True)
+    )
+    fns = draw(
+        st.lists(
+            st.sampled_from(["sum", "count", "min", "max", "avg"]),
+            min_size=1, max_size=3, unique=True,
+        )
+    )
+    col = draw(st.sampled_from(_MCOLS))
+    aggs = {f"{fn}0": (fn, col) for fn in fns}
+    if draw(st.booleans()):
+        aggs["n"] = ("count", None)
+    return {"group_cols": group, "where_cols": where, "aggs": aggs}
+
+
+@settings(
+    max_examples=60, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(_request(), min_size=1, max_size=8))
+def test_advise_covers_every_request_and_is_antichain(reqs):
+    advised = advise_mvs(reqs)
+    # antichain: no advised spec subsumed by another
+    sets = [frozenset(a["group_cols"]) for a in advised]
+    for i, s in enumerate(sets):
+        for j, t in enumerate(sets):
+            if i != j:
+                assert not s <= t, (s, t)
+    # covering: every request served by some advised spec — columns
+    # subsume AND the rewriter's own derivability check passes (the
+    # advised spec is judged by the same code that will serve it)
+    for idx, r in enumerate(reqs):
+        need = set(r["group_cols"]) | set(r.get("where_cols", []))
+        serving = [
+            a for a in advised
+            if idx in a["covers"]
+        ]
+        assert serving, f"request {idx} uncovered"
+        for a in serving:
+            assert need <= set(a["group_cols"])
+            man = {"measures": {
+                out: {"fn": fn, "col": col,
+                      **({} if col is None else {"partial": f"p_{fn}_{col}"})}
+                for out, (fn, col) in a["measures"].items()
+            }}
+            assert _measures_servable(man, r["aggs"]), (a, r)
+
+
+def test_advise_folds_avg_and_dedups_measures():
+    advised = advise_mvs([
+        {"group_cols": ["a"], "aggs": {"s": ("sum", "x")}},
+        {"group_cols": ["a", "b"], "where_cols": [],
+         "aggs": {"av": ("avg", "x"), "c": ("count", "x")}},
+    ])
+    # one MV: (a) ⊂ (a, b); avg subsumes sum+count of x
+    assert len(advised) == 1
+    a = advised[0]
+    assert a["group_cols"] == ["a", "b"]
+    assert a["covers"] == [0, 1]
+    assert a["measures"] == {"avg_x": ("avg", "x"), "n": ("count", None)}
+
+
+def test_advised_set_serves_workload_end_to_end(spark):
+    """Create the advised MVs and every workload request routes to one
+    through answer_aggregate — with values matching the direct
+    computation; one estimation job annotates plausible sizes."""
+    base = tempfile.mkdtemp(prefix="mvadv_")
+    try:
+        src_path = os.path.join(base, "fact")
+        spark.createDataFrame(
+            [
+                (i, ["a", "b", "c"][i % 3], ["x", "y"][i % 2], i % 7,
+                 float(i % 100))
+                for i in range(500)
+            ],
+            "id bigint, g1 string, g2 string, g3 bigint, v double",
+        ).write.parquet(src_path)
+        src = spark.read.parquet(src_path)
+        workload = [
+            {"group_cols": ["g1"], "aggs": {"sv": ("sum", "v")}},
+            {"group_cols": ["g2"], "where_cols": ["g1"],
+             "aggs": {"av": ("avg", "v"), "n": ("count", None)}},
+            {"group_cols": ["g3"], "aggs": {"mx": ("max", "v")}},
+        ]
+        advised = advise_mvs(workload)
+        # two maximal sets: {g1, g2} (covers 0 and 1) and {g3}
+        assert [a["group_cols"] for a in advised] == [
+            ["g1", "g2"], ["g3"]
+        ]
+        assert [a["covers"] for a in advised] == [[0, 1], [2]]
+        advised = estimate_mv_sizes(spark, src, advised)
+        assert advised[0]["n_groups_est"] >= 4  # ~6 groups, HLL ±
+        assert advised[1]["n_groups_est"] >= 5  # ~7 groups
+        mv_root = os.path.join(base, "mvs")
+        create_advised_mvs(
+            spark, mv_root, source_path=src_path, source=src,
+            advised=advised,
+        )
+        # request 0: rollup of advised_0
+        df, used = answer_aggregate(
+            spark, mv_root, src, src_path,
+            group_cols=["g1"], aggs=workload[0]["aggs"],
+        )
+        assert used == "advised_0"
+        want = {
+            (r["g1"],): r["sv"]
+            for r in src.groupBy("g1").agg(
+                F.sum("v").alias("sv")
+            ).collect()
+        }
+        assert {(r["g1"],): r["sv"] for r in df.collect()} == want
+        # request 1: predicate on g1, grouped by g2 — same advised MV
+        df, used = answer_aggregate(
+            spark, mv_root, src, src_path,
+            group_cols=["g2"], aggs=workload[1]["aggs"],
+            where=[("g1", "=", "a")],
+        )
+        assert used == "advised_0"
+        want = {
+            (r["g2"],): (r["av"], r["n"])
+            for r in src.filter(F.col("g1") == "a").groupBy("g2").agg(
+                F.avg("v").alias("av"), F.count("*").alias("n")
+            ).collect()
+        }
+        assert {
+            (r["g2"],): (r["av"], r["n"]) for r in df.collect()
+        } == want
+        # request 2: the separate g3 spec
+        df, used = answer_aggregate(
+            spark, mv_root, src, src_path,
+            group_cols=["g3"], aggs=workload[2]["aggs"],
+        )
+        assert used == "advised_1"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -24,6 +24,7 @@ from pulsar_cdc_experiment_spark.plans.mv import (
     create_mv,
     maintain_join_mv,
     maintain_mv_from_mor,
+    mv_data_dir,
 )
 
 
@@ -90,7 +91,7 @@ def test_join_mv_serves_topology_and_staleness(join_env):
         for r in df.collect()
     } == _direct(fact.join(dim, ["fk"]), ["g"])
     files = df.inputFiles()
-    assert files and all("/mvs/jm/data/" in f for f in files), files
+    assert files and all("/mvs/jm/data-" in f for f in files), files
 
     # group on a non-MV column → base join, correct values
     df2, used2 = answer_join_aggregate(
@@ -226,14 +227,14 @@ def test_pruned_star_base_equals_plain(join_env):
         base_new=pruned_star_base(fact_new, [(dim_new, ["fk"])], ["g"]),
     )
     got = sorted(map(tuple, spark.read.parquet(
-        os.path.join(mv_root, "jm", "data")
+        mv_data_dir(mv_root, "jm")
     ).collect()))
     # plain reference: full post-change join, same fold
     from pulsar_cdc_experiment_spark.plans.mv import refresh_mv
 
     refresh_mv(spark, mv_root, "jm", fact_new.join(dim_new, ["fk"]))
     want = sorted(map(tuple, spark.read.parquet(
-        os.path.join(mv_root, "jm", "data")
+        mv_data_dir(mv_root, "jm")
     ).collect()))
     assert got == want
 
@@ -477,3 +478,124 @@ def test_bind_and_maintain_mv_from_mor(spark):
     compact_mor(spark, root)
     with pytest.raises(RuntimeError, match="compacted away"):
         maintain_mv_from_mor(spark, mv_root, "by_p", project)
+
+
+def test_join_grouping_constructs_served_pinned(spark):
+    """Round-17: ROLLUP / CUBE / GROUPING SETS over a star join served
+    ENTIRELY from a join MV's partials (answer_join_rollup_aggregate &
+    siblings) — every level equals the base join's native construct;
+    non-subsumed requests and a moved dim fall back to the base. The
+    winning manifest is pinned once per request (the round-16 advice):
+    serving plans only ever scan the MV data generation."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_join_cube_aggregate,
+        answer_join_grouping_sets,
+        answer_join_rollup_aggregate,
+    )
+
+    base = _tf.mkdtemp(prefix="mvjg_")
+    try:
+        fact_path = os.path.join(base, "fact")
+        dim_path = os.path.join(base, "dim")
+        spark.createDataFrame(
+            [(k, (k * 13) % 97, (k * 13) % 2) for k in range(1, 40)],
+            "fk bigint, v bigint, pbit bigint",
+        ).write.parquet(fact_path)
+        spark.createDataFrame(
+            [(k, ["a", "b", "c"][k % 3]) for k in range(1, 40)],
+            "fk bigint, g string",
+        ).write.parquet(dim_path)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path)
+        mv_root = os.path.join(base, "mvs")
+        create_join_mv(
+            spark, mv_root, name="jg", fact=fact, fact_path=fact_path,
+            dims=[(dim, dim_path, ["fk"])],
+            group_cols=["g", "pbit"], measures=AGGS,
+        )
+        dims = [(dim, dim_path, ["fk"])]
+        joined = fact.join(dim, ["fk"])
+
+        def rows(df):
+            # None-safe sort key: rolled-away levels carry NULL markers
+            return sorted(
+                (
+                    (r["g"], r["pbit"], r["sv"], r["n"], r["mn"], r["mx"])
+                    for r in df.collect()
+                ),
+                key=lambda t: tuple(
+                    (x is None, 0 if x is None else x) for x in t
+                ),
+            )
+
+        meas = [
+            F.sum("v").alias("sv"), F.count("*").alias("n"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ]
+        # ROLLUP — all levels served from the MV, values == native
+        df, used = answer_join_rollup_aggregate(
+            spark, mv_root, fact, fact_path, dims,
+            group_cols=["g", "pbit"], aggs=AGGS,
+        )
+        assert used == "jg"
+        assert rows(df) == rows(joined.rollup("g", "pbit").agg(*meas))
+        files = df.inputFiles()
+        assert files and all("/mvs/jg/data-" in f for f in files), files
+
+        # CUBE under a predicate on an MV group column
+        df, used = answer_join_cube_aggregate(
+            spark, mv_root, fact, fact_path, dims,
+            group_cols=["g", "pbit"], aggs=AGGS,
+            where=[("g", "!=", "a")],
+        )
+        assert used == "jg"
+        assert rows(df) == rows(
+            joined.filter(F.col("g") != "a").cube("g", "pbit").agg(*meas)
+        )
+
+        # arbitrary GROUPING SETS
+        df, used = answer_join_grouping_sets(
+            spark, mv_root, fact, fact_path, dims,
+            group_cols=["g", "pbit"], sets=[["g"], ["pbit"]], aggs=AGGS,
+        )
+        assert used == "jg"
+        assert rows(df) == rows(
+            joined.groupingSets([["g"], ["pbit"]], "g", "pbit").agg(*meas)
+        )
+
+        # non-subsumed rollup (fk not an MV group col) falls back
+        df, used = answer_join_rollup_aggregate(
+            spark, mv_root, fact, fact_path, dims,
+            group_cols=["fk"], aggs=AGGS,
+        )
+        assert used is None
+        nkey = lambda t: tuple(  # noqa: E731
+            (x is None, 0 if x is None else x) for x in t
+        )
+        assert sorted(
+            ((r["fk"], r["sv"]) for r in df.collect()), key=nkey
+        ) == sorted(
+            ((r["fk"], r["sv"])
+             for r in joined.rollup("fk").agg(*meas).collect()),
+            key=nkey,
+        )
+
+        # a moved dim makes the whole hierarchy fall back (stale dim
+        # attributes must never serve)
+        spark.createDataFrame(
+            [(99, "zz")], "fk bigint, g string"
+        ).coalesce(1).write.mode("append").parquet(dim_path)
+        dim2 = spark.read.parquet(dim_path)
+        df, used = answer_join_rollup_aggregate(
+            spark, mv_root, fact, fact_path,
+            [(dim2, dim_path, ["fk"])],
+            group_cols=["g", "pbit"], aggs=AGGS,
+        )
+        assert used is None
+        assert rows(df) == rows(
+            fact.join(dim2, ["fk"]).rollup("g", "pbit").agg(*meas)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

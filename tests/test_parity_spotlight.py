@@ -85,6 +85,14 @@ SPOTLIGHT = [
     "mv_rollup_hierarchy_rewrite",
     "mv_grouping_cube_rewrite",
     "mv_grouping_sets_rewrite",
+    # round-17: join-MV grouping constructs (pinned-manifest hierarchy/
+    # cube serves), the mid-stream auto-compaction x MV catch-up
+    # capstone, and the workload advisor — independently re-verified
+    # from birth
+    "mv_join_rollup_hierarchy_rewrite",
+    "mv_join_cube_rewrite",
+    "stream_mv_auto_compact",
+    "mv_advisor_workload",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -749,10 +749,18 @@ _BUILD_JOBS_SANCTIONED = {
     "mv_mor_feed_capstone",
     # join-bearing MV fixtures (round 16): each builds its own star-join
     # summary — create_join_mv + (for the maintain variants) the
-    # physical source mutation + Z-set fold cycle
-    "mv_join_rollup_rewrite",
+    # physical source mutation + Z-set fold cycle.
+    # mv_join_cube_rewrite (round 17) is alphabetically first on the
+    # shared mv_join fixture and therefore the sanctioned builder;
+    # mv_join_rollup_rewrite / mv_join_rollup_hierarchy_rewrite
+    # construct job-free off the warmed fixture + schema cache.
+    "mv_join_cube_rewrite",
     "mv_join_maintain",
     "mv_join_mor_feed",
+    # advisor capstone (round 17): the fixture runs the one-job size
+    # estimation + the advised create_mv — the workload-design verb IS
+    # the operator (plans/mv_advisor.py)
+    "mv_advisor_workload",
 }
 
 

@@ -943,6 +943,9 @@ def main() -> None:
             refresh_mv,
         )
         from pulsar_cdc_experiment_spark.plans.mv import create_mv as _cmv
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            mv_data_dir as _mv_data_dir,
+        )
 
         base = tempfile.mkdtemp(prefix="stress_mvm_")
         src_path = os.path.join(base, "fact")
@@ -969,19 +972,20 @@ def main() -> None:
             delta.coalesce(1).write.mode("append").parquet(src_path)
             src1 = spark.read.parquet(src_path)
             changes = delta.withColumn("__z", F.lit(1))
-            mv_data = os.path.join(mv_root, "m", "data")
             t0 = time.perf_counter()
             maintain_mv(spark, mv_root, "m", changes, base_new=src1)
             maintain_sec = time.perf_counter() - t0
-            maintained = sorted(
-                map(tuple, spark.read.parquet(mv_data).collect())
-            )
+            # every publish lands in a NEW data generation: resolve the
+            # current dir through the manifest at each read
+            maintained = sorted(map(tuple, spark.read.parquet(
+                _mv_data_dir(mv_root, "m")
+            ).collect()))
             t0 = time.perf_counter()
             refresh_mv(spark, mv_root, "m", src1)
             refresh_sec = time.perf_counter() - t0
-            refreshed = sorted(
-                map(tuple, spark.read.parquet(mv_data).collect())
-            )
+            refreshed = sorted(map(tuple, spark.read.parquet(
+                _mv_data_dir(mv_root, "m")
+            ).collect()))
             assert maintained == refreshed
             out = {
                 "rows": n,
@@ -1100,6 +1104,9 @@ def main() -> None:
             pruned_star_base,
             refresh_mv,
         )
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            mv_data_dir as _mv_data_dir,
+        )
 
         base = tempfile.mkdtemp(prefix="stress_jmv_")
         fact_path = os.path.join(base, "fact")
@@ -1166,7 +1173,6 @@ def main() -> None:
             jm_dir = os.path.join(mv_root, "jm")
             bak = os.path.join(mv_root, ".jm_bak")
             _sh.copytree(jm_dir, bak)
-            mv_data = os.path.join(jm_dir, "data")
             t0 = time.perf_counter()
             maintain_join_mv(
                 spark, mv_root, "jm", fact_pre=src1, d_fact=d_fact2,
@@ -1174,9 +1180,9 @@ def main() -> None:
                 base_new=src2.join(dim, ["fk"]).select("g", "v"),
             )
             plain_risky_sec = time.perf_counter() - t0
-            plain_rows = sorted(
-                map(tuple, spark.read.parquet(mv_data).collect())
-            )
+            plain_rows = sorted(map(tuple, spark.read.parquet(
+                _mv_data_dir(mv_root, "jm")
+            ).collect()))
             _sh.rmtree(jm_dir)
             os.rename(bak, jm_dir)
             t0 = time.perf_counter()
@@ -1186,17 +1192,17 @@ def main() -> None:
                 base_new=pruned_star_base(src2, [(dim, ["fk"])], ["g"]),
             )
             risky_sec = time.perf_counter() - t0
-            pruned_rows = sorted(
-                map(tuple, spark.read.parquet(mv_data).collect())
-            )
+            pruned_rows = sorted(map(tuple, spark.read.parquet(
+                _mv_data_dir(mv_root, "jm")
+            ).collect()))
             assert plain_rows == pruned_rows
             maintained = pruned_rows
             t0 = time.perf_counter()
             refresh_mv(spark, mv_root, "jm", src2.join(dim, ["fk"]))
             refresh_sec = time.perf_counter() - t0
-            refreshed = sorted(
-                map(tuple, spark.read.parquet(mv_data).collect())
-            )
+            refreshed = sorted(map(tuple, spark.read.parquet(
+                _mv_data_dir(mv_root, "jm")
+            ).collect()))
             assert maintained == refreshed
             out = {
                 "rows": n,
