@@ -1223,6 +1223,80 @@ def main() -> None:
         finally:
             _sh.rmtree(base, ignore_errors=True)
 
+    def join_mv_hierarchy(n):
+        """Round-17: grouping constructs over a STAR JOIN at asymptote —
+        the same ROLLUP(g, pbit) answered by the native path (fact ⋈
+        dim shuffle + Expand row replication, n+1-way) vs served from
+        the registered join MV's partials via the pinned manifest
+        (n+1 reads of a KB summary; the join re-run by nobody). The
+        gap IS the star-join + Expand cost the serve avoids; identical
+        results asserted."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            answer_join_rollup_aggregate,
+            create_join_mv,
+        )
+
+        base = tempfile.mkdtemp(prefix="stress_jmvh_")
+        try:
+            fact_path = os.path.join(base, "fact")
+            dim_path = os.path.join(base, "dim")
+            spark.range(n).select(
+                (F.col("id") % 100_000).alias("fk"),
+                (F.col("id") % 97).cast("long").alias("v"),
+                (F.col("id") % 2).cast("long").alias("pbit"),
+            ).write.parquet(fact_path)
+            spark.range(100_000).select(
+                F.col("id").alias("fk"),
+                (F.col("id") % 200).cast("string").alias("g"),
+            ).write.parquet(dim_path)
+            fact = spark.read.parquet(fact_path)
+            dim = spark.read.parquet(dim_path)
+            mv_root = os.path.join(base, "mvs")
+            create_join_mv(
+                spark, mv_root, name="jh", fact=fact,
+                fact_path=fact_path, dims=[(dim, dim_path, ["fk"])],
+                group_cols=["g", "pbit"],
+                measures={"sv": ("sum", "v"), "n": ("count", None)},
+            )
+            aggs = {"sv": ("sum", "v"), "n": ("count", None)}
+
+            def timed(use_mv):
+                root = mv_root if use_mv else os.path.join(base, "none")
+                t0 = time.perf_counter()
+                df, used = answer_join_rollup_aggregate(
+                    spark, root, fact, fact_path,
+                    [(dim, dim_path, ["fk"])],
+                    group_cols=["g", "pbit"], aggs=aggs,
+                )
+                rows = df.collect()
+                return time.perf_counter() - t0, used, rows
+
+            nkey = lambda t: tuple(  # noqa: E731
+                (x is None, 0 if x is None else x) for x in t
+            )
+            native_sec, u0, r0 = timed(use_mv=False)
+            mv_sec, u1, r1 = timed(use_mv=True)
+            assert u0 is None and u1 == "jh"
+            assert sorted(map(tuple, r0), key=nkey) == sorted(
+                map(tuple, r1), key=nkey
+            )
+            out = {
+                "rows": n,
+                "native_sec": round(native_sec, 3),
+                "mv_sec": round(mv_sec, 3),
+                "speedup": round(native_sec / max(mv_sec, 1e-9), 1),
+            }
+            results["join_mv_hierarchy_serve"] = out
+            print(
+                json.dumps({"op": "join_mv_hierarchy_serve", **out}),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(base, ignore_errors=True)
+
     if args.only is None or "merge_file_scoped_1of16" in args.only:
         merge_file_scoped(int(40e6 * s))
     # NOT through run(): its wall spans build + 2x scoped + 2x full
@@ -1244,6 +1318,8 @@ def main() -> None:
         join_mv_maintain_vs_refresh(int(800e6 * s))
     if args.only is not None and "mor_overlay_read_tax" in args.only:
         mor_overlay_tax(int(40e6 * s))
+    if args.only is not None and "join_mv_hierarchy_serve" in args.only:
+        join_mv_hierarchy(int(400e6 * s))
     if args.only is None or "ivm_join_delta_vs_recompute" in args.only:
         ivm_join(int(20e6 * s))
     run("chain_minlabel_d64", int(2e6 * s), chain_minlabel)
