@@ -453,7 +453,8 @@ def mv_partial_delta_maintain(
     ``data``: the stored MV rows — ``on`` + the all-rows ``__cnt`` + per
     measure column ``c`` whatever ``spec[c]`` lists of ``__sum_{c}`` /
     ``__cnt_{c}`` (non-null count) / ``__min_{c}`` / ``__max_{c}``.
-    ``spec``: ``{col: subset of {"sum","cnt","min","max"}}``. ``delta``:
+    ``spec``: ``{col: subset of {"sum","cnt","min","max","hll"}}``.
+    ``delta``:
     ``on`` + every spec column + ``z`` (+1 insert / −1 delete; an update
     is the pair). ``base_new``: the post-batch base projection carrying
     ``on`` + every spec column — read ONLY for risky groups. It may be
@@ -470,9 +471,15 @@ def mv_partial_delta_maintain(
     Fold rules: ``__cnt``/``__sum_*``/``__cnt_*`` telescope invertibly
     from the delta alone (the non-null count folds by summing z over
     non-null values — a deleted NULL never moves it); ``__min_*``/
-    ``__max_*`` fold on inserts via least/greatest. A group is RISKY iff
-    some deleted value reaches the stored extremum of ANY spec column —
-    exactly those groups recompute every partial from ``base_new``,
+    ``__max_*`` fold on inserts via least/greatest; ``__hll_*``
+    (mergeable Datasketches HLL, the approx-distinct partial) folds on
+    inserts via sketch UNION — register-wise max, order-insensitive. A
+    group is RISKY iff some deleted value reaches the stored extremum
+    of ANY spec column, or — for hll — the delete carries ANY non-null
+    value of the sketched column (a sketch cannot forget, so every
+    value-bearing delete forces that group's recompute; deleting a
+    NULL never entered the sketch and stays a pure fold) — exactly
+    those groups recompute every partial from ``base_new``,
     semi-join-pruned. Returns new partial rows for every batch-touched
     group (groups netting to zero rows drop out); merging into the
     stored view is the caller's pointer-swap.
@@ -512,6 +519,15 @@ def mv_partial_delta_maintain(
                 F.min(F.when(~pos, F.col(c))).alias(f"__del_mn_{c}"),
                 F.max(F.when(~pos, F.col(c))).alias(f"__del_mx_{c}"),
             ]
+        if "hll" in kinds:
+            d_aggs += [
+                F.hll_sketch_agg(F.when(pos, F.col(c))).alias(
+                    f"__d_hll_{c}"
+                ),
+                F.max(
+                    (~pos & F.col(c).isNotNull()).cast("int")
+                ).alias(f"__hll_del_{c}"),
+            ]
     d = delta.groupBy(*on).agg(*d_aggs)
     j = data.join(d, on, "full_outer")
     had_view = F.col("__cnt").isNotNull()
@@ -525,8 +541,11 @@ def mv_partial_delta_maintain(
             risky_any = risky_any | (
                 F.col(f"__del_mx_{c}") >= F.col(f"__max_{c}")
             )
+        if "hll" in kinds:
+            risky_any = risky_any | (F.col(f"__hll_del_{c}") == 1)
     has_minmax = any(
-        "min" in kinds or "max" in kinds for kinds in spec.values()
+        "min" in kinds or "max" in kinds or "hll" in kinds
+        for kinds in spec.values()
     )
     risky = had_view & risky_any
     if has_minmax:
@@ -571,6 +590,14 @@ def mv_partial_delta_maintain(
                     F.col(f"__max_{c}"), F.col(f"__ins_mx_{c}")
                 ).alias(f"__max_{c}")
             )
+        if "hll" in kinds:
+            stored, d_hll = F.col(f"__hll_{c}"), F.col(f"__d_hll_{c}")
+            fold_exprs.append(
+                F.when(stored.isNull(), d_hll)
+                .when(d_hll.isNull(), stored)
+                .otherwise(F.hll_union(stored, d_hll))
+                .alias(f"__hll_{c}")
+            )
     folded = (
         j.filter(~F.coalesce(risky, F.lit(False)))
         .select(*on, *fold_exprs)
@@ -597,6 +624,8 @@ def mv_partial_delta_maintain(
             r_aggs.append(F.min(c).alias(f"__min_{c}"))
         if "max" in kinds:
             r_aggs.append(F.max(c).alias(f"__max_{c}"))
+        if "hll" in kinds:
+            r_aggs.append(F.hll_sketch_agg(c).alias(f"__hll_{c}"))
     recomputed = (
         base_new.join(risky_keys, on, "left_semi")
         .groupBy(*on)

@@ -61,8 +61,14 @@ from pyspark.sql import functions as F
 from .layout import maintenance_lock
 from .mor import any_active_lease, lease_scope
 
-#: requested-measure functions the rewriter understands
-_DERIVABLE = ("sum", "count", "min", "max", "avg")
+#: requested-measure functions the rewriter understands.
+#: ``approx_distinct`` stores a MERGEABLE Datasketches HLL sketch per
+#: group (Spark's hll_sketch_agg) — count-distinct is the one classic
+#: measure plain partials cannot roll up (distinct sets don't sum), and
+#: the sketch union (hll_union_agg) is exactly what makes it servable
+#: from a summary at every coarser granularity (the Druid-style OLAP
+#: design, public in the Datasketches literature).
+_DERIVABLE = ("sum", "count", "min", "max", "avg", "approx_distinct")
 
 _DATA_FMT = "data-{:06d}"
 _MV_LEASES = ".leases"
@@ -261,6 +267,13 @@ def _partials(measures: dict) -> tuple[list, dict]:
                 "fn": "count", "col": col, "partial": f"__cnt_{col}"
             }
             continue
+        if fn == "approx_distinct":
+            part = f"__hll_{col}"
+            exprs[part] = F.hll_sketch_agg(col)
+            meta[out] = {
+                "fn": "approx_distinct", "col": col, "partial": part
+            }
+            continue
         part = f"__{fn if fn != 'avg' else 'sum'}_{col}"
         if fn in ("sum", "avg"):
             exprs[part] = F.sum(col)
@@ -392,7 +405,7 @@ def maintain_mv(
 def _measure_spec(man: dict) -> dict[str, set]:
     """Per-column partial spec from the manifest's measure lineage."""
     _KIND = {"sum": "sum", "avg": "sum", "count": "cnt",
-             "min": "min", "max": "max"}
+             "min": "min", "max": "max", "approx_distinct": "hll"}
     spec: dict[str, set] = {}
     for m in man["measures"].values():
         if m["col"] is None:
@@ -706,6 +719,12 @@ def _base_agg_exprs(aggs: dict) -> list:
             exprs.append(F.count(col).alias(out))
         elif fn == "avg":
             exprs.append(F.avg(col).alias(out))
+        elif fn == "approx_distinct":
+            # the SAME Datasketches HLL algorithm the MV route uses, so
+            # routing never changes the estimator family
+            exprs.append(
+                F.hll_sketch_estimate(F.hll_sketch_agg(col)).alias(out)
+            )
         else:
             exprs.append(getattr(F, fn)(col).alias(out))
     return exprs
@@ -725,6 +744,16 @@ def _mv_serve_exprs(man: dict, aggs: dict) -> list:
             continue
         if fn == "count":
             exprs.append(F.sum(f"__cnt_{col}").alias(out))
+            continue
+        if fn == "approx_distinct":
+            # union of per-group sketches = the sketch of the union
+            # (HLL register-wise max is order-insensitive and lossless
+            # at equal lgK) — the rollup that plain partials cannot do
+            exprs.append(
+                F.hll_sketch_estimate(
+                    F.hll_union_agg(f"__hll_{col}")
+                ).alias(out)
+            )
             continue
         part = by_lineage.get((fn, col)) or by_lineage.get(
             ("avg", col) if fn == "sum" else ("sum", col)
@@ -769,14 +798,19 @@ def answer_aggregate(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    having: Sequence | None = None,
 ) -> tuple[DataFrame, str | None]:
-    """Plan ``source.filter(where).groupBy(group_cols).agg(aggs)``
-    (``aggs``: ``{out: (fn, col)}``; ``where``: optional conjunction of
-    terms — each a ``(col, op, literal)`` triple, op ∈
-    ``=,!=,<,<=,>,>=,in``, or an OR-of-conjuncts disjunction
-    ``("or", [[triple, ...], ...])``), served from the best subsuming
-    FRESH materialized view when one exists, else from the base.
-    Returns ``(df, mv_name | None)`` so callers can assert the routing.
+    """Plan ``source.filter(where).groupBy(group_cols).agg(aggs)
+    [.having(...)]`` (``aggs``: ``{out: (fn, col)}``; ``where``:
+    optional conjunction of terms — each a ``(col, op, literal)``
+    triple, op ∈ ``=,!=,<,<=,>,>=,in``, or an OR-of-conjuncts
+    disjunction ``("or", [[triple, ...], ...])``; ``having``: optional
+    conjunction of ``(measure_out_name, op, literal)`` triples applied
+    AFTER aggregation — post-agg, so it never affects subsumption and
+    both routes filter the identical derived measures), served from
+    the best subsuming FRESH materialized view when one exists, else
+    from the base. Returns ``(df, mv_name | None)`` so callers can
+    assert the routing.
 
     Subsumption: ``mv.group_cols ⊇ group_cols``, every column ANY
     predicate leg touches is an MV group column (a predicate on
@@ -791,6 +825,7 @@ def answer_aggregate(
     group_cols = list(group_cols)
     aggs = dict(aggs)
     where = _norm_where(where)
+    having = _norm_having(having, aggs)
     man = _pick_plain_mv(
         mv_root, source_path, set(group_cols), _where_cols(where), aggs
     )
@@ -798,11 +833,44 @@ def answer_aggregate(
         base = source
         for term in where:
             base = base.filter(_where_expr(term))
-        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
+        df = base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs))
+        return _apply_having(df, having), None
     return (
-        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+        _apply_having(
+            _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+            having,
+        ),
         man["name"],
     )
+
+
+def _norm_having(having, aggs: dict) -> list:
+    """Validate a ``having`` spec: ``(measure_out_name, op, literal)``
+    triples conjoined, each naming a requested output measure — the
+    ANSI HAVING shape. Post-aggregation, so it never affects MV
+    subsumption: both routes compute the same output measures and
+    filter them identically."""
+    out = []
+    for term in (having or []):
+        term = tuple(term)
+        if len(term) != 3 or term[1] not in _PRED_OPS:
+            raise ValueError(
+                f"having term must be (measure, op, literal) with op in "
+                f"{_PRED_OPS}; got {term!r}"
+            )
+        if term[0] not in aggs:
+            raise ValueError(
+                f"having references {term[0]!r}, not a requested "
+                f"measure {sorted(aggs)}"
+            )
+        out.append(term)
+    return out
+
+
+def _apply_having(df: DataFrame, having: list) -> DataFrame:
+    for out, op, value in having:
+        df = df.filter(_pred_expr(out, op, value))
+    return df
 
 
 def _best_candidate(candidates: list) -> dict:
@@ -1182,10 +1250,12 @@ def answer_join_aggregate(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    having: Sequence | None = None,
 ) -> tuple[DataFrame, str | None]:
-    """Plan ``(fact ⋈ dims).filter(where).groupBy(group_cols).agg(...)``
-    served from a subsuming FRESH join MV when one exists, else from
-    the base join. ``dims``: ``[(dim_df, dim_path, on_cols), ...]``.
+    """Plan ``(fact ⋈ dims).filter(where).groupBy(group_cols).agg(...)
+    [.having(...)]`` served from a subsuming FRESH join MV when one
+    exists, else from the base join. ``dims``: ``[(dim_df, dim_path,
+    on_cols), ...]``; ``having`` as in :func:`answer_aggregate`.
     Candidate match requires the SAME join topology (fact path, dim
     paths, join keys — a different join shape answers a different
     query), group/predicate subsumption and measure-lineage
@@ -1199,6 +1269,7 @@ def answer_join_aggregate(
     group_cols = list(group_cols)
     aggs = dict(aggs)
     where = _norm_where(where)
+    having = _norm_having(having, aggs)
     man = _pick_join_mv(
         mv_root, fact_path, dims, set(group_cols), _where_cols(where),
         aggs,
@@ -1207,9 +1278,13 @@ def answer_join_aggregate(
         base = _join_all(fact, dims)
         for term in where:
             base = base.filter(_where_expr(term))
-        return base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)), None
+        df = base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs))
+        return _apply_having(df, having), None
     return (
-        _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+        _apply_having(
+            _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+            having,
+        ),
         man["name"],
     )
 

@@ -2670,3 +2670,172 @@ def mv_advisor_workload(spark, sf_dir):
             "avg_cents",
         )
     )
+
+
+def mv_hll_fixture(spark, sf_dir: str) -> str:
+    """An MV storing a MERGEABLE Datasketches HLL sketch partial
+    (round 17): approx-distinct l_partkey at (l_returnflag,
+    l_linestatus) granularity — count-distinct is the one classic
+    measure plain partials cannot roll up; the sketch union is what
+    makes it servable at every coarser grain."""
+
+    def build(root: str) -> None:
+        src = table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_linestatus", "l_partkey"
+        )
+        create_mv(
+            spark, root, name="li_hll",
+            source_path=os.path.join(sf_dir, "lineitem.parquet"),
+            source=src,
+            group_cols=["l_returnflag", "l_linestatus"],
+            measures={
+                "adk": ("approx_distinct", "l_partkey"),
+                "n": ("count", None),
+            },
+        )
+
+    return session_fixture("mv_hll", sf_dir, "partkey_v1", build)
+
+
+@register(
+    "mv_approx_distinct_rewrite",
+    oracle="""
+    SELECT 'mv' AS served_from, CAST(l_returnflag AS VARCHAR) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_partkeys,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY 2
+    UNION ALL
+    SELECT 'base', CAST(l_linenumber AS VARCHAR),
+           CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_partkey) AS BIGINT), TRUE
+    FROM lineitem GROUP BY 2
+    """,
+)
+def mv_approx_distinct_rewrite(spark, sf_dir):
+    """APPROX COUNT-DISTINCT served from MV sketch partials (round 17,
+    plans/mv.py ``approx_distinct`` measure): the MV stores a
+    Datasketches HLL sketch per group (F.hll_sketch_agg) and leg 1
+    rolls it up to l_returnflag by UNIONING the stored sketches
+    (hll_union_agg — register-wise max, lossless at equal lgK), the
+    rollup plain partials cannot express; leg 2 groups by
+    l_linenumber, not subsumed, and falls back to the base running
+    the SAME Datasketches estimator directly. Both legs value-check
+    the accuracy contract in-query — |estimate − exact| / exact ≤ 5%
+    against an exact COUNT(DISTINCT) recomputed from the raw table —
+    and the oracle hardcodes the band TRUE plus the exact counts and
+    the routing (the estimate itself is engine-specific and never
+    crosses to DuckDB; the count(*) column rides the same serve). At
+    100 TB this is the Druid-style pre-aggregated distinct-count
+    dashboard: a KB summary of sketches answers any rollup, the fact
+    is scanned by nobody, and the error is the sketch's published
+    HLL bound, not a sampling guess."""
+    root = mv_hll_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", "l_partkey"
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    aggs = {"adk": ("approx_distinct", "l_partkey"),
+            "n": ("count", None)}
+    leg1, used1 = answer_aggregate(
+        spark, root, src.select(
+            "l_returnflag", "l_linestatus", "l_partkey"
+        ), src_path,
+        group_cols=["l_returnflag"], aggs=aggs,
+    )
+    leg2, used2 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_linenumber"], aggs=aggs,
+    )
+
+    def banded(leg, gcol, tag):
+        exact = src.groupBy(gcol).agg(
+            F.countDistinct("l_partkey").alias("exact_partkeys")
+        )
+        return leg.join(exact, gcol).select(
+            F.lit(tag).alias("served_from"),
+            F.col(gcol).cast("string").alias("grp"),
+            "n", "exact_partkeys",
+            (
+                F.abs(F.col("adk") - F.col("exact_partkeys"))
+                / F.col("exact_partkeys")
+                <= F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+
+    return banded(
+        leg1, "l_returnflag", "mv" if used1 == "li_hll" else "base"
+    ).unionByName(
+        banded(
+            leg2, "l_linenumber",
+            "base" if used2 is None else "mv",
+        )
+    )
+
+
+@register(
+    "mv_having_rewrite",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT 'mv' AS served_from, CAST(l_returnflag AS VARCHAR) AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY 2
+    HAVING CAST(sum(cents) AS BIGINT) > 80000000000
+    UNION ALL
+    SELECT 'base', CAST(l_linenumber AS VARCHAR),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM c GROUP BY 2
+    HAVING CAST(min(cents) AS BIGINT) > 1000
+    """,
+)
+def mv_having_rewrite(spark, sf_dir):
+    """ANSI HAVING through the aggregate-navigation rewrite (round 17):
+    leg 1 filters ON A DERIVED MEASURE (sum_cents > 800M cents) after
+    rolling the registered MV's partials up to l_returnflag — the
+    post-aggregation predicate never affects subsumption, and both
+    routes filter the identical derived values (at sf 0.01 the
+    threshold splits the groups; at sf 0.001 it empties the leg — the
+    oracle applies the same literal, so the hash matches at every
+    scale). Leg 2 groups by l_linenumber (base fallback) with a HAVING
+    on a measure (min_cents) that is NOT in the output — the base
+    route computes it for the filter and projects it away, exactly
+    like ANSI HAVING over a non-selected aggregate. All values
+    recomputed by the oracle with GROUP BY ... HAVING."""
+    root = mv_lineitem_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber", _cents()
+    )
+    src_path = os.path.join(sf_dir, "lineitem.parquet")
+    leg1, used1 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_returnflag"],
+        aggs={"n": ("count", None), "sum_cents": ("sum", "cents")},
+        having=[("sum_cents", ">", 80_000_000_000)],
+    )
+    leg2, used2 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["l_linenumber"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "min_cents": ("min", "cents"),
+        },
+        having=[("min_cents", ">", 1000)],
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "li_flag_status" else "base").alias(
+            "served_from"
+        ),
+        F.col("l_returnflag").cast("string").alias("grp"),
+        "n", "sum_cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("l_linenumber").cast("string").alias("grp"),
+            "n", "sum_cents",
+        )
+    )

@@ -53,17 +53,19 @@ ORACLES: dict[str, str] = {}
 #: the four maintenance-family queries (family rotation keeps them
 #: adjacent) — the core fold machinery wins the tie, the streaming
 #: variants stay parity/spotlight/pytest-covered
-#: round 17: salt 366 at the 246-query registry AFTER the mv_lifecycle
-#: family split (register(..., family=...)) → 15 never-sampled names in
-#: the oracle-backed prefix-50 (simulated against CORRECTNESS_r01..r16),
-#: co-landing ALL FOUR round-17 queries (mv_join_rollup_hierarchy_rewrite,
-#: mv_join_cube_rewrite, stream_mv_auto_compact, mv_advisor_workload)
-#: AND four of the seven never-sampled r15/r16 MV names
-#: (mv_disjunctive_rewrite, mv_join_mor_feed, stream_join_mv_maintain,
-#: stream_mv_maintain) — the co-landing the r16 single-family rotation
-#: made impossible (no salt reached more than 4 MV-family names; the
-#: split gives serving and lifecycle their own round-robin slots)
-_ROTATION_SALT = 366
+#: round 17: salt 527 at the final 248-query registry AFTER the
+#: mv_lifecycle family split (register(..., family=...)) → 19
+#: never-sampled names in the oracle-backed prefix-50 (simulated
+#: against CORRECTNESS_r01..r16), co-landing FIVE of the six round-17
+#: queries (mv_join_rollup_hierarchy_rewrite, mv_join_cube_rewrite,
+#: stream_mv_auto_compact, mv_advisor_workload,
+#: mv_approx_distinct_rewrite — mv_having_rewrite, the least intricate,
+#: stays parity/spotlight-covered) AND the two r15 tail names the
+#: round-16 verdict flagged (mv_mor_feed_capstone, mv_gdpr_scrub) —
+#: a co-landing the r16 single-family rotation provably could not
+#: reach (no salt co-landed more than 4 MV-family names; the split
+#: gives serving and lifecycle their own round-robin slots)
+_ROTATION_SALT = 527
 
 
 def register(

@@ -861,3 +861,159 @@ def test_crashed_publish_orphan_never_double_folds(mv_env):
         (r["g1"],): (r["sv"], r["n"], r["mn"], r["mx"], r["av"])
         for r in df2.collect()
     } == _direct(src, ["g1"])
+
+
+def test_approx_distinct_partials_roll_up_and_maintain(spark):
+    """Round-17: approx count-distinct from MERGEABLE HLL partials —
+    the one classic measure plain partials cannot roll up. Serving at
+    the MV grain, rolled up, and at the grand total all go through
+    hll_union_agg of the stored sketches; at the test's cardinality
+    (<=60 distinct per group) Datasketches HLL is in exact sparse mode,
+    so estimates must EQUAL exact COUNT(DISTINCT). Maintenance:
+    insert-only changesets fold by sketch union WITHOUT touching the
+    base (proved with a base_new callable that raises if invoked);
+    a value-bearing delete makes the group risky (sketches cannot
+    forget) and recomputes it — maintained partials == refreshed."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mv import mv_data_dir
+
+    base = _tf.mkdtemp(prefix="mv_hll_")
+    try:
+        src_path = os.path.join(base, "fact")
+        rows = [
+            (i, ["a", "b", "c"][i % 3], i % 50, (i * 7) % 1000)
+            for i in range(3000)
+        ]
+        spark.createDataFrame(
+            rows, "id bigint, g string, u bigint, cents bigint"
+        ).write.parquet(src_path)
+        src = spark.read.parquet(src_path)
+        mv_root = os.path.join(base, "mvs")
+        create_mv(
+            spark, mv_root, name="h", source_path=src_path, source=src,
+            group_cols=["g"],
+            measures={
+                "du": ("approx_distinct", "u"),
+                "mx": ("max", "cents"),
+            },
+        )
+        aggs = {"du": ("approx_distinct", "u"), "n": ("count", None)}
+
+        def exact(df, cols):
+            agg = df.groupBy(*cols).agg(
+                F.countDistinct("u").alias("du"),
+                F.count("*").alias("n"),
+            )
+            return {
+                tuple(r[c] for c in cols): (r["du"], r["n"])
+                for r in agg.collect()
+            }
+
+        for cols in (["g"], []):
+            df, used = answer_aggregate(
+                spark, mv_root, src, src_path, group_cols=cols,
+                aggs=aggs,
+            )
+            assert used == "h"
+            got = {
+                tuple(r[c] for c in cols): (r["du"], r["n"])
+                for r in df.collect()
+            }
+            assert got == exact(src, cols), cols
+
+        # insert-only fold: new distinct values, base NEVER touched
+        ins = spark.createDataFrame(
+            [("a", 777, 5, 1), ("a", 778, 5, 1), ("d", 900, 5, 1)],
+            "g string, u bigint, cents bigint, __z long",
+        )
+
+        def base_must_not_run(keys):
+            raise AssertionError(
+                "insert-only hll fold must never touch the base"
+            )
+
+        maintain_mv(
+            spark, mv_root, "h", ins, base_new=base_must_not_run
+        )
+        src2 = src.unionByName(ins.drop("__z").withColumn(
+            "id", F.lit(0).cast("bigint")
+        ).select("id", "g", "u", "cents"))
+        df, used = answer_aggregate(
+            spark, mv_root, src, src_path, group_cols=["g"], aggs=aggs
+        )
+        assert used == "h"
+        got = {(r["g"],): (r["du"], r["n"]) for r in df.collect()}
+        assert got == exact(src2, ["g"])
+
+        # value-bearing delete: every image of (g='a', u=0) removed —
+        # the sketch cannot forget, so the group recomputes
+        dels = (
+            src2.filter((F.col("g") == "a") & (F.col("u") == 0))
+            .select("g", "u", "cents").withColumn("__z", F.lit(-1))
+        )
+        src3 = src2.filter(~((F.col("g") == "a") & (F.col("u") == 0)))
+        maintain_mv(
+            spark, mv_root, "h", dels,
+            base_new=src3.select("g", "u", "cents"),
+        )
+        df, used = answer_aggregate(
+            spark, mv_root, src, src_path, group_cols=["g"], aggs=aggs
+        )
+        assert used == "h"
+        got = {(r["g"],): (r["du"], r["n"]) for r in df.collect()}
+        assert got == exact(src3, ["g"])
+        # maintained partials equal a refresh bit-for-bit on the
+        # invertible columns and estimate-for-estimate on the sketch
+        maintained = {
+            r["g"]: (r["__cnt"],
+                     spark.createDataFrame([(r["__hll_u"],)], "s binary")
+                     .select(F.hll_sketch_estimate("s")).collect()[0][0])
+            for r in spark.read.parquet(
+                mv_data_dir(mv_root, "h")
+            ).collect()
+        }
+        refresh_mv(spark, mv_root, "h", src3.select("g", "u", "cents"))
+        refreshed = {
+            r["g"]: (r["__cnt"],
+                     spark.createDataFrame([(r["__hll_u"],)], "s binary")
+                     .select(F.hll_sketch_estimate("s")).collect()[0][0])
+            for r in spark.read.parquet(
+                mv_data_dir(mv_root, "h")
+            ).collect()
+        }
+        assert maintained == refreshed
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_having_filters_both_routes_identically(mv_env):
+    """Round-17 HAVING: a (measure, op, literal) conjunction applied
+    post-aggregation on BOTH routes — never affects subsumption, and
+    the MV-served and base-served answers agree; a having term naming
+    a non-requested measure fails loud."""
+    import pytest as _pytest
+
+    spark, mv_root, src, src_path = mv_env
+    having = [("n", ">", 90), ("sv", "<=", 90000.0)]
+    served, used = answer_aggregate(
+        spark, mv_root, src, src_path, group_cols=["g1", "g2"],
+        aggs=AGGS, having=having,
+    )
+    assert used == "m1"
+    base, used2 = answer_aggregate(
+        spark, os.path.join(mv_root, "nope"), src, src_path,
+        group_cols=["g1", "g2"], aggs=AGGS, having=having,
+    )
+    assert used2 is None
+    key = lambda r: (r["g1"], r["g2"])  # noqa: E731
+    a = {key(r): (r["sv"], r["n"]) for r in served.collect()}
+    b = {key(r): (r["sv"], r["n"]) for r in base.collect()}
+    assert a == b and a  # non-empty and identical
+    for g, (sv, n) in a.items():
+        assert n > 90 and sv <= 90000.0
+    with _pytest.raises(ValueError, match="not a requested measure"):
+        answer_aggregate(
+            spark, mv_root, src, src_path, group_cols=["g1"],
+            aggs={"n": ("count", None)}, having=[("zz", ">", 1)],
+        )

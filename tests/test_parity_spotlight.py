@@ -93,6 +93,8 @@ SPOTLIGHT = [
     "mv_join_cube_rewrite",
     "stream_mv_auto_compact",
     "mv_advisor_workload",
+    "mv_approx_distinct_rewrite",
+    "mv_having_rewrite",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -761,6 +761,9 @@ _BUILD_JOBS_SANCTIONED = {
     # estimation + the advised create_mv — the workload-design verb IS
     # the operator (plans/mv_advisor.py)
     "mv_advisor_workload",
+    # HLL-sketch MV (round 17): its own fixture (create_mv with the
+    # hll_sketch_agg partial)
+    "mv_approx_distinct_rewrite",
 }
 
 
