@@ -90,7 +90,9 @@ def _fold_measures(lineages: set) -> dict:
     return out
 
 
-def advise_mvs(requests: Sequence[dict]) -> list[dict]:
+def advise_mvs(
+    requests: Sequence[dict], existing: Sequence[dict] | None = None
+) -> list[dict]:
     """Pure planning: fold a workload into a minimal covering MV set.
 
     ``requests``: each ``{"group_cols": [...], "aggs": {out: (fn,
@@ -104,8 +106,48 @@ def advise_mvs(requests: Sequence[dict]) -> list[dict]:
     - no advised spec's column set is a subset of another's (an
       antichain — a subsumed MV would be pure waste, its requests are
       served by the superset).
-    """
+
+    ``existing`` (incremental advising): already-materialized specs —
+    MV manifests, or plain ``{"group_cols", "measures"}`` dicts with
+    ``measures`` in either the create vocabulary ``{out: (fn, col)}``
+    or the manifest's lineage form. Requests an existing spec already
+    serves (columns subsumed AND measures derivable, judged by the
+    SAME rules the rewriter applies) are excluded before folding, so
+    the advice is exactly the gap: what to ADD to the current summary
+    layer for full workload coverage — re-running the advisor after a
+    workload shift never re-advises what already exists."""
     normed = [_norm_request(r, i) for i, r in enumerate(requests)]
+    if existing:
+        from .mv import _measures_servable
+
+        ex = []
+        for e in existing:
+            meas = e.get("measures", {})
+            man = {
+                "measures": {
+                    out: (
+                        m if isinstance(m, dict)
+                        else {"fn": m[0], "col": m[1]}
+                    )
+                    for out, m in meas.items()
+                }
+            }
+            ex.append((set(e["group_cols"]), man))
+        covered = [
+            i for i, r in enumerate(requests)
+            if any(
+                normed[i][0] <= cols
+                and _measures_servable(man, dict(r.get("aggs", {})))
+                for cols, man in ex
+            )
+        ]
+        keep = [i for i in range(len(requests)) if i not in covered]
+        if not keep:
+            return []
+        sub = advise_mvs([requests[i] for i in keep])
+        for a in sub:
+            a["covers"] = [keep[i] for i in a["covers"]]
+        return sub
     col_sets = sorted(
         {cols for cols, _ in normed},
         key=lambda s: (-len(s), sorted(s)),

@@ -1017,3 +1017,92 @@ def test_having_filters_both_routes_identically(mv_env):
             spark, mv_root, src, src_path, group_cols=["g1"],
             aggs={"n": ("count", None)}, having=[("zz", ">", 1)],
         )
+
+
+def test_hll_mv_rides_the_mor_sequence_clock(spark):
+    """Round-17 composition pin: a sketch-bearing MV bound to a
+    merge-on-read table catches up through the table's OWN change feed
+    — an insert-only merge folds by sketch union, a delete-bearing
+    merge recomputes the touched groups (the feed emits the deleted
+    row images, whose non-null sketched values make them risky) — and
+    the served approx-distinct equals exact COUNT(DISTINCT) at this
+    cardinality (HLL sparse mode is exact)."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        bind_mv_to_mor,
+        maintain_mv_from_mor,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_hll_mor_")
+    try:
+        root = os.path.join(base, "t")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(root, ".mor", "manifest.json")
+        rows = [(k, ["a", "b"][k % 2], k % 40) for k in range(400)]
+        init_mor(
+            spark,
+            root,
+            spark.createDataFrame(rows, "k bigint, g string, u bigint"),
+            keys=["k"],
+            partition_col="g",
+        )
+        src = read_mor(spark, root).select("g", "u")
+        create_mv(
+            spark, mv_root, name="hm", source_path=manifest,
+            source=src, group_cols=["g"],
+            measures={"du": ("approx_distinct", "u"),
+                      "n": ("count", None)},
+        )
+        bind_mv_to_mor(mv_root, "hm", root)
+
+        def project(df):
+            cols = [F.col("g"), F.col("u")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        def assert_fresh_and_exact():
+            cur = read_mor(spark, root).select("g", "u")
+            df, used = answer_aggregate(
+                spark, mv_root, cur, manifest, group_cols=["g"],
+                aggs={"du": ("approx_distinct", "u"),
+                      "n": ("count", None)},
+            )
+            assert used == "hm"
+            got = {(r["g"],): (r["du"], r["n"]) for r in df.collect()}
+            want = {
+                (r["g"],): (r["du"], r["n"])
+                for r in cur.groupBy("g").agg(
+                    F.countDistinct("u").alias("du"),
+                    F.count("*").alias("n"),
+                ).collect()
+            }
+            assert got == want
+
+        # insert-only merge: new keys carrying NEW distinct u values
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(1000 + i, "a", 100 + i, False) for i in range(5)],
+            "k bigint, g string, u bigint, is_delete boolean",
+        ))
+        rep = maintain_mv_from_mor(spark, mv_root, "hm", project)
+        assert rep["folded"] is True
+        assert_fresh_and_exact()
+
+        # delete-bearing merge: remove EVERY image of u=0 in group a
+        dels = spark.createDataFrame(
+            [(k, "a", k % 40, True) for k, g, u in rows
+             if g == "a" and u == 0],
+            "k bigint, g string, u bigint, is_delete boolean",
+        )
+        merge_into_mor(spark, root, dels)
+        rep = maintain_mv_from_mor(spark, mv_root, "hm", project)
+        assert rep["folded"] is True
+        assert_fresh_and_exact()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -171,3 +171,43 @@ def test_advised_set_serves_workload_end_to_end(spark):
         assert used == "advised_1"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_advice_excludes_already_covered():
+    """advise_mvs(existing=...) returns exactly the GAP: requests an
+    existing MV already serves (columns + derivable measures, judged
+    by the rewriter's rules) are excluded; covers indices still point
+    into the ORIGINAL request list; fully-covered workloads advise
+    nothing."""
+    reqs = [
+        {"group_cols": ["a"], "aggs": {"s": ("sum", "x")}},
+        {"group_cols": ["c"], "aggs": {"m": ("max", "x")}},
+        {"group_cols": ["a", "b"], "aggs": {"av": ("avg", "x")}},
+    ]
+    existing = [
+        # create-vocabulary measures; covers reqs 0 and 2 (avg partial
+        # pair serves sum; (a) and (a,b) both subsumed)
+        {"group_cols": ["a", "b"], "measures": {"avg_x": ("avg", "x")}},
+    ]
+    advised = advise_mvs(reqs, existing=existing)
+    assert len(advised) == 1
+    assert advised[0]["group_cols"] == ["c"]
+    assert advised[0]["covers"] == [1]
+    assert advised[0]["measures"]["max_x"] == ("max", "x")
+    # manifest-form measures work too; full coverage advises nothing
+    existing_man = [
+        {"group_cols": ["a", "b"],
+         "measures": {"avg_x": {"fn": "avg", "col": "x",
+                                "partial": "__sum_x"}}},
+        {"group_cols": ["c"],
+         "measures": {"m": {"fn": "max", "col": "x",
+                            "partial": "__max_x"}}},
+    ]
+    assert advise_mvs(reqs, existing=existing_man) == []
+    # an existing MV with the right columns but WRONG measures does
+    # not cover: min is not derivable from an avg pair
+    assert advise_mvs(
+        [{"group_cols": ["a"], "aggs": {"mn": ("min", "x")}}],
+        existing=[{"group_cols": ["a"],
+                   "measures": {"avg_x": ("avg", "x")}}],
+    )

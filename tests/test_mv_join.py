@@ -599,3 +599,59 @@ def test_join_grouping_constructs_served_pinned(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_hll_measure_composes_with_join_mv_rollup(spark):
+    """Round-17 composition pin: an approx_distinct sketch partial in a
+    JOIN MV serves through the grouping-construct path — every rollup
+    level unions the stored sketches (exact at this cardinality), the
+    star join re-run by nobody."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_join_rollup_aggregate,
+    )
+
+    base = _tf.mkdtemp(prefix="mvjh_")
+    try:
+        fact_path = os.path.join(base, "fact")
+        dim_path = os.path.join(base, "dim")
+        spark.createDataFrame(
+            [(k % 30, k % 17) for k in range(900)],
+            "fk bigint, u bigint",
+        ).write.parquet(fact_path)
+        spark.createDataFrame(
+            [(k, ["a", "b", "c"][k % 3]) for k in range(30)],
+            "fk bigint, g string",
+        ).write.parquet(dim_path)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path)
+        mv_root = os.path.join(base, "mvs")
+        create_join_mv(
+            spark, mv_root, name="jh", fact=fact, fact_path=fact_path,
+            dims=[(dim, dim_path, ["fk"])], group_cols=["g"],
+            measures={"du": ("approx_distinct", "u"),
+                      "n": ("count", None)},
+        )
+        df, used = answer_join_rollup_aggregate(
+            spark, mv_root, fact, fact_path,
+            [(dim, dim_path, ["fk"])],
+            group_cols=["g"],
+            aggs={"du": ("approx_distinct", "u"),
+                  "n": ("count", None)},
+        )
+        assert used == "jh"
+        joined = fact.join(dim, ["fk"])
+        want = {
+            (r["g"],): (r["du"], r["n"])
+            for r in joined.rollup("g").agg(
+                F.countDistinct("u").alias("du"),
+                F.count("*").alias("n"),
+            ).collect()
+        }
+        got = {(r["g"],): (r["du"], r["n"]) for r in df.collect()}
+        assert got == want
+        files = df.inputFiles()
+        assert files and all("/mvs/jh/data-" in f for f in files), files
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
