@@ -592,6 +592,66 @@ def _list_mvs(mv_root: str) -> list[dict]:
 #: simple-predicate operators the rewriter understands
 _PRED_OPS = ("=", "!=", "<", "<=", ">", ">=", "in")
 
+#: derived-group-key functions the rewriter understands. Each maps an
+#: MV GROUP column to a COARSER deterministic key row-level, which is
+#: exactly why serving is sound: re-keying the stored group values and
+#: rolling the partials up is identical to grouping the base by the
+#: expression (the classic time-dimension hierarchy — a date-grain MV
+#: answers year/quarter/month dashboards without a fact scan).
+_DERIVED_FNS = ("year", "quarter", "month", "date_trunc", "substr",
+                "bucket")
+
+
+def _norm_derived(derived) -> dict[str, tuple]:
+    """Validate a ``derived`` spec ``{out_name: (fn, ...)}``:
+    ``("year"|"quarter"|"month", col)``, ``("date_trunc", unit, col)``,
+    ``("substr", col, pos, len)`` (1-based, ANSI SUBSTRING), or
+    ``("bucket", col, width)`` (``floor(col / width) * width`` —
+    numeric range binning). Malformed specs fail loud at plan time."""
+    out = {}
+    for name, spec in (derived or {}).items():
+        spec = tuple(spec)
+        fn = spec[0]
+        if fn not in _DERIVED_FNS:
+            raise ValueError(
+                f"derived {name}: fn must be one of {_DERIVED_FNS}, "
+                f"got {fn!r}"
+            )
+        want_len = {"year": 2, "quarter": 2, "month": 2,
+                    "date_trunc": 3, "substr": 4, "bucket": 3}[fn]
+        if len(spec) != want_len:
+            raise ValueError(
+                f"derived {name}: {fn} spec takes {want_len - 1} "
+                f"argument(s), got {spec!r}"
+            )
+        out[name] = spec
+    return out
+
+
+def _derived_input(spec: tuple) -> str:
+    """The underlying (MV group) column a derived key is computed
+    from."""
+    return spec[2] if spec[0] == "date_trunc" else spec[1]
+
+
+def _derived_col(spec: tuple):
+    fn = spec[0]
+    if fn in ("year", "quarter", "month"):
+        return getattr(F, fn)(F.col(spec[1]))
+    if fn == "date_trunc":
+        return F.date_trunc(spec[1], F.col(spec[2]))
+    if fn == "substr":
+        return F.substring(F.col(spec[1]), spec[2], spec[3])
+    # bucket: floor(col / width) * width
+    return (F.floor(F.col(spec[1]) / F.lit(spec[2]))
+            * F.lit(spec[2]))
+
+
+def _with_derived(df: DataFrame, derived: dict) -> DataFrame:
+    for name, spec in derived.items():
+        df = df.withColumn(name, _derived_col(spec))
+    return df
+
 
 def _pred_expr(col: str, op: str, value):
     c = F.col(col)
@@ -776,6 +836,7 @@ def _mv_serve_exprs(man: dict, aggs: dict) -> list:
 def _serve_from_mv(
     spark: SparkSession, mv_root: str, man: dict,
     group_cols: list, aggs: dict, where: list,
+    derived: dict | None = None,
 ) -> DataFrame:
     # schema-cached read (the read_version/read_mor discipline): a
     # registered query re-planning the same MV runs zero Spark jobs
@@ -784,9 +845,35 @@ def _serve_from_mv(
     mv = _read_cached(
         spark, _data_dir(_mv_dir(mv_root, man["name"]), man)
     )
+    # derived keys are computed from the STORED group values before
+    # filtering and re-grouping — row-level over the KB summary, so
+    # predicates on derived keys filter the partials exactly
+    mv = _with_derived(mv, derived or {})
     for term in where:
         mv = mv.filter(_where_expr(term))
     return mv.groupBy(*group_cols).agg(*_mv_serve_exprs(man, aggs))
+
+
+def _resolve_group_requirements(
+    group_cols: list, where: list, derived: dict
+) -> tuple[set, set]:
+    """(columns the MV must group by to serve this request's GROUP
+    keys, columns it must group by to express the predicates) —
+    derived keys map to their input columns (a coarser key computed
+    from a stored group column is always servable), everything else
+    passes through. A group key that is neither a source column nor a
+    declared derived key fails loud here via the derived lookup at the
+    call sites (Spark would fail the base path anyway; the MV path
+    must agree)."""
+    need = {
+        _derived_input(derived[c]) if c in derived else c
+        for c in group_cols
+    }
+    pred_need = {
+        _derived_input(derived[c]) if c in derived else c
+        for c in _where_cols(where)
+    }
+    return need, pred_need
 
 
 def answer_aggregate(
@@ -799,6 +886,7 @@ def answer_aggregate(
     aggs: dict,
     where: Sequence | None = None,
     having: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``source.filter(where).groupBy(group_cols).agg(aggs)
     [.having(...)]`` (``aggs``: ``{out: (fn, col)}``; ``where``:
@@ -807,10 +895,15 @@ def answer_aggregate(
     disjunction ``("or", [[triple, ...], ...])``; ``having``: optional
     conjunction of ``(measure_out_name, op, literal)`` triples applied
     AFTER aggregation — post-agg, so it never affects subsumption and
-    both routes filter the identical derived measures), served from
-    the best subsuming FRESH materialized view when one exists, else
-    from the base. Returns ``(df, mv_name | None)`` so callers can
-    assert the routing.
+    both routes filter the identical derived measures; ``derived``:
+    optional ``{out_name: (fn, ...)}`` row-level group-key derivations
+    — see :func:`_norm_derived` — letting a request group or filter by
+    ``year(o_orderdate)``-style expressions of an MV group column, the
+    time-dimension hierarchy shape: the MV serves by re-keying its
+    STORED group values, which is exact for every partial kind),
+    served from the best subsuming FRESH materialized view when one
+    exists, else from the base. Returns ``(df, mv_name | None)`` so
+    callers can assert the routing.
 
     Subsumption: ``mv.group_cols ⊇ group_cols``, every column ANY
     predicate leg touches is an MV group column (a predicate on
@@ -826,18 +919,22 @@ def answer_aggregate(
     aggs = dict(aggs)
     where = _norm_where(where)
     having = _norm_having(having, aggs)
-    man = _pick_plain_mv(
-        mv_root, source_path, set(group_cols), _where_cols(where), aggs
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
     )
+    man = _pick_plain_mv(mv_root, source_path, need, pred_need, aggs)
     if man is None:
-        base = source
+        base = _with_derived(source, derived)
         for term in where:
             base = base.filter(_where_expr(term))
         df = base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs))
         return _apply_having(df, having), None
     return (
         _apply_having(
-            _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+            _serve_from_mv(
+                spark, mv_root, man, group_cols, aggs, where, derived
+            ),
             having,
         ),
         man["name"],
@@ -928,6 +1025,7 @@ def answer_rollup_aggregate(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``source.rollup(group_cols).agg(aggs)`` — the hierarchy of
     grouping sets ``(c₁..cₙ), (c₁..cₙ₋₁), …, ()`` with NULL markers in
@@ -952,7 +1050,7 @@ def answer_rollup_aggregate(
     return _answer_sets(
         spark, mv_root, source, source_path,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="rollup",
+        derived=derived, native="rollup",
     )
 
 
@@ -965,6 +1063,7 @@ def answer_cube_aggregate(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``source.cube(group_cols).agg(aggs)`` — ALL 2ⁿ grouping
     sets — served entirely from a materialized view when one subsumes
@@ -979,7 +1078,7 @@ def answer_cube_aggregate(
         # 2ⁿ union branches explode PLANNING cost past ~64 sets; a
         # cube this wide is better served by the native Expand even
         # when an MV subsumes it
-        base = source
+        base = _with_derived(source, _norm_derived(derived))
         for term in _norm_where(where):
             base = base.filter(_where_expr(term))
         return base.cube(*group_cols).agg(*_base_agg_exprs(aggs)), None
@@ -993,7 +1092,7 @@ def answer_cube_aggregate(
     return _answer_sets(
         spark, mv_root, source, source_path,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="cube",
+        derived=derived, native="cube",
     )
 
 
@@ -1007,6 +1106,7 @@ def answer_grouping_sets(
     sets: Sequence[Sequence[str]],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``GROUP BY GROUPING SETS (sets)`` — arbitrary requested
     sets over ``group_cols``, ANSI NULL markers in each set's
@@ -1030,7 +1130,7 @@ def answer_grouping_sets(
     return _answer_sets(
         spark, mv_root, source, source_path,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="groupingSets",
+        derived=derived, native="groupingSets",
     )
 
 
@@ -1045,6 +1145,7 @@ def _answer_sets(
     aggs: dict,
     where,
     native: str,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Shared rollup/cube/grouping-sets server: resolve the winning MV
     ONCE for the FINEST possible set (all of ``group_cols`` — subsuming
@@ -1056,17 +1157,19 @@ def _answer_sets(
     computed from the SAME stored partials — never a mix of MV- and
     base-served levels from different source states."""
     where = _norm_where(where)
-    man = _pick_plain_mv(
-        mv_root, source_path, set(group_cols), _where_cols(where), aggs
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
     )
+    man = _pick_plain_mv(mv_root, source_path, need, pred_need, aggs)
     if man is None:
-        base = source
+        base = _with_derived(source, derived)
         for term in where:
             base = base.filter(_where_expr(term))
         return _native_sets(base, native, sets, group_cols, aggs), None
     return (
         _serve_sets_pinned(
-            spark, mv_root, man, group_cols, sets, aggs, where
+            spark, mv_root, man, group_cols, sets, aggs, where, derived
         ),
         man["name"],
     )
@@ -1092,19 +1195,24 @@ def _serve_sets_pinned(
     sets: list,
     aggs: dict,
     where: list,
+    derived: dict | None = None,
 ) -> DataFrame:
     """Union one MV-served aggregate per grouping set — typed-NULL
     markers in each set's rolled-away columns — all from ONE pinned
     manifest. Works identically for plain and join MVs (serving only
     ever reads the summary's data generation)."""
-    finest = _serve_from_mv(spark, mv_root, man, group_cols, aggs, where)
+    finest = _serve_from_mv(
+        spark, mv_root, man, group_cols, aggs, where, derived
+    )
     types = dict(finest.dtypes)
     out = None
     for gset in sets:
         if gset == group_cols:
             df = finest  # the probe plan, reused
         else:
-            df = _serve_from_mv(spark, mv_root, man, gset, aggs, where)
+            df = _serve_from_mv(
+                spark, mv_root, man, gset, aggs, where, derived
+            )
         rolled = [
             F.lit(None).cast(types[c]).alias(c)
             for c in group_cols

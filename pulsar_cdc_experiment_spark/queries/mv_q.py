@@ -2839,3 +2839,107 @@ def mv_having_rewrite(spark, sf_dir):
             "n", "sum_cents",
         )
     )
+
+
+def mv_date_grain_fixture(spark, sf_dir: str) -> str:
+    """A DATE-GRAIN MV over orders (round 17): sum/count partials at
+    (o_orderdate, o_orderpriority) — the time-dimension base grain from
+    which year/quarter/month dashboards derive without a fact scan."""
+
+    def build(root: str) -> None:
+        src = table(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            ).alias("cents"),
+        )
+        create_mv(
+            spark, root, name="orders_by_date",
+            source_path=os.path.join(sf_dir, "orders.parquet"),
+            source=src,
+            group_cols=["o_orderdate", "o_orderpriority"],
+            measures={
+                "n": ("count", None),
+                "sum_cents": ("sum", "cents"),
+            },
+        )
+
+    return session_fixture("mv_date_grain", sf_dir, "orders_v1", build)
+
+
+@register(
+    "mv_time_hierarchy_rewrite",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderdate, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'mv' AS served_from,
+           CAST(year(o_orderdate) AS VARCHAR) AS grp1,
+           CAST(month(o_orderdate) AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM c WHERE year(o_orderdate) >= 1995
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    UNION ALL
+    SELECT 'base', CAST(CAST(floor(o_custkey / 1000) * 1000 AS BIGINT)
+                        AS VARCHAR), '--',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM c GROUP BY 2
+    """,
+)
+def mv_time_hierarchy_rewrite(spark, sf_dir):
+    """TIME-DIMENSION HIERARCHY served from a date-grain MV (round 17,
+    plans/mv.py ``derived`` group keys): leg 1 asks for
+    ``ROLLUP(year(o_orderdate), month(o_orderdate))`` FILTERED to
+    year >= 1995 — the canonical BI time rollup — and every level is
+    served by RE-KEYING the MV's stored date values (year/month are
+    row-level functions of the o_orderdate group column, so deriving
+    them over the KB summary and rolling the partials up is exact;
+    the filter applies to the derived key over the partials). Leg 2
+    groups by a bucket of o_custkey, which is NOT derivable from any
+    MV group column, and must fall back to the base. The oracle
+    recomputes both with ANSI year()/month()/ROLLUP and hardcodes the
+    routing. At 100 TB this is why warehouses keep ONE date-grain
+    summary instead of one per calendar level: every
+    year/quarter/month dashboard derives from it for free, and the
+    fact is scanned by nobody."""
+    root = mv_date_grain_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority", "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        ).alias("cents"),
+    )
+    src_path = os.path.join(sf_dir, "orders.parquet")
+    aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+    from ..plans.mv import answer_rollup_aggregate
+
+    leg1, used1 = answer_rollup_aggregate(
+        spark, root, src, src_path,
+        group_cols=["yr", "mo"], aggs=aggs,
+        where=[("yr", ">=", 1995)],
+        derived={"yr": ("year", "o_orderdate"),
+                 "mo": ("month", "o_orderdate")},
+    )
+    leg2, used2 = answer_aggregate(
+        spark, root, src, src_path,
+        group_cols=["ck"], aggs=aggs,
+        derived={"ck": ("bucket", "o_custkey", 1000)},
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "orders_by_date" else "base").alias(
+            "served_from"
+        ),
+        F.col("yr").cast("string").alias("grp1"),
+        F.col("mo").cast("string").alias("grp2"),
+        "n", "sum_cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias("served_from"),
+            F.col("ck").cast("string").alias("grp1"),
+            F.lit("--").alias("grp2"),
+            "n", "sum_cents",
+        )
+    )

@@ -53,19 +53,21 @@ ORACLES: dict[str, str] = {}
 #: the four maintenance-family queries (family rotation keeps them
 #: adjacent) — the core fold machinery wins the tie, the streaming
 #: variants stay parity/spotlight/pytest-covered
-#: round 17: salt 527 at the final 248-query registry AFTER the
-#: mv_lifecycle family split (register(..., family=...)) → 19
+#: round 17: salt 459 at the final 249-query registry AFTER the
+#: mv_lifecycle family split (register(..., family=...)) → 17
 #: never-sampled names in the oracle-backed prefix-50 (simulated
-#: against CORRECTNESS_r01..r16), co-landing FIVE of the six round-17
-#: queries (mv_join_rollup_hierarchy_rewrite, mv_join_cube_rewrite,
-#: stream_mv_auto_compact, mv_advisor_workload,
-#: mv_approx_distinct_rewrite — mv_having_rewrite, the least intricate,
-#: stays parity/spotlight-covered) AND the two r15 tail names the
-#: round-16 verdict flagged (mv_mor_feed_capstone, mv_gdpr_scrub) —
-#: a co-landing the r16 single-family rotation provably could not
-#: reach (no salt co-landed more than 4 MV-family names; the split
-#: gives serving and lifecycle their own round-robin slots)
-_ROTATION_SALT = 527
+#: against CORRECTNESS_r01..r16), co-landing FIVE of the seven
+#: round-17 queries (mv_join_rollup_hierarchy_rewrite,
+#: mv_join_cube_rewrite, stream_mv_auto_compact, mv_advisor_workload,
+#: mv_approx_distinct_rewrite — mv_having_rewrite and
+#: mv_time_hierarchy_rewrite, both serving-side variants of
+#: driver-green machinery, stay parity/spotlight-covered) AND three
+#: of the never-sampled r15/r16 MV tail (mv_join_mor_feed,
+#: stream_join_mv_maintain, stream_mv_maintain) — a co-landing the
+#: r16 single-family rotation provably could not reach (no salt
+#: co-landed more than 4 MV-family names; the split gives serving
+#: and lifecycle their own round-robin slots)
+_ROTATION_SALT = 459
 
 
 def register(

@@ -1106,3 +1106,105 @@ def test_hll_mv_rides_the_mor_sequence_clock(spark):
         assert_fresh_and_exact()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_derived_group_keys_serve_and_validate(spark):
+    """Round-17 derived group keys: year/quarter/month/date_trunc/
+    substr/bucket expressions of an MV GROUP column serve by re-keying
+    the STORED group values (exact for every partial kind, including
+    sketches); predicates on derived keys filter the partials exactly;
+    a derived key over a non-group column falls back to the base with
+    identical values; malformed specs fail loud."""
+    import datetime
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="mv_der_")
+    try:
+        src_path = os.path.join(base, "fact")
+        d0 = datetime.date(1994, 1, 1)
+        rows = [
+            (i, d0 + datetime.timedelta(days=i % 900),
+             ["alpha", "beta", "gamma"][i % 3], (i * 13) % 1000)
+            for i in range(4000)
+        ]
+        spark.createDataFrame(
+            rows, "id bigint, dt date, tag string, cents bigint"
+        ).write.parquet(src_path)
+        src = spark.read.parquet(src_path)
+        mv_root = os.path.join(base, "mvs")
+        create_mv(
+            spark, mv_root, name="bydate", source_path=src_path,
+            source=src, group_cols=["dt", "tag"],
+            measures={
+                "sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents"),
+                "du": ("approx_distinct", "cents"),
+            },
+        )
+        derived = {
+            "yr": ("year", "dt"),
+            "qt": ("quarter", "dt"),
+            "t1": ("substr", "tag", 1, 1),
+        }
+        aggs = {
+            "sum_cents": ("sum", "cents"), "n": ("count", None),
+            "mx": ("max", "cents"), "du": ("approx_distinct", "cents"),
+        }
+        df, used = answer_aggregate(
+            spark, mv_root, src, src_path,
+            group_cols=["yr", "qt", "t1"], aggs=aggs, derived=derived,
+            where=[("t1", "!=", "g"), ("yr", "<=", 1996)],
+        )
+        assert used == "bydate"
+        direct = (
+            src.withColumn("yr", F.year("dt"))
+            .withColumn("qt", F.quarter("dt"))
+            .withColumn("t1", F.substring("tag", 1, 1))
+            .filter((F.col("t1") != "g") & (F.col("yr") <= 1996))
+            .groupBy("yr", "qt", "t1")
+            .agg(
+                F.sum("cents").alias("sum_cents"),
+                F.count("*").alias("n"), F.max("cents").alias("mx"),
+                F.countDistinct("cents").alias("du"),
+            )
+        )
+        key = lambda r: (r["yr"], r["qt"], r["t1"])  # noqa: E731
+        got = {key(r): (r["sum_cents"], r["n"], r["mx"], r["du"])
+               for r in df.collect()}
+        want = {key(r): (r["sum_cents"], r["n"], r["mx"], r["du"])
+                for r in direct.collect()}
+        assert got == want  # HLL exact at this cardinality
+
+        # the serving plan's only scan is the MV data generation
+        files = df.inputFiles()
+        assert files and all("/mvs/bydate/data-" in f for f in files)
+
+        # bucket over a NON-group column: base fallback, same values
+        df2, used2 = answer_aggregate(
+            spark, mv_root, src, src_path,
+            group_cols=["b"], aggs={"n": ("count", None)},
+            derived={"b": ("bucket", "id", 1000)},
+        )
+        assert used2 is None
+        got2 = {r["b"]: r["n"] for r in df2.collect()}
+        want2 = {
+            r["b"]: r["n"]
+            for r in src.withColumn(
+                "b", F.floor(F.col("id") / 1000) * 1000
+            ).groupBy("b").agg(F.count("*").alias("n")).collect()
+        }
+        assert got2 == want2
+
+        # malformed specs fail loud
+        for bad in (
+            {"x": ("median", "dt")},
+            {"x": ("year", "dt", "extra")},
+            {"x": ("substr", "tag")},
+        ):
+            with pytest.raises(ValueError):
+                answer_aggregate(
+                    spark, mv_root, src, src_path, group_cols=["x"],
+                    aggs={"n": ("count", None)}, derived=bad,
+                )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -95,6 +95,7 @@ SPOTLIGHT = [
     "mv_advisor_workload",
     "mv_approx_distinct_rewrite",
     "mv_having_rewrite",
+    "mv_time_hierarchy_rewrite",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -764,6 +764,9 @@ _BUILD_JOBS_SANCTIONED = {
     # HLL-sketch MV (round 17): its own fixture (create_mv with the
     # hll_sketch_agg partial)
     "mv_approx_distinct_rewrite",
+    # date-grain MV (round 17): its own fixture (create_mv at
+    # (o_orderdate, o_orderpriority) granularity)
+    "mv_time_hierarchy_rewrite",
 }
 
 
