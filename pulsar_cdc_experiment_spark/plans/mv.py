@@ -416,24 +416,25 @@ def _measure_spec(man: dict) -> dict[str, set]:
     return spec
 
 
-def _fold_changes_and_swap(
+def _folded_partials(
     spark: SparkSession,
     d: str,
     man: dict,
     changes: DataFrame,
     base_new: DataFrame,
-    pre_swap=None,
-) -> None:
-    """The shared incremental-fold core of plain and join MV
-    maintenance: validate the changeset, delegate the partial math to
-    ``mv_partial_delta_maintain``, and publish the new rows via the
-    atomic data-dir swap. Fingerprint stamping is the CALLER's (plain
-    and join MVs stamp different source sets) — passed as ``pre_swap``
-    so a derivation-token mismatch aborts BEFORE the swap, leaving the
-    stored partials byte-untouched for a re-cut retry."""
+    precheck_risky: bool = True,
+) -> DataFrame:
+    """LAZY plan for the MV's post-changeset partial rows: validate the
+    changeset, delegate the partial math to
+    ``mv_partial_delta_maintain``, and union the untouched stored rows
+    with the folded/recomputed ones. Shared by maintenance (which
+    stages and publishes the result) and the round-17 LIVE serve
+    (which rolls the composed partials up at query time without ever
+    publishing). ``precheck_risky`` runs one probe job to skip the
+    risky leg — right for maintenance VERBS; the live serve passes
+    False so plan construction stays job-free."""
     from ..operators.materialize import mv_partial_delta_maintain
 
-    _sweep_mv(d, man)
     group_cols = man["group_cols"]
     spec = _measure_spec(man)
     missing = [
@@ -466,14 +467,34 @@ def _fold_changes_and_swap(
         data, base_new,
         changes.select(*group_cols, *sorted(spec), "__z"),
         group_cols, spec,
-        # this is a maintenance VERB (jobs allowed): one O(groups +
-        # changeset) probe skips the risky-recompute leg — and with
-        # it the base scan — in the common no-extremum-hit batch
-        precheck_risky=True,
+        precheck_risky=precheck_risky,
     )
     touched = changes.select(*group_cols).distinct()
     untouched = data.join(touched, group_cols, "left_anti")
-    out = untouched.unionByName(new_rows.select(*data.columns))
+    return untouched.unionByName(new_rows.select(*data.columns))
+
+
+def _fold_changes_and_swap(
+    spark: SparkSession,
+    d: str,
+    man: dict,
+    changes: DataFrame,
+    base_new: DataFrame,
+    pre_swap=None,
+) -> None:
+    """The shared incremental-fold core of plain and join MV
+    maintenance: stage :func:`_folded_partials`' result as a new data
+    generation. Fingerprint stamping is the CALLER's (plain and join
+    MVs stamp different source sets) — passed as ``pre_swap`` so a
+    derivation-token mismatch aborts BEFORE the publish, leaving the
+    stored partials byte-untouched for a re-cut retry. The
+    ``precheck_risky`` probe is affordable here: maintenance is a
+    VERB, jobs allowed, and the probe skips the risky-recompute leg —
+    and with it the base scan — in the common no-extremum-hit batch."""
+    _sweep_mv(d, man)
+    out = _folded_partials(
+        spark, d, man, changes, base_new, precheck_risky=True
+    )
     _stage_data(d, man, out, pre_swap=pre_swap)
     man["n_groups"] = _count_groups(spark, d, man)
 
@@ -833,6 +854,21 @@ def _mv_serve_exprs(man: dict, aggs: dict) -> list:
     return exprs
 
 
+def _rollup_partials(
+    df: DataFrame, man: dict, group_cols: list, aggs: dict,
+    where: list, derived: dict | None = None,
+) -> DataFrame:
+    """Roll a DataFrame of the MV's PARTIAL rows up to the requested
+    granularity — derived keys computed from the stored group values
+    first, predicates filtering the partials exactly, measures via the
+    partial-derivation expressions. Shared by the stored-data serve
+    and the live (composed-partials) serve."""
+    df = _with_derived(df, derived or {})
+    for term in where:
+        df = df.filter(_where_expr(term))
+    return df.groupBy(*group_cols).agg(*_mv_serve_exprs(man, aggs))
+
+
 def _serve_from_mv(
     spark: SparkSession, mv_root: str, man: dict,
     group_cols: list, aggs: dict, where: list,
@@ -845,13 +881,7 @@ def _serve_from_mv(
     mv = _read_cached(
         spark, _data_dir(_mv_dir(mv_root, man["name"]), man)
     )
-    # derived keys are computed from the STORED group values before
-    # filtering and re-grouping — row-level over the KB summary, so
-    # predicates on derived keys filter the partials exactly
-    mv = _with_derived(mv, derived or {})
-    for term in where:
-        mv = mv.filter(_where_expr(term))
-    return mv.groupBy(*group_cols).agg(*_mv_serve_exprs(man, aggs))
+    return _rollup_partials(mv, man, group_cols, aggs, where, derived)
 
 
 def _resolve_group_requirements(
@@ -1702,6 +1732,10 @@ def bind_mv_to_mor(mv_root: str, name: str, mor_root: str) -> dict:
         )
         man["mor_root"] = mor_root
         man["applied_seq"] = latest
+        # the live serve's out-of-band-rewrite guard: purges bump this
+        # counter, and a purged span cannot be compensated from the
+        # change feed
+        man["mor_mutations"] = mor_man.get("mutations", 0)
         _publish_manifest(d, man)
         return man
 
@@ -1776,6 +1810,7 @@ def maintain_mv_from_mor(
             pre_swap=lambda: _stamp_fingerprint(man, token),
         )
         man["applied_seq"] = latest
+        man["mor_mutations"] = mor_man.get("mutations", 0)
         _publish_manifest(d, man)
         return {"applied_seq": latest, "folded": True}
 
@@ -1907,5 +1942,133 @@ def maintain_join_mv_from_mor(
             spark, d, man, d_view, base_new, pre_swap=stamp
         )
         man["applied_seq"] = latest
+        man["mor_mutations"] = mor_man.get("mutations", 0)
         _publish_manifest(d, man)
         return {"applied_seq": latest, "folded": True}
+
+
+def answer_aggregate_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+    having: Sequence | None = None,
+    derived: dict | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Serve FRESH numbers from a possibly-STALE MoR-bound MV without
+    any maintenance write — the real-time / lambda serve (round 17):
+    compose the STORED partials with the table's unapplied change-feed
+    span LAZILY at query time. Where plain ``answer_aggregate`` makes a
+    stale MV invisible (falling back to a full base aggregation), this
+    plans ``stored partials ⊕ fold(change_feed(applied_seq → latest))``
+    — the same Z-set math ``maintain_mv_from_mor`` publishes, minus the
+    publish — so query cost is O(groups + unapplied span + risky-group
+    base probe) instead of a fact pass, and the MV files are
+    byte-untouched (maintenance stays a separate, batched decision).
+    This is the Druid/Materialize serving contract expressed in Spark
+    plans: summaries absorb history, the delta rides the query.
+
+    ``project`` maps feed/table rows to the MV's group + measure
+    columns exactly as in :func:`maintain_mv_from_mor`. Returns
+    ``(df, mode)`` — mode ``"mv"`` (fresh, stored partials only),
+    ``"mv_delta"`` (stale, compensated), or ``None`` (not servable:
+    request not subsumed, span compacted away or rolled back past, or
+    an out-of-band rewrite — a purge — bumped the table's mutation
+    counter, which no feed can compensate; the fallback aggregates the
+    CURRENT table state directly, so the answer is always fresh)."""
+    from .mor import _read_manifest, change_feed_mor, read_mor
+
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        man = json.load(f)
+    if "mor_root" not in man:
+        raise ValueError(
+            f"MV {name} is not bound to a merge-on-read table; "
+            "answer_aggregate_live needs bind_mv_to_mor"
+        )
+    group_cols = list(group_cols)
+    aggs = dict(aggs)
+    where = _norm_where(where)
+    having = _norm_having(having, aggs)
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
+    )
+    mor_root = man["mor_root"]
+
+    def base_fallback() -> DataFrame:
+        cur = project(
+            read_mor(spark, mor_root).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        base = _with_derived(cur, derived)
+        for term in where:
+            base = base.filter(_where_expr(term))
+        return _apply_having(
+            base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
+            having,
+        )
+
+    subsumed = (
+        need <= set(man["group_cols"])
+        and pred_need <= set(man["group_cols"])
+        and _measures_servable(man, aggs)
+    )
+    if not subsumed:
+        return base_fallback(), None
+
+    mor_man = _read_manifest(mor_root)
+    latest = (
+        mor_man["seqs"][-1]["seq"]
+        if mor_man["seqs"]
+        else mor_man.get("base_seq", 0)
+    )
+    applied = man["applied_seq"]
+    if man["fingerprint"] == _fingerprint(man["source_path"]):
+        # genuinely fresh: the stored partials ARE the current state
+        return (
+            _apply_having(
+                _serve_from_mv(
+                    spark, mv_root, man, group_cols, aggs, where,
+                    derived,
+                ),
+                having,
+            ),
+            "mv",
+        )
+    compensatable = (
+        mor_man.get("mutations", 0) == man.get("mor_mutations")
+        and mor_man.get("base_seq", 0) <= applied < latest
+    )
+    if not compensatable:
+        return base_fallback(), None
+    feed = project(change_feed_mor(spark, mor_root, applied, latest))
+    changes = changes_from_feed(
+        feed, [c for c in feed.columns if c != "change_type"]
+    )
+    base_new = project(
+        read_mor(spark, mor_root).withColumn(
+            "change_type", F.lit("insert")
+        )
+    ).drop("change_type")
+    composed = _folded_partials(
+        spark, d, man, changes, base_new,
+        # a QUERY path: no probe job at plan time — the risky leg
+        # rides the plan lazily (its semi-joined base read is the
+        # honest freshness cost when a delete hit an extremum)
+        precheck_risky=False,
+    )
+    return (
+        _apply_having(
+            _rollup_partials(
+                composed, man, group_cols, aggs, where, derived
+            ),
+            having,
+        ),
+        "mv_delta",
+    )

@@ -2943,3 +2943,154 @@ def mv_time_hierarchy_rewrite(spark, sf_dir):
             "n", "sum_cents",
         )
     )
+
+
+def mv_live_fixture(spark, sf_dir: str) -> str:
+    """LIVE-SERVE fixture (round 17): a MoR orders table with a bound
+    per-priority summary, then ONE merge (risky max delete + updates +
+    clone inserts) with NO catch-up — the MV is left genuinely STALE
+    (the build asserts the plain rewrite refuses it), which is exactly
+    the state answer_aggregate_live exists to serve."""
+
+    def build(root: str) -> None:
+        from pyspark.sql import Window
+
+        from ..plans.mor import init_mor, merge_into_mor, read_mor
+        from ..plans.mv import answer_aggregate as _answer
+        from ..plans.mv import bind_mv_to_mor
+
+        state_root = os.path.join(root, "state")
+        mv_root = os.path.join(root, "mvs")
+        manifest = os.path.join(state_root, ".mor", "manifest.json")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        init_mor(
+            spark, state_root, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+        src = read_mor(spark, state_root).select(
+            "o_orderpriority", cents
+        )
+        create_mv(
+            spark, mv_root, name="live_by_pri",
+            source_path=manifest, source=src,
+            group_cols=["o_orderpriority"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+        bind_mv_to_mor(mv_root, "live_by_pri", state_root)
+
+        key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = orders.withColumn("rn", F.row_number().over(w))
+        is_low_max = (F.col("rn") == 1) & (pri == "5-LOW")
+        batch = (
+            ranked.filter(is_low_max)
+            .drop("rn").withColumn("is_delete", F.lit(True))
+            .unionByName(
+                ranked.filter(~is_low_max & (key % 100 == 11))
+                .drop("rn")
+                .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+                .withColumn("is_delete", F.lit(False))
+            )
+            .unionByName(
+                orders.filter(key % 100 == 29)
+                .withColumn("o_orderkey", key + 40_000_000)
+                .withColumn("o_orderpriority", F.lit("3-MEDIUM"))
+                .withColumn("is_delete", F.lit(False))
+            )
+        )
+        merge_into_mor(spark, state_root, batch)
+        # the point of the fixture: NO catch-up — the MV is stale and
+        # the plain rewrite must refuse it
+        _, used = _answer(
+            spark, mv_root,
+            read_mor(spark, state_root).select("o_orderpriority", cents),
+            manifest,
+            group_cols=["o_orderpriority"],
+            aggs={"n": ("count", None)},
+        )
+        assert used is None, "fixture expects a genuinely stale MV"
+
+    return session_fixture("mv_live", sf_dir, "stale_v1", build)
+
+
+@register(
+    "mv_live_serve",
+    family="mv_lifecycle",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 11
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '5-LOW')
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '3-MEDIUM'
+      FROM orders WHERE o_orderkey % 100 = 29
+    )
+    SELECT 'mv_delta' AS served_from, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY 2
+    """,
+)
+def mv_live_serve(spark, sf_dir):
+    """REAL-TIME serving from a STALE summary (round 17,
+    plans/mv.answer_aggregate_live — the lambda-architecture serve):
+    the fixture leaves the MoR-bound MV one merge behind (risky max
+    delete + updates + clone inserts, no catch-up; the plain rewrite
+    refuses it), and this query serves FRESH per-priority numbers by
+    composing the STORED partials with the unapplied change-feed span
+    lazily — the same Z-set fold maintenance publishes, minus the
+    publish: the MV's manifest and data generation are byte-untouched
+    by the serve. ``served_from`` pins mode 'mv_delta' (the oracle
+    hardcodes it) and every value is recomputed closed-form from the
+    raw table, including the recomputed max for the risky group. At
+    100 TB this is the summary-plus-tail read every real-time
+    dashboard wants: O(groups + unapplied span + risky probe) per
+    query, maintenance batched on its own schedule, the fact scanned
+    by nobody."""
+    from ..plans.mor import read_mor
+    from ..plans.mv import answer_aggregate_live
+
+    root = mv_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def project(df):
+        cols = [F.col("o_orderpriority"), cents]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    df, mode = answer_aggregate_live(
+        spark, mv_root, "live_by_pri", project,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit(mode if mode else "base").alias("served_from"),
+        "o_orderpriority", "n", "sum_cents", "max_cents",
+    )

@@ -53,21 +53,23 @@ ORACLES: dict[str, str] = {}
 #: the four maintenance-family queries (family rotation keeps them
 #: adjacent) — the core fold machinery wins the tie, the streaming
 #: variants stay parity/spotlight/pytest-covered
-#: round 17: salt 459 at the final 249-query registry AFTER the
-#: mv_lifecycle family split (register(..., family=...)) → 17
+#: round 17: salt 205 at the final 250-query registry AFTER the
+#: mv_lifecycle family split (register(..., family=...)) → 14
 #: never-sampled names in the oracle-backed prefix-50 (simulated
-#: against CORRECTNESS_r01..r16), co-landing FIVE of the seven
-#: round-17 queries (mv_join_rollup_hierarchy_rewrite,
-#: mv_join_cube_rewrite, stream_mv_auto_compact, mv_advisor_workload,
-#: mv_approx_distinct_rewrite — mv_having_rewrite and
-#: mv_time_hierarchy_rewrite, both serving-side variants of
-#: driver-green machinery, stay parity/spotlight-covered) AND three
-#: of the never-sampled r15/r16 MV tail (mv_join_mor_feed,
-#: stream_join_mv_maintain, stream_mv_maintain) — a co-landing the
+#: against CORRECTNESS_r01..r16), co-landing FIVE of the eight
+#: round-17 queries — prioritized by risk: the verdict-named
+#: mv_join_rollup_hierarchy_rewrite, the mid-stream-compaction
+#: capstone stream_mv_auto_compact, the new serving mode
+#: mv_live_serve, mv_advisor_workload, and mv_join_cube_rewrite
+#: (mv_having_rewrite / mv_approx_distinct_rewrite /
+#: mv_time_hierarchy_rewrite, serving-side variants of driver-green
+#: machinery, stay parity/spotlight-covered) — AND three of the
+#: never-sampled r15/r16 MV tail (mv_disjunctive_rewrite,
+#: stream_join_mv_maintain, stream_mv_maintain): a co-landing the
 #: r16 single-family rotation provably could not reach (no salt
 #: co-landed more than 4 MV-family names; the split gives serving
 #: and lifecycle their own round-robin slots)
-_ROTATION_SALT = 459
+_ROTATION_SALT = 205
 
 
 def register(

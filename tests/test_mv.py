@@ -1208,3 +1208,152 @@ def test_derived_group_keys_serve_and_validate(spark):
                 )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_live_serve_compensates_stale_mv_without_publishing(spark):
+    """Round-17 answer_aggregate_live: a stale MoR-bound MV serves
+    FRESH numbers by composing stored partials with the unapplied
+    change-feed span lazily — including a risky max-delete (the
+    recompute leg rides the plan) — while the MV's manifest and data
+    generation stay byte-untouched; a fresh MV serves mode 'mv'; a
+    purge (mutation bump), a compaction past applied_seq, and a
+    non-subsumed request all fall back to a fresh base aggregation
+    with mode None."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        compact_mor,
+        init_mor,
+        merge_into_mor,
+        purge_keys_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_aggregate_live,
+        bind_mv_to_mor,
+        mv_data_dir,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_live_")
+    try:
+        root = os.path.join(base, "t")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(root, ".mor", "manifest.json")
+        rows = [(k, ["a", "b"][k % 2], (k * 13) % 500)
+                for k in range(300)]
+        init_mor(
+            spark, root,
+            spark.createDataFrame(
+                rows, "k bigint, g string, cents bigint"
+            ),
+            keys=["k"], partition_col="g",
+        )
+        src = read_mor(spark, root).select("g", "cents")
+        create_mv(
+            spark, mv_root, name="lv", source_path=manifest,
+            source=src, group_cols=["g"],
+            measures={"sum_cents": ("sum", "cents"),
+                      "n": ("count", None), "mx": ("max", "cents")},
+        )
+        bind_mv_to_mor(mv_root, "lv", root)
+
+        def project(df):
+            cols = [F.col("g"), F.col("cents")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        def exact_now():
+            return {
+                r["g"]: (r["s"], r["n"], r["m"])
+                for r in read_mor(spark, root).groupBy("g").agg(
+                    F.sum("cents").alias("s"),
+                    F.count("*").alias("n"),
+                    F.max("cents").alias("m"),
+                ).collect()
+            }
+
+        def serve(**kw):
+            df, mode = answer_aggregate_live(
+                spark, mv_root, "lv", project,
+                group_cols=["g"], aggs=aggs, **kw,
+            )
+            return {
+                r["g"]: (r["sum_cents"], r["n"], r["mx"])
+                for r in df.collect()
+            }, mode
+
+        got, mode = serve()
+        assert mode == "mv" and got == exact_now()
+
+        # a merge lands (incl. deleting group a's MAX — risky) with NO
+        # catch-up; the live serve compensates, the MV stays untouched
+        man_bytes = open(os.path.join(mv_root, "lv", "mv.json")).read()
+        data_dir = mv_data_dir(mv_root, "lv")
+        mx = (
+            read_mor(spark, root).filter(F.col("g") == "a")
+            .orderBy(F.col("cents").desc(), F.col("k").desc())
+            .limit(1).collect()[0]
+        )
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(mx["k"], "a", mx["cents"], True),
+             (9001, "b", 499, False), (9002, "a", 7, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        _, used = answer_aggregate(
+            spark, mv_root, src, manifest, group_cols=["g"], aggs=aggs
+        )
+        assert used is None, "plain rewrite must refuse the stale MV"
+        got, mode = serve()
+        assert mode == "mv_delta" and got == exact_now()
+        got, mode = serve(where=[("g", "=", "a")])
+        assert mode == "mv_delta"
+        assert got == {k: v for k, v in exact_now().items() if k == "a"}
+        assert open(
+            os.path.join(mv_root, "lv", "mv.json")
+        ).read() == man_bytes
+        assert mv_data_dir(mv_root, "lv") == data_dir
+
+        # non-subsumed request: base fallback, fresh values
+        df, mode = answer_aggregate_live(
+            spark, mv_root, "lv", project,
+            group_cols=[], aggs={"n": ("count", None),
+                                 "sc": ("sum", "cents")},
+        )
+        assert mode == "mv_delta"  # [] ⊆ group cols — still servable
+        r = df.collect()[0]
+        want_tot = read_mor(spark, root).agg(
+            F.count("*").alias("n"), F.sum("cents").alias("s")
+        ).collect()[0]
+        assert (r["n"], r["sc"]) == (want_tot["n"], want_tot["s"])
+
+        # purge bumps the mutation counter: no feed can compensate
+        purge_keys_mor(
+            spark, root, spark.createDataFrame([(9001,)], "k bigint")
+        )
+        got, mode = serve()
+        assert mode is None and got == exact_now()
+
+        # re-bind at current state, then compact PAST applied_seq via a
+        # fresh merge + compaction: span unreachable -> base fallback
+        from pulsar_cdc_experiment_spark.plans.mv import refresh_mv
+
+        refresh_mv(
+            spark, mv_root, "lv",
+            project(read_mor(spark, root).withColumn(
+                "change_type", F.lit("insert")
+            )).drop("change_type"),
+        )
+        bind_mv_to_mor(mv_root, "lv", root)
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9100, "a", 42, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        compact_mor(spark, root)
+        got, mode = serve()
+        assert mode is None and got == exact_now()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -96,6 +96,7 @@ SPOTLIGHT = [
     "mv_approx_distinct_rewrite",
     "mv_having_rewrite",
     "mv_time_hierarchy_rewrite",
+    "mv_live_serve",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -767,6 +767,9 @@ _BUILD_JOBS_SANCTIONED = {
     # date-grain MV (round 17): its own fixture (create_mv at
     # (o_orderdate, o_orderpriority) granularity)
     "mv_time_hierarchy_rewrite",
+    # live-serve fixture (round 17): MoR init + MV create/bind + the
+    # uncaught-up merge that leaves the summary deliberately stale
+    "mv_live_serve",
 }
 
 
