@@ -2072,3 +2072,134 @@ def answer_aggregate_live(
         ),
         "mv_delta",
     )
+
+
+def answer_join_aggregate_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    fact_project,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+    having: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """The JOIN-MV sibling of :func:`answer_aggregate_live`: serve
+    fresh star-join rollups from a possibly-stale MoR-bound join MV by
+    composing the stored partials with the unapplied fact span's JOIN
+    VIEW delta lazily — ``star_join_delta`` over the change feed with
+    the table's own time travel as the pre-state probe, exactly the
+    math :func:`maintain_join_mv_from_mor` publishes, minus the
+    publish. ``dims``: ``[(dim_df, on_cols), ...]`` in the registered
+    topology's join order, STATIC (every dim fingerprint must equal
+    the manifest's recorded one — a moved dim changes attribute
+    assignments no fact feed can compensate, so it falls back).
+    Returns ``(df, mode)`` with the same mode contract as the plain
+    live serve; the fallback aggregates the CURRENT star join."""
+    from ..operators.materialize import star_join_delta
+    from .mor import _read_manifest, change_feed_mor, read_mor
+
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        man = json.load(f)
+    if man.get("kind") != "join":
+        raise ValueError(
+            f"{name} is not a join MV; use answer_aggregate_live"
+        )
+    if "mor_root" not in man:
+        raise ValueError(
+            f"join MV {name} is not bound to a merge-on-read table; "
+            "answer_join_aggregate_live needs bind_mv_to_mor"
+        )
+    join_on = [list(on) for _, on in dims]
+    if join_on != man["join_on"]:
+        raise ValueError(
+            f"dims join keys {join_on} do not match the MV's "
+            f"registered topology {man['join_on']}"
+        )
+    group_cols = list(group_cols)
+    aggs = dict(aggs)
+    where = _norm_where(where)
+    having = _norm_having(having, aggs)
+    mor_root = man["mor_root"]
+
+    def fact_now() -> DataFrame:
+        return fact_project(
+            read_mor(spark, mor_root).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+
+    def base_fallback() -> DataFrame:
+        base = _join_all(fact_now(), [(dim, on) for dim, on in dims])
+        for term in where:
+            base = base.filter(_where_expr(term))
+        return _apply_having(
+            base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
+            having,
+        )
+
+    subsumed = (
+        set(group_cols) <= set(man["group_cols"])
+        and _where_cols(where) <= set(man["group_cols"])
+        and _measures_servable(man, aggs)
+    )
+    dims_static = all(
+        man["dim_fingerprints"][i] == _fingerprint(p)
+        for i, p in enumerate(man["dim_paths"])
+    )
+    if not subsumed or not dims_static:
+        return base_fallback(), None
+
+    if man["fingerprint"] == _fingerprint(man["source_path"]):
+        return (
+            _apply_having(
+                _serve_from_mv(
+                    spark, mv_root, man, group_cols, aggs, where
+                ),
+                having,
+            ),
+            "mv",
+        )
+    mor_man = _read_manifest(mor_root)
+    latest = (
+        mor_man["seqs"][-1]["seq"]
+        if mor_man["seqs"]
+        else mor_man.get("base_seq", 0)
+    )
+    applied = man["applied_seq"]
+    compensatable = (
+        mor_man.get("mutations", 0) == man.get("mor_mutations")
+        and mor_man.get("base_seq", 0) <= applied < latest
+    )
+    if not compensatable:
+        return base_fallback(), None
+    feed = fact_project(
+        change_feed_mor(spark, mor_root, applied, latest)
+    )
+    d_fact = changes_from_feed(
+        feed, [c for c in feed.columns if c != "change_type"]
+    )
+    fact_pre = fact_project(
+        read_mor(spark, mor_root, applied).withColumn(
+            "change_type", F.lit("insert")
+        )
+    ).drop("change_type")
+    d_view = star_join_delta(
+        fact_pre, d_fact, [(dim, None, on) for dim, on in dims]
+    )
+    base_new = pruned_star_base(
+        fact_now(), [(dim, on) for dim, on in dims], man["group_cols"]
+    )
+    composed = _folded_partials(
+        spark, d, man, d_view, base_new, precheck_risky=False
+    )
+    return (
+        _apply_having(
+            _rollup_partials(composed, man, group_cols, aggs, where),
+            having,
+        ),
+        "mv_delta",
+    )
