@@ -718,6 +718,16 @@ def rollback_last_mor(root: str) -> dict:
                 c for c in man["columns"]
                 if c not in last["schema_evolved"]
             ]
+        # A rollback is an out-of-band rewrite NO change feed can
+        # compensate: sequence numbers are reused after a pop, so a
+        # summary holding partials that folded the rolled-back seq N
+        # would — under the plain seq-span guards — treat a NEW seq N
+        # as already applied and serve rolled-back rows while missing
+        # the replacement ones. Bumping the table mutation counter
+        # (the same clock a purge bumps) forces every MoR-bound MV and
+        # every live lambda serve to detect the divergence and fall
+        # back / demand a refresh instead of silently composing.
+        man["mutations"] = man.get("mutations", 0) + 1
         _write_manifest(root, man)  # publish point: seq unreachable now
         # retention grace: the unpublished sidecar/delta stay for
         # in-flight lazy readers; the next maintenance entry's

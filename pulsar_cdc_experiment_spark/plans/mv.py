@@ -551,6 +551,17 @@ def scrub_mv_groups(
             pre_swap=lambda: _stamp_fingerprint(man, source_token),
         )
         man["n_groups"] = _count_groups(spark, d, man)
+        if "mor_root" in man:
+            # the scrub is the ONE sanctioned way to re-align an MV
+            # with a purged MoR table (post-scrub the MV equals a full
+            # recompute), so it — and only it — refreshes the recorded
+            # mutation counter, restoring maintain/live serving that
+            # the out-of-band-rewrite guards suspend after a purge
+            from .mor import _read_manifest as _read_mor_manifest
+
+            man["mor_mutations"] = _read_mor_manifest(
+                man["mor_root"]
+            ).get("mutations", 0)
         _publish_manifest(d, man)
         return {"groups_scrubbed": n}
 
@@ -632,6 +643,11 @@ def _norm_derived(derived) -> dict[str, tuple]:
     out = {}
     for name, spec in (derived or {}).items():
         spec = tuple(spec)
+        if not spec:
+            raise ValueError(
+                f"derived {name}: empty spec — expected (fn, ...) with "
+                f"fn one of {_DERIVED_FNS}"
+            )
         fn = spec[0]
         if fn not in _DERIVED_FNS:
             raise ValueError(
@@ -669,6 +685,16 @@ def _derived_col(spec: tuple):
 
 
 def _with_derived(df: DataFrame, derived: dict) -> DataFrame:
+    # a derived out-name equal to an existing column would silently
+    # withColumn-OVERWRITE it on BOTH serve routes (base and partials)
+    # — the request would read as grouping by the original column while
+    # actually grouping by the derivation; fail loud instead
+    clash = [n for n in derived if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"derived name(s) {clash} collide with existing source/"
+            "group columns — pick a fresh output name"
+        )
     for name, spec in derived.items():
         df = df.withColumn(name, _derived_col(spec))
     return df
@@ -1231,8 +1257,34 @@ def _serve_sets_pinned(
     markers in each set's rolled-away columns — all from ONE pinned
     manifest. Works identically for plain and join MVs (serving only
     ever reads the summary's data generation)."""
-    finest = _serve_from_mv(
-        spark, mv_root, man, group_cols, aggs, where, derived
+    from .mor import _read_cached
+
+    mv = _read_cached(
+        spark, _data_dir(_mv_dir(mv_root, man["name"]), man)
+    )
+    return _serve_sets_from_partials(
+        mv, man, group_cols, sets, aggs, where, derived
+    )
+
+
+def _serve_sets_from_partials(
+    partials: DataFrame,
+    man: dict,
+    group_cols: list,
+    sets: list,
+    aggs: dict,
+    where: list,
+    derived: dict | None = None,
+) -> DataFrame:
+    """The grouping-construct union over an ARBITRARY partials
+    DataFrame — the stored generation (pinned serve) or the live
+    ``stored ⊕ unapplied-feed`` compose (round-18 lambda hierarchies).
+    Taking the partials as a plan guarantees every level rolls up from
+    the IDENTICAL source state: one manifest pin and (for the live
+    path) ONE unapplied-span cut per REQUEST — levels can never mix a
+    pre-merge grand total with post-merge leaves."""
+    finest = _rollup_partials(
+        partials, man, group_cols, aggs, where, derived
     )
     types = dict(finest.dtypes)
     out = None
@@ -1240,8 +1292,8 @@ def _serve_sets_pinned(
         if gset == group_cols:
             df = finest  # the probe plan, reused
         else:
-            df = _serve_from_mv(
-                spark, mv_root, man, gset, aggs, where, derived
+            df = _rollup_partials(
+                partials, man, gset, aggs, where, derived
             )
         rolled = [
             F.lit(None).cast(types[c]).alias(c)
@@ -1783,6 +1835,20 @@ def maintain_mv_from_mor(
             else mor_man.get("base_seq", 0)
         )
         applied = man["applied_seq"]
+        if mor_man.get("mutations", 0) != man.get("mor_mutations"):
+            # a purge or rollback landed since bind/last-maintain: the
+            # feed span CANNOT represent an out-of-band rewrite, so a
+            # fold here would produce partials that still include the
+            # purged/rolled-back contributions AND re-arm the live-serve
+            # guard over them — fail loud instead of silently healing
+            raise RuntimeError(
+                f"MV {name}: table {mor_root} mutation counter moved "
+                f"({man.get('mor_mutations')} → "
+                f"{mor_man.get('mutations', 0)}) — an out-of-band "
+                "rewrite (purge/rollback) no change feed can "
+                "compensate; scrub_mv_groups (post-purge) or "
+                "refresh_mv + re-bind"
+            )
         if latest == applied:
             return {"applied_seq": applied, "folded": False}
         if applied < mor_man.get("base_seq", 0):
@@ -1888,6 +1954,17 @@ def maintain_join_mv_from_mor(
             else mor_man.get("base_seq", 0)
         )
         applied = man["applied_seq"]
+        if mor_man.get("mutations", 0) != man.get("mor_mutations"):
+            # same out-of-band-rewrite guard as maintain_mv_from_mor:
+            # a purge/rollback since bind is feed-incompensable
+            raise RuntimeError(
+                f"join MV {name}: fact table {mor_root} mutation "
+                f"counter moved ({man.get('mor_mutations')} → "
+                f"{mor_man.get('mutations', 0)}) — an out-of-band "
+                "rewrite (purge/rollback) no change feed can "
+                "compensate; scrub_mv_groups (post-purge) or "
+                "refresh_mv + re-bind"
+            )
         if latest == applied:
             return {"applied_seq": applied, "folded": False}
         if applied < mor_man.get("base_seq", 0):
@@ -1977,10 +2054,11 @@ def answer_aggregate_live(
     ``(df, mode)`` — mode ``"mv"`` (fresh, stored partials only),
     ``"mv_delta"`` (stale, compensated), or ``None`` (not servable:
     request not subsumed, span compacted away or rolled back past, or
-    an out-of-band rewrite — a purge — bumped the table's mutation
-    counter, which no feed can compensate; the fallback aggregates the
-    CURRENT table state directly, so the answer is always fresh)."""
-    from .mor import _read_manifest, change_feed_mor, read_mor
+    an out-of-band rewrite — a purge or rollback — bumped the table's
+    mutation counter, which no feed can compensate; the fallback
+    aggregates the CURRENT table state directly, so the answer is
+    always fresh)."""
+    from .mor import read_mor
 
     d = _mv_dir(mv_root, name)
     with open(os.path.join(d, "mv.json")) as f:
@@ -1998,21 +2076,55 @@ def answer_aggregate_live(
     need, pred_need = _resolve_group_requirements(
         group_cols, where, derived
     )
-    mor_root = man["mor_root"]
-
-    def base_fallback() -> DataFrame:
+    partials, mode = _live_partials(
+        spark, d, man, project, need, pred_need, aggs
+    )
+    if partials is None:
         cur = project(
-            read_mor(spark, mor_root).withColumn(
+            read_mor(spark, man["mor_root"]).withColumn(
                 "change_type", F.lit("insert")
             )
         ).drop("change_type")
         base = _with_derived(cur, derived)
         for term in where:
             base = base.filter(_where_expr(term))
-        return _apply_having(
-            base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
-            having,
+        return (
+            _apply_having(
+                base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
+                having,
+            ),
+            None,
         )
+    return (
+        _apply_having(
+            _rollup_partials(
+                partials, man, group_cols, aggs, where, derived
+            ),
+            having,
+        ),
+        mode,
+    )
+
+
+def _live_partials(
+    spark: SparkSession,
+    d: str,
+    man: dict,
+    project,
+    need: set,
+    pred_need: set,
+    aggs: dict,
+) -> tuple[DataFrame | None, str | None]:
+    """Resolve a MoR-bound MV's PARTIALS at the table's CURRENT state
+    — the shared core of every live serve. Returns ``(partials,
+    mode)``: the stored generation when genuinely fresh (mode
+    ``"mv"``), the lazy ``stored ⊕ fold(unapplied feed span)`` compose
+    when stale but compensatable (mode ``"mv_delta"`` — the exact
+    maintenance math minus the publish, risky extremum deletes riding
+    the plan's recompute leg), or ``(None, None)`` when not servable
+    (request not subsumed, span compacted away, or an out-of-band
+    rewrite — purge/rollback — bumped the mutation counter)."""
+    from .mor import _read_cached, _read_manifest, change_feed_mor, read_mor
 
     subsumed = (
         need <= set(man["group_cols"])
@@ -2020,8 +2132,11 @@ def answer_aggregate_live(
         and _measures_servable(man, aggs)
     )
     if not subsumed:
-        return base_fallback(), None
-
+        return None, None
+    mor_root = man["mor_root"]
+    if man["fingerprint"] == _fingerprint(man["source_path"]):
+        # genuinely fresh: the stored partials ARE the current state
+        return _read_cached(spark, _data_dir(d, man)), "mv"
     mor_man = _read_manifest(mor_root)
     latest = (
         mor_man["seqs"][-1]["seq"]
@@ -2029,24 +2144,12 @@ def answer_aggregate_live(
         else mor_man.get("base_seq", 0)
     )
     applied = man["applied_seq"]
-    if man["fingerprint"] == _fingerprint(man["source_path"]):
-        # genuinely fresh: the stored partials ARE the current state
-        return (
-            _apply_having(
-                _serve_from_mv(
-                    spark, mv_root, man, group_cols, aggs, where,
-                    derived,
-                ),
-                having,
-            ),
-            "mv",
-        )
     compensatable = (
         mor_man.get("mutations", 0) == man.get("mor_mutations")
         and mor_man.get("base_seq", 0) <= applied < latest
     )
     if not compensatable:
-        return base_fallback(), None
+        return None, None
     feed = project(change_feed_mor(spark, mor_root, applied, latest))
     changes = changes_from_feed(
         feed, [c for c in feed.columns if c != "change_type"]
@@ -2063,15 +2166,7 @@ def answer_aggregate_live(
         # honest freshness cost when a delete hit an extremum)
         precheck_risky=False,
     )
-    return (
-        _apply_having(
-            _rollup_partials(
-                composed, man, group_cols, aggs, where, derived
-            ),
-            having,
-        ),
-        "mv_delta",
-    )
+    return composed, "mv_delta"
 
 
 def answer_join_aggregate_live(
@@ -2098,12 +2193,47 @@ def answer_join_aggregate_live(
     assignments no fact feed can compensate, so it falls back).
     Returns ``(df, mode)`` with the same mode contract as the plain
     live serve; the fallback aggregates the CURRENT star join."""
-    from ..operators.materialize import star_join_delta
-    from .mor import _read_manifest, change_feed_mor, read_mor
+    from .mor import read_mor
 
     d = _mv_dir(mv_root, name)
     with open(os.path.join(d, "mv.json")) as f:
         man = json.load(f)
+    _validate_join_live(man, name, dims)
+    group_cols = list(group_cols)
+    aggs = dict(aggs)
+    where = _norm_where(where)
+    having = _norm_having(having, aggs)
+    partials, mode = _live_join_partials(
+        spark, d, man, fact_project, dims,
+        set(group_cols), _where_cols(where), aggs,
+    )
+    if partials is None:
+        fact_now = fact_project(
+            read_mor(spark, man["mor_root"]).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        base = _join_all(fact_now, [(dim, on) for dim, on in dims])
+        for term in where:
+            base = base.filter(_where_expr(term))
+        return (
+            _apply_having(
+                base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
+                having,
+            ),
+            None,
+        )
+    return (
+        _apply_having(
+            _rollup_partials(partials, man, group_cols, aggs, where),
+            having,
+        ),
+        mode,
+    )
+
+
+def _validate_join_live(man: dict, name: str, dims) -> None:
+    """Shared argument validation for the join-MV live servers."""
     if man.get("kind") != "join":
         raise ValueError(
             f"{name} is not a join MV; use answer_aggregate_live"
@@ -2111,7 +2241,7 @@ def answer_join_aggregate_live(
     if "mor_root" not in man:
         raise ValueError(
             f"join MV {name} is not bound to a merge-on-read table; "
-            "answer_join_aggregate_live needs bind_mv_to_mor"
+            "the join live serve needs bind_mv_to_mor"
         )
     join_on = [list(on) for _, on in dims]
     if join_on != man["join_on"]:
@@ -2119,31 +2249,29 @@ def answer_join_aggregate_live(
             f"dims join keys {join_on} do not match the MV's "
             f"registered topology {man['join_on']}"
         )
-    group_cols = list(group_cols)
-    aggs = dict(aggs)
-    where = _norm_where(where)
-    having = _norm_having(having, aggs)
-    mor_root = man["mor_root"]
 
-    def fact_now() -> DataFrame:
-        return fact_project(
-            read_mor(spark, mor_root).withColumn(
-                "change_type", F.lit("insert")
-            )
-        ).drop("change_type")
 
-    def base_fallback() -> DataFrame:
-        base = _join_all(fact_now(), [(dim, on) for dim, on in dims])
-        for term in where:
-            base = base.filter(_where_expr(term))
-        return _apply_having(
-            base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
-            having,
-        )
+def _live_join_partials(
+    spark: SparkSession,
+    d: str,
+    man: dict,
+    fact_project,
+    dims: Sequence[tuple],
+    need: set,
+    pred_need: set,
+    aggs: dict,
+) -> tuple[DataFrame | None, str | None]:
+    """JOIN-MV sibling of :func:`_live_partials`: the compose derives
+    the unapplied fact span's JOIN-VIEW delta via ``star_join_delta``
+    (the table's own time travel as the pre-state probe). A MOVED dim
+    additionally forces ``(None, None)`` — attribute reassignment is
+    not compensatable from any fact feed."""
+    from ..operators.materialize import star_join_delta
+    from .mor import _read_cached, _read_manifest, change_feed_mor, read_mor
 
     subsumed = (
-        set(group_cols) <= set(man["group_cols"])
-        and _where_cols(where) <= set(man["group_cols"])
+        need <= set(man["group_cols"])
+        and pred_need <= set(man["group_cols"])
         and _measures_servable(man, aggs)
     )
     dims_static = all(
@@ -2151,18 +2279,10 @@ def answer_join_aggregate_live(
         for i, p in enumerate(man["dim_paths"])
     )
     if not subsumed or not dims_static:
-        return base_fallback(), None
-
+        return None, None
+    mor_root = man["mor_root"]
     if man["fingerprint"] == _fingerprint(man["source_path"]):
-        return (
-            _apply_having(
-                _serve_from_mv(
-                    spark, mv_root, man, group_cols, aggs, where
-                ),
-                having,
-            ),
-            "mv",
-        )
+        return _read_cached(spark, _data_dir(d, man)), "mv"
     mor_man = _read_manifest(mor_root)
     latest = (
         mor_man["seqs"][-1]["seq"]
@@ -2175,7 +2295,7 @@ def answer_join_aggregate_live(
         and mor_man.get("base_seq", 0) <= applied < latest
     )
     if not compensatable:
-        return base_fallback(), None
+        return None, None
     feed = fact_project(
         change_feed_mor(spark, mor_root, applied, latest)
     )
@@ -2190,16 +2310,339 @@ def answer_join_aggregate_live(
     d_view = star_join_delta(
         fact_pre, d_fact, [(dim, None, on) for dim, on in dims]
     )
+    fact_post = fact_project(
+        read_mor(spark, mor_root).withColumn(
+            "change_type", F.lit("insert")
+        )
+    ).drop("change_type")
     base_new = pruned_star_base(
-        fact_now(), [(dim, on) for dim, on in dims], man["group_cols"]
+        fact_post, [(dim, on) for dim, on in dims], man["group_cols"]
     )
     composed = _folded_partials(
         spark, d, man, d_view, base_new, precheck_risky=False
     )
+    return composed, "mv_delta"
+
+
+# ---------------------------------------------------------------------------
+# Live grouping constructs (round 18): ROLLUP / CUBE / GROUPING SETS
+# served from a STALE MoR-bound MV via the lambda compose — the
+# real-time-dashboard-hierarchy shape. One manifest pin + ONE
+# unapplied-span cut per REQUEST feeds every level, so a hierarchy can
+# never mix a pre-merge grand total with post-merge leaves (the same
+# pinning discipline _serve_sets_pinned applies to the fresh path).
+# ---------------------------------------------------------------------------
+
+
+def answer_rollup_aggregate_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+    derived: dict | None = None,
+) -> tuple[DataFrame, str | None]:
+    """ROLLUP served live from a possibly-stale MoR-bound MV: the
+    prefix-chain grouping sets, every level rolled up from the SAME
+    :func:`_live_partials` compose (stored partials ⊕ unapplied feed
+    span, lazily). Mode contract as :func:`answer_aggregate_live`;
+    the ``None`` fallback is the CURRENT table's native ``rollup``."""
+    group_cols = list(group_cols)
+    sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
+    return _answer_sets_live(
+        spark, mv_root, name, project,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        derived=derived, native="rollup",
+    )
+
+
+def answer_cube_aggregate_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+    derived: dict | None = None,
+) -> tuple[DataFrame, str | None]:
+    """CUBE served live from a possibly-stale MoR-bound MV — all 2ⁿ
+    sets from ONE live compose. Same >6-column planning guard as the
+    pinned server (2ⁿ union branches explode planning cost; a cube
+    that wide goes to the native Expand over the current state)."""
+    group_cols = list(group_cols)
+    if len(group_cols) > 6:
+        return _native_sets_live_fallback(
+            spark, mv_root, name, project, "cube", [], group_cols,
+            aggs, _norm_where(where), _norm_derived(derived),
+        ), None
+    sets = [
+        [c for i, c in enumerate(group_cols) if not (mask >> i) & 1]
+        for mask in range(2 ** len(group_cols))
+    ]
+    sets = sorted(sets, key=lambda s: (-len(s), s))
+    return _answer_sets_live(
+        spark, mv_root, name, project,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        derived=derived, native="cube",
+    )
+
+
+def answer_grouping_sets_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+    *,
+    group_cols: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: dict,
+    where: Sequence | None = None,
+    derived: dict | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Arbitrary GROUPING SETS served live from a possibly-stale
+    MoR-bound MV — the third sibling; rollup and cube are the
+    prefix-chain and power-set special cases."""
+    group_cols = list(group_cols)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"grouping set {s} has column(s) {bad} outside "
+                f"group_cols {group_cols}"
+            )
+    return _answer_sets_live(
+        spark, mv_root, name, project,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        derived=derived, native="groupingSets",
+    )
+
+
+def _native_sets_live_fallback(
+    spark, mv_root, name, project, native, sets, group_cols, aggs,
+    where, derived,
+) -> DataFrame:
+    """The live servers' mode-None leg: native Expand over the
+    CURRENT MoR state (always fresh, never the summary)."""
+    from .mor import read_mor
+
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        man = json.load(f)
+    if "mor_root" not in man:
+        raise ValueError(
+            f"MV {name} is not bound to a merge-on-read table; "
+            "the live grouping servers need bind_mv_to_mor"
+        )
+    cur = project(
+        read_mor(spark, man["mor_root"]).withColumn(
+            "change_type", F.lit("insert")
+        )
+    ).drop("change_type")
+    base = _with_derived(cur, derived)
+    for term in where:
+        base = base.filter(_where_expr(term))
+    return _native_sets(base, native, sets, group_cols, aggs)
+
+
+def _answer_sets_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+    *,
+    group_cols: list,
+    sets: list,
+    aggs: dict,
+    where,
+    derived,
+    native: str,
+) -> tuple[DataFrame, str | None]:
+    """Shared live rollup/cube/grouping-sets server: resolve the
+    partials ONCE via :func:`_live_partials` (fresh → stored
+    generation; stale-but-compensatable → ONE lazy compose of stored ⊕
+    unapplied span) and union every requested set from that single
+    plan — the live analog of the pinned server's one-manifest
+    discipline. Not servable → native Expand over the current state,
+    mode ``None``."""
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        man = json.load(f)
+    if "mor_root" not in man:
+        raise ValueError(
+            f"MV {name} is not bound to a merge-on-read table; "
+            "the live grouping servers need bind_mv_to_mor"
+        )
+    aggs = dict(aggs)
+    where = _norm_where(where)
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
+    )
+    partials, mode = _live_partials(
+        spark, d, man, project, need, pred_need, aggs
+    )
+    if partials is None:
+        return _native_sets_live_fallback(
+            spark, mv_root, name, project, native, sets, group_cols,
+            aggs, where, derived,
+        ), None
     return (
-        _apply_having(
-            _rollup_partials(composed, man, group_cols, aggs, where),
-            having,
+        _serve_sets_from_partials(
+            partials, man, group_cols, sets, aggs, where, derived
         ),
-        "mv_delta",
+        mode,
+    )
+
+
+def answer_join_rollup_aggregate_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    fact_project,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """ROLLUP over a STAR JOIN served live from a possibly-stale
+    MoR-bound join MV: every hierarchy level from ONE
+    :func:`_live_join_partials` compose (stored partials ⊕ the
+    unapplied fact span's join-view delta). The dashboard-hierarchy-
+    on-fresh-data shape; dims must be static (a moved dim falls
+    back)."""
+    group_cols = list(group_cols)
+    sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
+    return _answer_join_sets_live(
+        spark, mv_root, name, fact_project, dims,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="rollup",
+    )
+
+
+def answer_join_cube_aggregate_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    fact_project,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """CUBE over a star join served live from a possibly-stale join
+    MV; >6 columns go native (planning-cost guard, as everywhere)."""
+    group_cols = list(group_cols)
+    if len(group_cols) > 6:
+        return _native_join_sets_live_fallback(
+            spark, mv_root, name, fact_project, dims, "cube", [],
+            group_cols, aggs, _norm_where(where),
+        ), None
+    sets = [
+        [c for i, c in enumerate(group_cols) if not (mask >> i) & 1]
+        for mask in range(2 ** len(group_cols))
+    ]
+    sets = sorted(sets, key=lambda s: (-len(s), s))
+    return _answer_join_sets_live(
+        spark, mv_root, name, fact_project, dims,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="cube",
+    )
+
+
+def answer_join_grouping_sets_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    fact_project,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    sets: Sequence[Sequence[str]],
+    aggs: dict,
+    where: Sequence | None = None,
+) -> tuple[DataFrame, str | None]:
+    """Arbitrary GROUPING SETS over a star join served live from a
+    possibly-stale join MV."""
+    group_cols = list(group_cols)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"grouping set {s} has column(s) {bad} outside "
+                f"group_cols {group_cols}"
+            )
+    return _answer_join_sets_live(
+        spark, mv_root, name, fact_project, dims,
+        group_cols=group_cols, sets=sets, aggs=aggs, where=where,
+        native="groupingSets",
+    )
+
+
+def _native_join_sets_live_fallback(
+    spark, mv_root, name, fact_project, dims, native, sets,
+    group_cols, aggs, where,
+) -> DataFrame:
+    """Mode-None leg for the join live grouping servers: native
+    Expand over the CURRENT star join."""
+    from .mor import read_mor
+
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        man = json.load(f)
+    _validate_join_live(man, name, dims)
+    fact_now = fact_project(
+        read_mor(spark, man["mor_root"]).withColumn(
+            "change_type", F.lit("insert")
+        )
+    ).drop("change_type")
+    base = _join_all(fact_now, [(dim, on) for dim, on in dims])
+    for term in where:
+        base = base.filter(_where_expr(term))
+    return _native_sets(base, native, sets, group_cols, aggs)
+
+
+def _answer_join_sets_live(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    fact_project,
+    dims: Sequence[tuple],
+    *,
+    group_cols: list,
+    sets: list,
+    aggs: dict,
+    where,
+    native: str,
+) -> tuple[DataFrame, str | None]:
+    """Shared live join rollup/cube/grouping-sets server — ONE
+    :func:`_live_join_partials` resolution feeds every set."""
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        man = json.load(f)
+    _validate_join_live(man, name, dims)
+    aggs = dict(aggs)
+    where = _norm_where(where)
+    partials, mode = _live_join_partials(
+        spark, d, man, fact_project, dims,
+        set(group_cols), _where_cols(where), aggs,
+    )
+    if partials is None:
+        return _native_join_sets_live_fallback(
+            spark, mv_root, name, fact_project, dims, native, sets,
+            group_cols, aggs, where,
+        ), None
+    return (
+        _serve_sets_from_partials(
+            partials, man, group_cols, sets, aggs, where
+        ),
+        mode,
     )

@@ -45,8 +45,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: measure functions the rewriter can derive (mirrors plans.mv)
-_FNS = ("sum", "count", "min", "max", "avg")
+#: measure functions the rewriter can derive (mirrors plans.mv).
+#: ``approx_distinct`` is exact-lineage-only: an HLL partial serves
+#: approx_distinct of ITS column at any coarser grain (sketches union)
+#: but derives nothing else — so it passes through _fold_measures
+#: untouched, no derivability folding needed.
+_FNS = ("sum", "count", "min", "max", "avg", "approx_distinct")
 
 
 def _norm_request(req: dict, idx: int) -> tuple[frozenset, set]:

@@ -1357,3 +1357,405 @@ def test_live_serve_compensates_stale_mv_without_publishing(spark):
         assert mode is None and got == exact_now()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _mor_mv_env(spark, base):
+    """Shared MoR-bound-MV fixture for the round-18 out-of-band-rewrite
+    guards: a partitioned MoR table, one sum/count/max MV bound to its
+    sequence clock, and the projection the maintain loop uses."""
+    from pulsar_cdc_experiment_spark.plans.mor import init_mor, read_mor
+    from pulsar_cdc_experiment_spark.plans.mv import bind_mv_to_mor
+
+    root = os.path.join(base, "t")
+    mv_root = os.path.join(base, "mvs")
+    manifest = os.path.join(root, ".mor", "manifest.json")
+    rows = [(k, ["a", "b"][k % 2], (k * 13) % 500) for k in range(200)]
+    init_mor(
+        spark, root,
+        spark.createDataFrame(rows, "k bigint, g string, cents bigint"),
+        keys=["k"], partition_col="g",
+    )
+    src = read_mor(spark, root).select("g", "cents")
+    create_mv(
+        spark, mv_root, name="m", source_path=manifest, source=src,
+        group_cols=["g"],
+        measures={"sum_cents": ("sum", "cents"), "n": ("count", None),
+                  "mx": ("max", "cents")},
+    )
+    bind_mv_to_mor(mv_root, "m", root)
+
+    def project(df):
+        cols = [F.col("g"), F.col("cents")]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    return root, mv_root, manifest, project
+
+
+def test_live_serve_detects_rollback_with_reused_seqs(spark):
+    """Round-18 ADVICE (high): rollback_last_mor is an out-of-band
+    rewrite — sequence numbers are REUSED after a rollback, so after
+    rollback of seq N plus two new merges (new seq N, then N+1) the
+    plain seq-span guards alone would pass while change_feed_mor(N..)
+    skips the reused N: the live serve would include rolled-back rows
+    and miss the new ones. The fix bumps the table mutation counter on
+    rollback; both the live serve AND maintain_mv_from_mor must detect
+    it and refuse to compose."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        merge_into_mor,
+        mor_history,
+        read_mor,
+        rollback_last_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_aggregate_live,
+        maintain_mv_from_mor,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_rb_")
+    try:
+        root, mv_root, manifest, project = _mor_mv_env(spark, base)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        def exact_now():
+            return {
+                r["g"]: (r["s"], r["n"], r["m"])
+                for r in read_mor(spark, root).groupBy("g").agg(
+                    F.sum("cents").alias("s"), F.count("*").alias("n"),
+                    F.max("cents").alias("m"),
+                ).collect()
+            }
+
+        # merge seq N, fold it into the MV, then ROLL IT BACK
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 111, False), (9002, "b", 222, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        seq_n = mor_history(root)[-1]["seq"]
+        maintain_mv_from_mor(spark, mv_root, "m", project)
+        rollback_last_mor(root)
+        # two new merges REUSE seq N then take N+1 — the poisoned shape
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 999, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        assert mor_history(root)[-1]["seq"] == seq_n, (
+            "fixture must reproduce the reused-sequence shape"
+        )
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9003, "b", 5, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+
+        df, mode = answer_aggregate_live(
+            spark, mv_root, "m", project, group_cols=["g"], aggs=aggs,
+        )
+        assert mode is None, (
+            "live serve must refuse to compose across a rollback"
+        )
+        got = {r["g"]: (r["sum_cents"], r["n"], r["mx"])
+               for r in df.collect()}
+        assert got == exact_now()
+
+        # maintain must ALSO refuse (a fold would re-arm the guard
+        # over partials still holding the rolled-back seq)
+        with pytest.raises(RuntimeError, match="mutation counter"):
+            maintain_mv_from_mor(spark, mv_root, "m", project)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_maintain_fails_loud_after_purge_and_scrub_restores(spark):
+    """Round-18 ADVICE (medium): maintain_mv_from_mor must NOT
+    silently overwrite the recorded mutation counter — a purge since
+    bind is feed-incompensable, so maintain fails loud; the documented
+    purge→scrub flow (scrub_mv_groups refreshing mor_mutations)
+    restores BOTH maintenance and live serving."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        merge_into_mor,
+        purge_keys_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_aggregate_live,
+        maintain_mv_from_mor,
+        scrub_mv_groups,
+        source_token,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_pg_")
+    try:
+        root, mv_root, manifest, project = _mor_mv_env(spark, base)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        # purge every key of group 'a' (group values ARE the PII when
+        # the MV is keyed on them), with a pending unapplied merge too
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "b", 222, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        a_keys = [
+            (r["k"],)
+            for r in read_mor(spark, root)
+            .filter(F.col("g") == "a").select("k").collect()
+        ]
+        purge_keys_mor(
+            spark, root, spark.createDataFrame(a_keys, "k bigint")
+        )
+
+        with pytest.raises(RuntimeError, match="mutation counter"):
+            maintain_mv_from_mor(spark, mv_root, "m", project)
+
+        # post-purge scrub re-aligns the summary AND the counter
+        tok = source_token(manifest)
+        scrub_mv_groups(
+            spark, mv_root, "m",
+            spark.createDataFrame([("a",)], "g string"),
+            source_token=tok,
+        )
+        # the pending merge's span is reachable again and its
+        # post-purge feed images are correct for the surviving keys
+        rep = maintain_mv_from_mor(spark, mv_root, "m", project)
+        assert rep["folded"] is True
+
+        # and live serving works again over a NEW unapplied span
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9100, "b", 50, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        df, mode = answer_aggregate_live(
+            spark, mv_root, "m", project, group_cols=["g"], aggs=aggs,
+        )
+        assert mode == "mv_delta"
+        want = {
+            r["g"]: (r["s"], r["n"], r["m"])
+            for r in read_mor(spark, root).groupBy("g").agg(
+                F.sum("cents").alias("s"), F.count("*").alias("n"),
+                F.max("cents").alias("m"),
+            ).collect()
+        }
+        got = {r["g"]: (r["sum_cents"], r["n"], r["mx"])
+               for r in df.collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_derived_spec_guards(spark):
+    """Round-18 ADVICE (low): an empty derived spec fails with the
+    intended loud ValueError (not IndexError), and a derived output
+    name colliding with an existing source/group column is rejected on
+    both serve routes instead of silently withColumn-overwriting."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="mv_dg_")
+    try:
+        src_path = os.path.join(base, "fact")
+        spark.createDataFrame(
+            [(i, ["a", "b"][i % 2], i) for i in range(20)],
+            "id bigint, g string, v bigint",
+        ).write.parquet(src_path)
+        src = spark.read.parquet(src_path)
+        mv_root = os.path.join(base, "mvs")
+        create_mv(
+            spark, mv_root, name="d1", source_path=src_path,
+            source=src, group_cols=["g", "v"],
+            measures={"n": ("count", None)},
+        )
+        with pytest.raises(ValueError, match="empty spec"):
+            answer_aggregate(
+                spark, mv_root, src, src_path, group_cols=["g"],
+                aggs={"n": ("count", None)}, derived={"bad": ()},
+            )
+        # collision on the MV route (the MV subsumes this request) ...
+        with pytest.raises(ValueError, match="collide"):
+            answer_aggregate(
+                spark, mv_root, src, src_path, group_cols=["g", "v"],
+                aggs={"n": ("count", None)},
+                derived={"v": ("bucket", "v", 10)},
+            )
+        # ... and on the base route (a sum measure forces the base:
+        # the MV's lineage only stores count)
+        with pytest.raises(ValueError, match="collide"):
+            answer_aggregate(
+                spark, mv_root, src, src_path, group_cols=["g", "v"],
+                aggs={"sv": ("sum", "v")},
+                derived={"v": ("bucket", "v", 10)},
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_live_hierarchy_serves_every_level_from_one_compose(spark):
+    """Round-18: ROLLUP / CUBE / GROUPING SETS served LIVE from a
+    stale MoR-bound MV — every level composed from the SAME stored ⊕
+    unapplied-span partials (one manifest pin, one feed cut per
+    request), values equal to the native construct over the CURRENT
+    table state, risky max-delete included; the MV files stay
+    byte-untouched. Fresh MV → mode 'mv'; purge → mode None with
+    native-fresh values; derived keys ride the live hierarchy."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        purge_keys_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_cube_aggregate_live,
+        answer_grouping_sets_live,
+        answer_rollup_aggregate_live,
+        bind_mv_to_mor,
+        mv_data_dir,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_lh_")
+    try:
+        root = os.path.join(base, "t")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(root, ".mor", "manifest.json")
+        rows = [
+            (k, ["a", "b"][k % 2], ["x", "y", "z"][k % 3],
+             (k * 13) % 500)
+            for k in range(300)
+        ]
+        init_mor(
+            spark, root,
+            spark.createDataFrame(
+                rows, "k bigint, g string, h string, cents bigint"
+            ),
+            keys=["k"], partition_col="g",
+        )
+        src = read_mor(spark, root).select("g", "h", "cents")
+        create_mv(
+            spark, mv_root, name="hv", source_path=manifest,
+            source=src, group_cols=["g", "h"],
+            measures={"sum_cents": ("sum", "cents"),
+                      "n": ("count", None), "mx": ("max", "cents")},
+        )
+        bind_mv_to_mor(mv_root, "hv", root)
+
+        def project(df):
+            cols = [F.col("g"), F.col("h"), F.col("cents")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        def cur():
+            return read_mor(spark, root)
+
+        def rows_of(df):
+            return {
+                (r["g"], r["h"]): (r["sum_cents"], r["n"], r["mx"])
+                for r in df.collect()
+            }
+
+        def native(construct, **kw):
+            b = cur()
+            agg = [F.sum("cents").alias("sum_cents"),
+                   F.count("*").alias("n"),
+                   F.max("cents").alias("mx")]
+            if construct == "rollup":
+                d = b.rollup("g", "h").agg(*agg)
+            elif construct == "cube":
+                d = b.cube("g", "h").agg(*agg)
+            else:
+                d = b.groupingSets(kw["sets"], "g", "h").agg(*agg)
+            return rows_of(d)
+
+        # fresh: every construct serves mode 'mv', values == native
+        df, mode = answer_rollup_aggregate_live(
+            spark, mv_root, "hv", project,
+            group_cols=["g", "h"], aggs=aggs,
+        )
+        assert mode == "mv" and rows_of(df) == native("rollup")
+
+        # a merge lands — including deleting (a, x)'s MAX contributor
+        # (risky leg) — with NO catch-up
+        man_bytes = open(os.path.join(mv_root, "hv", "mv.json")).read()
+        data_dir = mv_data_dir(mv_root, "hv")
+        mx = (
+            cur().filter((F.col("g") == "a") & (F.col("h") == "x"))
+            .orderBy(F.col("cents").desc(), F.col("k").desc())
+            .limit(1).collect()[0]
+        )
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(mx["k"], "a", "x", mx["cents"], True),
+             (9001, "b", "y", 499, False),
+             (9002, "a", "z", 7, False)],
+            "k bigint, g string, h string, cents bigint, "
+            "is_delete boolean",
+        ))
+
+        df, mode = answer_rollup_aggregate_live(
+            spark, mv_root, "hv", project,
+            group_cols=["g", "h"], aggs=aggs,
+        )
+        assert mode == "mv_delta" and rows_of(df) == native("rollup")
+
+        df, mode = answer_cube_aggregate_live(
+            spark, mv_root, "hv", project,
+            group_cols=["g", "h"], aggs=aggs,
+        )
+        assert mode == "mv_delta" and rows_of(df) == native("cube")
+
+        gsets = [["g", "h"], ["h"], []]
+        df, mode = answer_grouping_sets_live(
+            spark, mv_root, "hv", project,
+            group_cols=["g", "h"], sets=gsets, aggs=aggs,
+        )
+        assert mode == "mv_delta"
+        assert rows_of(df) == native("groupingSets", sets=gsets)
+
+        # filtered hierarchy with a derived key over a group column
+        df, mode = answer_rollup_aggregate_live(
+            spark, mv_root, "hv", project,
+            group_cols=["g", "hh"], aggs=aggs,
+            where=[("g", "=", "a")],
+            derived={"hh": ("substr", "h", 1, 1)},
+        )
+        assert mode == "mv_delta"
+        want = {
+            (r["g"], r["hh"]): (r["sum_cents"], r["n"], r["mx"])
+            for r in cur().filter(F.col("g") == "a")
+            .withColumn("hh", F.substring("h", 1, 1))
+            .rollup("g", "hh").agg(
+                F.sum("cents").alias("sum_cents"),
+                F.count("*").alias("n"),
+                F.max("cents").alias("mx"),
+            ).collect()
+        }
+        assert {
+            (r["g"], r["hh"]): (r["sum_cents"], r["n"], r["mx"])
+            for r in df.collect()
+        } == want
+
+        # the serve wrote NOTHING
+        assert open(
+            os.path.join(mv_root, "hv", "mv.json")
+        ).read() == man_bytes
+        assert mv_data_dir(mv_root, "hv") == data_dir
+
+        # purge → out-of-band rewrite → every construct falls back
+        # fresh with mode None
+        purge_keys_mor(
+            spark, root, spark.createDataFrame([(9001,)], "k bigint")
+        )
+        df, mode = answer_cube_aggregate_live(
+            spark, mv_root, "hv", project,
+            group_cols=["g", "h"], aggs=aggs,
+        )
+        assert mode is None and rows_of(df) == native("cube")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

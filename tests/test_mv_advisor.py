@@ -211,3 +211,43 @@ def test_incremental_advice_excludes_already_covered():
         existing=[{"group_cols": ["a"],
                    "measures": {"avg_x": ("avg", "x")}}],
     )
+
+
+def test_advisor_accepts_approx_distinct():
+    """Round-18 ADVICE (low): the advisor's measure vocabulary must
+    match the rewriter's — a workload carrying the round-17
+    approx_distinct HLL measure is advisable, its lineage is
+    exact-match only (no derivability folding: an HLL partial serves
+    approx_distinct of its own column at any coarser grain and
+    nothing else), and an existing MV storing the partial covers."""
+    reqs = [
+        {"group_cols": ["a"],
+         "aggs": {"u": ("approx_distinct", "x"), "n": ("count", None)}},
+        {"group_cols": ["a", "b"],
+         "aggs": {"u": ("approx_distinct", "x")}},
+    ]
+    advised = advise_mvs(reqs)
+    assert len(advised) == 1
+    assert advised[0]["group_cols"] == ["a", "b"]
+    assert advised[0]["covers"] == [0, 1]
+    assert advised[0]["measures"]["approx_distinct_x"] == (
+        "approx_distinct", "x"
+    )
+    # exact-lineage only: a sum/avg of x does NOT serve it, and it
+    # serves no sum
+    assert advise_mvs(
+        reqs[:1],
+        existing=[{"group_cols": ["a"],
+                   "measures": {"avg_x": ("avg", "x")}}],
+    )
+    assert advise_mvs(
+        [{"group_cols": ["a"], "aggs": {"s": ("sum", "x")}}],
+        existing=[{"group_cols": ["a"],
+                   "measures": {"u": ("approx_distinct", "x")}}],
+    )
+    # ... while the matching partial covers exactly
+    assert advise_mvs(
+        reqs[:1],
+        existing=[{"group_cols": ["a"],
+                   "measures": {"u": ("approx_distinct", "x")}}],
+    ) == []
