@@ -2646,3 +2646,342 @@ def _answer_join_sets_live(
         ),
         mode,
     )
+
+
+# ---------------------------------------------------------------------------
+# Staleness-policy serving chooser (round 18): the lambda-architecture
+# decision the live serve left to the caller, made from MANIFEST
+# METADATA ALONE — zero Spark jobs, affordable on every request.
+# ---------------------------------------------------------------------------
+
+
+def plan_serve_policy(
+    mv_root: str,
+    name: str,
+    *,
+    max_live_span: int = 8,
+    max_live_delete_keys: int | None = None,
+) -> dict:
+    """Choose how a MoR-bound MV should serve the NEXT request, from
+    the two manifests alone (two JSON reads + one fingerprint stat —
+    zero Spark jobs, like ``auto_compact_mor``'s trigger):
+
+    - ``"mv"`` — fingerprint fresh: the stored partials ARE current.
+    - ``"live"`` — stale but compensatable and the unapplied span is
+      small (≤ ``max_live_span`` sequences, and ≤
+      ``max_live_delete_keys`` sidecar delete keys when given —
+      deletes are the expensive live legs: each risks an extremum
+      recompute against the base): serve ``answer_aggregate_live``.
+    - ``"maintain"`` — compensatable but the span outgrew the live
+      thresholds: fold it once (``maintain_mv_from_mor``), then serve
+      the refreshed summary — paying one maintenance write beats
+      re-dragging a long feed tail through every query.
+    - ``"base"`` — not compensatable (an out-of-band purge/rollback
+      bumped the mutation counter, or a compaction folded past
+      ``applied_seq``): only a fresh base aggregation is safe; the
+      summary needs ``scrub_mv_groups`` / ``refresh_mv`` + re-bind.
+
+    Returns ``{"action", "reason", "unapplied_seqs",
+    "span_delete_keys", "mutations_moved", "compacted_past"}``."""
+    from .mor import _read_manifest
+
+    d = _mv_dir(mv_root, name)
+    with open(os.path.join(d, "mv.json")) as f:
+        man = json.load(f)
+    if "mor_root" not in man:
+        raise ValueError(
+            f"MV {name} is not bound to a merge-on-read table; "
+            "plan_serve_policy needs bind_mv_to_mor"
+        )
+    rep = {
+        "unapplied_seqs": 0,
+        "span_delete_keys": 0,
+        "mutations_moved": False,
+        "compacted_past": False,
+    }
+    if man["fingerprint"] == _fingerprint(man["source_path"]):
+        return {**rep, "action": "mv", "reason": "fresh"}
+    mor_man = _read_manifest(man["mor_root"])
+    applied = man["applied_seq"]
+    span = [s for s in mor_man["seqs"] if s["seq"] > applied]
+    rep["unapplied_seqs"] = len(span)
+    rep["span_delete_keys"] = sum(s["n_delete_keys"] for s in span)
+    rep["mutations_moved"] = (
+        mor_man.get("mutations", 0) != man.get("mor_mutations")
+    )
+    rep["compacted_past"] = applied < mor_man.get("base_seq", 0)
+    if rep["mutations_moved"] or rep["compacted_past"]:
+        return {
+            **rep,
+            "action": "base",
+            "reason": (
+                "out-of-band rewrite (purge/rollback)"
+                if rep["mutations_moved"]
+                else "span compacted past applied_seq"
+            ),
+        }
+    if rep["unapplied_seqs"] > max_live_span or (
+        max_live_delete_keys is not None
+        and rep["span_delete_keys"] > max_live_delete_keys
+    ):
+        return {
+            **rep,
+            "action": "maintain",
+            "reason": (
+                f"unapplied span {rep['unapplied_seqs']} seqs / "
+                f"{rep['span_delete_keys']} delete keys past the "
+                "live thresholds"
+            ),
+        }
+    return {
+        **rep,
+        "action": "live",
+        "reason": (
+            f"stale by {rep['unapplied_seqs']} seq(s), within live "
+            "thresholds"
+        ),
+    }
+
+
+def answer_aggregate_policied(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+    having: Sequence | None = None,
+    derived: dict | None = None,
+    max_live_span: int = 8,
+    max_live_delete_keys: int | None = None,
+) -> tuple[DataFrame, str]:
+    """Policy-ROUTED serving: run :func:`plan_serve_policy` and execute
+    its decision — serve the fresh summary, compose live, maintain
+    first and then serve, or aggregate the base. Returns ``(df,
+    action)`` where ``action`` is what actually HAPPENED: ``"mv"`` /
+    ``"live"`` / ``"maintain"`` (folded, then served fresh) /
+    ``"base"`` (not compensatable, or the request wasn't subsumed by
+    the MV — routing never changes answers, only cost)."""
+    pol = plan_serve_policy(
+        mv_root, name,
+        max_live_span=max_live_span,
+        max_live_delete_keys=max_live_delete_keys,
+    )
+    maintained = False
+    if pol["action"] == "maintain":
+        maintain_mv_from_mor(spark, mv_root, name, project)
+        maintained = True
+    df, mode = answer_aggregate_live(
+        spark, mv_root, name, project,
+        group_cols=group_cols, aggs=aggs, where=where, having=having,
+        derived=derived,
+    )
+    if mode == "mv":
+        action = "maintain" if maintained else "mv"
+    elif mode == "mv_delta":
+        action = "live"
+    else:
+        action = "base"
+    return df, action
+
+
+# ---------------------------------------------------------------------------
+# Multi-MV consistent dashboard read (round 18): a dashboard touching
+# SEVERAL summaries of one MoR table must not mix sequence boundaries
+# across panels (each serve fingerprints independently today). The
+# summary-layer analog of the transaction log's
+# read_transaction_snapshot: leases pin every touched generation, ONE
+# MoR-manifest read pins the sequence boundary, and every panel serves
+# AT that boundary — stored partials when caught up, the lazy
+# stored ⊕ feed-span compose when behind (cut to the PINNED boundary,
+# never the moving latest), time-traveled base as the safe fallback.
+# ---------------------------------------------------------------------------
+
+
+class MvsSnapshot:
+    """Handle yielded by :func:`read_mvs_snapshot`: every
+    ``aggregate`` call serves its MV AS OF the ONE pinned sequence
+    boundary (``boundary_seq``), however many merges or maintenance
+    publishes land while the snapshot is open."""
+
+    def __init__(self, spark, mv_root, mans, mor_root, mor_man,
+                 latest, projects):
+        self._spark = spark
+        self._mv_root = mv_root
+        self._mans = mans
+        self._mor_root = mor_root
+        self._mor_man = mor_man
+        self.boundary_seq = latest
+        self._projects = projects
+
+    def aggregate(
+        self,
+        name: str,
+        *,
+        group_cols: Sequence[str],
+        aggs: dict,
+        where: Sequence | None = None,
+        having: Sequence | None = None,
+        derived: dict | None = None,
+    ) -> tuple[DataFrame, str | None]:
+        """Serve one dashboard panel from MV ``name`` at the pinned
+        boundary. Mode contract as :func:`answer_aggregate_live`,
+        except 'mv_delta' composes to ``boundary_seq`` (not the moving
+        latest) and the ``None`` fallback aggregates the TIME-TRAVELED
+        table at the boundary — every panel, every mode, one state."""
+        from .mor import change_feed_mor, read_mor
+
+        man = self._mans[name]
+        project = self._projects[name]
+        spark = self._spark
+        group_cols = list(group_cols)
+        aggs = dict(aggs)
+        where = _norm_where(where)
+        having = _norm_having(having, aggs)
+        derived = _norm_derived(derived)
+        need, pred_need = _resolve_group_requirements(
+            group_cols, where, derived
+        )
+        latest = self.boundary_seq
+        mor_man = self._mor_man
+
+        def base_at_boundary() -> DataFrame:
+            cur = project(
+                read_mor(spark, self._mor_root, latest).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type")
+            base = _with_derived(cur, derived)
+            for term in where:
+                base = base.filter(_where_expr(term))
+            return _apply_having(
+                base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
+                having,
+            )
+
+        subsumed = (
+            need <= set(man["group_cols"])
+            and pred_need <= set(man["group_cols"])
+            and _measures_servable(man, aggs)
+        )
+        applied = man["applied_seq"]
+        compensatable = (
+            mor_man.get("mutations", 0) == man.get("mor_mutations")
+            and mor_man.get("base_seq", 0) <= applied <= latest
+        )
+        if not subsumed or not compensatable:
+            return base_at_boundary(), None
+        d = _mv_dir(self._mv_root, name)
+        from .mor import _read_cached
+
+        stored = _read_cached(spark, _data_dir(d, man))
+        if applied == latest:
+            return (
+                _apply_having(
+                    _rollup_partials(
+                        stored, man, group_cols, aggs, where, derived
+                    ),
+                    having,
+                ),
+                "mv",
+            )
+        feed = project(
+            change_feed_mor(spark, self._mor_root, applied, latest)
+        )
+        changes = changes_from_feed(
+            feed, [c for c in feed.columns if c != "change_type"]
+        )
+        base_new = project(
+            read_mor(spark, self._mor_root, latest).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        composed = _folded_partials(
+            spark, d, man, changes, base_new, precheck_risky=False
+        )
+        return (
+            _apply_having(
+                _rollup_partials(
+                    composed, man, group_cols, aggs, where, derived
+                ),
+                having,
+            ),
+            "mv_delta",
+        )
+
+
+def read_mvs_snapshot(
+    spark: SparkSession,
+    mv_root: str,
+    names: Sequence[str],
+    projects: dict,
+    ttl_sec: float = 300.0,
+):
+    """Context manager yielding an :class:`MvsSnapshot` over several
+    MVs of ONE merge-on-read table, pinned to ONE sequence boundary::
+
+        with read_mvs_snapshot(spark, mv_root, ["by_pri", "by_stat"],
+                               {"by_pri": p1, "by_stat": p2}) as snap:
+            a, _ = snap.aggregate("by_pri", group_cols=[...], aggs=...)
+            b, _ = snap.aggregate("by_stat", group_cols=[...], aggs=...)
+            # a and b reflect the SAME table state, even if a merge or
+            # an MV maintenance publish lands between the two calls
+
+    Mechanics: a reader lease on EVERY named MV plus one on the MoR
+    table (generations and feed spans stay materializable across
+    concurrent refresh/maintain/compaction sweeps — the round-17 lease
+    discipline), then every MV manifest AND the table manifest are
+    read ONCE under the leases; the table's latest sequence at that
+    instant is the snapshot's ``boundary_seq``. Panels behind the
+    boundary compose their stored partials with the feed span cut
+    EXACTLY to it; later merges get later sequences and are invisible
+    by construction. ``projects``: per-MV row→(group+measure) mappers,
+    as in :func:`maintain_mv_from_mor`. All MVs must be bound to the
+    same table."""
+    from contextlib import ExitStack, contextmanager
+
+    from .mor import _read_manifest, read_lease
+
+    names = list(names)
+
+    @contextmanager
+    def _snap():
+        with ExitStack() as stack:
+            for n in names:
+                stack.enter_context(
+                    read_mv_lease(mv_root, n, ttl_sec)
+                )
+            mans = {}
+            mor_root = None
+            for n in names:
+                d = _mv_dir(mv_root, n)
+                with open(os.path.join(d, "mv.json")) as f:
+                    man = json.load(f)
+                if "mor_root" not in man:
+                    raise ValueError(
+                        f"MV {n} is not bound to a merge-on-read "
+                        "table; read_mvs_snapshot needs bind_mv_to_mor"
+                    )
+                if mor_root is None:
+                    mor_root = man["mor_root"]
+                elif man["mor_root"] != mor_root:
+                    raise ValueError(
+                        f"MV {n} is bound to {man['mor_root']}, not "
+                        f"{mor_root} — one snapshot spans ONE table"
+                    )
+                mans[n] = man
+            stack.enter_context(read_lease(mor_root, ttl_sec))
+            mor_man = _read_manifest(mor_root)  # THE boundary read
+            latest = (
+                mor_man["seqs"][-1]["seq"]
+                if mor_man["seqs"]
+                else mor_man.get("base_seq", 0)
+            )
+            yield MvsSnapshot(
+                spark, mv_root, mans, mor_root, mor_man, latest,
+                dict(projects),
+            )
+
+    return _snap()

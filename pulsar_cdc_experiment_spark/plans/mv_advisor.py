@@ -231,3 +231,133 @@ def create_advised_mvs(
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Join-aware advising (round 18): workloads carrying STAR-JOIN topology.
+# A request may name its topology — the fact manifest/path plus the
+# ordered dim list with join keys, exactly the identity
+# ``create_join_mv`` records and ``answer_join_aggregate``'s
+# ``_pick_join_mv`` matches on. Requests sharing a topology live in one
+# subsumption lattice (a join MV whose group columns ⊇ a same-topology
+# request's needed columns serves it — including star requests grouped
+# only by fact columns, the "single-table rollup of its own fact
+# grain"); requests with DIFFERENT topologies never share an MV, because
+# the rewriter itself refuses cross-topology serving (join semantics —
+# an inner join is only lossless under FK integrity the planner cannot
+# assume).
+# ---------------------------------------------------------------------------
+
+
+def _topo_key(topology: dict) -> tuple:
+    """Canonical identity of a star topology: (fact_path, ((dim_path,
+    (on, ...)), ...)) — dim ORDER matters, as in the join-MV manifest."""
+    return (
+        topology["fact_path"],
+        tuple(
+            (p, tuple(on)) for p, on in topology["dims"]
+        ),
+    )
+
+
+def _existing_topo_key(e: dict) -> tuple | None:
+    """Topology key of an existing spec (a join-MV manifest or a plain
+    dict with fact_path/dims), or None for single-table specs."""
+    if "dim_paths" in e:  # manifest form (create_join_mv)
+        return (
+            e["source_path"],
+            tuple(
+                (p, tuple(on))
+                for p, on in zip(e["dim_paths"], e["join_on"])
+            ),
+        )
+    if "topology" in e:
+        return _topo_key(e["topology"])
+    return None
+
+
+def advise_mvs_workload(
+    requests: Sequence[dict], existing: Sequence[dict] | None = None
+) -> list[dict]:
+    """Join-aware :func:`advise_mvs`: each request may carry
+    ``"topology": {"fact_path": ..., "dims": [(dim_path, [on, ...]),
+    ...]}``. Requests are partitioned by topology (absent = plain
+    single-table) and each partition is folded into its own maximal
+    antichain by the SAME rules; advised join specs additionally carry
+    ``{"kind": "join", "fact_path", "dims"}`` so
+    :func:`create_advised_mvs` / ``create_join_mv`` can materialize
+    them. ``existing`` may mix plain and join specs (manifest or
+    request vocabulary); an existing spec only covers requests of ITS
+    topology — exactly the rewriter's own refusal to serve across
+    topologies. ``covers`` indices refer to the FULL request list.
+
+    Guarantees (property-tested, per topology): every request covered
+    by a subsuming advised-or-existing spec; advised column sets form
+    an antichain."""
+    groups: dict = {}
+    for i, r in enumerate(requests):
+        key = _topo_key(r["topology"]) if "topology" in r else None
+        groups.setdefault(key, []).append(i)
+    ex_by_key: dict = {}
+    for e in existing or []:
+        ex_by_key.setdefault(_existing_topo_key(e), []).append(e)
+    out: list[dict] = []
+    for key in sorted(groups, key=lambda k: (k is not None, k)):
+        idxs = groups[key]
+        sub_reqs = [
+            {k2: v for k2, v in requests[i].items() if k2 != "topology"}
+            for i in idxs
+        ]
+        sub = advise_mvs(sub_reqs, existing=ex_by_key.get(key) or None)
+        for a in sub:
+            a["covers"] = [idxs[j] for j in a["covers"]]
+            if key is not None:
+                a["kind"] = "join"
+                a["fact_path"] = key[0]
+                a["dims"] = [
+                    (p, list(on)) for p, on in key[1]
+                ]
+        out.extend(sub)
+    return out
+
+
+def create_advised_join_mvs(
+    spark: SparkSession,
+    mv_root: str,
+    *,
+    fact: DataFrame,
+    dims: Sequence[tuple],
+    advised: Sequence[dict],
+    prefix: str = "advised_join",
+) -> list[dict]:
+    """Materialize advised JOIN specs (``kind == 'join'`` entries from
+    :func:`advise_mvs_workload`) — one ``create_join_mv`` per spec.
+    ``dims``: ``[(dim_df, dim_path, on_cols), ...]`` and must match
+    every spec's recorded topology (create_join_mv re-validates)."""
+    from .mv import create_join_mv
+
+    out = []
+    for i, a in enumerate(advised):
+        if a.get("kind") != "join":
+            raise ValueError(
+                f"spec #{i} is not a join spec; use create_advised_mvs"
+            )
+        if [(p, list(on)) for _, p, on in dims] != [
+            (p, list(on)) for p, on in a["dims"]
+        ]:
+            raise ValueError(
+                f"spec #{i} topology {a['dims']} does not match the "
+                "supplied dims"
+            )
+        out.append(
+            create_join_mv(
+                spark, mv_root,
+                name=f"{prefix}_{i}",
+                fact=fact,
+                fact_path=a["fact_path"],
+                dims=dims,
+                group_cols=a["group_cols"],
+                measures=a["measures"],
+            )
+        )
+    return out

@@ -2947,10 +2947,12 @@ def mv_time_hierarchy_rewrite(spark, sf_dir):
 
 def mv_live_fixture(spark, sf_dir: str) -> str:
     """LIVE-SERVE fixture (round 17): a MoR orders table with a bound
-    per-priority summary, then ONE merge (risky max delete + updates +
-    clone inserts) with NO catch-up — the MV is left genuinely STALE
-    (the build asserts the plain rewrite refuses it), which is exactly
-    the state answer_aggregate_live exists to serve."""
+    per-priority summary — and (round 18) a second bound summary at
+    the finer (priority, status) grain for the live HIERARCHY serve —
+    then ONE merge (risky max delete + updates + clone inserts) with
+    NO catch-up — both MVs are left genuinely STALE (the build asserts
+    the plain rewrite refuses them), which is exactly the state the
+    answer_*_live family exists to serve."""
 
     def build(root: str) -> None:
         from pyspark.sql import Window
@@ -2963,7 +2965,8 @@ def mv_live_fixture(spark, sf_dir: str) -> str:
         mv_root = os.path.join(root, "mvs")
         manifest = os.path.join(state_root, ".mor", "manifest.json")
         orders = table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_totalprice", "o_orderpriority"
+            "o_orderkey", "o_totalprice", "o_orderpriority",
+            "o_orderstatus",
         )
         init_mor(
             spark, state_root, orders,
@@ -2985,6 +2988,36 @@ def mv_live_fixture(spark, sf_dir: str) -> str:
             },
         )
         bind_mv_to_mor(mv_root, "live_by_pri", state_root)
+        create_mv(
+            spark, mv_root, name="live_by_pri_stat",
+            source_path=manifest,
+            source=read_mor(spark, state_root).select(
+                "o_orderpriority", "o_orderstatus", cents
+            ),
+            group_cols=["o_orderpriority", "o_orderstatus"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+        bind_mv_to_mor(mv_root, "live_by_pri_stat", state_root)
+        # round 18: a third summary for the POLICY router — the build
+        # sends it through the maintain-then-serve route (leaving it
+        # FRESH, so the registered query's routing is deterministic
+        # however many times it re-plans in one session)
+        create_mv(
+            spark, mv_root, name="live_by_stat",
+            source_path=manifest,
+            source=read_mor(spark, state_root).select(
+                "o_orderstatus", cents
+            ),
+            group_cols=["o_orderstatus"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+        bind_mv_to_mor(mv_root, "live_by_stat", state_root)
 
         key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
         w = Window.partitionBy("o_orderpriority").orderBy(
@@ -3020,7 +3053,26 @@ def mv_live_fixture(spark, sf_dir: str) -> str:
         )
         assert used is None, "fixture expects a genuinely stale MV"
 
-    return session_fixture("mv_live", sf_dir, "stale_v1", build)
+        # the policy router's maintain leg runs HERE (span 1 > max 0):
+        # live_by_stat folds the merge and serves fresh ever after,
+        # while live_by_pri / live_by_pri_stat stay deliberately stale
+        from ..plans.mv import answer_aggregate_policied
+
+        def stat_project(df):
+            c = [F.col("o_orderstatus"), cents]
+            if "change_type" in df.columns:
+                c = [F.col("change_type")] + c
+            return df.select(*c)
+
+        _, action = answer_aggregate_policied(
+            spark, mv_root, "live_by_stat", stat_project,
+            group_cols=["o_orderstatus"],
+            aggs={"n": ("count", None)},
+            max_live_span=0,
+        )
+        assert action == "maintain", action
+
+    return session_fixture("mv_live", sf_dir, "stale_v3", build)
 
 
 @register(
@@ -3093,4 +3145,680 @@ def mv_live_serve(spark, sf_dir):
     return df.select(
         F.lit(mode if mode else "base").alias("served_from"),
         "o_orderpriority", "n", "sum_cents", "max_cents",
+    )
+
+
+@register(
+    "mv_live_hierarchy_serve",
+    family="mv_lifecycle",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 11
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority, o_orderstatus
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '5-LOW')
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '3-MEDIUM', o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 29
+    )
+    SELECT 'mv_delta' AS served_from, o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def mv_live_hierarchy_serve(spark, sf_dir):
+    """The REAL-TIME DASHBOARD HIERARCHY (round 18,
+    plans/mv.answer_rollup_aggregate_live): a full ROLLUP —
+    (priority, status), (priority), grand total — served from a
+    summary the fixture left genuinely STALE (one unapplied merge:
+    risky max delete + updates + clone inserts; the plain rewrite
+    refuses it), every level rolled up from ONE composed
+    stored-partials ⊕ unapplied-change-feed plan. The single compose
+    per REQUEST is the point: hierarchy levels can never mix source
+    states (a pre-merge grand total over post-merge leaves), the exact
+    analog of the pinned-manifest discipline the fresh grouping
+    servers apply. ``served_from`` pins mode 'mv_delta' at EVERY level
+    (the oracle hardcodes it); values are recomputed closed-form,
+    including the risky group's max at every rollup level. At 100 TB:
+    O(levels × (groups + unapplied span)) per dashboard refresh, the
+    fact scanned only by the semi-join-pruned risky leg."""
+    from ..plans.mv import answer_rollup_aggregate_live
+
+    root = mv_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def project(df):
+        cols = [F.col("o_orderpriority"), F.col("o_orderstatus"), cents]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    df, mode = answer_rollup_aggregate_live(
+        spark, mv_root, "live_by_pri_stat", project,
+        group_cols=["o_orderpriority", "o_orderstatus"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit(mode if mode else "base").alias("served_from"),
+        "o_orderpriority", "o_orderstatus", "n", "sum_cents",
+        "max_cents",
+    )
+
+
+@register(
+    "mv_policy_serve",
+    family="mv_lifecycle",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 11
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority, o_orderstatus
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '5-LOW')
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '3-MEDIUM', o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 29
+    )
+    SELECT 'live' AS served_via, o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY 2
+    UNION ALL
+    SELECT 'mv' AS served_via, o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY 2
+    """,
+)
+def mv_policy_serve(spark, sf_dir):
+    """The STALENESS-POLICY router (round 18,
+    plans/mv.plan_serve_policy + answer_aggregate_policied): a
+    zero-job decision from manifest metadata alone — unapplied-span
+    length, sidecar delete-key count, mutation counter, compaction
+    floor — picks between serving the fresh summary ('mv'), composing
+    live ('live'), folding first ('maintain'), and the safe base
+    aggregation ('base'). Two routings pinned here: the per-priority
+    summary is one merge behind within the live thresholds → routed
+    'live' (the lambda compose); the per-status summary was sent
+    through the maintain route BY THE FIXTURE (span 1 > max_live_span
+    0, fold asserted) and serves 'mv' ever after. Both legs' values
+    are recomputed closed-form by the oracle; ``served_via`` hardcodes
+    the route per leg. At 100 TB the policy is what makes lambda
+    serving OPERABLE: every dashboard request affords the decision
+    because it costs two JSON reads, and long spans degrade to one
+    batched fold instead of re-dragging the feed tail through every
+    query."""
+    from ..plans.mv import answer_aggregate_policied
+
+    root = mv_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    aggs = {"n": ("count", None), "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents")}
+
+    def pri_project(df):
+        c = [F.col("o_orderpriority"), cents]
+        if "change_type" in df.columns:
+            c = [F.col("change_type")] + c
+        return df.select(*c)
+
+    def stat_project(df):
+        c = [F.col("o_orderstatus"), cents]
+        if "change_type" in df.columns:
+            c = [F.col("change_type")] + c
+        return df.select(*c)
+
+    df_pri, act_pri = answer_aggregate_policied(
+        spark, mv_root, "live_by_pri", pri_project,
+        group_cols=["o_orderpriority"], aggs=aggs,
+    )
+    df_stat, act_stat = answer_aggregate_policied(
+        spark, mv_root, "live_by_stat", stat_project,
+        group_cols=["o_orderstatus"], aggs=aggs,
+    )
+    return (
+        df_pri.select(
+            F.lit(act_pri).alias("served_via"),
+            F.col("o_orderpriority").alias("grp"),
+            "n", "sum_cents", "max_cents",
+        ).unionByName(
+            df_stat.select(
+                F.lit(act_stat).alias("served_via"),
+                F.col("o_orderstatus").alias("grp"),
+                "n", "sum_cents", "max_cents",
+            )
+        )
+    )
+
+
+def mv_join_live_fixture(spark, sf_dir: str) -> str:
+    """JOIN-MV live-serve fixture (round 18): a star summary
+    (MoR orders fact ⋈ static customer-segment dim, grouped by
+    segment × priority) bound to the fact's sequence clock, then ONE
+    merge — BUILDING's max-cents row deleted (risky for that
+    segment's stored max), %100==13 orders repriced, custkey %100==37
+    orders cloned — with NO catch-up: the join MV is left genuinely
+    STALE (build-asserted), the state the answer_join_*_live family
+    serves."""
+
+    def build(root: str) -> None:
+        from pyspark.sql import Window
+
+        from ..plans.mor import init_mor, merge_into_mor, read_mor
+        from ..plans.mv import (
+            answer_join_aggregate,
+            bind_mv_to_mor,
+            create_join_mv,
+        )
+
+        fact_root = os.path.join(root, "orders")
+        dim_path = os.path.join(root, "cust_dim")
+        mv_root = os.path.join(root, "mvs")
+        manifest = os.path.join(fact_root, ".mor", "manifest.json")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        init_mor(
+            spark, fact_root, orders,
+            keys=["o_orderkey"], partition_col="o_orderpriority",
+        )
+        cust.write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+        fact_src = read_mor(spark, fact_root).select(
+            "o_custkey", "o_orderpriority", cents
+        )
+        create_join_mv(
+            spark, mv_root, name="live_seg_pri",
+            fact=fact_src, fact_path=manifest,
+            dims=[(dim, dim_path, ["o_custkey"])],
+            group_cols=["c_mktsegment", "o_orderpriority"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+        bind_mv_to_mor(mv_root, "live_seg_pri", fact_root)
+
+        key = F.col("o_orderkey")
+        joined = orders.withColumn(
+            "cents",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).join(dim, "o_custkey")
+        w = Window.partitionBy("c_mktsegment").orderBy(
+            F.col("cents").desc(), F.col("o_orderkey").desc()
+        )
+        ranked = joined.withColumn("rn", F.row_number().over(w))
+        is_bmax = (F.col("rn") == 1) & (
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        batch = (
+            ranked.filter(is_bmax)
+            .select(*orders.columns)
+            .withColumn("is_delete", F.lit(True))
+            .unionByName(
+                ranked.filter(~is_bmax & (key % 100 == 13))
+                .select(*orders.columns)
+                .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+                .withColumn("is_delete", F.lit(False))
+            )
+            .unionByName(
+                orders.filter(F.col("o_custkey") % 100 == 37)
+                .withColumn("o_orderkey", key + 30_000_000)
+                .withColumn("is_delete", F.lit(False))
+            )
+        )
+        merge_into_mor(spark, fact_root, batch)
+        # NO catch-up: the plain join rewrite must refuse the MV
+        src_now = read_mor(spark, fact_root).select(
+            "o_custkey", "o_orderpriority", cents
+        )
+        _, used = answer_join_aggregate(
+            spark, mv_root, src_now, manifest,
+            [(dim, dim_path, ["o_custkey"])],
+            group_cols=["c_mktsegment"],
+            aggs={"n": ("count", None)},
+        )
+        assert used is None, "fixture expects a genuinely stale join MV"
+
+    return session_fixture("mv_join_live", sf_dir, "stale_v1", build)
+
+
+_JOIN_LIVE_FACT_NEW_SQL = """
+    WITH cents0 AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+               AS cents_u
+      FROM orders
+    ), ranked AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg0,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.cents DESC, o.o_orderkey DESC) AS rn
+      FROM cents0 o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), dkey AS (
+      SELECT o_orderkey FROM ranked
+      WHERE rn = 1 AND seg0 = 'BUILDING'
+    ), fact_new AS (
+      SELECT o_custkey, o_orderpriority,
+             CASE WHEN o_orderkey % 100 = 13 THEN cents_u
+                  ELSE cents END AS cents
+      FROM cents0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dkey)
+      UNION ALL
+      SELECT o_custkey, o_orderpriority, cents FROM cents0
+      WHERE o_custkey % 100 = 37
+    )
+"""
+
+
+def _join_live_serve_df(spark, sf_dir, server, group_cols):
+    """Shared body for the join live-serve queries: resolve the
+    fixture, run the given answer_join_*_live server over the stale
+    summary, stamp the mode."""
+    from ..plans.mor import _read_cached
+
+    root = mv_join_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    # schema-cached dim read: re-planning constructs zero jobs
+    dim = _read_cached(spark, os.path.join(root, "cust_dim"))
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def fact_project(df):
+        cols = [F.col("o_custkey"), F.col("o_orderpriority"), cents]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    df, mode = server(
+        spark, mv_root, "live_seg_pri", fact_project,
+        [(dim, ["o_custkey"])],
+        group_cols=group_cols,
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    return df.select(
+        F.lit(mode if mode else "base").alias("served_from"),
+        *group_cols, "n", "sum_cents", "max_cents",
+    )
+
+
+@register(
+    "mv_join_live_serve",
+    family="mv_lifecycle",
+    oracle=_JOIN_LIVE_FACT_NEW_SQL + """
+    SELECT 'mv_delta' AS served_from,
+           CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact_new JOIN customer ON o_custkey = c_custkey
+    GROUP BY 2
+    """,
+)
+def mv_join_live_serve(spark, sf_dir):
+    """REAL-TIME serving from a STALE star-join summary (round 17's
+    pytest-pinned answer_join_aggregate_live promoted to the driver
+    surface): the fixture leaves the segment×priority join MV one
+    merge behind (risky BUILDING-max delete + repricing + clone
+    inserts, no catch-up; the plain join rewrite refuses it), and this
+    query serves FRESH per-segment rollups by composing the STORED
+    partials with the unapplied fact span's JOIN-VIEW delta lazily
+    (star_join_delta over the change feed, the table's own time travel
+    as the pre-state probe) — MV files byte-untouched. ``served_from``
+    pins mode 'mv_delta'; the oracle recomputes every value from the
+    raw tables, the risky segment's max included. At 100 TB the fact's
+    history is re-joined by NOBODY: O(groups + span·fanout + pruned
+    risky probe) per query."""
+    from ..plans.mv import answer_join_aggregate_live
+
+    return _join_live_serve_df(
+        spark, sf_dir, answer_join_aggregate_live, ["c_mktsegment"]
+    )
+
+
+@register(
+    "mv_join_live_hierarchy_serve",
+    family="mv_lifecycle",
+    oracle=_JOIN_LIVE_FACT_NEW_SQL + """
+    SELECT 'mv_delta' AS served_from,
+           CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact_new JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    """,
+)
+def mv_join_live_hierarchy_serve(spark, sf_dir):
+    """The STAR-JOIN dashboard hierarchy on FRESH data (round 18,
+    plans/mv.answer_join_rollup_aggregate_live): a full ROLLUP —
+    (segment, priority), (segment), grand total — served from a STALE
+    MoR-bound join MV, every level rolled up from ONE composed
+    stored-partials ⊕ unapplied-join-view-delta plan (one manifest
+    pin, one feed cut, one star_join_delta per REQUEST — levels can
+    never mix source states). ``served_from`` pins mode 'mv_delta' at
+    EVERY level; the oracle recomputes the whole hierarchy closed-form
+    from the raw tables, the risky BUILDING max at each level
+    included. This composes the two round-17 capstones — join-MV
+    grouping constructs and lambda serving — exactly as the round-17
+    verdict's Next #1 prescribed."""
+    from ..plans.mv import answer_join_rollup_aggregate_live
+
+    return _join_live_serve_df(
+        spark, sf_dir, answer_join_rollup_aggregate_live,
+        ["c_mktsegment", "o_orderpriority"],
+    )
+
+
+def mv_join_advisor_fixture(spark, sf_dir: str) -> str:
+    """JOIN-AWARE advisor fixture (round 18,
+    plans/mv_advisor.advise_mvs_workload): a mixed three-request
+    dashboard workload — two STAR requests over orders ⋈ customer
+    (per-segment volume; per-priority average filtered by segment)
+    carrying their topology, plus one plain fact rollup — folds to
+    exactly TWO advised specs: ONE join MV at (c_mktsegment,
+    o_orderpriority) covering both star requests (the avg pair
+    subsumes the sum) and one single-table MV for the plain request
+    (the rewriter refuses cross-topology serving, so the advisor must
+    too). One approx_count_distinct job over the joined source prices
+    the join spec; create_advised_join_mvs materializes it. All
+    claims asserted at build."""
+
+    def build(root: str) -> None:
+        from ..plans.mv_advisor import (
+            advise_mvs_workload,
+            create_advised_join_mvs,
+            create_advised_mvs,
+            estimate_mv_sizes,
+        )
+
+        fact_path = os.path.join(sf_dir, "orders.parquet")
+        dim_path = os.path.join(root, "cust_dim")
+        cents = F.floor(
+            F.col("o_totalprice") * 100 + F.lit(0.5)
+        ).cast("long").alias("cents")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderpriority", cents
+        )
+        cust = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+        )
+        cust.write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+        topo = {"fact_path": fact_path,
+                "dims": [(dim_path, ["o_custkey"])]}
+        workload = [
+            {"topology": topo, "group_cols": ["c_mktsegment"],
+             "aggs": {"n": ("count", None),
+                      "sum_cents": ("sum", "cents")}},
+            {"topology": topo, "group_cols": ["o_orderpriority"],
+             "where_cols": ["c_mktsegment"],
+             "aggs": {"avg_cents": ("avg", "cents")}},
+            {"group_cols": ["o_orderpriority"],
+             "aggs": {"n": ("count", None)}},
+        ]
+        advised = advise_mvs_workload(workload)
+        plain = [a for a in advised if a.get("kind") != "join"]
+        joins = [a for a in advised if a.get("kind") == "join"]
+        assert len(plain) == 1 and plain[0]["covers"] == [2], advised
+        assert len(joins) == 1 and joins[0]["covers"] == [0, 1], advised
+        assert joins[0]["group_cols"] == [
+            "c_mktsegment", "o_orderpriority"
+        ]
+        assert joins[0]["fact_path"] == fact_path
+        # the same ONE-job pricing, over the joined source
+        est = estimate_mv_sizes(spark, orders.join(dim, "o_custkey"),
+                                joins)
+        assert est[0]["n_groups_est"] >= 1
+        create_advised_mvs(
+            spark, root, source_path=fact_path, source=orders,
+            advised=plain,
+        )
+        create_advised_join_mvs(
+            spark, root, fact=orders,
+            dims=[(dim, dim_path, ["o_custkey"])], advised=joins,
+        )
+
+    return session_fixture("mv_join_advisor", sf_dir, "star_v1", build)
+
+
+@register(
+    "mv_join_advisor_workload",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'mv' AS served_from, c_mktsegment AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(NULL AS DOUBLE) AS avg_cents
+    FROM c JOIN customer ON o_custkey = c_custkey GROUP BY 2
+    UNION ALL
+    SELECT 'mv', o_orderpriority, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(sum(cents) AS DOUBLE) / count(cents)
+    FROM c JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' GROUP BY 2
+    UNION ALL
+    SELECT 'mv', o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM c GROUP BY 2
+    """,
+)
+def mv_join_advisor_workload(spark, sf_dir):
+    """JOIN-AWARE MV advisor end to end (round 18,
+    plans/mv_advisor.advise_mvs_workload — the physical-design loop
+    extended to star schemas): the fixture folds a mixed workload
+    (two star requests sharing one topology + one plain fact rollup)
+    into ONE advised join MV plus one single-table MV, prices the
+    join spec with the same one-job estimator over the joined source,
+    and materializes both; this query then issues all three original
+    requests through the rewriters and pins the routing — BOTH star
+    requests route to the SAME advised join MV (leg 2 with its
+    segment predicate applied to the stored partials), the plain
+    request to the single-table MV (never the join MV: the rewriter
+    refuses cross-topology serving, and the advisor mirrors exactly
+    that judgment). Values recomputed closed-form by the oracle. At
+    100 TB this designs the star-summary layer before paying a single
+    fact ⋈ dims shuffle: N dashboard queries, one stored join
+    rollup."""
+    from ..plans.mor import _read_cached
+    from ..plans.mv import answer_join_aggregate
+
+    root = mv_join_advisor_fixture(spark, sf_dir)
+    fact_path = os.path.join(sf_dir, "orders.parquet")
+    dim_path = os.path.join(root, "cust_dim")
+    # schema-cached dim read: re-planning constructs zero jobs
+    dim = _read_cached(spark, dim_path)
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", cents
+    )
+    dims = [(dim, dim_path, ["o_custkey"])]
+    leg1, used1 = answer_join_aggregate(
+        spark, root, orders, fact_path, dims,
+        group_cols=["c_mktsegment"],
+        aggs={"n": ("count", None), "sum_cents": ("sum", "cents")},
+    )
+    leg2, used2 = answer_join_aggregate(
+        spark, root, orders, fact_path, dims,
+        group_cols=["o_orderpriority"],
+        aggs={"avg_cents": ("avg", "cents")},
+        where=[("c_mktsegment", "=", "BUILDING")],
+    )
+    leg3, used3 = answer_aggregate(
+        spark, root, orders, fact_path,
+        group_cols=["o_orderpriority"],
+        aggs={"n": ("count", None)},
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "advised_join_0" else "base").alias(
+            "served_from"
+        ),
+        F.col("c_mktsegment").alias("grp"),
+        "n", "sum_cents",
+        F.lit(None).cast("double").alias("avg_cents"),
+    ).unionByName(
+        leg2.select(
+            F.lit("mv" if used2 == "advised_join_0" else "base").alias(
+                "served_from"
+            ),
+            F.col("o_orderpriority").alias("grp"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("sum_cents"),
+            "avg_cents",
+        )
+    ).unionByName(
+        leg3.select(
+            F.lit("mv" if used3 == "advised_0" else "base").alias(
+                "served_from"
+            ),
+            F.col("o_orderpriority").alias("grp"),
+            "n",
+            F.lit(None).cast("long").alias("sum_cents"),
+            F.lit(None).cast("double").alias("avg_cents"),
+        )
+    )
+
+
+@register(
+    "mv_snapshot_read",
+    family="mv_lifecycle",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 11
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority, o_orderstatus
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '5-LOW')
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '3-MEDIUM', o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 29
+    )
+    SELECT 'mv_delta' AS served_from, CAST(1 AS BIGINT) AS boundary,
+           o_orderpriority AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 3
+    UNION ALL
+    SELECT 'mv' AS served_from, CAST(1 AS BIGINT) AS boundary,
+           o_orderstatus AS grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 3
+    """,
+)
+def mv_snapshot_read(spark, sf_dir):
+    """CONSISTENT MULTI-MV DASHBOARD READ (round 18,
+    plans/mv.read_mvs_snapshot — the summary-layer analog of
+    merge_txn_snapshot_read): two summaries of ONE MoR orders table —
+    the per-priority MV a merge behind, the per-status MV caught up by
+    the fixture's maintain route — are read under ONE snapshot: reader
+    leases pin every touched generation plus the table, ONE manifest
+    read pins the sequence boundary (seq 1, the fixture's single
+    merge), and each panel serves AT that boundary: the stale panel
+    composes its stored partials with the feed span cut EXACTLY to the
+    boundary ('mv_delta'), the fresh panel serves its stored partials
+    ('mv') — and both, by construction, equal the SAME closed-form
+    post-merge state the oracle recomputes. Without the snapshot, each
+    panel would fingerprint independently and a mid-dashboard publish
+    could split them across states. At 100 TB: the pin costs N+1 JSON
+    reads and zero data work; panels stay O(groups + span)."""
+    from ..plans.mv import read_mvs_snapshot
+
+    root = mv_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def proj(col):
+        def project(df):
+            c = [F.col(col), cents]
+            if "change_type" in df.columns:
+                c = [F.col("change_type")] + c
+            return df.select(*c)
+        return project
+
+    projects = {"live_by_pri": proj("o_orderpriority"),
+                "live_by_stat": proj("o_orderstatus")}
+    aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+    with read_mvs_snapshot(
+        spark, mv_root, ["live_by_pri", "live_by_stat"], projects
+    ) as snap:
+        df_pri, mode_pri = snap.aggregate(
+            "live_by_pri", group_cols=["o_orderpriority"], aggs=aggs
+        )
+        df_stat, mode_stat = snap.aggregate(
+            "live_by_stat", group_cols=["o_orderstatus"], aggs=aggs
+        )
+        boundary = snap.boundary_seq
+    return df_pri.select(
+        F.lit(mode_pri if mode_pri else "base").alias("served_from"),
+        F.lit(boundary).cast("long").alias("boundary"),
+        F.col("o_orderpriority").alias("grp"),
+        "n", "sum_cents",
+    ).unionByName(
+        df_stat.select(
+            F.lit(mode_stat if mode_stat else "base").alias(
+                "served_from"
+            ),
+            F.lit(boundary).cast("long").alias("boundary"),
+            F.col("o_orderstatus").alias("grp"),
+            "n", "sum_cents",
+        )
     )

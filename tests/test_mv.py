@@ -1759,3 +1759,279 @@ def test_live_hierarchy_serves_every_level_from_one_compose(spark):
         assert mode is None and rows_of(df) == native("cube")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_serve_policy_full_decision_matrix(spark):
+    """Round-18 staleness-policy chooser: plan_serve_policy decides
+    mv / live / maintain / base from manifest metadata ALONE (zero
+    Spark jobs — asserted via the status tracker), covering the full
+    matrix: fresh; stale within span; span past max_live_span; delete
+    keys past max_live_delete_keys; purge (mutation bump); rollback
+    (mutation bump); compaction past applied_seq. The policied
+    executor routes each decision and always returns fresh values."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        compact_mor,
+        merge_into_mor,
+        purge_keys_mor,
+        read_mor,
+        rollback_last_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_aggregate_policied,
+        bind_mv_to_mor,
+        plan_serve_policy,
+        refresh_mv,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_pol_")
+    try:
+        root, mv_root, manifest, project = _mor_mv_env(spark, base)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        def exact_now():
+            return {
+                r["g"]: (r["s"], r["n"], r["m"])
+                for r in read_mor(spark, root).groupBy("g").agg(
+                    F.sum("cents").alias("s"), F.count("*").alias("n"),
+                    F.max("cents").alias("m"),
+                ).collect()
+            }
+
+        def policy(**kw):
+            # the decision itself must run ZERO Spark jobs
+            sc = spark.sparkContext
+            gid = "__policy_audit"
+            sc.setJobGroup(gid, "policy audit")
+            try:
+                pol = plan_serve_policy(mv_root, "m", **kw)
+            finally:
+                sc.setJobGroup("__policy_audit_done", "")
+            assert not sc.statusTracker().getJobIdsForGroup(gid), (
+                "plan_serve_policy ran Spark jobs"
+            )
+            return pol
+
+        def serve(**kw):
+            df, action = answer_aggregate_policied(
+                spark, mv_root, "m", project,
+                group_cols=["g"], aggs=aggs, **kw,
+            )
+            got = {r["g"]: (r["sum_cents"], r["n"], r["mx"])
+                   for r in df.collect()}
+            assert got == exact_now(), action
+            return action
+
+        # 1. fresh
+        assert policy()["action"] == "mv"
+        assert serve() == "mv"
+
+        # 2. one unapplied merge, no deletes: live
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 111, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        pol = policy()
+        assert pol["action"] == "live" and pol["unapplied_seqs"] == 1
+        assert serve() == "live"
+
+        # 3. span past max_live_span: maintain (folds, then serves)
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9002, "b", 5, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        assert policy(max_live_span=1)["action"] == "maintain"
+        assert serve(max_live_span=1) == "maintain"
+        assert policy()["action"] == "mv"  # now caught up
+
+        # 4. delete keys past max_live_delete_keys: maintain
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 111, True), (9003, "a", 42, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        pol = policy(max_live_delete_keys=1)
+        assert pol["action"] == "maintain"
+        # 2 sidecar keys: the explicit delete plus the upsert's shadow
+        # key (every MoR upsert writes its key to the sidecar)
+        assert pol["span_delete_keys"] == 2
+        assert policy(max_live_delete_keys=2)["action"] == "live"
+        assert serve(max_live_delete_keys=1) == "maintain"
+
+        # 5. purge: base (mutation bump — feed-incompensable)
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9004, "b", 7, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        purge_keys_mor(
+            spark, root, spark.createDataFrame([(9003,)], "k bigint")
+        )
+        pol = policy()
+        assert pol["action"] == "base" and pol["mutations_moved"]
+        assert serve() == "base"
+
+        # recover: refresh + re-bind
+        refresh_mv(
+            spark, mv_root, "m",
+            project(read_mor(spark, root).withColumn(
+                "change_type", F.lit("insert")
+            )).drop("change_type"),
+        )
+        bind_mv_to_mor(mv_root, "m", root)
+        assert policy()["action"] == "mv"
+
+        # 6. rollback: base (mutation bump, round-18 fix)
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9005, "a", 13, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        rollback_last_mor(root)
+        pol = policy()
+        assert pol["action"] == "base" and pol["mutations_moved"]
+        assert serve() == "base"
+
+        # recover, then 7. compaction past applied_seq: base
+        refresh_mv(
+            spark, mv_root, "m",
+            project(read_mor(spark, root).withColumn(
+                "change_type", F.lit("insert")
+            )).drop("change_type"),
+        )
+        bind_mv_to_mor(mv_root, "m", root)
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9006, "b", 99, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        compact_mor(spark, root)
+        pol = policy()
+        assert pol["action"] == "base" and pol["compacted_past"]
+        assert serve() == "base"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_mvs_snapshot_mid_read_publish_cannot_split_dashboard(spark):
+    """Round-18 read_mvs_snapshot: two MVs of one MoR table read under
+    ONE snapshot reflect the SAME sequence boundary even when, between
+    the two panel reads, (a) a maintenance publish catches one MV up
+    (swapping its data generation) and (b) a new merge lands on the
+    table. The snapshot's leases keep the captured generation
+    materializable; the pinned boundary keeps the late merge invisible
+    to BOTH panels; a post-snapshot read sees it."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        bind_mv_to_mor,
+        create_mv,
+        maintain_mv_from_mor,
+        read_mvs_snapshot,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_snap_")
+    try:
+        root = os.path.join(base, "t")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(root, ".mor", "manifest.json")
+        rows = [(k, ["a", "b"][k % 2], ["x", "y"][k % 3 % 2],
+                 (k * 13) % 500) for k in range(200)]
+        init_mor(
+            spark, root,
+            spark.createDataFrame(
+                rows, "k bigint, g string, h string, cents bigint"
+            ),
+            keys=["k"], partition_col="g",
+        )
+        for name, cols in (("by_g", ["g"]), ("by_h", ["h"])):
+            create_mv(
+                spark, mv_root, name=name, source_path=manifest,
+                source=read_mor(spark, root).select(*cols, "cents"),
+                group_cols=cols,
+                measures={"sum_cents": ("sum", "cents"),
+                          "n": ("count", None)},
+            )
+            bind_mv_to_mor(mv_root, name, root)
+
+        def proj(cols):
+            def project(df):
+                c = [F.col(x) for x in cols] + [F.col("cents")]
+                if "change_type" in df.columns:
+                    c = [F.col("change_type")] + c
+                return df.select(*c)
+            return project
+
+        projects = {"by_g": proj(["g"]), "by_h": proj(["h"])}
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None)}
+
+        # one merge lands BEFORE the snapshot: both MVs one seq behind
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", "x", 111, False)],
+            "k bigint, g string, h string, cents bigint, "
+            "is_delete boolean",
+        ))
+
+        def totals(df, keycol):
+            return {r[keycol]: (r["sum_cents"], r["n"])
+                    for r in df.collect()}
+
+        state_at_boundary = {
+            "g": totals(
+                read_mor(spark, root).groupBy("g").agg(
+                    F.sum("cents").alias("sum_cents"),
+                    F.count("*").alias("n")), "g"),
+            "h": totals(
+                read_mor(spark, root).groupBy("h").agg(
+                    F.sum("cents").alias("sum_cents"),
+                    F.count("*").alias("n")), "h"),
+        }
+
+        with read_mvs_snapshot(
+            spark, mv_root, ["by_g", "by_h"], projects
+        ) as snap:
+            boundary = snap.boundary_seq
+            df_g, mode_g = snap.aggregate(
+                "by_g", group_cols=["g"], aggs=aggs
+            )
+            got_g = totals(df_g, "g")  # materialize panel 1 NOW
+            # mid-read: by_h catches up (publish swaps its generation)
+            # AND a new merge lands on the table
+            maintain_mv_from_mor(
+                spark, mv_root, "by_h", projects["by_h"]
+            )
+            merge_into_mor(spark, root, spark.createDataFrame(
+                [(9002, "b", "y", 999, False)],
+                "k bigint, g string, h string, cents bigint, "
+                "is_delete boolean",
+            ))
+            df_h, mode_h = snap.aggregate(
+                "by_h", group_cols=["h"], aggs=aggs
+            )
+            got_h = totals(df_h, "h")
+        assert mode_g == "mv_delta" and mode_h == "mv_delta"
+        assert got_g == state_at_boundary["g"]
+        assert got_h == state_at_boundary["h"], (
+            "panel 2 must NOT see the mid-read merge (seq > boundary) "
+            "and must still compose from its PRE-publish generation"
+        )
+        assert boundary == 1
+
+        # outside the snapshot, the late merge is visible
+        with read_mvs_snapshot(
+            spark, mv_root, ["by_g", "by_h"], projects
+        ) as snap2:
+            assert snap2.boundary_seq == 2
+            df_g2, _ = snap2.aggregate(
+                "by_g", group_cols=["g"], aggs=aggs
+            )
+            want = totals(
+                read_mor(spark, root).groupBy("g").agg(
+                    F.sum("cents").alias("sum_cents"),
+                    F.count("*").alias("n")), "g")
+            assert totals(df_g2, "g") == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -817,3 +817,141 @@ def test_join_live_serve_compensates_stale_join_mv(spark):
         assert mode is None  # moved dim AND purge — both force base
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_join_live_hierarchy_serves_from_one_compose(spark):
+    """Round-18: ROLLUP over a star join served LIVE from a stale
+    MoR-bound join MV — every level from the SAME stored ⊕
+    unapplied-join-view-delta compose; values equal the native rollup
+    over the CURRENT star join; MV files byte-untouched; a moved dim
+    falls back to native with mode None."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_join_rollup_aggregate_live,
+    )
+
+    base = _tf.mkdtemp(prefix="mvj_lh_")
+    try:
+        fact_root = os.path.join(base, "fact")
+        dim_path = os.path.join(base, "dim")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(fact_root, ".mor", "manifest.json")
+        init_mor(
+            spark, fact_root,
+            spark.createDataFrame(
+                [(k, k % 30, ["u", "v"][k % 2], (k * 13) % 500,
+                  ["p", "q"][k % 2])
+                 for k in range(300)],
+                "k bigint, fk bigint, pri string, cents bigint, "
+                "part string",
+            ),
+            keys=["k"], partition_col="part",
+        )
+        spark.createDataFrame(
+            [(k, ["a", "b", "c"][k % 3]) for k in range(30)],
+            "fk bigint, g string",
+        ).write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+
+        def fact_project(df):
+            cols = [F.col("fk"), F.col("pri"), F.col("cents")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        fact0 = fact_project(
+            read_mor(spark, fact_root).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        create_join_mv(
+            spark, mv_root, name="jlh", fact=fact0,
+            fact_path=manifest, dims=[(dim, dim_path, ["fk"])],
+            group_cols=["g", "pri"],
+            measures={"sum_cents": ("sum", "cents"),
+                      "n": ("count", None), "mx": ("max", "cents")},
+        )
+        bind_mv_to_mor(mv_root, "jlh", fact_root)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        def native():
+            j = fact_project(
+                read_mor(spark, fact_root).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type").join(dim, ["fk"])
+            return {
+                (r["g"], r["pri"]): (r["sum_cents"], r["n"], r["mx"])
+                for r in j.rollup("g", "pri").agg(
+                    F.sum("cents").alias("sum_cents"),
+                    F.count("*").alias("n"),
+                    F.max("cents").alias("mx"),
+                ).collect()
+            }
+
+        def serve(d):
+            df, mode = answer_join_rollup_aggregate_live(
+                spark, mv_root, "jlh", fact_project, [(d, ["fk"])],
+                group_cols=["g", "pri"], aggs=aggs,
+            )
+            return {
+                (r["g"], r["pri"]): (r["sum_cents"], r["n"], r["mx"])
+                for r in df.collect()
+            }, mode
+
+        got, mode = serve(dim)
+        assert mode == "mv" and got == native()
+
+        # a merge lands — delete group (a,*)'s overall max (risky) +
+        # insert — NO catch-up; every rollup level compensates
+        man_bytes = open(
+            os.path.join(mv_root, "jlh", "mv.json")
+        ).read()
+        j = read_mor(spark, fact_root).join(dim, ["fk"])
+        amax = (
+            j.filter(F.col("g") == "a")
+            .orderBy(F.col("cents").desc(), F.col("k").desc())
+            .limit(1).collect()[0]
+        )
+        merge_into_mor(spark, fact_root, spark.createDataFrame(
+            [(amax["k"], amax["fk"], amax["pri"], amax["cents"],
+              amax["part"], True),
+             (9001, 3, "u", 499, "p", False)],
+            "k bigint, fk bigint, pri string, cents bigint, "
+            "part string, is_delete boolean",
+        ))
+        got, mode = serve(dim)
+        assert mode == "mv_delta" and got == native()
+        assert open(
+            os.path.join(mv_root, "jlh", "mv.json")
+        ).read() == man_bytes
+
+        # moved dim: native fallback at every level, mode None
+        spark.createDataFrame(
+            [(99, "zz")], "fk bigint, g string"
+        ).coalesce(1).write.mode("append").parquet(dim_path)
+        dim2 = spark.read.parquet(dim_path)
+        got, mode = serve(dim2)
+        j2 = fact_project(
+            read_mor(spark, fact_root).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type").join(dim2, ["fk"])
+        want = {
+            (r["g"], r["pri"]): (r["sum_cents"], r["n"], r["mx"])
+            for r in j2.rollup("g", "pri").agg(
+                F.sum("cents").alias("sum_cents"),
+                F.count("*").alias("n"),
+                F.max("cents").alias("mx"),
+            ).collect()
+        }
+        assert mode is None and got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

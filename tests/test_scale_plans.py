@@ -767,9 +767,21 @@ _BUILD_JOBS_SANCTIONED = {
     # date-grain MV (round 17): its own fixture (create_mv at
     # (o_orderdate, o_orderpriority) granularity)
     "mv_time_hierarchy_rewrite",
-    # live-serve fixture (round 17): MoR init + MV create/bind + the
-    # uncaught-up merge that leaves the summary deliberately stale
-    "mv_live_serve",
+    # live-serve fixture (round 17/18): MoR init + 3 MV create/binds +
+    # the uncaught-up merge + the policied maintain leg.
+    # mv_live_hierarchy_serve is alphabetically first on the shared
+    # mv_live fixture and therefore the sanctioned builder;
+    # mv_live_serve and mv_policy_serve construct job-free off the
+    # warmed fixture + schema caches.
+    "mv_live_hierarchy_serve",
+    # join live-serve fixture (round 18): MoR init + dim write +
+    # create_join_mv/bind + the uncaught-up merge.
+    # mv_join_live_hierarchy_serve is alphabetically first on the
+    # shared fixture; mv_join_live_serve constructs job-free off it.
+    "mv_join_live_hierarchy_serve",
+    # join-aware advisor capstone (round 18): dim write + the one-job
+    # size estimation + the advised create_mv/create_join_mv pair
+    "mv_join_advisor_workload",
 }
 
 
