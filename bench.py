@@ -137,7 +137,29 @@ HEADLINE = [
     "mv_join_rollup_hierarchy_rewrite",  # ROLLUP over a star join from MV partials
     "stream_mv_auto_compact",       # stream: merge + MV catch-up + policy compaction
     "mv_advisor_workload",          # advise -> estimate -> create -> serve both requests
+    # round-18 additions: live (lambda) hierarchy serving, the
+    # consistent multi-MV snapshot read, and the join-aware advisor,
+    # benched from birth
+    "mv_live_hierarchy_serve",      # ROLLUP from a STALE MV: one compose, n+1 levels
+    "mv_snapshot_read",             # leases + one pinned boundary across 2 MVs
+    "mv_join_advisor_workload",     # star workload -> one advised join MV -> serve 3 legs
 ]
+
+# Restrict the headline set for controlled experiments (round-17 verdict
+# #4: measure the shared-subset drift in an ISOLATED session vs the full
+# sweep): comma-separated names, or the literal "r16" for the 55-query
+# set shared with BENCH_r16. Unset = full headline.
+_SUBSET = os.environ.get("SPARK_GRAFT_BENCH_SUBSET")
+if _SUBSET == "r16":
+    _R17_PLUS = {
+        "mv_join_rollup_hierarchy_rewrite", "stream_mv_auto_compact",
+        "mv_advisor_workload", "mv_live_hierarchy_serve",
+        "mv_snapshot_read", "mv_join_advisor_workload",
+    }
+    HEADLINE = [n for n in HEADLINE if n not in _R17_PLUS]
+elif _SUBSET:
+    _WANT = set(_SUBSET.split(","))
+    HEADLINE = [n for n in HEADLINE if n in _WANT]
 
 COLLECT_QUERIES = {"shipping_priority", "embed_topk_cosine"}
 
@@ -393,6 +415,15 @@ def main() -> None:
         "mv_join_rollup_hierarchy_rewrite",
         "stream_mv_auto_compact",
         "mv_advisor_workload",
+        # round 18: the join-advisor cycle (advise + one-job estimate +
+        # create both specs + serve 3 legs) IS the operator — re-paid
+        # every run like mv_advisor_workload.
+        # NOT mv_live_hierarchy_serve / mv_snapshot_read: the
+        # capability under test is SERVING from an existing (stale)
+        # summary — their steady state IS the serve, same policy as
+        # bucketed_join_revenue (run 1 pays the shared mv_live fixture
+        # once; min-of-3 reads the serve)
+        "mv_join_advisor_workload",
         # NOT stream_stream_left_outer: its staged feed is plain source
         # staging (the operator is the stateful join, re-run in full
         # every invocation regardless)
@@ -525,8 +556,12 @@ def main() -> None:
         # map — the 58-entry headline set outgrew the tail window with
         # the map aboard, and the map's only consumer (bench_series)
         # needs the canonical key either way; the FULL line above keeps
-        # the raw key + key_aliases for run-log readers
-        "skew_join": skew,
+        # the raw key + key_aliases for run-log readers.
+        # round 18: skew_join shed from the tail artifact — the
+        # 61-entry set outgrew the window with it aboard (the runtime
+        # ladder would have shed it anyway; this makes the decision
+        # explicit). The skew legs stay in the FULL line and are
+        # recorded per round in BENCHSERIES.md from the local run.
         "queries": {
             aliases.get(n, n): round(timings[n], 2) for n in timings
         },

@@ -3077,7 +3077,7 @@ def mv_live_fixture(spark, sf_dir: str) -> str:
 
 @register(
     "mv_live_serve",
-    family="mv_lifecycle",
+    family="mv_live",
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority,
@@ -3150,7 +3150,7 @@ def mv_live_serve(spark, sf_dir):
 
 @register(
     "mv_live_hierarchy_serve",
-    family="mv_lifecycle",
+    family="mv_live",
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
@@ -3224,7 +3224,7 @@ def mv_live_hierarchy_serve(spark, sf_dir):
 
 @register(
     "mv_policy_serve",
-    family="mv_lifecycle",
+    family="mv_live",
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
@@ -3486,7 +3486,7 @@ def _join_live_serve_df(spark, sf_dir, server, group_cols):
 
 @register(
     "mv_join_live_serve",
-    family="mv_lifecycle",
+    family="mv_live",
     oracle=_JOIN_LIVE_FACT_NEW_SQL + """
     SELECT 'mv_delta' AS served_from,
            CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
@@ -3520,7 +3520,7 @@ def mv_join_live_serve(spark, sf_dir):
 
 @register(
     "mv_join_live_hierarchy_serve",
-    family="mv_lifecycle",
+    family="mv_live",
     oracle=_JOIN_LIVE_FACT_NEW_SQL + """
     SELECT 'mv_delta' AS served_from,
            CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
@@ -3730,7 +3730,7 @@ def mv_join_advisor_workload(spark, sf_dir):
 
 @register(
     "mv_snapshot_read",
-    family="mv_lifecycle",
+    family="mv_live",
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,

@@ -45,6 +45,9 @@ def test_compact_line_fits_tail_window_with_headroom():
     # round-17: the 58-entry set outgrew the tail WITH the key_aliases
     # map aboard, so the compact line now pre-applies aliases to the
     # query keys and sheds the map (the full line keeps it)
+    # round-18: the 61-entry set outgrew the tail WITH skew_join
+    # aboard; the skew legs are now shed from the compact line too
+    # (full line + BENCHSERIES.md keep them)
     compact = {
         "metric": "headline_total",
         "value": 999.999,
@@ -53,8 +56,6 @@ def test_compact_line_fits_tail_window_with_headroom():
         "sf": 0.1,
         "calib_sec": 9.999,
         "fmt": "min3",
-        "skew_join": {"plain": 99.99, "salted": 99.99,
-                      "plain_aqe": 99.99, "plain_aqe_tuned": 99.99},
         "queries": {n: 99.99 for n in names},
     }
     line = json.dumps(compact, separators=(",", ":"))
