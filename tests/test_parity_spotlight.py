@@ -97,6 +97,16 @@ SPOTLIGHT = [
     "mv_having_rewrite",
     "mv_time_hierarchy_rewrite",
     "mv_live_serve",
+    # round-18: the live grouping-construct serves (plain + star-join),
+    # the staleness-policy router, the join-aware advisor capstone, and
+    # the consistent multi-MV snapshot read — independently re-verified
+    # from birth
+    "mv_live_hierarchy_serve",
+    "mv_policy_serve",
+    "mv_join_live_serve",
+    "mv_join_live_hierarchy_serve",
+    "mv_join_advisor_workload",
+    "mv_snapshot_read",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -1297,6 +1297,118 @@ def main() -> None:
         finally:
             _sh.rmtree(base, ignore_errors=True)
 
+    def live_mv_hierarchy(n):
+        """Round-18: the LIVE hierarchy serve at asymptote — a
+        MoR-bound MV left one small merge behind (the real-time
+        dashboard state), ROLLUP(g, pbit) answered by the native path
+        (full table scan through the MoR overlay + Expand) vs composed
+        LIVE from the stale MV's stored partials ⊕ the unapplied
+        change-feed span (answer_rollup_aggregate_live; the fact
+        scanned by nobody). The gap is the fact-pass cost the lambda
+        serve avoids; identical results asserted. Flat in fact size by
+        construction: the compose reads O(groups + span)."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.mor import (
+            init_mor,
+            merge_into_mor,
+            read_mor,
+        )
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            answer_rollup_aggregate_live,
+            bind_mv_to_mor,
+            create_mv,
+        )
+
+        base = tempfile.mkdtemp(prefix="stress_lmvh_")
+        try:
+            root = os.path.join(base, "t")
+            mv_root = os.path.join(base, "mvs")
+            manifest = os.path.join(root, ".mor", "manifest.json")
+            init_mor(
+                spark, root,
+                spark.range(n).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 200).cast("string").alias("g"),
+                    (F.col("id") % 2).cast("long").alias("pbit"),
+                    (F.col("id") % 97).cast("long").alias("v"),
+                ),
+                keys=["k"], partition_col="pbit",
+            )
+            src = read_mor(spark, root).select("g", "pbit", "v")
+            create_mv(
+                spark, mv_root, name="lh", source_path=manifest,
+                source=src, group_cols=["g", "pbit"],
+                measures={"sv": ("sum", "v"), "n": ("count", None)},
+            )
+            bind_mv_to_mor(mv_root, "lh", root)
+            # one small merge (0.025% of the fact), NO catch-up: the MV
+            # is stale by exactly the span the live serve must compose
+            m = max(1000, n // 4000)
+            merge_into_mor(spark, root, spark.range(m).select(
+                (F.col("id") + n).alias("k"),
+                (F.col("id") % 200).cast("string").alias("g"),
+                (F.col("id") % 2).cast("long").alias("pbit"),
+                (F.col("id") % 97).cast("long").alias("v"),
+                F.lit(False).alias("is_delete"),
+            ))
+
+            def project(df):
+                cols = [F.col("g"), F.col("pbit"), F.col("v")]
+                if "change_type" in df.columns:
+                    cols = [F.col("change_type")] + cols
+                return df.select(*cols)
+
+            aggs = {"sv": ("sum", "v"), "n": ("count", None)}
+
+            def timed_native():
+                t0 = time.perf_counter()
+                rows = (
+                    read_mor(spark, root)
+                    .rollup("g", "pbit")
+                    .agg(F.sum("v").alias("sv"),
+                         F.count("*").alias("n"))
+                    .collect()
+                )
+                return time.perf_counter() - t0, rows
+
+            def timed_live():
+                t0 = time.perf_counter()
+                df, mode = answer_rollup_aggregate_live(
+                    spark, mv_root, "lh", project,
+                    group_cols=["g", "pbit"], aggs=aggs,
+                )
+                rows = df.collect()
+                return time.perf_counter() - t0, mode, rows
+
+            nkey = lambda t: tuple(  # noqa: E731
+                (x is None, 0 if x is None else x) for x in t
+            )
+            native_sec, r0 = timed_native()
+            live_sec, mode, r1 = timed_live()
+            assert mode == "mv_delta", mode
+            assert sorted(map(tuple, r0), key=nkey) == sorted(
+                map(tuple, r1), key=nkey
+            )
+            out = {
+                "rows": n,
+                "merge_rows": m,
+                "native_sec": round(native_sec, 3),
+                "live_sec": round(live_sec, 3),
+                "speedup": round(native_sec / max(live_sec, 1e-9), 1),
+            }
+            results["live_mv_hierarchy_serve"] = out
+            print(
+                json.dumps({"op": "live_mv_hierarchy_serve", **out}),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(base, ignore_errors=True)
+
+    if args.only is not None and "live_mv_hierarchy_serve" in args.only:
+        live_mv_hierarchy(int(200e6 * s))
+
     if args.only is None or "merge_file_scoped_1of16" in args.only:
         merge_file_scoped(int(40e6 * s))
     # NOT through run(): its wall spans build + 2x scoped + 2x full
