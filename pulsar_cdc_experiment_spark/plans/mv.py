@@ -2911,6 +2911,115 @@ class MvsSnapshot:
             "mv_delta",
         )
 
+    def aggregate_join(
+        self,
+        name: str,
+        dims: Sequence[tuple],
+        *,
+        group_cols: Sequence[str],
+        aggs: dict,
+        where: Sequence | None = None,
+        having: Sequence | None = None,
+    ) -> tuple[DataFrame, str | None]:
+        """JOIN-MV panel at the pinned boundary: the star summary's
+        partials compose with the unapplied fact span's JOIN-VIEW
+        delta cut EXACTLY to ``boundary_seq`` (star_join_delta; the
+        table's time travel at the MV's applied seq as the pre-state
+        probe, at the BOUNDARY — not the moving latest — for the risky
+        recompute leg). ``dims``: ``[(dim_df, on_cols), ...]`` in the
+        registered topology's order. Dims are not sequence-clocked, so
+        a MOVED dim cannot be pinned — it forces the ``None`` fallback
+        (time-traveled fact ⋈ current dims), same convention as the
+        live serves."""
+        from ..operators.materialize import star_join_delta
+        from .mor import _read_cached, change_feed_mor, read_mor
+
+        man = self._mans[name]
+        _validate_join_live(man, name, dims)
+        fact_project = self._projects[name]
+        spark = self._spark
+        group_cols = list(group_cols)
+        aggs = dict(aggs)
+        where = _norm_where(where)
+        having = _norm_having(having, aggs)
+        latest = self.boundary_seq
+        mor_man = self._mor_man
+
+        def fact_at_boundary() -> DataFrame:
+            return fact_project(
+                read_mor(spark, self._mor_root, latest).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type")
+
+        def base_at_boundary() -> DataFrame:
+            base = _join_all(
+                fact_at_boundary(), [(dim, on) for dim, on in dims]
+            )
+            for term in where:
+                base = base.filter(_where_expr(term))
+            return _apply_having(
+                base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs)),
+                having,
+            )
+
+        subsumed = (
+            set(group_cols) <= set(man["group_cols"])
+            and _where_cols(where) <= set(man["group_cols"])
+            and _measures_servable(man, aggs)
+        )
+        dims_static = all(
+            man["dim_fingerprints"][i] == _fingerprint(p)
+            for i, p in enumerate(man["dim_paths"])
+        )
+        applied = man["applied_seq"]
+        compensatable = (
+            mor_man.get("mutations", 0) == man.get("mor_mutations")
+            and mor_man.get("base_seq", 0) <= applied <= latest
+        )
+        if not subsumed or not dims_static or not compensatable:
+            return base_at_boundary(), None
+        d = _mv_dir(self._mv_root, name)
+        stored = _read_cached(spark, _data_dir(d, man))
+        if applied == latest:
+            return (
+                _apply_having(
+                    _rollup_partials(
+                        stored, man, group_cols, aggs, where
+                    ),
+                    having,
+                ),
+                "mv",
+            )
+        feed = fact_project(
+            change_feed_mor(spark, self._mor_root, applied, latest)
+        )
+        d_fact = changes_from_feed(
+            feed, [c for c in feed.columns if c != "change_type"]
+        )
+        fact_pre = fact_project(
+            read_mor(spark, self._mor_root, applied).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        d_view = star_join_delta(
+            fact_pre, d_fact, [(dim, None, on) for dim, on in dims]
+        )
+        base_new = pruned_star_base(
+            fact_at_boundary(), [(dim, on) for dim, on in dims],
+            man["group_cols"],
+        )
+        composed = _folded_partials(
+            spark, d, man, d_view, base_new, precheck_risky=False
+        )
+        return (
+            _apply_having(
+                _rollup_partials(composed, man, group_cols, aggs, where),
+                having,
+            ),
+            "mv_delta",
+        )
+
 
 def read_mvs_snapshot(
     spark: SparkSession,
@@ -2985,3 +3094,62 @@ def read_mvs_snapshot(
             )
 
     return _snap()
+
+
+def answer_join_aggregate_policied(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    fact_project,
+    dims: Sequence[tuple],
+    *,
+    group_cols: Sequence[str],
+    aggs: dict,
+    where: Sequence | None = None,
+    having: Sequence | None = None,
+    max_live_span: int = 8,
+    max_live_delete_keys: int | None = None,
+) -> tuple[DataFrame, str]:
+    """JOIN-MV sibling of :func:`answer_aggregate_policied` — the same
+    zero-job :func:`plan_serve_policy` decision (the policy reads
+    manifests only and is kind-agnostic) executed with the join verbs:
+    ``maintain_join_mv_from_mor`` for the maintain route,
+    ``answer_join_aggregate_live`` for every serve. ``dims``:
+    ``[(dim_df, on_cols), ...]`` in the registered topology's order,
+    STATIC — a moved dim makes the live serve fall back to base
+    (action ``"base"``) regardless of the policy's seq-arithmetic
+    choice, exactly as the underlying serve would."""
+    pol = plan_serve_policy(
+        mv_root, name,
+        max_live_span=max_live_span,
+        max_live_delete_keys=max_live_delete_keys,
+    )
+    maintained = False
+    if pol["action"] == "maintain":
+        # a moved dim must fail the MAINTAIN loud (the fold would join
+        # the feed through a changed state); the live serve below would
+        # merely fall back — so probe dims first and degrade to the
+        # serve's own fallback instead of raising from a read path
+        d = _mv_dir(mv_root, name)
+        with open(os.path.join(d, "mv.json")) as f:
+            man = json.load(f)
+        dims_static = all(
+            man["dim_fingerprints"][i] == _fingerprint(p)
+            for i, p in enumerate(man["dim_paths"])
+        )
+        if dims_static:
+            maintain_join_mv_from_mor(
+                spark, mv_root, name, fact_project, dims
+            )
+            maintained = True
+    df, mode = answer_join_aggregate_live(
+        spark, mv_root, name, fact_project, dims,
+        group_cols=group_cols, aggs=aggs, where=where, having=having,
+    )
+    if mode == "mv":
+        action = "maintain" if maintained else "mv"
+    elif mode == "mv_delta":
+        action = "live"
+    else:
+        action = "base"
+    return df, action

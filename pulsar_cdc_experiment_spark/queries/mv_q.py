@@ -3822,3 +3822,60 @@ def mv_snapshot_read(spark, sf_dir):
             "n", "sum_cents",
         )
     )
+
+
+@register(
+    "mv_join_policy_serve",
+    family="mv_live",
+    oracle=_JOIN_LIVE_FACT_NEW_SQL + """
+    SELECT 'live' AS served_via,
+           CAST(c_mktsegment AS VARCHAR) AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact_new JOIN customer ON o_custkey = c_custkey
+    GROUP BY 2
+    """,
+)
+def mv_join_policy_serve(spark, sf_dir):
+    """The staleness-policy router on a STAR summary (round 18,
+    plans/mv.answer_join_aggregate_policied — the join sibling of
+    mv_policy_serve, closing the plain/join policy matrix): the same
+    zero-job manifest-only decision (the policy never looks at data,
+    so it is kind-agnostic) executed with the join verbs. The fixture's
+    segment×priority join MV is one merge behind within the live
+    thresholds, so the router picks 'live' and the serve composes the
+    stored partials with the unapplied fact span's join-view delta —
+    read-only, deterministic however many times it re-plans.
+    ``served_via`` pins the route; the oracle recomputes the
+    post-merge star join closed-form, the risky BUILDING max included.
+    The maintain and base routes are pytest-pinned
+    (test_join_policy_router_full_matrix) — they write, and a
+    registered query must not mutate its session fixture."""
+    from ..plans.mor import _read_cached
+    from ..plans.mv import answer_join_aggregate_policied
+
+    root = mv_join_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    dim = _read_cached(spark, os.path.join(root, "cust_dim"))
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def fact_project(df):
+        cols = [F.col("o_custkey"), F.col("o_orderpriority"), cents]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    df, action = answer_join_aggregate_policied(
+        spark, mv_root, "live_seg_pri", fact_project,
+        [(dim, ["o_custkey"])],
+        group_cols=["c_mktsegment"],
+        aggs={"n": ("count", None), "sum_cents": ("sum", "cents"),
+              "max_cents": ("max", "cents")},
+    )
+    return df.select(
+        F.lit(action).alias("served_via"),
+        "c_mktsegment", "n", "sum_cents", "max_cents",
+    )

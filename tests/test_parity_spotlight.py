@@ -107,6 +107,7 @@ SPOTLIGHT = [
     "mv_join_live_hierarchy_serve",
     "mv_join_advisor_workload",
     "mv_snapshot_read",
+    "mv_join_policy_serve",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

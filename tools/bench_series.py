@@ -145,6 +145,23 @@ def main() -> None:
         "is the comparison to trust across rounds/machines). \"—\" = not",
         "benched that round.",
         "",
+        "**Same-day machine-drift envelope (round-18 controlled",
+        "experiment — the r17 verdict's Next #4).** Six back-to-back",
+        "bench sessions on one idle machine, same code, same day: three",
+        "ISOLATED runs of the 55-query r16-shared set (shared-55 totals",
+        "101.6 / 104.7 / 111.9 s) and three FULL 61-entry runs (shared-55",
+        "slice inside them: 114.3 / 94.9 / 84.1 s). Verdict: NO session",
+        "pressure — the fastest shared-55 reading of the day (84.1, within",
+        "4% of r16's recorded 81.3) came from a FULL session, and the",
+        "isolated runs were not faster than the full ones. The r16→r17",
+        "shared-subset growth (81.3 → 96.9) sits INSIDE this same-day",
+        "envelope (84.1–114.3 on byte-identical code), and calib_sec",
+        "wandered 0.211–0.271 UNCORRELATED with the totals, so the",
+        "fixed-work constant only partially proxies this noise. Rule going",
+        "forward: a cross-round total delta under ~±18% is not evidence of",
+        "a code regression; call one only on a per-query signature that",
+        "reproduces in an isolated same-session A/B re-run.",
+        "",
         "## Per-query min-of-3 (seconds)",
         "",
         "| query | " + " | ".join(f"r{r}" for r in rs) + " |",
