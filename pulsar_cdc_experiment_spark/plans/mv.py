@@ -2492,6 +2492,16 @@ def _answer_sets_live(
             spark, mv_root, name, project, native, sets, group_cols,
             aggs, where, derived,
         ), None
+    if mode == "mv_delta" and len(sets) > 1:
+        # ONE compose execution per request, physically: each union
+        # level is a separate plan branch, and without this the change
+        # feed's pre/post semi-joins re-SCAN the base once per level
+        # (measured at 200M rows: a 3-level live rollup cost 6 base
+        # probes and lost to the native Expand). A LAZY local
+        # checkpoint persists the composed O(groups) partials on first
+        # materialization and every other level reads the blocks —
+        # lazy, so plan construction stays job-free.
+        partials = partials.localCheckpoint(eager=False)
     return (
         _serve_sets_from_partials(
             partials, man, group_cols, sets, aggs, where, derived
@@ -2640,6 +2650,12 @@ def _answer_join_sets_live(
             spark, mv_root, name, fact_project, dims, native, sets,
             group_cols, aggs, where,
         ), None
+    if mode == "mv_delta" and len(sets) > 1:
+        # one physical compose per request (see _answer_sets_live):
+        # the join compose is even heavier per re-execution — the
+        # star_join_delta and the time-travel pre-state probe would
+        # re-run once per level
+        partials = partials.localCheckpoint(eager=False)
     return (
         _serve_sets_from_partials(
             partials, man, group_cols, sets, aggs, where
