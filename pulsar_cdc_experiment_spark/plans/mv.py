@@ -1441,11 +1441,16 @@ def answer_join_aggregate(
     aggs: dict,
     where: Sequence | None = None,
     having: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``(fact ⋈ dims).filter(where).groupBy(group_cols).agg(...)
     [.having(...)]`` served from a subsuming FRESH join MV when one
     exists, else from the base join. ``dims``: ``[(dim_df, dim_path,
-    on_cols), ...]``; ``having`` as in :func:`answer_aggregate`.
+    on_cols), ...]``; ``having`` / ``derived`` as in
+    :func:`answer_aggregate` (round 18: derived group keys reach the
+    join family too — the time-dimension hierarchy over a STAR join,
+    e.g. ``year(o_orderdate)`` rollups served by re-keying a
+    date-grain join MV's stored group values).
     Candidate match requires the SAME join topology (fact path, dim
     paths, join keys — a different join shape answers a different
     query), group/predicate subsumption and measure-lineage
@@ -1460,19 +1465,24 @@ def answer_join_aggregate(
     aggs = dict(aggs)
     where = _norm_where(where)
     having = _norm_having(having, aggs)
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
+    )
     man = _pick_join_mv(
-        mv_root, fact_path, dims, set(group_cols), _where_cols(where),
-        aggs,
+        mv_root, fact_path, dims, need, pred_need, aggs
     )
     if man is None:
-        base = _join_all(fact, dims)
+        base = _with_derived(_join_all(fact, dims), derived)
         for term in where:
             base = base.filter(_where_expr(term))
         df = base.groupBy(*group_cols).agg(*_base_agg_exprs(aggs))
         return _apply_having(df, having), None
     return (
         _apply_having(
-            _serve_from_mv(spark, mv_root, man, group_cols, aggs, where),
+            _serve_from_mv(
+                spark, mv_root, man, group_cols, aggs, where, derived
+            ),
             having,
         ),
         man["name"],
@@ -1522,6 +1532,7 @@ def answer_join_rollup_aggregate(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``(fact ⋈ dims).rollup(group_cols).agg(aggs)`` served
     ENTIRELY from a subsuming fresh join MV when one exists (round 17
@@ -1538,7 +1549,7 @@ def answer_join_rollup_aggregate(
     return _answer_join_sets(
         spark, mv_root, fact, fact_path, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="rollup",
+        native="rollup", derived=derived,
     )
 
 
@@ -1552,6 +1563,7 @@ def answer_join_cube_aggregate(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``(fact ⋈ dims).cube(group_cols).agg(aggs)`` served from a
     subsuming fresh join MV — all 2ⁿ grouping sets as KB summary reads
@@ -1560,7 +1572,7 @@ def answer_join_cube_aggregate(
     cubes take the native Expand even when an MV subsumes them)."""
     group_cols = list(group_cols)
     if len(group_cols) > 6:
-        base = _join_all(fact, dims)
+        base = _with_derived(_join_all(fact, dims), _norm_derived(derived))
         for term in _norm_where(where):
             base = base.filter(_where_expr(term))
         return base.cube(*group_cols).agg(*_base_agg_exprs(aggs)), None
@@ -1572,7 +1584,7 @@ def answer_join_cube_aggregate(
     return _answer_join_sets(
         spark, mv_root, fact, fact_path, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="cube",
+        native="cube", derived=derived,
     )
 
 
@@ -1587,6 +1599,7 @@ def answer_join_grouping_sets(
     sets: Sequence[Sequence[str]],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Plan ``GROUP BY GROUPING SETS (sets)`` over a star join served
     from a subsuming fresh join MV — arbitrary requested sets, ANSI
@@ -1604,7 +1617,7 @@ def answer_join_grouping_sets(
     return _answer_join_sets(
         spark, mv_root, fact, fact_path, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="groupingSets",
+        native="groupingSets", derived=derived,
     )
 
 
@@ -1620,6 +1633,7 @@ def _answer_join_sets(
     aggs: dict,
     where,
     native: str,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Join-MV sibling of :func:`_answer_sets`: pick the winning join
     MV once (same topology, finest-set subsumption, every fingerprint
@@ -1627,18 +1641,21 @@ def _answer_join_sets(
     SAME set-server the plain path uses (serving only reads the
     summary); fall back to the base star join's native construct."""
     where = _norm_where(where)
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
+    )
     man = _pick_join_mv(
-        mv_root, fact_path, dims, set(group_cols), _where_cols(where),
-        dict(aggs),
+        mv_root, fact_path, dims, need, pred_need, dict(aggs)
     )
     if man is None:
-        base = _join_all(fact, dims)
+        base = _with_derived(_join_all(fact, dims), derived)
         for term in where:
             base = base.filter(_where_expr(term))
         return _native_sets(base, native, sets, group_cols, aggs), None
     return (
         _serve_sets_pinned(
-            spark, mv_root, man, group_cols, sets, aggs, where
+            spark, mv_root, man, group_cols, sets, aggs, where, derived
         ),
         man["name"],
     )
@@ -2180,6 +2197,7 @@ def answer_join_aggregate_live(
     aggs: dict,
     where: Sequence | None = None,
     having: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """The JOIN-MV sibling of :func:`answer_aggregate_live`: serve
     fresh star-join rollups from a possibly-stale MoR-bound join MV by
@@ -2203,9 +2221,12 @@ def answer_join_aggregate_live(
     aggs = dict(aggs)
     where = _norm_where(where)
     having = _norm_having(having, aggs)
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
+    )
     partials, mode = _live_join_partials(
-        spark, d, man, fact_project, dims,
-        set(group_cols), _where_cols(where), aggs,
+        spark, d, man, fact_project, dims, need, pred_need, aggs,
     )
     if partials is None:
         fact_now = fact_project(
@@ -2213,7 +2234,10 @@ def answer_join_aggregate_live(
                 "change_type", F.lit("insert")
             )
         ).drop("change_type")
-        base = _join_all(fact_now, [(dim, on) for dim, on in dims])
+        base = _with_derived(
+            _join_all(fact_now, [(dim, on) for dim, on in dims]),
+            derived,
+        )
         for term in where:
             base = base.filter(_where_expr(term))
         return (
@@ -2225,7 +2249,9 @@ def answer_join_aggregate_live(
         )
     return (
         _apply_having(
-            _rollup_partials(partials, man, group_cols, aggs, where),
+            _rollup_partials(
+                partials, man, group_cols, aggs, where, derived
+            ),
             having,
         ),
         mode,
@@ -2520,6 +2546,7 @@ def answer_join_rollup_aggregate_live(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """ROLLUP over a STAR JOIN served live from a possibly-stale
     MoR-bound join MV: every hierarchy level from ONE
@@ -2532,7 +2559,7 @@ def answer_join_rollup_aggregate_live(
     return _answer_join_sets_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="rollup",
+        native="rollup", derived=derived,
     )
 
 
@@ -2546,6 +2573,7 @@ def answer_join_cube_aggregate_live(
     group_cols: Sequence[str],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """CUBE over a star join served live from a possibly-stale join
     MV; >6 columns go native (planning-cost guard, as everywhere)."""
@@ -2553,7 +2581,7 @@ def answer_join_cube_aggregate_live(
     if len(group_cols) > 6:
         return _native_join_sets_live_fallback(
             spark, mv_root, name, fact_project, dims, "cube", [],
-            group_cols, aggs, _norm_where(where),
+            group_cols, aggs, _norm_where(where), _norm_derived(derived),
         ), None
     sets = [
         [c for i, c in enumerate(group_cols) if not (mask >> i) & 1]
@@ -2563,7 +2591,7 @@ def answer_join_cube_aggregate_live(
     return _answer_join_sets_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="cube",
+        native="cube", derived=derived,
     )
 
 
@@ -2578,6 +2606,7 @@ def answer_join_grouping_sets_live(
     sets: Sequence[Sequence[str]],
     aggs: dict,
     where: Sequence | None = None,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Arbitrary GROUPING SETS over a star join served live from a
     possibly-stale join MV."""
@@ -2593,13 +2622,13 @@ def answer_join_grouping_sets_live(
     return _answer_join_sets_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
-        native="groupingSets",
+        native="groupingSets", derived=derived,
     )
 
 
 def _native_join_sets_live_fallback(
     spark, mv_root, name, fact_project, dims, native, sets,
-    group_cols, aggs, where,
+    group_cols, aggs, where, derived=None,
 ) -> DataFrame:
     """Mode-None leg for the join live grouping servers: native
     Expand over the CURRENT star join."""
@@ -2614,7 +2643,10 @@ def _native_join_sets_live_fallback(
             "change_type", F.lit("insert")
         )
     ).drop("change_type")
-    base = _join_all(fact_now, [(dim, on) for dim, on in dims])
+    base = _with_derived(
+        _join_all(fact_now, [(dim, on) for dim, on in dims]),
+        derived or {},
+    )
     for term in where:
         base = base.filter(_where_expr(term))
     return _native_sets(base, native, sets, group_cols, aggs)
@@ -2632,6 +2664,7 @@ def _answer_join_sets_live(
     aggs: dict,
     where,
     native: str,
+    derived: dict | None = None,
 ) -> tuple[DataFrame, str | None]:
     """Shared live join rollup/cube/grouping-sets server — ONE
     :func:`_live_join_partials` resolution feeds every set."""
@@ -2641,14 +2674,17 @@ def _answer_join_sets_live(
     _validate_join_live(man, name, dims)
     aggs = dict(aggs)
     where = _norm_where(where)
+    derived = _norm_derived(derived)
+    need, pred_need = _resolve_group_requirements(
+        group_cols, where, derived
+    )
     partials, mode = _live_join_partials(
-        spark, d, man, fact_project, dims,
-        set(group_cols), _where_cols(where), aggs,
+        spark, d, man, fact_project, dims, need, pred_need, aggs,
     )
     if partials is None:
         return _native_join_sets_live_fallback(
             spark, mv_root, name, fact_project, dims, native, sets,
-            group_cols, aggs, where,
+            group_cols, aggs, where, derived,
         ), None
     if mode == "mv_delta" and len(sets) > 1:
         # one physical compose per request (see _answer_sets_live):
@@ -2658,7 +2694,7 @@ def _answer_join_sets_live(
         partials = partials.localCheckpoint(eager=False)
     return (
         _serve_sets_from_partials(
-            partials, man, group_cols, sets, aggs, where
+            partials, man, group_cols, sets, aggs, where, derived
         ),
         mode,
     )
@@ -2936,6 +2972,7 @@ class MvsSnapshot:
         aggs: dict,
         where: Sequence | None = None,
         having: Sequence | None = None,
+        derived: dict | None = None,
     ) -> tuple[DataFrame, str | None]:
         """JOIN-MV panel at the pinned boundary: the star summary's
         partials compose with the unapplied fact span's JOIN-VIEW
@@ -2958,6 +2995,10 @@ class MvsSnapshot:
         aggs = dict(aggs)
         where = _norm_where(where)
         having = _norm_having(having, aggs)
+        derived = _norm_derived(derived)
+        need, pred_need = _resolve_group_requirements(
+            group_cols, where, derived
+        )
         latest = self.boundary_seq
         mor_man = self._mor_man
 
@@ -2969,8 +3010,11 @@ class MvsSnapshot:
             ).drop("change_type")
 
         def base_at_boundary() -> DataFrame:
-            base = _join_all(
-                fact_at_boundary(), [(dim, on) for dim, on in dims]
+            base = _with_derived(
+                _join_all(
+                    fact_at_boundary(), [(dim, on) for dim, on in dims]
+                ),
+                derived,
             )
             for term in where:
                 base = base.filter(_where_expr(term))
@@ -2980,8 +3024,8 @@ class MvsSnapshot:
             )
 
         subsumed = (
-            set(group_cols) <= set(man["group_cols"])
-            and _where_cols(where) <= set(man["group_cols"])
+            need <= set(man["group_cols"])
+            and pred_need <= set(man["group_cols"])
             and _measures_servable(man, aggs)
         )
         dims_static = all(
@@ -3001,7 +3045,7 @@ class MvsSnapshot:
             return (
                 _apply_having(
                     _rollup_partials(
-                        stored, man, group_cols, aggs, where
+                        stored, man, group_cols, aggs, where, derived
                     ),
                     having,
                 ),
@@ -3030,7 +3074,9 @@ class MvsSnapshot:
         )
         return (
             _apply_having(
-                _rollup_partials(composed, man, group_cols, aggs, where),
+                _rollup_partials(
+                    composed, man, group_cols, aggs, where, derived
+                ),
                 having,
             ),
             "mv_delta",
@@ -3123,6 +3169,7 @@ def answer_join_aggregate_policied(
     aggs: dict,
     where: Sequence | None = None,
     having: Sequence | None = None,
+    derived: dict | None = None,
     max_live_span: int = 8,
     max_live_delete_keys: int | None = None,
 ) -> tuple[DataFrame, str]:
@@ -3161,6 +3208,7 @@ def answer_join_aggregate_policied(
     df, mode = answer_join_aggregate_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, aggs=aggs, where=where, having=having,
+        derived=derived,
     )
     if mode == "mv":
         action = "maintain" if maintained else "mv"

@@ -1196,3 +1196,133 @@ def test_mvs_snapshot_join_panel_pins_boundary(spark):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_derived_group_keys_reach_the_join_family(spark):
+    """Round-18: derived group keys (the time-dimension hierarchy)
+    over JOIN MVs — the fresh serve, the pinned hierarchy, and the
+    LIVE compose all serve a bucket-of-stored-key request by re-keying
+    the summary's group values; a derivation whose input is not an MV
+    group column falls back to the base star join. Values equal the
+    direct join at every step."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_join_aggregate,
+        answer_join_rollup_aggregate,
+        answer_join_rollup_aggregate_live,
+    )
+
+    base = _tf.mkdtemp(prefix="mvj_drv_")
+    try:
+        fact_root = os.path.join(base, "fact")
+        dim_path = os.path.join(base, "dim")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(fact_root, ".mor", "manifest.json")
+        init_mor(
+            spark, fact_root,
+            spark.createDataFrame(
+                [(k, k % 30, (k * 7) % 100, (k * 13) % 500,
+                  ["p", "q"][k % 2])
+                 for k in range(300)],
+                "k bigint, fk bigint, bucketable bigint, cents bigint, "
+                "part string",
+            ),
+            keys=["k"], partition_col="part",
+        )
+        spark.createDataFrame(
+            [(k, ["a", "b", "c"][k % 3]) for k in range(30)],
+            "fk bigint, g string",
+        ).write.parquet(dim_path)
+        dim = spark.read.parquet(dim_path)
+
+        def fact_project(df):
+            cols = [F.col("fk"), F.col("bucketable"), F.col("cents")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        def fact_now():
+            return fact_project(
+                read_mor(spark, fact_root).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type")
+
+        create_join_mv(
+            spark, mv_root, name="jd", fact=fact_now(),
+            fact_path=manifest, dims=[(dim, dim_path, ["fk"])],
+            group_cols=["g", "bucketable"],
+            measures={"sum_cents": ("sum", "cents"),
+                      "n": ("count", None)},
+        )
+        bind_mv_to_mor(mv_root, "jd", fact_root)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None)}
+        derived = {"bkt": ("bucket", "bucketable", 25)}
+        dims = [(dim, dim_path, ["fk"])]
+
+        def direct(rollup=False):
+            j = fact_now().join(dim, ["fk"]).withColumn(
+                "bkt", F.floor(F.col("bucketable") / 25) * 25
+            )
+            agg = [F.sum("cents").alias("sum_cents"),
+                   F.count("*").alias("n")]
+            d = (j.rollup("g", "bkt") if rollup
+                 else j.groupBy("g", "bkt")).agg(*agg)
+            return {
+                (r["g"], r["bkt"]): (r["sum_cents"], r["n"])
+                for r in d.collect()
+            }
+
+        def rows_of(df):
+            return {
+                (r["g"], r["bkt"]): (r["sum_cents"], r["n"])
+                for r in df.collect()
+            }
+
+        # fresh serve, re-keyed from the stored group values
+        df, used = answer_join_aggregate(
+            spark, mv_root, fact_now(), manifest, dims,
+            group_cols=["g", "bkt"], aggs=aggs, derived=derived,
+        )
+        assert used == "jd" and rows_of(df) == direct()
+
+        # pinned hierarchy with the derived key
+        df, used = answer_join_rollup_aggregate(
+            spark, mv_root, fact_now(), manifest, dims,
+            group_cols=["g", "bkt"], aggs=aggs, derived=derived,
+        )
+        assert used == "jd" and rows_of(df) == direct(rollup=True)
+
+        # non-derivable input (cents is a measure, not a group col):
+        # base fallback, same values
+        df, used = answer_join_aggregate(
+            spark, mv_root, fact_now(), manifest, dims,
+            group_cols=["g", "c2"], aggs={"n": ("count", None)},
+            derived={"c2": ("bucket", "cents", 100)},
+        )
+        assert used is None
+
+        # a merge lands with NO catch-up: the LIVE hierarchy re-keys
+        # the composed partials
+        merge_into_mor(spark, fact_root, spark.createDataFrame(
+            [(9001, 3, 10, 499, "p", False),
+             (9002, 4, 60, 7, "q", False)],
+            "k bigint, fk bigint, bucketable bigint, cents bigint, "
+            "part string, is_delete boolean",
+        ))
+        def fact_project_live(df):
+            return fact_project(df)
+
+        df, mode = answer_join_rollup_aggregate_live(
+            spark, mv_root, "jd", fact_project_live, [(dim, ["fk"])],
+            group_cols=["g", "bkt"], aggs=aggs, derived=derived,
+        )
+        assert mode == "mv_delta" and rows_of(df) == direct(rollup=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
