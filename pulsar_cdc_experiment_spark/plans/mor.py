@@ -728,6 +728,18 @@ def rollback_last_mor(root: str) -> dict:
         # every live lambda serve to detect the divergence and fall
         # back / demand a refresh instead of silently composing.
         man["mutations"] = man.get("mutations", 0) + 1
+        # Round-19 ADVICE: the counter alone conflates the two causes.
+        # Recording WHICH mutation epochs were rollbacks — and of which
+        # sequence — lets downstream guards distinguish: an MV whose
+        # applied_seq is BELOW the popped sequence never folded it, so
+        # its feed compose from applied→latest stays sound (the reused
+        # seq N arrives through the feed like any new merge), while an
+        # MV at-or-past it must refuse; and scrub_mv_groups (which
+        # legitimately re-arms across PURGES) can refuse to heal a
+        # rollback it cannot compensate.
+        man.setdefault("rollback_events", []).append(
+            {"mutation": man["mutations"], "seq": last["seq"]}
+        )
         _write_manifest(root, man)  # publish point: seq unreachable now
         # retention grace: the unpublished sidecar/delta stay for
         # in-flight lazy readers; the next maintenance entry's

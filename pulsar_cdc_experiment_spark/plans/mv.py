@@ -537,6 +537,35 @@ def scrub_mv_groups(
             )
         from .mor import _read_cached
 
+        if "mor_root" in man:
+            # Round-19 ADVICE (medium): the scrub legitimately re-arms
+            # the mutation counter across PURGES (post-purge + scrub,
+            # the MV equals a full recompute) — but a ROLLBACK of a
+            # sequence the MV already folded is a divergence no scrub
+            # of any group subset can heal (the partials still hold
+            # the popped sequence's contributions; reused sequence
+            # numbers would then serve rolled-back rows). Refuse the
+            # re-arm BEFORE touching data and demand a refresh.
+            from .mor import _read_manifest as _read_mor_manifest
+
+            cur_mor = _read_mor_manifest(man["mor_root"])
+            recorded = man.get("mor_mutations", 0)
+            current = cur_mor.get("mutations", 0)
+            applied = man.get("applied_seq")
+            folded_rollbacks = [
+                e for e in cur_mor.get("rollback_events", [])
+                if recorded < e["mutation"] <= current
+                and (applied is None or e["seq"] <= applied)
+            ]
+            if folded_rollbacks:
+                raise RuntimeError(
+                    f"MV {name}: rollback of folded sequence(s) "
+                    f"{sorted(e['seq'] for e in folded_rollbacks)} "
+                    f"landed on {man['mor_root']} since bind — a scrub "
+                    "cannot compensate a rollback (the stored partials "
+                    "still hold the popped contributions); refresh_mv "
+                    "+ re-bind"
+                )
         _sweep_mv(d, man)
         data = _read_cached(spark, _data_dir(d, man))
         keys = group_rows.distinct()
@@ -1763,6 +1792,39 @@ def maintain_join_mv(
 # ---------------------------------------------------------------------------
 
 
+def _mutation_drift(mor_man: dict, man: dict) -> tuple[bool, bool]:
+    """Classify the MoR table's mutation-counter movement since this MV
+    last recorded it (round-19 ADVICE: the counter alone conflates
+    purge and rollback). Returns ``(moved, benign)``:
+
+    - ``moved`` — the table's counter differs from the MV's recorded
+      ``mor_mutations``.
+    - ``benign`` — every intervening mutation epoch is a ROLLBACK of a
+      sequence STRICTLY ABOVE the MV's ``applied_seq`` (the manifest's
+      ``rollback_events`` carry ``{mutation, seq}``): the stored
+      partials never folded the popped rows, so a feed compose from
+      ``applied_seq`` stays sound — the reused sequence numbers arrive
+      through the feed like any new merge. A purge in the window, a
+      rollback of a folded sequence, or a pre-upgrade manifest with no
+      event record all classify non-benign (conservative)."""
+    recorded = man.get("mor_mutations", 0)
+    current = mor_man.get("mutations", 0)
+    if current == recorded:
+        return False, True
+    applied = man.get("applied_seq")
+    if applied is None or current < recorded:
+        return True, False
+    events = [
+        e for e in mor_man.get("rollback_events", [])
+        if recorded < e["mutation"] <= current
+    ]
+    benign = (
+        len(events) == current - recorded
+        and all(e["seq"] > applied for e in events)
+    )
+    return True, benign
+
+
 def bind_mv_to_mor(mv_root: str, name: str, mor_root: str) -> dict:
     """Bind an MV (freshly created over ``read_mor(mor_root)`` with the
     MoR MANIFEST as its ``source_path``) to the table's sequence
@@ -1852,12 +1914,17 @@ def maintain_mv_from_mor(
             else mor_man.get("base_seq", 0)
         )
         applied = man["applied_seq"]
-        if mor_man.get("mutations", 0) != man.get("mor_mutations"):
-            # a purge or rollback landed since bind/last-maintain: the
-            # feed span CANNOT represent an out-of-band rewrite, so a
-            # fold here would produce partials that still include the
+        moved, benign = _mutation_drift(mor_man, man)
+        if moved and not benign:
+            # a purge — or a rollback of a sequence the MV already
+            # folded — landed since bind/last-maintain: the feed span
+            # CANNOT represent an out-of-band rewrite, so a fold here
+            # would produce partials that still include the
             # purged/rolled-back contributions AND re-arm the live-serve
-            # guard over them — fail loud instead of silently healing
+            # guard over them — fail loud instead of silently healing.
+            # (A rollback of a NEVER-FOLDED sequence is benign: the
+            # stored partials never saw it, the feed compose stays
+            # sound, and maintenance proceeds — round-19 ADVICE.)
             raise RuntimeError(
                 f"MV {name}: table {mor_root} mutation counter moved "
                 f"({man.get('mor_mutations')} → "
@@ -1867,6 +1934,13 @@ def maintain_mv_from_mor(
                 "refresh_mv + re-bind"
             )
         if latest == applied:
+            if moved:
+                # benign drift with nothing to fold (e.g. the rollback
+                # popped the only unapplied sequence): re-arm the
+                # recorded counter so future staleness checks don't
+                # keep re-deriving the same benign classification
+                man["mor_mutations"] = mor_man.get("mutations", 0)
+                _publish_manifest(d, man)
             return {"applied_seq": applied, "folded": False}
         if applied < mor_man.get("base_seq", 0):
             raise RuntimeError(
@@ -1971,9 +2045,12 @@ def maintain_join_mv_from_mor(
             else mor_man.get("base_seq", 0)
         )
         applied = man["applied_seq"]
-        if mor_man.get("mutations", 0) != man.get("mor_mutations"):
+        moved, benign = _mutation_drift(mor_man, man)
+        if moved and not benign:
             # same out-of-band-rewrite guard as maintain_mv_from_mor:
-            # a purge/rollback since bind is feed-incompensable
+            # a purge — or a rollback of a folded sequence — since
+            # bind is feed-incompensable (never-folded rollbacks are
+            # benign, see _mutation_drift)
             raise RuntimeError(
                 f"join MV {name}: fact table {mor_root} mutation "
                 f"counter moved ({man.get('mor_mutations')} → "
@@ -1983,6 +2060,9 @@ def maintain_join_mv_from_mor(
                 "refresh_mv + re-bind"
             )
         if latest == applied:
+            if moved:
+                man["mor_mutations"] = mor_man.get("mutations", 0)
+                _publish_manifest(d, man)
             return {"applied_seq": applied, "folded": False}
         if applied < mor_man.get("base_seq", 0):
             raise RuntimeError(
@@ -2161,12 +2241,19 @@ def _live_partials(
         else mor_man.get("base_seq", 0)
     )
     applied = man["applied_seq"]
+    moved, benign = _mutation_drift(mor_man, man)
     compensatable = (
-        mor_man.get("mutations", 0) == man.get("mor_mutations")
-        and mor_man.get("base_seq", 0) <= applied < latest
+        (not moved or benign)
+        and mor_man.get("base_seq", 0) <= applied <= latest
     )
     if not compensatable:
         return None, None
+    if applied == latest:
+        # no unapplied span (a benign rollback popped the only pending
+        # sequence, or a compaction folded exactly to the MV's floor):
+        # the stored partials ARE the current state even though the
+        # source fingerprint moved
+        return _read_cached(spark, _data_dir(d, man)), "mv"
     feed = project(change_feed_mor(spark, mor_root, applied, latest))
     changes = changes_from_feed(
         feed, [c for c in feed.columns if c != "change_type"]
@@ -2316,12 +2403,17 @@ def _live_join_partials(
         else mor_man.get("base_seq", 0)
     )
     applied = man["applied_seq"]
+    moved, benign = _mutation_drift(mor_man, man)
     compensatable = (
-        mor_man.get("mutations", 0) == man.get("mor_mutations")
-        and mor_man.get("base_seq", 0) <= applied < latest
+        (not moved or benign)
+        and mor_man.get("base_seq", 0) <= applied <= latest
     )
     if not compensatable:
         return None, None
+    if applied == latest:
+        # no unapplied span — stored partials current (see
+        # _live_partials)
+        return _read_cached(spark, _data_dir(d, man)), "mv"
     feed = fact_project(
         change_feed_mor(spark, mor_root, applied, latest)
     )
@@ -2370,18 +2462,23 @@ def answer_rollup_aggregate_live(
     aggs: dict,
     where: Sequence | None = None,
     derived: dict | None = None,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """ROLLUP served live from a possibly-stale MoR-bound MV: the
     prefix-chain grouping sets, every level rolled up from the SAME
     :func:`_live_partials` compose (stored partials ⊕ unapplied feed
     span, lazily). Mode contract as :func:`answer_aggregate_live`;
-    the ``None`` fallback is the CURRENT table's native ``rollup``."""
+    the ``None`` fallback is the CURRENT table's native ``rollup``.
+    ``checkpoint_compose=False`` opts out of the compose's lazy
+    localCheckpoint (recomputable lineage, per-level re-scan cost —
+    see :func:`_answer_sets_live`)."""
     group_cols = list(group_cols)
     sets = [group_cols[:i] for i in range(len(group_cols), -1, -1)]
     return _answer_sets_live(
         spark, mv_root, name, project,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
         derived=derived, native="rollup",
+        checkpoint_compose=checkpoint_compose,
     )
 
 
@@ -2395,6 +2492,7 @@ def answer_cube_aggregate_live(
     aggs: dict,
     where: Sequence | None = None,
     derived: dict | None = None,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """CUBE served live from a possibly-stale MoR-bound MV — all 2ⁿ
     sets from ONE live compose. Same >6-column planning guard as the
@@ -2415,6 +2513,7 @@ def answer_cube_aggregate_live(
         spark, mv_root, name, project,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
         derived=derived, native="cube",
+        checkpoint_compose=checkpoint_compose,
     )
 
 
@@ -2429,6 +2528,7 @@ def answer_grouping_sets_live(
     aggs: dict,
     where: Sequence | None = None,
     derived: dict | None = None,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """Arbitrary GROUPING SETS served live from a possibly-stale
     MoR-bound MV — the third sibling; rollup and cube are the
@@ -2446,6 +2546,7 @@ def answer_grouping_sets_live(
         spark, mv_root, name, project,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
         derived=derived, native="groupingSets",
+        checkpoint_compose=checkpoint_compose,
     )
 
 
@@ -2488,6 +2589,7 @@ def _answer_sets_live(
     where,
     derived,
     native: str,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """Shared live rollup/cube/grouping-sets server: resolve the
     partials ONCE via :func:`_live_partials` (fresh → stored
@@ -2518,7 +2620,7 @@ def _answer_sets_live(
             spark, mv_root, name, project, native, sets, group_cols,
             aggs, where, derived,
         ), None
-    if mode == "mv_delta" and len(sets) > 1:
+    if mode == "mv_delta" and len(sets) > 1 and checkpoint_compose:
         # ONE compose execution per request, physically: each union
         # level is a separate plan branch, and without this the change
         # feed's pre/post semi-joins re-SCAN the base once per level
@@ -2527,6 +2629,16 @@ def _answer_sets_live(
         # checkpoint persists the composed O(groups) partials on first
         # materialization and every other level reads the blocks —
         # lazy, so plan construction stays job-free.
+        #
+        # Failure/lifecycle trade (round-19 ADVICE): localCheckpoint
+        # stores NON-REPLICATED executor-local blocks and TRUNCATES
+        # lineage — an executor loss mid-request fails the dashboard
+        # query (no recompute path; the caller retries the request,
+        # which re-binds fresh blocks), and the blocks are reclaimed
+        # only when the driver GCs the DataFrame, so a long-lived
+        # session holding many served frames accumulates executor
+        # storage. Sessions that prefer recomputability/eager cleanup
+        # pass checkpoint_compose=False and pay the per-level re-scan.
         partials = partials.localCheckpoint(eager=False)
     return (
         _serve_sets_from_partials(
@@ -2547,6 +2659,7 @@ def answer_join_rollup_aggregate_live(
     aggs: dict,
     where: Sequence | None = None,
     derived: dict | None = None,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """ROLLUP over a STAR JOIN served live from a possibly-stale
     MoR-bound join MV: every hierarchy level from ONE
@@ -2560,6 +2673,7 @@ def answer_join_rollup_aggregate_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
         native="rollup", derived=derived,
+        checkpoint_compose=checkpoint_compose,
     )
 
 
@@ -2574,6 +2688,7 @@ def answer_join_cube_aggregate_live(
     aggs: dict,
     where: Sequence | None = None,
     derived: dict | None = None,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """CUBE over a star join served live from a possibly-stale join
     MV; >6 columns go native (planning-cost guard, as everywhere)."""
@@ -2592,6 +2707,7 @@ def answer_join_cube_aggregate_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
         native="cube", derived=derived,
+        checkpoint_compose=checkpoint_compose,
     )
 
 
@@ -2607,6 +2723,7 @@ def answer_join_grouping_sets_live(
     aggs: dict,
     where: Sequence | None = None,
     derived: dict | None = None,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """Arbitrary GROUPING SETS over a star join served live from a
     possibly-stale join MV."""
@@ -2623,6 +2740,7 @@ def answer_join_grouping_sets_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, sets=sets, aggs=aggs, where=where,
         native="groupingSets", derived=derived,
+        checkpoint_compose=checkpoint_compose,
     )
 
 
@@ -2665,6 +2783,7 @@ def _answer_join_sets_live(
     where,
     native: str,
     derived: dict | None = None,
+    checkpoint_compose: bool = True,
 ) -> tuple[DataFrame, str | None]:
     """Shared live join rollup/cube/grouping-sets server — ONE
     :func:`_live_join_partials` resolution feeds every set."""
@@ -2686,8 +2805,10 @@ def _answer_join_sets_live(
             spark, mv_root, name, fact_project, dims, native, sets,
             group_cols, aggs, where, derived,
         ), None
-    if mode == "mv_delta" and len(sets) > 1:
-        # one physical compose per request (see _answer_sets_live):
+    if mode == "mv_delta" and len(sets) > 1 and checkpoint_compose:
+        # one physical compose per request (see _answer_sets_live,
+        # including the executor-loss / block-retention trade the
+        # checkpoint_compose opt-out exists for):
         # the join compose is even heavier per re-execution — the
         # star_join_delta and the time-travel pre-state probe would
         # re-run once per level
@@ -2758,20 +2879,27 @@ def plan_serve_policy(
     span = [s for s in mor_man["seqs"] if s["seq"] > applied]
     rep["unapplied_seqs"] = len(span)
     rep["span_delete_keys"] = sum(s["n_delete_keys"] for s in span)
-    rep["mutations_moved"] = (
-        mor_man.get("mutations", 0) != man.get("mor_mutations")
-    )
+    moved, benign = _mutation_drift(mor_man, man)
+    # report the RAW movement; route on the benign classification — a
+    # rollback of a never-folded sequence leaves the feed compose sound
+    # (round-19 ADVICE)
+    rep["mutations_moved"] = moved
     rep["compacted_past"] = applied < mor_man.get("base_seq", 0)
-    if rep["mutations_moved"] or rep["compacted_past"]:
+    if (moved and not benign) or rep["compacted_past"]:
         return {
             **rep,
             "action": "base",
             "reason": (
                 "out-of-band rewrite (purge/rollback)"
-                if rep["mutations_moved"]
+                if moved and not benign
                 else "span compacted past applied_seq"
             ),
         }
+    if rep["unapplied_seqs"] == 0:
+        # nothing unapplied despite the stale fingerprint (benign
+        # rollback popped the pending span, or compaction folded
+        # exactly to the MV's floor): the stored partials are current
+        return {**rep, "action": "mv", "reason": "caught up"}
     if rep["unapplied_seqs"] > max_live_span or (
         max_live_delete_keys is not None
         and rep["span_delete_keys"] > max_live_delete_keys
@@ -2823,8 +2951,17 @@ def answer_aggregate_policied(
     )
     maintained = False
     if pol["action"] == "maintain":
-        maintain_mv_from_mor(spark, mv_root, name, project)
-        maintained = True
+        try:
+            maintain_mv_from_mor(spark, mv_root, name, project)
+            maintained = True
+        except RuntimeError:
+            # a purge/rollback/compaction landed between the policy's
+            # manifest read and the maintain — this is a READ-serving
+            # API, so degrade to the live serve below (which routes to
+            # its own base fallback on the same evidence) instead of
+            # raising from what the policy would now call 'base'
+            # (round-19 ADVICE)
+            pass
     df, mode = answer_aggregate_live(
         spark, mv_root, name, project,
         group_cols=group_cols, aggs=aggs, where=where, having=having,
@@ -2919,8 +3056,9 @@ class MvsSnapshot:
             and _measures_servable(man, aggs)
         )
         applied = man["applied_seq"]
+        moved, benign = _mutation_drift(mor_man, man)
         compensatable = (
-            mor_man.get("mutations", 0) == man.get("mor_mutations")
+            (not moved or benign)
             and mor_man.get("base_seq", 0) <= applied <= latest
         )
         if not subsumed or not compensatable:
@@ -3033,8 +3171,9 @@ class MvsSnapshot:
             for i, p in enumerate(man["dim_paths"])
         )
         applied = man["applied_seq"]
+        moved, benign = _mutation_drift(mor_man, man)
         compensatable = (
-            mor_man.get("mutations", 0) == man.get("mor_mutations")
+            (not moved or benign)
             and mor_man.get("base_seq", 0) <= applied <= latest
         )
         if not subsumed or not dims_static or not compensatable:
@@ -3201,10 +3340,16 @@ def answer_join_aggregate_policied(
             for i, p in enumerate(man["dim_paths"])
         )
         if dims_static:
-            maintain_join_mv_from_mor(
-                spark, mv_root, name, fact_project, dims
-            )
-            maintained = True
+            try:
+                maintain_join_mv_from_mor(
+                    spark, mv_root, name, fact_project, dims
+                )
+                maintained = True
+            except RuntimeError:
+                # mutation landed between the policy read and the
+                # maintain: degrade to the live serve's own fallback
+                # instead of raising from a read path (round-19 ADVICE)
+                pass
     df, mode = answer_join_aggregate_live(
         spark, mv_root, name, fact_project, dims,
         group_cols=group_cols, aggs=aggs, where=where, having=having,

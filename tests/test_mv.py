@@ -1881,11 +1881,30 @@ def test_serve_policy_full_decision_matrix(spark):
         bind_mv_to_mor(mv_root, "m", root)
         assert policy()["action"] == "mv"
 
-        # 6. rollback: base (mutation bump, round-18 fix)
+        # 6a. BENIGN rollback (round-19 ADVICE): the popped sequence
+        # was never folded into the MV, so the stored partials never
+        # saw it — the policy reports the raw counter movement but
+        # routes "mv" (caught up), not "base"
         merge_into_mor(spark, root, spark.createDataFrame(
             [(9005, "a", 13, False)],
             "k bigint, g string, cents bigint, is_delete boolean",
         ))
+        rollback_last_mor(root)
+        pol = policy()
+        assert pol["action"] == "mv" and pol["mutations_moved"]
+        assert serve() == "mv"
+
+        # 6b. rollback of a FOLDED sequence: base (the round-18 fix's
+        # genuine target — the partials still hold the popped rows)
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            maintain_mv_from_mor,
+        )
+
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9007, "a", 17, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        maintain_mv_from_mor(spark, mv_root, "m", project)
         rollback_last_mor(root)
         pol = policy()
         assert pol["action"] == "base" and pol["mutations_moved"]
@@ -2033,5 +2052,234 @@ def test_mvs_snapshot_mid_read_publish_cannot_split_dashboard(spark):
                     F.sum("cents").alias("sum_cents"),
                     F.count("*").alias("n")), "g")
             assert totals(df_g2, "g") == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_benign_rollback_keeps_maintain_and_live_available(spark):
+    """Round-19 ADVICE (low): a rollback of a sequence the MV NEVER
+    folded (popped seq > applied_seq) is benign — the stored partials
+    never saw it, so the feed compose from applied_seq stays sound.
+    The guards must keep maintenance AND live serving available
+    (mutation-epoch classification via the manifest's rollback_events)
+    instead of forcing a full refresh after every rollback."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        merge_into_mor,
+        mor_history,
+        read_mor,
+        rollback_last_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_aggregate_live,
+        maintain_mv_from_mor,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_brb_")
+    try:
+        root, mv_root, manifest, project = _mor_mv_env(spark, base)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        def exact_now():
+            return {
+                r["g"]: (r["s"], r["n"], r["m"])
+                for r in read_mor(spark, root).groupBy("g").agg(
+                    F.sum("cents").alias("s"), F.count("*").alias("n"),
+                    F.max("cents").alias("m"),
+                ).collect()
+            }
+
+        def live():
+            df, mode = answer_aggregate_live(
+                spark, mv_root, "m", project, group_cols=["g"],
+                aggs=aggs,
+            )
+            got = {r["g"]: (r["sum_cents"], r["n"], r["mx"])
+                   for r in df.collect()}
+            return got, mode
+
+        # merge a sequence the MV does NOT fold, then roll it back:
+        # stored partials == current state again
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 111, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        seq_n = mor_history(root)[-1]["seq"]
+        rollback_last_mor(root)
+
+        got, mode = live()
+        assert mode == "mv", (
+            "never-folded rollback with an empty span must serve the "
+            f"stored partials, got mode {mode}"
+        )
+        assert got == exact_now()
+
+        # new merges REUSE the popped sequence number — they arrive
+        # through the feed like any other merge, so the live compose
+        # and maintenance both stay sound
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9002, "b", 222, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        assert mor_history(root)[-1]["seq"] == seq_n, (
+            "fixture must reproduce the reused-sequence shape"
+        )
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9003, "a", 7, True), (9004, "b", 333, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        got, mode = live()
+        assert mode == "mv_delta" and got == exact_now()
+
+        rep = maintain_mv_from_mor(spark, mv_root, "m", project)
+        assert rep["folded"] is True
+        got, mode = live()
+        assert mode == "mv" and got == exact_now()
+
+        # and a rollback of a FOLDED sequence still refuses everywhere
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9005, "a", 11, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        maintain_mv_from_mor(spark, mv_root, "m", project)
+        rollback_last_mor(root)
+        got, mode = live()
+        assert mode is None and got == exact_now()
+        with pytest.raises(RuntimeError, match="mutation counter"):
+            maintain_mv_from_mor(spark, mv_root, "m", project)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_scrub_refuses_to_heal_a_folded_rollback(spark):
+    """Round-19 ADVICE (medium): scrub_mv_groups legitimately re-arms
+    the mutation counter across PURGES, but it cannot heal a rollback
+    of a sequence the MV folded — the repro from the advice (fold seq
+    N, rollback, scrub any group, new merges reusing the seq) would
+    then live-serve rolled-back values. The scrub must refuse the
+    re-arm BEFORE touching data and demand a refresh."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        merge_into_mor,
+        read_mor,
+        rollback_last_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        answer_aggregate_live,
+        maintain_mv_from_mor,
+        scrub_mv_groups,
+        source_token,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_srb_")
+    try:
+        root, mv_root, manifest, project = _mor_mv_env(spark, base)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 100, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        maintain_mv_from_mor(spark, mv_root, "m", project)
+        rollback_last_mor(root)
+
+        tok = source_token(manifest)
+        with pytest.raises(RuntimeError, match="rollback"):
+            scrub_mv_groups(
+                spark, mv_root, "m",
+                spark.createDataFrame([("a",)], "g string"),
+                source_token=tok,
+            )
+
+        # the refusal left the MV byte-untouched and the guard armed:
+        # two new merges reusing the popped seqs still serve EXACT
+        # values through the base fallback, never 'mv_delta'
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 999, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9002, "b", 5, False)],
+            "k bigint, g string, cents bigint, is_delete boolean",
+        ))
+        df, mode = answer_aggregate_live(
+            spark, mv_root, "m", project, group_cols=["g"], aggs=aggs,
+        )
+        assert mode is None
+        want = {
+            r["g"]: (r["s"], r["n"], r["m"])
+            for r in read_mor(spark, root).groupBy("g").agg(
+                F.sum("cents").alias("s"), F.count("*").alias("n"),
+                F.max("cents").alias("m"),
+            ).collect()
+        }
+        got = {r["g"]: (r["sum_cents"], r["n"], r["mx"])
+               for r in df.collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_policied_serve_degrades_when_mutation_races_the_maintain(
+    spark, monkeypatch
+):
+    """Round-19 ADVICE (low): a purge landing between
+    plan_serve_policy's manifest read and the maintain leg must make
+    answer_aggregate_policied degrade to the serve's own base fallback
+    (it is a READ path), not raise the maintain's RuntimeError."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans import mv as mv_mod
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        merge_into_mor,
+        purge_keys_mor,
+        read_mor,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_race_")
+    try:
+        root, mv_root, manifest, project = _mor_mv_env(spark, base)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+        # a 2-seq span so max_live_span=1 routes 'maintain'
+        for k, g, c in [(9001, "a", 10), (9002, "b", 20)]:
+            merge_into_mor(spark, root, spark.createDataFrame(
+                [(k, g, c, False)],
+                "k bigint, g string, cents bigint, is_delete boolean",
+            ))
+
+        real_maintain = mv_mod.maintain_mv_from_mor
+
+        def racing_maintain(spark_, mv_root_, name_, project_):
+            # the race: an out-of-band purge lands AFTER the policy's
+            # manifest read, BEFORE the maintain's
+            purge_keys_mor(
+                spark_, root,
+                spark_.createDataFrame([(9001,)], "k bigint"),
+            )
+            return real_maintain(spark_, mv_root_, name_, project_)
+
+        monkeypatch.setattr(
+            mv_mod, "maintain_mv_from_mor", racing_maintain
+        )
+        df, action = mv_mod.answer_aggregate_policied(
+            spark, mv_root, "m", project,
+            group_cols=["g"], aggs=aggs, max_live_span=1,
+        )
+        assert action == "base"
+        want = {
+            r["g"]: (r["s"], r["n"], r["m"])
+            for r in read_mor(spark, root).groupBy("g").agg(
+                F.sum("cents").alias("s"), F.count("*").alias("n"),
+                F.max("cents").alias("m"),
+            ).collect()
+        }
+        got = {r["g"]: (r["sum_cents"], r["n"], r["mx"])
+               for r in df.collect()}
+        assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
