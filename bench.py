@@ -143,6 +143,11 @@ HEADLINE = [
     "mv_live_hierarchy_serve",      # ROLLUP from a STALE MV: one compose, n+1 levels
     "mv_snapshot_read",             # leases + one pinned boundary across 2 MVs
     "mv_join_advisor_workload",     # star workload -> one advised join MV -> serve 3 legs
+    # round-19 additions: derived group keys over the join family,
+    # benched from birth
+    "mv_join_time_hierarchy_rewrite",  # year()-grain star ROLLUP from a date-grain join MV
+    "mv_join_time_hierarchy_live",  # same hierarchy from a STALE MV: compose + re-key
+    "mv_policy_fleet_serve",        # zero-job rate-flipped routing + live serve
 ]
 
 # Restrict the headline set for controlled experiments (round-17 verdict

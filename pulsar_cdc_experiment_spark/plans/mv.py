@@ -2627,8 +2627,12 @@ def _answer_sets_live(
         # (measured at 200M rows: a 3-level live rollup cost 6 base
         # probes and lost to the native Expand). A LAZY local
         # checkpoint persists the composed O(groups) partials on first
-        # materialization and every other level reads the blocks —
-        # lazy, so plan construction stays job-free.
+        # materialization and every other level reads the blocks.
+        # NOTE (round 19): even with eager=False this is NOT job-free
+        # at plan construction — Dataset.localCheckpoint goes through
+        # queryExecution.toRdd, and under AQE that executes the
+        # compose's shuffle map stages immediately (the request's own
+        # work scheduled early and reused, not an extra pass).
         #
         # Failure/lifecycle trade (round-19 ADVICE): localCheckpoint
         # stores NON-REPLICATED executor-local blocks and TRUNCATES
@@ -2828,12 +2832,31 @@ def _answer_join_sets_live(
 # ---------------------------------------------------------------------------
 
 
+#: Relative serving costs for the policy router's workload economics,
+#: normalized to ONE live compose over a short feed span. Measured
+#: basis (SCALE.md, 200M-row stress): live compose 7.26 s/request,
+#: maintain-once 7.6 s then 0.36 s/request → serve ≈ 0.05 × live,
+#: maintain ≈ 1.05-1.1 × live; both the compose and the fold drag the
+#: same span, so their per-sequence terms match. Override any subset
+#: via ``plan_serve_policy(cost_model=...)`` with constants measured
+#: on YOUR table (tools/stress.py emits them).
+SERVE_COST_MODEL = {
+    "live_base": 1.0,       # one stored ⊕ feed-span compose
+    "live_per_seq": 0.05,   # each unapplied sequence adds a feed leg
+    "maintain_base": 1.1,   # the same fold + one staged publish
+    "maintain_per_seq": 0.05,
+    "mv_serve": 0.05,       # reading the refreshed O(groups) summary
+}
+
+
 def plan_serve_policy(
     mv_root: str,
     name: str,
     *,
     max_live_span: int = 8,
     max_live_delete_keys: int | None = None,
+    expected_requests: int | None = None,
+    cost_model: dict | None = None,
 ) -> dict:
     """Choose how a MoR-bound MV should serve the NEXT request, from
     the two manifests alone (two JSON reads + one fingerprint stat —
@@ -2854,8 +2877,26 @@ def plan_serve_policy(
       ``applied_seq``): only a fresh base aggregation is safe; the
       summary needs ``scrub_mv_groups`` / ``refresh_mv`` + re-bind.
 
+    Workload economics (round 19): staleness mechanics alone cannot
+    price the live-vs-maintain trade — a live compose re-drags the
+    unapplied span through EVERY request, while one maintenance fold
+    amortizes over all of them (measured: live 7.26 s/request vs
+    maintain once then 0.36 s/request — 20× at fleet request rates).
+    Pass ``expected_requests`` — the number of requests this MV is
+    expected to serve before the next natural maintenance point, e.g.
+    :func:`plans.mv_advisor.workload_request_rate` over the advisor's
+    workload — and the router routes ``"maintain"`` whenever
+
+        expected_requests × live_cost(span)
+            > maintain_cost(span) + expected_requests × mv_serve
+
+    with costs from ``cost_model`` (defaults :data:`SERVE_COST_MODEL`,
+    relative units). The span thresholds remain a hard cap (they
+    force maintain, never live).
+
     Returns ``{"action", "reason", "unapplied_seqs",
-    "span_delete_keys", "mutations_moved", "compacted_past"}``."""
+    "span_delete_keys", "mutations_moved", "compacted_past",
+    "est_live_cost", "est_maintain_cost"}``."""
     from .mor import _read_manifest
 
     d = _mv_dir(mv_root, name)
@@ -2866,11 +2907,14 @@ def plan_serve_policy(
             f"MV {name} is not bound to a merge-on-read table; "
             "plan_serve_policy needs bind_mv_to_mor"
         )
+    cm = {**SERVE_COST_MODEL, **(cost_model or {})}
     rep = {
         "unapplied_seqs": 0,
         "span_delete_keys": 0,
         "mutations_moved": False,
         "compacted_past": False,
+        "est_live_cost": 0.0,
+        "est_maintain_cost": 0.0,
     }
     if man["fingerprint"] == _fingerprint(man["source_path"]):
         return {**rep, "action": "mv", "reason": "fresh"}
@@ -2900,7 +2944,12 @@ def plan_serve_policy(
         # rollback popped the pending span, or compaction folded
         # exactly to the MV's floor): the stored partials are current
         return {**rep, "action": "mv", "reason": "caught up"}
-    if rep["unapplied_seqs"] > max_live_span or (
+    n_seq = rep["unapplied_seqs"]
+    rep["est_live_cost"] = cm["live_base"] + cm["live_per_seq"] * n_seq
+    rep["est_maintain_cost"] = (
+        cm["maintain_base"] + cm["maintain_per_seq"] * n_seq
+    )
+    if n_seq > max_live_span or (
         max_live_delete_keys is not None
         and rep["span_delete_keys"] > max_live_delete_keys
     ):
@@ -2911,6 +2960,21 @@ def plan_serve_policy(
                 f"unapplied span {rep['unapplied_seqs']} seqs / "
                 f"{rep['span_delete_keys']} delete keys past the "
                 "live thresholds"
+            ),
+        }
+    if expected_requests is not None and (
+        expected_requests * rep["est_live_cost"]
+        > rep["est_maintain_cost"]
+        + expected_requests * cm["mv_serve"]
+    ):
+        return {
+            **rep,
+            "action": "maintain",
+            "reason": (
+                f"workload economics: {expected_requests} requests × "
+                f"live {rep['est_live_cost']:.2f} > maintain "
+                f"{rep['est_maintain_cost']:.2f} + "
+                f"{expected_requests} × serve {cm['mv_serve']:.2f}"
             ),
         }
     return {
@@ -2936,6 +3000,8 @@ def answer_aggregate_policied(
     derived: dict | None = None,
     max_live_span: int = 8,
     max_live_delete_keys: int | None = None,
+    expected_requests: int | None = None,
+    cost_model: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """Policy-ROUTED serving: run :func:`plan_serve_policy` and execute
     its decision — serve the fresh summary, compose live, maintain
@@ -2948,6 +3014,8 @@ def answer_aggregate_policied(
         mv_root, name,
         max_live_span=max_live_span,
         max_live_delete_keys=max_live_delete_keys,
+        expected_requests=expected_requests,
+        cost_model=cost_model,
     )
     maintained = False
     if pol["action"] == "maintain":
@@ -3311,6 +3379,8 @@ def answer_join_aggregate_policied(
     derived: dict | None = None,
     max_live_span: int = 8,
     max_live_delete_keys: int | None = None,
+    expected_requests: int | None = None,
+    cost_model: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """JOIN-MV sibling of :func:`answer_aggregate_policied` — the same
     zero-job :func:`plan_serve_policy` decision (the policy reads
@@ -3325,6 +3395,8 @@ def answer_join_aggregate_policied(
         mv_root, name,
         max_live_span=max_live_span,
         max_live_delete_keys=max_live_delete_keys,
+        expected_requests=expected_requests,
+        cost_model=cost_model,
     )
     maintained = False
     if pol["action"] == "maintain":

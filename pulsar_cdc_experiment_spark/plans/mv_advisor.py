@@ -361,3 +361,42 @@ def create_advised_join_mvs(
             )
         )
     return out
+
+
+def workload_request_rate(requests: Sequence[dict], spec: dict) -> int:
+    """The workload→router bridge (round 19): sum the ``count`` (per
+    planning period; default 1) of every workload request the given MV
+    spec serves — judged by the SAME rules the rewriter and this
+    advisor apply (needed columns ⊆ the spec's group columns, measures
+    derivable from its stored partials, topology identical). Feed the
+    result to ``plans.mv.plan_serve_policy(expected_requests=...)`` so
+    the live-vs-maintain routing weighs REQUEST FREQUENCY, not just
+    staleness mechanics: a hot dashboard (many requests per maintenance
+    window) amortizes one fold where a cold one is cheaper served live.
+
+    ``spec``: an MV manifest (plain or join — ``create_mv`` /
+    ``create_join_mv`` form) or a plain ``{"group_cols", "measures"[,
+    "topology"|"fact_path"+"dims"]}`` dict, exactly the ``existing``
+    vocabulary :func:`advise_mvs` accepts."""
+    from .mv import _measures_servable
+
+    meas = spec.get("measures", {})
+    man = {
+        "measures": {
+            out: (m if isinstance(m, dict) else {"fn": m[0], "col": m[1]})
+            for out, m in meas.items()
+        }
+    }
+    cols = set(spec["group_cols"])
+    spec_topo = _existing_topo_key(spec)
+    total = 0
+    for i, r in enumerate(requests):
+        req_topo = _topo_key(r["topology"]) if "topology" in r else None
+        if req_topo != spec_topo:
+            continue
+        need_cols, _ = _norm_request(r, i)
+        if need_cols <= cols and _measures_servable(
+            man, dict(r.get("aggs", {}))
+        ):
+            total += int(r.get("count", 1))
+    return total

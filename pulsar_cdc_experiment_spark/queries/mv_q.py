@@ -3344,7 +3344,8 @@ def mv_join_live_fixture(spark, sf_dir: str) -> str:
         mv_root = os.path.join(root, "mvs")
         manifest = os.path.join(fact_root, ".mor", "manifest.json")
         orders = table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority", "o_orderdate"
         )
         cust = table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
@@ -3373,6 +3374,23 @@ def mv_join_live_fixture(spark, sf_dir: str) -> str:
             },
         )
         bind_mv_to_mor(mv_root, "live_seg_pri", fact_root)
+        # round-19: a DATE-GRAIN star summary bound to the same clock —
+        # the live time-dimension hierarchy (derived year() re-keying
+        # over a stale join MV) serves from this one
+        fact_date = read_mor(spark, fact_root).select(
+            "o_custkey", "o_orderdate", cents
+        )
+        create_join_mv(
+            spark, mv_root, name="live_date_seg",
+            fact=fact_date, fact_path=manifest,
+            dims=[(dim, dim_path, ["o_custkey"])],
+            group_cols=["o_orderdate", "c_mktsegment"],
+            measures={
+                "n": ("count", None), "sum_cents": ("sum", "cents"),
+                "max_cents": ("max", "cents"),
+            },
+        )
+        bind_mv_to_mor(mv_root, "live_date_seg", fact_root)
 
         key = F.col("o_orderkey")
         joined = orders.withColumn(
@@ -3416,8 +3434,18 @@ def mv_join_live_fixture(spark, sf_dir: str) -> str:
             aggs={"n": ("count", None)},
         )
         assert used is None, "fixture expects a genuinely stale join MV"
+        date_now = read_mor(spark, fact_root).select(
+            "o_custkey", "o_orderdate", cents
+        )
+        _, used = answer_join_aggregate(
+            spark, mv_root, date_now, manifest,
+            [(dim, dim_path, ["o_custkey"])],
+            group_cols=["o_orderdate"],
+            aggs={"n": ("count", None)},
+        )
+        assert used is None, "date-grain join MV must be stale too"
 
-    return session_fixture("mv_join_live", sf_dir, "stale_v1", build)
+    return session_fixture("mv_join_live", sf_dir, "stale_v2", build)
 
 
 _JOIN_LIVE_FACT_NEW_SQL = """
@@ -3878,4 +3906,322 @@ def mv_join_policy_serve(spark, sf_dir):
     return df.select(
         F.lit(action).alias("served_via"),
         "c_mktsegment", "n", "sum_cents", "max_cents",
+    )
+
+
+def mv_join_date_fixture(spark, sf_dir: str) -> str:
+    """A DATE-GRAIN star-join MV (round 19): orders ⋈ customer ⋈
+    nation rolled up to (o_orderdate, n_name) with count/sum partials
+    — the time-dimension base grain for the JOIN family, from which
+    year/quarter/month dashboards over the star derive without
+    re-running the join."""
+
+    def build(root: str) -> None:
+        from ..plans.mv import create_join_mv
+
+        fact = table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            ).alias("cents"),
+        )
+        dim_c = table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+        )
+        dim_n = table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        )
+        create_join_mv(
+            spark, root, name="rev_date_nation",
+            fact=fact,
+            fact_path=os.path.join(sf_dir, "orders.parquet"),
+            dims=[
+                (dim_c, os.path.join(sf_dir, "customer.parquet"),
+                 ["o_custkey"]),
+                (dim_n, os.path.join(sf_dir, "nation.parquet"),
+                 ["c_nationkey"]),
+            ],
+            group_cols=["o_orderdate", "n_name"],
+            measures={
+                "n": ("count", None),
+                "sum_cents": ("sum", "cents"),
+            },
+        )
+
+    return session_fixture(
+        "mv_join_date", sf_dir, "date_nation_v1", build
+    )
+
+
+@register(
+    "mv_join_time_hierarchy_rewrite",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderdate, n_name, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT 'mv' AS served_from,
+           CAST(year(o_orderdate) AS VARCHAR) AS grp1,
+           CAST(n_name AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM j WHERE year(o_orderdate) >= 1995
+    GROUP BY ROLLUP (year(o_orderdate), n_name)
+    UNION ALL
+    SELECT 'base', CAST(CAST(floor(o_custkey / 1000) * 1000 AS BIGINT)
+                        AS VARCHAR), '--',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM j GROUP BY 2
+    """,
+)
+def mv_join_time_hierarchy_rewrite(spark, sf_dir):
+    """TIME-DIMENSION HIERARCHY over a STAR JOIN served from a
+    date-grain join MV (round 19 — the join sibling of round 17's
+    mv_time_hierarchy_rewrite, promoting the post-r18 ``derived=``
+    join-family machinery to the driver surface): leg 1 asks for
+    ``ROLLUP(year(o_orderdate), n_name)`` FILTERED to year >= 1995
+    over orders ⋈ customer ⋈ nation — every level served by RE-KEYING
+    the join MV's stored date values (year is a row-level function of
+    the o_orderdate group column; deriving it over the KB summary and
+    rolling the partials up is exact, and the filter applies to the
+    derived key over the partials — the star join re-run by nobody).
+    Leg 2 groups by a bucket of o_custkey, which no MV group column
+    derives, and must fall back to the base star join. The oracle
+    recomputes both with ANSI year()/ROLLUP over the same join and
+    hardcodes the routing. At 100 TB this is ONE date-grain star
+    summary answering every calendar-level dashboard over the join —
+    the fact-side shuffle and both dim joins paid once at
+    materialization, never per request."""
+    from ..plans.mv import (
+        answer_join_aggregate,
+        answer_join_rollup_aggregate,
+    )
+
+    root = mv_join_date_fixture(spark, sf_dir)
+    fact = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        ).alias("cents"),
+    )
+    dim_c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    dim_n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dims = [
+        (dim_c, os.path.join(sf_dir, "customer.parquet"),
+         ["o_custkey"]),
+        (dim_n, os.path.join(sf_dir, "nation.parquet"),
+         ["c_nationkey"]),
+    ]
+    fact_path = os.path.join(sf_dir, "orders.parquet")
+    aggs = {"n": ("count", None), "sum_cents": ("sum", "cents")}
+    leg1, used1 = answer_join_rollup_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["yr", "n_name"], aggs=aggs,
+        where=[("yr", ">=", 1995)],
+        derived={"yr": ("year", "o_orderdate")},
+    )
+    leg2, used2 = answer_join_aggregate(
+        spark, root, fact, fact_path, dims,
+        group_cols=["ck"], aggs=aggs,
+        derived={"ck": ("bucket", "o_custkey", 1000)},
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "rev_date_nation" else "base").alias(
+            "served_from"
+        ),
+        F.col("yr").cast("string").alias("grp1"),
+        F.col("n_name").cast("string").alias("grp2"),
+        "n", "sum_cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("base" if used2 is None else "mv").alias(
+                "served_from"
+            ),
+            F.col("ck").cast("string").alias("grp1"),
+            F.lit("--").alias("grp2"),
+            "n", "sum_cents",
+        )
+    )
+
+
+_JOIN_LIVE_DATE_FACT_NEW_SQL = """
+    WITH cents0 AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+               AS cents_u
+      FROM orders
+    ), ranked AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg0,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY o.cents DESC, o.o_orderkey DESC) AS rn
+      FROM cents0 o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), dkey AS (
+      SELECT o_orderkey FROM ranked
+      WHERE rn = 1 AND seg0 = 'BUILDING'
+    ), fact_new AS (
+      SELECT o_custkey, o_orderdate,
+             CASE WHEN o_orderkey % 100 = 13 THEN cents_u
+                  ELSE cents END AS cents
+      FROM cents0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dkey)
+      UNION ALL
+      SELECT o_custkey, o_orderdate, cents FROM cents0
+      WHERE o_custkey % 100 = 37
+    )
+"""
+
+
+@register(
+    "mv_join_time_hierarchy_live",
+    family="mv_live",
+    oracle=_JOIN_LIVE_DATE_FACT_NEW_SQL + """
+    SELECT 'mv_delta' AS served_from,
+           CAST(year(o_orderdate) AS VARCHAR) AS grp1,
+           CAST(c_mktsegment AS VARCHAR) AS grp2,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM fact_new JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP (year(o_orderdate), c_mktsegment)
+    """,
+)
+def mv_join_time_hierarchy_live(spark, sf_dir):
+    """The TIME hierarchy over a star join on FRESH data (round 19 —
+    the live sibling of mv_join_time_hierarchy_rewrite, composing
+    derived group keys with the join lambda serve): the fixture's
+    date×segment join MV is one merge behind (risky BUILDING-max
+    delete + repricing + clone inserts, no catch-up), and this query
+    serves ``ROLLUP(year(o_orderdate), c_mktsegment)`` by composing
+    the STORED date-grain partials with the unapplied fact span's
+    join-view delta lazily, then RE-KEYING every level through the
+    derived year — one manifest pin, one feed cut, one
+    star_join_delta per request (the compose localCheckpoints so the
+    three levels share one physical execution). ``served_from`` pins
+    mode 'mv_delta' at every level; the oracle recomputes the whole
+    hierarchy closed-form from the raw tables, the risky max at each
+    level included."""
+    from ..plans.mor import _read_cached
+    from ..plans.mv import answer_join_rollup_aggregate_live
+
+    root = mv_join_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    dim = _read_cached(spark, os.path.join(root, "cust_dim"))
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def fact_project(df):
+        cols = [F.col("o_custkey"), F.col("o_orderdate"), cents]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    df, mode = answer_join_rollup_aggregate_live(
+        spark, mv_root, "live_date_seg", fact_project,
+        [(dim, ["o_custkey"])],
+        group_cols=["yr", "c_mktsegment"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+        derived={"yr": ("year", "o_orderdate")},
+    )
+    return df.select(
+        F.lit(mode if mode else "base").alias("served_from"),
+        F.col("yr").cast("string").alias("grp1"),
+        F.col("c_mktsegment").cast("string").alias("grp2"),
+        "n", "sum_cents", "max_cents",
+    )
+
+
+@register(
+    "mv_policy_fleet_serve",
+    family="mv_live",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ), final AS (
+      SELECT CASE WHEN o_orderkey % 100 = 11
+                  THEN floor(o_totalprice * 1.1 * 100 + 0.5)
+                  ELSE floor(o_totalprice * 100 + 0.5) END AS cents,
+             o_orderpriority, o_orderstatus
+      FROM ranked
+      WHERE NOT (rn = 1 AND o_orderpriority = '5-LOW')
+      UNION ALL
+      SELECT floor(o_totalprice * 100 + 0.5), '3-MEDIUM', o_orderstatus
+      FROM orders WHERE o_orderkey % 100 = 29
+    )
+    SELECT 'live' AS route_cold, 'maintain' AS route_hot,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM final GROUP BY 3
+    """,
+)
+def mv_policy_fleet_serve(spark, sf_dir):
+    """WORKLOAD-RATE-aware policy routing (round 19,
+    plans/mv.plan_serve_policy ``expected_requests`` + the
+    SERVE_COST_MODEL economics): the SAME staleness state — the
+    fixture's per-priority summary one merge behind, within every
+    mechanical live threshold — routes DIFFERENTLY by request
+    frequency. A cold dashboard (1 expected request before the next
+    maintenance point) serves live: one compose is cheaper than a fold
+    plus a serve. A fleet dashboard (400 requests) routes maintain:
+    400 × live-compose re-drags the unapplied span 400 times, while
+    one fold amortizes to 400 × summary reads (measured basis: live
+    7.26 s/request vs maintain once 7.6 s then 0.36 s/request — 20× at
+    fleet rates). Both decisions are pinned as columns (the decision
+    is ZERO-JOB manifest metadata, so pinning it costs two JSON
+    reads); the values are served through the read-only live compose —
+    a registered query must not mutate its session fixture, and the
+    maintain EXECUTION path is pytest-pinned
+    (test_serve_policy_workload_economics). The oracle recomputes the
+    post-merge values closed-form and hardcodes both routes."""
+    from ..plans.mv import answer_aggregate_live, plan_serve_policy
+
+    root = mv_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    pol_cold = plan_serve_policy(
+        mv_root, "live_by_pri", expected_requests=1
+    )
+    pol_hot = plan_serve_policy(
+        mv_root, "live_by_pri", expected_requests=400
+    )
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def project(df):
+        cols = [F.col("o_orderpriority"), cents]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    df, mode = answer_aggregate_live(
+        spark, mv_root, "live_by_pri", project,
+        group_cols=["o_orderpriority"],
+        aggs={
+            "n": ("count", None), "sum_cents": ("sum", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+    )
+    assert mode == "mv_delta", mode
+    return df.select(
+        F.lit(pol_cold["action"]).alias("route_cold"),
+        F.lit(pol_hot["action"]).alias("route_hot"),
+        "o_orderpriority", "n", "sum_cents", "max_cents",
     )

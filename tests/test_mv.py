@@ -2283,3 +2283,106 @@ def test_policied_serve_degrades_when_mutation_races_the_maintain(
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_serve_policy_workload_economics(spark):
+    """Round-19: plan_serve_policy weighs REQUEST FREQUENCY — the same
+    staleness state routes 'live' for a cold dashboard and 'maintain'
+    for a hot one (expected_requests × live_cost > maintain_cost +
+    expected_requests × serve_cost), with the span thresholds still a
+    hard maintain cap and the decision still zero-job. The policied
+    executor honors the routing and returns fresh values either way."""
+    import tempfile as _tf
+
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import (
+        SERVE_COST_MODEL,
+        answer_aggregate_policied,
+        plan_serve_policy,
+    )
+
+    base = _tf.mkdtemp(prefix="mv_econ_")
+    try:
+        root, mv_root, manifest, project = _mor_mv_env(spark, base)
+        aggs = {"sum_cents": ("sum", "cents"), "n": ("count", None),
+                "mx": ("max", "cents")}
+        # 2 unapplied merges, within the default live span
+        for k, g, c in [(9001, "a", 10), (9002, "b", 20)]:
+            merge_into_mor(spark, root, spark.createDataFrame(
+                [(k, g, c, False)],
+                "k bigint, g string, cents bigint, is_delete boolean",
+            ))
+
+        def policy(**kw):
+            sc = spark.sparkContext
+            gid = "__econ_audit"
+            sc.setJobGroup(gid, "policy audit")
+            try:
+                pol = plan_serve_policy(mv_root, "m", **kw)
+            finally:
+                sc.setJobGroup("__econ_audit_done", "")
+            assert not sc.statusTracker().getJobIdsForGroup(gid), (
+                "plan_serve_policy ran Spark jobs"
+            )
+            return pol
+
+        # no workload knowledge → live (mechanics alone)
+        assert policy()["action"] == "live"
+        # cold dashboard: 1 expected request → live still wins
+        pol = policy(expected_requests=1)
+        assert pol["action"] == "live"
+        assert pol["est_live_cost"] > 0 and pol["est_maintain_cost"] > 0
+        # hot dashboard: the fold amortizes → maintain
+        pol = policy(expected_requests=50)
+        assert pol["action"] == "maintain"
+        assert "workload economics" in pol["reason"]
+        # the break-even is computable from the model: R* such that
+        # R·live = maintain + R·serve
+        cm = SERVE_COST_MODEL
+        live = cm["live_base"] + 2 * cm["live_per_seq"]
+        maint = cm["maintain_base"] + 2 * cm["maintain_per_seq"]
+        r_star = maint / (live - cm["mv_serve"])
+        import math
+
+        r_lo = max(1, math.floor(r_star))
+        r_hi = math.floor(r_star) + 1
+        assert policy(expected_requests=r_lo)["action"] == "live"
+        assert policy(expected_requests=r_hi)["action"] == "maintain"
+        # a caller-measured cost model overrides: free maintenance
+        # flips even a single request
+        pol = policy(
+            expected_requests=1,
+            cost_model={"maintain_base": 0.0, "maintain_per_seq": 0.0},
+        )
+        assert pol["action"] == "maintain"
+        # thresholds remain a hard cap regardless of a cheap-live model
+        pol = policy(
+            expected_requests=1, max_live_span=1,
+            cost_model={"live_base": 0.001, "live_per_seq": 0.0},
+        )
+        assert pol["action"] == "maintain" and "thresholds" in pol["reason"]
+
+        # the policied executor routes the hot decision: maintain runs,
+        # then serves the refreshed summary — values fresh
+        df, action = answer_aggregate_policied(
+            spark, mv_root, "m", project,
+            group_cols=["g"], aggs=aggs, expected_requests=50,
+        )
+        assert action == "maintain"
+        want = {
+            r["g"]: (r["s"], r["n"], r["m"])
+            for r in read_mor(spark, root).groupBy("g").agg(
+                F.sum("cents").alias("s"), F.count("*").alias("n"),
+                F.max("cents").alias("m"),
+            ).collect()
+        }
+        got = {r["g"]: (r["sum_cents"], r["n"], r["mx"])
+               for r in df.collect()}
+        assert got == want
+        # caught up now: every later rate routes 'mv'
+        assert policy(expected_requests=10 ** 6)["action"] == "mv"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

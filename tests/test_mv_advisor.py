@@ -427,3 +427,50 @@ def test_join_aware_advise_end_to_end_rewriter_judged(spark):
         assert len(gap) == 1 and gap[0]["covers"] == [2]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_workload_request_rate_bridges_advisor_to_router():
+    """Round-19: workload_request_rate sums the counts of exactly the
+    requests an MV spec serves — same subsumption/derivability/topology
+    rules as the rewriter — so the staleness-policy router can weigh
+    request frequency."""
+    from pulsar_cdc_experiment_spark.plans.mv_advisor import (
+        workload_request_rate,
+    )
+
+    topo = {
+        "fact_path": "/t/orders",
+        "dims": [("/t/cust", ["o_custkey"])],
+    }
+    requests = [
+        # served: columns subsumed, sum derivable from the avg pair
+        {"group_cols": ["g"], "aggs": {"s": ("sum", "cents")},
+         "count": 40},
+        # served: coarser (grand total), count(*) always stored
+        {"group_cols": [], "aggs": {"n": ("count", None)}, "count": 7},
+        # NOT served: needs a column the spec lacks
+        {"group_cols": ["other"], "aggs": {"n": ("count", None)},
+         "count": 100},
+        # NOT served: measure not derivable (max not stored)
+        {"group_cols": ["g"], "aggs": {"mx": ("max", "cents")},
+         "count": 100},
+        # NOT served: different topology (join request, plain spec)
+        {"group_cols": ["g"], "aggs": {"n": ("count", None)},
+         "count": 100, "topology": topo},
+        # default count = 1
+        {"group_cols": ["g"], "where_cols": ["g"],
+         "aggs": {"a": ("avg", "cents")}},
+    ]
+    plain_spec = {
+        "group_cols": ["g"],
+        "measures": {"avg_cents": ("avg", "cents")},
+    }
+    assert workload_request_rate(requests, plain_spec) == 48
+
+    # a join spec serves only its-topology requests
+    join_spec = {
+        "group_cols": ["g"],
+        "measures": {"n": ("count", None)},
+        "topology": topo,
+    }
+    assert workload_request_rate(requests, join_spec) == 100

@@ -108,6 +108,12 @@ SPOTLIGHT = [
     "mv_join_advisor_workload",
     "mv_snapshot_read",
     "mv_join_policy_serve",
+    # round-19: derived group keys over the join family — the fresh
+    # date-grain star hierarchy and its lambda sibling
+    "mv_join_time_hierarchy_rewrite",
+    "mv_join_time_hierarchy_live",
+    # round-19: workload-rate policy routing (rate-flipped decision)
+    "mv_policy_fleet_serve",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -782,6 +782,18 @@ _BUILD_JOBS_SANCTIONED = {
     # join-aware advisor capstone (round 18): dim write + the one-job
     # size estimation + the advised create_mv/create_join_mv pair
     "mv_join_advisor_workload",
+    # round-19: date-grain join-MV fixture (create_join_mv)
+    "mv_join_time_hierarchy_rewrite",
+    # round-19: the live hierarchy serves' compose localCheckpoint is
+    # NOT job-free at construction — Dataset.localCheckpoint (even
+    # eager=False) goes through queryExecution.toRdd, and under AQE
+    # that executes the compose's shuffle map stages immediately (the
+    # serve's own work scheduled early and REUSED by the final
+    # stages, not an extra pass; checkpoint_compose=False restores
+    # job-free construction at per-level re-scan cost). The r18
+    # hierarchy serves mask the same behavior behind their
+    # fixture-builder sanctioning above.
+    "mv_join_time_hierarchy_live",
 }
 
 
