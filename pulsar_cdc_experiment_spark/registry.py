@@ -27,6 +27,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: registration order (module import order) — the CANONICAL base the
+#: rotation permutes. Round 19: the interleave used to re-derive its
+#: family buckets from the CURRENT dict order, so calling
+#: load_all_query_modules() twice produced a different ordering than
+#: calling it once — the driver-visible prefix depended on process
+#: call history. Deriving from this list makes the exposed ordering a
+#: pure function of (registration order, salt, registry size):
+#: idempotent, simulatable, and pinned by
+#: tests/test_registry.py::test_rotation_lands_fresh_names.
+_REG_ORDER: list[str] = []
+
 #: deliberate rotation nudge (round-13 verdict #6): the driver samples a
 #: prefix of the registry, and the stratified-rotation offset is derived
 #: from the registry SIZE — if the registry doesn't grow enough between
@@ -82,7 +93,28 @@ ORACLES: dict[str, str] = {}
 #: headline deliverable — mv_join_live_serve, and mv_policy_serve);
 #: without the family split no salt in [0, 20000) co-lands all four
 #: heavyweights with any round-18 name
-_ROTATION_SALT = 12960
+#: round 19: the interleave is now a pure function of registration
+#: order (see _REG_ORDER — previously the driver-visible prefix
+#: depended on how many times load_all_query_modules had run in the
+#: process, which made past salt simulations only approximately
+#: faithful). Salt 47607 at the 260-query registry → 16 never-sampled
+#: names in the oracle-backed prefix-50 (simulated against
+#: CORRECTNESS_r01..r18 with the REAL ordering, equality-asserted),
+#: landing cdc_dlq_routing (B7 — the ONLY §2 operator with zero
+#: driver eyes across 18 rounds) plus FOUR of the five
+#: r18-verdict-named tail queries (stream_stream_full_outer,
+#: approx_quantiles_bounds, cube_orders, grouping_sets_revenue;
+#: stream_stream_join shares the streaming_q rotation slot with its
+#: full-outer sibling, so no salt co-lands both — the sibling's
+#: identical two-sided-watermark machinery gets the driver eyes),
+#: one round-19 query (mv_join_time_hierarchy_live — the riskiest new
+#: machinery: derived re-keying × the live join compose), and the
+#: never-sampled r17/r18 serving tail (mv_time_hierarchy_rewrite,
+#: mv_having_rewrite, mv_approx_distinct_rewrite, mv_snapshot_read,
+#: mv_join_policy_serve). Tail after a green sample: 27 (< the
+#: verdict's 30). Pinned by
+#: tests/test_registry.py::test_rotation_lands_fresh_names.
+_ROTATION_SALT = 47607
 
 
 def register(
@@ -126,6 +158,7 @@ def register(
         wrapped.__module__ = fn.__module__
         wrapped.__family__ = family or fn.__module__.rsplit(".", 1)[-1]
         QUERIES[name] = wrapped
+        _REG_ORDER.append(name)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -203,7 +236,8 @@ def load_all_query_modules() -> None:
     )
 
     by_family: dict[str, list[str]] = {}
-    for name, fn in QUERIES.items():
+    for name in _REG_ORDER:  # canonical base order — see _REG_ORDER
+        fn = QUERIES[name]
         by_family.setdefault(getattr(fn, "__family__", "other"), []).append(name)
     # rotate each family by a registry-size-derived offset: as the
     # registry grows round-over-round, a prefix-sampling driver sees a

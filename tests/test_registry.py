@@ -94,3 +94,42 @@ def test_rows_only_tier_matches_registry_and_is_hidden_from_driver():
     assert set(exposed) == set(registry.ORACLES)
     # oracle map covers every exposed query (driver value-checks all)
     assert set(entry_mod.oracle_sql()) == set(exposed)
+
+
+def test_rotation_lands_fresh_names():
+    """Round-19 (r18 verdict #7): the interleave/salt machinery is
+    load-bearing for driver coverage — the driver hash-checks a PREFIX
+    of the exposed registry, so each round's rotation must land enough
+    never-driver-sampled names for the tail to shrink. Simulate exactly
+    what the driver sees (the oracle-backed prefix-50 of the REAL
+    interleaved ordering) against the committed CORRECTNESS union and
+    require ≥10 first-time names.
+
+    EXPECTED FAILURE MODE: after the driver commits a new
+    CORRECTNESS_r{N}.json, this round's prefix is no longer fresh — the
+    fix is to re-simulate and bump registry._ROTATION_SALT (the per-
+    round rotation this test exists to force; see the salt changelog in
+    registry.py)."""
+    import glob
+    import json
+    import os
+
+    from pulsar_cdc_experiment_spark.registry import (
+        ORACLES,
+        QUERIES,
+        load_all_query_modules,
+    )
+
+    load_all_query_modules()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        sampled |= set(json.load(open(p)).keys())
+    assert sampled, "no committed CORRECTNESS artifacts found"
+    exposed_prefix = [n for n in QUERIES if n in ORACLES][:50]
+    fresh = [n for n in exposed_prefix if n not in sampled]
+    assert len(fresh) >= 10, (
+        f"only {len(fresh)} never-sampled names in the driver's "
+        f"prefix-50 ({fresh}) — re-simulate and bump "
+        "registry._ROTATION_SALT so the tail keeps shrinking"
+    )
