@@ -12,9 +12,12 @@ window, losing the min-of-3 map from the committed artifact):
 2. a COMPACT line, printed LAST and size-guarded to fit a 2000-char tail
    whole, carrying everything the round artifact must retain:
    {"metric": ..., "value", "steady_value", "unit", "sf", "calib_sec",
-   "fmt": "min3", "skew_join", "queries": {name: min3}} (2-decimal,
-   keys pre-canonicalized — round 17 sheds the key_aliases map from the
-   tail artifact by applying it at emission).
+   "fmt": "min3", "queries": {name: min3}, "legs_bs": [[build, serve]
+   x6 in LEG_BREAKDOWN order]} (1-decimal per-query since round 19 —
+   the 64-entry map outgrew the window at 2 decimals; quantization is
+   inside the measured same-day envelope — keys pre-canonicalized:
+   round 17 sheds the key_aliases map from the tail artifact by
+   applying it at emission).
    tools/bench_series.py expands the r8-r12 pair format back into the
    min3 and steady series for older artifacts.
 
@@ -148,6 +151,8 @@ HEADLINE = [
     "mv_join_time_hierarchy_rewrite",  # year()-grain star ROLLUP from a date-grain join MV
     "mv_join_time_hierarchy_live",  # same hierarchy from a STALE MV: compose + re-key
     "mv_policy_fleet_serve",        # zero-job rate-flipped routing + live serve
+    "mv_topk_rewrite",              # ranked summary: 3 serve legs incl. rollup-the-union
+    "mv_topk_live",                 # stale top-k MV: merge+truncate compose, risky recompute
 ]
 
 # Restrict the headline set for controlled experiments (round-17 verdict
@@ -263,7 +268,7 @@ def _median(xs: list[float]) -> float:
     return round(m, 3)
 
 
-def _compact_line(compact: dict, limit: int = 1900) -> str:
+def _compact_line(compact: dict, limit: int = 1990) -> str:
     """Serialize the compact artifact dict under the driver's tail
     window. Shed the least-essential fields first (they remain in the
     FULL line for any reader with the complete run log; shedding is
@@ -276,7 +281,10 @@ def _compact_line(compact: dict, limit: int = 1900) -> str:
     on a copy — the caller's dict is never mutated."""
     compact = dict(compact)
     line = json.dumps(compact, separators=(",", ":"))
-    for drop in ("skew_join", "key_aliases", "calib_sec"):
+    # legs_bs sheds BEFORE calib_sec: the calibration constant is the
+    # cross-VM comparison key and must be the last survivor; the leg
+    # pairs also live in the FULL line and SCALE.md's round notes
+    for drop in ("skew_join", "key_aliases", "legs_bs", "calib_sec"):
         if len(line) <= limit:
             break
         compact.pop(drop, None)
@@ -487,6 +495,43 @@ def main() -> None:
         spreads[name] = round(max(runs[:3]) - min(runs[:3]), 3)
         steady[name] = _median(runs[2:])
 
+    # Per-leg breakdown for the lifecycle heavyweights (round 19,
+    # r18 verdict #6): their benched quantity is the FULL cycle
+    # (fixture build + mutations + maintenance + serve), so BENCHSERIES
+    # cannot tell a maintenance regression from a fixture-build one.
+    # One extra WARM run (fixture cache intact) isolates the serve leg;
+    # build = min3(full) - serve. For queries whose operator re-runs in
+    # full regardless of the cache (streaming cycles), serve ≈ full and
+    # the breakdown honestly reports build ≈ 0 — the cost IS the
+    # lifecycle.
+    LEG_BREAKDOWN = [
+        "stream_mv_auto_compact",
+        "stream_mv_maintain",
+        "mv_join_mor_feed",
+        "mv_mor_feed_capstone",
+        "mv_join_maintain",
+        "merge_upsert_dv",
+    ]
+    legs: dict[str, list[float]] = {}
+    for name in LEG_BREAKDOWN:
+        if name not in timings:
+            continue
+        spark.catalog.clearCache()
+        try:
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            if name in COLLECT_QUERIES:
+                df.collect()
+            else:
+                df.write.format("noop").mode("overwrite").save()
+            serve = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            errors[f"legs:{name}"] = f"{type(e).__name__}: {e}"[:200]
+            continue
+        legs[name] = [
+            round(max(0.0, timings[name] - serve), 2), round(serve, 2)
+        ]
+
     # cdc_enrich_e2e measures plane + oracle parse-back (the parse-back was
     # added in r02 for the value-level oracle, +~0.4s). Bench the DATA PLANE
     # alone too — parse → enrich → serialize, no parse-back — so
@@ -535,6 +580,9 @@ def main() -> None:
         "key_aliases": aliases,
         "skew_join": skew,
         "calib_sec": calib,
+        # per-leg breakdown [build, serve] for the lifecycle
+        # heavyweights (see LEG_BREAKDOWN)
+        "legs": legs,
         "sf": sf,
     }
     if errors:
@@ -567,9 +615,24 @@ def main() -> None:
         # ladder would have shed it anyway; this makes the decision
         # explicit). The skew legs stay in the FULL line and are
         # recorded per round in BENCHSERIES.md from the local run.
+        # round 19: 1-decimal in the tail artifact — the 64-entry map
+        # outgrew the window at 2 decimals even with every secondary
+        # field shed. Quantization (±0.05 s) is far inside the measured
+        # ±18% same-day envelope (BENCHSERIES decision rule); the FULL
+        # line above keeps 3-decimal per-query values for local logs.
         "queries": {
-            aliases.get(n, n): round(timings[n], 2) for n in timings
+            aliases.get(n, n): round(timings[n], 1) for n in timings
         },
+        # round 19: per-leg [build, serve] pairs for the lifecycle
+        # heavyweights, ARRAY-FORM in LEG_BREAKDOWN order at 1-decimal
+        # (the named 2-decimal map lives in the FULL line's "legs"; the
+        # tail window cannot fit the six ~22-char names twice, and the
+        # order is pinned by the LEG_BREAKDOWN constant + BENCHSERIES)
+        "legs_bs": [
+            [round(legs[n][0], 1), round(legs[n][1], 1)]
+            for n in LEG_BREAKDOWN
+            if n in legs
+        ],
     }
     if errors:
         compact["errors"] = sorted(errors)

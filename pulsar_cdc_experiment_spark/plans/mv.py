@@ -646,7 +646,13 @@ def _list_mvs(mv_root: str) -> list[dict]:
         p = os.path.join(mv_root, d, "mv.json")
         if os.path.exists(p):
             with open(p) as f:
-                out.append(json.load(f))
+                man = json.load(f)
+            if man.get("kind") == "topk":
+                # a top-k MV stores ranked ROWS, not aggregate
+                # partials — the aggregate rewriter cannot serve from
+                # it (plans/mv_topk.answer_topk is its server)
+                continue
+            out.append(man)
     return out
 
 

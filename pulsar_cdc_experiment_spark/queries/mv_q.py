@@ -3018,6 +3018,24 @@ def mv_live_fixture(spark, sf_dir: str) -> str:
             },
         )
         bind_mv_to_mor(mv_root, "live_by_stat", state_root)
+        # round 19: a maintained TOP-K summary on the same clock — the
+        # ranked-dashboard shape (top-3 orders by cents per priority);
+        # the merge below deletes 5-LOW's top row, making that group
+        # RISKY for the top-k live serve's recompute leg
+        from ..plans.mv_topk import create_topk_mv
+
+        create_topk_mv(
+            spark, mv_root, name="live_top_orders",
+            source_path=manifest,
+            source=read_mor(spark, state_root).select(
+                "o_orderpriority", "o_orderkey", cents
+            ),
+            group_cols=["o_orderpriority"],
+            order_by=[("cents", "desc"), ("o_orderkey", "desc")],
+            k=3,
+            payload_cols=["o_orderkey", "cents"],
+        )
+        bind_mv_to_mor(mv_root, "live_top_orders", state_root)
 
         key, pri = F.col("o_orderkey"), F.col("o_orderpriority")
         w = Window.partitionBy("o_orderpriority").orderBy(
@@ -3072,7 +3090,7 @@ def mv_live_fixture(spark, sf_dir: str) -> str:
         )
         assert action == "maintain", action
 
-    return session_fixture("mv_live", sf_dir, "stale_v3", build)
+    return session_fixture("mv_live", sf_dir, "stale_v4", build)
 
 
 @register(
@@ -4224,4 +4242,196 @@ def mv_policy_fleet_serve(spark, sf_dir):
         F.lit(pol_cold["action"]).alias("route_cold"),
         F.lit(pol_hot["action"]).alias("route_hot"),
         "o_orderpriority", "n", "sum_cents", "max_cents",
+    )
+
+
+def mv_topk_fixture(spark, sf_dir: str) -> str:
+    """A maintained TOP-K MV (round 19, plans/mv_topk.py): the top-3
+    orders by integer cents per o_orderpriority, stored as O(groups×k)
+    ranked rows under the total order (cents desc, o_orderkey desc)."""
+
+    def build(root: str) -> None:
+        from ..plans.mv_topk import create_topk_mv
+
+        src = table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                "long"
+            ).alias("cents"),
+        )
+        create_topk_mv(
+            spark, root, name="top_orders",
+            source_path=os.path.join(sf_dir, "orders.parquet"),
+            source=src,
+            group_cols=["o_orderpriority"],
+            order_by=[("cents", "desc"), ("o_orderkey", "desc")],
+            k=3,
+            payload_cols=["o_orderkey", "cents"],
+        )
+
+    return session_fixture("mv_topk", sf_dir, "top_orders_v1", build)
+
+
+@register(
+    "mv_topk_rewrite",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT 'mv' AS served_from, o_orderpriority AS grp,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey, cents
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY cents DESC, o_orderkey DESC) AS rn FROM c)
+    WHERE rn <= 3
+    UNION ALL
+    SELECT 'mv', '--', CAST(o_orderkey AS BIGINT), cents
+    FROM (SELECT *, row_number() OVER (
+            ORDER BY cents DESC, o_orderkey DESC) AS rn FROM c)
+    WHERE rn <= 3
+    UNION ALL
+    SELECT 'base', o_orderstatus, CAST(o_orderkey AS BIGINT), cents
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY cents DESC, o_orderkey DESC) AS rn FROM c)
+    WHERE rn <= 3
+    """,
+)
+def mv_topk_rewrite(spark, sf_dir):
+    """TOP-K served from a maintained ranked summary (round 19,
+    plans/mv_topk.answer_topk — dashboards want ranked LISTS, not just
+    aggregates, and a top-k MV is the k-generalization of the MIN/MAX
+    partials the aggregate family stores). Leg 1 asks the MV's own
+    grain (top-3 per priority) — served from the O(groups×k) stored
+    rows, the fact ranked by nobody. Leg 2 asks the GLOBAL top-3 — a
+    COARSER grouping, served by re-ranking the union of stored
+    per-group top-k rows (exact: a row in the global top-3 is beaten
+    by <3 rows overall, hence by <3 in its own group, hence stored;
+    the serve plans as TakeOrderedAndProject, never a
+    single-partition window). Leg 3 asks per-status, which the MV
+    cannot derive — base fallback. ``served_from`` pins the routing;
+    the oracle recomputes all three legs via ANSI row_number under the
+    identical total order (cents desc, o_orderkey desc — the unique
+    tiebreak is what makes the comparison exact)."""
+    from ..plans.mv_topk import answer_topk
+
+    root = mv_topk_fixture(spark, sf_dir)
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+            "long"
+        ).alias("cents"),
+    )
+    src_path = os.path.join(sf_dir, "orders.parquet")
+    order_by = [("cents", "desc"), ("o_orderkey", "desc")]
+    leg1, used1 = answer_topk(
+        spark, root, src, src_path,
+        group_cols=["o_orderpriority"], order_by=order_by, k=3,
+    )
+    leg2, used2 = answer_topk(
+        spark, root, src, src_path,
+        group_cols=[], order_by=order_by, k=3,
+    )
+    leg3, used3 = answer_topk(
+        spark, root, src, src_path,
+        group_cols=["o_orderstatus"], order_by=order_by, k=3,
+    )
+    return leg1.select(
+        F.lit("mv" if used1 == "top_orders" else "base").alias(
+            "served_from"
+        ),
+        F.col("o_orderpriority").alias("grp"), "o_orderkey", "cents",
+    ).unionByName(
+        leg2.select(
+            F.lit("mv" if used2 == "top_orders" else "base").alias(
+                "served_from"
+            ),
+            F.lit("--").alias("grp"), "o_orderkey", "cents",
+        )
+    ).unionByName(
+        leg3.select(
+            F.lit("base" if used3 is None else "mv").alias(
+                "served_from"
+            ),
+            F.col("o_orderstatus").alias("grp"), "o_orderkey", "cents",
+        )
+    )
+
+
+@register(
+    "mv_topk_live",
+    family="mv_live",
+    oracle="""
+    WITH cents0 AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(o_totalprice * 1.1 * 100 + 0.5) AS BIGINT)
+               AS cents_u
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM cents0
+    ), dkey AS (
+      SELECT o_orderkey FROM ranked
+      WHERE rn = 1 AND o_orderpriority = '5-LOW'
+    ), final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 100 = 11 THEN cents_u
+                  ELSE cents END AS cents
+      FROM cents0
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dkey)
+      UNION ALL
+      SELECT o_orderkey + 40000000, '3-MEDIUM', cents
+      FROM cents0 WHERE o_orderkey % 100 = 29
+    )
+    SELECT 'mv_delta' AS served_from, o_orderpriority,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey, cents
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY cents DESC, o_orderkey DESC) AS rn2 FROM final)
+    WHERE rn2 <= 3
+    """,
+)
+def mv_topk_live(spark, sf_dir):
+    """A RANKED dashboard on FRESH data from a STALE top-k summary
+    (round 19, plans/mv_topk.answer_topk_live): the fixture's merge
+    DELETED 5-LOW's top order (a boundary-reaching delete — the
+    group's stored top-3 can no longer be trusted), repriced %100==11
+    orders (update_pre deletes + update_post inserts through the
+    feed), and cloned %100==29 orders into 3-MEDIUM — with NO
+    catch-up. The live serve composes the stored ranked rows with the
+    unapplied span lazily: safe groups merge + re-truncate in-plan,
+    the risky 5-LOW group recomputes through a semi-join-pruned scan
+    of the current table — MV files byte-untouched. ``served_from``
+    pins mode 'mv_delta'; the oracle recomputes the post-merge top-3
+    per priority closed-form under the identical total order. At
+    100 TB: O(groups×k + span) per refresh, the fact ranked only for
+    groups a boundary delete actually touched."""
+    from ..plans.mv_topk import answer_topk_live
+
+    root = mv_live_fixture(spark, sf_dir)
+    mv_root = os.path.join(root, "mvs")
+    cents = F.floor(
+        F.col("o_totalprice") * 100 + F.lit(0.5)
+    ).cast("long").alias("cents")
+
+    def project(df):
+        cols = [F.col("o_orderpriority"), F.col("o_orderkey"), cents]
+        if "change_type" in df.columns:
+            cols = [F.col("change_type")] + cols
+        return df.select(*cols)
+
+    df, mode = answer_topk_live(
+        spark, mv_root, "live_top_orders", project,
+        group_cols=["o_orderpriority"],
+        order_by=[("cents", "desc"), ("o_orderkey", "desc")], k=3,
+    )
+    return df.select(
+        F.lit(mode if mode else "base").alias("served_from"),
+        "o_orderpriority", "o_orderkey", "cents",
     )

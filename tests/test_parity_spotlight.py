@@ -114,6 +114,9 @@ SPOTLIGHT = [
     "mv_join_time_hierarchy_live",
     # round-19: workload-rate policy routing (rate-flipped decision)
     "mv_policy_fleet_serve",
+    # round-19: maintained top-k MVs (ranked serving + live compose)
+    "mv_topk_rewrite",
+    "mv_topk_live",
     "multimodal_decode_real",
     "stream_dedup_against_corpus",
     "stream_ivm_join",

@@ -794,6 +794,8 @@ _BUILD_JOBS_SANCTIONED = {
     # hierarchy serves mask the same behavior behind their
     # fixture-builder sanctioning above.
     "mv_join_time_hierarchy_live",
+    # round-19: top-k MV fixture (create_topk_mv build)
+    "mv_topk_rewrite",
 }
 
 
