@@ -518,6 +518,17 @@ def main() -> None:
             continue
         spark.catalog.clearCache()
         try:
+            # untimed WARM pass first: the main loop's run_once cleared
+            # the session fixture cache before every run of these
+            # queries (they are all FIXTURE_BUILDERS), so without this
+            # the 'warm' measurement below would re-pay the fixture
+            # build and report build ≈ 0 for every leg (round-19
+            # review finding)
+            df = queries[name](spark, SF_DIR)
+            if name in COLLECT_QUERIES:
+                df.collect()
+            else:
+                df.write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
             df = queries[name](spark, SF_DIR)
             if name in COLLECT_QUERIES:
@@ -603,7 +614,12 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "calib_sec": calib,
-        "fmt": "min3",
+        # round 19: fmt "min3L" — the LEG_BREAKDOWN heavyweights are
+        # OMITTED from the tail "queries" map when their leg pair
+        # exists (min3 reconstructs as build+serve; bench_series
+        # expands it back), buying the room that keeps every
+        # sub-second entry at 2 decimals
+        "fmt": "min3L",
         # round 17: the compact line emits timings under CANONICAL
         # names (aliases pre-applied) instead of carrying the alias
         # map — the 58-entry headline set outgrew the tail window with
@@ -615,23 +631,36 @@ def main() -> None:
         # ladder would have shed it anyway; this makes the decision
         # explicit). The skew legs stay in the FULL line and are
         # recorded per round in BENCHSERIES.md from the local run.
-        # round 19: 1-decimal in the tail artifact — the 64-entry map
-        # outgrew the window at 2 decimals even with every secondary
-        # field shed. Quantization (±0.05 s) is far inside the measured
-        # ±18% same-day envelope (BENCHSERIES decision rule); the FULL
-        # line above keeps 3-decimal per-query values for local logs.
+        # round 19: adaptive precision in the tail artifact — the
+        # 64-entry map outgrew the window at uniform 2 decimals even
+        # with every secondary field shed. Entries >= 1 s drop to 1
+        # decimal (±0.05 s, far inside the ±18% same-day envelope);
+        # SUB-SECOND entries keep 2 decimals, where ±0.05 s would be a
+        # ±30%+ phantom (review finding: 0.14 -> 0.16 would read as
+        # 0.1 -> 0.2). The FULL line above keeps 3 decimals.
         "queries": {
-            aliases.get(n, n): round(timings[n], 1) for n in timings
+            aliases.get(n, n): (
+                round(timings[n], 2)
+                if timings[n] < 1.0
+                else round(timings[n], 1)
+            )
+            for n in timings
+            if n not in legs  # reconstructed from legs_bs (fmt min3L)
         },
         # round 19: per-leg [build, serve] pairs for the lifecycle
         # heavyweights, ARRAY-FORM in LEG_BREAKDOWN order at 1-decimal
         # (the named 2-decimal map lives in the FULL line's "legs"; the
         # tail window cannot fit the six ~22-char names twice, and the
         # order is pinned by the LEG_BREAKDOWN constant + BENCHSERIES)
+        # null placeholders keep the positional contract when a leg
+        # errored — consumers decode against LEG_BREAKDOWN by index
         "legs_bs": [
-            [round(legs[n][0], 1), round(legs[n][1], 1)]
+            (
+                [round(legs[n][0], 1), round(legs[n][1], 1)]
+                if n in legs
+                else None
+            )
             for n in LEG_BREAKDOWN
-            if n in legs
         ],
     }
     if errors:

@@ -273,6 +273,16 @@ def _existing_topo_key(e: dict) -> tuple | None:
         )
     if "topology" in e:
         return _topo_key(e["topology"])
+    if "fact_path" in e and "dims" in e:
+        # the advised-spec form advise_mvs_workload itself emits
+        # ({"kind": "join", "fact_path", "dims"}) — feeding advice
+        # back as `existing` (incremental advising) or into
+        # workload_request_rate must key by its real topology, not
+        # fall into the plain bucket (round-19 review finding)
+        return (
+            e["fact_path"],
+            tuple((p, tuple(on)) for p, on in e["dims"]),
+        )
     return None
 
 

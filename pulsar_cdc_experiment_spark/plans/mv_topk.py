@@ -55,6 +55,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .mv import (
+    _count_groups as _count_rows,  # same statistic: stored-row count
+)
+from .mv import (
     _data_dir,
     _fingerprint,
     _mutation_drift,
@@ -163,12 +166,6 @@ def create_topk_mv(
         man["n_rows"] = _count_rows(spark, d, man)
         _publish_manifest(d, man)
         return man
-
-
-def _count_rows(spark: SparkSession, d: str, man: dict) -> int:
-    from .mor import _read_cached
-
-    return _read_cached(spark, _data_dir(d, man)).count()
 
 
 def _load_topk(mv_root: str, name: str) -> tuple[str, dict]:

@@ -72,7 +72,15 @@ def test_compact_line_fits_tail_window_with_headroom():
         "sf": 0.1,
         "calib_sec": 9.999,
         "fmt": "min3",
-        "queries": {n: (99.9 if n in heavy else 9.9) for n in names},
+        "queries": {
+            # mixed widths matching the adaptive-precision min3L rule:
+            # the heavyweights live ONLY in legs_bs; half the rest as
+            # sub-second 2-decimal entries (r18 observed 29/61), the
+            # other half 1-decimal single-digit seconds
+            n: (0.14 if i % 2 == 0 else 9.9)
+            for i, n in enumerate(names)
+            if n not in heavy
+        },
         "legs_bs": [[99.9, 99.9]] * 6,
     }
     line = json.dumps(compact, separators=(",", ":"))
@@ -83,7 +91,7 @@ def test_compact_line_fits_tail_window_with_headroom():
     # pessimistic regime: every query at 2-digit seconds — the runtime
     # ladder must still emit a parseable line under the window
     worst = dict(compact)
-    worst["queries"] = {n: 99.9 for n in names}
+    worst["queries"] = {n: 99.9 for n in names if n not in heavy}
     out = json.loads(bench._compact_line(worst))
     assert len(json.dumps(out, separators=(",", ":"))) <= 1990
     assert "calib_sec" in out, "calib must be the last survivor"
@@ -169,3 +177,22 @@ def test_compact_line_sheds_then_trims_then_fails_loudly():
 
     with pytest.raises(RuntimeError, match="split the artifact"):
         bench._compact_line(mk(64))
+
+
+def test_bench_series_expands_min3L_legs():
+    """The r19 min3L form: heavyweights carried as positional
+    [build, serve] pairs reconstruct into the queries series; a null
+    slot (errored leg) keeps positions aligned and contributes no
+    entry."""
+    bs = _load("tools/bench_series.py", "bench_series_mod3")
+    parsed = bs._expand_pairs({
+        "fmt": "min3L",
+        "queries": {"q1": 0.5},
+        "legs_bs": [[9.0, 2.5], None, [4.1, 1.2], [3.0, 1.1],
+                    [2.2, 1.0], [1.1, 0.4]],
+    })
+    assert parsed["queries"]["q1"] == 0.5
+    assert parsed["queries"]["stream_mv_auto_compact"] == 11.5
+    assert "stream_mv_maintain" not in parsed["queries"]  # errored leg
+    assert parsed["queries"]["mv_join_mor_feed"] == 5.3
+    assert parsed["legs"]["merge_upsert_dv"] == [1.1, 0.4]

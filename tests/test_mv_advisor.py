@@ -474,3 +474,16 @@ def test_workload_request_rate_bridges_advisor_to_router():
         "topology": topo,
     }
     assert workload_request_rate(requests, join_spec) == 100
+
+    # the ADVISED-SPEC form (advise_mvs_workload's own output:
+    # kind/fact_path/dims, no 'topology' key) must key by its real
+    # topology too — round-19 review finding: it fell into the plain
+    # bucket and counted the wrong requests
+    advised_form = {
+        "kind": "join",
+        "group_cols": ["g"],
+        "measures": {"n": ("count", None)},
+        "fact_path": topo["fact_path"],
+        "dims": [(p, list(on)) for p, on in topo["dims"]],
+    }
+    assert workload_request_rate(requests, advised_form) == 100

@@ -62,11 +62,43 @@ def load_rounds() -> dict[int, dict]:
     return rounds
 
 
+#: fmt "min3L" (round 19): the tail artifact omits these names from
+#: "queries" and carries their [build, serve] pairs positionally in
+#: "legs_bs" instead (min3 = build + serve). VERSIONED: if
+#: bench.LEG_BREAKDOWN ever changes, keep this r19 list for decoding
+#: r19-era artifacts and add a new fmt tag.
+LEG_BREAKDOWN_V19 = [
+    "stream_mv_auto_compact",
+    "stream_mv_maintain",
+    "mv_join_mor_feed",
+    "mv_mor_feed_capstone",
+    "mv_join_maintain",
+    "merge_upsert_dv",
+]
+
+
 def _expand_pairs(parsed: dict) -> dict:
-    """Expand bench.py's r8+ compact artifact line —
+    """Expand bench.py's compact artifact formats — the r8-r12
     ``{"fmt": "min3_steady_pairs", "queries": {name: [min3, steady]}}``
-    — into the plain ``queries``/``steady`` scalar maps the series
-    renders. Pass anything else through untouched."""
+    pair form, and the r19+ ``min3L`` form (lifecycle heavyweights
+    carried as positional ``legs_bs`` [build, serve] pairs, min3
+    reconstructed as their sum) — into the plain ``queries``/``steady``
+    scalar maps the series renders. Pass anything else through
+    untouched."""
+    if parsed.get("fmt") == "min3L":
+        out = dict(parsed)
+        out["queries"] = dict(parsed.get("queries", {}))
+        out["legs"] = {}
+        for name, pair in zip(
+            LEG_BREAKDOWN_V19, parsed.get("legs_bs", [])
+        ):
+            if pair is None:
+                continue  # leg errored that round; no entry
+            out["legs"][name] = pair
+            out["queries"].setdefault(
+                name, round(pair[0] + pair[1], 2)
+            )
+        return out
     if parsed.get("fmt") != "min3_steady_pairs":
         return parsed
     out = dict(parsed)
