@@ -488,3 +488,55 @@ def answer_topk_live(
     ).drop("change_type")
     composed = _folded_topk(spark, man, stored, changes, base_new)
     return _topk_of(composed, group_cols, order_by, k), "mv_delta"
+
+
+def answer_topk_policied(
+    spark: SparkSession,
+    mv_root: str,
+    name: str,
+    project,
+    *,
+    group_cols: Sequence[str],
+    order_by: Sequence,
+    k: int,
+    max_live_span: int = 8,
+    max_live_delete_keys: int | None = None,
+    expected_requests: int | None = None,
+    cost_model: dict | None = None,
+) -> tuple[DataFrame, str]:
+    """Policy-routed top-k serving — the ranked sibling of
+    ``plans.mv.answer_aggregate_policied``: ``plan_serve_policy`` is
+    manifest-metadata-only and kind-agnostic (a top-k manifest carries
+    the same fingerprint/applied_seq/mor_mutations contract), so the
+    SAME zero-job decision — staleness mechanics plus the round-19
+    workload economics — routes mv / live / maintain-then-serve /
+    base, executed with the top-k verbs. A mutation racing the policy
+    read degrades through the live serve's own base fallback instead
+    of raising from a read path. Returns ``(df, action)``."""
+    from .mv import plan_serve_policy
+
+    pol = plan_serve_policy(
+        mv_root, name,
+        max_live_span=max_live_span,
+        max_live_delete_keys=max_live_delete_keys,
+        expected_requests=expected_requests,
+        cost_model=cost_model,
+    )
+    maintained = False
+    if pol["action"] == "maintain":
+        try:
+            maintain_topk_from_mor(spark, mv_root, name, project)
+            maintained = True
+        except RuntimeError:
+            pass  # degrade to the live serve's own fallback
+    df, mode = answer_topk_live(
+        spark, mv_root, name, project,
+        group_cols=group_cols, order_by=order_by, k=k,
+    )
+    if mode == "mv":
+        action = "maintain" if maintained else "mv"
+    elif mode == "mv_delta":
+        action = "live"
+    else:
+        action = "base"
+    return df, action

@@ -323,3 +323,212 @@ def test_mor_loop_and_live_serve(spark):
             maintain_topk_from_mor(spark, mv_root, "tk", project)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_topk_maintenance_rides_the_sequence_clock(spark):
+    """The STREAMING face of top-k maintenance (the stream_mv_maintain
+    shape, ranked): a foreachBatch loop merges each micro-batch into
+    the MoR table and calls maintain_topk_from_mor right after — the
+    sequence-clock catch-up makes redelivery safe by construction (a
+    replayed batch re-merges at a NEW sequence; the next catch-up folds
+    exactly that span). After the drain the top-k MV equals a
+    from-scratch top-k of the final table and serves fresh (mode
+    'mv')."""
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import bind_mv_to_mor
+    from pulsar_cdc_experiment_spark.plans.mv_topk import (
+        _topk_of,
+        answer_topk_live,
+        create_topk_mv,
+        maintain_topk_from_mor,
+    )
+
+    base = tempfile.mkdtemp(prefix="tk_stream_")
+    try:
+        root = os.path.join(base, "t")
+        mv_root = os.path.join(base, "mvs")
+        feed_root = os.path.join(base, "feed")
+        manifest = os.path.join(root, ".mor", "manifest.json")
+        rows = [(k, ["a", "b"][k % 2], (k * 37) % 400) for k in range(80)]
+        init_mor(
+            spark, root,
+            spark.createDataFrame(rows, "k bigint, g string, v bigint"),
+            keys=["k"], partition_col="g",
+        )
+        create_topk_mv(
+            spark, mv_root, name="tk", source_path=manifest,
+            source=read_mor(spark, root).select("g", "k", "v"),
+            group_cols=["g"], order_by=ORDER, k=3,
+            payload_cols=["k", "v"],
+        )
+        bind_mv_to_mor(mv_root, "tk", root)
+
+        def project(df):
+            cols = [F.col("g"), F.col("k"), F.col("v")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        # three time-ordered micro-batch files: inserts, a risky
+        # delete of group a's current top row, and an upsert
+        top_a = (
+            read_mor(spark, root).filter(F.col("g") == "a")
+            .orderBy(F.col("v").desc(), F.col("k").desc())
+            .limit(1).collect()[0]
+        )
+        batches = [
+            [(9001, "a", 500, False), (9002, "b", 600, False)],
+            [(int(top_a["k"]), "a", int(top_a["v"]), True)],
+            [(5, "b", 777, False), (9003, "a", 1, False)],
+        ]
+        os.makedirs(feed_root)
+        import time as _time
+
+        t0 = 1_700_000_000
+        for i, b in enumerate(batches):
+            p = os.path.join(feed_root, f"{i:03d}")
+            spark.createDataFrame(
+                b, "k bigint, g string, v bigint, is_delete boolean"
+            ).coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (t0 + i * 60, t0 + i * 60))
+
+        from pulsar_cdc_experiment_spark.queries.streaming_q import (
+            drain_or_raise,
+        )
+
+        folds = []
+
+        def apply_batch(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            merge_into_mor(spark, root, batch_df)
+            rep = maintain_topk_from_mor(spark, mv_root, "tk", project)
+            folds.append(rep["folded"])
+
+        stream = (
+            spark.readStream
+            .schema("k bigint, g string, v bigint, is_delete boolean")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed_root)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation", os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 300, "stream_topk_maintain")
+        assert folds and all(folds), folds
+
+        want = sorted(
+            tuple(r)
+            for r in _topk_of(
+                read_mor(spark, root).select("g", "k", "v"),
+                ["g"], [["v", "desc"], ["k", "desc"]], 3,
+            ).select("g", "k", "v").collect()
+        )
+        assert _stored(spark, mv_root, "tk") == want
+        df, mode = answer_topk_live(
+            spark, mv_root, "tk", project,
+            group_cols=["g"], order_by=ORDER, k=3,
+        )
+        assert mode == "mv"
+        got = sorted(tuple(r) for r in df.select("g", "k", "v").collect())
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_topk_policied_routes_and_degrades(spark):
+    """answer_topk_policied: the kind-agnostic policy routes the top-k
+    verbs — fresh → 'mv'; small span → 'live'; a hot request rate
+    flips the same span to 'maintain' (workload economics) and folds;
+    a purge → 'base' with exact values (no raise from the read
+    path)."""
+    from pulsar_cdc_experiment_spark.plans.mor import (
+        init_mor,
+        merge_into_mor,
+        purge_keys_mor,
+        read_mor,
+    )
+    from pulsar_cdc_experiment_spark.plans.mv import bind_mv_to_mor
+    from pulsar_cdc_experiment_spark.plans.mv_topk import (
+        _topk_of,
+        answer_topk_policied,
+        create_topk_mv,
+    )
+
+    base = tempfile.mkdtemp(prefix="tk_pol_")
+    try:
+        root = os.path.join(base, "t")
+        mv_root = os.path.join(base, "mvs")
+        manifest = os.path.join(root, ".mor", "manifest.json")
+        rows = [(k, ["a", "b"][k % 2], (k * 37) % 400) for k in range(60)]
+        init_mor(
+            spark, root,
+            spark.createDataFrame(rows, "k bigint, g string, v bigint"),
+            keys=["k"], partition_col="g",
+        )
+        create_topk_mv(
+            spark, mv_root, name="tk", source_path=manifest,
+            source=read_mor(spark, root).select("g", "k", "v"),
+            group_cols=["g"], order_by=ORDER, k=3,
+            payload_cols=["k", "v"],
+        )
+        bind_mv_to_mor(mv_root, "tk", root)
+
+        def project(df):
+            cols = [F.col("g"), F.col("k"), F.col("v")]
+            if "change_type" in df.columns:
+                cols = [F.col("change_type")] + cols
+            return df.select(*cols)
+
+        def exact():
+            return sorted(
+                tuple(r)
+                for r in _topk_of(
+                    read_mor(spark, root).select("g", "k", "v"),
+                    ["g"], [["v", "desc"], ["k", "desc"]], 3,
+                ).select("g", "k", "v").collect()
+            )
+
+        def serve(**kw):
+            df, action = answer_topk_policied(
+                spark, mv_root, "tk", project,
+                group_cols=["g"], order_by=ORDER, k=3, **kw,
+            )
+            got = sorted(
+                tuple(r) for r in df.select("g", "k", "v").collect()
+            )
+            assert got == exact(), action
+            return action
+
+        assert serve() == "mv"
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9001, "a", 900, False)],
+            "k bigint, g string, v bigint, is_delete boolean",
+        ))
+        assert serve() == "live"
+        assert serve(expected_requests=1) == "live"
+        # hot rate: maintain fires, then serves fresh
+        assert serve(expected_requests=100) == "maintain"
+        assert serve() == "mv"
+        # purge: base, degraded not raised
+        merge_into_mor(spark, root, spark.createDataFrame(
+            [(9002, "b", 5, False)],
+            "k bigint, g string, v bigint, is_delete boolean",
+        ))
+        purge_keys_mor(
+            spark, root, spark.createDataFrame([(9001,)], "k bigint")
+        )
+        assert serve() == "base"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
