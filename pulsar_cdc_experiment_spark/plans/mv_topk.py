@@ -185,14 +185,34 @@ def _folded_topk(
     stored: DataFrame,
     changes: DataFrame,
     base_new: DataFrame,
+    *,
+    collect_risky: bool = False,
 ) -> DataFrame:
     """The maintenance fold as a PLAN (shared by the publishing
     maintain and the lazy live serve): z-weighted ``changes`` (+1
     insert rows, −1 delete rows — ``plans.mv.changes_from_feed``'s
     contract) applied to the stored per-group top-k, with
     ``base_new`` = the post-change source for the risky-group
-    recompute leg (semi-join-pruned; scanned only for groups a
-    boundary-reaching delete touched)."""
+    recompute leg (pruned; scanned only for groups a
+    boundary-reaching delete touched).
+
+    ``collect_risky`` (maintenance verbs — jobs allowed): materialize
+    the risky group VALUES on the driver (bounded by the changeset's
+    delete count — the same bounded-model-state class as the engine's
+    other sanctioned collects) and feed the recompute leg through a
+    LocalRelation semi-join. The local build side's size is known AT
+    PLANNING, so the join is a static BroadcastHashJoin and the base
+    side is a pure scan+filter — measured at 200M rows, the lazy
+    alternative lost ~50 s to a full-fact sort: AQE submits both SMJ
+    children concurrently, so the fact's sort stage is already running
+    by the time the risky side's tiny size is known (the
+    concurrent-children AQE limitation; read_mor's sidecar join
+    dodges it because its build side is a leaf scan, this one hides
+    behind two joins and a distinct). The lazy default (live serve —
+    zero jobs at plan time) keeps the join lazy and pays that cost on
+    risky-delete requests, which is exactly what the policy router's
+    ``max_live_delete_keys`` threshold exists to route to maintenance
+    instead."""
     g = man["group_cols"]
     k = man["k"]
     order_by = man["order_by"]
@@ -221,19 +241,60 @@ def _folded_topk(
         .select(*g)
         .distinct()
     )
-    safe_ins = ins.join(risky, g, "left_anti")
+    risky_pred = None  # literal predicate marking risky groups
+    if collect_risky:
+        vals = [tuple(r) for r in risky.collect()]
+        if not vals:
+            risky = None
+        elif len(g) == 1 and all(v[0] is not None for v in vals):
+            # the FAST path: a literal In predicate reaches the
+            # parquet scan as a pushed filter (row-group/dictionary
+            # skipping) — measured at 200M rows the recompute leg
+            # costs 2.9 s this way vs 29 s through a broadcast-hash
+            # semi-join (the join probes every row; the pushed filter
+            # skips whole row groups) and 31 s through the sort-merge
+            # join the planner picks unaided (PySpark createDataFrame
+            # yields an RDD-backed relation with UNKNOWN size — it
+            # never auto-broadcasts, so the whole fact gets shuffled
+            # for a handful of risky groups).
+            risky_pred = F.col(g[0]).isin([v[0] for v in vals])
+            risky = None
+        else:
+            # multi-column groups (or a NULL group value, which In
+            # cannot express): hinted broadcast of the just-collected,
+            # changeset-bounded list — its subtree has no file scan,
+            # so the data-proportional-broadcast gate stays meaningful
+            risky = F.broadcast(
+                spark.createDataFrame(vals, risky.schema)
+            )
+    if risky is None and risky_pred is None:
+        safe_ins = ins
+    elif risky_pred is not None:
+        # NULL-group inserts can never match a non-NULL risky value:
+        # coalesce keeps them on the safe path, matching the
+        # anti-join's NULL semantics
+        safe_ins = ins.filter(~F.coalesce(risky_pred, F.lit(False)))
+    else:
+        safe_ins = ins.join(risky, g, "left_anti")
     touched_safe = safe_ins.select(*g).distinct()
     merged = _topk_of(
         stored.join(touched_safe, g, "left_semi").unionByName(safe_ins),
         g, order_by, k,
     )
-    untouched = stored.join(
-        touched_safe.unionByName(risky).distinct(), g, "left_anti"
-    )
-    recomputed = _topk_of(
-        base_new.select(*cols).join(risky, g, "left_semi"),
-        g, order_by, k,
-    )
+    if risky is None and risky_pred is None:
+        untouched = stored.join(touched_safe, g, "left_anti")
+        return untouched.unionByName(merged)
+    if risky_pred is not None:
+        untouched = stored.join(touched_safe, g, "left_anti").filter(
+            ~F.coalesce(risky_pred, F.lit(False))
+        )
+        pruned_base = base_new.select(*cols).filter(risky_pred)
+    else:
+        untouched = stored.join(
+            touched_safe.unionByName(risky).distinct(), g, "left_anti"
+        )
+        pruned_base = base_new.select(*cols).join(risky, g, "left_semi")
+    recomputed = _topk_of(pruned_base, g, order_by, k)
     return untouched.unionByName(merged).unionByName(recomputed)
 
 
@@ -256,7 +317,9 @@ def maintain_topk_mv(
         d, man = _load_topk(mv_root, name)
         _sweep_mv(d, man)
         stored = _read_cached(spark, _data_dir(d, man))
-        out = _folded_topk(spark, man, stored, changes, base_new)
+        out = _folded_topk(
+            spark, man, stored, changes, base_new, collect_risky=True
+        )
         _stage_data(
             d, man, out,
             pre_swap=lambda: _stamp_fingerprint(man, source_token),
@@ -400,7 +463,9 @@ def maintain_topk_from_mor(
 
         _sweep_mv(d, man)
         stored = _read_cached(spark, _data_dir(d, man))
-        out = _folded_topk(spark, man, stored, changes, base_new)
+        out = _folded_topk(
+            spark, man, stored, changes, base_new, collect_risky=True
+        )
         _stage_data(
             d, man, out,
             pre_swap=lambda: _stamp_fingerprint(man, token),

@@ -1444,6 +1444,116 @@ def main() -> None:
         mv_rewrite(int(200e6 * s))
     if args.only is not None and "mv_maintain_vs_refresh" in args.only:
         mv_maintain_vs_refresh(int(200e6 * s))
+
+    def topk_maintain_vs_refresh(n):
+        """Round-19: the top-k-MV maintenance asymptote — after a mixed
+        changeset (200 inserts + 20 deletes of current per-group TOP
+        rows, i.e. every delete is boundary-risky) lands on the fact,
+        bringing the ranked summary fresh via ``maintain_topk_mv``
+        (merge+re-truncate over O(groups×k) + a semi-join-pruned
+        recompute of the 20 risky groups) vs ``refresh_topk_mv``
+        (re-rank O(fact)). Stored rows asserted IDENTICAL, so the
+        speedup is for the same answer. The risky leg is the honest
+        cost: it scans only the risky groups' slice of the fact."""
+        import shutil as _sh
+        import tempfile
+
+        from pulsar_cdc_experiment_spark.plans.mv import (
+            mv_data_dir as _mv_data_dir,
+        )
+        from pyspark.sql.window import Window as _W
+
+        from pulsar_cdc_experiment_spark.plans.mv_topk import (
+            create_topk_mv,
+            maintain_topk_mv,
+            refresh_topk_mv,
+        )
+
+        base = tempfile.mkdtemp(prefix="stress_tkm_")
+        src_path = os.path.join(base, "fact")
+        try:
+            spark.range(n).select(
+                (F.col("id") % 100_000).cast("string").alias("g"),
+                F.col("id").alias("k"),
+                (F.col("id") % 99_991).cast("long").alias("v"),
+            ).write.parquet(src_path)
+            src = spark.read.parquet(src_path)
+            mv_root = os.path.join(base, "mvs")
+            create_topk_mv(
+                spark, mv_root, name="tk", source_path=src_path,
+                source=src, group_cols=["g"],
+                order_by=[("v", "desc"), ("k", "desc")], k=5,
+                payload_cols=["k", "v"],
+            )
+            # deletes: the CURRENT #1 row of 20 groups (all risky)
+            top_rows = (
+                spark.read.parquet(_mv_data_dir(mv_root, "tk"))
+                .filter(F.col("g").isin([str(i) for i in range(20)]))
+                .withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        _W.partitionBy("g").orderBy(
+                            F.col("v").desc(), F.col("k").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .select("g", "k", "v")
+            )
+            dels = [tuple(r) for r in top_rows.collect()]
+            ins = [
+                (str(i % 100_000), n + i, 99_990 + (i % 5))
+                for i in range(200)
+            ]
+            # the post-change fact: original minus deleted keys plus
+            # inserts (written so refresh sees the same state)
+            del_keys = [k for _, k, _ in dels]
+            src1_path = os.path.join(base, "fact1")
+            src.filter(~F.col("k").isin(del_keys)).unionByName(
+                spark.createDataFrame(
+                    ins, "g string, k bigint, v bigint"
+                )
+            ).write.parquet(src1_path)
+            src1 = spark.read.parquet(src1_path)
+            changes = spark.createDataFrame(
+                [(*r, 1) for r in ins] + [(*r, -1) for r in dels],
+                "g string, k bigint, v bigint, __z int",
+            )
+            t0 = time.perf_counter()
+            maintain_topk_mv(
+                spark, mv_root, "tk", changes, base_new=src1
+            )
+            maintain_sec = time.perf_counter() - t0
+            maintained = sorted(map(tuple, spark.read.parquet(
+                _mv_data_dir(mv_root, "tk")
+            ).collect()))
+            t0 = time.perf_counter()
+            refresh_topk_mv(spark, mv_root, "tk", src1)
+            refresh_sec = time.perf_counter() - t0
+            refreshed = sorted(map(tuple, spark.read.parquet(
+                _mv_data_dir(mv_root, "tk")
+            ).collect()))
+            assert maintained == refreshed
+            out = {
+                "rows": n,
+                "inserts": len(ins),
+                "risky_deletes": len(dels),
+                "maintain_sec": round(maintain_sec, 3),
+                "refresh_sec": round(refresh_sec, 3),
+                "speedup": round(
+                    refresh_sec / max(maintain_sec, 1e-9), 1
+                ),
+            }
+            results["topk_maintain_vs_refresh"] = out
+            print(
+                json.dumps({"op": "topk_maintain_vs_refresh", **out}),
+                flush=True,
+            )
+        finally:
+            _sh.rmtree(base, ignore_errors=True)
+
+    if args.only is not None and "topk_maintain_vs_refresh" in args.only:
+        topk_maintain_vs_refresh(int(200e6 * s))
     if args.only is not None and "join_mv_maintain_vs_refresh" in args.only:
         # two fact sizes: the asymptote is the point (fold flat, risky
         # scan-bound without the join, refresh fully linear)
