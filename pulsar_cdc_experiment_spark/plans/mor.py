@@ -228,6 +228,9 @@ def _write_single_parquet(df: DataFrame, dst_file: str) -> None:
         raise RuntimeError(f"expected one part file under {tmp}")
     os.replace(part[0], dst_file)
     shutil.rmtree(tmp, ignore_errors=True)
+    # the writer knows the schema — the follow-up overlay read must not
+    # pay a schema-inference job for it
+    seed_schema_cache(dst_file, df.schema)
 
 
 def _sweep_orphans(root: str, man: dict) -> None:
@@ -305,15 +308,9 @@ def _sweep_orphans(root: str, man: dict) -> None:
             _purge_recover(d)
 
 
-def _read_cached(
-    spark: SparkSession, path: str, base_path: str | None = None
-) -> DataFrame:
-    """Schema-cached parquet read keyed on (path, file state) — the
-    ``read_version`` discipline: re-constructing the same sequence plans
-    ZERO jobs (the registry's construction-is-job-free gate), and any
-    file change invalidates the slot."""
-    from ..sources.tables import _cached_schema
-
+def _path_state(path: str) -> tuple:
+    """File-state key for the schema cache: every (relpath, name,
+    mtime, size) under ``path``, hidden/underscore entries skipped."""
     state: list[tuple] = []
     if os.path.isfile(path):
         st = os.stat(path)
@@ -331,12 +328,62 @@ def _read_cached(
                     (os.path.relpath(dirpath, path), fn,
                      st.st_mtime_ns, st.st_size)
                 )
+    return tuple(state)
+
+
+def _as_read_nullable(dt):
+    """Parquet read-back schema: Spark marks every field nullable on
+    inference (``StructType.asNullable``) regardless of how it was
+    written — mirror that so a seeded cache slot is byte-equivalent to
+    what ``spark.read.parquet(path).schema`` would have returned."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, _as_read_nullable(f.dataType), True, f.metadata
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_as_read_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _as_read_nullable(dt.keyType), _as_read_nullable(dt.valueType),
+            True,
+        )
+    return dt
+
+
+def seed_schema_cache(path: str, schema) -> None:
+    """Pre-populate the per-path schema cache for a directory this verb
+    JUST wrote, from the writer's own schema (read-nullability applied):
+    the follow-up reader — often a registered query's job-free plan
+    construction — then skips the schema-inference job entirely."""
+    from ..sources.tables import _SCHEMA_CACHE
+
+    _SCHEMA_CACHE[f"mor::{path}"] = (
+        _path_state(path), _as_read_nullable(schema)
+    )
+
+
+def _read_cached(
+    spark: SparkSession, path: str, base_path: str | None = None
+) -> DataFrame:
+    """Schema-cached parquet read keyed on (path, file state) — the
+    ``read_version`` discipline: re-constructing the same sequence plans
+    ZERO jobs (the registry's construction-is-job-free gate), and any
+    file change invalidates the slot."""
+    from ..sources.tables import _cached_schema
+
     reader = spark.read
     if base_path is not None:
         reader = reader.option("basePath", base_path)
     schema = _cached_schema(
         f"mor::{path}",
-        tuple(state),
+        _path_state(path),
         lambda r=reader, p=path: r.parquet(p).schema,
     )
     return reader.schema(schema).parquet(path)
@@ -425,6 +472,13 @@ def merge_into_mor(
             )
         out_cols = cols + extra
         src = source.select(*out_cols, F.col(delete_col).cast("boolean"))
+        # Persist the changeset for the verb's duration: three actions
+        # consume it (validation aggregate, delete-sidecar write, delta
+        # write) and it is O(changeset) small, while its lineage — a
+        # change feed, an overlay read, a windowed diff — is often
+        # expensive to recompute (guide §5 caching; the copy-on-write
+        # merge has always done this).
+        src = src.persist()
 
         null_key = F.lit(False)
         for k in keys:
@@ -434,61 +488,65 @@ def merge_into_mor(
             null_part = null_part | F.col(c).isNull() | (
                 F.col(c).cast("string") == ""
             )
-        stats = (
-            src.groupBy(*keys)
-            .agg(
-                F.count("*").alias("__c"),
-                F.max(null_key.cast("int")).alias("__nk"),
-                F.max((~F.col(delete_col) & null_part).cast("int")).alias(
-                    "__np"
-                ),
-                F.sum((~F.col(delete_col)).cast("long")).alias("__ups"),
+        try:
+            stats = (
+                src.groupBy(*keys)
+                .agg(
+                    F.count("*").alias("__c"),
+                    F.max(null_key.cast("int")).alias("__nk"),
+                    F.max(
+                        (~F.col(delete_col) & null_part).cast("int")
+                    ).alias("__np"),
+                    F.sum((~F.col(delete_col)).cast("long")).alias("__ups"),
+                )
+                .agg(
+                    F.max("__c").alias("max_dup"),
+                    F.sum("__nk").alias("null_keys"),
+                    F.sum("__np").alias("null_parts"),
+                    F.count("*").alias("n_keys"),
+                    F.sum("__ups").alias("n_appended"),
+                )
+                .collect()[0]
             )
-            .agg(
-                F.max("__c").alias("max_dup"),
-                F.sum("__nk").alias("null_keys"),
-                F.sum("__np").alias("null_parts"),
-                F.count("*").alias("n_keys"),
-                F.sum("__ups").alias("n_appended"),
-            )
-            .collect()[0]
-        )
-        if stats["n_keys"] == 0:
-            return {"seq": None, "n_delete_keys": 0, "n_appended": 0}
-        if stats["max_dup"] and stats["max_dup"] > 1:
-            raise ValueError(
-                "merge source has multiple rows for at least one key "
-                f"(max {stats['max_dup']}); fold it first (latest_by_key)"
-            )
-        if stats["null_keys"]:
-            raise ValueError(
-                f"merge source has {stats['null_keys']} NULL key(s); "
-                "equality deletes need non-null keys"
-            )
-        if stats["null_parts"]:
-            raise ValueError(
-                f"merge source has {stats['null_parts']} upsert(s) with a "
-                f"NULL or empty {', '.join(pcols)}"
-            )
+            if stats["n_keys"] == 0:
+                return {"seq": None, "n_delete_keys": 0, "n_appended": 0}
+            if stats["max_dup"] and stats["max_dup"] > 1:
+                raise ValueError(
+                    "merge source has multiple rows for at least one key "
+                    f"(max {stats['max_dup']}); fold it first "
+                    "(latest_by_key)"
+                )
+            if stats["null_keys"]:
+                raise ValueError(
+                    f"merge source has {stats['null_keys']} NULL key(s); "
+                    "equality deletes need non-null keys"
+                )
+            if stats["null_parts"]:
+                raise ValueError(
+                    f"merge source has {stats['null_parts']} upsert(s) "
+                    f"with a NULL or empty {', '.join(pcols)}"
+                )
 
-        # first merge after a full compaction must continue ABOVE the
-        # compacted base_seq — restarting at 1 would either collide with
-        # the rebirth seq (duplicate images survive read_mor's
-        # dmax<=born rule) or fall below base_seq (table unreadable)
-        seq = (
-            (man["seqs"][-1]["seq"] + 1)
-            if man["seqs"]
-            else man.get("base_seq", 0) + 1
-        )
-        os.makedirs(os.path.join(root, MOR, "delete"), exist_ok=True)
-        _write_single_parquet(
-            src.select(*keys).distinct(), _delete_file(root, seq)
-        )
-        n_appended = int(stats["n_appended"] or 0)
-        if n_appended:
-            src.filter(~F.col(delete_col)).select(*out_cols).write.mode(
-                "errorifexists"
-            ).partitionBy(*pcols).parquet(_delta_dir(root, seq))
+            # first merge after a full compaction must continue ABOVE the
+            # compacted base_seq — restarting at 1 would either collide
+            # with the rebirth seq (duplicate images survive read_mor's
+            # dmax<=born rule) or fall below base_seq (table unreadable)
+            seq = (
+                (man["seqs"][-1]["seq"] + 1)
+                if man["seqs"]
+                else man.get("base_seq", 0) + 1
+            )
+            os.makedirs(os.path.join(root, MOR, "delete"), exist_ok=True)
+            _write_single_parquet(
+                src.select(*keys).distinct(), _delete_file(root, seq)
+            )
+            n_appended = int(stats["n_appended"] or 0)
+            if n_appended:
+                src.filter(~F.col(delete_col)).select(*out_cols).write.mode(
+                    "errorifexists"
+                ).partitionBy(*pcols).parquet(_delta_dir(root, seq))
+        finally:
+            src.unpersist()
         if extra:
             man["columns"] = out_cols
         entry = {

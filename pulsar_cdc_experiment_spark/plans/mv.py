@@ -55,11 +55,11 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .layout import maintenance_lock
-from .mor import any_active_lease, lease_scope
+from .mor import any_active_lease, lease_scope, seed_schema_cache
 
 #: requested-measure functions the rewriter understands.
 #: ``approx_distinct`` stores a MERGEABLE Datasketches HLL sketch per
@@ -169,7 +169,7 @@ def _sweep_mv(d: str, man: dict) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
-def _stage_data(d: str, man: dict, out: DataFrame, pre_swap=None) -> None:
+def _stage_data(d: str, man: dict, out: DataFrame, pre_swap=None) -> int:
     """Write the MV's new rows as a NEW data generation and point the
     in-memory manifest at it; the caller's ``_publish_manifest`` is the
     single ATOMIC publish point (data dir + fingerprint + n_groups flip
@@ -184,7 +184,11 @@ def _stage_data(d: str, man: dict, out: DataFrame, pre_swap=None) -> None:
 
     ``pre_swap`` (maintenance's derivation-token check) runs AFTER the
     expensive staging write but BEFORE the generation rename: if it
-    raises, only staging debris remains."""
+    raises, only staging debris remains.
+
+    Returns the staged ROW COUNT, observed on the write itself
+    (``Observation`` rides the staging job), so publishers refresh
+    their stored-row statistic without a follow-up count job."""
     cur = man.get("data_dir", "data")
     gen = (int(cur.rsplit("-", 1)[1]) + 1) if "-" in cur else 1
     # first FREE generation: a crashed publish's orphan (or a
@@ -194,7 +198,10 @@ def _stage_data(d: str, man: dict, out: DataFrame, pre_swap=None) -> None:
     new = _DATA_FMT.format(gen)
     staged = os.path.join(d, f".{new}.staging")
     shutil.rmtree(staged, ignore_errors=True)
-    out.write.mode("overwrite").parquet(staged)
+    obs = Observation()
+    out.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(staged)
     if pre_swap is not None:
         try:
             pre_swap()
@@ -203,6 +210,11 @@ def _stage_data(d: str, man: dict, out: DataFrame, pre_swap=None) -> None:
             raise
     os.rename(staged, os.path.join(d, new))
     man["data_dir"] = new
+    # seed the schema cache for the generation just published: the next
+    # reader (often a registered query's job-free plan construction)
+    # must not pay a schema-inference job for a schema this verb knows
+    seed_schema_cache(os.path.join(d, new), out.schema)
+    return int(obs.get["rows"])
 
 
 def _publish_manifest(d: str, man: dict) -> None:
@@ -307,9 +319,12 @@ def create_mv(
         if os.path.exists(os.path.join(d, "mv.json")):
             raise ValueError(f"materialized view {name} already exists")
         data0 = _DATA_FMT.format(0)
-        source.groupBy(*group_cols).agg(*exprs).write.mode(
+        obs = Observation()
+        built = source.groupBy(*group_cols).agg(*exprs)
+        built.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "errorifexists"
         ).parquet(os.path.join(d, data0))
+        seed_schema_cache(os.path.join(d, data0), built.schema)
         man = {
             "name": name,
             "source_path": source_path,
@@ -318,7 +333,7 @@ def create_mv(
             "data_dir": data0,
             "fingerprint": _fingerprint(source_path),
         }
-        man["n_groups"] = _count_groups(spark, d, man)
+        man["n_groups"] = int(obs.get["rows"])
         _publish_manifest(d, man)
         return man
 
@@ -340,8 +355,9 @@ def refresh_mv(
                 for out, m in man["measures"].items()
             }
         )
-        _stage_data(d, man, source.groupBy(*man["group_cols"]).agg(*exprs))
-        man["n_groups"] = _count_groups(spark, d, man)
+        man["n_groups"] = _stage_data(
+            d, man, source.groupBy(*man["group_cols"]).agg(*exprs)
+        )
         man["fingerprint"] = _fingerprint(man["source_path"])
         if "dim_paths" in man:
             man["dim_fingerprints"] = [
@@ -492,11 +508,19 @@ def _fold_changes_and_swap(
     VERB, jobs allowed, and the probe skips the risky-recompute leg —
     and with it the base scan — in the common no-extremum-hit batch."""
     _sweep_mv(d, man)
-    out = _folded_partials(
-        spark, d, man, changes, base_new, precheck_risky=True
-    )
-    _stage_data(d, man, out, pre_swap=pre_swap)
-    man["n_groups"] = _count_groups(spark, d, man)
+    # Persist the changeset for the verb's duration: it is O(changes)
+    # small, and the fold plan references it several times (the risky
+    # probe, the touched/untouched split, the delta aggregate) — each
+    # reference would otherwise recompute the caller's feed lineage
+    # (guide §5 caching: reused AND expensive to recompute).
+    changes = changes.persist()
+    try:
+        out = _folded_partials(
+            spark, d, man, changes, base_new, precheck_risky=True
+        )
+        man["n_groups"] = _stage_data(d, man, out, pre_swap=pre_swap)
+    finally:
+        changes.unpersist()
 
 
 def scrub_mv_groups(
@@ -575,11 +599,10 @@ def scrub_mv_groups(
         # finished (for MoR sources, the post-purge manifest): a second
         # mutation landing mid-scrub must not be stamped over — checked
         # as pre_swap so the abort leaves the summary byte-untouched
-        _stage_data(
+        man["n_groups"] = _stage_data(
             d, man, out,
             pre_swap=lambda: _stamp_fingerprint(man, source_token),
         )
-        man["n_groups"] = _count_groups(spark, d, man)
         if "mor_root" in man:
             # the scrub is the ONE sanctioned way to re-align an MV
             # with a purged MoR table (post-scrub the MV equals a full
@@ -1434,9 +1457,12 @@ def create_join_mv(
         if os.path.exists(os.path.join(d, "mv.json")):
             raise ValueError(f"materialized view {name} already exists")
         data0 = _DATA_FMT.format(0)
-        _join_all(fact, dims).groupBy(*group_cols).agg(*exprs).write.mode(
+        obs = Observation()
+        built = _join_all(fact, dims).groupBy(*group_cols).agg(*exprs)
+        built.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "errorifexists"
         ).parquet(os.path.join(d, data0))
+        seed_schema_cache(os.path.join(d, data0), built.schema)
         man = {
             "name": name,
             "kind": "join",
@@ -1449,7 +1475,7 @@ def create_join_mv(
             "fingerprint": _fingerprint(fact_path),
             "dim_fingerprints": [_fingerprint(p) for _, p, _ in dims],
         }
-        man["n_groups"] = _count_groups(spark, d, man)
+        man["n_groups"] = int(obs.get["rows"])
         _publish_manifest(d, man)
         return man
 

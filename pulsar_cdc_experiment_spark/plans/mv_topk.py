@@ -51,12 +51,10 @@ import json
 import os
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .mv import (
-    _count_groups as _count_rows,  # same statistic: stored-row count
-)
+from .mor import seed_schema_cache
 from .mv import (
     _data_dir,
     _fingerprint,
@@ -144,10 +142,15 @@ def create_topk_mv(
         if os.path.exists(os.path.join(d, "mv.json")):
             raise ValueError(f"materialized view {name} already exists")
         data0 = "data-000000"
-        _topk_of(
+        obs = Observation()
+        built = _topk_of(
             source.select(*group_cols, *payload_cols),
             group_cols, order_by, k,
-        ).write.mode("errorifexists").parquet(os.path.join(d, data0))
+        )
+        built.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "errorifexists"
+        ).parquet(os.path.join(d, data0))
+        seed_schema_cache(os.path.join(d, data0), built.schema)
         man = {
             "name": name,
             "kind": "topk",
@@ -160,10 +163,10 @@ def create_topk_mv(
             "fingerprint": _fingerprint(source_path),
         }
         # stored-row statistic, refreshed at every publish like the
-        # aggregate family's n_groups (O(files) parquet metadata; also
-        # warms the per-path schema cache so SERVING constructs
-        # job-free — the scale gate's zero-jobs-at-plan contract)
-        man["n_rows"] = _count_rows(spark, d, man)
+        # aggregate family's n_groups — observed on the build write
+        # itself; the schema-cache seed above keeps SERVING construction
+        # job-free (the scale gate's zero-jobs-at-plan contract)
+        man["n_rows"] = int(obs.get["rows"])
         _publish_manifest(d, man)
         return man
 
@@ -317,14 +320,17 @@ def maintain_topk_mv(
         d, man = _load_topk(mv_root, name)
         _sweep_mv(d, man)
         stored = _read_cached(spark, _data_dir(d, man))
-        out = _folded_topk(
-            spark, man, stored, changes, base_new, collect_risky=True
-        )
-        _stage_data(
-            d, man, out,
-            pre_swap=lambda: _stamp_fingerprint(man, source_token),
-        )
-        man["n_rows"] = _count_rows(spark, d, man)
+        changes = changes.persist()
+        try:
+            out = _folded_topk(
+                spark, man, stored, changes, base_new, collect_risky=True
+            )
+            man["n_rows"] = _stage_data(
+                d, man, out,
+                pre_swap=lambda: _stamp_fingerprint(man, source_token),
+            )
+        finally:
+            changes.unpersist()
         _publish_manifest(d, man)
         return man
 
@@ -341,9 +347,8 @@ def refresh_topk_mv(
             source.select(*man["group_cols"], *man["payload_cols"]),
             man["group_cols"], man["order_by"], man["k"],
         )
-        _stage_data(d, man, out)
+        man["n_rows"] = _stage_data(d, man, out)
         man["fingerprint"] = _fingerprint(man["source_path"])
-        man["n_rows"] = _count_rows(spark, d, man)
         _publish_manifest(d, man)
         return man
 
@@ -463,16 +468,19 @@ def maintain_topk_from_mor(
 
         _sweep_mv(d, man)
         stored = _read_cached(spark, _data_dir(d, man))
-        out = _folded_topk(
-            spark, man, stored, changes, base_new, collect_risky=True
-        )
-        _stage_data(
-            d, man, out,
-            pre_swap=lambda: _stamp_fingerprint(man, token),
-        )
+        changes = changes.persist()
+        try:
+            out = _folded_topk(
+                spark, man, stored, changes, base_new, collect_risky=True
+            )
+            man["n_rows"] = _stage_data(
+                d, man, out,
+                pre_swap=lambda: _stamp_fingerprint(man, token),
+            )
+        finally:
+            changes.unpersist()
         man["applied_seq"] = latest
         man["mor_mutations"] = mor_man.get("mutations", 0)
-        man["n_rows"] = _count_rows(spark, d, man)
         _publish_manifest(d, man)
         return {"applied_seq": latest, "folded": True}
 

@@ -30,6 +30,7 @@ later query gets pruning back.
 
 from __future__ import annotations
 
+from pyspark.sql import Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -462,8 +463,15 @@ def multimodal_serving_pipeline(spark, sf_dir):
 
         raw_df = spark.read.parquet(raw)
         torn = F.octet_length("payload") != F.col("meta.n_bytes")
-        quarantined = raw_df.filter(torn).count()
-        clean = raw_df.filter(~torn)
+        # audit counts ride the serving write as chained Observations
+        # (guide §1/§5: one pass instead of three count jobs + the
+        # write, which re-paid the sha2+shuffle dedup a second time);
+        # CollectMetrics is a pushdown barrier, so the torn filter
+        # cannot slide below the raw-side observation point
+        o_torn, o_clean, o_kept = Observation(), Observation(), Observation()
+        clean = raw_df.observe(
+            o_torn, F.sum(torn.cast("long")).alias("n")
+        ).filter(~torn)
         # dedup key is (media_id, digest), not digest alone: the
         # synthesized pixel patterns are PERIODIC in the id ((id+i)%256),
         # so DISTINCT ids at distance 768 carry byte-identical payloads —
@@ -474,13 +482,17 @@ def multimodal_serving_pipeline(spark, sf_dir):
         # dedup is a separate, deliberate operator (dedup_exact on
         # documents), not part of ingest hygiene.
         deduped = (
-            clean.withColumn("__digest", F.sha2(F.col("payload"), 256))
+            clean.observe(o_clean, F.count(F.lit(1)).alias("n"))
+            .withColumn("__digest", F.sha2(F.col("payload"), 256))
             .dropDuplicates(["media_id", "__digest"])
             .drop("__digest")
         )
-        kept = deduped.count()
-        dup_removed = clean.count() - kept
-        deduped.write.mode("overwrite").parquet(os.path.join(root, "serving"))
+        deduped.observe(o_kept, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "serving"))
+        quarantined = int(o_torn.get["n"] or 0)
+        kept = int(o_kept.get["n"])
+        dup_removed = int(o_clean.get["n"]) - kept
         audit = spark.createDataFrame(
             [
                 ("quarantined", "torn_payload", quarantined),
