@@ -52,7 +52,7 @@ import shutil
 import urllib.parse
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .layout import maintenance_lock
@@ -453,8 +453,8 @@ def merge_into_mor(
     them (the read path union-by-names components), and the next
     compaction materializes the wide schema — the same union-by-name
     convention the copy-on-write merge uses. Changeset keys must be
-    unique and non-null — the one validation aggregation over the
-    CHANGESET is the only job this runs.
+    unique and non-null — the validation aggregation over the CHANGESET
+    rides the sidecar write (one shared key-shuffle + Observation).
     """
     with maintenance_lock(root):
         man = _read_manifest(root)
@@ -472,12 +472,12 @@ def merge_into_mor(
             )
         out_cols = cols + extra
         src = source.select(*out_cols, F.col(delete_col).cast("boolean"))
-        # Persist the changeset for the verb's duration: three actions
-        # consume it (validation aggregate, delete-sidecar write, delta
-        # write) and it is O(changeset) small, while its lineage — a
-        # change feed, an overlay read, a windowed diff — is often
-        # expensive to recompute (guide §5 caching; the copy-on-write
-        # merge has always done this).
+        # Persist the changeset for the verb's duration: two actions
+        # consume it (fused validation + sidecar write, delta write) and
+        # it is O(changeset) small, while its lineage — a change feed,
+        # an overlay read, a windowed diff — is often expensive to
+        # recompute (guide §5 caching; the copy-on-write merge has
+        # always done this).
         src = src.persist()
 
         null_key = F.lit(False)
@@ -489,43 +489,31 @@ def merge_into_mor(
                 F.col(c).cast("string") == ""
             )
         try:
-            stats = (
-                src.groupBy(*keys)
-                .agg(
-                    F.count("*").alias("__c"),
-                    F.max(null_key.cast("int")).alias("__nk"),
-                    F.max(
-                        (~F.col(delete_col) & null_part).cast("int")
-                    ).alias("__np"),
-                    F.sum((~F.col(delete_col)).cast("long")).alias("__ups"),
-                )
-                .agg(
-                    F.max("__c").alias("max_dup"),
-                    F.sum("__nk").alias("null_keys"),
-                    F.sum("__np").alias("null_parts"),
-                    F.count("*").alias("n_keys"),
-                    F.sum("__ups").alias("n_appended"),
-                )
-                .collect()[0]
+            # VALIDATION RIDES THE SIDECAR WRITE: the validation
+            # aggregate (per-key stats) and the sidecar's DISTINCT both
+            # shuffle the changeset by the merge keys — one exchange
+            # serves both (guide §2.4), and the global stats ride the
+            # write as an Observation instead of a separate collect.
+            # The write lands in a tmp dir; validation failures clean
+            # it up BEFORE the final rename, so a rejected changeset
+            # still leaves no published sidecar.
+            keyed = src.groupBy(*keys).agg(
+                F.count("*").alias("__c"),
+                F.max(null_key.cast("int")).alias("__nk"),
+                F.max(
+                    (~F.col(delete_col) & null_part).cast("int")
+                ).alias("__np"),
+                F.sum((~F.col(delete_col)).cast("long")).alias("__ups"),
             )
-            if stats["n_keys"] == 0:
-                return {"seq": None, "n_delete_keys": 0, "n_appended": 0}
-            if stats["max_dup"] and stats["max_dup"] > 1:
-                raise ValueError(
-                    "merge source has multiple rows for at least one key "
-                    f"(max {stats['max_dup']}); fold it first "
-                    "(latest_by_key)"
-                )
-            if stats["null_keys"]:
-                raise ValueError(
-                    f"merge source has {stats['null_keys']} NULL key(s); "
-                    "equality deletes need non-null keys"
-                )
-            if stats["null_parts"]:
-                raise ValueError(
-                    f"merge source has {stats['null_parts']} upsert(s) "
-                    f"with a NULL or empty {', '.join(pcols)}"
-                )
+            obs = Observation()
+            key_rows = keyed.observe(
+                obs,
+                F.max("__c").alias("max_dup"),
+                F.sum("__nk").alias("null_keys"),
+                F.sum("__np").alias("null_parts"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("__ups").alias("n_appended"),
+            ).select(*keys)
 
             # first merge after a full compaction must continue ABOVE the
             # compacted base_seq — restarting at 1 would either collide
@@ -537,9 +525,42 @@ def merge_into_mor(
                 else man.get("base_seq", 0) + 1
             )
             os.makedirs(os.path.join(root, MOR, "delete"), exist_ok=True)
-            _write_single_parquet(
-                src.select(*keys).distinct(), _delete_file(root, seq)
-            )
+            dst = _delete_file(root, seq)
+            tmp = dst + ".tmpdir"
+            shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                key_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+                stats = obs.get
+                if not stats["n_keys"]:
+                    return {
+                        "seq": None, "n_delete_keys": 0, "n_appended": 0
+                    }
+                if stats["max_dup"] and stats["max_dup"] > 1:
+                    raise ValueError(
+                        "merge source has multiple rows for at least "
+                        f"one key (max {stats['max_dup']}); fold it "
+                        "first (latest_by_key)"
+                    )
+                if stats["null_keys"]:
+                    raise ValueError(
+                        f"merge source has {stats['null_keys']} NULL "
+                        "key(s); equality deletes need non-null keys"
+                    )
+                if stats["null_parts"]:
+                    raise ValueError(
+                        f"merge source has {stats['null_parts']} "
+                        f"upsert(s) with a NULL or empty "
+                        f"{', '.join(pcols)}"
+                    )
+                part = glob.glob(os.path.join(tmp, "part-*.parquet"))
+                if len(part) != 1:
+                    raise RuntimeError(
+                        f"expected one part file under {tmp}"
+                    )
+                os.replace(part[0], dst)
+                seed_schema_cache(dst, key_rows.schema)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
             n_appended = int(stats["n_appended"] or 0)
             if n_appended:
                 src.filter(~F.col(delete_col)).select(*out_cols).write.mode(

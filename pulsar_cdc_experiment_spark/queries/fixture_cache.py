@@ -53,6 +53,89 @@ def session_fixture(
     return path
 
 
+def write_feed_batches(
+    feed_root: str,
+    parts,
+    base: int = 1_700_000_000,
+    step: int = 60,
+    flat: bool = False,
+) -> None:
+    """Write time-ordered streaming feed batches in ONE Spark job.
+
+    The naive loop — one ``coalesce(1).write`` per batch — re-runs each
+    part's full lineage, so window-derived batches pay a repeated
+    scan + shuffle per batch. Tagging every part with a literal
+    ``__batch`` and writing once with ``partitionBy`` shares a single
+    pass over the union; ``repartition("__batch")`` lands each batch in
+    exactly ONE task, hence ONE file per batch dir — the invariant
+    ``maxFilesPerTrigger=1`` replay depends on. Batch dirs are renamed
+    to ``{i:03d}`` and mtime-stamped ``base + i*step`` so the file
+    stream replays them in feed order (the same layout the old loop
+    produced)."""
+    from pyspark.sql import functions as F
+
+    parts = list(parts)
+    tagged = None
+    for i, p in enumerate(parts):
+        t = p.withColumn("__batch", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    _write_tagged_feed(feed_root, tagged, len(parts), base, step, flat)
+
+
+def write_feed_batches_by(
+    feed_root: str,
+    df,
+    batch_col,
+    n: int,
+    base: int = 1_700_000_000,
+    step: int = 60,
+    flat: bool = False,
+) -> None:
+    """:func:`write_feed_batches` for a feed SLICED from one DataFrame
+    (``batch_col`` ∈ 0..n-1): tags with the expression directly, so the
+    source is scanned ONCE instead of once per slice-filter leg."""
+    _write_tagged_feed(
+        feed_root, df.withColumn("__batch", batch_col), n, base, step,
+        flat,
+    )
+
+
+def _write_tagged_feed(
+    feed_root: str, tagged, n: int, base: int, step: int, flat: bool
+) -> None:
+    import glob as _glob
+
+    staging = feed_root.rstrip(os.sep) + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    tagged.repartition("__batch").write.partitionBy("__batch").parquet(
+        staging
+    )
+    os.makedirs(feed_root, exist_ok=True)
+    for i in range(n):
+        src = os.path.join(staging, f"__batch={i}")
+        if not os.path.isdir(src):
+            raise RuntimeError(
+                f"feed batch {i} produced no rows — every batch of a "
+                "replayed feed must be non-empty"
+            )
+        t = base + i * step
+        if flat:
+            # readers without recursiveFileLookup take one FILE per
+            # batch directly under the feed root
+            part = _glob.glob(os.path.join(src, "part-*.parquet"))
+            if len(part) != 1:
+                raise RuntimeError(f"expected one part file under {src}")
+            dst = os.path.join(feed_root, f"{i:03d}.parquet")
+            os.replace(part[0], dst)
+            os.utime(dst, (t, t))
+        else:
+            dst = os.path.join(feed_root, f"{i:03d}")
+            os.replace(src, dst)
+            for fn in os.listdir(dst):
+                os.utime(os.path.join(dst, fn), (t, t))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 _ONCE: set[tuple[str, str, str]] = set()
 
 

@@ -33,7 +33,11 @@ from ..plans.mor import (
 )
 from ..registry import register
 from ..sources.tables import table
-from .fixture_cache import session_fixture
+from .fixture_cache import (
+    session_fixture,
+    write_feed_batches,
+    write_feed_batches_by,
+)
 from .merge_q import _ORDER_COLS, _TOUCHED, _changeset
 
 
@@ -472,14 +476,10 @@ def stream_mor_apply(spark, sf_dir):
             os.path.join(sf_dir, "events.parquet")
         )
         t0 = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-        base = 1_700_000_000
-        for i, part in enumerate(
-            (ev.filter(F.col("ts") < t0), ev.filter(F.col("ts") >= t0))
-        ):
-            p = os.path.join(feed_root, f"{i:03d}")
-            part.coalesce(1).write.parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+        write_feed_batches(
+            feed_root,
+            (ev.filter(F.col("ts") < t0), ev.filter(F.col("ts") >= t0)),
+        )
 
         stream = (
             spark.readStream.schema(EVENTS_RAW)
@@ -906,14 +906,9 @@ def stream_mor_auto_maintain(spark, sf_dir):
         ev = spark.read.schema(EVENTS_RAW).parquet(
             os.path.join(sf_dir, "events.parquet")
         )
-        base = 1_700_000_000
-        for i in range(6):
-            p = os.path.join(feed_root, f"{i:03d}")
-            ev.filter(F.col("event_id") % 6 == i).coalesce(1).write.parquet(
-                p
-            )
-            for fn in os.listdir(p):
-                os.utime(os.path.join(p, fn), (base + i * 60, base + i * 60))
+        write_feed_batches_by(
+            feed_root, ev, F.col("event_id") % 6, 6
+        )
 
         stream = (
             spark.readStream.schema(EVENTS_RAW)

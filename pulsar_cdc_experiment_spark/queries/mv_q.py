@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..plans.mv import answer_aggregate, create_mv
 from ..registry import register
 from ..sources.tables import table
-from .fixture_cache import session_fixture
+from .fixture_cache import session_fixture, write_feed_batches
 
 
 def _cents():
@@ -1647,12 +1647,9 @@ def stream_join_mv_fixture(spark, sf_dir: str) -> str:
             .withColumn("o_orderkey", key + 40_000_000)
             .withColumn("is_delete", F.lit(False))
         )
-        base = 1_700_000_000
-        for i, part in enumerate((batch0, batch1, upd.unionByName(ins))):
-            p = os.path.join(feed_root, f"{i:03d}")
-            part.coalesce(1).write.parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+        write_feed_batches(
+            feed_root, (batch0, batch1, upd.unionByName(ins))
+        )
 
         cents = cents_raw.alias("cents")
 
@@ -1881,12 +1878,9 @@ def stream_mv_fixture(spark, sf_dir: str) -> str:
             .withColumn("o_orderpriority", F.lit("2-HIGH"))
             .withColumn("is_delete", F.lit(False))
         )
-        base = 1_700_000_000
-        for i, part in enumerate((batch0, batch1, upd.unionByName(ins))):
-            p = os.path.join(feed_root, f"{i:03d}")
-            part.coalesce(1).write.parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+        write_feed_batches(
+            feed_root, (batch0, batch1, upd.unionByName(ins))
+        )
 
         cents = F.floor(
             F.col("o_totalprice") * 100 + F.lit(0.5)
@@ -2372,13 +2366,9 @@ def stream_mv_compact_fixture(spark, sf_dir: str) -> str:
             ranked.filter(~is_med_max & (key % 100 == 77))
             .drop("rn").withColumn("is_delete", F.lit(True))
         )
-        base = 1_700_000_000
-        parts = (batch0, batch1, upd.unionByName(ins), batch3)
-        for i, part in enumerate(parts):
-            p = os.path.join(feed_root, f"{i:03d}")
-            part.coalesce(1).write.parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+        write_feed_batches(
+            feed_root, (batch0, batch1, upd.unionByName(ins), batch3)
+        )
 
         cents = F.floor(
             F.col("o_totalprice") * 100 + F.lit(0.5)

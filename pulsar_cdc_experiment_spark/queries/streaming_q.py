@@ -1014,16 +1014,10 @@ def stream_late_data_drop(spark, sf_dir):
         ev.filter(us < F.lit(mid_us)),  # LATE: every row behind the watermark
     ]
     d = tempfile.mkdtemp(prefix="late_drop_")
-    base = 1_700_000_000
-    for i, b in enumerate(batches):
-        stage = os.path.join(d, f"_stage{i}")
-        b.coalesce(1).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        final = os.path.join(d, f"{i:03d}.parquet")
-        os.replace(part, final)
-        # file source orders batches by modification time — pin it
-        os.utime(final, (base + i * 60, base + i * 60))
-        shutil.rmtree(stage)
+    from .fixture_cache import write_feed_batches
+
+    # file source orders batches by modification time — the helper pins it
+    write_feed_batches(d, batches, flat=True)
     stream = (
         spark.readStream.schema(EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
@@ -1111,17 +1105,13 @@ def stream_late_drop_counts(spark, sf_dir):
         sentinel,  # watermark → past every real window end
     ]
     d = tempfile.mkdtemp(prefix="late_counts_")
-    base = 1_700_000_000
-    for i, b in enumerate(batches):
-        stage = os.path.join(d, f"_stage{i}")
-        b.select(*[f.name for f in EVENTS_RAW.fields]).coalesce(
-            1
-        ).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        final = os.path.join(d, f"{i:03d}.parquet")
-        os.replace(part, final)
-        os.utime(final, (base + i * 60, base + i * 60))
-        shutil.rmtree(stage)
+    from .fixture_cache import write_feed_batches
+
+    write_feed_batches(
+        d,
+        [b.select(*[f.name for f in EVENTS_RAW.fields]) for b in batches],
+        flat=True,
+    )
     stream = (
         spark.readStream.schema(EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
@@ -1188,16 +1178,12 @@ def _time_ordered_event_stream(spark, sf_dir, n_files: int = 3):
     lo, hi = ev.agg(F.min(us), F.max(us)).first()
     span = max(1, (hi - lo) // n_files + 1)
     d = tempfile.mkdtemp(prefix="ivm_src_")
-    base = 1_700_000_000
-    for i in range(n_files):
-        cond = (us >= lo + i * span) & (us < lo + (i + 1) * span)
-        stage = os.path.join(d, f"_stage{i}")
-        ev.filter(cond).coalesce(1).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        final = os.path.join(d, f"{i:03d}.parquet")
-        os.replace(part, final)
-        os.utime(final, (base + i * 60, base + i * 60))
-        shutil.rmtree(stage)
+    from .fixture_cache import write_feed_batches_by
+
+    write_feed_batches_by(
+        d, ev, ((us - F.lit(lo)) / F.lit(span)).cast("int"), n_files,
+        flat=True,
+    )
     return (
         spark.readStream.schema(EVENTS_RAW)
         .option("maxFilesPerTrigger", 1)
@@ -1665,15 +1651,9 @@ def stream_auto_maintenance(spark, sf_dir):
         )
         src = os.path.join(root, "src")
         os.makedirs(src)
-        base = 1_700_000_000
-        for i in range(6):
-            stage = os.path.join(src, f"_stage{i}")
-            ev.filter(slice_col == i).coalesce(1).write.parquet(stage)
-            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            final = os.path.join(src, f"{i:03d}.parquet")
-            os.replace(part, final)
-            os.utime(final, (base + i * 60, base + i * 60))
-            shutil.rmtree(stage)
+        from .fixture_cache import write_feed_batches_by
+
+        write_feed_batches_by(src, ev, slice_col, 6, flat=True)
 
         lay = os.path.join(root, "events")
 
@@ -1811,14 +1791,11 @@ def stream_merge_apply(spark, sf_dir):
             os.path.join(sf_dir, "events.parquet")
         )
         t0 = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-        base = 1_700_000_000
-        for i, part in enumerate(
-            (ev.filter(F.col("ts") < t0), ev.filter(F.col("ts") >= t0))
-        ):
-            p = os.path.join(feed_root, f"{i:03d}")
-            part.coalesce(1).write.parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+        from .fixture_cache import write_feed_batches_by
+
+        write_feed_batches_by(
+            feed_root, ev, (F.col("ts") >= t0).cast("int"), 2
+        )
 
         stream = (
             spark.readStream.schema(EVENTS_RAW)
@@ -2010,12 +1987,9 @@ def stream_ivm_join(spark, sf_dir):
                 )
             )
         )
-        base = 1_700_000_000
-        for i, part in enumerate((batch0, batch1)):
-            p = os.path.join(feed_root, f"{i:03d}")
-            part.coalesce(1).write.parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+        from .fixture_cache import write_feed_batches
+
+        write_feed_batches(feed_root, (batch0, batch1))
 
         maintainer = IncrementalJoinMaintainer(
             os.path.join(root, "state"),
@@ -2142,12 +2116,9 @@ def stream_ivm_minmax(spark, sf_dir):
             )
             .unionByName(ins.withColumn("__z", z1))
         )
-        base = 1_700_000_000
-        for i, part in enumerate((batch0, batch1)):
-            p = os.path.join(feed_root, f"{i:03d}")
-            part.coalesce(1).write.parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (base + i * 60, base + i * 60))
+        from .fixture_cache import write_feed_batches
+
+        write_feed_batches(feed_root, (batch0, batch1))
 
         maintainer = IncrementalMinMaxMaintainer(
             os.path.join(root, "state"), on=["g"], val="cents"
