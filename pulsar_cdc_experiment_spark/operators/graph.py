@@ -135,28 +135,52 @@ def pagerank_until_converged(
 
     The unrolled variant (:func:`pagerank_fixed_point`) is one lazy plan —
     right when the round count is known. Convergence needs a per-round
-    decision, which means one bounded driver-side action per round: the
-    residual sum(|rank_k − rank_{k-1}|) — ONE scalar, the same sanctioned
-    shape as label propagation's convergence count
-    (operators/components.py; tests/test_scale_plans.py allowlist). Each
-    round's ranks are persisted (and the previous round's unpersisted) so
-    round k+1 and the residual read a materialized table, not a
-    re-derivation — without this the lineage re-executes every prior
-    round each iteration and the loop goes quadratic.
+    decision, which means one bounded driver-side action per round — the
+    same sanctioned shape as label propagation's convergence count
+    (operators/components.py; tests/test_scale_plans.py allowlist).
+
+    Round-19 optimization (guide §1.2 step 1 + §3.3 plan truncation):
+    each round's ranks are ``localCheckpoint(eager=True)``-materialized,
+    which BOTH stores the round's output and TRUNCATES the lineage — the
+    pre-optimization persist() kept the full unrolled logical plan alive,
+    so every round's analysis/planning walked k rounds of lineage (the
+    final plan was 21,829 formatted lines; the per-round driver gaps grew
+    with k). The residual sum(|rank_k − rank_{k-1}|) now RIDES the
+    checkpoint materialization as an ``Observation`` on a plan that
+    carries the previous rank through the fold (prev-ranks LEFT JOIN
+    contributions — the exact shape the DuckDB oracle's CTEs use), so a
+    round costs ONE action instead of two (materialize + separate
+    residual join), and the dangling-vertex union/anti-join machinery
+    disappears: a vertex with no inbound contribution folds to teleport
+    via ``coalesce(csum, 0)``. Same integer trajectory, same stopping
+    round, bit-identical output.
+
+    Trade recorded: localCheckpoint blocks are executor-local and
+    non-replicated — on a cluster an executor loss mid-loop fails the
+    query (restart the loop); the previous persist() could not recompute
+    affordably either (full-lineage recompute was quadratic), so nothing
+    real is lost, and old rounds' blocks are reclaimed by the
+    ContextCleaner as references drop.
 
     Returns ``(ranks, rounds_run)``. Deterministic: integer arithmetic
     makes both the trajectory and the stopping round reproducible.
     """
+    from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
     deg = out_degrees(edges)
     teleport = RANK_SCALE * (100 - damping_pct) // 100
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    vertices, dangling = _vertices_and_dangling(edges_deg, teleport)
-    ranks = vertices.select(
-        "node", F.lit(RANK_SCALE).cast("long").alias("rank")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n_nodes = ranks.count()
+    vertices = (
+        edges_deg.select("src").distinct().select(F.col("src").alias("node"))
+    )
+    obs0 = Observation()
+    ranks = (
+        vertices.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = int(obs0.get["n"])
     rounds = 0
     for i in range(max_iters):
         e, r = edges_deg.alias(f"ce{i}"), ranks.alias(f"cr{i}")
@@ -164,21 +188,27 @@ def pagerank_until_converged(
             F.col(f"ce{i}.dst").alias("dst"),
             F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
         )
+        csum = contrib.groupBy("dst").agg(F.sum("contrib").alias("csum"))
+        obs = Observation()
         nxt = (
-            contrib.groupBy("dst")
-            .agg((F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank"))
-            .select(F.col("dst").alias("node"), "rank")
-            .unionByName(dangling)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            ranks.select("node", F.col("rank").alias("__prev"))
+            .join(csum, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.coalesce(F.col("csum"), F.lit(0).cast("long"))
+                ).alias("rank"),
+                "__prev",
+            )
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("resid"),
+            )
+            .drop("__prev")
+            .localCheckpoint(eager=True)
         )
-        a, b = nxt.alias("nx"), ranks.alias("pv")
-        residual = (
-            a.join(b, F.col("nx.node") == F.col("pv.node"))
-            .select(F.abs(F.col("nx.rank") - F.col("pv.rank")).alias("d"))
-            .agg(F.sum("d"))
-            .first()[0]
-        )
-        ranks.unpersist()
+        residual = int(obs.get["resid"])
         ranks = nxt
         rounds = i + 1
         if residual <= eps_per_node * n_nodes:

@@ -207,7 +207,9 @@ def _file_probe_plan(
     for c in keys:
         fields.append(T.StructField(f"__lo_{c}", ktype[c]))
         fields.append(T.StructField(f"__hi_{c}", ktype[c]))
-    stats = spark.createDataFrame(rows, T.StructType(fields))
+    from ..sources.tables import local_rows
+
+    stats = local_rows(spark, rows, T.StructType(fields))
     cond = F.lit(True)
     for c in keys:
         cond = (

@@ -267,8 +267,10 @@ def _folded_topk(
             # cannot express): hinted broadcast of the just-collected,
             # changeset-bounded list — its subtree has no file scan,
             # so the data-proportional-broadcast gate stays meaningful
+            from ..sources.tables import local_rows
+
             risky = F.broadcast(
-                spark.createDataFrame(vals, risky.schema)
+                local_rows(spark, vals, risky.schema)
             )
     if risky is None and risky_pred is None:
         safe_ins = ins

@@ -59,7 +59,9 @@ def footer_min_max(spark: SparkSession, path: str, cols: list[str]) -> DataFrame
             aggs.append(F.max(c).alias(f"{c}_max"))
         out = df.agg(*aggs)
         rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    from ..sources.tables import local_rows
+
+    return local_rows(spark, rows, out.schema)
 
 
 def footer_count(spark: SparkSession, path: str) -> int:

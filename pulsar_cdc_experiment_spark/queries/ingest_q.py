@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from ..functions.time import epoch_micros
 from ..registry import register
 from ..sources.files import CORRUPT_COL, read_csv, read_jsonl
-from ..sources.tables import read_dir, table
+from ..sources.tables import local_rows, read_dir, table
 from .fixture_cache import session_fixture
 
 _FEED_SCHEMA = T.StructType(
@@ -493,7 +493,7 @@ def multimodal_serving_pipeline(spark, sf_dir):
         quarantined = int(o_torn.get["n"] or 0)
         kept = int(o_kept.get["n"])
         dup_removed = int(o_clean.get["n"]) - kept
-        audit = spark.createDataFrame(
+        audit = local_rows(spark,
             [
                 ("quarantined", "torn_payload", quarantined),
                 ("dup_removed", "at_least_once", dup_removed),

@@ -29,7 +29,7 @@ from ..functions.rounding import rn
 from ..functions.time import epoch_micros
 from ..plans.layout import zorder_layout
 from ..registry import register
-from ..sources.tables import read_dir, table
+from ..sources.tables import local_rows, read_dir, table
 from .fixture_cache import session_fixture
 
 # fixed event-type domain of the testdata generator (TESTDATA.md); unknown
@@ -301,7 +301,7 @@ def dpp_partitioned_join(spark, sf_dir):
 
     root = session_fixture("dpp_events", sf_dir, "ptype_v1", build)
     fact = read_dir(spark, os.path.join(root, "events"))
-    dim = spark.createDataFrame(EVENT_DIM, ["event_type", "category"])
+    dim = local_rows(spark, EVENT_DIM, "event_type string, category string")
     return (
         fact.join(dim, "event_type")
         .filter(F.col("category") == "conversion")
@@ -374,7 +374,7 @@ def incremental_maintenance_report(spark, sf_dir):
     root = session_fixture("incr_maint", sf_dir, "frag32_thr8_v1", build)
     with open(os.path.join(root, "report.json")) as f:
         report = json.load(f)
-    rep_df = spark.createDataFrame(
+    rep_df = local_rows(spark,
         [
             (
                 entry.split("=", 1)[1],

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..plans.merge import merge_into
 from ..registry import register
-from ..sources.tables import read_dir, table
+from ..sources.tables import local_rows, read_dir, table
 from .fixture_cache import session_fixture
 
 _ORDER_COLS = (
@@ -647,7 +647,7 @@ def merge_txn_fixture(spark, sf_dir: str) -> str:
             )
             return dele.unionByName(upd)
 
-        bogus = spark.createDataFrame(
+        bogus = local_rows(spark,
             [("R", False)], "l_returnflag string, is_delete boolean"
         )
         failed = None
@@ -1111,7 +1111,7 @@ def merge_describe_history(spark, sf_dir):
         )
         for m in merge_history(os.path.join(root, "orders"))
     ]
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows,
         "version int, n_touched int, n_updated bigint, "
         "n_deleted bigint, n_inserted bigint",

@@ -32,7 +32,7 @@ from ..plans.mor import (
     read_mor,
 )
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import local_rows, table
 from .fixture_cache import (
     session_fixture,
     write_feed_batches,
@@ -323,7 +323,7 @@ def merge_dv_describe_history(spark, sf_dir):
         (s["seq"], s["n_delete_keys"], s["n_appended"])
         for s in mor_history(os.path.join(root, "orders"))
     ]
-    return spark.createDataFrame(
+    return local_rows(spark,
         rows, "seq int, n_delete_keys bigint, n_appended bigint"
     )
 
@@ -649,7 +649,7 @@ def merge_dv_auto_compact(spark, sf_dir):
     root = mor_auto_fixture(spark, sf_dir)
     with open(os.path.join(root, "report.json")) as f:
         rep = json.load(f)
-    decisions = spark.createDataFrame(
+    decisions = local_rows(spark,
         [
             ("decision", "check1_depth",
              rep["check1"]["overlay_depth"],
@@ -731,7 +731,7 @@ def txn_mixed_fixture(spark, sf_dir: str) -> str:
             )
             return upd.unionByName(dele)
 
-        bogus = spark.createDataFrame(
+        bogus = local_rows(spark,
             [(1.0, "1-URGENT", False)],
             "o_totalprice double, o_orderpriority string, "
             "is_delete boolean",
@@ -975,7 +975,7 @@ def stream_mor_auto_maintain(spark, sf_dir):
     root = session_fixture("stream_mor_auto", sf_dir, "slice6_depth2", build)
     with open(os.path.join(root, "decisions.json")) as f:
         decisions = json.load(f)
-    dec_rows = spark.createDataFrame(
+    dec_rows = local_rows(spark,
         [
             ("decision", k, d["overlay_depth"], int(d["triggered"]))
             for k, d in sorted(decisions.items())

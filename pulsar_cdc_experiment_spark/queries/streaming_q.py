@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import rn
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import local_rows, table
 from ..streaming.pipeline import (
     drain_or_raise,
     read_events_stream,
@@ -639,7 +639,7 @@ def _events_feed_with_flush_sentinels(spark, sf_dir):
             os.path.join(sf_dir, "events.parquet")
         )
         far = datetime.datetime(2024, 3, 1)
-        sent = spark.createDataFrame(
+        sent = local_rows(spark,
             [
                 (-1, far, -1, "purchase", 0.0, None),
                 (-2, far, -1, "signup", 0.0, None),
@@ -1706,7 +1706,7 @@ def stream_auto_maintenance(spark, sf_dir):
     root = session_fixture("stream_maint", sf_dir, "s6_thr4_v1", build)
     with open(os.path.join(root, "report.json")) as f:
         report = json.load(f)
-    rep_df = spark.createDataFrame(
+    rep_df = local_rows(spark,
         [(k.split("=", 1)[1], v["rewritten"]) for k, v in report.items()],
         "event_type string, rewritten boolean",
     )

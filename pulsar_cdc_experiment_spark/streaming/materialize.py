@@ -654,7 +654,9 @@ class IncrementalMinMaxMaintainer:
             base_new = self._fold_base(base_old, delta).persist()
             view_old = self._state.current_table(spark, "view")
             if view_old is None:
-                view_old = spark.createDataFrame(
+                from ..sources.tables import local_rows
+
+                view_old = local_rows(spark,
                     [],
                     base_new.select(
                         *self.on,
