@@ -74,6 +74,7 @@ from .layout import (
     recover_partition_swaps,
     target_file_count,
 )
+from .tuning import job_label
 
 # Spark writes NULL and ''-valued partitions to this reserved dir name;
 # rows in it read back as NULL. merge_into refuses both on the source
@@ -410,7 +411,7 @@ def merge_into(
     staging/aside dirs (round-10 review: the lock existed but merge
     never took it).
     """
-    with maintenance_lock(root):
+    with maintenance_lock(root), job_label(spark, "merge.cow"):
         return _merge_into_unlocked(
             spark,
             root,
@@ -497,7 +498,13 @@ def _merge_into_unlocked(
     for c in pcols:
         src = src.withColumn(c, F.col(c).cast("string"))
     src = src.select(*out_cols, F.col(delete_col).cast("boolean"))
-    src.persist()
+    # Materialize AND lineage-truncate the changeset (round-19, guide
+    # §3.3/§5): the stats collect and the staging write each re-analyzed
+    # the caller's full changeset lineage (often windowed ranked plans)
+    # under the previous persist(); the checkpoint pays the same one
+    # materialization and every later action plans against a bare
+    # ExistingRDD scan. O(changeset) rows, verb context (jobs fine).
+    src = src.localCheckpoint(eager=True)
     try:
         # -- guard + stats + touched discovery: one bounded-output
         # action. The target side is a key+partition projection
@@ -1373,7 +1380,7 @@ def purge_keys(
     # phase 2 — history scrub
     purged_rows = 0
     scrubbed: list[int] = []
-    with maintenance_lock(root):
+    with maintenance_lock(root), job_label(spark, "merge.purge"):
         for man in merge_history(root):
             vdir = os.path.join(root, HISTORY, f"v{man['version']:06d}")
             _purge_recover(vdir)

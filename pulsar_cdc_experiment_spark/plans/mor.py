@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .layout import maintenance_lock
+from .tuning import job_label
 
 MOR = ".mor"
 _BASE_FMT = "base-{:06d}"
@@ -456,7 +457,7 @@ def merge_into_mor(
     unique and non-null — the validation aggregation over the CHANGESET
     rides the sidecar write (one shared key-shuffle + Observation).
     """
-    with maintenance_lock(root):
+    with maintenance_lock(root), job_label(spark, "mor.merge"):
         man = _read_manifest(root)
         _sweep_orphans(root, man)
         keys, pcols = man["keys"], man["partition_col"]
@@ -527,9 +528,40 @@ def merge_into_mor(
             os.makedirs(os.path.join(root, MOR, "delete"), exist_ok=True)
             dst = _delete_file(root, seq)
             tmp = dst + ".tmpdir"
+            delta_dst = _delta_dir(root, seq)
+            delta_tmp = delta_dst + ".tmpdir"
             shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(delta_tmp, ignore_errors=True)
             try:
-                key_rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+                # OVERLAP the two independent write jobs (guide §2.6):
+                # both consume the persisted changeset; each is a small
+                # fixed-overhead job, so running them sequentially
+                # doubled the verb's wall. Both land in tmp dirs —
+                # validation (which needs the sidecar's Observation)
+                # and the no-op/delete-only decisions happen BEFORE any
+                # rename, so a rejected changeset still publishes
+                # nothing. Thread caveat: job groups/descriptions are
+                # thread-local, so the label is re-applied in-thread.
+                desc = spark.sparkContext.getLocalProperty(
+                    "spark.job.description"
+                )
+
+                def _write_delta():
+                    spark.sparkContext.setJobDescription(desc)
+                    src.filter(~F.col(delete_col)).select(
+                        *out_cols
+                    ).write.mode("overwrite").partitionBy(*pcols).parquet(
+                        delta_tmp
+                    )
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    delta_fut = pool.submit(_write_delta)
+                    key_rows.coalesce(1).write.mode("overwrite").parquet(
+                        tmp
+                    )
+                    delta_fut.result()
                 stats = obs.get
                 if not stats["n_keys"]:
                     return {
@@ -559,13 +591,16 @@ def merge_into_mor(
                     )
                 os.replace(part[0], dst)
                 seed_schema_cache(dst, key_rows.schema)
+                n_appended = int(stats["n_appended"] or 0)
+                if n_appended:
+                    if os.path.exists(delta_dst):
+                        raise RuntimeError(
+                            f"delta dir {delta_dst} already exists"
+                        )
+                    os.rename(delta_tmp, delta_dst)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
-            n_appended = int(stats["n_appended"] or 0)
-            if n_appended:
-                src.filter(~F.col(delete_col)).select(*out_cols).write.mode(
-                    "errorifexists"
-                ).partitionBy(*pcols).parquet(_delta_dir(root, seq))
+                shutil.rmtree(delta_tmp, ignore_errors=True)
         finally:
             src.unpersist()
         if extra:
@@ -708,7 +743,7 @@ def compact_mor(
     folded into the new base are re-born at ``base_seq = upto``, and
     every retained delete has seq > upto, so it still applies to them —
     no sidecar rewrite needed."""
-    with maintenance_lock(root):
+    with maintenance_lock(root), job_label(spark, "mor.compact"):
         man = _read_manifest(root)
         _sweep_orphans(root, man)
         return _compact_locked(spark, root, man, upto)
@@ -854,7 +889,7 @@ def auto_compact_mor(
     relative to the state actually compacted). Returns the observed
     counters, the decision, and the compaction report when
     triggered."""
-    with maintenance_lock(root):
+    with maintenance_lock(root), job_label(spark, "mor.auto_compact"):
         man = _read_manifest(root)
         depth = len(man["seqs"])
         sidecar_keys = sum(s["n_delete_keys"] for s in man["seqs"])
@@ -905,14 +940,42 @@ def change_feed_mor(
             "sequences are unreachable"
         )
     span = [s for s in man["seqs"] if from_seq < s["seq"] <= hi]
-    touched = None
+    dels = None
     for s in span:
-        d = _read_cached(spark, _delete_file(root, s["seq"]))
-        touched = d if touched is None else touched.unionByName(d)
-    touched = touched.distinct()
+        d = _read_cached(spark, _delete_file(root, s["seq"])).withColumn(
+            "__dseq", F.lit(s["seq"])
+        )
+        dels = d if dels is None else dels.unionByName(d)
+    touched = dels.select(*keys).distinct()
 
     pre = read_mor(spark, root, from_seq).join(touched, keys, "left_semi")
-    post = read_mor(spark, root, hi).join(touched, keys, "left_semi")
+    # post = the SPAN folded onto the touched pre-image (round-19
+    # optimization): read_mor(hi) semi-joined to touched re-reads the
+    # whole overlay (base + every delta + every sidecar) a second time,
+    # but outside the span nothing the feed reports can change — the
+    # touched pre rows ARE the base state the span applies to. Fold
+    # with read_mor's exact __born/__dmax rule: a span sidecar always
+    # outranks a pre row (dseq > from_seq >= its birth), span deltas
+    # survive deletes at-or-below their own seq. Halves the feed's
+    # plan (one overlay read instead of two, one semi-join).
+    post_rows = pre.withColumn("__born", F.lit(from_seq))
+    for s in span:
+        if s["n_appended"]:
+            d = _delta_dir(root, s["seq"])
+            post_rows = post_rows.unionByName(
+                _read_cached(spark, d, base_path=d).withColumn(
+                    "__born", F.lit(s["seq"])
+                ),
+                allowMissingColumns=True,
+            )
+    dmax = dels.groupBy(*keys).agg(F.max("__dseq").alias("__dmax"))
+    post = (
+        post_rows.join(dmax, keys, "left")
+        .filter(
+            F.col("__dmax").isNull() | (F.col("__dmax") <= F.col("__born"))
+        )
+        .drop("__dmax", "__born")
+    )
 
     types = {f.name: f.dataType for f in post.schema.fields}
     for f in pre.schema.fields:
@@ -1000,7 +1063,7 @@ def purge_keys_mor(
     sweep), and sidecar files swap atomically with ``os.replace``.
     Returns ``{"data_rows_purged", "sidecar_keys_purged",
     "components_rewritten"}``."""
-    with maintenance_lock(root):
+    with maintenance_lock(root), job_label(spark, "mor.purge"):
         man = _read_manifest(root)
         _sweep_orphans(root, man)
         keys, pcols = man["keys"], man["partition_col"]

@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .layout import maintenance_lock
+from .tuning import job_label
 from .mor import any_active_lease, lease_scope, seed_schema_cache
 
 #: requested-measure functions the rewriter understands.
@@ -314,7 +315,7 @@ def create_mv(
     group_cols = list(group_cols)
     exprs, meta = _partials(dict(measures))
     os.makedirs(mv_root, exist_ok=True)
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(spark, "mv.create"):
         d = _mv_dir(mv_root, name)
         if os.path.exists(os.path.join(d, "mv.json")):
             raise ValueError(f"materialized view {name} already exists")
@@ -344,7 +345,7 @@ def refresh_mv(
     """Recompute the MV against the source's CURRENT state into a new
     data generation; the manifest publish is the atomic flip, the old
     generation stays as the (lease-enforceable) reader grace window."""
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(spark, "mv.refresh"):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
@@ -406,7 +407,7 @@ def maintain_mv(
     token the source's current state is stamped (the documented
     single-writer assumption). Work is O(changeset + groups +
     risky-group base scan) vs refresh_mv's full fact pass."""
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(spark, "mv.maintain"):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
@@ -508,12 +509,19 @@ def _fold_changes_and_swap(
     VERB, jobs allowed, and the probe skips the risky-recompute leg —
     and with it the base scan — in the common no-extremum-hit batch."""
     _sweep_mv(d, man)
-    # Persist the changeset for the verb's duration: it is O(changes)
+    # Materialize AND lineage-truncate the changeset for the verb's
+    # duration (round-19 optimization, guide §3.3/§5): it is O(changes)
     # small, and the fold plan references it several times (the risky
-    # probe, the touched/untouched split, the delta aggregate) — each
-    # reference would otherwise recompute the caller's feed lineage
-    # (guide §5 caching: reused AND expensive to recompute).
-    changes = changes.persist()
+    # probe, the touched/untouched split, the delta aggregate). The
+    # previous persist() cached the ROWS but every downstream action
+    # (probe job, staging write) still re-ANALYZED the caller's full
+    # feed-compose lineage — measured as ~1 s driver gaps per maintain
+    # in the streaming loops. localCheckpoint(eager=True) pays the same
+    # one materialization the persist's first action paid, and every
+    # consumer then plans against a bare ExistingRDD scan. Maintenance
+    # is a VERB (jobs sanctioned); the LIVE serve path calls
+    # _folded_partials directly and stays job-free.
+    changes = changes.localCheckpoint(eager=True)
     try:
         out = _folded_partials(
             spark, d, man, changes, base_new, precheck_risky=True
@@ -548,7 +556,7 @@ def scrub_mv_groups(
     serve the purged contributions either way; the scrub is what
     restores summary serving WITHOUT a fact-scan refresh.) Returns
     ``{"groups_scrubbed": n}``."""
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(spark, "mv.scrub"):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
@@ -1452,7 +1460,7 @@ def create_join_mv(
     group_cols = list(group_cols)
     exprs, meta = _partials(dict(measures))
     os.makedirs(mv_root, exist_ok=True)
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(spark, "mv.create_join"):
         d = _mv_dir(mv_root, name)
         if os.path.exists(os.path.join(d, "mv.json")):
             raise ValueError(f"materialized view {name} already exists")
@@ -1757,7 +1765,7 @@ def maintain_join_mv(
     full star-join re-run."""
     from ..operators.materialize import star_join_delta
 
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(spark, "mv.maintain_join"):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
@@ -1929,7 +1937,7 @@ def maintain_mv_from_mor(
     is always cut first), or ``refresh_mv``."""
     from .mor import _read_manifest, change_feed_mor
 
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(spark, "mv.maintain_from_mor"):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)
@@ -1989,11 +1997,17 @@ def maintain_mv_from_mor(
         )
         from .mor import read_mor
 
-        base_new = project(
-            read_mor(spark, mor_root).withColumn(
-                "change_type", F.lit("insert")
-            )
-        ).drop("change_type")
+        def base_new(_risky_keys):
+            # lazily-built post-state overlay (round-19): only the
+            # RISKY recompute leg reads the table, and most batches
+            # have none — building the read_mor plan eagerly paid its
+            # full py4j/analysis construction on every maintain.
+            return project(
+                read_mor(spark, mor_root).withColumn(
+                    "change_type", F.lit("insert")
+                )
+            ).drop("change_type")
+
         _fold_changes_and_swap(
             spark, d, man, changes, base_new,
             pre_swap=lambda: _stamp_fingerprint(man, token),
@@ -2043,7 +2057,9 @@ def maintain_join_mv_from_mor(
     from ..operators.materialize import star_join_delta
     from .mor import _read_manifest, change_feed_mor, read_mor
 
-    with maintenance_lock(mv_root):
+    with maintenance_lock(mv_root), job_label(
+        spark, "mv.maintain_join_from_mor"
+    ):
         d = _mv_dir(mv_root, name)
         with open(os.path.join(d, "mv.json")) as f:
             man = json.load(f)

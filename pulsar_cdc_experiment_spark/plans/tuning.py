@@ -8,7 +8,24 @@ unless fanned out. At 100 TB the scan itself provides the parallelism and
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+
+@contextmanager
+def job_label(spark, desc: str):
+    """Label every job submitted in the block (guide §1.5) so event-log
+    profiles (tools/profile_query.py) attribute wall time to lifecycle
+    VERBS instead of opaque py4j call sites. Thread-local on the Spark
+    side; restores the enclosing label so nested verbs compose."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
