@@ -242,6 +242,58 @@ def test_purge_erases_keys_everywhere_including_sidecars(spark, mor_table):
     assert rep2["sidecar_keys_purged"] == 0
 
 
+def test_change_feed_span_fold_equals_two_read_diff(spark, mor_table):
+    """The round-19 feed optimization builds the post side by folding
+    the span onto the touched pre-image instead of a second full
+    overlay read. This pins the equivalence on a gnarly span:
+    delete-then-REINSERT of the same key across span seqs, an update,
+    a pure delete, a pure insert, and a same-seq churn — the fold must
+    equal the reconstruction from read_mor(hi) semi-joined to the
+    touched keys (the pre-optimization definition)."""
+    from pyspark.sql import functions as F
+
+    root = mor_table
+    # seq 1: delete k=2, update k=4, insert k=100
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(2, 0.0, "a", True), (4, 400.0, "a", False),
+                     (100, 1.0, "b", False)]),
+    )
+    # seq 2: REINSERT k=2 (deleted in-span), delete k=100 (inserted
+    # in-span), update k=4 again, delete base k=7
+    merge_into_mor(
+        spark, root,
+        _chg(spark, [(2, 22.0, "b", False), (100, 0.0, "b", True),
+                     (4, 444.0, "a", False), (7, 0.0, "b", True)]),
+    )
+    feed = change_feed_mor(spark, root, 0)
+    got_post = {
+        (r["k"], r["v"], r["p"])
+        for r in feed.filter(
+            F.col("change_type").isin("insert", "update_post")
+        ).collect()
+    }
+    # reconstruction via the old definition: full overlay read at hi,
+    # restricted to the keys the span's sidecars touched
+    touched = {2, 4, 7, 100}
+    want_post = {
+        (r["k"], r["v"], r["p"])
+        for r in read_mor(spark, root).collect()
+        if r["k"] in touched
+    }
+    assert got_post == want_post == {(2, 22.0, "b"), (4, 444.0, "a")}
+    net = {
+        (r["k"], r["change_type"], r["v"]) for r in feed.collect()
+    }
+    # k=2: existed pre (v=2.0), deleted then reinserted -> net UPDATE;
+    # k=100: inserted then deleted in-span -> cancels entirely
+    assert net == {
+        (2, "update_pre", 2.0), (2, "update_post", 22.0),
+        (4, "update_pre", 4.0), (4, "update_post", 444.0),
+        (7, "delete", 7.0),
+    }
+
+
 def test_change_feed_net_and_per_seq(spark, mor_table):
     root = mor_table
     merge_into_mor(
