@@ -281,10 +281,13 @@ def _compact_line(compact: dict, limit: int = 1990) -> str:
     on a copy — the caller's dict is never mutated."""
     compact = dict(compact)
     line = json.dumps(compact, separators=(",", ":"))
-    # legs_bs sheds BEFORE calib_sec: the calibration constant is the
-    # cross-VM comparison key and must be the last survivor; the leg
-    # pairs also live in the FULL line and SCALE.md's round notes
-    for drop in ("skew_join", "key_aliases", "legs_bs", "calib_sec"):
+    # legs_bs sheds FIRST (round 20, r19 verdict #1): the per-query
+    # map now carries the six lifecycle heavyweights under their
+    # canonical names, so legs_bs is a secondary breakdown that also
+    # lives in the FULL line and SCALE.md's round notes — it must never
+    # displace a per-query entry from the driver-visible series.
+    # calib_sec is the cross-VM comparison key, last survivor.
+    for drop in ("legs_bs", "skew_join", "key_aliases", "calib_sec"):
         if len(line) <= limit:
             break
         compact.pop(drop, None)
@@ -614,12 +617,14 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "calib_sec": calib,
-        # round 19: fmt "min3L" — the LEG_BREAKDOWN heavyweights are
-        # OMITTED from the tail "queries" map when their leg pair
-        # exists (min3 reconstructs as build+serve; bench_series
-        # expands it back), buying the room that keeps every
-        # sub-second entry at 2 decimals
-        "fmt": "min3L",
+        # round 20 (r19 verdict #1): fmt back to "min3" — EVERY headline
+        # query, including the six LEG_BREAKDOWN heavyweights, appears in
+        # the tail "queries" map under its canonical name (the r19
+        # "min3L" omission made PERF report the six improved heavyweights
+        # as dropped_from_bench). The room comes from shedding legs_bs
+        # first in the ladder: the full 66-entry map + calib fits the
+        # 1990-char window (measured 1,924 chars at uniform 2 decimals).
+        "fmt": "min3",
         # round 17: the compact line emits timings under CANONICAL
         # names (aliases pre-applied) instead of carrying the alias
         # map — the 58-entry headline set outgrew the tail window with
@@ -645,7 +650,6 @@ def main() -> None:
                 else round(timings[n], 1)
             )
             for n in timings
-            if n not in legs  # reconstructed from legs_bs (fmt min3L)
         },
         # round 19: per-leg [build, serve] pairs for the lifecycle
         # heavyweights, ARRAY-FORM in LEG_BREAKDOWN order at 1-decimal

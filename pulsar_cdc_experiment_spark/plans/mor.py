@@ -211,8 +211,18 @@ def _delete_file(root: str, seq: int) -> str:
     return os.path.join(root, MOR, "delete", f"d-{seq:06d}.parquet")
 
 
+def _delta_root(root: str) -> str:
+    return os.path.join(root, MOR, "delta")
+
+
 def _delta_dir(root: str, seq: int) -> str:
-    return os.path.join(root, MOR, "delta", f"s-{seq:06d}")
+    """One delta component per sequence, laid out as a PARTITION of the
+    shared delta root (``__born=<seq>``): the overlay read scans the
+    root ONCE and gets the born sequence as a partition column — one
+    scan relation and partition-pruned ``as_of`` reads regardless of
+    retained-sequence count (round-20, r19 verdict #3; guide §6).
+    Zero-padded so directory listings sort in sequence order."""
+    return os.path.join(_delta_root(root), f"__born={seq:06d}")
 
 
 def _write_single_parquet(df: DataFrame, dst_file: str) -> None:
@@ -270,12 +280,16 @@ def _sweep_orphans(root: str, man: dict) -> None:
             elif f.startswith("d-") and f.endswith(".parquet"):
                 if int(f[2:8]) not in published and _grace_ok():
                     os.remove(os.path.join(ddir, f))
-    sdir = os.path.join(root, MOR, "delta")
+    sdir = _delta_root(root)
     if os.path.isdir(sdir):
         for d in os.listdir(sdir):
-            if (
-                d.startswith("s-")
-                and int(d[2:8]) not in published
+            if d.endswith(".tmpdir"):
+                # crashed writer's staging dir (dot-prefixed, never
+                # readable) — removed unconditionally
+                shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+            elif (
+                d.startswith("__born=")
+                and int(d.split("=", 1)[1]) not in published
                 and _grace_ok()
             ):
                 shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
@@ -388,6 +402,91 @@ def _read_cached(
         lambda r=reader, p=path: r.parquet(p).schema,
     )
     return reader.schema(schema).parquet(path)
+
+
+def _component_schema(spark: SparkSession, path: str):
+    """Read schema of one overlay component via the per-path cache
+    (same ``mor::{path}`` key the writers seed) — zero inference jobs
+    on a warm cache, one on a cold one, exactly like ``_read_cached``."""
+    from ..sources.tables import _cached_schema
+
+    return _cached_schema(
+        f"mor::{path}",
+        _path_state(path),
+        lambda p=path: spark.read.parquet(p).schema,
+    )
+
+
+def _delta_span_scan(
+    spark: SparkSession, root: str, seqs: list[dict]
+) -> DataFrame | None:
+    """ONE scan of the shared delta ROOT covering every appended delta
+    in ``seqs``; ``None`` when the span appended nothing.
+
+    Round-20 (r19 verdict #3): the former per-sequence ``unionByName``
+    chain minted one scan relation per retained sequence, so every plan
+    construction/analysis over the overlay — live serves, feeds,
+    maintains — paid O(sequences) driver time. Deltas are laid out as
+    ``__born=<seq>`` partitions of one root (:func:`_delta_dir`), so a
+    single reader discovers the born sequence as a partition column;
+    the span membership filter is a partition-pruned ``isin`` (which
+    also keeps unpublished/orphaned dirs invisible). The explicit
+    schema is the by-name merge of the span components' cached schemas
+    (writer-seeded — construction stays job-free); parquet fills
+    columns a component lacks with typed NULL, the same semantics the
+    ``unionByName(allowMissingColumns=True)`` chain produced."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    appended = [s["seq"] for s in seqs if s["n_appended"]]
+    if not appended:
+        return None
+    fields: list = []
+    seen: set[str] = set()
+    for s in seqs:
+        if s["n_appended"]:
+            for f in _component_schema(
+                spark, _delta_dir(root, s["seq"])
+            ).fields:
+                if f.name not in seen:
+                    seen.add(f.name)
+                    fields.append(f)
+    fields.append(StructField("__born", IntegerType()))
+    df = spark.read.schema(StructType(fields)).parquet(_delta_root(root))
+    return df.filter(F.col("__born").isin(appended))
+
+
+def _overlay_scan(
+    spark: SparkSession, root: str, man: dict, seqs: list[dict]
+) -> DataFrame:
+    """Overlay data side as O(1) scan relations: base scan ∪ ONE
+    delta-root scan (see :func:`_delta_span_scan`), every row tagged
+    with its ``__born`` sequence."""
+    base_seq = man.get("base_seq", 0)
+    base_dir = os.path.join(root, man["base"])
+    data = _read_cached(spark, base_dir, base_path=base_dir).withColumn(
+        "__born", F.lit(base_seq)
+    )
+    deltas = _delta_span_scan(spark, root, seqs)
+    if deltas is not None:
+        data = data.unionByName(deltas, allowMissingColumns=True)
+    return data
+
+
+def _delete_scan(
+    spark: SparkSession, root: str, seqs: list[dict]
+) -> DataFrame:
+    """ONE multi-file scan over the span's delete sidecars with
+    ``__dseq`` derived from the file name (``d-<seq>.parquet``) —
+    replaces the per-sequence union chain, same round-20 rationale as
+    :func:`_delta_span_scan` (plain files under one directory carry no
+    partition structure, so a multi-path read needs no layout change)."""
+    files = [_delete_file(root, s["seq"]) for s in seqs]
+    schema = _component_schema(spark, files[0])
+    df = spark.read.schema(schema).parquet(*files)
+    dseq = F.regexp_extract(
+        F.input_file_name(), r"/d-(\d+)\.parquet$", 1
+    ).cast("int")
+    return df.select("*", dseq.alias("__dseq"))
 
 
 def init_mor(
@@ -529,7 +628,13 @@ def merge_into_mor(
             dst = _delete_file(root, seq)
             tmp = dst + ".tmpdir"
             delta_dst = _delta_dir(root, seq)
-            delta_tmp = delta_dst + ".tmpdir"
+            # dot-prefixed tmp: the overlay read scans the shared delta
+            # ROOT, and Spark's file listing skips dot-entries — a
+            # half-written delta is invisible to concurrent readers
+            # until the publish rename below (round-20 single-root scan)
+            delta_tmp = os.path.join(
+                _delta_root(root), f".__born={seq:06d}.tmpdir"
+            )
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(delta_tmp, ignore_errors=True)
             try:
@@ -654,30 +759,18 @@ def read_mor(
         )
     seqs = [s for s in man["seqs"] if s["seq"] <= hi]
 
-    base_dir = os.path.join(root, man["base"])
-    data = _read_cached(spark, base_dir, base_path=base_dir).withColumn(
-        "__born", F.lit(base_seq)
-    )
-    for s in seqs:
-        if s["n_appended"]:
-            d = _delta_dir(root, s["seq"])
-            part = _read_cached(spark, d, base_path=d)
-            data = data.unionByName(
-                part.withColumn("__born", F.lit(s["seq"])),
-                allowMissingColumns=True,
-            )
+    # round-20: ONE multi-path scan per overlay side (base+deltas,
+    # delete sidecars) instead of a per-sequence unionByName chain —
+    # the plan and its analysis cost stay O(1) in retained sequences
+    # (r19 verdict #3; guide §6)
+    data = _overlay_scan(spark, root, man, seqs)
     # schema as of `hi`: the manifest column order, restricted to what
     # some component at-or-below `hi` actually carries
     out_cols = [c for c in man["columns"] if c in data.columns]
     if not seqs:
         return data.select(*out_cols)
 
-    dels = None
-    for s in seqs:
-        d = _read_cached(spark, _delete_file(root, s["seq"])).withColumn(
-            "__dseq", F.lit(s["seq"])
-        )
-        dels = d if dels is None else dels.unionByName(d)
+    dels = _delete_scan(spark, root, seqs)
     dmax = dels.groupBy(*keys).agg(F.max("__dseq").alias("__dmax"))
     return (
         data.join(dmax, keys, "left")
@@ -940,12 +1033,8 @@ def change_feed_mor(
             "sequences are unreachable"
         )
     span = [s for s in man["seqs"] if from_seq < s["seq"] <= hi]
-    dels = None
-    for s in span:
-        d = _read_cached(spark, _delete_file(root, s["seq"])).withColumn(
-            "__dseq", F.lit(s["seq"])
-        )
-        dels = d if dels is None else dels.unionByName(d)
+    # round-20: one multi-path sidecar scan (see _delete_scan)
+    dels = _delete_scan(spark, root, span)
     touched = dels.select(*keys).distinct()
 
     pre = read_mor(spark, root, from_seq).join(touched, keys, "left_semi")
@@ -959,15 +1048,11 @@ def change_feed_mor(
     # survive deletes at-or-below their own seq. Halves the feed's
     # plan (one overlay read instead of two, one semi-join).
     post_rows = pre.withColumn("__born", F.lit(from_seq))
-    for s in span:
-        if s["n_appended"]:
-            d = _delta_dir(root, s["seq"])
-            post_rows = post_rows.unionByName(
-                _read_cached(spark, d, base_path=d).withColumn(
-                    "__born", F.lit(s["seq"])
-                ),
-                allowMissingColumns=True,
-            )
+    span_deltas = _delta_span_scan(spark, root, span)
+    if span_deltas is not None:
+        post_rows = post_rows.unionByName(
+            span_deltas, allowMissingColumns=True
+        )
     dmax = dels.groupBy(*keys).agg(F.max("__dseq").alias("__dmax"))
     post = (
         post_rows.join(dmax, keys, "left")

@@ -115,7 +115,19 @@ _REG_ORDER: list[str] = []
 #: merge_dv_describe_history). Tail after a green sample: 26 (< the
 #: verdict's 30). Pinned by
 #: tests/test_registry.py::test_rotation_lands_fresh_names.
-_ROTATION_SALT = 25165
+#: round 20: salt 1402 at the unchanged 262-query registry → 14
+#: never-sampled names in the oracle-backed prefix-50 (simulated with
+#: the committed tools/rotation_sim.py — r19 verdict #9 made the
+#: selection re-runnable: `python tools/rotation_sim.py --scan 2000`
+#: reproduces this pick as the max-fresh salt). It lands
+#: mv_snapshot_read, mv_topk_rewrite and mv_join_policy_serve — the
+#: serving paths whose MoR overlay read this round's single-root delta
+#: scan rewrote (driver eyes exactly where the optimization risk is) —
+#: plus stream_stream_join (the r18-verdict-named sibling that shares
+#: the streaming_q slot with its full-outer twin), the never-sampled
+#: merge history/replay pair and the agg_* scalar tail. Tail after a
+#: green sample: 12.
+_ROTATION_SALT = 1402
 
 
 def register(

@@ -59,6 +59,12 @@ def test_compact_line_fits_tail_window_with_headroom():
     # comes out. The next headline growth spurt must SHRINK the map
     # (e.g. the array-form migration sketched in NOTES) instead of
     # nudging this budget again.
+    # round-20 (r19 verdict #1): EVERY headline name — including the six
+    # lifecycle heavyweights — must survive in the tail queries map; the
+    # r19 "min3L" omission made the driver's PERF report the improved
+    # heavyweights as dropped_from_bench. legs_bs is now FIRST in the
+    # shedding ladder, so the realistic full-map line must fit the
+    # window AFTER legs_bs sheds (it also lives in the FULL line).
     heavy = {
         "stream_mv_auto_compact", "stream_mv_maintain",
         "mv_join_mor_feed", "mv_mor_feed_capstone", "mv_join_maintain",
@@ -73,28 +79,36 @@ def test_compact_line_fits_tail_window_with_headroom():
         "calib_sec": 9.999,
         "fmt": "min3",
         "queries": {
-            # mixed widths matching the adaptive-precision min3L rule:
-            # the heavyweights live ONLY in legs_bs; half the rest as
-            # sub-second 2-decimal entries (r18 observed 29/61), the
-            # other half 1-decimal single-digit seconds
-            n: (0.14 if i % 2 == 0 else 9.9)
+            # realistic mixed widths: heavyweights as 2-digit 1-decimal
+            # seconds; half the rest as sub-second 2-decimal entries
+            # (r18 observed 29/61), the other half 1-decimal seconds
+            n: (
+                12.3 if n in heavy
+                else (0.14 if i % 2 == 0 else 9.9)
+            )
             for i, n in enumerate(names)
-            if n not in heavy
         },
         "legs_bs": [[99.9, 99.9]] * 6,
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) <= 1990, (
-        f"compact bench line {len(line)} chars — shed fields or shrink "
+    out = json.loads(bench._compact_line(compact))
+    assert len(json.dumps(out, separators=(",", ":"))) <= 1990, (
+        "compact bench line over the window — shed fields or shrink "
         "the per-query map before the next round's artifact truncates"
     )
+    for n in names:
+        assert n in out["queries"], (
+            f"{n} missing from the tail queries map — the driver's PERF "
+            "series would report it dropped_from_bench"
+        )
     # pessimistic regime: every query at 2-digit seconds — the runtime
-    # ladder must still emit a parseable line under the window
+    # ladder must still emit a parseable line under the window with the
+    # full name set aboard
     worst = dict(compact)
-    worst["queries"] = {n: 99.9 for n in names if n not in heavy}
+    worst["queries"] = {n: 99.9 for n in names}
     out = json.loads(bench._compact_line(worst))
     assert len(json.dumps(out, separators=(",", ":"))) <= 1990
     assert "calib_sec" in out, "calib must be the last survivor"
+    assert set(out["queries"]) == set(names)
 
 
 def test_bench_series_expands_pair_format():
@@ -135,9 +149,12 @@ def test_bench_series_loads_every_committed_round():
 
     bs = _load("tools/bench_series.py", "bench_series_mod")
     rounds = bs.load_rounds()
+    # companion artifacts (e.g. BENCH_r19_c8.json, the driver's 8-core
+    # scaling run) match the glob but are not round series entries
     committed = sorted(
-        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        int(m.group(1))
         for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     )
     assert sorted(rounds) == committed
     # r7 contributes its steady series even though min-of-3 is lost

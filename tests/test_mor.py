@@ -145,7 +145,7 @@ def test_compaction_preserves_state_and_clears_sidecars(spark, mor_table):
     # ... and that maintenance entry swept the grace-window orphans
     assert not os.path.exists(os.path.join(root, "base-000000"))
     assert not glob.glob(os.path.join(root, MOR, "delete", "d-000001*"))
-    assert not glob.glob(os.path.join(root, MOR, "delta", "s-000001*"))
+    assert not glob.glob(os.path.join(root, MOR, "delta", "__born=000001*"))
 
 
 def test_repeated_compact_merge_cycles_stay_readable(spark, mor_table):
@@ -181,13 +181,13 @@ def test_crash_windows_converge_on_next_maintenance(spark, mor_table):
         os.path.join(root, MOR, "delete", "d-000001.parquet"),
         os.path.join(root, MOR, "delete", "d-000002.parquet"),
     )
-    os.makedirs(os.path.join(root, MOR, "delta", "s-000002", "p=a"))
+    os.makedirs(os.path.join(root, MOR, "delta", "__born=000002", "p=a"))
     # crashed compaction: staged generation, pointer never swapped
     os.makedirs(os.path.join(root, "base-000001", "p=a"))
     assert _state(spark, root) == want  # readers consult the manifest only
     merge_into_mor(spark, root, _chg(spark, [(5, 500.0, "b", False)]))
     assert not os.path.exists(
-        os.path.join(root, MOR, "delta", "s-000002")
+        os.path.join(root, MOR, "delta", "__born=000002")
     ) or mor_history(root)[-1]["seq"] == 2
     assert not os.path.exists(os.path.join(root, "base-000001"))
     # the new merge's sidecar took seq 2; the orphan copy was swept first
@@ -594,7 +594,7 @@ def test_rollback_grace_window_for_lazy_readers(spark, mor_table):
     }
     rollback_last_mor(mor_table)
     dfile = os.path.join(mor_table, MOR, "delete", "d-000001.parquet")
-    ddir = os.path.join(mor_table, MOR, "delta", "s-000001")
+    ddir = os.path.join(mor_table, MOR, "delta", "__born=000001")
     assert os.path.exists(dfile) and os.path.isdir(ddir)
     # the pre-rollback lazy plan still executes (grace window)
     assert (3, 300.0, "b") in {
