@@ -356,6 +356,7 @@ def minmax_delta_maintain(
     on: Sequence[str],
     val: str,
     z: str = "__z",
+    include_untouched: bool = False,
 ) -> DataFrame:
     """Incremental maintenance of ``GROUP BY on: count, sum, MIN, MAX``
     under a z-weighted delta batch — the NON-INVERTIBLE aggregate case
@@ -430,8 +431,14 @@ def minmax_delta_maintain(
             F.max(val).alias("max_v"),
         )
     )
-    # only batch-touched groups are returned: folded untouched-view rows
-    # (no delta columns) are identity rows — filter them out
+    # by default only batch-touched groups are returned: folded
+    # untouched-view rows (no delta columns) are identity rows — filter
+    # them out. include_untouched=True (round 20, guide §2.4) keeps
+    # them, handing the caller the FULL post-batch view in one plan so
+    # it need not re-scan the old view and LeftAnti-join the touched
+    # keys back out (one view scan + one equi-join fewer per batch).
+    if include_untouched:
+        return folded.unionByName(recomputed)
     touched = d.select(*on)
     return folded.join(touched, on, "left_semi").unionByName(recomputed)
 
@@ -444,6 +451,7 @@ def mv_partial_delta_maintain(
     spec: dict,
     z: str = "__z",
     precheck_risky: bool = False,
+    include_untouched: bool = False,
 ) -> DataFrame:
     """Incremental maintenance of a materialized view's PARTIAL-aggregate
     rows under a z-weighted delta batch — the multi-measure-column
@@ -483,6 +491,18 @@ def mv_partial_delta_maintain(
     semi-join-pruned. Returns new partial rows for every batch-touched
     group (groups netting to zero rows drop out); merging into the
     stored view is the caller's pointer-swap.
+
+    ``include_untouched=True`` (round 20, guide §2.4 — shuffles removed
+    outright) returns post-batch partials for EVERY group instead: the
+    fold's full-outer join already carries the untouched stored rows,
+    and each fold expression is an exact identity when every delta-side
+    column is NULL (``+ coalesce(NULL,0)`` on longs; ``least``/
+    ``greatest`` ignore NULLs; the hll branch returns the stored sketch
+    untouched), so restricting ``folded`` to touched groups — and
+    making the caller re-scan and LeftAnti-join the stored view to add
+    the untouched rows back — pays one extra scan plus one extra
+    equi-join of the view for nothing. Callers that stage the FULL
+    post-state (MV maintenance, live serves) use this form.
 
     Scale: per-batch work = one delta-sized aggregate + a base scan
     restricted to risky groups, independent of how many measure columns
@@ -605,11 +625,14 @@ def mv_partial_delta_maintain(
     )
     touched = d.select(*on)
 
+    def only_touched(df: DataFrame) -> DataFrame:
+        return df if include_untouched else df.join(touched, on, "left_semi")
+
     if not has_minmax:
         # no extremum partials → nothing is ever risky: pure fold
-        return folded.join(touched, on, "left_semi")
+        return only_touched(folded)
     if precheck_risky and j.filter(risky).limit(1).count() == 0:
-        return folded.join(touched, on, "left_semi")
+        return only_touched(folded)
 
     risky_keys = j.filter(risky).select(*on)
     if callable(base_new):
@@ -631,4 +654,4 @@ def mv_partial_delta_maintain(
         .groupBy(*on)
         .agg(*r_aggs)
     )
-    return folded.join(touched, on, "left_semi").unionByName(recomputed)
+    return only_touched(folded).unionByName(recomputed)

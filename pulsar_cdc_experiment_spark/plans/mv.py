@@ -442,9 +442,10 @@ def _folded_partials(
     precheck_risky: bool = True,
 ) -> DataFrame:
     """LAZY plan for the MV's post-changeset partial rows: validate the
-    changeset, delegate the partial math to
-    ``mv_partial_delta_maintain``, and union the untouched stored rows
-    with the folded/recomputed ones. Shared by maintenance (which
+    changeset and delegate the partial math to
+    ``mv_partial_delta_maintain`` (``include_untouched=True`` — the
+    fold's full-outer join carries the untouched stored rows as
+    identity folds, see the operator). Shared by maintenance (which
     stages and publishes the result) and the round-17 LIVE serve
     (which rolls the composed partials up at query time without ever
     publishing). ``precheck_risky`` runs one probe job to skip the
@@ -480,15 +481,21 @@ def _folded_partials(
                 f"{dtypes.get(f'__sum_{c}')} — refresh_mv this MV "
                 "instead, or store the measure as integer cents"
             )
+    # round-20 (guide §2.4): the fold's full-outer join already carries
+    # the untouched stored rows as exact identity folds, so ask the
+    # operator for the FULL post-state instead of re-scanning the stored
+    # partials and LeftAnti-joining the touched keys back out — one scan
+    # and one equi-join of the view fewer in every maintain and every
+    # live serve (the LeftAnti SMJ the r19 verdict flagged across the
+    # live-serve family is exactly this join).
     new_rows = mv_partial_delta_maintain(
         data, base_new,
         changes.select(*group_cols, *sorted(spec), "__z"),
         group_cols, spec,
         precheck_risky=precheck_risky,
+        include_untouched=True,
     )
-    touched = changes.select(*group_cols).distinct()
-    untouched = data.join(touched, group_cols, "left_anti")
-    return untouched.unionByName(new_rows.select(*data.columns))
+    return new_rows.select(*data.columns)
 
 
 def _fold_changes_and_swap(

@@ -666,15 +666,16 @@ class IncrementalMinMaxMaintainer:
                         F.col(self.val).alias("max_v"),
                     ).schema,
                 )
-            touched = minmax_delta_maintain(
-                view_old, base_new, delta, self.on, self.val, z=self.z
-            )
-            untouched = view_old.join(
-                delta.select(*self.on).distinct(), self.on, "left_anti"
+            # round-20 (guide §2.4): the maintainer's full-outer fold
+            # already carries untouched view rows as identity folds —
+            # take the FULL post-batch view from one plan instead of
+            # re-scanning view_old and LeftAnti-joining the delta keys
+            view_new = minmax_delta_maintain(
+                view_old, base_new, delta, self.on, self.val, z=self.z,
+                include_untouched=True,
             )
             self._state.publish_tables(
-                {"base": base_new, "view": untouched.unionByName(touched)},
-                batch_id,
+                {"base": base_new, "view": view_new}, batch_id,
             )
         finally:
             delta.unpersist()
