@@ -80,9 +80,11 @@ def pagerank_fixed_point(
     — previously the groupBy('dst') silently removed them along with
     their teleport mass): their rank is CONSTANT at teleport (no inbound
     contributions ever), so the dangling set is computed ONCE with an
-    anti-join outside the loop and unioned into every round's aggregate
-    — no per-iteration join, just a union with a persisted (usually
-    empty) table. Returns ``(node, rank)`` with ``rank`` in
+    anti-join outside the loop; their constant per-edge contributions
+    join the aggregate input from round 2 on, and their rank rows are
+    unioned onto the final vector (round 20 — keeping the loop's ranks
+    a pure groupBy output preserves its hash partitioning for the next
+    round's join). Returns ``(node, rank)`` with ``rank`` in
     :data:`RANK_SCALE` units, as one unrolled lazy plan: ``iters`` ×
     (join on src → integer contribution → re-aggregate on dst → union
     dangling).
@@ -104,6 +106,28 @@ def pagerank_fixed_point(
     edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     vertices, dangling = _vertices_and_dangling(edges_deg, teleport)
     ranks = vertices.select("node", F.lit(RANK_SCALE).cast("long").alias("rank"))
+    # Round-20 (guide §2.4 — share one exchange): dangling-IN vertices'
+    # rank is CONSTANT at teleport from round 2 on (they receive no
+    # contributions), so their per-edge contributions are ONE fixed
+    # table, computed lazily once and unioned into each round's
+    # AGGREGATE input instead of unioning the dangling rank rows into
+    # the JOIN input. The loop's ranks then stay a pure groupBy("dst")
+    # output whose hash partitioning the next round's src-join reuses
+    # (the union previously discarded it): one Exchange per iteration
+    # instead of two. Identical bigint math — the same contribution
+    # rows reach the same per-dst sums, just unioned one operator later.
+    dang_contrib = (
+        edges_deg.join(
+            dangling.select(F.col("node").alias("src")), "src"
+        )
+        .select(
+            "dst",
+            F.expr(
+                f"{teleport}L * {damping_pct} div (100 * outdeg)"
+            ).alias("contrib"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     for i in range(iters):
         # per-iteration aliases: ranks shares lineage with edges_deg from
         # the previous round, and unaliased column refs in a self-join on
@@ -115,13 +139,22 @@ def pagerank_fixed_point(
             # division here would silently lose integer resolution
             F.expr(f"rank * {damping_pct} div (100 * outdeg)").alias("contrib"),
         )
+        if i > 0:
+            # round 1's join input is the FULL initial rank vector
+            # (every vertex at RANK_SCALE, dangling included) — the
+            # constant-teleport contribution table applies from round 2
+            contrib = contrib.unionByName(dang_contrib)
         ranks = (
             contrib.groupBy("dst")
             .agg((F.lit(teleport).cast("long") + F.sum("contrib")).alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
-            .unionByName(dangling)
         )
-    return ranks
+    # ranks covers every vertex with inbound edges; the dangling set's
+    # constant-teleport rows complete the vector (same rows the union
+    # previously added every round)
+    if iters == 0:
+        return ranks
+    return ranks.unionByName(dangling)
 
 
 def pagerank_until_converged(
