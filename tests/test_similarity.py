@@ -119,15 +119,22 @@ def test_ivf_nprobe_recall_curve_on_real_embeddings(spark, sf_dir):
     )
     queries = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
 
+    # the exact top-10 is nprobe-independent — compute it once per query
+    # instead of once per curve point (round-20 suite wall-time; the
+    # assertions are unchanged)
+    exact_by_q = {
+        qid: {r["vec_id"] for r in S.brute_force_topk(emb, qv, k=10).collect()}
+        for qid, qv in queries
+    }
+
     def recall_at(nprobe: int) -> float:
         hits = 0
-        for _qid, qv in queries:
-            exact = {r["vec_id"] for r in S.brute_force_topk(emb, qv, k=10).collect()}
+        for qid, qv in queries:
             got = {
                 r["vec_id"]
                 for r in S.ivf_topk(emb, qv, cents, k=10, nprobe=nprobe).collect()
             }
-            hits += len(got & exact)
+            hits += len(got & exact_by_q[qid])
         return hits / (10 * len(queries))
 
     curve = {np_: recall_at(np_) for np_ in (1, 4, 16)}
