@@ -808,3 +808,36 @@ def test_read_mor_snapshot_is_grace_window_safe(spark, mor_table):
         assert got == want  # as-of-entry state, not the merged one
     merge_into_mor(spark, root, _chg(spark, [(8, 88.0, "b", False)]))
     assert not old_bases()
+
+
+def test_read_mor_scan_relations_constant_in_sequence_count(spark, mor_table):
+    """Round-20 (r19 verdict #3): the overlay read is ONE base scan +
+    ONE partitioned delta-root scan + ONE multi-path delete-sidecar
+    scan — the physical plan's parquet-scan relation count must NOT
+    grow with the number of retained sequences (the pre-r20 per-seq
+    unionByName chain minted one scan relation per sequence, charging
+    every consumer O(sequences) driver-side analysis)."""
+
+    def n_scans(root):
+        df = read_mor(spark, root)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        return sum(
+            1 for line in plan.splitlines()
+            if "FileScan parquet" in line or "Scan parquet" in line
+        )
+
+    merge_into_mor(spark, mor_table, _chg(spark, [(1, 10.0, "a", False)]))
+    after_one = n_scans(mor_table)
+    for i in range(4):
+        merge_into_mor(
+            spark, mor_table,
+            _chg(spark, [(30 + i, float(i), "b", False),
+                         (2 + i, 99.0 + i, "a", False)]),
+        )
+    after_five = n_scans(mor_table)
+    assert after_five == after_one, (after_one, after_five)
+    # and the data still folds correctly across all five sequences
+    state = _state(spark, mor_table)
+    assert (1, 10.0, "a") in state and (33, 3.0, "b") in state
